@@ -1,13 +1,209 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational/OLAP
+    "q1_pricing_summary"       -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority"     -> (Relational.q3ShippingPriority _),
+    "q4_order_priority"        -> (Relational.q4OrderPriority _),
+    "q5_local_supplier"        -> (Relational.q5LocalSupplier _),
+    "q6_forecast_revenue"      -> (Relational.q6ForecastRevenue _),
+    "q10_returned_items"       -> (Relational.q10ReturnedItems _),
+    "q13_customer_distribution" -> (Relational.q13CustomerDistribution _),
+    "q14_promo_revenue"        -> (Relational.q14PromoRevenue _),
+    "q18_large_orders"         -> (Relational.q18LargeOrders _),
+    "q19_discounted_revenue"   -> (Relational.q19DiscountedRevenue _),
+    "topk_per_group"           -> (Relational.topkPerGroup _),
+    "running_total"            -> (Relational.runningTotal _),
+    "rollup_agg"               -> (Relational.rollupAgg _),
+    "distinct_agg"             -> (Relational.distinctAgg _),
+    "anti_semi_join"           -> (Relational.antiSemiJoin _),
+    "set_ops"                  -> (Relational.setOps _),
+    "pivot_manual"             -> (Relational.pivotManual _),
+    "approx_distinct"          -> (Relational.approxDistinct _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(CAST(l_quantity AS DECIMAL(30,2))) AS sum_qty,
+        | SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS sum_base_price,
+        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS sum_disc_price,
+        | SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS sum_charge,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS revenue,
+        | o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS revenue,
+        | c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT
+        | SUM(CASE WHEN p_type = 'PROMO'
+        |     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
+        |     ELSE CAST(0 AS DECIMAL(30,4)) END) AS promo_revenue,
+        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS total_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | SUM(CAST(l_quantity AS DECIMAL(30,2))) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND (
+        |  (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |  OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |  OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                                ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+        |      FROM customer) t
+        |WHERE rnk <= 5
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "running_total" ->
+      """SELECT user_id, event_id,
+        | SUM(CAST(value AS DECIMAL(30,2)))
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |FROM events
+        |WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(CAST(l_quantity AS DECIMAL(30,2))) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT o_orderstatus,
+        | COUNT(DISTINCT o_custkey) AS n_cust,
+        | COUNT(DISTINCT o_orderpriority) AS n_prio,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "anti_semi_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_ops" ->
+      """SELECT 'both' AS tag, nationkey
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      INTERSECT SELECT s_nationkey FROM supplier) a
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nationkey
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      EXCEPT SELECT s_nationkey FROM supplier) b
+        |ORDER BY tag, nationkey""".stripMargin,
+
+    "pivot_manual" ->
+      """SELECT o_orderstatus,
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        | CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        | CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_unspecified,
+        | CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+  )
 }

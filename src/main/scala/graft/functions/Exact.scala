@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Order-stable aggregation helpers.
+  *
+  * Sums of doubles are not associative, so a double sum's low bits depend
+  * on partitioning — unacceptable for an engine whose results are
+  * verified by hash against an external oracle, and a real hazard at
+  * 100 TB where AQE re-plans change the reduction order. Monetary
+  * aggregates are therefore summed as decimals: each term is cast at a
+  * scale that covers the term's exact decimal length (2-decimal inputs,
+  * 4 for products of two of them, 6 for three), making the per-row cast
+  * unambiguous and the sum bit-stable under any partitioning.
+  */
+object Exact {
+  /** Cast a double term to an exact decimal at the given scale. */
+  def dec(c: Column, scale: Int): Column = c.cast(DecimalType(30, scale))
+
+  /** Partitioning-stable sum of a double expression at the given scale. */
+  def dsum(c: Column, scale: Int): Column = sum(dec(c, scale))
+
+  /** SQL fragment mirroring [[dec]] for the DuckDB oracle. */
+  def decSql(expr: String, scale: Int): String = s"CAST($expr AS DECIMAL(30,$scale))"
+
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  def dsumSql(expr: String, scale: Int): String = s"SUM(${decSql(expr, scale)})"
+}

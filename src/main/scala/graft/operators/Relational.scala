@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact.{dec, dsum}
+import graft.sources.Tables
+
+/** Relational/OLAP operator coverage (SURVEY.md §2.2) on the TPC-H-ish
+  * star schema.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer)
+  * are explicitly broadcast; fact-fact joins shuffle on the join key and
+  * rely on AQE for skew handling; all filters are plain column
+  * predicates so Catalyst pushes them into the parquet scan.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** TPC-H Q1: scan + filter + wide aggregation, decimal-exact sums. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3: fact-fact shuffle join + broadcast customer dim + top-N. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+    val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+  }
+
+  /** TPC-H Q4: EXISTS as a left-semi join with a non-equi residual. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+              col("o_orderdate") < ts("1996-10-01 00:00:00"))
+    val li = Tables.lineitem(spark, dir)
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+                 col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5: snowflake join, all dims broadcast. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val li   = Tables.lineitem(spark, dir)
+    val sup  = Tables.supplier(spark, dir)
+    val nat  = Tables.nation(spark, dir)
+    val reg  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+                            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6: tight range filter + single aggregate (pushdown showcase). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+              col("l_discount").between(0.02, 0.04) &&
+              col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q10: returned-item revenue per customer, top 20. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1996-04-01 00:00:00"))
+    val li  = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val nat = Tables.nation(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+  }
+
+  /** TPC-H Q13: left outer join + two-level aggregation. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+    val perCust = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14: conditional aggregation over a broadcast part join. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-09-01 00:00:00") &&
+              col("l_shipdate") < ts("1996-10-01 00:00:00"))
+    val part = Tables.part(spark, dir)
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", dec(disc, 4)).otherwise(dec(lit(0), 4)))
+          .as("promo_revenue"),
+        dsum(disc, 4).as("total_revenue"))
+  }
+
+  /** TPC-H Q18: HAVING subquery (large orders) + join back. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(spark, dir)
+    val big  = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+      .select(col("l_orderkey").as("big_orderkey"))
+    val ord  = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    li.join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+               col("o_totalprice"))
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19: disjunctive multi-predicate join (predicate pushdown
+    * through an OR of conjunctions). */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val cond =
+      (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+        col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+        col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+        col("p_size").between(1, 15))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** Top-k rows per group via ranking window. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    cust.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  /** Running (cumulative) aggregation window over the event stream. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id") < 10)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("running_value", sum(dec(col("value"), 2)).over(w))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** GROUP BY ROLLUP hierarchy aggregation. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Multiple DISTINCT aggregates in one pass. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Anti join: customers with no urgent orders. */
+  def antiSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust   = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set operators: nations with customers vs nations with suppliers. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    val both     = cn.intersect(sn).withColumn("tag", lit("both"))
+    val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+    both.unionAll(custOnly)
+      .select(col("tag"), col("nationkey"))
+      .orderBy(col("tag"), col("nationkey"))
+  }
+
+  /** Manual pivot via conditional aggregation. */
+  def pivotManual(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def cnt(prio: String): Column =
+      sum(when(col("o_orderpriority") === prio, 1L).otherwise(0L))
+    ord.groupBy(col("o_orderstatus"))
+      .agg(
+        cnt("1-URGENT").as("n_urgent"),
+        cnt("2-HIGH").as("n_high"),
+        cnt("3-MEDIUM").as("n_medium"),
+        cnt("4-NOT SPECIFIED").as("n_unspecified"),
+        cnt("5-LOW").as("n_low"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** HLL sketch aggregation (approximate; rows-only check). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query runs and returns rows at sf0.001") {
+    val empties = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val n = SparkEntry.queries(name)(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with empty results: $empties")
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
+  test("q1 aggregates are decimal-exact (partitioning-stable)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val moneyTypes = Seq("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge")
+      .map(c => df.schema(c).dataType.typeName)
+    assert(moneyTypes.forall(_.startsWith("decimal")), s"non-decimal money columns: $moneyTypes")
+    // Re-run with different partitioning: results must be bitwise identical.
+    val a = df.collect().map(_.toString).sorted
+    val b = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+      .repartition(7).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("q6 filters are pushed to the parquet scan") {
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"expected shipdate pushdown in plan:\n$plan")
+  }
+
+  test("q5 broadcasts its dimension tables") {
+    val df = SparkEntry.queries("q5_local_supplier")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in plan:\n$plan")
+  }
+}
