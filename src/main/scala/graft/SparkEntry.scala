@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.kv.Kv
 import graft.operators.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -31,8 +32,26 @@ object SparkEntry {
     "anti_semi_join"           -> (Relational.antiSemiJoin _),
     "set_ops"                  -> (Relational.setOps _),
     "pivot_manual"             -> (Relational.pivotManual _),
-    "approx_distinct"          -> (Relational.approxDistinct _)
+    "approx_distinct"          -> (Relational.approxDistinct _),
+    // §2.1 KV engine (reference-derived semantics)
+    "kv_lww_latest"            -> (Kv.lwwLatest _),
+    "kv_generations_merge"     -> (Kv.generationsMerge _),
+    "kv_tombstone_merge"       -> (Kv.tombstoneMerge _),
+    "kv_range_tombstone"       -> (Kv.rangeTombstone _),
+    "kv_ttl_expiry"            -> (Kv.ttlExpiry _),
+    "kv_record_ttl"            -> (Kv.recordTtl _),
+    "kv_create_only"           -> (Kv.createOnly _),
+    "kv_resume_scan"           -> (Kv.resumeScan _),
+    "kv_token_distribution"    -> (Kv.tokenDistribution _),
+    "kv_export_stats"          -> (Kv.exportStats _),
+    "kv_dry_run_format"        -> (Kv.dryRunFormat _)
   )
+
+  /** Shared SQL prelude for the KV oracles: the events table as a cell
+    * bag (key, col, ts, seq, value). */
+  private val cellsCte: String =
+    """WITH cells AS (SELECT CAST(user_id AS VARCHAR) AS key, event_type AS col,
+      |  CAST(ts AS TIMESTAMP) AS ts, event_id AS seq, value FROM events)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -204,6 +223,110 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
         |FROM orders
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "kv_lww_latest" ->
+      s"""$cellsCte,
+        |ranked AS (SELECT key, col, ts, value,
+        |  ROW_NUMBER() OVER (PARTITION BY key, col ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM cells)
+        |SELECT key, col, ts, value FROM ranked WHERE rn = 1
+        |ORDER BY key, col""".stripMargin,
+
+    "kv_generations_merge" ->
+      s"""$cellsCte,
+        |ranked AS (SELECT key, col, ts,
+        |  ROW_NUMBER() OVER (PARTITION BY key, col ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM cells)
+        |SELECT key, COUNT(*) AS n_cols, MAX(ts) AS last_write
+        |FROM ranked WHERE rn = 1
+        |GROUP BY key ORDER BY key""".stripMargin,
+
+    "kv_tombstone_merge" ->
+      s"""$cellsCte,
+        |marked AS (SELECT *, MAX(CASE WHEN col = 'error' THEN ts END)
+        |  OVER (PARTITION BY key) AS del_ts FROM cells),
+        |live AS (SELECT * FROM marked
+        |  WHERE col <> 'error' AND (del_ts IS NULL OR ts > del_ts)),
+        |ranked AS (SELECT key, col, ts, value,
+        |  ROW_NUMBER() OVER (PARTITION BY key, col ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM live)
+        |SELECT key, col, ts, value FROM ranked WHERE rn = 1
+        |ORDER BY key, col""".stripMargin,
+
+    "kv_range_tombstone" ->
+      s"""$cellsCte,
+        |marked AS (SELECT *, MAX(CASE WHEN col = 'error' THEN ts END)
+        |  OVER (PARTITION BY key) AS del_ts FROM cells),
+        |live AS (SELECT * FROM marked
+        |  WHERE col <> 'error' AND (del_ts IS NULL OR ts > del_ts
+        |        OR col NOT BETWEEN 'click' AND 'purchase')),
+        |ranked AS (SELECT key, col, ts, value,
+        |  ROW_NUMBER() OVER (PARTITION BY key, col ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM live)
+        |SELECT key, col, ts, value FROM ranked WHERE rn = 1
+        |ORDER BY key, col""".stripMargin,
+
+    "kv_ttl_expiry" ->
+      s"""$cellsCte,
+        |exp AS (SELECT key, col, seq,
+        |  CAST(FLOOR(value * 10 * 1000000.0) AS BIGINT) AS ttl_us,
+        |  epoch_us(ts) + CAST(FLOOR(value * 10 * 1000000.0) AS BIGINT) AS expiry_us
+        |  FROM cells)
+        |SELECT key, col, seq, ttl_us, expiry_us FROM exp
+        |WHERE expiry_us >= 1706140800000000 AND ttl_us >= 600000000
+        |ORDER BY key, col, seq""".stripMargin,
+
+    "kv_record_ttl" ->
+      s"""$cellsCte,
+        |exp AS (SELECT key, col, seq,
+        |  CAST(FLOOR(value * 10 * 1000000.0) AS BIGINT) AS ttl_us,
+        |  epoch_us(ts) + CAST(FLOOR(value * 10 * 1000000.0) AS BIGINT) AS expiry_us
+        |  FROM cells),
+        |live AS (SELECT * FROM exp
+        |  WHERE expiry_us >= 1706140800000000 AND ttl_us >= 600000000)
+        |SELECT key, MIN(expiry_us) AS first_expiry_us, MAX(expiry_us) AS last_expiry_us,
+        |  COUNT(*) AS n_cells
+        |FROM live GROUP BY key ORDER BY key""".stripMargin,
+
+    "kv_create_only" ->
+      s"""$cellsCte,
+        |existing AS (SELECT DISTINCT key, col FROM cells
+        |  WHERE epoch_us(ts) < 1705276800000000),
+        |incoming AS (SELECT * FROM cells WHERE epoch_us(ts) >= 1705276800000000)
+        |SELECT
+        | CAST(SUM(CASE WHEN e.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS written,
+        | CAST(SUM(CASE WHEN e.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS skipped_existing
+        |FROM incoming i LEFT JOIN existing e ON i.key = e.key AND i.col = e.col""".stripMargin,
+
+    "kv_export_stats" ->
+      s"""$cellsCte,
+        |annotated AS (SELECT *,
+        |  MAX(CASE WHEN col = 'error' THEN ts END) OVER (PARTITION BY key) AS del_ts,
+        |  ROW_NUMBER() OVER (PARTITION BY key, col ORDER BY ts DESC, seq DESC) AS rn,
+        |  CAST(FLOOR(value * 10 * 1000000.0) AS BIGINT) AS ttl_us,
+        |  epoch_us(ts) + CAST(FLOOR(value * 10 * 1000000.0) AS BIGINT) AS expiry_us
+        |  FROM cells)
+        |SELECT COUNT(*) AS cells_read,
+        | COUNT(DISTINCT key) AS rows_read,
+        | CAST(SUM(CASE WHEN col = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS tombstone_cells,
+        | CAST(SUM(CASE WHEN col <> 'error' AND rn = 1 AND (del_ts IS NULL OR ts > del_ts)
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS live_latest_cells,
+        | CAST(SUM(CASE WHEN col <> 'error' AND del_ts IS NOT NULL AND ts <= del_ts
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS tombstoned_cells,
+        | CAST(SUM(CASE WHEN expiry_us < 1706140800000000 THEN 1 ELSE 0 END) AS BIGINT) AS expired_cells
+        |FROM annotated""".stripMargin,
+
+    "kv_dry_run_format" ->
+      s"""$cellsCte,
+        |ranked AS (SELECT key, col, ts, value,
+        |  ROW_NUMBER() OVER (PARTITION BY key, col ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM cells),
+        |fmt AS (SELECT key, col,
+        |  col || '=' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS cell_text
+        |  FROM ranked WHERE rn = 1)
+        |SELECT key, col, cell_text, lower(hex(cell_text)) AS cell_hex,
+        |  (length(regexp_replace(cell_text, '[ -~]', '', 'g')) = 0) AS printable
+        |FROM fmt ORDER BY key, col""".stripMargin
   )
 }

@@ -1,0 +1,237 @@
+package graft.kv
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CassandraMurmur3.cassandraToken
+import graft.functions.Exact.dec
+import graft.sources.Tables
+
+/** The reference's KV-store semantics, re-expressed as Spark plans.
+  *
+  * A Cassandra table read from SSTables is a bag of cells
+  * `(key, col, ts, seq, value)` spread over multiple generations; the
+  * reference reconstructs the logical table with a serial k-way merge
+  * (CassandraParser.cpp:375-532). Here each semantic is a declarative
+  * plan over the cell bag:
+  *
+  *  - generations are DataFrames; merging k of them is `union` — the
+  *    shuffle that follows costs the same for 1 or k inputs, so the
+  *    k-way merge is free at 100 TB instead of serial;
+  *  - last-write-wins (choose_latest_match, CassandraParser.cpp:316) is
+  *    one ranking window over (key, col), ordered by (ts, seq) desc —
+  *    a single hash shuffle, AQE-coalesced;
+  *  - row/range tombstones (update_tombstones, CassandraParser.cpp:337)
+  *    are windowed conditional maxima over the key partition — they ride
+  *    the same shuffle instead of a second join;
+  *  - TTL/expiry (AerospikeWriter.cpp TTL policies) is pure column
+  *    arithmetic in exact integer µs space — fully codegen'd, no state.
+  *
+  * The `events` table plays the role of the cell bag: key=user_id,
+  * column=event_type, timestamp=ts, write-sequence=event_id.
+  */
+object Kv {
+
+  /** The tombstone column marker: cells of this column act as row/range
+    * deletion markers for their key (DELETION_MASK / RANGE_TOMBSTONE_MASK
+    * in the reference, SSTable.hpp:88-93). */
+  val TombstoneCol = "error"
+
+  /** Normalize the events table into the cell model. */
+  def cells(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("user_id").cast("string").as("key"),
+      col("event_type").as("col"),
+      col("ts"),
+      col("event_id").as("seq"),
+      col("value"))
+
+  /** Split into k "SSTable generations" (deterministic, by sequence). */
+  def generations(spark: SparkSession, dir: String, k: Int): Seq[DataFrame] = {
+    val c = cells(spark, dir)
+    (0 until k).map(i => c.filter(pmod(col("seq"), lit(k)) === i))
+  }
+
+  /** Last-write-wins compaction: newest cell per (key, col) by (ts, seq).
+    * One hash shuffle on (key, col); generations union in for free. */
+  def lww(cellBag: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"), col("col"))
+      .orderBy(col("ts").desc, col("seq").desc)
+    cellBag.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** k-way generation merge = union + LWW (one shuffle total). */
+  def mergeGenerations(gens: Seq[DataFrame]): DataFrame =
+    lww(gens.reduce(_ unionAll _))
+
+  /** Row-tombstone application: a tombstone cell suppresses every cell of
+    * its key with ts <= tombstone ts (CassandraParser.cpp:481 keeps a cell
+    * only when `minTime < column.ts`). Computed as a windowed conditional
+    * max over the key partition — rides the LWW shuffle. */
+  def applyRowTombstones(cellBag: DataFrame): DataFrame = {
+    val wKey = Window.partitionBy(col("key"))
+    cellBag
+      .withColumn("del_ts", max(when(col("col") === TombstoneCol, col("ts"))).over(wKey))
+      .filter(col("col") =!= TombstoneCol &&
+              (col("del_ts").isNull || col("ts") > col("del_ts")))
+      .drop("del_ts")
+  }
+
+  /** Range-tombstone application: the marker deletes only cells whose
+    * column name falls in [rangeStart, rangeEnd] and that are older than
+    * the marker (update_tombstones, CassandraParser.cpp:337-372). */
+  def applyRangeTombstones(cellBag: DataFrame, rangeStart: String, rangeEnd: String): DataFrame = {
+    val wKey = Window.partitionBy(col("key"))
+    cellBag
+      .withColumn("del_ts", max(when(col("col") === TombstoneCol, col("ts"))).over(wKey))
+      .filter(col("col") =!= TombstoneCol &&
+              (col("del_ts").isNull || col("ts") > col("del_ts") ||
+               !col("col").between(rangeStart, rangeEnd)))
+      .drop("del_ts")
+  }
+
+  /** Cell expiration in exact integer µs space: ttl_us derived from the
+    * cell value (deterministic synthetic TTL: value*10 seconds), expiry =
+    * write-ts + ttl. Mirrors the reference's expiring-column handling
+    * (SSTable.cpp:438-443) and the `-L` minimum-TTL discard
+    * (AerospikeWriter set_minimum_ttl). */
+  def withExpiry(cellBag: DataFrame): DataFrame =
+    cellBag
+      .withColumn("ttl_us", floor(col("value") * 10 * 1e6))
+      .withColumn("expiry_us", unix_micros(col("ts")) + col("ttl_us"))
+
+  /** Live cells at `cutoffUs`, with minimum-TTL discard (`-L`). */
+  def liveAt(cellBag: DataFrame, cutoffUs: Long, minTtlUs: Long): DataFrame =
+    withExpiry(cellBag)
+      .filter(col("expiry_us") >= cutoffUs && col("ttl_us") >= minTtlUs)
+
+  // ---------------------------------------------------------------------
+  // SURVEY §2.1 query entries
+  // ---------------------------------------------------------------------
+
+  private val cutoffUs: Long = 1706140800000000L // 2024-01-25T00:00:00Z
+  private val minTtlUs: Long = 600L * 1000000L   // -L 600 seconds
+  private val splitUs: Long  = 1705276800000000L // 2024-01-15T00:00:00Z
+
+  /** #1 kv_lww_latest */
+  def lwwLatest(spark: SparkSession, dir: String): DataFrame =
+    lww(cells(spark, dir))
+      .select(col("key"), col("col"), col("ts"), col("value"))
+      .orderBy(col("key"), col("col"))
+
+  /** #2 kv_generations_merge: 3-generation merge, per-key summary. */
+  def generationsMerge(spark: SparkSession, dir: String): DataFrame =
+    mergeGenerations(generations(spark, dir, 3))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_cols"), max(col("ts")).as("last_write"))
+      .orderBy(col("key"))
+
+  /** #3 kv_tombstone_merge: row tombstones then LWW. */
+  def tombstoneMerge(spark: SparkSession, dir: String): DataFrame =
+    lww(applyRowTombstones(cells(spark, dir)))
+      .select(col("key"), col("col"), col("ts"), col("value"))
+      .orderBy(col("key"), col("col"))
+
+  /** #4 kv_range_tombstone: range ['click','purchase'] tombstones then LWW. */
+  def rangeTombstone(spark: SparkSession, dir: String): DataFrame =
+    lww(applyRangeTombstones(cells(spark, dir), "click", "purchase"))
+      .select(col("key"), col("col"), col("ts"), col("value"))
+      .orderBy(col("key"), col("col"))
+
+  /** #5 kv_ttl_expiry: surviving cells at the cutoff with min-TTL discard. */
+  def ttlExpiry(spark: SparkSession, dir: String): DataFrame =
+    liveAt(cells(spark, dir), cutoffUs, minTtlUs)
+      .select(col("key"), col("col"), col("seq"), col("ttl_us"), col("expiry_us"))
+      .orderBy(col("key"), col("col"), col("seq"))
+
+  /** #6 kv_record_ttl: record TTL from first- vs last-expiring live cell
+    * (the `-f` flag chooses between these; both reported). */
+  def recordTtl(spark: SparkSession, dir: String): DataFrame =
+    liveAt(cells(spark, dir), cutoffUs, minTtlUs)
+      .groupBy(col("key"))
+      .agg(
+        min(col("expiry_us")).as("first_expiry_us"),
+        max(col("expiry_us")).as("last_expiry_us"),
+        count(lit(1)).as("n_cells"))
+      .orderBy(col("key"))
+
+  /** #7 kv_create_only: create-only write of the post-split generation
+    * against the pre-split target (AS_POLICY_EXISTS_CREATE) — written vs
+    * skipped-existing counts, exactly the reference's end-of-run stats. */
+  def createOnly(spark: SparkSession, dir: String): DataFrame = {
+    val c = cells(spark, dir)
+    val existing = c.filter(unix_micros(col("ts")) < splitUs)
+      .select(col("key"), col("col")).distinct()
+    val incoming = c.filter(unix_micros(col("ts")) >= splitUs)
+    incoming.join(existing.withColumn("already", lit(1)),
+        Seq("key", "col"), "left_outer")
+      .agg(
+        sum(when(col("already").isNull, 1L).otherwise(0L)).as("written"),
+        sum(when(col("already").isNotNull, 1L).otherwise(0L)).as("skipped_existing"))
+  }
+
+  /** #8 kv_resume_scan: token-ordered scan resumed from a start key —
+    * the Spark form of `-s <key>` + Summary/Index seek: a token-range
+    * filter that prunes at the scan, then token order. Rows-only check
+    * (the token function has no SQL oracle). */
+  def resumeScan(spark: SparkSession, dir: String): DataFrame = {
+    val startKey = "42"
+    val startToken = graft.functions.CassandraMurmur3.token(
+      org.apache.spark.unsafe.types.UTF8String.fromString(startKey))
+    lww(cells(spark, dir))
+      .withColumn("token", cassandraToken(col("key")))
+      .filter(col("token") >= startToken &&
+              (col("token") > startToken || col("key") >= startKey))
+      .orderBy(col("token"), col("key"), col("col"))
+  }
+
+  /** #9 kv_token_distribution: ring balance — cells per 1/64th of the
+    * token ring (what you'd use to pick split points at 100 TB). */
+  def tokenDistribution(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir)
+      .withColumn("token", cassandraToken(col("key")))
+      .withColumn("bucket", (col("token") / lit(1L << 58)).cast("long") + 32L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cells"), countDistinct(col("key")).as("n_keys"))
+      .orderBy(col("bucket"))
+
+  /** #10 kv_export_stats: the reference's end-of-run accounting in one
+    * pass (do_transfer's printf, Cassandra2Aerospike.cpp:386). */
+  def exportStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = cells(spark, dir)
+    val wKey = Window.partitionBy(col("key"))
+    val wCell = Window.partitionBy(col("key"), col("col"))
+      .orderBy(col("ts").desc, col("seq").desc)
+    val annotated = c
+      .withColumn("del_ts", max(when(col("col") === TombstoneCol, col("ts"))).over(wKey))
+      .withColumn("rn", row_number().over(wCell))
+      .withColumn("ttl_us", floor(col("value") * 10 * 1e6))
+      .withColumn("expiry_us", unix_micros(col("ts")) + col("ttl_us"))
+    annotated.agg(
+      count(lit(1)).as("cells_read"),
+      countDistinct(col("key")).as("rows_read"),
+      sum(when(col("col") === TombstoneCol, 1L).otherwise(0L)).as("tombstone_cells"),
+      sum(when(col("col") =!= TombstoneCol && col("rn") === 1 &&
+               (col("del_ts").isNull || col("ts") > col("del_ts")), 1L)
+        .otherwise(0L)).as("live_latest_cells"),
+      sum(when(col("col") =!= TombstoneCol && col("del_ts").isNotNull &&
+               col("ts") <= col("del_ts"), 1L).otherwise(0L)).as("tombstoned_cells"),
+      sum(when(col("expiry_us") < cutoffUs, 1L).otherwise(0L)).as("expired_cells"))
+  }
+
+  /** #11 kv_dry_run_format: DryRun.cpp record rendering — printable
+    * detection + lowercase hex (binaryToHex/isPrintable, Utilities.cpp). */
+  def dryRunFormat(spark: SparkSession, dir: String): DataFrame = {
+    val rendered = concat(col("col"), lit("="), col("value").cast("decimal(12,2)").cast("string"))
+    lww(cells(spark, dir))
+      .withColumn("cell_text", rendered)
+      .withColumn("cell_hex", lower(hex(rendered)))
+      .withColumn("printable",
+        length(regexp_replace(col("cell_text"), "[ -~]", "")) === 0)
+      .select(col("key"), col("col"), col("cell_text"), col("cell_hex"), col("printable"))
+      .orderBy(col("key"), col("col"))
+  }
+}
