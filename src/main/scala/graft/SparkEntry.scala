@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.kv.Kv
-import graft.operators.Relational
+import graft.operators.{Events, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -44,7 +44,11 @@ object SparkEntry {
     "kv_resume_scan"           -> (Kv.resumeScan _),
     "kv_token_distribution"    -> (Kv.tokenDistribution _),
     "kv_export_stats"          -> (Kv.exportStats _),
-    "kv_dry_run_format"        -> (Kv.dryRunFormat _)
+    "kv_dry_run_format"        -> (Kv.dryRunFormat _),
+    // §2.3 event-stream analytics
+    "events_windowed_agg"      -> (Events.windowedAgg _),
+    "events_sessionize"        -> (Events.sessionize _),
+    "events_asof_prev"         -> (Events.asofPrev _)
   )
 
   /** Shared SQL prelude for the KV oracles: the events table as a cell
@@ -327,6 +331,41 @@ object SparkEntry {
         |  FROM ranked WHERE rn = 1)
         |SELECT key, col, cell_text, lower(hex(cell_text)) AS cell_hex,
         |  (length(regexp_replace(cell_text, '[ -~]', '', 'g')) = 0) AS printable
-        |FROM fmt ORDER BY key, col""".stripMargin
+        |FROM fmt ORDER BY key, col""".stripMargin,
+
+    "events_windowed_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        | COUNT(*) AS n_events,
+        | SUM(CAST(value AS DECIMAL(30,2))) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sess AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(30,2))) AS sum_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_asof_prev" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        | LAG(event_type) OVER w AS prev_type,
+        | LAG(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts,
+        | epoch_us(CAST(ts AS TIMESTAMP))
+        |   - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Exact.dsum
+
+/** Structured Streaming pipelines over the same event semantics as the
+  * batch operators (SURVEY.md §2.3 #33).
+  *
+  * Both entry points take a DataFrame/Dataset that can be either a
+  * stream (`readStream`) or a static frame, so batch/stream parity is a
+  * property of the code, not a convention: the ScalaTest spec runs the
+  * identical plan both ways and diffs the results.
+  *
+  * Scale: the windowed agg is a standard watermark + tumbling-window
+  * state-store aggregation (partial aggregation before the shuffle, one
+  * state-store partition per shuffle partition). The sessionizer keys
+  * state by user_id — the same unit of locality as the batch window
+  * plan — so state is sharded across executors and each micro-batch
+  * touches only the keys present in it.
+  */
+object Streaming {
+
+  /** One event, as the typed stream element. */
+  case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
+  /** Open-session state carried between micro-batches (µs epoch times). */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** A closed session. */
+  case class Session(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Tumbling 1-hour windowed aggregation; on a stream add a watermark
+    * first (`df.withWatermark("ts", "2 hours")`). Mirrors
+    * [[graft.operators.Events.windowedAgg]] minus the distinct count
+    * (exact distinct is not incrementally computable in append mode —
+    * the batch engine owns that column). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  private val GapUs: Long = 30L * 60L * 1000000L
+
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  /** Gap-based sessionizer over a typed event stream: emits a session
+    * whenever a user's gap exceeds 30 minutes; the open tail session
+    * stays in state until a later event (or batch-end flush in tests)
+    * closes it. flatMapGroupsWithState = the Spark-native form of a
+    * keyed state machine. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionizeGroup)
+  }
+
+  /** Per-key state transition: fold this batch's (sorted) events into
+    * the open session, emitting every session that closes. */
+  def sessionizeGroup(
+      userId: Long, batch: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+    var open = state.getOption
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val us = tsUs(e.ts)
+      open match {
+        case Some(s) if us - s.lastUs <= GapUs =>
+          open = Some(SessionState(s.startUs, us, s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          closed += Session(userId, toTs(s.startUs), toTs(s.lastUs), s.n, s.sum)
+          open = Some(SessionState(us, us, 1L, e.value))
+        case None =>
+          open = Some(SessionState(us, us, 1L, e.value))
+      }
+    }
+    open.foreach(state.update)
+    closed.result().iterator
+  }
+}

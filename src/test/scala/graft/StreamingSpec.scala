@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Events
+import graft.sources.Tables
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Ev, Session}
+
+/** Batch/stream parity (SURVEY.md §2.3 #33): the streaming pipelines run
+  * over the sf0.001 events fed through a MemoryStream and must produce
+  * exactly the batch answers.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def loadEvents(): Seq[Ev] = {
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  test("streaming windowed agg (watermark + tumbling window) matches batch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val evs = loadEvents()
+    input.addData(evs)
+
+    val streamDf = Streaming.windowedAgg(input.toDF().withWatermark("ts", "2 hours"))
+
+    val q = streamDf.writeStream
+      .format("memory").queryName("win_agg")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("win_agg")
+      .orderBy(col("window_start"), col("event_type"))
+      .collect().map(_.toString)
+    val want = Events.windowedAgg(spark, sf)
+      .select(col("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(_.toString)
+    assert(got.sameElements(want),
+      s"stream/batch mismatch: ${got.take(3).mkString} vs ${want.take(3).mkString}")
+  }
+
+  test("flatMapGroupsWithState sessionizer matches batch sessionize") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = loadEvents()
+    val input = MemoryStream[Ev]
+    input.addData(evs)
+    // A far-future closer per user forces the open tail session of every
+    // user to close, so the emitted set equals the batch session set.
+    val maxUs = evs.map(e => e.ts.getTime).max
+    val closers = evs.map(_.user_id).distinct.map(u =>
+      Ev(u, Long.MaxValue, new Timestamp(maxUs + 24L * 3600 * 1000), "closer", 0.0))
+    input.addData(closers)
+
+    val q = Streaming.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sessions").as[Session].collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events,
+        BigDecimal(s.sum_value).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy(t => (t._1, t._2))
+    val want = Events.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+        r.getLong(4), BigDecimal(r.getDecimal(5)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length === want.length,
+      s"session count mismatch: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+}
