@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.Dedup
 import graft.kv.Kv
 import graft.operators.{Events, Relational}
 
@@ -48,7 +49,13 @@ object SparkEntry {
     // §2.3 event-stream analytics
     "events_windowed_agg"      -> (Events.windowedAgg _),
     "events_sessionize"        -> (Events.sessionize _),
-    "events_asof_prev"         -> (Events.asofPrev _)
+    "events_asof_prev"         -> (Events.asofPrev _),
+    // §2.4 dedup
+    "dedup_exact"              -> (Dedup.exact _),
+    "dedup_minhash_lsh"        -> (Dedup.minhashLsh _),
+    "dedup_simhash"            -> (Dedup.simhash _),
+    "dedup_ngram_jaccard"      -> (Dedup.ngramJaccard _),
+    "dedup_embedding"          -> (Dedup.embedding _)
   )
 
   /** Shared SQL prelude for the KV oracles: the events table as a cell
@@ -366,6 +373,13 @@ object SparkEntry {
         |   - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS survivor_doc_id,
+        | COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY survivor_doc_id""".stripMargin
   )
 }

@@ -1,0 +1,195 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+import graft.sources.Tables
+
+/** Training-data deduplication operators (SURVEY.md §2.4) over the
+  * `documents` (and `embeddings`) tables.
+  *
+  * Scale shape: every near-dup variant is
+  * sketch (narrow, codegen'd) → bucket key → ONE shuffle on the bucket
+  * key → in-bucket pair generation (local, capped) → verify. No plan
+  * here ever cross-joins the corpus; candidate generation is always an
+  * equality-key aggregation, which is the only formulation that still
+  * shuffles (instead of exploding) at 100 TB. Oversized buckets — the
+  * skew risk of any LSH at scale — are capped: a bucket with more than
+  * `maxBucket` members is dropped from pair generation (standard
+  * practice; such buckets are degenerate shingles/planes, not dups).
+  */
+object Dedup {
+
+  /** Tokenize to lowercase word array. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct k-word shingles of the token array (the near-dup unit). */
+  def shingles(toks: Column, k: Int): Column =
+    array_distinct(filter(
+      transform(
+        sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
+      s => length(s) > 0))
+
+  /** Jaccard of two pre-distinct string arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** #34 dedup_exact: content-hash dedup, min-id survivor per group. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+      .agg(
+        min(col("doc_id")).as("survivor_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("survivor_doc_id"))
+
+  /** In-bucket pair generation from a sorted member array: all (a, b)
+    * with a < b, computed locally after the bucket aggregation — pairs
+    * never cross the wire unverified. */
+  private def bucketPairs(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)), b => struct(a.as("a"), b.as("b")))))
+
+  /** Candidate pairs from a banded signature: group by (band, key),
+    * cap bucket size, emit local pairs, dedup across bands. */
+  private def candidatesFromBands(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
+  /** #35 dedup_minhash_lsh: 3-word shingles → 128-hash MinHash signature
+    * → 32 bands × 4 rows → bucket join → exact-Jaccard verify ≥ 0.5.
+    * Band probability at j=0.9 is ≈ 1, at j=0.02 (the corpus noise
+    * floor) is ≈ 0 — candidates are a tiny fraction of n². */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 128
+    val bands = 32
+    val rows = numHashes / bands
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    val sigs = docs.select(col("doc_id"), col("sh"),
+      Sketches.minhashSigs(col("sh"), numHashes).as("sig"))
+
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+
+    val cand = candidatesFromBands(banded, maxBucket = 200)
+    val bySh = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(bySh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(bySh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** #36 dedup_simhash: 64-bit SimHash over 3-word shingles; candidates
+    * share one of 8 8-bit bands (pigeonhole: any pair with Hamming ≤ 7
+    * is guaranteed a clean band), verified at Hamming ≤ 7. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    val sigs = docs.select(col("doc_id"), Sketches.simhash64(col("sh")).as("sig"))
+
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until 8).map(b =>
+        shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xffL))): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+
+    val cand = candidatesFromBands(banded, maxBucket = 200)
+    val byId = sigs.select(col("doc_id"), col("sig"))
+    cand
+      .join(byId.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(byId.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Sketches.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= 7)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** #37 dedup_ngram_jaccard: EXACT pairwise Jaccard ≥ 0.5 via an
+    * inverted shingle index — intersection counts come from a groupBy on
+    * the shingle (one shuffle), never a doc×doc join. At 100 TB the
+    * `maxPosting` cap is the prefix-filter analog: a shingle shared by
+    * hundreds of docs contributes no discriminating power and would
+    * quadratically blow up the pair count. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+
+    val postings = docs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 200))
+
+    val coCounts = postings
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    coCounts
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** #38 dedup_embedding: embedding near-dup via random-hyperplane LSH —
+    * L=4 tables of 8-bit buckets; per vector, the best bucket-mate by
+    * exact cosine. Per-vector output (this corpus has no true embedding
+    * dups, so a thresholded pair list would be empty; the per-vector
+    * nearest-candidate form is also what a dedup pipeline consumes). */
+  def embedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val dim = 64
+
+    val banded = emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until 4).map(t =>
+        Sketches.hyperplaneBits(col("embedding"), seed = t + 1, nbits = 8, dim = dim)): _*)))
+      .select(col("vec_id"), col("embedding"),
+        col("pos").as("table_id"), col("col").as("bucket"))
+
+    val buckets = banded
+      .groupBy(col("table_id"), col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+      .filter(size(col("members")).between(2, 500))
+
+    // Both directions of every in-bucket pair, so each vector sees all
+    // its candidates; generated locally inside the bucket.
+    val pairs = buckets
+      .select(explode(col("members")).as("self"), col("members"))
+      .select(col("self"), explode(col("members")).as("other"))
+      .filter(col("self.vec_id") =!= col("other.vec_id"))
+      .select(
+        col("self.vec_id").as("vec_id"),
+        col("other.vec_id").as("cand_id"),
+        Sketches.cosineSim(col("self.embedding"), col("other.embedding")).as("cos"))
+
+    pairs
+      .groupBy(col("vec_id"))
+      .agg(
+        countDistinct(col("cand_id")).as("n_candidates"),
+        max(struct(col("cos"), col("cand_id"))).as("best"))
+      .select(col("vec_id"), col("best.cand_id").as("best_match"),
+        col("best.cos").as("best_cos"), col("n_candidates"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,327 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch primitives for the dedup / similarity operators (SURVEY §2.4,
+  * §2.5), as codegen'd Catalyst expressions.
+  *
+  * These are the per-row hot loops of the 100 TB path (every document /
+  * vector passes through them exactly once before the band-key shuffle),
+  * so each is a native expression whose generated code is a single
+  * static call on unboxed Spark internal types (UTF8String, ArrayData) —
+  * no UDF boxing, no Row conversion, stays inside whole-stage codegen.
+  */
+object Sketches {
+
+  // -- static kernels (called from generated code) ------------------------
+
+  private def rotl64(v: Long, n: Int): Long = (v << n) | (v >>> (64 - n))
+
+  private def fmix(kIn: Long): Long = {
+    var k = kIn
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  private def getblock(key: Array[Byte], bo: Int): Long =
+    ((key(bo + 0) & 0xffL)) |
+      ((key(bo + 1) & 0xffL) << 8) |
+      ((key(bo + 2) & 0xffL) << 16) |
+      ((key(bo + 3) & 0xffL) << 24) |
+      ((key(bo + 4) & 0xffL) << 32) |
+      ((key(bo + 5) & 0xffL) << 40) |
+      ((key(bo + 6) & 0xffL) << 48) |
+      ((key(bo + 7) & 0xffL) << 56)
+
+  /** Standard MurmurHash3 x64_128 (zero-extended tail — these sketches
+    * don't need Cassandra's quirks; see [[CassandraMurmur3]] for those).
+    * Writes (h1, h2) into `out` to keep per-shingle loops allocation-free.
+    * Used as the base for Kirsch-Mitzenmacher double hashing:
+    * hash_i = h1 + i*h2, so each shingle is hashed once regardless of k. */
+  def murmur128(key: Array[Byte], out: Array[Long]): Unit = {
+    val length = key.length
+    val nblocks = length / 16
+    var h1 = 0L; var h2 = 0L
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var i = 0
+    while (i < nblocks) {
+      var k1 = getblock(key, i * 16)
+      var k2 = getblock(key, i * 16 + 8)
+      k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = rotl64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = rotl64(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 1
+    }
+    val o = nblocks * 16
+    var k1 = 0L; var k2 = 0L
+    val tail = length & 15
+    if (tail >= 15) k2 ^= (key(o + 14) & 0xffL) << 48
+    if (tail >= 14) k2 ^= (key(o + 13) & 0xffL) << 40
+    if (tail >= 13) k2 ^= (key(o + 12) & 0xffL) << 32
+    if (tail >= 12) k2 ^= (key(o + 11) & 0xffL) << 24
+    if (tail >= 11) k2 ^= (key(o + 10) & 0xffL) << 16
+    if (tail >= 10) k2 ^= (key(o + 9) & 0xffL) << 8
+    if (tail >= 9) {
+      k2 ^= key(o + 8) & 0xffL
+      k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    if (tail >= 8) k1 ^= (key(o + 7) & 0xffL) << 56
+    if (tail >= 7) k1 ^= (key(o + 6) & 0xffL) << 48
+    if (tail >= 6) k1 ^= (key(o + 5) & 0xffL) << 40
+    if (tail >= 5) k1 ^= (key(o + 4) & 0xffL) << 32
+    if (tail >= 4) k1 ^= (key(o + 3) & 0xffL) << 24
+    if (tail >= 3) k1 ^= (key(o + 2) & 0xffL) << 16
+    if (tail >= 2) k1 ^= (key(o + 1) & 0xffL) << 8
+    if (tail >= 1) {
+      k1 ^= key(o) & 0xffL
+      k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= length.toLong; h2 ^= length.toLong
+    h1 += h2; h2 += h1
+    h1 = fmix(h1); h2 = fmix(h2)
+    h1 += h2; h2 += h1
+    out(0) = h1; out(1) = h2
+  }
+
+  def hash64(s: UTF8String): Long = {
+    val tmp = new Array[Long](2)
+    murmur128(s.getBytes, tmp)
+    tmp(0)
+  }
+
+  /** MinHash signature: k minima over the shingle set. */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val tmp = new Array[Long](2)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        murmur128(shingles.getUTF8String(i).getBytes, tmp)
+        val h1 = tmp(0); val h2 = tmp(1)
+        var j = 0
+        while (j < k) {
+          val h = h1 + j.toLong * h2
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over a token bag (unit weights). */
+  def simhash(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val tmp = new Array[Long](2)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        murmur128(tokens.getUTF8String(i).getBytes, tmp)
+        val h = tmp(0)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Cosine similarity of two float vectors (0.0 when either is zero). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val af = a.toFloatArray()
+    val bf = b.toFloatArray()
+    val n = math.min(af.length, bf.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += af(i).toDouble * bf(i)
+      na += af(i).toDouble * af(i)
+      nb += bf(i).toDouble * bf(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Dot of a float vector against a fixed double hyperplane, for the
+    * random-hyperplane LSH bit. */
+  def hyperplaneBits(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val vf = v.toFloatArray()
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var dot = 0.0
+      val n = math.min(vf.length, pl.length)
+      var i = 0
+      while (i < n) { dot += vf(i) * pl(i); i += 1 }
+      if (dot >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  // -- Column API ---------------------------------------------------------
+
+  def minhashSigs(c: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), k))
+  def hyperplaneBits(c: Column, seed: Long, nbits: Int, dim: Int): Column =
+    ColumnBridge.column(HyperplaneBits(ColumnBridge.expression(c), seed, nbits, dim))
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def hamming64(l: Column, r: Column): Column =
+    ColumnBridge.column(Hamming64(ColumnBridge.expression(l), ColumnBridge.expression(r)))
+  def cosineSim(l: Column, r: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(l), ColumnBridge.expression(r)))
+}
+
+/** `minhash_sigs(shingles, k)`: array<string> → array<long> of k minima. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.minhash(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.minhash($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)`: array<string> → long fingerprint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hamming64(a, b)`: popcount of the xor of two 64-bit fingerprints. */
+case class Hamming64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hamming64 requires (bigint, bigint), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Sketches.hamming64(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `hyperplane_bits(v, seed, nbits, dim)`: random-hyperplane LSH bucket
+  * of a float vector — the sign bit of the dot against `nbits` fixed
+  * Gaussian hyperplanes drawn from `seed`. Deterministic across the
+  * cluster (every task regenerates the same planes from the seed; no
+  * broadcast needed). */
+case class HyperplaneBits(child: Expression, seed: Long, nbits: Int, dim: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val planeArr: Array[Array[Double]] = HyperplaneBits.planesFor(seed, nbits, dim)
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bits requires array<float>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.hyperplaneBits(input.asInstanceOf[ArrayData], planeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketches.hyperplaneBits($c, " +
+        s"graft.functions.HyperplaneBits.planesFor(${seed}L, $nbits, $dim))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBits {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+
+  /** Deterministic Gaussian hyperplanes; cached per (seed, nbits, dim) so
+    * generated code pays the RNG cost once per executor, not per row. */
+  def planesFor(seed: Long, nbits: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((seed, nbits, dim), { key =>
+      val rng = new java.util.Random(key._1)
+      Array.fill(key._2)(Array.fill(key._3)(rng.nextGaussian()))
+    })
+}
+
+/** `cosine_sim(a, b)`: cosine similarity of two array<float> vectors. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires (array<float>, array<float>), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Sketches.cosineF(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sketches.cosineF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** ScalaTest oracles for the rows-only dedup operators (SURVEY §2.4):
+  * ground truth is brute-force pairwise Jaccard over the sf0.001 corpus,
+  * computed driver-side in plain Scala (500 docs — cheap here,
+  * impossible at scale; that asymmetry is the point of the LSH paths).
+  */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def shingleSet(text: String, k: Int = 3): Set[String] = {
+    val w = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (w.length < k) w.sliding(w.length.max(1)).map(_.mkString(" ")).toSet
+    else w.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  private lazy val corpus: Map[Long, Set[String]] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1))).toMap
+
+  /** Brute-force pairs with Jaccard ≥ threshold. */
+  private def truePairs(threshold: Double): Map[(Long, Long), Double] = {
+    val ids = corpus.keys.toSeq.sorted
+    (for {
+      (a, i) <- ids.zipWithIndex
+      b <- ids.drop(i + 1)
+      sa = corpus(a); sb = corpus(b)
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= threshold
+    } yield (a, b) -> j).toMap
+  }
+
+  test("dedup_exact groups exact copies under the min-id survivor") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta"), (4L, "alpha beta gamma"), (5L, "delta"))
+      .toDF("doc_id", "text")
+      .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+      .agg(min(col("doc_id")).as("survivor_doc_id"), count(lit(1)).as("n_copies"))
+    val got = df.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 3L, 3L -> 2L))
+  }
+
+  test("minhash LSH finds the planted near-dups and only verified pairs") {
+    val got = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = truePairs(0.5)
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    // Precision is exact by construction (candidates are Jaccard-verified).
+    got.foreach { case (p, j) =>
+      assert(truth.contains(p), s"false positive $p")
+      assert(math.abs(truth(p) - j) < 1e-9)
+    }
+    // High-similarity pairs must essentially all be found.
+    val strong = truth.filter(_._2 >= 0.8).keySet
+    val foundStrong = strong.count(got.contains)
+    assert(foundStrong >= (strong.size * 0.95).floor.toInt,
+      s"recall@0.8: $foundStrong/${strong.size}")
+    // Overall recall at the 0.5 threshold: LSH banding (32x4) gives ~87%
+    // per-pair probability at j=0.5, ~1.0 above 0.7.
+    assert(got.size >= (truth.size * 0.7).floor.toInt,
+      s"overall recall too low: ${got.size}/${truth.size}")
+  }
+
+  test("simhash candidates are Hamming-verified and catch near-identical docs") {
+    val got = Dedup.simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    got.values.foreach(h => assert(h <= 7))
+    // Near-identical pairs (j >= 0.95) have tiny simhash distance.
+    val strong = truePairs(0.95).keySet
+    assert(strong.nonEmpty)
+    val found = strong.count(got.contains)
+    assert(found >= (strong.size * 0.8).floor.toInt,
+      s"simhash recall on j>=0.95: $found/${strong.size}")
+  }
+
+  test("ngram jaccard is exact: pair set and values match brute force") {
+    val got = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = truePairs(0.5)
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (p, j) => assert(math.abs(truth(p) - j) < 1e-9) }
+  }
+
+  test("embedding LSH emits per-vector best candidates with valid cosines") {
+    val got = Dedup.embedding(spark, sf).collect()
+    assert(got.length > 0)
+    val ids = got.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length, "one row per vector")
+    got.foreach { r =>
+      assert(r.getLong(1) !== r.getLong(0), "best match is another vector")
+      val cos = r.getDouble(2)
+      assert(cos >= -1.0001 && cos <= 1.0001, s"cosine out of range: $cos")
+      assert(r.getLong(3) >= 1L)
+    }
+  }
+}
