@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.kv.Kv
+import graft.multimodal.Multimodal
 import graft.operators.{Events, Relational}
+import graft.similarity.Similarity
+import graft.text.Text
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -55,7 +58,17 @@ object SparkEntry {
     "dedup_minhash_lsh"        -> (Dedup.minhashLsh _),
     "dedup_simhash"            -> (Dedup.simhash _),
     "dedup_ngram_jaccard"      -> (Dedup.ngramJaccard _),
-    "dedup_embedding"          -> (Dedup.embedding _)
+    "dedup_embedding"          -> (Dedup.embedding _),
+    // §2.5 similarity search
+    "ann_bruteforce_topk"      -> (Similarity.bruteForceTopK _),
+    "ann_lsh_topk"             -> (Similarity.lshTopK _),
+    // §2.6 text analysis
+    "text_token_stats"         -> (Text.tokenStats _),
+    "text_quality"             -> (Text.quality _),
+    "text_langid"              -> (Text.langid _),
+    "text_fingerprint"         -> (Text.fingerprint _),
+    // §2.7 multimodal
+    "mm_binary_pipeline"       -> (Multimodal.pipeline _)
   )
 
   /** Shared SQL prelude for the KV oracles: the events table as a cell
@@ -380,6 +393,41 @@ object SparkEntry {
         | COUNT(*) AS n_copies
         |FROM documents
         |GROUP BY 1
-        |ORDER BY survivor_doc_id""".stripMargin
+        |ORDER BY survivor_doc_id""".stripMargin,
+
+    "text_token_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INT) AS n_chars,
+        | CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        | CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INT) AS n_alpha_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(text), '\s+') AS toks,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits
+        |  FROM documents),
+        |s AS (SELECT *,
+        |  CAST(len(toks) AS DOUBLE) AS n_toks,
+        |  CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','on','for'], x))) AS DOUBLE) AS stops
+        |  FROM t)
+        |SELECT doc_id,
+        | CAST(n_chars AS INT) AS n_chars,
+        | CAST(n_toks AS INT) AS n_tokens,
+        | CAST(ROUND(punct / n_chars, 4) AS DECIMAL(10,4)) AS punct_ratio,
+        | CAST(ROUND(digits / n_chars, 4) AS DECIMAL(10,4)) AS digit_ratio,
+        | CAST(ROUND(stops / n_toks, 4) AS DECIMAL(10,4)) AS stopword_ratio,
+        | CAST(ROUND(
+        |   LEAST(n_chars / 500.0, 1.0) * 0.4
+        |   + LEAST(stops / GREATEST(n_toks * 0.05, 1.0), 1.0) * 0.4
+        |   + GREATEST(1.0 - punct / GREATEST(n_chars * 0.1, 1.0), 0.0) * 0.2, 4)
+        |   AS DECIMAL(10,4)) AS quality_score
+        |FROM s
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -185,6 +185,47 @@ object Sketches {
     bits
   }
 
+  /** Winnowing document fingerprint (Rabin-Karp rolling k-gram hashes,
+    * minimum per sliding window of w, rightmost-min rule), as in the
+    * MOSS winnowing scheme: any shared substring of length ≥ k+w-1
+    * guarantees a shared fingerprint. Returns the distinct selected
+    * hashes, sorted. */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val B = 1000003L
+    var bk = 1L
+    var i = 0
+    while (i < k) { bk *= B; i += 1 }
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < n) {
+      h = h * B + (b(i) & 0xffL)
+      if (i >= k) h -= bk * (b(i - k) & 0xffL)
+      if (i >= k - 1) hs(i - k + 1) = h
+      i += 1
+    }
+    val sel = scala.collection.mutable.SortedSet.empty[Long]
+    if (m <= w) {
+      var min = hs(0); i = 1
+      while (i < m) { if (hs(i) <= min) min = hs(i); i += 1 }
+      sel += min
+    } else {
+      var win = 0
+      while (win + w <= m) {
+        var minIdx = win
+        var j = win + 1
+        while (j < win + w) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+        sel += hs(minIdx)
+        win += 1
+      }
+    }
+    new GenericArrayData(sel.toArray)
+  }
+
   // -- Column API ---------------------------------------------------------
 
   def minhashSigs(c: Column, k: Int): Column =
@@ -197,6 +238,29 @@ object Sketches {
     ColumnBridge.column(Hamming64(ColumnBridge.expression(l), ColumnBridge.expression(r)))
   def cosineSim(l: Column, r: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(l), ColumnBridge.expression(r)))
+  def winnowFingerprint(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(c), k, w))
+}
+
+/** `winnow_fingerprint(text, k, w)`: winnowed rolling-hash fingerprint
+  * set of a string (see [[Sketches.winnow]]). */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `minhash_sigs(shingles, k)`: array<string> → array<long> of k minima. */

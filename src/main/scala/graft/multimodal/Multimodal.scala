@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column pipeline (SURVEY.md §2.7 #45).
+  *
+  * The pattern for media at 100 TB: the payload is an opaque `binary`
+  * column with typed metadata beside it; decode/feature-extract runs
+  * batched per partition (the Scala analog of a vectorized decode UDF:
+  * one library call per BATCH of payloads, never per row, because real
+  * codecs amortize model/codec setup across a batch). The codec itself
+  * is deliberately a deterministic stub — this container has no image
+  * libs — but the Spark-side contract (schema, encoders, partition
+  * batching, batch shape) is real and tested.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + typed metadata. */
+  case class MediaRow(
+      doc_id: Long, payload: Array[Byte], format: String, width: Int, height: Int)
+
+  /** Extracted features: fixed 8-dim vector + provenance. */
+  case class MediaFeatures(
+      doc_id: Long, format: String, n_bytes: Int, batch_size: Int, feat: Array[Float])
+
+  val BatchSize = 64
+  val FeatDim = 8
+
+  /** Synthesize the media table from `documents`: payload = the UTF-8
+    * bytes (stand-in for encoded image data), metadata derived
+    * deterministically. In production this select IS the real shape —
+    * parquet binary column + metadata struct. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        (pmod(col("doc_id"), lit(8)) * 64 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(4)) * 64 + 64).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode + feature extraction for one BATCH of payloads.
+    * Deterministic fake: an 8-bucket byte histogram, L1-normalized. A
+    * real implementation would hand the whole batch to a native codec
+    * here (that is the point of the batch signature). */
+  def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
+    val bs = batch.size
+    batch.map { m =>
+      val hist = new Array[Float](FeatDim)
+      var i = 0
+      while (i < m.payload.length) {
+        hist((m.payload(i) & 0xff) % FeatDim) += 1f
+        i += 1
+      }
+      val total = math.max(m.payload.length, 1).toFloat
+      MediaFeatures(m.doc_id, m.format, m.payload.length, bs, hist.map(_ / total))
+    }
+  }
+
+  /** Batched per-partition feature extraction: the partition iterator is
+    * consumed in BatchSize groups, so codec setup amortizes and memory
+    * stays bounded at batch × payload size regardless of partition size. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(decodeBatch)
+    }
+  }
+
+  /** #45 mm_binary_pipeline: media synthesis → batched stub decode →
+    * per-format feature aggregation, plus per-doc feature rows. */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(mediaTable(spark, dir))
+    feats.toDF()
+      .select(
+        col("doc_id"), col("format"), col("n_bytes"),
+        round(aggregate(col("feat"), lit(0.0d),
+          (acc, x) => acc + x * x, acc => sqrt(acc)), 4).as("feat_norm"),
+        round(element_at(col("feat"), 1).cast("double"), 4).as("feat_0"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+/** The multimodal pipeline's Spark plumbing contract (SURVEY §2.7):
+  * schema, batching shape, determinism. The codec is a stub by design.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("media table has the opaque-binary + typed-metadata schema") {
+    val schema = Multimodal.mediaTable(spark, sf).schema
+    assert(schema("payload").dataType.typeName === "binary")
+    assert(schema("format").dataType.typeName === "string")
+    assert(schema("width").dataType.typeName === "integer")
+    assert(schema("height").dataType.typeName === "integer")
+  }
+
+  test("feature extraction is batched (batch_size <= BatchSize, >1 for bulk)") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.batch_size <= Multimodal.BatchSize))
+    assert(feats.exists(_.batch_size > 1), "bulk partitions should batch")
+    assert(feats.forall(_.feat.length === Multimodal.FeatDim))
+  }
+
+  test("stub decode is deterministic and features are normalized") {
+    val a = Multimodal.pipeline(spark, sf).collect().map(_.toString)
+    val b = Multimodal.pipeline(spark, sf).collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b))
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).take(20)
+    feats.foreach { f =>
+      val l1 = f.feat.map(_.toDouble).sum
+      assert(math.abs(l1 - 1.0) < 1e-3, s"histogram not normalized: $l1")
+    }
+  }
+
+  test("pipeline output is one row per document") {
+    val n = Multimodal.pipeline(spark, sf).count()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(n === docs)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Similarity
+import graft.sources.Tables
+
+/** Oracles for the ANN operators: driver-side brute force on sf0.001. */
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val vectors: Map[Long, Array[Float]] =
+    Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    (a.indices).foreach { i =>
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  private def trueTopK(queryId: Long, k: Int): Seq[Long] = {
+    val q = vectors(queryId)
+    vectors.toSeq.filter(_._1 != queryId)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k).map(_._1)
+  }
+
+  test("brute-force top-k matches the driver-side oracle exactly") {
+    val got = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    assert(got.keySet === (0L until 10L).toSet)
+    got.foreach { case (q, ids) =>
+      assert(ids === trueTopK(q, 10), s"query $q top-k mismatch")
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall against exact top-k") {
+    val got = Similarity.lshTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    assert(got.keySet === (0L until 10L).toSet, "every query returns candidates")
+    val recalls = got.map { case (q, ids) =>
+      val truth = trueTopK(q, 10).toSet
+      (ids & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // Random Gaussian corpus is the worst case for LSH (no cluster
+    // structure); 8 tables x 10 bits on 500 vectors still recovers a
+    // meaningful fraction of the true neighbors.
+    assert(mean >= 0.25, s"mean recall@10 too low: $mean")
+  }
+
+  test("LSH candidates are a small fraction of the corpus (pruning works)") {
+    val nCand = Similarity.lshTopK(spark, sf).count()
+    assert(nCand <= 10 * 10, "at most k per query")
+  }
+}
