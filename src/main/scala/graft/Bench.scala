@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, shuffle machinery) and parquet footers so
+    // per-query timings measure the query, not session initialization.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.sources.Tables.names.foreach { t =>
+      try {
+        if (t == "events") graft.sources.Tables.events(spark, sfDir).count()
+        else graft.sources.Tables(spark, sfDir, t).count()
+      } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

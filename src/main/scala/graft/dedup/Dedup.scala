@@ -24,13 +24,10 @@ object Dedup {
   /** Tokenize to lowercase word array. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Distinct k-word shingles of the token array (the near-dup unit). */
-  def shingles(toks: Column, k: Int): Column =
-    array_distinct(filter(
-      transform(
-        sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
-      s => length(s) > 0))
+  /** Distinct lowercase k-word shingles of the raw text (the near-dup
+    * unit) — native single-pass expression; see
+    * [[Sketches.wordShingles]] for why not the declarative HOF stack. */
+  def shingles(text: Column, k: Int): Column = Sketches.wordShingles(text, k)
 
   /** Jaccard of two pre-distinct string arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -73,15 +70,13 @@ object Dedup {
     val bands = 32
     val rows = numHashes / bands
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
     val sigs = docs.select(col("doc_id"), col("sh"),
       Sketches.minhashSigs(col("sh"), numHashes).as("sig"))
 
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      posexplode(Sketches.bandHashes(col("sig"), bands)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
 
     val cand = candidatesFromBands(banded, maxBucket = 200)
@@ -99,7 +94,7 @@ object Dedup {
     * is guaranteed a clean band), verified at Hamming ≤ 7. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
     val sigs = docs.select(col("doc_id"), Sketches.simhash64(col("sh")).as("sig"))
 
     val banded = sigs.select(
@@ -127,7 +122,7 @@ object Dedup {
     * quadratically blow up the pair count. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
 
     val postings = docs

@@ -185,6 +185,73 @@ object Sketches {
     bits
   }
 
+  /** Lowercased k-word shingles of a string in one pass: whitespace
+    * split, join runs of k tokens with single spaces, first-occurrence
+    * dedup. Equivalent to the declarative
+    * `array_distinct(transform(sequence…, slice…))` stack but ~10×
+    * faster: the higher-order-function route re-evaluates its lambda
+    * per element in interpreted mode, which dominated the dedup
+    * pipeline's profile. */
+  def wordShingles(s: UTF8String, k: Int): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val n = b.length
+    // token boundaries
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(b(i))) i += 1
+      if (i < n) {
+        starts += i
+        while (i < n && !isWs(b(i))) i += 1
+        ends += i
+      }
+    }
+    val nt = starts.length
+    if (nt == 0) return new GenericArrayData(Array.empty[Any])
+    val kk = math.min(k, nt)
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var t = 0
+    while (t + kk <= nt) {
+      // shingle = bytes from starts(t) to ends(t+kk-1) with inner
+      // whitespace runs collapsed to single spaces
+      val sb = new java.io.ByteArrayOutputStream(ends(t + kk - 1) - starts(t))
+      var w = 0
+      while (w < kk) {
+        if (w > 0) sb.write(' ')
+        sb.write(b, starts(t + w), ends(t + w) - starts(t + w))
+        w += 1
+      }
+      val sh = UTF8String.fromBytes(sb.toByteArray)
+      if (seen.add(sh)) out += sh
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b
+
+  /** One mixed 64-bit key per signature band (bands of len/nBands
+    * consecutive values), replacing per-band `hash(slice(sig, …))`
+    * lambdas with a single native pass. */
+  def bandHashes(sig: ArrayData, nBands: Int): ArrayData = {
+    val vals = sig.toLongArray()
+    val r = vals.length / nBands
+    val out = new Array[Long](nBands)
+    var bIdx = 0
+    while (bIdx < nBands) {
+      var h = r.toLong
+      var j = bIdx * r
+      val end = j + r
+      while (j < end) { h = fmix(h + vals(j)); j += 1 }
+      out(bIdx) = h
+      bIdx += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing document fingerprint (Rabin-Karp rolling k-gram hashes,
     * minimum per sliding window of w, rightmost-min rule), as in the
     * MOSS winnowing scheme: any shared substring of length ≥ k+w-1
@@ -240,6 +307,50 @@ object Sketches {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(l), ColumnBridge.expression(r)))
   def winnowFingerprint(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(c), k, w))
+  def wordShingles(c: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
+  def bandHashes(c: Column, nBands: Int): Column =
+    ColumnBridge.column(BandHashes(ColumnBridge.expression(c), nBands))
+}
+
+/** `word_shingles(text, k)`: distinct lowercase k-word shingles. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.wordShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.wordShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `band_hashes(sig, n)`: one mixed key per band of a signature array. */
+case class BandHashes(child: Expression, nBands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"band_hashes requires array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.bandHashes(input.asInstanceOf[ArrayData], nBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.bandHashes($c, $nBands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `winnow_fingerprint(text, k, w)`: winnowed rolling-hash fingerprint
