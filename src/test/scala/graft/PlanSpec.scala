@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY §4/§5): the properties that make these
+  * plans survive a 100 TB scale-up, pinned as tests so a refactor that
+  * silently loses a pushdown or broadcast fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter-heavy scans push predicates into parquet") {
+    Seq("q6_forecast_revenue" -> "l_shipdate",
+        "q4_order_priority"   -> "o_orderdate",
+        "q10_returned_items"  -> "l_returnflag",
+        "q14_promo_revenue"   -> "l_shipdate").foreach { case (q, col) =>
+      val plan = planOf(q)
+      assert(plan.contains("PushedFilters") && plan.contains(col),
+        s"$q: expected $col pushdown")
+      assert(!plan.replaceAll("(?s)PushedFilters: \\[[^\\]]*", "")
+        .contains(s"PushedFilters: []"), s"$q: empty pushdown list")
+    }
+  }
+
+  test("star joins broadcast their dimension side") {
+    Seq("q3_shipping_priority", "q5_local_supplier", "q10_returned_items",
+        "q14_promo_revenue", "q18_large_orders", "q19_discounted_revenue")
+      .foreach { q =>
+        assert(planOf(q).contains("BroadcastHashJoin"), s"$q: no broadcast join")
+      }
+  }
+
+  test("no accidental cartesian products anywhere") {
+    // ann_bruteforce_topk is intentionally a broadcast nested-loop score
+    // of corpus x queries; everything else must be equality-joined.
+    SparkEntry.queries.keys.filterNot(_ == "ann_bruteforce_topk").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian product")
+    }
+  }
+
+  test("scans prune to the referenced columns") {
+    val plan = planOf("q6_forecast_revenue")
+    val schemaLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schemaLine.contains("l_extendedprice") && !schemaLine.contains("l_orderkey"),
+      s"q6 should read only its 4 columns: $schemaLine")
+  }
+
+  test("kv compaction plans shuffle once on the key") {
+    // LWW + tombstone ride a single hash partitioning by key: exactly
+    // one Exchange below the window operators.
+    val plan = planOf("kv_tombstone_merge")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning"))
+    assert(plan.contains("Window"), "expected window-based compaction")
+    assert(exchanges <= 2, s"kv_tombstone_merge: too many shuffles\n$plan")
+  }
+
+  test("whole-stage codegen covers the sketch pipeline") {
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    // WholeStageCodegen spans render as "*(n)" prefixes in the tree.
+    assert(plan.contains("*(1)"), s"no codegen spans in minhash plan\n$plan")
+    // The sketch expressions themselves sit inside a codegen'd project.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("minhashsignature(wordshingles(") && l.contains("*(")),
+      "sketch expressions fell out of whole-stage codegen")
+  }
+}
