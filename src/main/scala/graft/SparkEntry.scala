@@ -62,6 +62,7 @@ object SparkEntry {
     // §2.5 similarity search
     "ann_bruteforce_topk"      -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk"             -> (Similarity.lshTopK _),
+    "ann_ivf_topk"             -> (Similarity.ivfTopK _),
     // §2.6 text analysis
     "text_token_stats"         -> (Text.tokenStats _),
     "text_quality"             -> (Text.quality _),

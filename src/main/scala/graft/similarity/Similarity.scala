@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Sketches
+import graft.functions.{Centroids, Sketches}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the embeddings table
@@ -81,6 +81,40 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cand
+      .select(col("query_id"), col("vec_id"),
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF top-k: a coarse quantizer (spherical k-means fit on a
+    * deterministic sample) partitions the corpus into inverted lists;
+    * queries probe their nProbe nearest lists and exact cosine re-ranks.
+    * The 100 TB shape: fit on a sample (tiny, driver-side — standard
+    * IVF practice), assign the corpus with a codegen'd expression (one
+    * narrow pass, the assignment can be persisted/partitioned-by), and
+    * every query touches ~nProbe/nLists of the corpus. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val nLists = 16
+    val nProbe = 4
+
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val sample = corpus.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .limit(1024).collect().map(_.getSeq[Float](1).toArray)
+    val cents = Centroids.fit(sample, nLists, iters = 5, seed = 42L)
+
+    val corpusAssigned = corpus.withColumn("centroid",
+      element_at(Centroids.nearestCentroids(col("embedding"), cents, 1), 1))
+    val queriesProbed = queries(spark, dir).select(
+      col("query_id"), col("q_emb"),
+      explode(Centroids.nearestCentroids(col("q_emb"), cents, nProbe)).as("centroid"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpusAssigned
+      .join(broadcast(queriesProbed), Seq("centroid"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(w))

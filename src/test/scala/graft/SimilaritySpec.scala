@@ -59,4 +59,20 @@ class SimilaritySpec extends AnyFunSuite {
     val nCand = Similarity.lshTopK(spark, sf).count()
     assert(nCand <= 10 * 10, "at most k per query")
   }
+
+  test("IVF top-k probes inverted lists and achieves reasonable recall") {
+    val rows = Similarity.ivfTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(r => r.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    val recalls = byQuery.map { case (q, ids) =>
+      val truth = trueTopK(q, 10).toSet
+      (ids & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // nProbe=4 of 16 lists touches ~25% of a clusterless corpus.
+    assert(mean >= 0.25, s"IVF mean recall@10 too low: $mean")
+    // Every query returns exactly k ranked candidates.
+    assert(rows.groupBy(_.getAs[Long]("query_id")).values.forall(_.length == 10))
+  }
 }
