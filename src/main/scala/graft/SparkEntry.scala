@@ -49,6 +49,7 @@ object SparkEntry {
     "kv_token_distribution"    -> (Kv.tokenDistribution _),
     "kv_export_stats"          -> (Kv.exportStats _),
     "kv_dry_run_format"        -> (Kv.dryRunFormat _),
+    "kv_counter_merge"         -> (Kv.counterMerge _),
     // §2.3 event-stream analytics
     "events_windowed_agg"      -> (Events.windowedAgg _),
     "events_sessionize"        -> (Events.sessionize _),
@@ -353,6 +354,16 @@ object SparkEntry {
         |SELECT key, col, cell_text, lower(hex(cell_text)) AS cell_hex,
         |  (length(regexp_replace(cell_text, '[ -~]', '', 'g')) = 0) AS printable
         |FROM fmt ORDER BY key, col""".stripMargin,
+
+    "kv_counter_merge" ->
+      s"""$cellsCte
+        |SELECT key, col,
+        | SUM(CAST(value AS DECIMAL(30,2))) AS counter_value,
+        | COUNT(*) AS n_contributions,
+        | MAX(ts) AS last_write
+        |FROM cells
+        |GROUP BY key, col
+        |ORDER BY key, col""".stripMargin,
 
     "events_windowed_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,

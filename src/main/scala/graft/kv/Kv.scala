@@ -222,6 +222,21 @@ object Kv {
       sum(when(col("expiry_us") < cutoffUs, 1L).otherwise(0L)).as("expired_cells"))
   }
 
+  /** #11b kv_counter_merge: counter-column semantics (COUNTER_MASK,
+    * SSTable.hpp / SSTableSchema.cpp's counter type): counter cells
+    * merge by SUM across generations instead of last-write-wins; the
+    * read timestamp reported is the newest contributing write. One
+    * hash aggregation on (key, col) — cheaper than LWW (no window
+    * sort), and the partial aggregation is map-side combinable. */
+  def counterMerge(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir)
+      .groupBy(col("key"), col("col"))
+      .agg(
+        sum(dec(col("value"), 2)).as("counter_value"),
+        count(lit(1)).as("n_contributions"),
+        max(col("ts")).as("last_write"))
+      .orderBy(col("key"), col("col"))
+
   /** #11 kv_dry_run_format: DryRun.cpp record rendering — printable
     * detection + lowercase hex (binaryToHex/isPrintable, Utilities.cpp). */
   def dryRunFormat(spark: SparkSession, dir: String): DataFrame = {

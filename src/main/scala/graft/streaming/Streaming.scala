@@ -47,6 +47,15 @@ object Streaming {
       .select(col("w.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming create-only semantics (the stream form of the sink's
+    * AS_POLICY_EXISTS_CREATE): the FIRST cell per (user, event type)
+    * wins permanently; later writes for the same key are dropped.
+    * State is sharded by key across the state store; on an unbounded
+    * ingest you bound it with `withWatermark` +
+    * `dropDuplicatesWithinWatermark` instead. */
+  def createOnly(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id", "event_type")
+
   private val GapUs: Long = 30L * 60L * 1000000L
 
   private def tsUs(t: java.sql.Timestamp): Long =

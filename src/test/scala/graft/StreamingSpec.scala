@@ -55,6 +55,31 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch mismatch: ${got.take(3).mkString} vs ${want.take(3).mkString}")
   }
 
+  test("streaming create-only keeps the first cell per key across batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    input.addData(Seq(
+      Ev(1L, 10L, new Timestamp(1000), "click", 1.0),
+      Ev(2L, 11L, new Timestamp(2000), "click", 2.0)))
+    input.addData(Seq(
+      Ev(1L, 12L, new Timestamp(3000), "click", 99.0), // dup key, dropped
+      Ev(1L, 13L, new Timestamp(4000), "buy", 3.0)))   // new column, kept
+
+    val q = Streaming.createOnly(input.toDF()).writeStream
+      .format("memory").queryName("create_only")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("create_only").as[Ev].collect()
+      .map(e => (e.user_id, e.event_type) -> e.value).toMap
+    assert(got === Map((1L, "click") -> 1.0, (2L, "click") -> 2.0, (1L, "buy") -> 3.0))
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch sessionize") {
     val sparkS = spark
     import sparkS.implicits._
