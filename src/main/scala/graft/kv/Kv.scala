@@ -181,10 +181,16 @@ object Kv {
     val startKey = "42"
     val startToken = graft.functions.CassandraMurmur3.token(
       org.apache.spark.unsafe.types.UTF8String.fromString(startKey))
-    lww(cells(spark, dir))
-      .withColumn("token", cassandraToken(col("key")))
-      .filter(col("token") >= startToken &&
-              (col("token") > startToken || col("key") >= startKey))
+    // The token filter is a pure key predicate, so it commutes with the
+    // per-(key, col) LWW window — applying it BELOW the shuffle is the
+    // Spark form of the reference's Summary/Index seek: skipped keys
+    // never enter the exchange. (With a token-bucketed layout this
+    // becomes genuine partition pruning.)
+    lww(
+      cells(spark, dir)
+        .withColumn("token", cassandraToken(col("key")))
+        .filter(col("token") >= startToken &&
+                (col("token") > startToken || col("key") >= startKey)))
       .orderBy(col("token"), col("key"), col("col"))
   }
 
