@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SQL surface for graft's native expressions.
+  *
+  * Register with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`; afterwards every graft
+  * kernel is callable from plain SQL, e.g.
+  * `SELECT cassandra_token(key), simhash64(word_shingles(text, 3))`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int argument, got $other")
+  }
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal long argument, got $other")
+  }
+
+  private def fn(name: String, arity: String, usage: String)(
+      builder: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, usage, arity),
+      builder)
+
+  private val functions = Seq(
+    fn("cassandra_token", "1", "Cassandra Murmur3Partitioner token of a string/binary key") {
+      args => CassandraMurmur3Token(args.head)
+    },
+    fn("word_shingles", "2", "distinct lowercase k-word shingles of a string") {
+      args => WordShingles(args(0), intArg(args(1), "word_shingles"))
+    },
+    fn("minhash_sigs", "2", "k-entry MinHash signature of array<string>") {
+      args => MinHashSignature(args(0), intArg(args(1), "minhash_sigs"))
+    },
+    fn("band_hashes", "2", "per-band mixed keys of a signature array") {
+      args => BandHashes(args(0), intArg(args(1), "band_hashes"))
+    },
+    fn("simhash64", "1", "64-bit SimHash of array<string>") {
+      args => SimHash64(args.head)
+    },
+    fn("hamming64", "2", "Hamming distance of two 64-bit fingerprints") {
+      args => Hamming64(args(0), args(1))
+    },
+    fn("cosine_sim", "2", "cosine similarity of two array<float> vectors") {
+      args => CosineSim(args(0), args(1))
+    },
+    fn("hyperplane_bits", "4", "random-hyperplane LSH bucket (vec, seed, nbits, dim)") {
+      args => HyperplaneBits(args(0), longArg(args(1), "hyperplane_bits"),
+        intArg(args(2), "hyperplane_bits"), intArg(args(3), "hyperplane_bits"))
+    },
+    fn("winnow_fingerprint", "3", "winnowed rolling-hash fingerprints (text, k, w)") {
+      args => WinnowFingerprint(args(0), intArg(args(1), "winnow_fingerprint"),
+        intArg(args(2), "winnow_fingerprint"))
+    })
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}

@@ -15,4 +15,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply an extensions installer's injected FUNCTIONS to an already
+    * running session (the standard `withExtensions` route only works at
+    * session build time; tests and notebooks attach to live sessions). */
+  def registerExtensionFunctions(
+      spark: SparkSession, install: SparkSessionExtensions => Unit): Unit = {
+    val ext = new SparkSessionExtensions
+    install(ext)
+    ext.registerFunctions(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry)
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kv.Kv
+
+/** Algebraic invariants of the KV merge semantics — the properties that
+  * make the Spark formulation equivalent to the reference's serial
+  * k-way merge regardless of how the data is split into generations.
+  */
+class KvSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("LWW merge is invariant to the generation split (k = 1, 2, 5)") {
+    val full = canon(Kv.lww(Kv.cells(spark, sf))
+      .select("key", "col", "ts", "seq", "value"))
+    Seq(2, 5).foreach { k =>
+      val merged = canon(Kv.mergeGenerations(Kv.generations(spark, sf, k))
+        .select("key", "col", "ts", "seq", "value"))
+      assert(merged === full, s"k=$k generation merge diverges from direct LWW")
+    }
+  }
+
+  test("LWW is idempotent") {
+    val once = Kv.lww(Kv.cells(spark, sf))
+    assert(canon(Kv.lww(once).select("key", "col", "ts", "seq", "value"))
+      === canon(once.select("key", "col", "ts", "seq", "value")))
+  }
+
+  test("tombstone application commutes with LWW for surviving cells") {
+    // Filtering tombstoned cells then compacting equals compacting the
+    // annotated bag then filtering — both orders must agree.
+    val a = canon(Kv.lww(Kv.applyRowTombstones(Kv.cells(spark, sf)))
+      .select("key", "col", "value"))
+    val cellsDf = Kv.cells(spark, sf)
+    val b = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      val annotated = cellsDf.withColumn("del_ts",
+        max(when(col("col") === Kv.TombstoneCol, col("ts"))).over(w))
+      canon(Kv.lww(annotated)
+        .filter(col("col") =!= Kv.TombstoneCol &&
+          (col("del_ts").isNull || col("ts") > col("del_ts")))
+        .select("key", "col", "value"))
+    }
+    assert(a === b)
+  }
+
+  test("counter merge total equals the sum over any generation split") {
+    val total = Kv.counterMerge(spark, sf)
+      .agg(sum(col("counter_value"))).collect().head.getDecimal(0)
+    val perGen = Kv.generations(spark, sf, 3)
+      .map(_.agg(sum(col("value").cast("decimal(30,2)"))).collect().head.getDecimal(0))
+      .reduce(_ add _)
+    assert(total.compareTo(perGen) === 0)
+  }
+
+  test("sql extensions expose the kernels to plain SQL") {
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .registerExtensionFunctions(spark, new GraftExtensions)
+    val row = spark.sql(
+      """SELECT cassandra_token('42') AS tok,
+        |  hamming64(simhash64(word_shingles('a b c d', 2)),
+        |            simhash64(word_shingles('a b c d', 2))) AS ham,
+        |  size(minhash_sigs(word_shingles('a b c d e f', 2), 16)) AS k
+        |""".stripMargin).collect().head
+    assert(row.getLong(0) === graft.functions.CassandraMurmur3.token(
+      org.apache.spark.unsafe.types.UTF8String.fromString("42")))
+    assert(row.getInt(1) === 0)
+    assert(row.getInt(2) === 16)
+  }
+}
