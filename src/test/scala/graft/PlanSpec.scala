@@ -58,6 +58,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"kv_tombstone_merge: too many shuffles\n$plan")
   }
 
+  test("sessionization rides one hash shuffle (windows + agg share the key partitioning)") {
+    val plan = planOf("events_sessionize")
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"sessionize should shuffle once on user_id, got $hashExchanges:\n$plan")
+  }
+
   test("whole-stage codegen covers the sketch pipeline") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     df.collect() // let AQE finalize

@@ -46,6 +46,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("approx_count_distinct stays within HLL error bounds of exact") {
+    val approx = SparkEntry.queries("approx_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_partkey").as("p"),
+        org.apache.spark.sql.functions.countDistinct("l_orderkey").as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, o)) =>
+      val (ap, ao) = approx(k)
+      assert(math.abs(ap - p).toDouble / p < 0.1, s"$k parts: $ap vs $p")
+      assert(math.abs(ao - o).toDouble / o < 0.1, s"$k orders: $ao vs $o")
+    }
+  }
+
   test("q6 filters are pushed to the parquet scan") {
     val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
