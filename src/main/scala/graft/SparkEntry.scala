@@ -37,6 +37,8 @@ object SparkEntry {
     "set_ops"                  -> (Relational.setOps _),
     "pivot_manual"             -> (Relational.pivotManual _),
     "approx_distinct"          -> (Relational.approxDistinct _),
+    "q17_small_qty_revenue"    -> (Relational.q17SmallQtyRevenue _),
+    "q22_no_order_customers"   -> (Relational.q22NoOrderCustomers _),
     // §2.1 KV engine (reference-derived semantics)
     "kv_lww_latest"            -> (Kv.lwwLatest _),
     "kv_generations_merge"     -> (Kv.generationsMerge _),
@@ -250,6 +252,28 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS sum_revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_quantity < (
+        |    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+        |           / COUNT(*) * 0.2e0
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q22_no_order_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        | SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "kv_lww_latest" ->
       s"""$cellsCte,

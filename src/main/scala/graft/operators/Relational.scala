@@ -251,6 +251,47 @@ object Relational {
   }
 
   /** HLL sketch aggregation (approximate; rows-only check). */
+  /** TPC-H Q17 analog: correlated scalar aggregation subquery
+    * (per-part average), written as SQL so Catalyst's subquery
+    * decorrelation (rewrite to an aggregated self-join) is the plan —
+    * the subquery's average is computed ONCE per part in a shuffled
+    * aggregate, not per outer row. The 0.2*avg threshold is computed in
+    * exact-decimal-then-double space so the predicate is bit-identical
+    * across engines. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS sum_revenue,
+        | COUNT(*) AS n_rows
+        |FROM graft_lineitem, graft_part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_quantity < (
+        |    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+        |           / COUNT(*) * 0.2e0
+        |    FROM graft_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q22 analog: uncorrelated scalar subquery (global average
+    * balance) + anti-join, grouped by market segment. */
+  def q22NoOrderCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        | SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS total_bal
+        |FROM graft_customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+        |    FROM graft_customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment
+        |""".stripMargin)
+  }
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
