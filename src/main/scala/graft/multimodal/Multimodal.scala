@@ -74,6 +74,48 @@ object Multimodal {
     }
   }
 
+  /** STUB resize for one batch: recompute metadata to the target box
+    * and proportionally truncate the payload (a real implementation
+    * hands the batch to a codec; the contract — batch in, batch out,
+    * metadata consistent with payload — is what's under test). */
+  def resizeBatch(batch: Seq[MediaRow], maxW: Int, maxH: Int): Seq[MediaRow] =
+    batch.map { m =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      val nw = math.max(1, (m.width * scale).toInt)
+      val nh = math.max(1, (m.height * scale).toInt)
+      val nBytes = math.max(1, (m.payload.length * scale * scale).toInt)
+      MediaRow(m.doc_id, m.payload.take(nBytes), m.format, nw, nh)
+    }
+
+  /** Batched resize over partitions (same batching contract as decode). */
+  def resize(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(resizeBatch(_, maxW, maxH)))
+  }
+
+  /** One sampled "frame" of a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** STUB frame sampling: treat the payload as fixed-size frames and
+    * keep every `stride`-th one — the video-path shape (explode one
+    * media row into few frame rows, bounded by stride, never all
+    * frames). */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val nFrames = math.max(1, m.payload.length / frameBytes)
+      (0 until nFrames by stride).map { f =>
+        val start = f * frameBytes
+        val end = math.min(start + frameBytes, m.payload.length)
+        var sum = 0L
+        var i = start
+        while (i < end) { sum = sum * 31 + (m.payload(i) & 0xff); i += 1 }
+        Frame(m.doc_id, f, end - start, sum)
+      }
+    }
+  }
+
   /** #45 mm_binary_pipeline: media synthesis → batched stub decode →
     * per-format feature aggregation, plus per-doc feature rows. */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {

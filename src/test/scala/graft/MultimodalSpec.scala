@@ -37,6 +37,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize bounds metadata and payload consistently") {
+    val resized = Multimodal.resize(Multimodal.mediaTable(spark, sf), 128, 128).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { m =>
+      assert(m.width <= 128 && m.height <= 128)
+      assert(m.payload.length >= 1)
+    }
+    // Idempotent: resizing an already-fitting image is a no-op.
+    def canon(ms: Array[graft.multimodal.Multimodal.MediaRow]) = ms
+      .map(m => (m.doc_id, m.width, m.height, m.format, m.payload.toSeq)).sortBy(_._1)
+    val once = Multimodal.resize(Multimodal.mediaTable(spark, sf), 128, 128)
+    val twice = Multimodal.resize(once, 128, 128).collect()
+    assert(canon(twice) === canon(resized))
+  }
+
+  test("frame sampling keeps every stride-th frame, deterministically") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaTable(spark, sf), frameBytes = 64, stride = 3).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 3 == 0))
+    assert(frames.forall(f => f.n_bytes > 0 && f.n_bytes <= 64))
+    val again = Multimodal.sampleFrames(
+      Multimodal.mediaTable(spark, sf), 64, 3).collect()
+    assert(frames.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("pipeline output is one row per document") {
     val n = Multimodal.pipeline(spark, sf).count()
     val docs = graft.sources.Tables.documents(spark, sf).count()
