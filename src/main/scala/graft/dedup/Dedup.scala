@@ -51,12 +51,16 @@ object Dedup {
       transform(slice(ids, i + 2, size(ids)), b => struct(a.as("a"), b.as("b")))))
 
   /** Candidate pairs from a banded signature: group by (band, key),
-    * cap bucket size, emit local pairs, dedup across bands. */
+    * cap bucket size, emit local pairs, dedup across bands. The cap is
+    * enforced INSIDE the aggregation ([[graft.functions.CollectSetLimit]]):
+    * an overflowing bucket costs O(maxBucket) buffer memory and yields
+    * null, so a degenerate mega-bucket can never OOM a task. */
   private def candidatesFromBands(banded: DataFrame, maxBucket: Int): DataFrame =
     banded
       .groupBy(col("band"), col("band_key"))
-      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .agg(graft.functions.CollectSetLimit
+        .collectSetLimit(col("doc_id"), maxBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
@@ -128,8 +132,9 @@ object Dedup {
     val postings = docs
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .groupBy(col("shingle"))
-      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, 200))
+      .agg(graft.functions.CollectSetLimit
+        .collectSetLimit(col("doc_id"), 200).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
 
     val coCounts = postings
       .select(explode(bucketPairs(col("ids"))).as("p"))

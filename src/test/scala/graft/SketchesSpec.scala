@@ -71,6 +71,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(got(1) - cos(rows(2), rows(3))) < 1e-9)
   }
 
+  test("collect_set_limit matches collect_set below the cap, nulls above it") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Group 'small' has 5 distinct members, 'big' has 50.
+    val df = ((1 to 5).map(i => ("small", i.toLong)) ++
+      (1 to 50).flatMap(i => Seq(("big", i.toLong), ("big", i.toLong))))
+      .toDF("g", "id")
+    val got = df.repartition(7).groupBy("g")
+      .agg(graft.functions.CollectSetLimit.collectSetLimit(col("id"), 10).as("ids"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(got("small") === Some((1L to 5L).toSeq))
+    assert(got("big") === None, "over-limit group must evaluate to null")
+  }
+
   test("sketch expressions compile under codegen (no interpreted fallback)") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
