@@ -167,21 +167,27 @@ object Dedup {
       .select(col("vec_id"), col("embedding"),
         col("pos").as("table_id"), col("col").as("bucket"))
 
-    val buckets = banded
+    // Bucket-size cap via a count aggregation (O(1) buffer) + semi-join,
+    // then an equality SELF-JOIN on the bucket key for pair generation:
+    // join memory is spill-managed, so no aggregation buffer ever holds
+    // a whole bucket's vectors (a degenerate bucket at 100 TB would OOM
+    // a collect_list formulation).
+    val okBuckets = banded
       .groupBy(col("table_id"), col("bucket"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
-      .filter(size(col("members")).between(2, 500))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 500))
+      .select(col("table_id"), col("bucket"))
+    val pruned = banded.join(okBuckets, Seq("table_id", "bucket"), "left_semi")
 
-    // Both directions of every in-bucket pair, so each vector sees all
-    // its candidates; generated locally inside the bucket.
-    val pairs = buckets
-      .select(explode(col("members")).as("self"), col("members"))
-      .select(col("self"), explode(col("members")).as("other"))
-      .filter(col("self.vec_id") =!= col("other.vec_id"))
-      .select(
-        col("self.vec_id").as("vec_id"),
-        col("other.vec_id").as("cand_id"),
-        Sketches.cosineSim(col("self.embedding"), col("other.embedding")).as("cos"))
+    val pairs = pruned
+      .join(
+        pruned.select(col("table_id"), col("bucket"),
+          col("vec_id").as("cand_id"), col("embedding").as("cand_emb")),
+        Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .dropDuplicates("vec_id", "cand_id")
+      .select(col("vec_id"), col("cand_id"),
+        Sketches.cosineSim(col("embedding"), col("cand_emb")).as("cos"))
 
     pairs
       .groupBy(col("vec_id"))

@@ -1,10 +1,9 @@
 package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Centroids, Sketches}
+import graft.functions.{Centroids, Sketches, TopKByScore}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the embeddings table
@@ -12,11 +11,10 @@ import graft.sources.Tables
   *
   * Scale shape: the QUERY set is the small side and is broadcast; the
   * corpus only ever streams through a codegen'd cosine kernel. Top-k is
-  * a per-query window over the (tiny) candidate set — map-side partial
-  * ranking, no global sort of the corpus. The LSH variant prunes the
-  * corpus to hyperplane-bucket collisions first (multi-probe via L
-  * tables), which is the formulation that stays an equality join at
-  * 100 TB: candidates ∝ corpus/2^bits per table, not ∝ corpus.
+  * a bounded-heap aggregate with map-side partial reduction — the
+  * corpus is never sorted. The LSH/IVF variants prune the corpus to
+  * bucket collisions first, the formulation that stays an equality
+  * join at 100 TB: candidates ∝ corpus/2^bits per table, not ∝ corpus.
   */
 object Similarity {
 
@@ -29,23 +27,27 @@ object Similarity {
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
+  /** Rank a scored (query_id, vec_id, cos) frame to per-query top-k
+    * via the bounded-heap aggregate: each map task reduces its slice of
+    * the corpus to k rows BEFORE the shuffle (partial aggregation), so
+    * the corpus is never sorted — the scale-correct top-k shape. */
+  private def topK(scored: DataFrame): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKByScore.topkByScore(col("cos"), col("vec_id"), K).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** Exact top-k by cosine for each query: broadcast queries × corpus
-    * scan, rank within query. The window's partition count equals the
-    * query count — fine for interactive query sets; batch-score jobs
-    * with huge query sets would bucket queries first. */
+    * scan, bounded-heap rank within query. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val scored = corpus
+    topK(corpus
       .join(broadcast(queries(spark, dir)), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .orderBy(col("query_id"), col("rank"))
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos")))
   }
 
   /** LSH-pruned top-k: candidates are corpus vectors sharing a
@@ -78,14 +80,9 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
       .dropDuplicates("query_id", "vec_id")
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand
+    topK(cand
       .select(col("query_id"), col("vec_id"),
-        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .orderBy(col("query_id"), col("rank"))
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos")))
   }
 
   /** IVF top-k: a coarse quantizer (spherical k-means fit on a
@@ -110,15 +107,10 @@ object Similarity {
       col("query_id"), col("q_emb"),
       explode(Centroids.nearestCentroids(col("q_emb"), cents, nProbe)).as("centroid"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    corpusAssigned
+    topK(corpusAssigned
       .join(broadcast(queriesProbed), Seq("centroid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .orderBy(col("query_id"), col("rank"))
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos")))
   }
 }
