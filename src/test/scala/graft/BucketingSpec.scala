@@ -35,6 +35,24 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("LWW compaction over a key-bucketed cell store is zero-shuffle") {
+    // Bucketing by key satisfies the window's (key, col) clustering
+    // requirement (hash on a subset of the partition spec), so the
+    // reference's core read path — multi-generation LWW merge — runs
+    // with NO exchange on a bucketed layout: the shuffle was paid once
+    // at ingest, like the reference pays sorting at SSTable flush.
+    val cells = graft.kv.Kv.cells(spark, sf)
+    Bucketing.writeBucketed(cells, "b_cells", "key", 8)
+    try {
+      val compacted = graft.kv.Kv.lww(spark.table("b_cells"))
+      compacted.count()
+      val plan = compacted.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), "expected window-based compaction")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed LWW should not shuffle:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS b_cells")
+  }
+
   test("bucketed aggregation on the bucket key needs no exchange") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
       .withColumnRenamed("l_orderkey", "key")
