@@ -54,13 +54,23 @@ object Kv {
   }
 
   /** Last-write-wins compaction: newest cell per (key, col) by (ts, seq).
-    * One hash shuffle on (key, col); generations union in for free. */
+    *
+    * Expressed as `max_by` AGGREGATION, not a ranking window: LWW is an
+    * associative reduction, so this form gets map-side partial
+    * aggregation (a hot key reduces to one row per input partition
+    * BEFORE the shuffle — the window form funnels every cell of the
+    * key through one task's sort) and needs no sort at all. One hash
+    * shuffle on (key, col); generations union in for free; zero-shuffle
+    * over a key-bucketed layout. Deterministic because (ts, seq) is
+    * unique per cell. Preserves whatever extra columns ride the bag. */
   def lww(cellBag: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("key"), col("col"))
-      .orderBy(col("ts").desc, col("seq").desc)
-    cellBag.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val others = cellBag.columns.filterNot(c => c == "key" || c == "col").toSeq
+    cellBag
+      .groupBy(col("key"), col("col"))
+      .agg(max_by(
+        struct(others.map(col): _*),
+        struct(col("ts"), col("seq"))).as("_win"))
+      .select(col("key") +: col("col") +: others.map(c => col(s"_win.$c").as(c)): _*)
   }
 
   /** k-way generation merge = union + LWW (one shuffle total). */

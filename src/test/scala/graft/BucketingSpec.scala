@@ -47,7 +47,7 @@ class BucketingSpec extends AnyFunSuite {
       val compacted = graft.kv.Kv.lww(spark.table("b_cells"))
       compacted.count()
       val plan = compacted.queryExecution.executedPlan.toString
-      assert(plan.contains("Window"), "expected window-based compaction")
+      assert(plan.contains("Aggregate"), "expected aggregation-based compaction")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed LWW should not shuffle:\n$plan")
     } finally spark.sql("DROP TABLE IF EXISTS b_cells")
