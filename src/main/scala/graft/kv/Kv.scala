@@ -77,31 +77,37 @@ object Kv {
   def mergeGenerations(gens: Seq[DataFrame]): DataFrame =
     lww(gens.reduce(_ unionAll _))
 
+  /** Per-key newest tombstone timestamp — a tiny frame (one row per
+    * tombstoned key), map-side-combined before its shuffle. */
+  private def deletionMarkers(cellBag: DataFrame): DataFrame =
+    cellBag.filter(col("col") === TombstoneCol)
+      .groupBy(col("key"))
+      .agg(max(col("ts")).as("del_ts"))
+
   /** Row-tombstone application: a tombstone cell suppresses every cell of
     * its key with ts <= tombstone ts (CassandraParser.cpp:481 keeps a cell
-    * only when `minTime < column.ts`). Computed as a windowed conditional
-    * max over the key partition — rides the LWW shuffle. */
-  def applyRowTombstones(cellBag: DataFrame): DataFrame = {
-    val wKey = Window.partitionBy(col("key"))
+    * only when `minTime < column.ts`). The marker set is aggregated
+    * separately and joined back — it is small relative to the corpus,
+    * so AQE broadcasts it and the data cells never shuffle for the
+    * tombstone check (the windowed-max form would funnel every cell of
+    * a hot key through one task). */
+  def applyRowTombstones(cellBag: DataFrame): DataFrame =
     cellBag
-      .withColumn("del_ts", max(when(col("col") === TombstoneCol, col("ts"))).over(wKey))
-      .filter(col("col") =!= TombstoneCol &&
-              (col("del_ts").isNull || col("ts") > col("del_ts")))
+      .filter(col("col") =!= TombstoneCol)
+      .join(deletionMarkers(cellBag), Seq("key"), "left_outer")
+      .filter(col("del_ts").isNull || col("ts") > col("del_ts"))
       .drop("del_ts")
-  }
 
   /** Range-tombstone application: the marker deletes only cells whose
     * column name falls in [rangeStart, rangeEnd] and that are older than
     * the marker (update_tombstones, CassandraParser.cpp:337-372). */
-  def applyRangeTombstones(cellBag: DataFrame, rangeStart: String, rangeEnd: String): DataFrame = {
-    val wKey = Window.partitionBy(col("key"))
+  def applyRangeTombstones(cellBag: DataFrame, rangeStart: String, rangeEnd: String): DataFrame =
     cellBag
-      .withColumn("del_ts", max(when(col("col") === TombstoneCol, col("ts"))).over(wKey))
-      .filter(col("col") =!= TombstoneCol &&
-              (col("del_ts").isNull || col("ts") > col("del_ts") ||
-               !col("col").between(rangeStart, rangeEnd)))
+      .filter(col("col") =!= TombstoneCol)
+      .join(deletionMarkers(cellBag), Seq("key"), "left_outer")
+      .filter(col("del_ts").isNull || col("ts") > col("del_ts") ||
+              !col("col").between(rangeStart, rangeEnd))
       .drop("del_ts")
-  }
 
   /** Cell expiration in exact integer µs space: ttl_us derived from the
     * cell value (deterministic synthetic TTL: value*10 seconds), expiry =

@@ -49,12 +49,13 @@ class PlanSpec extends AnyFunSuite {
       s"q6 should read only its 4 columns: $schemaLine")
   }
 
-  test("kv compaction plans shuffle once on the key") {
-    // LWW + tombstone ride a single hash partitioning by key: exactly
-    // one Exchange below the window operators.
+  test("kv compaction shuffles the data cells once") {
+    // Tombstone markers aggregate separately (tiny shuffle) and join
+    // back; the data cells shuffle exactly once, for the LWW max_by
+    // aggregation. No window sorts anywhere in the compaction path.
     val plan = planOf("kv_tombstone_merge")
-    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning"))
-    assert(plan.contains("Window"), "expected window-based compaction")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(plan.contains("Aggregate"), "expected aggregation-based compaction")
     assert(exchanges <= 2, s"kv_tombstone_merge: too many shuffles\n$plan")
   }
 
