@@ -85,6 +85,11 @@ object KeyedSink {
           .withColumn("_exists", coalesce(col("_exists"), lit(false)))
       }
 
+    // Create-only applies at RECORD (= key) granularity: multiple rows
+    // of one key within a batch are the record's cells and land
+    // together; a key already in the target skips wholesale. Rows of
+    // the same key arriving in LATER batches are skipped by the
+    // anti-join — exactly the reference's RECORD_EXISTS behavior.
     val s = annotated.agg(
       count(lit(1)).as("incoming"),
       sum(when(!col("_live"), 1L).otherwise(0L)).as("expired"),

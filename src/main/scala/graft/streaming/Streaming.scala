@@ -47,6 +47,28 @@ object Streaming {
       .select(col("w.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** The reference's whole job as a streaming pipeline: a cell stream
+    * continuously exported into a keyed target with create-only
+    * semantics and TTL policies, via foreachBatch over
+    * [[graft.sinks.KeyedSink]]. Each micro-batch pays one anti-join
+    * against the target's key column; per-run statistics accumulate in
+    * the returned buffer. */
+  def exportStream(
+      cells: DataFrame,
+      targetPath: String,
+      policy: Option[graft.sinks.KeyedSink.TtlPolicy] = None)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+         scala.collection.mutable.Buffer[graft.sinks.KeyedSink.WriteStats]) = {
+    val stats = scala.collection.mutable.Buffer.empty[graft.sinks.KeyedSink.WriteStats]
+    val writer = cells.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        stats += graft.sinks.KeyedSink.createOnlyAppend(
+          batch.sparkSession, batch, targetPath, policy)
+        ()
+    }
+    (writer, stats)
+  }
+
   /** Streaming create-only semantics (the stream form of the sink's
     * AS_POLICY_EXISTS_CREATE): the FIRST cell per (user, event type)
     * wins permanently; later writes for the same key are dropped.

@@ -80,6 +80,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map((1L, "click") -> 1.0, (2L, "click") -> 2.0, (1L, "buy") -> 3.0))
   }
 
+  test("streaming export: continuous create-only migration into a keyed target") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val target = java.nio.file.Files.createTempDirectory("stream_export")
+      .resolve("target").toString
+    val input = MemoryStream[Ev]
+    val cellStream = input.toDF()
+      .selectExpr("CAST(user_id AS STRING) AS key", "value",
+        "CAST(NULL AS BIGINT) AS expiry_us", "CAST(0 AS BIGINT) AS ttl_us")
+    val (writer, stats) = Streaming.exportStream(cellStream, target)
+    val q = writer.start()
+    // Two distinct micro-batches: the second re-offers an existing key.
+    input.addData(Seq(
+      Ev(1L, 10L, new Timestamp(1000), "click", 1.0),
+      Ev(2L, 11L, new Timestamp(2000), "click", 2.0)))
+    q.processAllAvailable()
+    input.addData(Seq(
+      Ev(1L, 12L, new Timestamp(3000), "click", 99.0), // key exists: skipped
+      Ev(3L, 13L, new Timestamp(4000), "click", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(target)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("value")).toMap
+    assert(rows === Map("1" -> 1.0, "2" -> 2.0, "3" -> 3.0),
+      s"create-only stream export wrote $rows")
+    assert(stats.map(_.written).sum === 3)
+    assert(stats.map(_.skippedExisting).sum === 1)
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch sessionize") {
     val sparkS = spark
     import sparkS.implicits._
