@@ -118,23 +118,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** #37 dedup_ngram_jaccard: EXACT pairwise Jaccard ≥ 0.5 via an
-    * inverted shingle index — intersection counts come from a groupBy on
-    * the shingle (one shuffle), never a doc×doc join. At 100 TB the
-    * `maxPosting` cap is the prefix-filter analog: a shingle shared by
-    * hundreds of docs contributes no discriminating power and would
-    * quadratically blow up the pair count. */
+  /** #37 dedup_ngram_jaccard: EXACT pairwise Jaccard ≥ 0.5 over the
+    * universe of discriminative shingles (document frequency ≤ 200) via
+    * an inverted index — intersection counts come from a groupBy on the
+    * shingle (one shuffle), never a doc×doc join. The df cap is the
+    * prefix-filter analog (a shingle shared by hundreds of docs has no
+    * discriminating power and would quadratically blow up the pair
+    * count); numerator AND denominator are computed over the SAME
+    * capped universe, so emitted Jaccard values are exact within it
+    * rather than silently undercounted. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
 
-    val postings = docs
+    // One inverted index serves both sides: per-shingle posting lists
+    // (null once df exceeds the cap — bounded buffer), from which both
+    // the pair counts and the per-doc retained-shingle counts derive.
+    val postings0 = docs
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .groupBy(col("shingle"))
       .agg(graft.functions.CollectSetLimit
         .collectSetLimit(col("doc_id"), 200).as("ids"))
-      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .filter(col("ids").isNotNull)
+
+    val sizes = postings0
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+
+    val postings = postings0.filter(size(col("ids")) >= 2)
 
     val coCounts = postings
       .select(explode(bucketPairs(col("ids"))).as("p"))

@@ -23,31 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the raw bytes, no boxing, no UDF serialization.
   */
 object CassandraMurmur3 {
-
-  private def rotl64(v: Long, n: Int): Long = (v << n) | (v >>> (64 - n))
-
-  private def fmix(kIn: Long): Long = {
-    var k = kIn
-    k ^= k >>> 33
-    k *= 0xff51afd7ed558ccdL
-    k ^= k >>> 33
-    k *= 0xc4ceb9fe1a85ec53L
-    k ^= k >>> 33
-    k
-  }
-
-  private def getblock(key: Array[Byte], offset: Int, index: Int): Long = {
-    val i8 = index << 3
-    val bo = offset + i8
-    ((key(bo + 0) & 0xffL)) +
-      ((key(bo + 1) & 0xffL) << 8) +
-      ((key(bo + 2) & 0xffL) << 16) +
-      ((key(bo + 3) & 0xffL) << 24) +
-      ((key(bo + 4) & 0xffL) << 32) +
-      ((key(bo + 5) & 0xffL) << 40) +
-      ((key(bo + 6) & 0xffL) << 48) +
-      ((key(bo + 7) & 0xffL) << 56)
-  }
+  import Murmur3Core.{fmix, getblock, rotl64}
 
   /** Token of a partition key, Cassandra-style (h1 of the 128-bit hash,
     * with Cassandra's sign-extension and MIN_VALUE quirks). */
@@ -56,13 +32,13 @@ object CassandraMurmur3 {
     val nblocks = length / 16
     var h1 = 0L
     var h2 = 0L
-    val c1 = 0x87c37b91114253d5L
-    val c2 = 0x4cf5ad432745937fL
+    val c1 = Murmur3Core.C1
+    val c2 = Murmur3Core.C2
 
     var i = 0
     while (i < nblocks) {
-      var k1 = getblock(key, 0, i * 2 + 0)
-      var k2 = getblock(key, 0, i * 2 + 1)
+      var k1 = getblock(key, i * 16)
+      var k2 = getblock(key, i * 16 + 8)
       k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1
       h1 = rotl64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
       k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2

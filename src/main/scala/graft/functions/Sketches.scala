@@ -22,25 +22,7 @@ object Sketches {
 
   // -- static kernels (called from generated code) ------------------------
 
-  private def rotl64(v: Long, n: Int): Long = (v << n) | (v >>> (64 - n))
-
-  private def fmix(kIn: Long): Long = {
-    var k = kIn
-    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
-    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
-    k ^= k >>> 33
-    k
-  }
-
-  private def getblock(key: Array[Byte], bo: Int): Long =
-    ((key(bo + 0) & 0xffL)) |
-      ((key(bo + 1) & 0xffL) << 8) |
-      ((key(bo + 2) & 0xffL) << 16) |
-      ((key(bo + 3) & 0xffL) << 24) |
-      ((key(bo + 4) & 0xffL) << 32) |
-      ((key(bo + 5) & 0xffL) << 40) |
-      ((key(bo + 6) & 0xffL) << 48) |
-      ((key(bo + 7) & 0xffL) << 56)
+  import Murmur3Core.{fmix, getblock, rotl64}
 
   /** Standard MurmurHash3 x64_128 (zero-extended tail — these sketches
     * don't need Cassandra's quirks; see [[CassandraMurmur3]] for those).
@@ -51,8 +33,8 @@ object Sketches {
     val length = key.length
     val nblocks = length / 16
     var h1 = 0L; var h2 = 0L
-    val c1 = 0x87c37b91114253d5L
-    val c2 = 0x4cf5ad432745937fL
+    val c1 = Murmur3Core.C1
+    val c2 = Murmur3Core.C2
     var i = 0
     while (i < nblocks) {
       var k1 = getblock(key, i * 16)
@@ -457,10 +439,13 @@ case class HyperplaneBits(child: Expression, seed: Long, nbits: Int, dim: Int)
   override def nullSafeEval(input: Any): Any =
     Sketches.hyperplaneBits(input.asInstanceOf[ArrayData], planeArr)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.Sketches.hyperplaneBits($c, " +
-        s"graft.functions.HyperplaneBits.planesFor(${seed}L, $nbits, $dim))")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Bind the plane matrix once as a plan reference — calling
+    // planesFor() per row would pay a boxed-tuple cache lookup inside
+    // the hot loop.
+    val ref = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.hyperplaneBits($c, $ref)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

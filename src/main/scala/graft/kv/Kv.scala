@@ -215,7 +215,11 @@ object Kv {
   def tokenDistribution(spark: SparkSession, dir: String): DataFrame =
     cells(spark, dir)
       .withColumn("token", cassandraToken(col("key")))
-      .withColumn("bucket", (col("token") / lit(1L << 58)).cast("long") + 32L)
+      // Arithmetic shift = floor division by 2^58: uniform 1/64th ring
+      // buckets 0..63. (long/long division in Spark is double division
+      // truncating toward zero — that gave a double-width middle
+      // bucket and a stray 65th.)
+      .withColumn("bucket", shiftright(col("token"), 58) + 32L)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_cells"), countDistinct(col("key")).as("n_keys"))
       .orderBy(col("bucket"))

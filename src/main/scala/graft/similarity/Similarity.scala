@@ -97,8 +97,12 @@ object Similarity {
     val nProbe = 4
 
     val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // orderBy before limit: a bare limit takes arbitrary rows (file
+    // listing / scheduling order), which would silently break the
+    // fixed-seed reproducibility of the fitted centroids.
     val sample = corpus.filter(pmod(col("vec_id"), lit(3)) === 0)
-      .limit(1024).collect().map(_.getSeq[Float](1).toArray)
+      .orderBy(col("vec_id")).limit(1024)
+      .collect().map(_.getSeq[Float](1).toArray)
     val cents = Centroids.fit(sample, nLists, iters = 5, seed = 42L)
 
     val corpusAssigned = corpus.withColumn("centroid",

@@ -75,7 +75,7 @@ object KeyedSink {
       val p = new org.apache.hadoop.fs.Path(targetPath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val annotated =
+    val annotated = (
       if (!targetExists) flagged.withColumn("_exists", lit(false))
       else {
         // Key-only scan of the target (column-pruned), then existence flag.
@@ -84,25 +84,30 @@ object KeyedSink {
         flagged.join(existingKeys, Seq("key"), "left_outer")
           .withColumn("_exists", coalesce(col("_exists"), lit(false)))
       }
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Create-only applies at RECORD (= key) granularity: multiple rows
     // of one key within a batch are the record's cells and land
     // together; a key already in the target skips wholesale. Rows of
     // the same key arriving in LATER batches are skipped by the
     // anti-join — exactly the reference's RECORD_EXISTS behavior.
-    val s = annotated.agg(
-      count(lit(1)).as("incoming"),
-      sum(when(!col("_live"), 1L).otherwise(0L)).as("expired"),
-      sum(when(col("_live") && col("_exists"), 1L).otherwise(0L)).as("skipped"),
-      sum(when(col("_live") && !col("_exists"), 1L).otherwise(0L)).as("written")
-    ).collect().head
+    // `annotated` is persisted so the stats action and the write
+    // action evaluate the target key scan + join once, not twice.
+    try {
+      val s = annotated.agg(
+        count(lit(1)).as("incoming"),
+        sum(when(!col("_live"), 1L).otherwise(0L)).as("expired"),
+        sum(when(col("_live") && col("_exists"), 1L).otherwise(0L)).as("skipped"),
+        sum(when(col("_live") && !col("_exists"), 1L).otherwise(0L)).as("written")
+      ).collect().head
 
-    annotated.filter(col("_live") && !col("_exists"))
-      .drop("_live", "_exists")
-      .write.mode(SaveMode.Append).parquet(targetPath)
+      annotated.filter(col("_live") && !col("_exists"))
+        .drop("_live", "_exists")
+        .write.mode(SaveMode.Append).parquet(targetPath)
 
-    WriteStats(
-      incoming = s.getLong(0), written = s.getLong(3),
-      skippedExisting = s.getLong(2), expired = s.getLong(1))
+      WriteStats(
+        incoming = s.getLong(0), written = s.getLong(3),
+        skippedExisting = s.getLong(2), expired = s.getLong(1))
+    } finally annotated.unpersist()
   }
 }

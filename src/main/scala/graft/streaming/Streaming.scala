@@ -70,11 +70,14 @@ object Streaming {
   }
 
   /** Streaming create-only semantics (the stream form of the sink's
-    * AS_POLICY_EXISTS_CREATE): the FIRST cell per (user, event type)
-    * wins permanently; later writes for the same key are dropped.
-    * State is sharded by key across the state store; on an unbounded
-    * ingest you bound it with `withWatermark` +
-    * `dropDuplicatesWithinWatermark` instead. */
+    * AS_POLICY_EXISTS_CREATE): on a STREAM, the first-arriving cell per
+    * (user, event type) wins permanently; later writes for the same
+    * key are dropped. State is sharded by key across the state store;
+    * on an unbounded ingest you bound it with `withWatermark` +
+    * `dropDuplicatesWithinWatermark`. On a static frame,
+    * `dropDuplicates` keeps an ARBITRARY row (there is no arrival
+    * order) — batch jobs that need a deterministic winner should use
+    * [[graft.kv.Kv.lww]]'s min/max-by formulation instead. */
   def createOnly(events: DataFrame): DataFrame =
     events.dropDuplicates("user_id", "event_type")
 
