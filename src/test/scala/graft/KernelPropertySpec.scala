@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Sketches
+
+/** Seeded property tests for the custom kernels: each native fast path
+  * is checked against an independent (slow, obviously-correct)
+  * formulation on randomized inputs.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val rng = new scala.util.Random(1234)
+
+  private def randText(maxWords: Int): String = {
+    val vocab = Vector("alpha", "beta", "Gamma", "DELTA", "e", "zeta7", "x,y", "a")
+    Seq.fill(rng.nextInt(maxWords))(vocab(rng.nextInt(vocab.length)))
+      .mkString(" ")
+  }
+
+  test("wordShingles matches the reference split/sliding/distinct formulation") {
+    def oracle(text: String, k: Int): Seq[String] = {
+      val w = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (w.isEmpty) Seq.empty
+      else w.sliding(math.min(k, w.length)).map(_.mkString(" ")).toSeq.distinct
+    }
+    (1 to 300).foreach { _ =>
+      val t = randText(30)
+      val k = 1 + rng.nextInt(4)
+      val got = Sketches.wordShingles(UTF8String.fromString(t), k)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(got === oracle(t, k), s"text='$t' k=$k")
+    }
+  }
+
+  test("winnow guarantee: shared substring of length >= k+w-1 shares a fingerprint") {
+    val k = 8; val w = 4
+    (1 to 100).foreach { _ =>
+      val shared = Seq.fill(k + w - 1 + rng.nextInt(20))(('a' + rng.nextInt(26)).toChar).mkString
+      val a = randText(10) + " " + shared + " " + randText(10)
+      val b = randText(10) + " " + shared + " " + randText(10)
+      val fa = Sketches.winnow(UTF8String.fromString(a), k, w).toLongArray().toSet
+      val fb = Sketches.winnow(UTF8String.fromString(b), k, w).toLongArray().toSet
+      assert((fa & fb).nonEmpty, s"no shared fingerprint for shared '$shared'")
+    }
+  }
+
+  test("topk_by_score equals a sort-based oracle, including duplicate scores") {
+    val sparkS = spark
+    import sparkS.implicits._
+    (1 to 10).foreach { _ =>
+      val n = 50 + rng.nextInt(200)
+      // few distinct scores => many ties, exercising the tie-break
+      val rows = (0 until n).map(i => (rng.nextInt(3).toLong, rng.nextInt(8) / 7.0, i.toLong))
+      val k = 1 + rng.nextInt(12)
+      val got = rows.toDF("g", "score", "id").repartition(5)
+        .groupBy("g")
+        .agg(graft.functions.TopKByScore.topkByScore(col("score"), col("id"), k).as("top"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(t => (t._2, t._3)).sortBy { case (s, i) => (-s, i) }.take(k)
+      }
+      assert(got.keySet === want.keySet)
+      got.foreach { case (g, top) => assert(top === want(g), s"group $g k=$k") }
+    }
+  }
+
+  test("collect_set_limit boundary: exactly at the limit survives") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = (1 to 10).map(i => ("g", i.toLong)).toDF("g", "id").repartition(4)
+    def run(limit: Int) = df.groupBy("g")
+      .agg(graft.functions.CollectSetLimit.collectSetLimit(col("id"), limit).as("ids"))
+      .collect().head.getSeq[Long](1)
+    assert(run(10) === (1L to 10L).toSeq)
+    assert(Option(run(9)) === None)
+  }
+}
