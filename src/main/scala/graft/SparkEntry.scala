@@ -56,6 +56,7 @@ object SparkEntry {
     "events_windowed_agg"      -> (Events.windowedAgg _),
     "events_sessionize"        -> (Events.sessionize _),
     "events_asof_prev"         -> (Events.asofPrev _),
+    "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     // §2.4 dedup
     "dedup_exact"              -> (Dedup.exact _),
     "dedup_minhash_lsh"        -> (Dedup.minhashLsh _),
@@ -423,6 +424,20 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "events_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user_id, event_id AS click_id,
+        |  CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts, p.value, c.click_id, c.click_ts,
+        | epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+        |FROM p LEFT JOIN c ON p.user_id = c.c_user_id AND c.click_ts <= p.ts
+        |  AND epoch_us(p.ts) - epoch_us(c.click_ts) <= 604800000000
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |  ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC) = 1
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS survivor_doc_id,

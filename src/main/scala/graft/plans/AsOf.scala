@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.AsOfJoinApi
+
+import graft.sources.Tables
+
+/** As-of join operator (SURVEY §2.3) — the engine's one full
+  * custom-operator stack (logical node + planner strategy + physical
+  * merge exec, see [[org.apache.spark.sql.graftbridge.AsOfJoinExec]]).
+  */
+object AsOf {
+
+  /** Each left row joined to the single latest right row of the same
+    * key with rightTime ≤ leftTime (within `toleranceUs` when ≥ 0);
+    * left-outer semantics. Both sides are co-partitioned by key and
+    * merge-scanned in time order — one shuffle each, O(1) state. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTime: Column, rightTime: Column,
+      toleranceUs: Long = -1L): DataFrame =
+    AsOfJoinApi.asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime, toleranceUs)
+
+  /** #32b events_asof_join: every purchase matched to the user's latest
+    * click no more than 7 days earlier (attribution-window semantics). */
+  def eventsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val tolUs = 7L * 24 * 3600 * 1000000L
+    asofJoin(
+      purchases, clicks,
+      Seq(purchases("user_id")), Seq(clicks("c_user_id")),
+      purchases("ts"), clicks("click_ts"), tolUs)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+}

@@ -1,0 +1,163 @@
+package org.apache.spark.sql
+package graftbridge
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join: each left row matches the single latest right row of the
+  * same key whose time is ≤ the left time (and within `toleranceUs`,
+  * when ≥ 0); unmatched left rows survive with nulls (left-outer).
+  *
+  * This is the one operator family in the engine where composing
+  * built-ins genuinely fails at scale: an inequality join explodes to a
+  * range join (O(n·m) within key), and the union-window trick cannot
+  * express a tolerance. So it follows the custom-operator recipe —
+  * logical node → planner strategy → physical exec — and the physical
+  * operator DECLARES its needs instead of hand-scheduling them:
+  * `requiredChildDistribution` (co-partition both sides by key) and
+  * `requiredChildOrdering` (key, time) make Catalyst insert the
+  * exchanges and sorts, AQE still owns partition sizing, and the merge
+  * itself is a single forward pass per partition holding ONE buffered
+  * right row per key — O(1) state, no per-key materialization.
+  *
+  * Lives in an `org.apache.spark.sql` subpackage because SparkPlan's
+  * execution surface (`doExecute`) is `private[sql]` in Spark 4.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceUs: Long)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceUs: Long)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    val tol = toleranceUs
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      new Iterator[InternalRow] {
+        private val lKeyProj = UnsafeProjection.create(lk, leftOut)
+        private val rKeyProj = UnsafeProjection.create(rk, rightOut)
+        private val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+        private val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+        private val keyOrdering =
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .createNaturalAscendingOrdering(lk.map(_.dataType))
+        private val joiner = UnsafeProjection.create(
+          (leftOut ++ rightOut).map(a => a), leftOut ++ rightOut)
+        private val nullRight = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(rightOut.length)
+        private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
+        private val rBuf = rIter.buffered
+        // One buffered candidate: the latest right row (copied) whose
+        // key equals `curKey` and time <= the left row's time.
+        private var curKey: InternalRow = _
+        private var candidate: InternalRow = _
+        private var candidateTime: Long = 0L
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val key = lKeyProj(lRow)
+          val t = lTimeProj(lRow).getLong(0)
+          if (curKey == null || keyOrdering.compare(key, curKey) != 0) {
+            curKey = key.copy()
+            candidate = null
+          }
+          // Advance the right side through all rows with key < curKey,
+          // then through rows of curKey with time <= t, keeping the last.
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val cmp = keyOrdering.compare(rKeyProj(rRow), curKey)
+            if (cmp < 0) { rBuf.next() }
+            else if (cmp > 0) { advancing = false }
+            else {
+              val rT = rTimeProj(rRow).getLong(0)
+              if (rT <= t) {
+                candidate = rRow.copy(); candidateTime = rT; rBuf.next()
+              } else advancing = false
+            }
+          }
+          val matched = candidate != null &&
+            (tol < 0 || t - candidateTime <= tol)
+          joined(lRow, if (matched) candidate else nullRight)
+          joiner(joined)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinApi {
+  /** Build the as-of-join DataFrame (Dataset.ofRows is private[sql]). */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTime: Column, rightTime: Column,
+      toleranceUs: Long): DataFrame = {
+    val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val plan = AsOfJoinPlan(
+      left.queryExecution.analyzed,
+      right.queryExecution.analyzed,
+      leftKeys.map(ColumnBridge.expression),
+      rightKeys.map(ColumnBridge.expression),
+      ColumnBridge.expression(leftTime),
+      ColumnBridge.expression(rightTime),
+      toleranceUs)
+    classic.Dataset.ofRows(spark, plan)
+  }
+}
