@@ -86,8 +86,12 @@ case class AsOfJoinExec(
         private val keyOrdering =
           org.apache.spark.sql.catalyst.expressions.RowOrdering
             .createNaturalAscendingOrdering(lk.map(_.dataType))
+        // Bind to the operator's OUTPUT attributes (right side forced
+        // nullable) so unmatched-left nulls project through nullable
+        // bindings rather than the children's original nullability.
         private val joiner = UnsafeProjection.create(
-          (leftOut ++ rightOut).map(a => a), leftOut ++ rightOut)
+          leftOut ++ rightOut.map(_.withNullability(true)),
+          leftOut ++ rightOut)
         private val nullRight = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(rightOut.length)
         private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
