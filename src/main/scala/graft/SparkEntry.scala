@@ -39,6 +39,9 @@ object SparkEntry {
     "approx_distinct"          -> (Relational.approxDistinct _),
     "q17_small_qty_revenue"    -> (Relational.q17SmallQtyRevenue _),
     "q22_no_order_customers"   -> (Relational.q22NoOrderCustomers _),
+    "q7_nation_volume"         -> (Relational.q7NationVolume _),
+    "q15_top_supplier"         -> (Relational.q15TopSupplier _),
+    "q21_late_suppliers"       -> (Relational.q21LateSuppliers _),
     // §2.1 KV engine (reference-derived semantics)
     "kv_lww_latest"            -> (Kv.lwwLatest _),
     "kv_generations_merge"     -> (Kv.generationsMerge _),
@@ -424,6 +427,52 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, SUM(volume) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS volume
+        |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |        AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |        AND n1.n_name <> n2.n_name) t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_late_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
 
     "events_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value

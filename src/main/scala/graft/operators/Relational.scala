@@ -292,6 +292,79 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** TPC-H Q7 analog: two-sided nation volume (the supplier's and the
+    * customer's nation both constrain the join), grouped by year. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year, SUM(volume) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS volume
+        |      FROM graft_supplier, graft_lineitem, graft_orders, graft_customer,
+        |           graft_nation n1, graft_nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |        AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |        AND n1.n_name <> n2.n_name) t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q15 analog: top supplier by revenue — a scalar MAX subquery
+    * over a derived aggregate (aggregate-of-aggregate equality). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    spark.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS total_revenue
+        |  FROM graft_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM graft_supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q21 analog: suppliers who were the ONLY late shipper in a
+    * finished multi-supplier order — one correlated EXISTS plus one
+    * correlated NOT EXISTS that also references the outer order. */
+  def q21LateSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    spark.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM graft_supplier, graft_lineitem l1, graft_orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20
+        |""".stripMargin)
+  }
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
