@@ -90,10 +90,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | SUM(CAST(l_quantity AS DECIMAL(30,2))) AS sum_qty,
-        | SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS sum_base_price,
-        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS sum_disc_price,
-        | SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -102,7 +102,7 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
-        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS revenue,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
         | o_orderdate
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -124,7 +124,7 @@ object SparkEntry {
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS revenue
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -135,7 +135,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -144,7 +144,7 @@ object SparkEntry {
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
-        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS revenue,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
         | c_acctbal, n_name
         |FROM customer, orders, lineitem, nation
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -166,10 +166,10 @@ object SparkEntry {
 
     "q14_promo_revenue" ->
       """SELECT
-        | SUM(CASE WHEN p_type = 'PROMO'
+        | CAST(SUM(CASE WHEN p_type = 'PROMO'
         |     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
-        |     ELSE CAST(0 AS DECIMAL(30,4)) END) AS promo_revenue,
-        | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS total_revenue
+        |     ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) AS promo_revenue,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
         |FROM lineitem, part
         |WHERE l_partkey = p_partkey
         |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -177,7 +177,7 @@ object SparkEntry {
 
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-        | SUM(CAST(l_quantity AS DECIMAL(30,2))) AS sum_qty
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
         |FROM customer, orders, lineitem
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
         |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
@@ -187,7 +187,7 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
 
     "q19_discounted_revenue" ->
-      """SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem, part
         |WHERE p_partkey = l_partkey AND (
@@ -206,16 +206,16 @@ object SparkEntry {
 
     "running_total" ->
       """SELECT user_id, event_id,
-        | SUM(CAST(value AS DECIMAL(30,2)))
+        | CAST(SUM(CAST(value AS DECIMAL(30,2)))
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events
         |WHERE user_id < 10
         |ORDER BY user_id, event_id""".stripMargin,
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | SUM(CAST(l_quantity AS DECIMAL(30,2))) AS sum_qty, COUNT(*) AS n_rows
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -258,7 +258,7 @@ object SparkEntry {
         |ORDER BY o_orderstatus""".stripMargin,
 
     "q17_small_qty_revenue" ->
-      """SELECT SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS sum_revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem, part
         |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
@@ -269,7 +269,7 @@ object SparkEntry {
 
     "q22_no_order_customers" ->
       """SELECT c_mktsegment, COUNT(*) AS n_cust,
-        | SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS total_bal
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |WHERE c_acctbal > (
         |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
@@ -386,7 +386,7 @@ object SparkEntry {
     "kv_counter_merge" ->
       s"""$cellsCte
         |SELECT key, col,
-        | SUM(CAST(value AS DECIMAL(30,2))) AS counter_value,
+        | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS counter_value,
         | COUNT(*) AS n_contributions,
         | MAX(ts) AS last_write
         |FROM cells
@@ -396,7 +396,7 @@ object SparkEntry {
     "events_windowed_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         | COUNT(*) AS n_events,
-        | SUM(CAST(value AS DECIMAL(30,2))) AS sum_value,
+        | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2
@@ -414,7 +414,8 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_seq,
         | MIN(ts) AS session_start, MAX(ts) AS session_end,
-        | COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(30,2))) AS sum_value
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
@@ -429,7 +430,7 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q7_nation_volume" ->
-      """SELECT supp_nation, cust_nation, l_year, SUM(volume) AS revenue
+      """SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |        CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
         |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS volume
@@ -451,7 +452,7 @@ object SparkEntry {
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_revenue
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
         |FROM supplier, revenue
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -519,14 +520,14 @@ object SparkEntry {
         |SELECT doc_id,
         | CAST(n_chars AS INT) AS n_chars,
         | CAST(n_toks AS INT) AS n_tokens,
-        | CAST(ROUND(punct / n_chars, 4) AS DECIMAL(10,4)) AS punct_ratio,
-        | CAST(ROUND(digits / n_chars, 4) AS DECIMAL(10,4)) AS digit_ratio,
-        | CAST(ROUND(stops / n_toks, 4) AS DECIMAL(10,4)) AS stopword_ratio,
-        | CAST(ROUND(
+        | CAST(CAST(ROUND(punct / n_chars, 4) AS DECIMAL(10,4)) AS DOUBLE) AS punct_ratio,
+        | CAST(CAST(ROUND(digits / n_chars, 4) AS DECIMAL(10,4)) AS DOUBLE) AS digit_ratio,
+        | CAST(CAST(ROUND(stops / n_toks, 4) AS DECIMAL(10,4)) AS DOUBLE) AS stopword_ratio,
+        | CAST(CAST(ROUND(
         |   LEAST(n_chars / 500.0, 1.0) * 0.4
         |   + LEAST(stops / GREATEST(n_toks * 0.05, 1.0), 1.0) * 0.4
         |   + GREATEST(1.0 - punct / GREATEST(n_chars * 0.1, 1.0), 0.0) * 0.2, 4)
-        |   AS DECIMAL(10,4)) AS quality_score
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS quality_score
         |FROM s
         |ORDER BY doc_id""".stripMargin
   )

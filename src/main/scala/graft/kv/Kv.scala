@@ -258,7 +258,7 @@ object Kv {
     cells(spark, dir)
       .groupBy(col("key"), col("col"))
       .agg(
-        sum(dec(col("value"), 2)).as("counter_value"),
+        sum(dec(col("value"), 2)).cast("double").as("counter_value"),
         count(lit(1)).as("n_contributions"),
         max(col("ts")).as("last_write"))
       .orderBy(col("key"), col("col"))

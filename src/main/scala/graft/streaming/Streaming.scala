@@ -43,7 +43,8 @@ object Streaming {
   def windowedAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value"), 2).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 

@@ -47,7 +47,11 @@ object Text {
     val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double")
     val digits = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
     val stops = size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
-    val d4 = (c: Column) => round(c, 4).cast("decimal(10,4)")
+    // Round through an exact decimal so both engines agree on the 4-place
+    // value, then present as double (the decimal→double conversion is the
+    // same IEEE nearest on both sides; a decimal output column would
+    // string-compare with trailing zeros the float64 oracle lacks).
+    val d4 = (c: Column) => round(c, 4).cast("decimal(10,4)").cast("double")
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -109,6 +113,8 @@ object Text {
         col("doc_id"),
         size(col("fp")).as("n_fingerprints"),
         hash(col("fp")).cast("long").as("fp_digest"),
-        slice(col("fp"), 1, 8).as("fp_head"))
+        // serialized, not array-typed: query outputs must stay flat
+        // (scalar columns only) for the driver's pandas sort
+        concat_ws(",", slice(col("fp"), 1, 8).cast("array<string>")).as("fp_head"))
       .orderBy(col("doc_id"))
 }

@@ -51,8 +51,10 @@ class KvSpec extends AnyFunSuite {
   }
 
   test("counter merge total equals the sum over any generation split") {
+    // counter_value presents as double; each value is an exact 2-decimal
+    // quantity, so casting back to decimal recovers the exact total.
     val total = Kv.counterMerge(spark, sf)
-      .agg(sum(col("counter_value"))).collect().head.getDecimal(0)
+      .agg(sum(col("counter_value").cast("decimal(30,2)"))).collect().head.getDecimal(0)
     val perGen = Kv.generations(spark, sf, 3)
       .map(_.agg(sum(col("value").cast("decimal(30,2)"))).collect().head.getDecimal(0))
       .reduce(_ add _)

@@ -36,9 +36,15 @@ class RelationalSpec extends AnyFunSuite {
 
   test("q1 aggregates are decimal-exact (partitioning-stable)") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    // Presentation is double (the oracle compare's canonical numeric
+    // form), but the SUM underneath must still run over decimals so the
+    // result is bit-stable under any partitioning.
     val moneyTypes = Seq("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge")
       .map(c => df.schema(c).dataType.typeName)
-    assert(moneyTypes.forall(_.startsWith("decimal")), s"non-decimal money columns: $moneyTypes")
+    assert(moneyTypes.forall(_ == "double"), s"non-double presentation columns: $moneyTypes")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("decimal(30,"),
+      s"expected decimal-typed internal sums in plan:\n$analyzed")
     // Re-run with different partitioning: results must be bitwise identical.
     val a = df.collect().map(_.toString).sorted
     val b = SparkEntry.queries("q1_pricing_summary")(spark, sf)

@@ -140,7 +140,7 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._2))
     val want = Events.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
-        r.getLong(4), BigDecimal(r.getDecimal(5)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+        r.getLong(4), BigDecimal(r.getDouble(5)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
       .sortBy(t => (t._1, t._2))
     assert(got.length === want.length,
       s"session count mismatch: ${got.length} vs ${want.length}")
