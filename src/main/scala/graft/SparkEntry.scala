@@ -496,6 +496,87 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY survivor_doc_id""".stripMargin,
 
+    "ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    list_dot_product(qv, cv)
+        |      / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
+        |  FROM q, c WHERE vec_id <> query_id),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |  ORDER BY cos DESC, vec_id) AS rnk FROM scored)
+        |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rank FROM ranked
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[r.i] || ' ' || t[r.i+1] || ' ' || t[r.i+2]
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200),
+        |uni AS (SELECT s.doc_id, s.shingle FROM sh s JOIN capped USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM uni GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |       FROM uni a JOIN uni b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+        |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, text, toks,
+        |    CAST(GREATEST(len(toks), 1) AS DOUBLE) AS n FROM t),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','is','that','with','for'], x))) AS DOUBLE) / n AS s_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit'], x))) AS DOUBLE) / n AS s_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','est','pas','une','dans'], x))) AS DOUBLE) / n AS s_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['el','los','las','es','y','no','una','por'], x))) AS DOUBLE) / n AS s_es,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+        |      AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE) AS cjk
+        |  FROM s),
+        |lng AS (
+        |  SELECT doc_id, cjk, MAX(b) AS best FROM (
+        |    SELECT doc_id, cjk, {'score': s_en, 'lang': 'en'} AS b FROM sc
+        |    UNION ALL SELECT doc_id, cjk, {'score': s_de, 'lang': 'de'} FROM sc
+        |    UNION ALL SELECT doc_id, cjk, {'score': s_fr, 'lang': 'fr'} FROM sc
+        |    UNION ALL SELECT doc_id, cjk, {'score': s_es, 'lang': 'es'} FROM sc) u
+        |  GROUP BY doc_id, cjk)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0.3 THEN 'zh' ELSE best.lang END AS pred_lang,
+        |  CAST(CAST(ROUND(CASE WHEN cjk > 0.3 THEN cjk ELSE best.score END, 4)
+        |    AS DECIMAL(10,4)) AS DOUBLE) AS pred_score
+        |FROM lng ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_pipeline" ->
+      """WITH b AS (SELECT doc_id, ascii(substring(text, r.i, 1)) % 8 AS bucket
+        |  FROM documents, UNNEST(range(1, length(text)+1)) AS r(i)),
+        |h AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, SUM(cnt*cnt) AS sq,
+        |    COALESCE(SUM(CASE WHEN bucket = 0 THEN cnt END), 0) AS c0
+        |  FROM h GROUP BY 1)
+        |SELECT d.doc_id,
+        |  (['jpeg','png','webp'])[CAST(d.doc_id % 3 AS INT) + 1] AS format,
+        |  CAST(length(d.text) AS INT) AS n_bytes,
+        |  sqrt(CAST(a.sq AS DOUBLE)) / CAST(length(d.text) AS DOUBLE) AS feat_norm,
+        |  CAST(c0 AS DOUBLE) / CAST(length(d.text) AS DOUBLE) AS feat_0
+        |FROM documents d JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "text_token_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS INT) AS n_chars,

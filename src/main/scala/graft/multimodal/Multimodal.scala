@@ -117,15 +117,23 @@ object Multimodal {
   }
 
   /** #45 mm_binary_pipeline: media synthesis → batched stub decode →
-    * per-format feature aggregation, plus per-doc feature rows. */
+    * per-doc feature presentation. The normalized float features are
+    * de-normalized back to their exact integer histogram counts
+    * (cnt = round(x * n_bytes) is exact below 2^24), so the presented
+    * norm and first-bucket share are integer-derived double arithmetic
+    * that an external SQL engine reproduces bit-for-bit. */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(mediaTable(spark, dir))
+    val cnts = transform(col("feat"),
+      x => round(x.cast("double") * col("n_bytes")).cast("long"))
     feats.toDF()
+      .withColumn("cnts", cnts)
       .select(
         col("doc_id"), col("format"), col("n_bytes"),
-        round(aggregate(col("feat"), lit(0.0d),
-          (acc, x) => acc + x * x, acc => sqrt(acc)), 4).as("feat_norm"),
-        round(element_at(col("feat"), 1).cast("double"), 4).as("feat_0"))
+        (sqrt(aggregate(col("cnts"), lit(0L), (acc, x) => acc + x * x).cast("double")) /
+          col("n_bytes").cast("double")).as("feat_norm"),
+        (element_at(col("cnts"), 1).cast("double") /
+          col("n_bytes").cast("double")).as("feat_0"))
       .orderBy(col("doc_id"))
   }
 }

@@ -79,8 +79,10 @@ object Text {
     "es" -> Seq("el", "los", "las", "es", "y", "no", "una", "por"))
 
   /** #43 text_langid: argmax of per-language marker-token density; CJK
-    * character ratio short-circuits to zh. Rows-only (accuracy is
-    * asserted in the spec on real multilingual fixtures). */
+    * character ratio short-circuits to zh. DuckDB-oracled (marker-list
+    * filter + struct argmax); accuracy additionally asserted in the
+    * spec on real multilingual fixtures, since the corpus `lang` column
+    * is synthetic noise. */
   def langid(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nToks = greatest(size(toks), lit(1)).cast("double")
@@ -93,11 +95,12 @@ object Text {
       length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
       greatest(length(col("text")), lit(1)).cast("double")
     val best = greatest(scores: _*)
+    val d4 = (c: Column) => round(c, 4).cast("decimal(10,4)").cast("double")
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         when(cjkRatio > 0.3, lit("zh")).otherwise(best.getField("lang")).as("pred_lang"),
-        round(when(cjkRatio > 0.3, cjkRatio).otherwise(best.getField("score")), 4).as("pred_score"))
+        d4(when(cjkRatio > 0.3, cjkRatio).otherwise(best.getField("score"))).as("pred_score"))
       .orderBy(col("doc_id"))
   }
 
