@@ -45,10 +45,10 @@ object Dedup {
 
   /** In-bucket pair generation from a sorted member array: all (a, b)
     * with a < b, computed locally after the bucket aggregation — pairs
-    * never cross the wire unverified. */
-  private def bucketPairs(ids: Column): Column =
-    flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + 2, size(ids)), b => struct(a.as("a"), b.as("b")))))
+    * never cross the wire unverified. Native codegen'd expression; the
+    * HOF-lambda formulation evaluated interpreted and was the dedup
+    * suite's hotspot. */
+  private def bucketPairs(ids: Column): Column = Sketches.sortedPairs(ids)
 
   /** Candidate pairs from a banded signature: group by (band, key),
     * cap bucket size, emit local pairs, dedup across bands. The cap is

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -215,6 +216,31 @@ object Sketches {
   private def isWs(c: Byte): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b
 
+  /** All ordered pairs (a, b) with a before b of a (sorted) id array,
+    * as one flat struct array. Replaces the declarative
+    * `flatten(transform(ids, (a, i) => transform(slice(ids, i+2, …)`
+    * stack: higher-order-function lambdas evaluate interpreted per
+    * element and the inner `slice` allocates per element, which made
+    * pair emission the dedup suite's hotspot — this is a single
+    * allocation-light pass. */
+  def sortedPairs(ids: ArrayData): ArrayData = {
+    val v = ids.toLongArray()
+    val n = v.length
+    val out = new Array[Any](n * (n - 1) / 2)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(w) = InternalRow(v(i), v(j))
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One mixed 64-bit key per signature band (bands of len/nBands
     * consecutive values), replacing per-band `hash(slice(sig, …))`
     * lambdas with a single native pass. */
@@ -293,6 +319,33 @@ object Sketches {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
   def bandHashes(c: Column, nBands: Int): Column =
     ColumnBridge.column(BandHashes(ColumnBridge.expression(c), nBands))
+  def sortedPairs(c: Column): Column =
+    ColumnBridge.column(SortedPairs(ColumnBridge.expression(c)))
+}
+
+/** `sorted_pairs(ids)`: all (a, b) pairs with a before b of an id
+  * array, flat — the in-bucket candidate-pair generator. */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pairs requires array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.sortedPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.sortedPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `word_shingles(text, k)`: distinct lowercase k-word shingles. */

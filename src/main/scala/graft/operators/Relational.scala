@@ -346,29 +346,43 @@ object Relational {
   }
 
   /** TPC-H Q21 analog: suppliers who were the ONLY late shipper in a
-    * finished multi-supplier order — one correlated EXISTS plus one
-    * correlated NOT EXISTS that also references the outer order. */
+    * finished multi-supplier order. The correlated EXISTS / NOT EXISTS
+    * formulation decorrelates into two extra lineitem joins (three
+    * scans, two orderkey shuffles); this is the classic single-pass
+    * rewrite: ONE per-(order, supplier) aggregate carries everything —
+    * a supplier's late row count contributes to numwait exactly when
+    * the order has ≥ 2 suppliers (the EXISTS) and exactly one of them
+    * shipped late (the NOT EXISTS, which must be that supplier since
+    * the contributing rows are themselves late). After the initial
+    * orderkey join, every aggregation and the join-back stay on the
+    * orderkey hash partitioning, so lineitem shuffles once. */
   def q21LateSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
-    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
-    spark.sql(
-      """SELECT s_name, COUNT(*) AS numwait
-        |FROM graft_supplier, graft_lineitem l1, graft_orders
-        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-        |  AND o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-        |  AND EXISTS (SELECT 1 FROM graft_lineitem l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey
-        |                AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name
-        |LIMIT 20
-        |""".stripMargin)
+    val ordF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+    val perSupp = li
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(late, 1L).otherwise(0L)).as("n_late_rows"))
+    val perOrder = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum(when(col("n_late_rows") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("l_orderkey").as("w_orderkey"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    perSupp
+      .filter(col("n_late_rows") > 0)
+      .join(perOrder, col("l_orderkey") === col("w_orderkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late_rows")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
   }
 
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
