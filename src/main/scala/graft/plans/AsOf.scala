@@ -15,13 +15,18 @@ object AsOf {
   /** Each left row joined to the single latest right row of the same
     * key with rightTime ≤ leftTime (within `toleranceUs` when ≥ 0);
     * left-outer semantics. Both sides are co-partitioned by key and
-    * merge-scanned in time order — one shuffle each, O(1) state. */
+    * merge-scanned in time order — one shuffle each, O(1) state.
+    * NULL key/time rows never match (left passes through unmatched,
+    * right is skipped); `rightSeq` pins the winner among equal
+    * (key, time) right rows to the largest seq value. */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column,
-      toleranceUs: Long = -1L): DataFrame =
-    AsOfJoinApi.asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime, toleranceUs)
+      toleranceUs: Long = -1L,
+      rightSeq: Seq[Column] = Nil): DataFrame =
+    AsOfJoinApi.asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      toleranceUs, rightSeq)
 
   /** #32b events_asof_join: every purchase matched to the user's latest
     * click no more than 7 days earlier (attribution-window semantics). */
@@ -36,7 +41,8 @@ object AsOf {
     asofJoin(
       purchases, clicks,
       Seq(purchases("user_id")), Seq(clicks("c_user_id")),
-      purchases("ts"), clicks("click_ts"), tolUs)
+      purchases("ts"), clicks("click_ts"), tolUs,
+      rightSeq = Seq(clicks("click_id")))
       .select(col("user_id"), col("event_id"), col("ts"), col("value"),
         col("click_id"), col("click_ts"),
         (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))

@@ -12,6 +12,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * same key whose time is ≤ the left time (and within `toleranceUs`,
   * when ≥ 0); unmatched left rows survive with nulls (left-outer).
   *
+  * NULL semantics follow SQL join semantics: a NULL key or NULL time on
+  * either side never matches — left rows with NULL key/time pass through
+  * unmatched, right rows with NULL key/time are skipped. Ties among
+  * right rows with equal (key, time) are broken by `rightSeq` ascending
+  * with the LAST (largest) winning, mirroring an `ORDER BY time DESC,
+  * seq DESC LIMIT 1` pick; without a seq the winner would be arrival
+  * order, i.e. nondeterministic under shuffle.
+  *
   * This is the one operator family in the engine where composing
   * built-ins genuinely fails at scale: an inequality join explodes to a
   * range join (O(n·m) within key), and the union-window trick cannot
@@ -34,7 +42,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Long)
+    toleranceUs: Long,
+    rightSeq: Seq[Expression])
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -45,8 +54,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, rs) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, rs) :: Nil
     case _ => Nil
   }
 }
@@ -58,7 +67,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Long)
+    toleranceUs: Long,
+    rightSeq: Seq[Expression])
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -67,9 +77,12 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // Right side additionally orders by the tie-break sequence: among
+  // equal (key, time) rows the merge keeps the LAST seen, so ascending
+  // seq makes the largest seq the deterministic winner.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    (rightKeys ++ (rightTime +: rightSeq)).map(SortOrder(_, Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
@@ -86,12 +99,14 @@ case class AsOfJoinExec(
         private val keyOrdering =
           org.apache.spark.sql.catalyst.expressions.RowOrdering
             .createNaturalAscendingOrdering(lk.map(_.dataType))
-        // Bind to the operator's OUTPUT attributes (right side forced
-        // nullable) so unmatched-left nulls project through nullable
-        // bindings rather than the children's original nullability.
+        // Bind to nullable-forced right attributes on BOTH sides of the
+        // binding: bindReference takes nullability from the INPUT
+        // attribute, so a non-nullable right child column would
+        // otherwise skip the isNullAt check and read an unmatched
+        // null slot as 0.
         private val joiner = UnsafeProjection.create(
           leftOut ++ rightOut.map(_.withNullability(true)),
-          leftOut ++ rightOut)
+          leftOut ++ rightOut.map(_.withNullability(true)))
         private val nullRight = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(rightOut.length)
         private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
@@ -108,24 +123,40 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val key = lKeyProj(lRow)
-          val t = lTimeProj(lRow).getLong(0)
+          val lTimeRow = lTimeProj(lRow)
+          // NULL key or NULL time on the left never matches. These rows
+          // sort first (Ascending = NullsFirst), so skipping the advance
+          // here cannot starve later left rows of right-side progress.
+          if (key.anyNull || lTimeRow.isNullAt(0)) {
+            joined(lRow, nullRight)
+            return joiner(joined)
+          }
+          val t = lTimeRow.getLong(0)
           if (curKey == null || keyOrdering.compare(key, curKey) != 0) {
             curKey = key.copy()
             candidate = null
           }
           // Advance the right side through all rows with key < curKey,
-          // then through rows of curKey with time <= t, keeping the last.
+          // then through rows of curKey with time <= t, keeping the last
+          // (ordering puts the tie-break seq ascending, so last = max
+          // seq). Right rows with NULL key/time are consumed and
+          // dropped — they can never be a match candidate.
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rRow = rBuf.head
-            val cmp = keyOrdering.compare(rKeyProj(rRow), curKey)
-            if (cmp < 0) { rBuf.next() }
-            else if (cmp > 0) { advancing = false }
+            val rKey = rKeyProj(rRow)
+            val rTimeRow = rTimeProj(rRow)
+            if (rKey.anyNull || rTimeRow.isNullAt(0)) { rBuf.next() }
             else {
-              val rT = rTimeProj(rRow).getLong(0)
-              if (rT <= t) {
-                candidate = rRow.copy(); candidateTime = rT; rBuf.next()
-              } else advancing = false
+              val cmp = keyOrdering.compare(rKey, curKey)
+              if (cmp < 0) { rBuf.next() }
+              else if (cmp > 0) { advancing = false }
+              else {
+                val rT = rTimeRow.getLong(0)
+                if (rT <= t) {
+                  candidate = rRow.copy(); candidateTime = rT; rBuf.next()
+                } else advancing = false
+              }
             }
           }
           val matched = candidate != null &&
@@ -148,7 +179,8 @@ object AsOfJoinApi {
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column,
-      toleranceUs: Long): DataFrame = {
+      toleranceUs: Long,
+      rightSeq: Seq[Column] = Nil): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -161,7 +193,8 @@ object AsOfJoinApi {
       rightKeys.map(ColumnBridge.expression),
       ColumnBridge.expression(leftTime),
       ColumnBridge.expression(rightTime),
-      toleranceUs)
+      toleranceUs,
+      rightSeq.map(ColumnBridge.expression))
     classic.Dataset.ofRows(spark, plan)
   }
 }

@@ -60,6 +60,101 @@ class AsOfSpec extends AnyFunSuite {
       "expected planner-inserted shuffle and sort")
   }
 
+  test("both as-of children land co-partitioned on the join keys") {
+    import org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.graftbridge.AsOfJoinExec
+    // AQE hides subtrees behind leaf QueryStageExec nodes; recurse through.
+    def findAsOf(p: SparkPlan): Seq[AsOfJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => findAsOf(a.executedPlan)
+      case q: QueryStageExec => findAsOf(q.plan)
+      case e: AsOfJoinExec => e +: e.children.flatMap(findAsOf)
+      case other => other.children.flatMap(findAsOf)
+    }
+    val df = AsOf.eventsAsofJoin(spark, sf)
+    df.collect()
+    val asof = findAsOf(df.queryExecution.executedPlan)
+    assert(asof.nonEmpty,
+      s"AsOfJoinExec missing from plan:\n${df.queryExecution.executedPlan}")
+    asof.foreach { e =>
+      // The ClusteredDistribution contract: each child's runtime
+      // partitioning (post-AQE coalescing included) must cluster on the
+      // declared keys, and both sides must agree on partition count —
+      // otherwise zipPartitions pairs rows of different keys.
+      val Seq(lp, rp) = e.children.map(_.outputPartitioning)
+      assert(lp.satisfies(ClusteredDistribution(e.leftKeys)),
+        s"left as-of child not clustered on ${e.leftKeys}: $lp")
+      assert(rp.satisfies(ClusteredDistribution(e.rightKeys)),
+        s"right as-of child not clustered on ${e.rightKeys}: $rp")
+      assert(lp.numPartitions == rp.numPartitions,
+        s"as-of children partition counts differ: $lp vs $rp")
+    }
+  }
+
+  test("skewed key distribution still matches a window oracle") {
+    import spark.implicits._
+    // 90% of right rows under one hot key; interleaved times.
+    val left = (1L to 200L).map(i => (if (i % 10 == 0) i else 1L, i * 100L, i))
+      .toDF("k", "t", "id")
+    val right = (1L to 2000L).map(i => (if (i % 10 == 0) i / 10 else 1L, i * 7L, i))
+      .toDF("rk", "rt", "rid")
+    val got = AsOf.asofJoin(left, right,
+        Seq(left("k")), Seq(right("rk")), left("t"), right("rt"),
+        toleranceUs = -1L, rightSeq = Seq(right("rid")))
+      .select(col("id"), col("rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    // Oracle: brute force in memory.
+    val rightRows = (1L to 2000L).map(i => (if (i % 10 == 0) i / 10 else 1L, i * 7L, i))
+    val want = (1L to 200L).map { i =>
+      val (k, t) = (if (i % 10 == 0) i else 1L, i * 100L)
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      i -> (if (cands.isEmpty) None
+            else Some(cands.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("NULL times and keys never match; non-null rows are unaffected") {
+    import spark.implicits._
+    // left: (key, time, id); right: (key, time, id)
+    val left = Seq(
+      (Some(1L), Some(100L), 10L),   // normal: matches right id 1
+      (Some(1L), None, 11L),         // NULL time -> unmatched
+      (None, Some(100L), 12L),       // NULL key -> unmatched
+      (Some(2L), Some(50L), 13L)     // key whose only right rows are null-time/key
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      (Some(1L), Some(90L), 1L),     // the match for left id 10
+      (Some(1L), None, 2L),          // NULL time -> skipped (else would be a candidate)
+      (None, Some(40L), 3L),         // NULL key -> skipped
+      (Some(2L), None, 4L)           // NULL time under key 2 -> skipped
+    ).toDF("rk", "rt", "rid")
+    val out = AsOf.asofJoin(left, right,
+        Seq(left("k")), Seq(right("rk")), left("t"), right("rt"),
+        toleranceUs = -1L, rightSeq = Seq(right("rid")))
+      .select(col("id"), col("rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out === Map(10L -> Some(1L), 11L -> None, 12L -> None, 13L -> None))
+  }
+
+  test("equal (key, time) right rows break ties to the largest seq") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 95L, 11L)).toDF("k", "t", "id")
+    // Three right rows at the identical (key, time): winner must be rid 9.
+    val right = Seq((1L, 95L, 7L), (1L, 95L, 9L), (1L, 95L, 8L), (1L, 90L, 1L))
+      .toDF("rk", "rt", "rid")
+    (1 to 5).foreach { i =>
+      val out = AsOf.asofJoin(left.repartition(i), right.repartition(6 - i),
+          Seq(left("k")), Seq(right("rk")), left("t"), right("rt"),
+          toleranceUs = -1L, rightSeq = Seq(right("rid")))
+        .select(col("id"), col("rid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(10L -> 9L, 11L -> 9L), s"partitioning $i picked wrong tie winner")
+    }
+  }
+
   test("tolerance bounds the match window") {
     val ev = Tables.events(spark, sf)
     val p = ev.filter(col("event_type") === "purchase")
