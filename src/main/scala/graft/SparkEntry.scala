@@ -51,7 +51,10 @@ object SparkEntry {
     "kv_record_ttl"            -> (Kv.recordTtl _),
     "kv_create_only"           -> (Kv.createOnly _),
     "kv_resume_scan"           -> (Kv.resumeScan _),
+    "kv_byte_ordered_scan"     -> (Kv.byteOrderedScan _),
+    "kv_random_resume_scan"    -> (Kv.randomResumeScan _),
     "kv_token_distribution"    -> (Kv.tokenDistribution _),
+    "kv_random_token_distribution" -> (Kv.randomTokenDistribution _),
     "kv_export_stats"          -> (Kv.exportStats _),
     "kv_dry_run_format"        -> (Kv.dryRunFormat _),
     "kv_counter_merge"         -> (Kv.counterMerge _),
@@ -284,6 +287,14 @@ object SparkEntry {
         |ranked AS (SELECT key, col, ts, value,
         |  ROW_NUMBER() OVER (PARTITION BY key, col ORDER BY ts DESC, seq DESC) AS rn
         |  FROM cells)
+        |SELECT key, col, ts, value FROM ranked WHERE rn = 1
+        |ORDER BY key, col""".stripMargin,
+
+    "kv_byte_ordered_scan" ->
+      s"""$cellsCte,
+        |ranked AS (SELECT key, col, ts, value,
+        |  ROW_NUMBER() OVER (PARTITION BY key, col ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM cells WHERE key >= '42')
         |SELECT key, col, ts, value FROM ranked WHERE rn = 1
         |ORDER BY key, col""".stripMargin,
 

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CassandraMurmur3.cassandraToken
+import graft.functions.CassandraRandomMd5
+import graft.functions.CassandraRandomMd5.randomToken
 import graft.functions.Exact.dec
 import graft.sources.Tables
 
@@ -209,6 +211,50 @@ object Kv {
                 (col("token") > startToken || col("key") >= startKey)))
       .orderBy(col("token"), col("key"), col("col"))
   }
+
+  /** #8b kv_byte_ordered_scan: resume-from-key scan under the
+    * ByteOrdered / OrderPreserving partitioners (Partitioners.cpp:
+    * 212-240): both order the ring by the raw key bytes (memcmp /
+    * string compare — identical total orders for these keys), so the
+    * resume seek is a plain key-range predicate pushed to the scan and
+    * ring order is ORDER BY key. Spark's string comparison is a
+    * bytewise UTF-8 compare, i.e. exactly memcmp-then-length — no
+    * token expression needed at all. */
+  def byteOrderedScan(spark: SparkSession, dir: String): DataFrame = {
+    val startKey = "42"
+    lww(cells(spark, dir).filter(col("key") >= startKey))
+      .select(col("key"), col("col"), col("ts"), col("value"))
+      .orderBy(col("key"), col("col"))
+  }
+
+  /** #8c kv_random_resume_scan: resume under the RandomPartitioner ring
+    * (Partitioners.cpp:28-74): total order is (token, key) with
+    * token = |MD5(key)| read as a 128-bit two's-complement integer and
+    * key memcmp as the tie-break. The fixed-width lowercase-hex token
+    * string preserves the 16-byte memcmp order, so the seek is again a
+    * pure key-derived predicate below the LWW shuffle. */
+  def randomResumeScan(spark: SparkSession, dir: String): DataFrame = {
+    val startKey = "42"
+    val startToken = CassandraRandomMd5.tokenHex(startKey)
+    lww(cells(spark, dir)
+        .withColumn("token", randomToken(col("key")))
+        .filter(col("token") > startToken ||
+                (col("token") === startToken && col("key") >= startKey)))
+      .select(col("token"), col("key"), col("col"), col("ts"), col("value"))
+      .orderBy(col("token"), col("key"), col("col"))
+  }
+
+  /** #9b kv_random_token_distribution: ring balance under the
+    * RandomPartitioner — cells per top-byte bucket of the 128-bit
+    * |MD5| token (buckets 0x00..0x80; the abs keeps the sign bit
+    * clear except for the single extreme value). */
+  def randomTokenDistribution(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir)
+      .withColumn("token", randomToken(col("key")))
+      .withColumn("bucket", conv(substring(col("token"), 1, 2), 16, 10).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cells"), countDistinct(col("key")).as("n_keys"))
+      .orderBy(col("bucket"))
 
   /** #9 kv_token_distribution: ring balance — cells per 1/64th of the
     * token ring (what you'd use to pick split points at 100 TB). */
