@@ -48,6 +48,7 @@ object SparkEntry {
     "kv_tombstone_merge"       -> (Kv.tombstoneMerge _),
     "kv_range_tombstone"       -> (Kv.rangeTombstone _),
     "kv_ttl_expiry"            -> (Kv.ttlExpiry _),
+    "kv_prohibit_eternal"      -> (Kv.prohibitEternal _),
     "kv_record_ttl"            -> (Kv.recordTtl _),
     "kv_create_only"           -> (Kv.createOnly _),
     "kv_resume_scan"           -> (Kv.resumeScan _),
@@ -340,6 +341,19 @@ object SparkEntry {
         |  FROM cells)
         |SELECT key, col, seq, ttl_us, expiry_us FROM exp
         |WHERE expiry_us >= 1706140800000000 AND ttl_us >= 600000000
+        |ORDER BY key, col, seq""".stripMargin,
+
+    "kv_prohibit_eternal" ->
+      s"""$cellsCte,
+        |exp AS (SELECT key, col, seq,
+        |  CASE WHEN seq % 5 <> 0
+        |    THEN CAST(FLOOR(value * 10 * 1000000.0) AS BIGINT) END AS ttl_us,
+        |  epoch_us(ts) + CASE WHEN seq % 5 <> 0
+        |    THEN CAST(FLOOR(value * 10 * 1000000.0) AS BIGINT) END AS expiry_us
+        |  FROM cells)
+        |SELECT key, col, seq, ttl_us, expiry_us FROM exp
+        |WHERE expiry_us IS NOT NULL
+        |  AND expiry_us >= 1706140800000000 AND ttl_us >= 600000000
         |ORDER BY key, col, seq""".stripMargin,
 
     "kv_record_ttl" ->

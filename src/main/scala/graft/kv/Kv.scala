@@ -165,6 +165,23 @@ object Kv {
       .select(col("key"), col("col"), col("seq"), col("ttl_us"), col("expiry_us"))
       .orderBy(col("key"), col("col"), col("seq"))
 
+  /** #5b kv_prohibit_eternal: the `-x` flag (AerospikeWriter's
+    * prohibit-eternal policy, mirrored in
+    * [[graft.sinks.KeyedSink.TtlPolicy.prohibitEternal]]): cells
+    * written WITHOUT a TTL — here deterministically every 5th write
+    * sequence — are eternal (null expiry) and `-x` drops them even
+    * though they would otherwise never expire; TTL'd cells keep the
+    * kv_ttl_expiry live frame. Pure codegen'd column arithmetic. */
+  def prohibitEternal(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir)
+      .withColumn("ttl_us",
+        when(pmod(col("seq"), lit(5)) =!= 0, floor(col("value") * 10 * 1e6)))
+      .withColumn("expiry_us", unix_micros(col("ts")) + col("ttl_us"))
+      .filter(col("expiry_us").isNotNull &&
+              col("expiry_us") >= cutoffUs && col("ttl_us") >= minTtlUs)
+      .select(col("key"), col("col"), col("seq"), col("ttl_us"), col("expiry_us"))
+      .orderBy(col("key"), col("col"), col("seq"))
+
   /** #6 kv_record_ttl: record TTL from first- vs last-expiring live cell
     * (the `-f` flag chooses between these; both reported). */
   def recordTtl(spark: SparkSession, dir: String): DataFrame =
