@@ -367,17 +367,22 @@ object Relational {
       .join(ordF, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(sum(when(late, 1L).otherwise(0L)).as("n_late_rows"))
-    val perOrder = perSupp
-      .groupBy(col("l_orderkey"))
-      .agg(
-        count(lit(1)).as("n_supp"),
-        sum(when(col("n_late_rows") > 0, 1L).otherwise(0L)).as("n_late_supp"))
-      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .select(col("l_orderkey").as("w_orderkey"))
+    // Per-order qualification as a WINDOW over the aggregate, not a
+    // second aggregate + semi-join back: the re-aggregation form plans
+    // the perSupp subtree twice (two lineitem scans — the pushed
+    // null-filters differ between the copies, so even exchange reuse
+    // can't dedup them). The window computes the same n_supp /
+    // n_late_supp per order in the SAME pass; lineitem is scanned once
+    // and its rows shuffle once, and only the (order, supp) aggregate —
+    // orders-of-magnitude smaller — shuffles again for the window.
+    val wOrd = Window.partitionBy(col("l_orderkey"))
     val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
     perSupp
-      .filter(col("n_late_rows") > 0)
-      .join(perOrder, col("l_orderkey") === col("w_orderkey"), "left_semi")
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late_rows") > 0, 1L).otherwise(0L)).over(wOrd))
+      .filter(col("n_late_rows") > 0 &&
+              col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(sum(col("n_late_rows")).as("numwait"))

@@ -67,6 +67,30 @@ class PlanSpec extends AnyFunSuite {
       s"sessionize should shuffle once on user_id, got $hashExchanges:\n$plan")
   }
 
+  test("q21 scans lineitem once and shuffles its rows once (window rewrite)") {
+    // The load-bearing property of the q21 rewrite: ONE pass over
+    // lineitem, its rows shuffled once for the per-(order, supp)
+    // aggregate; the per-order qualification is a window over that
+    // (much smaller) aggregate, NOT a re-aggregation + semi-join back —
+    // the re-aggregation form planned the whole lineitem subtree twice.
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q21_late_suppliers")(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    val lineitemScans = finalPlan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+    assert(lineitemScans === 1, s"q21 must scan lineitem once, got $lineitemScans:\n$finalPlan")
+    val wideShuffles = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("l_orderkey") && l.contains("l_suppkey"))
+    assert(wideShuffles === 1,
+      s"q21 must shuffle lineitem rows exactly once, got $wideShuffles:\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the sketch pipeline") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     df.collect() // let AQE finalize
