@@ -94,10 +94,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -106,7 +106,7 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
         | o_orderdate
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -128,7 +128,7 @@ object SparkEntry {
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -139,7 +139,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -148,7 +148,7 @@ object SparkEntry {
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
         | c_acctbal, n_name
         |FROM customer, orders, lineitem, nation
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -170,10 +170,10 @@ object SparkEntry {
 
     "q14_promo_revenue" ->
       """SELECT
-        | CAST(SUM(CASE WHEN p_type = 'PROMO'
+        | CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
         |     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
-        |     ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) AS promo_revenue,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
+        |     ELSE CAST(0 AS DECIMAL(30,4)) END), 2) AS DOUBLE) AS promo_revenue,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_revenue
         |FROM lineitem, part
         |WHERE l_partkey = p_partkey
         |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -181,7 +181,7 @@ object SparkEntry {
 
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty
         |FROM customer, orders, lineitem
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
         |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
@@ -191,7 +191,7 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
 
     "q19_discounted_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem, part
         |WHERE p_partkey = l_partkey AND (
@@ -210,16 +210,16 @@ object SparkEntry {
 
     "running_total" ->
       """SELECT user_id, event_id,
-        | CAST(SUM(CAST(value AS DECIMAL(30,2)))
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2)))
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value
         |FROM events
         |WHERE user_id < 10
         |ORDER BY user_id, event_id""".stripMargin,
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -262,7 +262,7 @@ object SparkEntry {
         |ORDER BY o_orderstatus""".stripMargin,
 
     "q17_small_qty_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_revenue,
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem, part
         |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
@@ -273,7 +273,7 @@ object SparkEntry {
 
     "q22_no_order_customers" ->
       """SELECT c_mktsegment, COUNT(*) AS n_cust,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,2))), 2) AS DOUBLE) AS total_bal
         |FROM customer
         |WHERE c_acctbal > (
         |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
@@ -411,7 +411,7 @@ object SparkEntry {
     "kv_counter_merge" ->
       s"""$cellsCte
         |SELECT key, col,
-        | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS counter_value,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS counter_value,
         | COUNT(*) AS n_contributions,
         | MAX(ts) AS last_write
         |FROM cells
@@ -421,7 +421,7 @@ object SparkEntry {
     "events_windowed_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2
@@ -440,7 +440,7 @@ object SparkEntry {
         |SELECT user_id, session_seq,
         | MIN(ts) AS session_start, MAX(ts) AS session_end,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
@@ -455,7 +455,7 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q7_nation_volume" ->
-      """SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+      """SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |        CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
         |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS volume
@@ -477,7 +477,7 @@ object SparkEntry {
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |SELECT s_suppkey, s_name, CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
         |FROM supplier, revenue
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -588,19 +588,24 @@ object SparkEntry {
         |FROM lng ORDER BY doc_id""".stripMargin,
 
     "mm_binary_pipeline" ->
-      """WITH b AS (SELECT doc_id, ascii(substring(text, r.i, 1)) % 8 AS bucket
-        |  FROM documents, UNNEST(range(1, length(text)+1)) AS r(i)),
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |b AS (SELECT doc_id, nb,
+        |    ((strpos('0123456789ABCDEF', substring(h, 2*r.i-1, 1))-1)*16 +
+        |      strpos('0123456789ABCDEF', substring(h, 2*r.i, 1))-1) % 8 AS bucket
+        |  FROM hx, UNNEST(range(1, nb+1)) AS r(i)),
         |h AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
         |agg AS (SELECT doc_id, SUM(cnt*cnt) AS sq,
         |    COALESCE(SUM(CASE WHEN bucket = 0 THEN cnt END), 0) AS c0
         |  FROM h GROUP BY 1)
-        |SELECT d.doc_id,
-        |  (['jpeg','png','webp'])[CAST(d.doc_id % 3 AS INT) + 1] AS format,
-        |  CAST(length(d.text) AS INT) AS n_bytes,
-        |  sqrt(CAST(a.sq AS DOUBLE)) / CAST(length(d.text) AS DOUBLE) AS feat_norm,
-        |  CAST(c0 AS DOUBLE) / CAST(length(d.text) AS DOUBLE) AS feat_0
-        |FROM documents d JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |SELECT x.doc_id,
+        |  (['jpeg','png','webp'])[CAST(x.doc_id % 3 AS INT) + 1] AS format,
+        |  CAST(x.nb AS INT) AS n_bytes,
+        |  sqrt(CAST(a.sq AS DOUBLE)) / CAST(x.nb AS DOUBLE) AS feat_norm,
+        |  CAST(c0 AS DOUBLE) / CAST(x.nb AS DOUBLE) AS feat_0
+        |FROM (SELECT DISTINCT doc_id, nb FROM hx) x JOIN agg a USING (doc_id)
+        |ORDER BY x.doc_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -22,6 +22,19 @@ object Exact {
   /** Partitioning-stable sum of a double expression at the given scale. */
   def dsum(c: Column, scale: Int): Column = sum(dec(c, scale))
 
+  /** Double presentation of a decimal aggregate: round to cents FIRST,
+    * then cast. The rounding bounds the unscaled magnitude entering the
+    * decimal→double conversion (scale 2 instead of up to 6 = 10^4 more
+    * headroom before 2^53), so Spark's one-step BigDecimal conversion
+    * and an oracle's unscaled-then-divide conversion stay bit-identical
+    * far beyond the tested scale factors. Both engines round decimals
+    * half-away-from-zero, so the rounded value itself is exact and
+    * engine-independent. */
+  def pres(c: Column): Column = round(c, 2).cast("double")
+
+  /** SQL fragment mirroring [[pres]] for the DuckDB oracle. */
+  def presSql(expr: String): String = s"CAST(ROUND($expr, 2) AS DOUBLE)"
+
   /** SQL fragment mirroring [[dec]] for the DuckDB oracle. */
   def decSql(expr: String, scale: Int): String = s"CAST($expr AS DECIMAL(30,$scale))"
 

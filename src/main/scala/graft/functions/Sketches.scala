@@ -333,7 +333,12 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
     containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // The kernel reads via toLongArray, which cannot represent null
+    // slots — reject nullable-element arrays at analysis instead of
+    // failing (or worse, miscounting) at runtime.
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      "sorted_pairs requires array<bigint> with non-nullable elements")
     case other => TypeCheckResult.TypeCheckFailure(
       s"sorted_pairs requires array<bigint>, got $other")
   }

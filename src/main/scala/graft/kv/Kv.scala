@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.CassandraMurmur3.cassandraToken
 import graft.functions.CassandraRandomMd5
 import graft.functions.CassandraRandomMd5.randomToken
-import graft.functions.Exact.dec
+import graft.functions.Exact.{dec, pres}
 import graft.sources.Tables
 
 /** The reference's KV-store semantics, re-expressed as Spark plans.
@@ -321,7 +321,7 @@ object Kv {
     cells(spark, dir)
       .groupBy(col("key"), col("col"))
       .agg(
-        sum(dec(col("value"), 2)).cast("double").as("counter_value"),
+        pres(sum(dec(col("value"), 2))).as("counter_value"),
         count(lit(1)).as("n_contributions"),
         max(col("ts")).as("last_write"))
       .orderBy(col("key"), col("col"))

@@ -127,6 +127,9 @@ object Multimodal {
     val cnts = transform(col("feat"),
       x => round(x.cast("double") * col("n_bytes")).cast("long"))
     feats.toDF()
+      // Empty payloads have no histogram (0/0 -> NaN) and no oracle row;
+      // drop them identically on both sides.
+      .filter(col("n_bytes") > 0)
       .withColumn("cnts", cnts)
       .select(
         col("doc_id"), col("format"), col("n_bytes"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.dsum
+import graft.functions.Exact.{dsum, pres}
 import graft.sources.Tables
 
 /** Event-stream analytics (SURVEY.md §2.3) over the `events` table.
@@ -28,7 +28,7 @@ object Events {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        dsum(col("value"), 2).cast("double").as("sum_value"),
+        pres(dsum(col("value"), 2)).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
       .select(
         col("w.start").as("window_start"),
@@ -58,7 +58,7 @@ object Events {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        dsum(col("value"), 2).cast("double").as("sum_value"))
+        pres(dsum(col("value"), 2)).as("sum_value"))
       .orderBy(col("user_id"), col("session_seq"))
 
   /** #32 events_asof_prev: each event joined to the user's previous

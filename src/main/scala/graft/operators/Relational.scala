@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{dec, dsum}
+import graft.functions.Exact.{dec, dsum, pres}
 import graft.sources.Tables
 
 /** Relational/OLAP operator coverage (SURVEY.md §2.2) on the TPC-H-ish
@@ -25,12 +25,11 @@ object Relational {
     li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity"), 2).cast("double").as("sum_qty"),
-        dsum(col("l_extendedprice"), 2).cast("double").as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).cast("double")
+        pres(dsum(col("l_quantity"), 2)).as("sum_qty"),
+        pres(dsum(col("l_extendedprice"), 2)).as("sum_base_price"),
+        pres(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
           .as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
-          .cast("double").as("sum_charge"),
+        pres(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -43,7 +42,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).cast("double")
+      .agg(pres(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
@@ -80,7 +79,7 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).cast("double")
+      .agg(pres(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -92,7 +91,7 @@ object Relational {
               col("l_shipdate") < ts("1997-01-01 00:00:00") &&
               col("l_discount").between(0.02, 0.04) &&
               col("l_quantity") < 24)
-      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).cast("double").as("revenue"),
+      .agg(pres(dsum(col("l_extendedprice") * col("l_discount"), 4)).as("revenue"),
            count(lit(1)).as("n_rows"))
   }
 
@@ -108,7 +107,7 @@ object Relational {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).cast("double")
+      .agg(pres(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -136,9 +135,9 @@ object Relational {
     val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "PROMO", dec(disc, 4)).otherwise(dec(lit(0), 4)))
-          .cast("double").as("promo_revenue"),
-        dsum(disc, 4).cast("double").as("total_revenue"))
+        pres(sum(when(col("p_type") === "PROMO", dec(disc, 4)).otherwise(dec(lit(0), 4))))
+          .as("promo_revenue"),
+        pres(dsum(disc, 4)).as("total_revenue"))
   }
 
   /** TPC-H Q18: HAVING subquery (large orders) + join back. */
@@ -155,7 +154,7 @@ object Relational {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
                col("o_totalprice"))
-      .agg(dsum(col("l_quantity"), 2).cast("double").as("sum_qty"))
+      .agg(pres(dsum(col("l_quantity"), 2)).as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
@@ -174,7 +173,7 @@ object Relational {
         col("p_size").between(1, 15))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .filter(cond)
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).cast("double")
+      .agg(pres(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
              .as("revenue"),
            count(lit(1)).as("n_rows"))
   }
@@ -196,7 +195,7 @@ object Relational {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("running_value", sum(dec(col("value"), 2)).over(w).cast("double"))
+    ev.withColumn("running_value", pres(sum(dec(col("value"), 2)).over(w)))
       .select(col("user_id"), col("event_id"), col("running_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -205,7 +204,7 @@ object Relational {
   def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_quantity"), 2).cast("double").as("sum_qty"),
+      .agg(pres(dsum(col("l_quantity"), 2)).as("sum_qty"),
            count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
@@ -268,7 +267,7 @@ object Relational {
     Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
     Tables.part(spark, dir).createOrReplaceTempView("graft_part")
     spark.sql(
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_revenue,
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_revenue,
         | COUNT(*) AS n_rows
         |FROM graft_lineitem, graft_part
         |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
@@ -286,7 +285,7 @@ object Relational {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
     spark.sql(
       """SELECT c_mktsegment, COUNT(*) AS n_cust,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,2))), 2) AS DOUBLE) AS total_bal
         |FROM graft_customer
         |WHERE c_acctbal > (
         |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
@@ -307,7 +306,7 @@ object Relational {
     Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
     Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
     spark.sql(
-      """SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+      """SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |        CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
         |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS volume
@@ -337,7 +336,7 @@ object Relational {
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |SELECT s_suppkey, s_name, CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
         |FROM graft_supplier, revenue
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
