@@ -39,6 +39,25 @@ object Similarity {
         col("col.score").as("cos"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** Annotate an approximate top-k result with its per-query
+    * recall@k against the exact brute-force answer, so the dumped
+    * result carries its own checkable quality number (the approx
+    * variants have no SQL oracle — sketch semantics — but recall is
+    * objective). Costs one extra brute-force pass over the corpus;
+    * at real scale this is the standard offline recall audit and
+    * would run on a sampled query set. */
+  private def withRecall(spark: SparkSession, dir: String, approx: DataFrame): DataFrame = {
+    val exact = bruteForceTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    val recall = approx.select(col("query_id"), col("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)).cast("double") / K).as("recall_at_k"))
+    approx
+      .join(broadcast(recall), Seq("query_id"), "left_outer")
+      .withColumn("recall_at_k", coalesce(col("recall_at_k"), lit(0.0)))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact top-k by cosine for each query: broadcast queries × corpus
     * scan, bounded-heap rank within query. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -80,9 +99,9 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
       .dropDuplicates("query_id", "vec_id")
 
-    topK(cand
+    withRecall(spark, dir, topK(cand
       .select(col("query_id"), col("vec_id"),
-        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos")))
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))))
   }
 
   /** IVF top-k: a coarse quantizer (spherical k-means fit on a
@@ -111,10 +130,10 @@ object Similarity {
       col("query_id"), col("q_emb"),
       explode(Centroids.nearestCentroids(col("q_emb"), cents, nProbe)).as("centroid"))
 
-    topK(corpusAssigned
+    withRecall(spark, dir, topK(corpusAssigned
       .join(broadcast(queriesProbed), Seq("centroid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos")))
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))))
   }
 }

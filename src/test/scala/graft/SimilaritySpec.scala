@@ -55,6 +55,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.25, s"mean recall@10 too low: $mean")
   }
 
+  test("reported recall_at_k column matches independently computed recall") {
+    Seq(Similarity.lshTopK(spark, sf), Similarity.ivfTopK(spark, sf)).foreach { df =>
+      val rows = df.collect()
+      rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+        val truth = trueTopK(q, 10).toSet
+        val want = (rs.map(_.getAs[Long]("vec_id")).toSet & truth).size.toDouble / 10
+        val reported = rs.map(_.getAs[Double]("recall_at_k")).distinct
+        assert(reported.length == 1, s"query $q: recall not constant per query")
+        assert(reported.head === want, s"query $q: reported ${reported.head}, want $want")
+      }
+    }
+  }
+
   test("LSH candidates are a small fraction of the corpus (pruning works)") {
     val nCand = Similarity.lshTopK(spark, sf).count()
     assert(nCand <= 10 * 10, "at most k per query")
