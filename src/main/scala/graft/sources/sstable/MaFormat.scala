@@ -1,0 +1,260 @@
+package graft.sources.sstable
+
+import java.io.{DataInputStream, EOFException, InputStream}
+
+/** Byte-level decoder for the Cassandra "ma"+ SSTable Data.db payload —
+  * the reference's actual ingest entry point (SSTable.cpp, NewSStable:
+  * read_row :505, read_normal_row :572, read_column :622,
+  * read_column_data :688; vint decode Buffer.cpp read_unsigned_vint).
+  *
+  * Scope (the engine's owned subset, see SURVEY §3): UNCOMPRESSED
+  * Data.db streams, regular columns only — no clustering columns, no
+  * static rows, no complex (collection) cells, no compression blocks or
+  * checksums (those wrap the stream; a production source would layer
+  * CompressionInfo.db block decode under this same decoder). Range
+  * tombstone markers are decoded in their clustering-less form.
+  *
+  * Everything the KV semantics need survives the cut: partition
+  * deletion, row deletion, cell tombstones, expiring cells with
+  * row-shared or per-cell TTL, row-shared or per-cell timestamps,
+  * min-timestamp/min-TTL delta encoding, and the column-subset
+  * bitmask.
+  */
+object MaFormat {
+
+  /** Column value formats (SSTableSchema.cpp get_column_size): text /
+    * counter are vint-length-prefixed; the rest are fixed width. */
+  sealed abstract class ColType(val fixedSize: Int) // -1 = vint-prefixed
+  case object CText extends ColType(-1)
+  case object CCounter extends ColType(-1)
+  case object CInt32 extends ColType(4)
+  case object CFloat extends ColType(4)
+  case object CLong extends ColType(8)
+  case object CTimestamp extends ColType(8)
+  case object CBool extends ColType(1)
+  case object CUuid extends ColType(16)
+
+  def colType(name: String): ColType = name match {
+    case "text" => CText
+    case "counter" => CCounter
+    case "int32" => CInt32
+    case "float" => CFloat
+    case "long" => CLong
+    case "timestamp" => CTimestamp
+    case "bool" => CBool
+    case "uuid" => CUuid
+    case other => throw new IllegalArgumentException(s"unknown column type: $other")
+  }
+
+  // Row flags (SSTable.hpp NewSStable::Flags)
+  private val END_OF_PARTITION = 0x01
+  private val IS_MARKER = 0x02
+  private val HAS_TIMESTAMP = 0x04
+  private val HAS_TTL = 0x08
+  private val HAS_DELETION = 0x10
+  private val HAS_ALL_COLUMNS = 0x20
+  private val EXTENSION_FLAG = 0x80
+  private val IS_STATIC = 0x01 // extended flags
+
+  // Cell flags (SSTable.cpp NewSStable::read_column)
+  private val IS_DELETED_MASK = 0x01
+  private val IS_EXPIRING_MASK = 0x02
+  private val HAS_EMPTY_VALUE_MASK = 0x04
+  private val USE_ROW_TIMESTAMP_MASK = 0x08
+  private val USE_ROW_TTL_MASK = 0x10
+
+  /** The no-deletion sentinel (Cassandra DeletionTime.LIVE). */
+  val NoDeletion: Long = Long.MinValue
+  /** The no-TTL sentinel inside the decoder (reference uses u64 max). */
+  private val NoTtl: Long = -1L
+
+  /** One decoded unfiltered: a cell, or a range-tombstone marker
+    * (marker = true, col = null). */
+  final case class MaCell(
+      key: Array[Byte],
+      col: String,          // null for markers
+      ts: Long,
+      value: Array[Byte],   // null when absent/empty
+      deleted: Boolean,
+      expiring: Boolean,
+      ttlSec: Long,         // -1 when none
+      deletionTs: Long,     // effective row/partition deletion; NoDeletion when live
+      marker: Boolean)
+
+  /** Streaming reader state over a DataInputStream. */
+  final class Reader(
+      in: InputStream,
+      columns: Seq[(String, ColType)],
+      minTimestamp: Long,
+      minTtl: Long) extends Iterator[MaCell] {
+
+    private val din = new DataInputStream(in)
+    private var atEndOfPartition = true
+    private var eof = false
+    private var key: Array[Byte] = _
+    private var partitionDeletion: Long = NoDeletion
+    private var pending: List[MaCell] = Nil
+
+    // --- primitive decode (Buffer.cpp) ---------------------------------
+
+    private def readByte(): Int = din.readUnsignedByte()
+    private def readShort(): Int = din.readUnsignedShort()
+    private def readLongLong(): Long = din.readLong()
+    private def skip(n: Int): Unit = { var i = 0; while (i < n) { din.readByte(); i += 1 } }
+    private def readBytes(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); din.readFully(b); b
+    }
+
+    /** Cassandra unsigned vint (Buffer.cpp:read_unsigned_vint): the
+      * count of leading one bits in the first byte is the count of
+      * continuation bytes; remaining first-byte bits are the high bits
+      * of the big-endian value. */
+    private def readUnsignedVint(): Long = {
+      val first = readByte()
+      if (first < 0x7f) return first.toLong
+      var extraBytes = 0
+      while (extraBytes < 8 && (first & (0x80 >> extraBytes)) != 0) extraBytes += 1
+      var v: Long = (first & (0xff >> extraBytes)).toLong
+      var i = 0
+      while (i < extraBytes) { v = (v << 8) | readByte(); i += 1 }
+      v
+    }
+
+    /** 16-bit-length-prefixed string bytes (Buffer.cpp:read_string). */
+    private def readString(): Array[Byte] = readBytes(readShort())
+
+    // --- unfiltered decode (SSTable.cpp) -------------------------------
+
+    /** decode_column_subset (SSTable.cpp:459), small-column-count arm
+      * plus the >= 64 encoded-list arm. */
+    private def readColumnSubset(n: Int): Array[Boolean] = {
+      val encoded = readUnsignedVint()
+      if (encoded == 0) Array.fill(n)(true)
+      else if (n >= 64) {
+        val columnCount = n - encoded.toInt
+        val isPositive = columnCount < n / 2
+        val subset = Array.fill(n)(!isPositive)
+        var i = 0
+        while (i < columnCount) { subset(readUnsignedVint().toInt) = isPositive; i += 1 }
+        subset
+      } else {
+        val subset = new Array[Boolean](n)
+        var e = encoded
+        var i = 0
+        while (i < n) { subset(i) = (e & 1L) != 0; e >>= 1; i += 1 }
+        subset
+      }
+    }
+
+    /** read_marker (SSTable.cpp:540), clustering-less form. */
+    private def readMarker(): MaCell = {
+      val tpe = readByte()
+      val size = readShort()
+      require(size == 0, s"clustering-bound markers unsupported (size=$size)")
+      readUnsignedVint() // row size
+      readUnsignedVint() // previous unfiltered size
+      val markedForDeletion = readLongLong()
+      skip(4) // local deletion time
+      // Boundary markers carry a second deletion time (unused).
+      if (tpe == 2 || tpe == 5) skip(12)
+      MaCell(key, null, markedForDeletion, null,
+        deleted = true, expiring = false, ttlSec = NoTtl,
+        deletionTs = markedForDeletion, marker = true)
+    }
+
+    /** read_normal_row + the full cell loop (SSTable.cpp:572-705). */
+    private def readNormalRow(flags: Int): List[MaCell] = {
+      readUnsignedVint() // row size
+      readUnsignedVint() // previous unfiltered size
+
+      var rowTs = 0L
+      var rowTtl = NoTtl
+      if ((flags & HAS_TIMESTAMP) != 0) {
+        rowTs = readUnsignedVint() + minTimestamp
+        if ((flags & HAS_TTL) != 0) {
+          rowTtl = readUnsignedVint() + minTtl
+          readUnsignedVint() // local deletion time
+        }
+      }
+      val rowDeletion =
+        if ((flags & HAS_DELETION) != 0) {
+          val d = readUnsignedVint() + minTimestamp
+          readUnsignedVint() // local deletion time
+          d
+        } else partitionDeletion
+
+      val present =
+        if ((flags & HAS_ALL_COLUMNS) != 0) Array.fill(columns.size)(true)
+        else readColumnSubset(columns.size)
+
+      val out = List.newBuilder[MaCell]
+      var i = 0
+      while (i < columns.size) {
+        if (present(i)) {
+          val (name, tpe) = columns(i)
+          val cellFlags = readByte()
+          val ts =
+            if ((cellFlags & USE_ROW_TIMESTAMP_MASK) != 0) rowTs
+            else readUnsignedVint() + minTimestamp
+          var deleted = (cellFlags & IS_DELETED_MASK) != 0
+          var expiring = (cellFlags & IS_EXPIRING_MASK) != 0
+          var ttl = NoTtl
+          if ((cellFlags & USE_ROW_TTL_MASK) != 0) {
+            expiring = rowTtl != NoTtl
+            ttl = rowTtl
+          } else {
+            if (expiring || deleted) readUnsignedVint() // local deletion time
+            if (expiring) ttl = readUnsignedVint() + minTtl
+          }
+          val value =
+            if ((cellFlags & HAS_EMPTY_VALUE_MASK) == 0) {
+              val size =
+                if (tpe.fixedSize >= 0) tpe.fixedSize
+                else readUnsignedVint().toInt
+              readBytes(size)
+            } else null
+          out += MaCell(key, name, ts, value, deleted, expiring, ttl,
+            rowDeletion, marker = false)
+        }
+        i += 1
+      }
+      out.result()
+    }
+
+    /** read_row (SSTable.cpp:505): partition header / flags dispatch. */
+    private def advance(): Unit = {
+      while (pending.isEmpty && !eof) {
+        if (atEndOfPartition) {
+          // Partition header: key, local deletion (skipped), deletion ts.
+          val k = try readString() catch { case _: EOFException => eof = true; return }
+          key = k
+          skip(4) // local_deletion
+          partitionDeletion = readLongLong()
+          atEndOfPartition = false
+        }
+        val flags = try readByte() catch { case _: EOFException => eof = true; return }
+        if ((flags & END_OF_PARTITION) != 0) {
+          atEndOfPartition = true
+        } else {
+          val extended = if ((flags & EXTENSION_FLAG) != 0) readByte() else 0
+          require((extended & IS_STATIC) == 0, "static rows unsupported")
+          pending =
+            if ((flags & IS_MARKER) != 0) List(readMarker())
+            else readNormalRow(flags)
+        }
+      }
+    }
+
+    override def hasNext: Boolean = {
+      if (pending.isEmpty && !eof) advance()
+      pending.nonEmpty
+    }
+
+    override def next(): MaCell = {
+      if (!hasNext) throw new NoSuchElementException
+      val c = pending.head
+      pending = pending.tail
+      c
+    }
+  }
+}

@@ -1,0 +1,157 @@
+package graft.sources.sstable
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the minimal "ma" SSTable subset decoded by
+  * [[MaFormat]] — `spark.read.format("graft.sources.sstable.MaSSTableSource")`.
+  *
+  * Options:
+  *  - `path`: file or directory of `*-Data.db` files
+  *  - `columns`: the regular-column schema, e.g. `"click:text,count:long"`
+  *    (the reference reads this from table metadata, SSTableSchema.cpp)
+  *  - `minTimestamp`, `minTtl`: the Statistics.db delta-encoding bases
+  *
+  * Scale shape: each Data.db file is one InputPartition (SSTables are
+  * independently streamable); a production source would additionally
+  * split large files at Index.db partition boundaries and push the
+  * token-range filter into the Summary seek — the resume-scan queries
+  * model that pruning on the relational side. Column pruning IS pushed
+  * down (SupportsPushDownRequiredColumns): a pruned-away value column
+  * still has to be skipped byte-wise (the format is a stream), but
+  * pruned rows never materialize into InternalRow fields.
+  */
+class MaSSTableSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MaSSTableSource.OutputSchema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MaTable(properties.asScala.toMap)
+}
+
+object MaSSTableSource {
+  /** The cell-bag schema every Data.db decodes to — the engine's KV
+    * operators (graft.kv.Kv) consume exactly this shape. */
+  val OutputSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("col", StringType, nullable = true), // null for markers
+    StructField("ts", LongType, nullable = false),
+    StructField("value", BinaryType, nullable = true),
+    StructField("deleted", BooleanType, nullable = false),
+    StructField("expiring", BooleanType, nullable = false),
+    StructField("ttl_s", LongType, nullable = true),
+    StructField("deletion_ts", LongType, nullable = true),
+    StructField("marker", BooleanType, nullable = false)))
+
+  def listDataFiles(spark: org.apache.spark.SparkContext, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith("Data.db"))
+        .map(_.getPath.toString).sorted
+    else Seq(path)
+  }
+}
+
+private[sstable] class MaTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"ma-sstable(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = MaSSTableSource.OutputSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MaScanBuilder(options.asScala.toMap ++ props)
+}
+
+private[sstable] class MaScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = MaSSTableSource.OutputSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new MaScan(options, required)
+}
+
+private[sstable] class MaScan(options: Map[String, String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = options.getOrElse("path",
+      throw new IllegalArgumentException("path option required"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    MaSSTableSource.listDataFiles(spark.sparkContext, path)
+      .map(f => MaInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MaReaderFactory(
+      options.getOrElse("columns",
+        throw new IllegalArgumentException("columns option required")),
+      options.getOrElse("minTimestamp", "0").toLong,
+      options.getOrElse("minTtl", "0").toLong,
+      required.fieldNames)
+}
+
+private[sstable] case class MaInputPartition(file: String) extends InputPartition
+
+private[sstable] class MaReaderFactory(
+    columnsSpec: String,
+    minTimestamp: Long,
+    minTtl: Long,
+    requiredFields: Array[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[MaInputPartition].file
+    val columns = columnsSpec.split(",").toSeq.map { s =>
+      val Array(n, t) = s.trim.split(":")
+      (n, MaFormat.colType(t))
+    }
+    new PartitionReader[InternalRow] {
+      private val path = new Path(file)
+      private val in = path.getFileSystem(
+        new org.apache.hadoop.conf.Configuration()).open(path)
+      private val cells = new MaFormat.Reader(in, columns, minTimestamp, minTtl)
+      private var current: MaFormat.MaCell = _
+
+      // Project only the pruned columns into the output row.
+      private val fieldIdx = requiredFields.map(
+        MaSSTableSource.OutputSchema.fieldNames.indexOf(_))
+
+      override def next(): Boolean = {
+        if (cells.hasNext) { current = cells.next(); true } else false
+      }
+
+      override def get(): InternalRow = {
+        val c = current
+        val full: Array[Any] = Array(
+          UTF8String.fromBytes(c.key),
+          if (c.col == null) null else UTF8String.fromString(c.col),
+          c.ts,
+          c.value,
+          c.deleted,
+          c.expiring,
+          if (c.ttlSec < 0) null else c.ttlSec,
+          if (c.deletionTs == MaFormat.NoDeletion) null else c.deletionTs,
+          c.marker)
+        InternalRow.fromSeq(fieldIdx.map(full(_)).toIndexedSeq)
+      }
+
+      override def close(): Unit = in.close()
+    }
+  }
+}

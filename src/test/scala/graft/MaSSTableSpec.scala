@@ -1,0 +1,228 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.sstable.{MaFormat, MaSSTableSource}
+import graft.sources.sstable.MaFormat._
+
+/** Round-trip spec for the minimal "ma" SSTable reader: an independent
+  * ENCODER implemented here from the format description (vint, flags,
+  * subsets, delta bases — SSTable.cpp / Buffer.cpp), and the decoder
+  * under test reading its output, standalone and through the DataSource
+  * V2 + the KV LWW pipeline.
+  */
+class MaSSTableSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- independent encoder ------------------------------------------
+
+  private class Enc {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+
+    def byte(b: Int): this.type = { out.writeByte(b); this }
+    def short(s: Int): this.type = { out.writeShort(s); this }
+    def longlong(l: Long): this.type = { out.writeLong(l); this }
+    def bytes(b: Array[Byte]): this.type = { out.write(b); this }
+
+    /** Cassandra unsigned vint: n leading ones in the first byte = n
+      * continuation bytes; value big-endian across the remainder. */
+    def vint(v: Long): this.type = {
+      require(v >= 0)
+      if (v < 0x7f) { out.writeByte(v.toInt); return this }
+      var extra = 1
+      // Find the least n with v < 2^(7-n + 8n) = 2^(7n+7)... iterate.
+      while (extra < 8 && (v >>> (7 - extra + 8 * extra)) != 0) extra += 1
+      val mask = (0xff << (8 - extra)) & 0xff
+      out.writeByte(mask | (v >>> (8 * extra)).toInt)
+      var i = extra - 1
+      while (i >= 0) { out.writeByte(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+      this
+    }
+
+    def string(s: String): this.type = {
+      val b = s.getBytes(UTF_8); short(b.length); bytes(b)
+    }
+
+    def partitionHeader(key: String, deletionTs: Long = MaFormat.NoDeletion): this.type = {
+      string(key); out.writeInt(Int.MaxValue); longlong(deletionTs); this
+    }
+
+    def endOfPartition(): this.type = byte(0x01)
+
+    def result: Array[Byte] = { out.flush(); bos.toByteArray }
+  }
+
+  private val Cols = Seq("click" -> CText, "nclicks" -> CLong)
+  private val ColsSpec = "click:text,nclicks:long"
+
+  private def decode(bytes: Array[Byte], minTs: Long = 0, minTtl: Long = 0,
+      cols: Seq[(String, ColType)] = Cols): List[MaCell] =
+    new MaFormat.Reader(new ByteArrayInputStream(bytes), cols, minTs, minTtl).toList
+
+  private def longBytes(v: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8); b.putLong(v); b.array()
+  }
+
+  test("vint encoder/decoder agree across the full width range") {
+    val values = Seq(0L, 1L, 0x7eL, 0x7fL, 0x80L, 0xffL, 0x1234L, 0xffffL,
+      0x123456L, 0x12345678L, 0x123456789aL, 0x123456789abcL,
+      0x123456789abcdeL, 0x7fffffffffffffffL)
+    val e = new Enc
+    values.foreach(e.vint)
+    val in = new ByteArrayInputStream(e.result)
+    // Use a single-column reader's private vint via a 1-partition probe:
+    // simplest is to decode through a crafted row — instead re-implement
+    // the reference decode inline and compare both directions.
+    def readUnsignedVint(read: () => Int): Long = {
+      val first = read()
+      if (first < 0x7f) return first.toLong
+      var extraBytes = 0
+      while (extraBytes < 8 && (first & (0x80 >> extraBytes)) != 0) extraBytes += 1
+      var v: Long = (first & (0xff >> extraBytes)).toLong
+      var i = 0
+      while (i < extraBytes) { v = (v << 8) | read(); i += 1 }
+      v
+    }
+    val got = values.map(_ => readUnsignedVint(() => in.read()))
+    assert(got === values)
+  }
+
+  test("normal rows round-trip: per-cell and row-shared timestamps, subsets") {
+    val e = new Enc
+    e.partitionHeader("user-1")
+    // Row 1: HAS_TIMESTAMP + HAS_ALL_COLUMNS; both cells use row ts.
+    e.byte(0x04 | 0x20)
+      .vint(0).vint(0)                 // row size, prev size (unused)
+      .vint(1000)                      // row timestamp delta
+    e.byte(0x08).vint(5).bytes("way-1".getBytes(UTF_8)) // click: row ts, text len 5
+    e.byte(0x08).bytes(longBytes(7L))                   // nclicks: row ts, fixed 8
+    // Row 2: no row timestamp; subset = only column 1 (nclicks).
+    e.byte(0x00)
+      .vint(0).vint(0)
+      .vint(2)                         // subset bitmask: bit1 -> nclicks only
+    e.byte(0x00).vint(2500).bytes(longBytes(9L)) // per-cell ts delta 2500
+    e.endOfPartition()
+
+    val cells = decode(e.result, minTs = 100)
+    assert(cells.map(c => (new String(c.key, UTF_8), c.col, c.ts)) ===
+      List(("user-1", "click", 1100L), ("user-1", "nclicks", 1100L),
+           ("user-1", "nclicks", 2600L)))
+    assert(new String(cells.head.value, UTF_8) === "way-1")
+    assert(java.nio.ByteBuffer.wrap(cells(1).value).getLong === 7L)
+    assert(cells.forall(c => !c.deleted && !c.expiring && !c.marker))
+    assert(cells.forall(_.deletionTs == MaFormat.NoDeletion))
+  }
+
+  test("deletions round-trip: partition, row, cell tombstones, and markers") {
+    val e = new Enc
+    e.partitionHeader("k1", deletionTs = 5000L)
+    // Row with HAS_DELETION: row deletion overrides partition's.
+    e.byte(0x10 | 0x20)
+      .vint(0).vint(0)
+      .vint(7000).vint(0)              // row deletion delta + localDeletion
+    e.byte(0x00).vint(7500).vint(6).bytes("gone-1".getBytes(UTF_8))
+    e.byte(0x01).vint(7600).vint(0)    // nclicks: IS_DELETED cell (ldt vint), empty? no -> value
+      .bytes(longBytes(1L))
+    // Range tombstone marker (clustering-less: size 0).
+    e.byte(0x02)                       // IS_MARKER
+      .byte(0)                         // marker type (INCL_START)
+      .short(0)                        // clustering size 0
+      .vint(0).vint(0)
+      .longlong(8000L)
+    e.out.writeInt(0)                  // marker local deletion (4B skip)
+    // Row without HAS_DELETION: inherits the partition deletion.
+    e.byte(0x20).vint(0).vint(0)
+    e.byte(0x00).vint(100).vint(2).bytes("ok".getBytes(UTF_8))
+    e.byte(0x04).vint(200)             // nclicks: HAS_EMPTY_VALUE
+    e.endOfPartition()
+
+    val cells = decode(e.result)
+    assert(cells.length === 5)
+    val Seq(c1, c2, m, c3, c4) = cells.toSeq
+    assert(c1.deletionTs === 7000L && c2.deletionTs === 7000L)
+    assert(c2.deleted && !c1.deleted)
+    assert(m.marker && m.col == null && m.ts === 8000L && m.deletionTs === 8000L)
+    assert(c3.deletionTs === 5000L, "row without HAS_DELETION inherits partition deletion")
+    assert(c4.value == null, "HAS_EMPTY_VALUE cell carries no value")
+  }
+
+  test("TTL round-trip: row-shared and per-cell expiring cells") {
+    val e = new Enc
+    e.partitionHeader("k2")
+    // HAS_TIMESTAMP + HAS_TTL row; cell 0 uses row ttl, cell 1 per-cell.
+    e.byte(0x04 | 0x08 | 0x20)
+      .vint(0).vint(0)
+      .vint(50)                        // row ts delta
+      .vint(30)                        // row ttl delta
+      .vint(0)                         // row local deletion time
+    e.byte(0x08 | 0x10).vint(1).bytes("x".getBytes(UTF_8)) // row ts + row ttl
+    e.byte(0x02).vint(60).vint(0).vint(45).bytes(longBytes(3L)) // per-cell expiring
+    e.endOfPartition()
+
+    val cells = decode(e.result, minTs = 1000, minTtl = 10)
+    val Seq(c1, c2) = cells.toSeq
+    assert(c1.expiring && c1.ttlSec === 40L && c1.ts === 1050L)
+    assert(c2.expiring && c2.ttlSec === 55L && c2.ts === 1060L)
+  }
+
+  test("multiple partitions stream in sequence") {
+    val e = new Enc
+    (1 to 3).foreach { i =>
+      e.partitionHeader(s"key-$i")
+      e.byte(0x20).vint(0).vint(0)
+      e.byte(0x00).vint(i.toLong * 10).vint(1).bytes("v".getBytes(UTF_8))
+      e.byte(0x04).vint(i.toLong * 10)
+      e.endOfPartition()
+    }
+    val cells = decode(e.result)
+    assert(cells.map(c => new String(c.key, UTF_8)).distinct ===
+      List("key-1", "key-2", "key-3"))
+    assert(cells.length === 6)
+  }
+
+  test("DataSource V2 reads Data.db files and prunes columns") {
+    val dir = Files.createTempDirectory("ma-sstable").toString
+    // Two generations, overlapping keys — exactly the reference's
+    // multi-SSTable layout.
+    (1 to 2).foreach { gen =>
+      val e = new Enc
+      (1 to 5).foreach { i =>
+        val v = s"g$gen-$i".getBytes(UTF_8)
+        e.partitionHeader(s"u$i")
+        e.byte(0x20).vint(0).vint(0)
+        e.byte(0x00).vint(gen.toLong * 1000 + i).vint(v.length).bytes(v)
+        e.byte(0x00).vint(gen.toLong * 1000 + i).bytes(longBytes(gen.toLong))
+        e.endOfPartition()
+      }
+      Files.write(Paths.get(dir, s"mc-$gen-big-Data.db"), e.result)
+    }
+    val df = spark.read
+      .format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir)
+      .option("columns", ColsSpec)
+      .load()
+    assert(df.count() === 20)
+    assert(df.rdd.getNumPartitions === 2, "one input partition per Data.db file")
+    // Column pruning reaches the scan's read schema.
+    val pruned = df.select(col("key"), col("ts"))
+    assert(pruned.collect().length === 20)
+    assert(pruned.schema.fieldNames.toSeq === Seq("key", "ts"))
+
+    // LWW over the decoded cell bag: generation 2 must win every key.
+    val bag = df.filter(!col("marker"))
+      .select(col("key"), col("col"), col("ts"),
+        col("ts").as("seq"), col("value"))
+    val winners = graft.kv.Kv.lww(bag).collect()
+    assert(winners.length === 10)
+    winners.filter(_.getString(1) == "click").foreach { r =>
+      assert(new String(r.getAs[Array[Byte]]("value"), UTF_8).startsWith("g2-"),
+        s"LWW must pick generation 2 for ${r.getString(0)}")
+    }
+  }
+}
