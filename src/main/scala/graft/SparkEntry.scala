@@ -89,6 +89,27 @@ object SparkEntry {
     """WITH cells AS (SELECT CAST(user_id AS VARCHAR) AS key, event_type AS col,
       |  CAST(ts AS TIMESTAMP) AS ts, event_id AS seq, value FROM events)""".stripMargin
 
+  /** The RandomPartitioner token (abs of MD5 as signed 128-bit
+    * two's-complement, fixed-width lowercase hex) expressed in DuckDB
+    * SQL: reconstruct the big-endian value from the digest's hex
+    * halves as HUGEINTs and take the two's-complement absolute value
+    * branch-wise (2^128 - v splits into per-half arithmetic; the
+    * lo = 0 carry case handled explicitly). Independently validates
+    * the engine's CassandraRandomMd5 expression under the hard gate. */
+  private val randomTokenSqlCte: String =
+    """tok AS (
+      |  SELECT key, lpad(lower(hex(
+      |    CASE WHEN hi < 9223372036854775808::HUGEINT
+      |      THEN hi * 18446744073709551616::HUGEINT + lo
+      |      WHEN lo = 0
+      |      THEN (18446744073709551616::HUGEINT - hi) * 18446744073709551616::HUGEINT
+      |      ELSE (18446744073709551615::HUGEINT - hi) * 18446744073709551616::HUGEINT
+      |           + (18446744073709551616::HUGEINT - lo) END)), 32, '0') AS token
+      |  FROM (SELECT key,
+      |      CAST(concat('0x', substring(md5(key), 1, 16)) AS UBIGINT)::HUGEINT AS hi,
+      |      CAST(concat('0x', substring(md5(key), 17, 16)) AS UBIGINT)::HUGEINT AS lo
+      |    FROM (SELECT DISTINCT key FROM cells)))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -298,6 +319,26 @@ object SparkEntry {
         |  FROM cells WHERE key >= '42')
         |SELECT key, col, ts, value FROM ranked WHERE rn = 1
         |ORDER BY key, col""".stripMargin,
+
+    "kv_random_resume_scan" ->
+      s"""$cellsCte,
+        |$randomTokenSqlCte,
+        |ranked AS (SELECT t.token, c.key, c.col, c.ts, c.value,
+        |  ROW_NUMBER() OVER (PARTITION BY c.key, c.col ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM cells c JOIN tok t USING (key)
+        |  WHERE t.token > '${graft.functions.CassandraRandomMd5.tokenHex("42")}'
+        |     OR (t.token = '${graft.functions.CassandraRandomMd5.tokenHex("42")}'
+        |         AND c.key >= '42'))
+        |SELECT token, key, col, ts, value FROM ranked WHERE rn = 1
+        |ORDER BY token, key, col""".stripMargin,
+
+    "kv_random_token_distribution" ->
+      s"""$cellsCte,
+        |$randomTokenSqlCte
+        |SELECT CAST(concat('0x', substring(t.token, 1, 2)) AS INT) AS bucket,
+        |  COUNT(*) AS n_cells, COUNT(DISTINCT c.key) AS n_keys
+        |FROM cells c JOIN tok t USING (key)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "kv_generations_merge" ->
       s"""$cellsCte,
