@@ -82,6 +82,28 @@ object Streaming {
   def createOnly(events: DataFrame): DataFrame =
     events.dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream attribution join: every purchase joined to the
+    * user's clicks in the preceding `windowHours` — the streaming form
+    * of the batch as-of join's candidate set (events_asof_join picks
+    * the single latest candidate; an append-mode stream-stream join
+    * emits candidates as soon as both rows exist, and the "latest"
+    * reduction belongs to the consumer or a downstream stateful agg).
+    *
+    * Both sides must carry watermarks when streaming; the event-time
+    * range condition is what lets Spark BOUND the join state — clicks
+    * older than the window beyond the watermark are evicted, so state
+    * is O(window × rate), not O(stream). This is the one join shape
+    * that works unbounded at 100 TB/day.
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(
+      clicks,
+      purchases("user_id") === clicks("c_user_id") &&
+        clicks("click_ts") <= purchases("ts") &&
+        clicks("click_ts") >= purchases("ts") - expr("INTERVAL 7 DAYS"))
+      .select(purchases("user_id"), col("event_id"), col("ts"),
+        col("click_id"), col("click_ts"))
+
   private val GapUs: Long = 30L * 60L * 1000000L
 
   private def tsUs(t: java.sql.Timestamp): Long =

@@ -112,6 +112,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.map(_.skippedExisting).sum === 1)
   }
 
+  test("watermarked stream-stream attribution join matches the batch interval join") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = loadEvents()
+    val pIn = MemoryStream[Ev]
+    val cIn = MemoryStream[Ev]
+    pIn.addData(evs.filter(_.event_type == "purchase"))
+    cIn.addData(evs.filter(_.event_type == "click"))
+
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+
+    val joined = Streaming.attributionJoin(
+      purchases(pIn.toDF().withWatermark("ts", "1 hour")),
+      clicks(cIn.toDF()).withWatermark("click_ts", "1 hour"))
+    val q = joined.writeStream
+      .format("memory").queryName("attr_join")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(3))
+    val got = spark.table("attr_join").collect().map(key).toSet
+    val ev = Tables.events(spark, sf)
+    val want = Streaming.attributionJoin(purchases(ev), clicks(ev))
+      .collect().map(key).toSet
+    assert(want.nonEmpty, "batch interval join should match some pairs")
+    assert(got === want, s"stream/batch attribution mismatch: " +
+      s"${(got -- want).take(3)} extra, ${(want -- got).take(3)} missing")
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch sessionize") {
     val sparkS = spark
     import sparkS.implicits._
