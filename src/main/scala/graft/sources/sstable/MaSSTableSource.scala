@@ -123,8 +123,20 @@ private[sstable] class MaReaderFactory(
     }
     new PartitionReader[InternalRow] {
       private val path = new Path(file)
-      private val in = path.getFileSystem(
-        new org.apache.hadoop.conf.Configuration()).open(path)
+      private val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val raw = fs.open(path)
+      // A sibling CompressionInfo.db means the Data.db is
+      // chunk-compressed (the Cassandra default) — layer the block
+      // decoder under the format reader transparently.
+      private val ciPath = new Path(
+        file.stripSuffix("Data.db") + "CompressionInfo.db")
+      private val in: java.io.InputStream =
+        if (fs.exists(ciPath)) {
+          val ciIn = fs.open(ciPath)
+          val info = try CompressedBlocks.readCompressionInfo(ciIn) finally ciIn.close()
+          new CompressedBlocks.ChunkedInputStream(
+            raw, info, fs.getFileStatus(path).getLen)
+        } else raw
       private val cells = new MaFormat.Reader(in, columns, minTimestamp, minTtl)
       private var current: MaFormat.MaCell = _
 

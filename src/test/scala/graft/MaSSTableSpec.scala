@@ -186,6 +186,121 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(cells.length === 6)
   }
 
+  // ---- compressed-chunk fixture writer ------------------------------
+
+  /** Chunk-compress a Data.db payload + matching CompressionInfo.db
+    * (independent of the reader: big-endian metadata, per-chunk 4-byte
+    * CRC32 over the compressed bytes, LZ4 chunks led by a 4-byte
+    * little-endian uncompressed length). */
+  private def writeCompressed(
+      dir: java.nio.file.Path, prefix: String, payload: Array[Byte],
+      codecName: String, chunkLen: Int): Unit = {
+    val chunks = payload.grouped(chunkLen).toSeq
+    val dataOut = new ByteArrayOutputStream()
+    val offsets = Seq.newBuilder[Long]
+    var pos = 0L
+    chunks.foreach { chunk =>
+      val compressed = codecName match {
+        case "LZ4Compressor" =>
+          val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+            .compress(chunk)
+          val out = new Array[Byte](4 + c.length)
+          out(0) = (chunk.length & 0xff).toByte
+          out(1) = ((chunk.length >> 8) & 0xff).toByte
+          out(2) = ((chunk.length >> 16) & 0xff).toByte
+          out(3) = ((chunk.length >> 24) & 0xff).toByte
+          System.arraycopy(c, 0, out, 4, c.length)
+          out
+        case "DeflateCompressor" =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(chunk); d.finish()
+          val buf = new Array[Byte](chunk.length * 2 + 64)
+          val n = d.deflate(buf); d.end()
+          buf.take(n)
+        case "SnappyCompressor" =>
+          org.xerial.snappy.Snappy.compress(chunk)
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(compressed)
+      offsets += pos
+      dataOut.write(compressed)
+      val c = crc.getValue.toInt
+      dataOut.write(Array[Byte](
+        ((c >> 24) & 0xff).toByte, ((c >> 16) & 0xff).toByte,
+        ((c >> 8) & 0xff).toByte, (c & 0xff).toByte))
+      pos += compressed.length + 4
+    }
+    val ci = new ByteArrayOutputStream()
+    val cid = new java.io.DataOutputStream(ci)
+    val nameBytes = codecName.getBytes(UTF_8)
+    cid.writeShort(nameBytes.length); cid.write(nameBytes)
+    cid.writeInt(1) // one param, exercises the skip path
+    val (pn, pv) = ("chunk_length_in_kb".getBytes(UTF_8), "64".getBytes(UTF_8))
+    cid.writeShort(pn.length); cid.write(pn)
+    cid.writeShort(pv.length); cid.write(pv)
+    cid.writeInt(chunkLen)
+    cid.writeLong(payload.length.toLong)
+    val offs = offsets.result()
+    cid.writeInt(offs.length)
+    offs.foreach(cid.writeLong)
+    cid.flush()
+    Files.write(dir.resolve(s"$prefix-Data.db"), dataOut.toByteArray)
+    Files.write(dir.resolve(s"$prefix-CompressionInfo.db"), ci.toByteArray)
+  }
+
+  test("compressed Data.db round-trips through every codec (chunked, CRC32)") {
+    // Payload bigger than one chunk so the chunk walk is exercised.
+    val e = new Enc
+    (1 to 40).foreach { i =>
+      val v = (s"value-$i-" + "x" * 50).getBytes(UTF_8)
+      e.partitionHeader(s"user-$i")
+      e.byte(0x20).vint(0).vint(0)
+      e.byte(0x00).vint(i.toLong).vint(v.length).bytes(v)
+      e.byte(0x00).vint(i.toLong).bytes(longBytes(i.toLong))
+      e.endOfPartition()
+    }
+    val payload = e.result
+    assert(payload.length > 1024, "fixture must span multiple 1 KiB chunks")
+    Seq("LZ4Compressor", "DeflateCompressor", "SnappyCompressor").foreach { codec =>
+      val dir = Files.createTempDirectory(s"ma-compressed")
+      writeCompressed(dir, "mc-1-big", payload, codec, chunkLen = 1024)
+      val df = spark.read
+        .format("graft.sources.sstable.MaSSTableSource")
+        .option("path", dir.toString)
+        .option("columns", ColsSpec)
+        .load()
+      assert(df.count() === 80, s"$codec: wrong row count")
+      val r = df.filter(col("key") === "user-7" && col("col") === "click").collect()
+      assert(r.length === 1 &&
+        new String(r.head.getAs[Array[Byte]]("value"), UTF_8).startsWith("value-7-"),
+        s"$codec: wrong decoded value")
+    }
+  }
+
+  test("corrupted compressed chunk fails its checksum loudly") {
+    val e = new Enc
+    e.partitionHeader("k")
+    e.byte(0x20).vint(0).vint(0)
+    e.byte(0x00).vint(1).vint(1).bytes("v".getBytes(UTF_8))
+    e.byte(0x04).vint(1)
+    e.endOfPartition()
+    val dir = Files.createTempDirectory("ma-corrupt")
+    writeCompressed(dir, "mc-1-big", e.result, "LZ4Compressor", chunkLen = 1024)
+    val dataFile = dir.resolve("mc-1-big-Data.db")
+    val bytes = Files.readAllBytes(dataFile)
+    bytes(5) = (bytes(5) ^ 0x5a).toByte // flip bits inside the compressed chunk
+    Files.write(dataFile, bytes)
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", dir.toString).option("columns", ColsSpec)
+        .load().count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("checksum mismatch")),
+      s"expected checksum failure, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("DataSource V2 reads Data.db files and prunes columns") {
     val dir = Files.createTempDirectory("ma-sstable").toString
     // Two generations, overlapping keys — exactly the reference's
