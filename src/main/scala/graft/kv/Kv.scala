@@ -233,10 +233,12 @@ object Kv {
     * ByteOrdered / OrderPreserving partitioners (Partitioners.cpp:
     * 212-240): both order the ring by the raw key bytes (memcmp /
     * string compare — identical total orders for these keys), so the
-    * resume seek is a plain key-range predicate pushed to the scan and
-    * ring order is ORDER BY key. Spark's string comparison is a
-    * bytewise UTF-8 compare, i.e. exactly memcmp-then-length — no
-    * token expression needed at all. */
+    * resume seek is a plain key-range predicate applied at the scan,
+    * below the LWW shuffle (on a key-native layout it reaches parquet
+    * row-group stats too; here the key is derived by a cast, which
+    * stays in the scan's DataFilters), and ring order is ORDER BY key.
+    * Spark's string comparison is a bytewise UTF-8 compare, i.e.
+    * exactly memcmp-then-length — no token expression needed. */
   def byteOrderedScan(spark: SparkSession, dir: String): DataFrame = {
     val startKey = "42"
     lww(cells(spark, dir).filter(col("key") >= startKey))

@@ -68,18 +68,24 @@ object MaFormat {
   /** The no-TTL sentinel inside the decoder (reference uses u64 max). */
   private val NoTtl: Long = -1L
 
-  /** One decoded unfiltered: a cell, or a range-tombstone marker
-    * (marker = true, col = null). */
+  /** One decoded unfiltered: a cell, or a range-tombstone marker.
+    * "ma" markers carry col = null; "ka" range tombstones carry the
+    * range START column name in col and the range END name bytes in
+    * value (the legacy format encodes the bound pair inline,
+    * SSTable.cpp:427-433). Counter cells (COUNTER_MASK, legacy path)
+    * set counter = true — they merge by SUM, not LWW
+    * (graft.kv.Kv.counterMerge). */
   final case class MaCell(
       key: Array[Byte],
-      col: String,          // null for markers
+      col: String,          // null for ma markers
       ts: Long,
       value: Array[Byte],   // null when absent/empty
       deleted: Boolean,
       expiring: Boolean,
       ttlSec: Long,         // -1 when none
       deletionTs: Long,     // effective row/partition deletion; NoDeletion when live
-      marker: Boolean)
+      marker: Boolean,
+      counter: Boolean = false)
 
   /** Streaming reader state over a DataInputStream. */
   final class Reader(
@@ -254,6 +260,113 @@ object MaFormat {
       if (!hasNext) throw new NoSuchElementException
       val c = pending.head
       pending = pending.tail
+      c
+    }
+  }
+
+  /** Legacy "ja"/"ka" format reader (OldSStable, SSTable.cpp:337-457):
+    * partitions are key + deletion header followed by named cells until
+    * an EMPTY column name; cell values are 4-byte-length-prefixed; cell
+    * flags distinguish live / deleted / expiring (4-byte TTL +
+    * expiration) / counter / range-tombstone cells; composite column
+    * names carry length-prefixed path elements that unwrap to their
+    * final element. Pre-"ja" column-count framing (ancient) is not
+    * supported. Emits the same MaCell shape as the "ma" reader. */
+  final class KaReader(in: InputStream) extends Iterator[MaCell] {
+
+    private val DELETION_MASK = 0x01
+    private val EXPIRATION_MASK = 0x02
+    private val COUNTER_MASK = 0x04
+    private val RANGE_TOMBSTONE_MASK = 0x10
+
+    private val din = new DataInputStream(in)
+    private var eof = false
+    private var inPartition = false
+    private var key: Array[Byte] = _
+    private var partitionDeletion: Long = NoDeletion
+    private var nextCell: MaCell = _
+
+    private def readString(): Array[Byte] = {
+      val b = new Array[Byte](din.readUnsignedShort()); din.readFully(b); b
+    }
+
+    /** Composite-path unwrap (SSTable.cpp:401-422): take the final
+      * length-prefixed element of a compound/clustering name. */
+    private def unwrapName(name: Array[Byte]): Array[Byte] = {
+      var advanced = 0
+      var bufferLen = name.length
+      while (bufferLen >= 2) {
+        val len = ((name(advanced) & 0xff) << 8) | (name(advanced + 1) & 0xff)
+        if (bufferLen > len + 3) {
+          advanced += len + 3
+          bufferLen -= len + 3
+        } else {
+          if (bufferLen == len + 3)
+            return java.util.Arrays.copyOfRange(name, advanced + 2, advanced + 2 + len)
+          return name
+        }
+      }
+      name
+    }
+
+    private def advance(): Unit = {
+      nextCell = null
+      while (nextCell == null && !eof) {
+        if (!inPartition) {
+          val k = try readString() catch { case _: EOFException => eof = true; return }
+          key = k
+          try {
+            val skip = new Array[Byte](4); din.readFully(skip) // local_deletion
+            partitionDeletion = din.readLong()
+          } catch { case _: EOFException => eof = true; return }
+          inPartition = true
+        }
+        val name = try readString() catch { case _: EOFException => eof = true; return }
+        if (name.isEmpty) {
+          inPartition = false // empty name terminates the row
+        } else {
+          val colName = new String(unwrapName(name), "UTF-8")
+          val flags = din.readUnsignedByte()
+          if ((flags & RANGE_TOMBSTONE_MASK) != 0) {
+            val rangeEnd = readString()
+            val skip = new Array[Byte](4); din.readFully(skip) // local_deletion
+            val ts = din.readLong()
+            nextCell = MaCell(key, colName, ts, rangeEnd,
+              deleted = true, expiring = false, ttlSec = NoTtl,
+              deletionTs = ts, marker = true)
+          } else {
+            var counter = false
+            var expiring = false
+            var ttl = NoTtl
+            if ((flags & COUNTER_MASK) != 0) {
+              din.readLong() // counter timestamp-of-last-delete (unused)
+              counter = true
+            } else if ((flags & EXPIRATION_MASK) != 0) {
+              ttl = din.readInt().toLong
+              din.readInt() // expiration time (derivable from ts + ttl)
+              expiring = true
+            }
+            val ts = din.readLong()
+            val value = new Array[Byte](din.readInt())
+            din.readFully(value)
+            nextCell = MaCell(key, colName, ts, value,
+              deleted = (flags & DELETION_MASK) != 0, expiring = expiring,
+              ttlSec = ttl, deletionTs = partitionDeletion, marker = false,
+              counter = counter)
+          }
+        }
+      }
+    }
+
+    override def hasNext: Boolean = {
+      if (nextCell == null && !eof) advance()
+      nextCell != null
+    }
+
+    override def next(): MaCell = {
+      if (!hasNext) throw new NoSuchElementException
+      val c = nextCell
+      nextCell = null
       c
     }
   }

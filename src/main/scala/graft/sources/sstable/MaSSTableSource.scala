@@ -54,7 +54,25 @@ object MaSSTableSource {
     StructField("expiring", BooleanType, nullable = false),
     StructField("ttl_s", LongType, nullable = true),
     StructField("deletion_ts", LongType, nullable = true),
-    StructField("marker", BooleanType, nullable = false)))
+    StructField("marker", BooleanType, nullable = false),
+    StructField("counter", BooleanType, nullable = false)))
+
+  /** SSTable format version from the file name (the reference's
+    * getVersionFromFilename, SSTable.cpp): "la"-and-later versions
+    * lead the name ("ma-1-big-Data.db"); older names carry the version
+    * in the third hyphen token ("ks-tbl-ka-1-Data.db"). Versions
+    * before "ma" use the legacy cell framing. */
+  def versionOf(fileName: String): String = {
+    if (fileName.length >= 3 && fileName(0) >= 'l' && fileName(0) <= 'z' &&
+        fileName(1).isLetter && fileName(2) == '-')
+      fileName.substring(0, 2)
+    else {
+      val parts = fileName.split("-")
+      if (parts.length >= 3 && parts(2).length == 2 && parts(2).forall(_.isLetter))
+        parts(2)
+      else "ma"
+    }
+  }
 
   def listDataFiles(spark: org.apache.spark.SparkContext, path: String): Seq[String] = {
     val p = new Path(path)
@@ -137,7 +155,10 @@ private[sstable] class MaReaderFactory(
           new CompressedBlocks.ChunkedInputStream(
             raw, info, fs.getFileStatus(path).getLen)
         } else raw
-      private val cells = new MaFormat.Reader(in, columns, minTimestamp, minTtl)
+      private val cells: Iterator[MaFormat.MaCell] =
+        if (MaSSTableSource.versionOf(path.getName) >= "ma")
+          new MaFormat.Reader(in, columns, minTimestamp, minTtl)
+        else new MaFormat.KaReader(in)
       private var current: MaFormat.MaCell = _
 
       // Project only the pruned columns into the output row.
@@ -159,7 +180,8 @@ private[sstable] class MaReaderFactory(
           c.expiring,
           if (c.ttlSec < 0) null else c.ttlSec,
           if (c.deletionTs == MaFormat.NoDeletion) null else c.deletionTs,
-          c.marker)
+          c.marker,
+          c.counter)
         InternalRow.fromSeq(fieldIdx.map(full(_)).toIndexedSeq)
       }
 

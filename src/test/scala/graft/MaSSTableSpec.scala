@@ -186,6 +186,94 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(cells.length === 6)
   }
 
+  // ---- legacy "ka" format -------------------------------------------
+
+  /** ka-format encoder bits (OldSStable layout, SSTable.cpp:337-457):
+    * cells are (short-len name, flags, [extras], 8B ts, int-len value),
+    * terminated per row by an EMPTY name. */
+  private class KaEnc extends Enc {
+    def partition(key: String, deletionTs: Long = MaFormat.NoDeletion): this.type = {
+      string(key); out.writeInt(Int.MaxValue); longlong(deletionTs); this
+    }
+    def cell(name: String, ts: Long, value: Array[Byte], flags: Int = 0): this.type = {
+      string(name); byte(flags); longlong(ts)
+      out.writeInt(value.length); bytes(value); this
+    }
+    def expiringCell(name: String, ts: Long, value: Array[Byte],
+        ttlS: Int, expirationS: Int): this.type = {
+      string(name); byte(0x02)
+      out.writeInt(ttlS); out.writeInt(expirationS)
+      longlong(ts); out.writeInt(value.length); bytes(value); this
+    }
+    def counterCell(name: String, ts: Long, value: Array[Byte]): this.type = {
+      string(name); byte(0x04); longlong(0L) // timestamp-of-last-delete
+      longlong(ts); out.writeInt(value.length); bytes(value); this
+    }
+    def rangeTombstone(startName: String, endName: String, ts: Long): this.type = {
+      string(startName); byte(0x10); string(endName)
+      out.writeInt(Int.MaxValue); longlong(ts); this
+    }
+    /** Composite name: length-prefixed path elements, each followed by
+      * an end-of-component byte; the decoder keeps the LAST element. */
+    def compositeCell(path: Seq[String], ts: Long, value: Array[Byte]): this.type = {
+      val name = new ByteArrayOutputStream()
+      val d = new DataOutputStream(name)
+      path.foreach { el =>
+        val b = el.getBytes(UTF_8); d.writeShort(b.length); d.write(b); d.writeByte(0)
+      }
+      d.flush()
+      short(name.size()); bytes(name.toByteArray)
+      byte(0); longlong(ts); out.writeInt(value.length); bytes(value); this
+    }
+    def endRow(): this.type = short(0) // empty name terminates the row
+  }
+
+  test("legacy ka cells round-trip: live, deleted, expiring, counter, composite") {
+    val e = new KaEnc
+    e.partition("user-9", deletionTs = 111L)
+    e.cell("click", 1000L, "v1".getBytes(UTF_8))
+    e.cell("gone", 1100L, Array.emptyByteArray, flags = 0x01)
+    e.expiringCell("temp", 1200L, "t".getBytes(UTF_8), ttlS = 600, expirationS = 99)
+    e.counterCell("hits", 1300L, longBytes(42L))
+    e.compositeCell(Seq("2024-01", "click"), 1400L, "c".getBytes(UTF_8))
+    e.rangeTombstone("a", "m", 1500L)
+    e.endRow()
+    e.partition("user-10")
+    e.cell("solo", 2000L, "s".getBytes(UTF_8))
+    e.endRow()
+
+    val cells = new MaFormat.KaReader(
+      new ByteArrayInputStream(e.result)).toList
+    assert(cells.map(_.col) === List("click", "gone", "temp", "hits", "click", "a", "solo"))
+    val Seq(live, gone, temp, hits, comp, rt, solo) = cells.toSeq
+    assert(!live.deleted && live.ts === 1000L && live.deletionTs === 111L)
+    assert(gone.deleted)
+    assert(temp.expiring && temp.ttlSec === 600L)
+    assert(hits.counter && java.nio.ByteBuffer.wrap(hits.value).getLong === 42L)
+    assert(comp.col === "click", "composite path must unwrap to its last element")
+    assert(rt.marker && new String(rt.value, UTF_8) === "m" && rt.ts === 1500L)
+    assert(solo.deletionTs === MaFormat.NoDeletion)
+  }
+
+  test("ka files are detected by filename and read through the DataSource") {
+    val dir = Files.createTempDirectory("ka-sstable")
+    val e = new KaEnc
+    (1 to 4).foreach { i =>
+      e.partition(s"u$i")
+      e.cell("click", i.toLong * 10, s"k$i".getBytes(UTF_8))
+      e.endRow()
+    }
+    Files.write(dir.resolve("ks-tbl-ka-1-Data.db"), e.result)
+    assert(graft.sources.sstable.MaSSTableSource.versionOf("ks-tbl-ka-1-Data.db") === "ka")
+    assert(graft.sources.sstable.MaSSTableSource.versionOf("mc-1-big-Data.db") === "mc")
+    val df = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString).option("columns", ColsSpec).load()
+    val rows = df.collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[String]("key")).sorted === Array("u1", "u2", "u3", "u4"))
+    assert(rows.forall(!_.getAs[Boolean]("counter")))
+  }
+
   // ---- compressed-chunk fixture writer ------------------------------
 
   /** Chunk-compress a Data.db payload + matching CompressionInfo.db
