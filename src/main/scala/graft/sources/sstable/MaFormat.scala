@@ -237,6 +237,16 @@ object MaFormat {
           skip(4) // local_deletion
           partitionDeletion = readLongLong()
           atEndOfPartition = false
+          // A partition-level deletion is itself an unfiltered fact —
+          // emit it as a marker row so it survives even when the
+          // partition carries no cells (it must still suppress older
+          // generations' cells in the merge).
+          if (partitionDeletion != NoDeletion) {
+            pending = List(MaCell(key, null, partitionDeletion, null,
+              deleted = true, expiring = false, ttlSec = NoTtl,
+              deletionTs = partitionDeletion, marker = true))
+            return
+          }
         }
         val flags = try readByte() catch { case _: EOFException => eof = true; return }
         if ((flags & END_OF_PARTITION) != 0) {
@@ -320,6 +330,13 @@ object MaFormat {
             partitionDeletion = din.readLong()
           } catch { case _: EOFException => eof = true; return }
           inPartition = true
+          // Emit the partition deletion as a marker row (see Reader).
+          if (partitionDeletion != NoDeletion) {
+            nextCell = MaCell(key, null, partitionDeletion, null,
+              deleted = true, expiring = false, ttlSec = NoTtl,
+              deletionTs = partitionDeletion, marker = true)
+            return
+          }
         }
         val name = try readString() catch { case _: EOFException => eof = true; return }
         if (name.isEmpty) {

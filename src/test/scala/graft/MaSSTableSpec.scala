@@ -143,8 +143,10 @@ class MaSSTableSpec extends AnyFunSuite {
     e.endOfPartition()
 
     val cells = decode(e.result)
-    assert(cells.length === 5)
-    val Seq(c1, c2, m, c3, c4) = cells.toSeq
+    assert(cells.length === 6)
+    val Seq(pd, c1, c2, m, c3, c4) = cells.toSeq
+    assert(pd.marker && pd.col == null && pd.deletionTs === 5000L,
+      "partition deletion must surface as its own marker row")
     assert(c1.deletionTs === 7000L && c2.deletionTs === 7000L)
     assert(c2.deleted && !c1.deleted)
     assert(m.marker && m.col == null && m.ts === 8000L && m.deletionTs === 8000L)
@@ -244,8 +246,9 @@ class MaSSTableSpec extends AnyFunSuite {
 
     val cells = new MaFormat.KaReader(
       new ByteArrayInputStream(e.result)).toList
-    assert(cells.map(_.col) === List("click", "gone", "temp", "hits", "click", "a", "solo"))
-    val Seq(live, gone, temp, hits, comp, rt, solo) = cells.toSeq
+    assert(cells.map(_.col) === List(null, "click", "gone", "temp", "hits", "click", "a", "solo"))
+    val Seq(pd, live, gone, temp, hits, comp, rt, solo) = cells.toSeq
+    assert(pd.marker && pd.deletionTs === 111L)
     assert(!live.deleted && live.ts === 1000L && live.deletionTs === 111L)
     assert(gone.deleted)
     assert(temp.expiring && temp.ttlSec === 600L)
@@ -387,6 +390,77 @@ class MaSSTableSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("checksum mismatch")),
       s"expected checksum failure, got: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("the reference's whole job end-to-end: mixed-format SSTables -> merge -> tombstones -> TTL -> create-only export") {
+    val dir = Files.createTempDirectory("e2e-sstables")
+    // Generation 1: legacy ka file. u1 has an old click; u2 a value
+    // that will be tombstoned; u3 an expiring cell already dead at the
+    // export cutoff.
+    val ka = new KaEnc
+    ka.partition("u1"); ka.cell("click", 100L, "old".getBytes(UTF_8)); ka.endRow()
+    ka.partition("u2"); ka.cell("click", 150L, "doomed".getBytes(UTF_8)); ka.endRow()
+    ka.partition("u3")
+    ka.expiringCell("click", 100L, "expired".getBytes(UTF_8), ttlS = 10, expirationS = 110)
+    ka.endRow()
+    Files.write(dir.resolve("ks-tbl-ka-1-Data.db"), ka.result)
+    // Generation 2: modern ma file (compressed). u1 overwrites its
+    // click; u2 is row-deleted at ts 300; u4 is new.
+    val ma = new Enc
+    ma.partitionHeader("u1")
+    ma.byte(0x20).vint(0).vint(0)
+    ma.byte(0x00).vint(200L).vint(3).bytes("new".getBytes(UTF_8))
+    ma.byte(0x04).vint(200L)
+    ma.endOfPartition()
+    ma.partitionHeader("u2", deletionTs = 300L)
+    ma.endOfPartition()
+    ma.partitionHeader("u4")
+    ma.byte(0x20).vint(0).vint(0)
+    ma.byte(0x00).vint(250L).vint(5).bytes("fresh".getBytes(UTF_8))
+    ma.byte(0x04).vint(250L)
+    ma.endOfPartition()
+    writeCompressed(dir, "mc-2-big", ma.result, "LZ4Compressor", chunkLen = 1024)
+
+    val raw = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString).option("columns", ColsSpec).load()
+
+    // Partition/row deletions ride deletion_ts; express them as the
+    // cell bag's tombstone markers so Kv.applyRowTombstones sees them.
+    // Keep only the value-bearing click column (the nclicks cells in
+    // this fixture are empty-value placeholders).
+    val bag = raw.filter(!col("marker") && col("col") === "click")
+      .select(col("key"), col("col"), col("ts").as("rts"),
+        col("ts").as("seq"), col("value"), col("ttl_s"))
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("rts")))
+    val deletions = raw.filter(col("deletion_ts").isNotNull)
+      .select(col("key"), lit(graft.kv.Kv.TombstoneCol).as("col"),
+        org.apache.spark.sql.functions.timestamp_micros(col("deletion_ts")).as("ts"),
+        col("deletion_ts").as("seq"), lit(null).cast("binary").as("value"),
+        lit(null).cast("long").as("ttl_s"))
+    val cells = bag.select("key", "col", "ts", "seq", "value", "ttl_s")
+      .unionAll(deletions)
+
+    val merged = graft.kv.Kv.lww(graft.kv.Kv.applyRowTombstones(cells))
+      // TTL filter at an export cutoff past u3's expiry (ts 100us +
+      // 10s TTL): expiry = write ts + ttl.
+      .withColumn("expiry_us",
+        org.apache.spark.sql.functions.unix_micros(col("ts")) + col("ttl_s") * 1000000L)
+      .filter(col("expiry_us").isNull || col("expiry_us") >= 20000000L)
+      .select(col("key"), col("value"),
+        col("expiry_us"), org.apache.spark.sql.functions.coalesce(
+          col("ttl_s") * 1000000L, lit(0L)).as("ttl_us"))
+
+    val target = Files.createTempDirectory("e2e-target").resolve("t").toString
+    val stats = graft.sinks.KeyedSink.createOnlyAppend(spark, merged, target)
+
+    val out = spark.read.parquet(target).collect()
+      .map(r => r.getAs[String]("key") ->
+        new String(r.getAs[Array[Byte]]("value"), UTF_8)).toMap
+    // u1: generation 2 wins LWW. u2: row tombstone kills the older
+    // cell. u3: expired at cutoff. u4: fresh write survives.
+    assert(out === Map("u1" -> "new", "u4" -> "fresh"),
+      s"end-to-end export produced $out")
+    assert(stats.written === 2 && stats.incoming === 2)
   }
 
   test("DataSource V2 reads Data.db files and prunes columns") {
