@@ -37,6 +37,7 @@ object SparkEntry {
     "set_ops"                  -> (Relational.setOps _),
     "pivot_manual"             -> (Relational.pivotManual _),
     "approx_distinct"          -> (Relational.approxDistinct _),
+    "quantile_agg"             -> (Relational.quantileAgg _),
     "q17_small_qty_revenue"    -> (Relational.q17SmallQtyRevenue _),
     "q22_no_order_customers"   -> (Relational.q22NoOrderCustomers _),
     "q7_nation_volume"         -> (Relational.q7NationVolume _),
@@ -136,6 +137,16 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "quantile_agg" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        | ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        | ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count

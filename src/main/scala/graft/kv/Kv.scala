@@ -49,6 +49,45 @@ object Kv {
       col("event_id").as("seq"),
       col("value"))
 
+  /** The reference's ingest, end to end: read a directory of SSTable
+    * Data.db files ("ma"+ or legacy "ja"/"ka", compressed or not — see
+    * [[graft.sources.sstable.MaSSTableSource]]) and normalize into the
+    * same cell-bag model the operators above consume. Partition/row
+    * deletions and range-tombstone markers become [[TombstoneCol]]
+    * marker cells so [[applyRowTombstones]] + [[lww]] reproduce
+    * CassandraParser's merge; counter cells keep their flag so callers
+    * route them to SUM-merge ([[counterMerge]] semantics) instead of
+    * LWW. Cell timestamps are treated as µs epoch (the Cassandra
+    * convention). Cells with EQUAL timestamps across generations have
+    * no defined winner — the reference keeps whichever generation it
+    * scans first (choose_latest_match's strict `>`,
+    * CassandraParser.cpp:316-333) — so seq mirrors ts and the max_by
+    * pick among exact ties is likewise arbitrary-but-single.
+    */
+  def cellsFromSSTables(
+      spark: SparkSession, path: String, columnsSpec: String): DataFrame = {
+    val raw = spark.read
+      .format("graft.sources.sstable.MaSSTableSource")
+      .option("path", path)
+      .option("columns", columnsSpec)
+      .load()
+    val data = raw.filter(!col("marker"))
+      .select(
+        col("key"), col("col"),
+        timestamp_micros(col("ts")).as("ts"),
+        col("ts").as("seq"),
+        col("value"), col("ttl_s"), col("counter"))
+    val markers = raw.filter(col("deletion_ts").isNotNull)
+      .select(
+        col("key"), lit(TombstoneCol).as("col"),
+        timestamp_micros(col("deletion_ts")).as("ts"),
+        col("deletion_ts").as("seq"),
+        lit(null).cast("binary").as("value"),
+        lit(null).cast("long").as("ttl_s"),
+        lit(false).as("counter"))
+    data.unionAll(markers)
+  }
+
   /** Split into k "SSTable generations" (deterministic, by sequence). */
   def generations(spark: SparkSession, dir: String, k: Int): Seq[DataFrame] = {
     val c = cells(spark, dir)

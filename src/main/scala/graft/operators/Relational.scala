@@ -255,6 +255,22 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Exact continuous quantiles: the interpolating `percentile`
+    * aggregate (the exact counterpart of the approx sketch path —
+    * both engines define q as linear interpolation at rank (n-1)*q,
+    * so the result is oracle-checkable; presented at cents). At
+    * 100 TB you'd reach for approx_percentile's KLL-style sketch —
+    * this is the exactness baseline it is judged against. */
+  def quantileAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 2).as("p99"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** HLL sketch aggregation (approximate; rows-only check). */
   /** TPC-H Q17 analog: correlated scalar aggregation subquery
     * (per-part average), written as SQL so Catalyst's subquery

@@ -421,24 +421,11 @@ class MaSSTableSpec extends AnyFunSuite {
     ma.endOfPartition()
     writeCompressed(dir, "mc-2-big", ma.result, "LZ4Compressor", chunkLen = 1024)
 
-    val raw = spark.read.format("graft.sources.sstable.MaSSTableSource")
-      .option("path", dir.toString).option("columns", ColsSpec).load()
-
-    // Partition/row deletions ride deletion_ts; express them as the
-    // cell bag's tombstone markers so Kv.applyRowTombstones sees them.
     // Keep only the value-bearing click column (the nclicks cells in
     // this fixture are empty-value placeholders).
-    val bag = raw.filter(!col("marker") && col("col") === "click")
-      .select(col("key"), col("col"), col("ts").as("rts"),
-        col("ts").as("seq"), col("value"), col("ttl_s"))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("rts")))
-    val deletions = raw.filter(col("deletion_ts").isNotNull)
-      .select(col("key"), lit(graft.kv.Kv.TombstoneCol).as("col"),
-        org.apache.spark.sql.functions.timestamp_micros(col("deletion_ts")).as("ts"),
-        col("deletion_ts").as("seq"), lit(null).cast("binary").as("value"),
-        lit(null).cast("long").as("ttl_s"))
-    val cells = bag.select("key", "col", "ts", "seq", "value", "ttl_s")
-      .unionAll(deletions)
+    val cells = graft.kv.Kv.cellsFromSSTables(spark, dir.toString, ColsSpec)
+      .filter(col("col") === graft.kv.Kv.TombstoneCol || col("col") === "click")
+      .drop("counter")
 
     val merged = graft.kv.Kv.lww(graft.kv.Kv.applyRowTombstones(cells))
       // TTL filter at an export cutoff past u3's expiry (ts 100us +
