@@ -188,6 +188,74 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(cells.length === 6)
   }
 
+  test("randomized ma cell streams round-trip against the in-memory model") {
+    val rng = new scala.util.Random(20260812L)
+    (1 to 30).foreach { trial =>
+      val minTs = rng.nextInt(100000).toLong
+      val minTtl = rng.nextInt(100).toLong
+      val e = new Enc
+      // model rows: (key, col, ts, valueOrNull, deleted, expiring, ttl)
+      val model = Seq.newBuilder[(String, String, Long, Option[String], Boolean, Boolean, Long)]
+      (1 to 1 + rng.nextInt(6)).foreach { p =>
+        val key = s"key-$trial-$p"
+        e.partitionHeader(key)
+        (1 to 1 + rng.nextInt(4)).foreach { _ =>
+          // Random subset over the two columns (never empty).
+          val mask = 1 + rng.nextInt(3)
+          val hasAll = mask == 3 && rng.nextBoolean()
+          val rowTs = rng.nextInt(1000000).toLong
+          val hasRowTs = rng.nextBoolean()
+          var flags = 0
+          if (hasRowTs) flags |= 0x04
+          if (hasAll) flags |= 0x20
+          e.byte(flags).vint(0).vint(0)
+          if (hasRowTs) e.vint(rowTs)
+          if (!hasAll) e.vint(mask.toLong)
+          Seq(("click", 0), ("nclicks", 1)).foreach { case (name, bit) =>
+            if (hasAll || (mask & (1 << bit)) != 0) {
+              val useRowTs = hasRowTs && rng.nextBoolean()
+              val deleted = rng.nextInt(4) == 0
+              val expiring = !deleted && rng.nextInt(4) == 0
+              val cellTs = rng.nextInt(1000000).toLong
+              val ttl = rng.nextInt(5000).toLong
+              val emptyVal = deleted || rng.nextInt(5) == 0
+              var cf = 0
+              if (deleted) cf |= 0x01
+              if (expiring) cf |= 0x02
+              if (emptyVal) cf |= 0x04
+              if (useRowTs) cf |= 0x08
+              e.byte(cf)
+              if (!useRowTs) e.vint(cellTs)
+              if (expiring || deleted) e.vint(0) // local deletion time
+              if (expiring) e.vint(ttl)
+              val value =
+                if (emptyVal) None
+                else if (name == "click") {
+                  val v = s"v${rng.nextInt(1000)}"
+                  e.vint(v.length.toLong).bytes(v.getBytes(UTF_8)); Some(v)
+                } else {
+                  val n = rng.nextLong()
+                  e.bytes(longBytes(n)); Some(n.toString)
+                }
+              val ts = (if (useRowTs) rowTs else cellTs) + minTs
+              model += ((key, name, ts, value, deleted, expiring,
+                if (expiring) ttl + minTtl else -1L))
+            }
+          }
+        }
+        e.endOfPartition()
+      }
+      val got = decode(e.result, minTs, minTtl).map { c =>
+        val v = Option(c.value).map { b =>
+          if (c.col == "click") new String(b, UTF_8)
+          else java.nio.ByteBuffer.wrap(b).getLong.toString
+        }
+        (new String(c.key, UTF_8), c.col, c.ts, v, c.deleted, c.expiring, c.ttlSec)
+      }
+      assert(got === model.result(), s"trial $trial mismatch")
+    }
+  }
+
   // ---- legacy "ka" format -------------------------------------------
 
   /** ka-format encoder bits (OldSStable layout, SSTable.cpp:337-457):
