@@ -111,6 +111,83 @@ object SparkEntry {
       |      CAST(concat('0x', substring(md5(key), 17, 16)) AS UBIGINT)::HUGEINT AS lo
       |    FROM (SELECT DISTINCT key FROM cells)))""".stripMargin
 
+  /** Cassandra's sign-bug Murmur3 token (Partitioners.cpp:80-180)
+    * expressed in DuckDB SQL, independently cross-validating the
+    * engine's CassandraMurmur3 expression under the hard gate. Valid
+    * for keys < 16 bytes (the block loop never runs for the cell
+    * store's decimal keys); longer keys yield NULL so a violation
+    * fails the gate loudly instead of silently. All 64-bit wrapping
+    * arithmetic runs on non-negative HUGEINT bit patterns: multiply
+    * splits into 32-bit halves (a 64x64 product overflows HUGEINT),
+    * rotate/shift become scaled adds over disjoint bits, and the
+    * signed-char tail bytes sign-extend exactly like the reference.
+    * Generated as a chain of MATERIALIZED CTE stages: DuckDB inlines
+    * plain single-use CTEs, and an inlined stage whose expression
+    * references its input column four times (mul64) would compound
+    * EXPONENTIALLY through ~24 stages (measured: >300 s vs 0.09 s);
+    * materialization keeps evaluation linear. */
+  private val murmurTokenSqlCte: String = {
+    val M = "18446744073709551616::HUGEINT"  // 2^64
+    val HB = "9223372036854775808::HUGEINT"  // 2^63
+    val B32 = "4294967296::HUGEINT"          // 2^32
+    val C1 = "9782798678568883157::HUGEINT"  // 0x87c37b91114253d5
+    val C2 = "5545529020109919103::HUGEINT"  // 0x4cf5ad432745937f
+    val F1 = "18397679294719823053::HUGEINT" // 0xff51afd7ed558ccd fmix
+    val F2 = "14181476777654086739::HUGEINT" // 0xc4ceb9fe1a85ec53 fmix
+
+    def m64(x: String) = s"((($x) % $M + $M) % $M)"
+    def mul64(a: String, b: String) = m64(
+      s"(($a) % $B32) * (($b) % $B32)" +
+      s" + ((((($a) // $B32) * (($b) % $B32)" +
+      s" + (($a) % $B32) * (($b) // $B32)) % $B32) * $B32)")
+    def rotl(x: String, n: Int) = m64(
+      s"($x) * ${BigInt(1) << n}::HUGEINT + ($x) // ${BigInt(1) << (64 - n)}::HUGEINT")
+    def xor64(a: String, b: String) = s"xor(($a)::UBIGINT, ($b)::UBIGINT)::HUGEINT"
+    def shr33(x: String) = s"(($x) // 8589934592::HUGEINT)"
+    def add64(a: String, b: String) = m64(s"($a) + ($b)")
+    def byteTerm(j: Int, shift: Int) = {
+      val b = s"ascii(substring(key, $j, 1))::HUGEINT"
+      val sb = s"($b - CASE WHEN $b >= 128 THEN 256 ELSE 0 END)"
+      s"CASE WHEN len >= $j THEN ${m64(s"$sb * ${BigInt(1) << shift}::HUGEINT")} ELSE 0::HUGEINT END"
+    }
+    def fmixStages(c: String): Seq[Map[String, String]] = Seq(
+      Map(c -> xor64(c, shr33(c))), Map(c -> mul64(c, F1)),
+      Map(c -> xor64(c, shr33(c))), Map(c -> mul64(c, F2)),
+      Map(c -> xor64(c, shr33(c))))
+
+    // XOR over disjoint byte lanes == sum (no carries).
+    val k1 = (1 to 8).map(j => byteTerm(j, 8 * (j - 1))).mkString(" + ")
+    val k2 = (9 to 15).map(j => byteTerm(j, 8 * (j - 9))).mkString(" + ")
+    val stages: Seq[Map[String, String]] = Seq(
+      Map("k1" -> s"($k1)", "k2" -> s"($k2)"),
+      Map("k1" -> mul64("k1", C1), "k2" -> mul64("k2", C2)),
+      Map("k1" -> rotl("k1", 31), "k2" -> rotl("k2", 33)),
+      Map("k1" -> mul64("k1", C2), "k2" -> mul64("k2", C1)),
+      Map("h1" -> "k1", "h2" -> "CASE WHEN len >= 9 THEN k2 ELSE 0::HUGEINT END"),
+      Map("h1" -> xor64("h1", "len::HUGEINT"), "h2" -> xor64("h2", "len::HUGEINT")),
+      Map("h1" -> add64("h1", "h2")),
+      Map("h2" -> add64("h2", "h1"))) ++
+      fmixStages("h1") ++ fmixStages("h2") ++
+      Seq(Map("h1" -> add64("h1", "h2")))
+
+    val sb = new StringBuilder(
+      "mm_s0 AS MATERIALIZED (SELECT key, length(key)::HUGEINT AS len, " +
+      "0::HUGEINT AS k1, 0::HUGEINT AS k2, 0::HUGEINT AS h1, 0::HUGEINT AS h2 " +
+      "FROM (SELECT DISTINCT key FROM cells))")
+    stages.zipWithIndex.foreach { case (st, i0) =>
+      val i = i0 + 1
+      val sel = Seq("key", "len", "k1", "k2", "h1", "h2")
+        .map(c => st.get(c).map(e => s"$e AS $c").getOrElse(c)).mkString(", ")
+      sb.append(s",\nmm_s$i AS MATERIALIZED (SELECT $sel FROM mm_s${i0})")
+    }
+    sb.append(
+      s",\nmtok AS MATERIALIZED (SELECT key, CASE WHEN len > 15 THEN NULL" +
+      s" WHEN h1 = $HB THEN 9223372036854775807::BIGINT" +
+      s" ELSE (h1 - CASE WHEN h1 >= $HB THEN $M ELSE 0::HUGEINT END)::BIGINT END AS token" +
+      s" FROM mm_s${stages.length})")
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -330,6 +407,29 @@ object SparkEntry {
         |  FROM cells WHERE key >= '42')
         |SELECT key, col, ts, value FROM ranked WHERE rn = 1
         |ORDER BY key, col""".stripMargin,
+
+    "kv_resume_scan" -> {
+      val start = graft.functions.CassandraMurmur3.token(
+        org.apache.spark.unsafe.types.UTF8String.fromString("42"))
+      s"""$cellsCte,
+        |$murmurTokenSqlCte,
+        |ranked AS (SELECT c.key, c.col, c.ts, c.seq, c.value, t.token,
+        |  ROW_NUMBER() OVER (PARTITION BY c.key, c.col ORDER BY c.ts DESC, c.seq DESC) AS rn
+        |  FROM cells c JOIN mtok t USING (key)
+        |  WHERE t.token >= $start AND (t.token > $start OR c.key >= '42'))
+        |SELECT key, col, ts, seq, value, token FROM ranked WHERE rn = 1
+        |ORDER BY token, key, col""".stripMargin
+    },
+
+    "kv_token_distribution" ->
+      s"""$cellsCte,
+        |$murmurTokenSqlCte
+        |SELECT ((token::HUGEINT + CASE WHEN token < 0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)
+        |        // 288230376151711744::HUGEINT
+        |        - CASE WHEN token < 0 THEN 64 ELSE 0 END + 32)::BIGINT AS bucket,
+        |  COUNT(*) AS n_cells, COUNT(DISTINCT c.key) AS n_keys
+        |FROM cells c JOIN mtok t USING (key)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "kv_random_resume_scan" ->
       s"""$cellsCte,
