@@ -759,6 +759,49 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id, nb FROM hx) x JOIN agg a USING (doc_id)
         |ORDER BY x.doc_id""".stripMargin,
 
+    "text_fingerprint" -> {
+      // Rabin-Karp winnowing (k=8, w=4) in DuckDB SQL: the rolling
+      // hash telescopes to a closed form (8 byte terms x B^j mod 2^64
+      // constants, HUGEINT pattern arithmetic), per-window minima via
+      // a window frame — the p <= m-w+1 start filter applied OUTSIDE
+      // the window so trailing frames keep their following rows.
+      // The tie rule (rightmost min) does not affect the emitted
+      // VALUE set, so MIN reproduces the kernel exactly.
+      val M = "18446744073709551616::HUGEINT"
+      val H = "9223372036854775808::HUGEINT"
+      val B = BigInt(1000003)
+      val mod = BigInt(1) << 64
+      def byteAt(idx: String) =
+        s"((strpos('0123456789ABCDEF', substring(h, 2*($idx)-1, 1))-1)*16 + " +
+        s"strpos('0123456789ABCDEF', substring(h, 2*($idx), 1))-1)::HUGEINT"
+      val terms = (0 until 8).map(j =>
+        s"${byteAt(s"p+$j")} * ${B.modPow(BigInt(7 - j), mod)}::HUGEINT").mkString(" + ")
+      s"""WITH hx AS MATERIALIZED (SELECT doc_id, hex(encode(lower(text))) AS h,
+        |    octet_length(encode(lower(text))) AS n FROM documents),
+        |tokd AS MATERIALIZED (SELECT doc_id, n, r.i AS p,
+        |    ((($terms) % $M) - CASE WHEN (($terms) % $M) >= $H
+        |     THEN $M ELSE 0::HUGEINT END)::BIGINT AS tok
+        |  FROM hx, UNNEST(range(1, n - 8 + 2)) AS r(i) WHERE n >= 8),
+        |wins AS (
+        |  SELECT doc_id, fpv FROM (
+        |    SELECT doc_id, p, n, MIN(tok) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fpv
+        |    FROM tokd WHERE n - 7 > 4) WHERE p <= n - 10
+        |  UNION ALL
+        |  SELECT doc_id, MIN(tok) AS fpv FROM tokd WHERE n - 7 <= 4 GROUP BY doc_id),
+        |sel AS (SELECT DISTINCT doc_id, fpv FROM wins),
+        |agg AS (SELECT doc_id, list_sort(list(fpv)) AS fp,
+        |    bit_xor(fpv) AS dig
+        |  FROM sel GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(len(a.fp), 0)::INT AS n_fingerprints,
+        |  COALESCE(a.dig, 0) AS fp_digest,
+        |  COALESCE(array_to_string(list_transform(a.fp[1:8],
+        |    x -> CAST(x AS VARCHAR)), ','), '') AS fp_head
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
+
     "text_token_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS INT) AS n_chars,

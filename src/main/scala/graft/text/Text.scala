@@ -115,7 +115,9 @@ object Text {
       .select(
         col("doc_id"),
         size(col("fp")).as("n_fingerprints"),
-        hash(col("fp")).cast("long").as("fp_digest"),
+        // XOR-fold digest: engine-portable (unlike Spark's internal
+        // hash()), order-independent, and overflow-free under ANSI.
+        aggregate(col("fp"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_digest"),
         // serialized, not array-typed: query outputs must stay flat
         // (scalar columns only) for the driver's pandas sort
         concat_ws(",", slice(col("fp"), 1, 8).cast("array<string>")).as("fp_head"))
