@@ -406,11 +406,24 @@ object Relational {
   }
 
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // Self-validating sketch output (same pattern as the ANN recall
+    // columns): the HLL estimate rides next to the exact count and its
+    // relative error, so the rows-only dump carries a checkable
+    // quality number. At 100 TB you'd drop the exact column; here it
+    // shares the same shuffle (multi-distinct rewrites to expand).
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .withColumn("parts_rel_err",
+        round(abs(col("approx_parts") - col("exact_parts")) /
+          col("exact_parts").cast("double"), 4))
+      .withColumn("orders_rel_err",
+        round(abs(col("approx_orders") - col("exact_orders")) /
+          col("exact_orders").cast("double"), 4))
       .orderBy(col("l_returnflag"))
   }
 }
