@@ -41,6 +41,7 @@ object SparkEntry {
     "q17_small_qty_revenue"    -> (Relational.q17SmallQtyRevenue _),
     "q22_no_order_customers"   -> (Relational.q22NoOrderCustomers _),
     "q7_nation_volume"         -> (Relational.q7NationVolume _),
+    "q8_market_share"          -> (Relational.q8MarketShare _),
     "q15_top_supplier"         -> (Relational.q15TopSupplier _),
     "q21_late_suppliers"       -> (Relational.q21LateSuppliers _),
     // §2.1 KV engine (reference-derived semantics)
@@ -605,6 +606,29 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        | CAST(ROUND(
+        |   CAST(ROUND(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+        |                       ELSE CAST(0 AS DECIMAL(30,4)) END), 2) AS DOUBLE)
+        |   / CAST(ROUND(SUM(volume), 2) AS DOUBLE), 6) AS DOUBLE) AS mkt_share,
+        | CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+        | COUNT(*) AS n_rows
+        |FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS volume,
+        |        n2.n_name AS nation
+        |      FROM part, lineitem, orders, customer,
+        |           supplier, nation n1, nation n2, region
+        |      WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        |        AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |        AND p_type = 'STANDARD'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') t
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue

@@ -339,6 +339,44 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** TPC-H Q8 analog: national market share — a conditional share of a
+    * conditional aggregate over the full 8-table snowflake (two nation
+    * roles). The share divides the two PRESENTED doubles (each an
+    * exact decimal sum rounded to cents), so both engines divide
+    * identical operands and the ratio is bit-stable. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_region")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT o_year,
+        | CAST(ROUND(
+        |   CAST(ROUND(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+        |                       ELSE CAST(0 AS DECIMAL(30,4)) END), 2) AS DOUBLE)
+        |   / CAST(ROUND(SUM(volume), 2) AS DOUBLE), 6) AS DOUBLE) AS mkt_share,
+        | CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+        | COUNT(*) AS n_rows
+        |FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS volume,
+        |        n2.n_name AS nation
+        |      FROM graft_part, graft_lineitem, graft_orders, graft_customer,
+        |           graft_supplier, graft_nation n1, graft_nation n2, graft_region
+        |      WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        |        AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |        AND p_type = 'STANDARD'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') t
+        |GROUP BY o_year
+        |ORDER BY o_year
+        |""".stripMargin)
+  }
+
   /** TPC-H Q15 analog: top supplier by revenue — a scalar MAX subquery
     * over a derived aggregate (aggregate-of-aggregate equality). */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
