@@ -163,6 +163,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** #37b dedup_clusters: connected components over the near-dup pair
+    * graph — the step a dedup pipeline needs AFTER pair generation
+    * (pairs → transitive closure → cluster id → survivor pick).
+    * Iterative min-label propagation: each round joins current labels
+    * onto the edge list and keeps the minimum neighbor label;
+    * converges in component-diameter rounds (near-dup clusters are
+    * tiny, so the driver-side loop is O(1) rounds of fully distributed
+    * joins — the standard large-graph CC shape; at trillion-edge scale
+    * you'd switch to large-star/small-star, same skeleton). Emits
+    * (doc_id, cluster_id = min doc in component, cluster_size) for
+    * every clustered doc. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .persist()
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        val nbrMin = edges
+          .join(labels.select(col("v").as("doc_b"), col("label")), "doc_b")
+          .groupBy(col("doc_a").as("v"))
+          .agg(min(col("label")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, Seq("v"), "left_outer")
+          .select(col("v"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .persist()
+        changed = next
+          .join(labels.select(col("v"), col("label").as("old")), "v")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("v").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    } finally edges.unpersist()
+  }
+
   /** #38 dedup_embedding: embedding near-dup via random-hyperplane LSH —
     * L=4 tables of 8-bit buckets; per vector, the best bucket-mate by
     * exact cosine. Per-vector output (this corpus has no true embedding

@@ -91,6 +91,31 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (p, j) => assert(math.abs(truth(p) - j) < 1e-9) }
   }
 
+  test("clusters are the connected components of the pair graph") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // In-memory union-find oracle.
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(v => v -> find(v)).toMap
+    val sizes = roots.groupBy(_._2).map { case (r, m) => r -> m.size.toLong }
+    assert(got.keySet === roots.keySet)
+    got.foreach { case (v, (cid, sz)) =>
+      assert(cid === roots(v), s"doc $v cluster")
+      assert(sz === sizes(roots(v)), s"doc $v cluster size")
+      assert(sz >= 2, "every clustered doc has at least one dup partner")
+    }
+  }
+
   test("embedding LSH emits per-vector best candidates with valid cosines") {
     val got = Dedup.embedding(spark, sf).collect()
     assert(got.length > 0)
