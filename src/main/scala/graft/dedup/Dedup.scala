@@ -210,6 +210,29 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** #37c dedup_survivors: the dedup pipeline's final step — drop every
+    * clustered doc except its cluster's min-id survivor, keeping all
+    * unclustered docs. The non-survivor set is tiny relative to the
+    * corpus, so the anti-join broadcasts; the corpus itself never
+    * shuffles. Emits the surviving corpus as (doc_id, n_chars) plus a
+    * flag for whether the doc won a cluster (vs was never duplicated). */
+  def survivors(spark: SparkSession, dir: String): DataFrame = {
+    // One clusters() call: its label frame is already materialized by
+    // the propagation loop, so both derived sides read the cache.
+    val cl = clusters(spark, dir)
+    val dropped = cl.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("_dup"))
+    val winners = cl.filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("_won"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .join(broadcast(winners), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("_won"), lit(false)).as("cluster_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #38 dedup_embedding: embedding near-dup via random-hyperplane LSH —
     * L=4 tables of 8-bit buckets; per vector, the best bucket-mate by
     * exact cosine. Per-vector output (this corpus has no true embedding
