@@ -175,7 +175,10 @@ object Dedup {
     * (doc_id, cluster_id = min doc in component, cluster_size) for
     * every clustered doc. */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    // Persist the PAIRS, not just the edges: the union below consumes
+    // the pair subtree twice (forward + swapped), and without the cache
+    // the whole ngram pipeline would run once per branch.
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).persist()
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -207,7 +210,7 @@ object Dedup {
         .select(col("v").as("doc_id"), col("label").as("cluster_id"),
           col("cluster_size"))
         .orderBy(col("doc_id"))
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); pairs.unpersist() }
   }
 
   /** #37c dedup_survivors: the dedup pipeline's final step — drop every
