@@ -177,14 +177,20 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     // Persist the PAIRS, not just the edges: the union below consumes
     // the pair subtree twice (forward + swapped), and without the cache
-    // the whole ngram pipeline would run once per branch.
+    // the whole ngram pipeline would run once per branch. The pair
+    // graph is orders of magnitude smaller than the corpus (bounded by
+    // the capped candidate generation), so the loop's frames are
+    // repartitioned small — per-iteration cost is job overhead, not
+    // data; a caller at larger pair volumes raises the partition count.
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).persist()
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(4)
       .persist()
-    var labels = edges.select(col("doc_a").as("v")).distinct()
+    var cached = edges.select(col("doc_a").as("v")).distinct()
       .withColumn("label", col("v"))
       .persist()
+    var labels = cached
     try {
       var changed = 1L
       var iter = 0
@@ -193,16 +199,17 @@ object Dedup {
           .join(labels.select(col("v").as("doc_b"), col("label")), "doc_b")
           .groupBy(col("doc_a").as("v"))
           .agg(min(col("label")).as("nbr_min"))
-        val next = labels
+        // Single join carries old + new label so the convergence count
+        // rides the same materialization instead of a second join.
+        val joined = labels
           .join(nbrMin, Seq("v"), "left_outer")
-          .select(col("v"),
+          .select(col("v"), col("label").as("_old"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
           .persist()
-        changed = next
-          .join(labels.select(col("v"), col("label").as("old")), "v")
-          .filter(col("label") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
+        changed = joined.filter(col("label") =!= col("_old")).count()
+        cached.unpersist()
+        cached = joined
+        labels = joined.select(col("v"), col("label"))
         iter += 1
       }
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
