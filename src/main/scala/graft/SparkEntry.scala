@@ -38,6 +38,7 @@ object SparkEntry {
     "pivot_manual"             -> (Relational.pivotManual _),
     "approx_distinct"          -> (Relational.approxDistinct _),
     "quantile_agg"             -> (Relational.quantileAgg _),
+    "ship_latency"             -> (Relational.shipLatency _),
     "q17_small_qty_revenue"    -> (Relational.q17SmallQtyRevenue _),
     "q22_no_order_customers"   -> (Relational.q22NoOrderCustomers _),
     "q7_nation_volume"         -> (Relational.q7NationVolume _),
@@ -217,6 +218,19 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "ship_latency" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+        | CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 30
+        |          AND datediff('day', o_orderdate, l_shipdate) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+        | CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+        | MIN(datediff('day', o_orderdate, l_shipdate))::INT AS min_days,
+        | MAX(datediff('day', o_orderdate, l_shipdate))::INT AS max_days
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "quantile_agg" ->
       """SELECT l_returnflag,

@@ -255,6 +255,26 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** TPC-H Q12 in spirit (the schema carries no l_shipmode /
+    * l_commitdate): order-to-ship latency distribution per order
+    * priority — date arithmetic + banded conditional counts over the
+    * lineitem-orders join. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lat = datediff(col("l_shipdate"), col("o_orderdate"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(lat <= 30, 1L).otherwise(0L)).as("n_fast"),
+        sum(when(lat > 30 && lat <= 90, 1L).otherwise(0L)).as("n_mid"),
+        sum(when(lat > 90, 1L).otherwise(0L)).as("n_slow"),
+        min(lat).cast("int").as("min_days"),
+        max(lat).cast("int").as("max_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Exact continuous quantiles: the interpolating `percentile`
     * aggregate (the exact counterpart of the approx sketch path —
     * both engines define q as linear interpolation at rank (n-1)*q,
