@@ -173,6 +173,49 @@ object Kv {
   private val minTtlUs: Long = 600L * 1000000L   // -L 600 seconds
   private val splitUs: Long  = 1705276800000000L // 2024-01-15T00:00:00Z
 
+  /** The reference's whole job as one call (Cassandra2Aerospike.cpp
+    * do_transfer): read SSTable directories (any supported format /
+    * compression, multi-directory = multi-generation), reconstruct the
+    * logical table (tombstones + LWW), apply the TTL policy flags, and
+    * create-only-append the survivors into the keyed target, returning
+    * the end-of-run statistics. `resumeKey` reproduces `-s` (scan only
+    * keys at-or-after the resume point in raw-key ring order);
+    * `dryRun` reproduces `-D` (render what WOULD be written, no write).
+    *
+    * At scale every step is the operators above: the SSTable scan
+    * parallelizes per file, the merge is one hash shuffle, policies are
+    * column arithmetic, and the create-only check is one key anti-join.
+    */
+  def migrate(
+      spark: SparkSession,
+      sstableDirs: Seq[String],
+      columnsSpec: String,
+      targetPath: String,
+      policy: Option[graft.sinks.KeyedSink.TtlPolicy] = None,
+      resumeKey: Option[String] = None,
+      dryRun: Boolean = false): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
+    val bags = sstableDirs.map(cellsFromSSTables(spark, _, columnsSpec))
+    val merged = lww(applyRowTombstones(
+      bags.reduce(_ unionAll _)
+        .transform(df => resumeKey.fold(df)(k => df.filter(col("key") >= k)))))
+    // Record frame for the sink: expiry from the cell TTL when present.
+    val records = merged
+      .withColumn("expiry_us",
+        when(col("ttl_s").isNotNull,
+          unix_micros(col("ts")) + col("ttl_s") * 1000000L))
+      .withColumn("ttl_us", coalesce(col("ttl_s") * 1000000L, lit(0L)))
+      .drop("ttl_s", "counter")
+    if (dryRun)
+      Left(records
+        .withColumn("cell_text",
+          concat(col("col"), lit("="), coalesce(col("value").cast("string"), lit(""))))
+        .withColumn("cell_hex", lower(hex(col("cell_text"))))
+        .select(col("key"), col("col"), col("cell_text"), col("cell_hex"), col("expiry_us"))
+        .orderBy(col("key"), col("col")))
+    else
+      Right(graft.sinks.KeyedSink.createOnlyAppend(spark, records, targetPath, policy))
+  }
+
   /** #1 kv_lww_latest */
   def lwwLatest(spark: SparkSession, dir: String): DataFrame =
     lww(cells(spark, dir))

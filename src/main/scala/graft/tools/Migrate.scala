@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI main mirroring the reference's flag surface
+  * (Cassandra2Aerospike.cpp parse_arguments) on the Spark pipeline:
+  *
+  * {{{
+  * runMain graft.tools.Migrate \
+  *   -i <sstableDir> [-i <sstableDir> ...]   input generations
+  *   -c <name:type,...>                      regular-column schema
+  *   -o <targetPath>                         keyed parquet target
+  *   [-s <resumeKey>]                        resume scan from key
+  *   [-L <seconds>]                          minimum-TTL discard
+  *   [-x]                                    prohibit eternal records
+  *   [-f]                                    record TTL from first-expiring cell
+  *   [-D]                                    dry run: print, write nothing
+  * }}}
+  *
+  * The Aerospike connection flags of the reference (-h/-n/-t/-u/-p/...)
+  * have no analog: the target is a keyed lake-house table.
+  */
+object Migrate {
+  def main(args: Array[String]): Unit = {
+    var inputs = Vector.empty[String]
+    var columns = ""
+    var target = ""
+    var resume: Option[String] = None
+    var minTtlS = 0L
+    var prohibitEternal = false
+    var ttlFromFirst = false
+    var dryRun = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-i" => inputs :+= args(i + 1); i += 2
+        case "-c" => columns = args(i + 1); i += 2
+        case "-o" => target = args(i + 1); i += 2
+        case "-s" => resume = Some(args(i + 1)); i += 2
+        case "-L" => minTtlS = args(i + 1).toLong; i += 2
+        case "-x" => prohibitEternal = true; i += 1
+        case "-f" => ttlFromFirst = true; i += 1
+        case "-D" => dryRun = true; i += 1
+        case other => sys.error(s"unrecognised option $other")
+      }
+    }
+    require(inputs.nonEmpty && columns.nonEmpty && (dryRun || target.nonEmpty),
+      "need -i <dir>, -c <cols>, and -o <target> (or -D)")
+
+    val spark = graft.sources.Tables.sessionConfs
+      .foldLeft(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val policy =
+      if (minTtlS > 0 || prohibitEternal || ttlFromFirst)
+        Some(graft.sinks.KeyedSink.TtlPolicy(
+          minTtlUs = minTtlS * 1000000L,
+          prohibitEternal = prohibitEternal,
+          recordTtlFromFirst = ttlFromFirst,
+          nowUs = System.currentTimeMillis() * 1000L))
+      else None
+
+    graft.kv.Kv.migrate(spark, inputs, columns, target, policy, resume, dryRun) match {
+      case Left(rendered) =>
+        rendered.show(100, truncate = false)
+        println(s"[migrate] DRY RUN: ${rendered.count()} records would be written")
+      case Right(stats) =>
+        println(s"[migrate] incoming=${stats.incoming} written=${stats.written} " +
+          s"skipped_existing=${stats.skippedExisting} expired=${stats.expired}")
+    }
+    spark.stop()
+  }
+}

@@ -518,6 +518,40 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(stats.written === 2 && stats.incoming === 2)
   }
 
+  test("Kv.migrate runs the whole reference job in one call (resume + dry-run included)") {
+    val dir1 = Files.createTempDirectory("mig-gen1")
+    val ka = new KaEnc
+    Seq(("a1", 100L, "old-a"), ("b1", 100L, "keep-b")).foreach { case (k, ts, v) =>
+      ka.partition(k); ka.cell("click", ts, v.getBytes(UTF_8)); ka.endRow()
+    }
+    Files.write(dir1.resolve("ks-tbl-ka-1-Data.db"), ka.result)
+    val dir2 = Files.createTempDirectory("mig-gen2")
+    val ma = new Enc
+    ma.partitionHeader("a1")
+    ma.byte(0x20).vint(0).vint(0)
+    ma.byte(0x00).vint(200L).vint(5).bytes("new-a".getBytes(UTF_8))
+    ma.byte(0x04).vint(200L)
+    ma.endOfPartition()
+    Files.write(dir2.resolve("mc-2-big-Data.db"), ma.result)
+
+    // Dry run renders without writing.
+    val rendered = graft.kv.Kv.migrate(spark, Seq(dir1.toString, dir2.toString),
+      ColsSpec, targetPath = "", dryRun = true).swap.toOption.get
+    val byKeyCol = rendered.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(byKeyCol(("a1", "click")) === "click=new-a", "LWW picks generation 2")
+    assert(byKeyCol(("b1", "click")) === "click=keep-b")
+
+    // Real run writes survivors create-only; resume skips keys < "b".
+    val target = Files.createTempDirectory("mig-out").resolve("t").toString
+    val stats = graft.kv.Kv.migrate(spark, Seq(dir1.toString, dir2.toString),
+      ColsSpec, target, resumeKey = Some("b")).toOption.get
+    assert(stats.written === 1 && stats.incoming === 1,
+      s"resume from 'b' must export only b1: $stats")
+    val keys = spark.read.parquet(target).collect().map(_.getAs[String]("key")).toSet
+    assert(keys === Set("b1"))
+  }
+
   test("DataSource V2 reads Data.db files and prunes columns") {
     val dir = Files.createTempDirectory("ma-sstable").toString
     // Two generations, overlapping keys — exactly the reference's
