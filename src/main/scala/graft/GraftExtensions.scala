@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("winnow_fingerprint", "3", "winnowed rolling-hash fingerprints (text, k, w)") {
       args => WinnowFingerprint(args(0), intArg(args(1), "winnow_fingerprint"),
         intArg(args(2), "winnow_fingerprint"))
+    },
+    fn("random_partitioner_token", "1",
+      "Cassandra RandomPartitioner token (abs of MD5 as 128-bit two's-complement, hex)") {
+      args => CassandraRandomMd5Token(args.head)
+    },
+    fn("sorted_pairs", "1", "all (a, b) pairs with a before b (array order) of an array<bigint>") {
+      args => SortedPairs(args.head)
     })
 
   override def apply(ext: SparkSessionExtensions): Unit =

@@ -68,11 +68,17 @@ class KvSpec extends AnyFunSuite {
       """SELECT cassandra_token('42') AS tok,
         |  hamming64(simhash64(word_shingles('a b c d', 2)),
         |            simhash64(word_shingles('a b c d', 2))) AS ham,
-        |  size(minhash_sigs(word_shingles('a b c d e f', 2), 16)) AS k
+        |  size(minhash_sigs(word_shingles('a b c d e f', 2), 16)) AS k,
+        |  random_partitioner_token('42') AS rtok,
+        |  sorted_pairs(array(3L, 1L, 2L)) AS pairs
         |""".stripMargin).collect().head
     assert(row.getLong(0) === graft.functions.CassandraMurmur3.token(
       org.apache.spark.unsafe.types.UTF8String.fromString("42")))
     assert(row.getInt(1) === 0)
     assert(row.getInt(2) === 16)
+    assert(row.getString(3) === graft.functions.CassandraRandomMd5.tokenHex("42"))
+    // Pairs follow ARRAY order (callers feed pre-sorted id sets).
+    assert(row.getSeq[org.apache.spark.sql.Row](4).map(r => (r.getLong(0), r.getLong(1)))
+      === Seq((3L, 1L), (3L, 2L), (1L, 2L)))
   }
 }
