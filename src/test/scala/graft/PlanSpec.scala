@@ -27,7 +27,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("star joins broadcast their dimension side") {
     Seq("q3_shipping_priority", "q5_local_supplier", "q10_returned_items",
-        "q14_promo_revenue", "q18_large_orders", "q19_discounted_revenue")
+        "q14_promo_revenue", "q18_large_orders", "q19_discounted_revenue",
+        "q8_market_share")
       .foreach { q =>
         assert(planOf(q).contains("BroadcastHashJoin"), s"$q: no broadcast join")
       }

@@ -112,6 +112,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.map(_.skippedExisting).sum === 1)
   }
 
+  test("watermark-bounded stream dedup keeps first-arrival within the horizon") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // The unbounded-ingest form of create-only: state for a key is
+    // dropped once the watermark passes, so duplicates INSIDE the
+    // horizon dedup while state stays O(watermark x rate).
+    val input = MemoryStream[Ev]
+    input.addData(Seq(
+      Ev(1L, 10L, new Timestamp(1000), "click", 1.0),
+      Ev(1L, 11L, new Timestamp(2000), "click", 99.0))) // dup within horizon
+    val deduped = input.toDF()
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = deduped.writeStream
+      .format("memory").queryName("wm_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("wm_dedup").as[Ev].collect()
+    assert(got.length === 1 && got.head.value === 1.0,
+      s"expected the first arrival to win within the watermark horizon: ${got.toSeq}")
+  }
+
   test("watermarked stream-stream attribution join matches the batch interval join") {
     val sparkS = spark
     import sparkS.implicits._
