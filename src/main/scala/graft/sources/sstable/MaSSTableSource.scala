@@ -122,7 +122,12 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
         throw new IllegalArgumentException("columns option required")),
       options.getOrElse("minTimestamp", "0").toLong,
       options.getOrElse("minTtl", "0").toLong,
-      required.fieldNames)
+      required.fieldNames,
+      // Ship the SESSION's hadoop conf to executors (a fresh
+      // Configuration() would drop filesystem credentials/settings
+      // for anything beyond local paths).
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private[sstable] case class MaInputPartition(file: String) extends InputPartition
@@ -131,7 +136,9 @@ private[sstable] class MaReaderFactory(
     columnsSpec: String,
     minTimestamp: Long,
     minTtl: Long,
-    requiredFields: Array[String]) extends PartitionReaderFactory {
+    requiredFields: Array[String],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[MaInputPartition].file
@@ -141,7 +148,7 @@ private[sstable] class MaReaderFactory(
     }
     new PartitionReader[InternalRow] {
       private val path = new Path(file)
-      private val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val fs = path.getFileSystem(hadoopConf.value)
       private val raw = fs.open(path)
       // A sibling CompressionInfo.db means the Data.db is
       // chunk-compressed (the Cassandra default) — layer the block
