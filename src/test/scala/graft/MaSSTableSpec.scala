@@ -436,6 +436,32 @@ class MaSSTableSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized payloads round-trip through the chunk layer at odd sizes") {
+    val rng = new scala.util.Random(424242L)
+    (1 to 20).foreach { trial =>
+      // Sizes chosen to hit: sub-chunk, exact-multiple, and ragged-tail
+      // payloads; bytes include full 0-255 range (not just ASCII).
+      val size = Seq(1, 512, 1024, 1025, 4096, 10000)(trial % 6) + rng.nextInt(64)
+      val payload = Array.fill(size)(rng.nextInt(256).toByte)
+      val codec = Seq("LZ4Compressor", "DeflateCompressor", "SnappyCompressor")(trial % 3)
+      val chunkLen = Seq(512, 1024, 1 << 16)(trial % 3)
+      val dir = Files.createTempDirectory("chunk-prop")
+      writeCompressed(dir, "mc-1-big", payload, codec, chunkLen)
+      val ciIn = Files.newInputStream(dir.resolve("mc-1-big-CompressionInfo.db"))
+      val info = try graft.sources.sstable.CompressedBlocks.readCompressionInfo(ciIn)
+        finally ciIn.close()
+      val dataBytes = Files.readAllBytes(dir.resolve("mc-1-big-Data.db"))
+      val in = new graft.sources.sstable.CompressedBlocks.ChunkedInputStream(
+        new ByteArrayInputStream(dataBytes), info, dataBytes.length)
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](1 + rng.nextInt(700)) // odd read sizes
+      var n = in.read(buf, 0, buf.length)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf, 0, buf.length) }
+      assert(java.util.Arrays.equals(out.toByteArray, payload),
+        s"trial $trial ($codec, chunk $chunkLen, size $size) corrupted")
+    }
+  }
+
   test("corrupted compressed chunk fails its checksum loudly") {
     val e = new Enc
     e.partitionHeader("k")
