@@ -76,7 +76,13 @@ object Kv {
         col("key"), col("col"),
         timestamp_micros(col("ts")).as("ts"),
         col("ts").as("seq"),
-        col("value"), col("ttl_s"), col("counter"))
+        col("value"), col("ttl_s"), col("counter"),
+        // Cell-level tombstones (IS_DELETED_MASK) ride the bag so LWW
+        // can pick them as the winning version; the consumer then DROPS
+        // deleted winners (the reference skips deleted cells at export,
+        // CassandraParser.cpp:481 `!nextColumn.deleted`) — keeping them
+        // in the merge is what makes them suppress older live values.
+        col("deleted"))
     val markers = raw.filter(col("deletion_ts").isNotNull)
       .select(
         col("key"), lit(TombstoneCol).as("col"),
@@ -84,7 +90,8 @@ object Kv {
         col("deletion_ts").as("seq"),
         lit(null).cast("binary").as("value"),
         lit(null).cast("long").as("ttl_s"),
-        lit(false).as("counter"))
+        lit(false).as("counter"),
+        lit(true).as("deleted"))
     data.unionAll(markers)
   }
 
@@ -198,22 +205,36 @@ object Kv {
     val merged = lww(applyRowTombstones(
       bags.reduce(_ unionAll _)
         .transform(df => resumeKey.fold(df)(k => df.filter(col("key") >= k)))))
-    // Record frame for the sink: expiry from the cell TTL when present.
-    val records = merged
+    // A cell whose WINNING version is a cell-tombstone is dead — the
+    // reference drops it at export and counts it skipped
+    // (CassandraParser.cpp:481,524); exporting the null-valued winner
+    // would resurrect deleted data in the target.
+    def records(df: DataFrame): DataFrame = df
+      .filter(!col("deleted"))
       .withColumn("expiry_us",
         when(col("ttl_s").isNotNull,
           unix_micros(col("ts")) + col("ttl_s") * 1000000L))
       .withColumn("ttl_us", coalesce(col("ttl_s") * 1000000L, lit(0L)))
-      .drop("ttl_s", "counter")
+      .drop("ttl_s", "counter", "deleted")
     if (dryRun)
-      Left(records
+      Left(records(merged)
         .withColumn("cell_text",
           concat(col("col"), lit("="), coalesce(col("value").cast("string"), lit(""))))
         .withColumn("cell_hex", lower(hex(col("cell_text"))))
         .select(col("key"), col("col"), col("cell_text"), col("cell_hex"), col("expiry_us"))
         .orderBy(col("key"), col("col")))
-    else
-      Right(graft.sinks.KeyedSink.createOnlyAppend(spark, records, targetPath, policy))
+    else {
+      // Persist the merge output (one row per surviving (key, col) —
+      // small relative to the input cells) so the deleted-winner count
+      // and the sink's stats+write actions share one materialization.
+      val cached = merged.persist()
+      try {
+        val deletedDropped = cached.filter(col("deleted")).count()
+        val stats = graft.sinks.KeyedSink.createOnlyAppend(
+          spark, records(cached), targetPath, policy)
+        Right(stats.copy(deletedDropped = deletedDropped))
+      } finally cached.unpersist()
+    }
   }
 
   /** #1 kv_lww_latest */
@@ -292,8 +313,9 @@ object Kv {
 
   /** #8 kv_resume_scan: token-ordered scan resumed from a start key —
     * the Spark form of `-s <key>` + Summary/Index seek: a token-range
-    * filter that prunes at the scan, then token order. Rows-only check
-    * (the token function has no SQL oracle). */
+    * filter that prunes at the scan, then token order. DuckDB-oracled:
+    * the sign-bug Murmur3 token is reproduced in closed-form SQL
+    * (64-bit wrap arithmetic via MATERIALIZED CTEs, SparkEntry). */
   def resumeScan(spark: SparkSession, dir: String): DataFrame = {
     val startKey = "42"
     val startToken = graft.functions.CassandraMurmur3.token(

@@ -27,7 +27,11 @@ object KeyedSink {
   /** Per-run statistics, matching the reference's end-of-run printf
     * (Cassandra2Aerospike.cpp do_transfer). */
   case class WriteStats(
-      incoming: Long, written: Long, skippedExisting: Long, expired: Long)
+      incoming: Long, written: Long, skippedExisting: Long, expired: Long,
+      // Cells whose winning version was a cell-tombstone, dropped before
+      // export (the reference's skipped-deleted counter,
+      // CassandraParser.cpp:524). Populated by Kv.migrate, not the sink.
+      deletedDropped: Long = 0L)
 
   case class TtlPolicy(
       minTtlUs: Long = 0L,

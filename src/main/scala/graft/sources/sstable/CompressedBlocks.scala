@@ -53,16 +53,20 @@ object CompressedBlocks {
   }
 
   /** Sequential read of a chunked-compressed Data.db: decompress chunk
-    * by chunk, verifying the 4-byte checksum over the COMPRESSED bytes
-    * (the "ma" generation checksums before decompression; CRC32 by
-    * default, Adler32 for older tables). `dataLen` is the compressed
-    * file's total length (read_bytes' end_of_read for the last chunk).
+    * by chunk, verifying the 4-byte checksum. The checksum REGIME is
+    * version-dependent (SSTable.cpp:102-104, Buffer.cpp:346-364):
+    * "jb"-and-later checksum the COMPRESSED bytes (before
+    * decompression) — Adler32 for jb..la, CRC32 for "ma"+ — while
+    * pre-"jb" tables checksum the UNCOMPRESSED bytes with CRC32.
+    * `dataLen` is the compressed file's total length (read_bytes'
+    * end_of_read for the last chunk).
     */
   final class ChunkedInputStream(
       data: InputStream,
       info: CompressionInfo,
       dataLen: Long,
-      useCrc32: Boolean = true) extends InputStream {
+      useCrc32: Boolean = true,
+      checksumCompressed: Boolean = true) extends InputStream {
 
     private val din = new DataInputStream(data)
     private var chunkIdx = 0
@@ -72,9 +76,9 @@ object CompressedBlocks {
 
     private val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
 
-    private def verifyChecksum(compressed: Array[Byte], stored: Int): Unit = {
+    private def verifyChecksum(bytes: Array[Byte], stored: Int): Unit = {
       val sum = if (useCrc32) new CRC32() else new Adler32()
-      sum.update(compressed, 0, compressed.length)
+      sum.update(bytes, 0, bytes.length)
       val got = sum.getValue.toInt
       require(got == stored,
         f"chunk $chunkIdx checksum mismatch: stored 0x$stored%08x computed 0x$got%08x")
@@ -109,7 +113,7 @@ object CompressedBlocks {
       val compressed = new Array[Byte](compressedSize)
       din.readFully(compressed)
       val storedChecksum = din.readInt()
-      verifyChecksum(compressed, storedChecksum)
+      if (checksumCompressed) verifyChecksum(compressed, storedChecksum)
       val expectedOut = math.min(info.chunkLen.toLong,
         info.uncompressedLen - produced).toInt
       buf = decompress(compressed, expectedOut)
@@ -118,6 +122,9 @@ object CompressedBlocks {
       // The final chunk may be padded to chunkLen by some writers; only
       // the bytes inside uncompressed_len are real.
       if (buf.length > expectedOut) buf = buf.take(expectedOut)
+      // Pre-"jb" regime: the stored checksum covers the UNCOMPRESSED
+      // (real-length) chunk bytes (Buffer.cpp:356-364).
+      if (!checksumCompressed) verifyChecksum(buf, storedChecksum)
       bufPos = 0
       chunkIdx += 1
       true

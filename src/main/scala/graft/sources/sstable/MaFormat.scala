@@ -7,15 +7,18 @@ import java.io.{DataInputStream, EOFException, InputStream}
   * read_row :505, read_normal_row :572, read_column :622,
   * read_column_data :688; vint decode Buffer.cpp read_unsigned_vint).
   *
-  * Scope (the engine's owned subset, see SURVEY §3): UNCOMPRESSED
-  * Data.db streams, regular columns only — no clustering columns, no
-  * static rows, no complex (collection) cells, no compression blocks or
-  * checksums (those wrap the stream; a production source would layer
-  * CompressionInfo.db block decode under this same decoder). Range
-  * tombstone markers are decoded in their clustering-less form.
+  * Scope (the engine's owned subset, see SURVEY §3): "ma"+ Data.db
+  * streams, plain or chunk-compressed ([[CompressedBlocks]] layers the
+  * block decode + checksum verify underneath), plus the legacy
+  * "ja"/"ka" cell framing ([[KaReader]]). Clustering columns and
+  * static rows are handled as in the reference: clustering VALUES are
+  * parsed and skipped (SSTable.cpp:489 — "not currently in use"),
+  * clustering-bound range-tombstone markers are decoded, and static
+  * rows read the static-column schema. Complex (collection) cells are
+  * not supported.
   *
-  * Everything the KV semantics need survives the cut: partition
-  * deletion, row deletion, cell tombstones, expiring cells with
+  * Everything the KV semantics need is decoded: partition deletion,
+  * row deletion, cell tombstones, counter cells, expiring cells with
   * row-shared or per-cell TTL, row-shared or per-cell timestamps,
   * min-timestamp/min-TTL delta encoding, and the column-subset
   * bitmask.
@@ -87,12 +90,20 @@ object MaFormat {
       marker: Boolean,
       counter: Boolean = false)
 
-  /** Streaming reader state over a DataInputStream. */
+  /** Streaming reader state over a DataInputStream.
+    *
+    * `clustering` lists the clustering-key column TYPES in schema order
+    * (names are never needed — values are skipped, SSTableSchema.cpp:131
+    * parses only the formats); `staticColumns` is the static-row column
+    * schema (SSTableSchema.cpp:134), read in place of the regular
+    * columns when a row carries the IS_STATIC extended flag. */
   final class Reader(
       in: InputStream,
       columns: Seq[(String, ColType)],
       minTimestamp: Long,
-      minTtl: Long) extends Iterator[MaCell] {
+      minTtl: Long,
+      clustering: Seq[ColType] = Nil,
+      staticColumns: Seq[(String, ColType)] = Nil) extends Iterator[MaCell] {
 
     private val din = new DataInputStream(in)
     private var atEndOfPartition = true
@@ -152,11 +163,50 @@ object MaFormat {
       }
     }
 
-    /** read_marker (SSTable.cpp:540), clustering-less form. */
-    private def readMarker(): MaCell = {
+    /** read_clustering_columns (SSTable.cpp:487-503): one vint header
+      * per block of up to 32 clustering values, two bits per value
+      * (null / empty); a 00 bit-pair means value bytes follow — skip
+      * them per the clustering column's size rule (vint-prefixed for
+      * text-like types, fixed otherwise). `n` is the value count: the
+      * full clustering size for rows, the bound's prefix length for
+      * markers. Values are parsed and DISCARDED, as in the reference.
+      * (Two deliberate deviations from the reference, both toward the
+      * actual wire format: the reference masks with an int-typed
+      * `3 << shift`, undefined past 16 columns per block — `3L` keeps
+      * the intended 2-bit lanes for all 32; and its inner-loop limit is
+      * the FULL schema clustering size even for a shorter marker bound,
+      * which would mis-read bit-lanes the bound's header never encodes —
+      * the writer emits header bits only for the bound's own `n`
+      * values, so the limit here is `min(n, c + 32)`.) */
+    private def readClusteringValues(n: Int): Unit = {
+      require(n <= clustering.size,
+        s"row carries $n clustering values but schema declares ${clustering.size} " +
+          "(pass the clustering option)")
+      var c = 0
+      while (c < n) {
+        val header = readUnsignedVint()
+        val limit = math.min(n, c + 32)
+        var shift = 0
+        while (c < limit) {
+          if ((header & (3L << shift)) == 0) {
+            val size = clustering(c).fixedSize match {
+              case -1 => readUnsignedVint().toInt
+              case s => s
+            }
+            skip(size)
+          }
+          c += 1
+          shift += 2
+        }
+      }
+    }
+
+    /** read_marker (SSTable.cpp:540): clustering-bound markers parse
+      * (and discard) their bound prefix like any clustering block. */
+    private def readMarker(isStatic: Boolean): MaCell = {
       val tpe = readByte()
       val size = readShort()
-      require(size == 0, s"clustering-bound markers unsupported (size=$size)")
+      if (!isStatic) readClusteringValues(size)
       readUnsignedVint() // row size
       readUnsignedVint() // previous unfiltered size
       val markedForDeletion = readLongLong()
@@ -168,8 +218,12 @@ object MaFormat {
         deletionTs = markedForDeletion, marker = true)
     }
 
-    /** read_normal_row + the full cell loop (SSTable.cpp:572-705). */
-    private def readNormalRow(flags: Int): List[MaCell] = {
+    /** read_normal_row + the full cell loop (SSTable.cpp:572-705).
+      * Static rows (IS_STATIC extended flag) carry no clustering block
+      * and read the static-column schema (SSTable.cpp:575-577,605). */
+    private def readNormalRow(flags: Int, isStatic: Boolean): List[MaCell] = {
+      if (!isStatic) readClusteringValues(clustering.size)
+      val cols = if (isStatic) staticColumns else columns
       readUnsignedVint() // row size
       readUnsignedVint() // previous unfiltered size
 
@@ -190,14 +244,14 @@ object MaFormat {
         } else partitionDeletion
 
       val present =
-        if ((flags & HAS_ALL_COLUMNS) != 0) Array.fill(columns.size)(true)
-        else readColumnSubset(columns.size)
+        if ((flags & HAS_ALL_COLUMNS) != 0) Array.fill(cols.size)(true)
+        else readColumnSubset(cols.size)
 
       val out = List.newBuilder[MaCell]
       var i = 0
-      while (i < columns.size) {
+      while (i < cols.size) {
         if (present(i)) {
-          val (name, tpe) = columns(i)
+          val (name, tpe) = cols(i)
           val cellFlags = readByte()
           val ts =
             if ((cellFlags & USE_ROW_TIMESTAMP_MASK) != 0) rowTs
@@ -219,8 +273,11 @@ object MaFormat {
                 else readUnsignedVint().toInt
               readBytes(size)
             } else null
+          // Counter columns keep their flag so Kv routes them to
+          // SUM-merge instead of LWW (SSTableSchema.cpp counter type;
+          // the legacy path derives the same flag from COUNTER_MASK).
           out += MaCell(key, name, ts, value, deleted, expiring, ttl,
-            rowDeletion, marker = false)
+            rowDeletion, marker = false, counter = tpe == CCounter)
         }
         i += 1
       }
@@ -253,10 +310,12 @@ object MaFormat {
           atEndOfPartition = true
         } else {
           val extended = if ((flags & EXTENSION_FLAG) != 0) readByte() else 0
-          require((extended & IS_STATIC) == 0, "static rows unsupported")
+          val isStatic = (extended & IS_STATIC) != 0
+          if (isStatic) require(staticColumns.nonEmpty,
+            "static row but no staticColumns schema (pass the staticColumns option)")
           pending =
-            if ((flags & IS_MARKER) != 0) List(readMarker())
-            else readNormalRow(flags)
+            if ((flags & IS_MARKER) != 0) List(readMarker(isStatic))
+            else readNormalRow(flags, isStatic)
         }
       }
     }

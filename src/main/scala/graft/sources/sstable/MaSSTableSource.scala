@@ -20,6 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `path`: file or directory of `*-Data.db` files
   *  - `columns`: the regular-column schema, e.g. `"click:text,count:long"`
   *    (the reference reads this from table metadata, SSTableSchema.cpp)
+  *  - `clustering`: clustering-key column TYPES in schema order, e.g.
+  *    `"text,int32"` — values are parsed and skipped per row exactly as
+  *    the reference does (SSTable.cpp:487 read_clustering_columns);
+  *    required for any table with clustering keys
+  *  - `staticColumns`: the static-row column schema (same shape as
+  *    `columns`); required if the table has static columns
   *  - `minTimestamp`, `minTtl`: the Statistics.db delta-encoding bases
   *
   * Scale shape: each Data.db file is one InputPartition (SSTables are
@@ -120,6 +126,8 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     new MaReaderFactory(
       options.getOrElse("columns",
         throw new IllegalArgumentException("columns option required")),
+      options.getOrElse("clustering", ""),
+      options.getOrElse("staticColumns", ""),
       options.getOrElse("minTimestamp", "0").toLong,
       options.getOrElse("minTtl", "0").toLong,
       required.fieldNames,
@@ -134,18 +142,28 @@ private[sstable] case class MaInputPartition(file: String) extends InputPartitio
 
 private[sstable] class MaReaderFactory(
     columnsSpec: String,
+    clusteringSpec: String,
+    staticSpec: String,
     minTimestamp: Long,
     minTtl: Long,
     requiredFields: Array[String],
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[MaInputPartition].file
-    val columns = columnsSpec.split(",").toSeq.map { s =>
+  private def parseColumns(spec: String): Seq[(String, MaFormat.ColType)] =
+    if (spec.trim.isEmpty) Nil
+    else spec.split(",").toSeq.map { s =>
       val Array(n, t) = s.trim.split(":")
       (n, MaFormat.colType(t))
     }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[MaInputPartition].file
+    val columns = parseColumns(columnsSpec)
+    val clustering =
+      if (clusteringSpec.trim.isEmpty) Nil
+      else clusteringSpec.split(",").toSeq.map(t => MaFormat.colType(t.trim))
+    val staticColumns = parseColumns(staticSpec)
     new PartitionReader[InternalRow] {
       private val path = new Path(file)
       private val fs = path.getFileSystem(hadoopConf.value)
@@ -155,16 +173,24 @@ private[sstable] class MaReaderFactory(
       // decoder under the format reader transparently.
       private val ciPath = new Path(
         file.stripSuffix("Data.db") + "CompressionInfo.db")
+      private val version = MaSSTableSource.versionOf(path.getName)
       private val in: java.io.InputStream =
         if (fs.exists(ciPath)) {
           val ciIn = fs.open(ciPath)
           val info = try CompressedBlocks.readCompressionInfo(ciIn) finally ciIn.close()
+          // Checksum regime per format version (SSTable.cpp:102-104):
+          // Adler32 over compressed bytes for jb..la, CRC32 over
+          // compressed bytes for ma+, CRC32 over UNCOMPRESSED bytes
+          // before jb.
           new CompressedBlocks.ChunkedInputStream(
-            raw, info, fs.getFileStatus(path).getLen)
+            raw, info, fs.getFileStatus(path).getLen,
+            useCrc32 = version >= "ma" || version < "jb",
+            checksumCompressed = version >= "jb")
         } else raw
       private val cells: Iterator[MaFormat.MaCell] =
-        if (MaSSTableSource.versionOf(path.getName) >= "ma")
-          new MaFormat.Reader(in, columns, minTimestamp, minTtl)
+        if (version >= "ma")
+          new MaFormat.Reader(in, columns, minTimestamp, minTtl,
+            clustering, staticColumns)
         else new MaFormat.KaReader(in)
       private var current: MaFormat.MaCell = _
 

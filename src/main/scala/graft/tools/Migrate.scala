@@ -71,7 +71,8 @@ object Migrate {
         println(s"[migrate] DRY RUN: ${rendered.count()} records would be written")
       case Right(stats) =>
         println(s"[migrate] incoming=${stats.incoming} written=${stats.written} " +
-          s"skipped_existing=${stats.skippedExisting} expired=${stats.expired}")
+          s"skipped_existing=${stats.skippedExisting} expired=${stats.expired} " +
+          s"deleted_dropped=${stats.deletedDropped}")
     }
     spark.stop()
   }

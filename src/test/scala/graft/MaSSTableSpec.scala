@@ -349,11 +349,15 @@ class MaSSTableSpec extends AnyFunSuite {
 
   /** Chunk-compress a Data.db payload + matching CompressionInfo.db
     * (independent of the reader: big-endian metadata, per-chunk 4-byte
-    * CRC32 over the compressed bytes, LZ4 chunks led by a 4-byte
-    * little-endian uncompressed length). */
+    * checksum, LZ4 chunks led by a 4-byte little-endian uncompressed
+    * length). `checksum` selects the version-dependent regime the
+    * reader must match (SSTable.cpp:102-104): "crc32-compressed"
+    * ("ma"+), "adler32-compressed" (jb..la), "crc32-uncompressed"
+    * (pre-jb). */
   private def writeCompressed(
       dir: java.nio.file.Path, prefix: String, payload: Array[Byte],
-      codecName: String, chunkLen: Int): Unit = {
+      codecName: String, chunkLen: Int,
+      checksum: String = "crc32-compressed"): Unit = {
     val chunks = payload.grouped(chunkLen).toSeq
     val dataOut = new ByteArrayOutputStream()
     val offsets = Seq.newBuilder[Long]
@@ -379,8 +383,12 @@ class MaSSTableSpec extends AnyFunSuite {
         case "SnappyCompressor" =>
           org.xerial.snappy.Snappy.compress(chunk)
       }
-      val crc = new java.util.zip.CRC32()
-      crc.update(compressed)
+      val crc: java.util.zip.Checksum = checksum match {
+        case "adler32-compressed" => new java.util.zip.Adler32()
+        case _ => new java.util.zip.CRC32()
+      }
+      if (checksum == "crc32-uncompressed") crc.update(chunk)
+      else crc.update(compressed)
       offsets += pos
       dataOut.write(compressed)
       val c = crc.getValue.toInt
@@ -484,6 +492,279 @@ class MaSSTableSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("checksum mismatch")),
       s"expected checksum failure, got: ${messages(ex).mkString(" | ")}")
+  }
+
+  // ---- clustering columns, static rows, counter columns -------------
+
+  /** Encode a clustering-value block (SSTable.cpp:487-503's wire shape):
+    * per run of up to 32 values one vint header with a 2-bit lane per
+    * value (0 = bytes follow, 1 = null, 2 = empty), then the present
+    * values — vint-length-prefixed for text-like types, fixed width
+    * otherwise. `values`: None = absent (lane 1), Some(bytes, fixed). */
+  private def clusteringBlock(e: Enc, values: Seq[Option[(Array[Byte], Boolean)]]): Unit =
+    values.grouped(32).foreach { group =>
+      var header = 0L
+      group.zipWithIndex.foreach { case (v, i) =>
+        if (v.isEmpty) header |= 1L << (2 * i)
+      }
+      e.vint(header)
+      group.foreach {
+        case Some((bytes, fixed)) =>
+          if (!fixed) e.vint(bytes.length.toLong)
+          e.bytes(bytes)
+        case None => ()
+      }
+    }
+
+  test("clustering values are parsed and skipped; cells decode unchanged") {
+    val e = new Enc
+    e.partitionHeader("ck-1")
+    // Row 1: clustering (text "2024-01", int32 7), then both columns.
+    e.byte(0x04 | 0x20)
+    clusteringBlock(e, Seq(
+      Some(("2024-01".getBytes(UTF_8), false)),
+      Some((Array[Byte](0, 0, 0, 7), true))))
+    e.vint(0).vint(0).vint(1000)
+    e.byte(0x08).vint(5).bytes("way-1".getBytes(UTF_8))
+    e.byte(0x08).bytes(longBytes(7L))
+    // Row 2: one clustering value null, the other present.
+    e.byte(0x04 | 0x20)
+    clusteringBlock(e, Seq(None, Some((Array[Byte](0, 0, 0, 9), true))))
+    e.vint(0).vint(0).vint(2000)
+    e.byte(0x08).vint(2).bytes("v2".getBytes(UTF_8))
+    e.byte(0x08).bytes(longBytes(9L))
+    e.endOfPartition()
+
+    val cells = new MaFormat.Reader(new ByteArrayInputStream(e.result),
+      Cols, 0, 0, clustering = Seq(CText, CInt32)).toList
+    assert(cells.map(c => (c.col, c.ts)) ===
+      List(("click", 1000L), ("nclicks", 1000L), ("click", 2000L), ("nclicks", 2000L)))
+    assert(new String(cells.head.value, UTF_8) === "way-1")
+    assert(new String(cells(2).value, UTF_8) === "v2")
+  }
+
+  test("clustering blocks beyond 32 values use one header per 32-lane run") {
+    val n = 40 // 2 header blocks: 32 + 8 lanes
+    val types = Seq.fill(n)(CInt32)
+    val rng = new scala.util.Random(7L)
+    val values = (0 until n).map { i =>
+      if (rng.nextBoolean()) Some((Array[Byte](0, 0, 0, i.toByte), true)) else None
+    }
+    val e = new Enc
+    e.partitionHeader("wide")
+    e.byte(0x04 | 0x20)
+    clusteringBlock(e, values)
+    e.vint(0).vint(0).vint(500)
+    e.byte(0x08).vint(1).bytes("x".getBytes(UTF_8))
+    e.byte(0x08).bytes(longBytes(1L))
+    e.endOfPartition()
+    val cells = new MaFormat.Reader(new ByteArrayInputStream(e.result),
+      Cols, 0, 0, clustering = types).toList
+    assert(cells.map(_.col) === List("click", "nclicks"))
+    assert(cells.forall(_.ts === 500L), "stream desynced across the 2-block header")
+  }
+
+  test("clustering-bound range-tombstone markers decode their bound prefix") {
+    val e = new Enc
+    e.partitionHeader("ck-2")
+    // INCL_START marker bound on a 1-value prefix of the 2-column key.
+    e.byte(0x02)
+      .byte(0)   // marker type
+      .short(1)  // bound prefix length
+    clusteringBlock(e, Seq(Some(("2024-02".getBytes(UTF_8), false))))
+    e.vint(0).vint(0)
+    e.longlong(9000L)
+    e.out.writeInt(0) // local deletion time
+    // A following normal row must still decode (stream stayed in sync).
+    e.byte(0x04 | 0x20)
+    clusteringBlock(e, Seq(
+      Some(("2024-03".getBytes(UTF_8), false)),
+      Some((Array[Byte](0, 0, 0, 1), true))))
+    e.vint(0).vint(0).vint(9500)
+    e.byte(0x08).vint(1).bytes("a".getBytes(UTF_8))
+    e.byte(0x08).bytes(longBytes(2L))
+    e.endOfPartition()
+
+    val cells = new MaFormat.Reader(new ByteArrayInputStream(e.result),
+      Cols, 0, 0, clustering = Seq(CText, CInt32)).toList
+    val Seq(m, c1, c2) = cells.toSeq
+    assert(m.marker && m.deletionTs === 9000L)
+    assert(c1.ts === 9500L && c2.ts === 9500L)
+  }
+
+  test("static rows read the static-column schema, no clustering block") {
+    val e = new Enc
+    e.partitionHeader("st-1")
+    // Static row: EXTENSION_FLAG + extended IS_STATIC; static schema is
+    // a single long column.
+    e.byte(0x80 | 0x04 | 0x20)
+      .byte(0x01) // extended flags: IS_STATIC
+      .vint(0).vint(0).vint(100)
+    e.byte(0x08).bytes(longBytes(77L))
+    // Regular row WITH a clustering value follows.
+    e.byte(0x04 | 0x20)
+    clusteringBlock(e, Seq(Some(("c1".getBytes(UTF_8), false))))
+    e.vint(0).vint(0).vint(200)
+    e.byte(0x08).vint(1).bytes("v".getBytes(UTF_8))
+    e.byte(0x08).bytes(longBytes(5L))
+    e.endOfPartition()
+
+    val cells = new MaFormat.Reader(new ByteArrayInputStream(e.result),
+      Cols, 0, 0, clustering = Seq(CText),
+      staticColumns = Seq("total" -> CLong)).toList
+    val Seq(st, c1, c2) = cells.toSeq
+    assert(st.col === "total" && st.ts === 100L &&
+      java.nio.ByteBuffer.wrap(st.value).getLong === 77L)
+    assert(c1.col === "click" && c1.ts === 200L)
+    assert(c2.col === "nclicks" && c2.ts === 200L)
+  }
+
+  test("static row without a staticColumns schema fails loudly") {
+    val e = new Enc
+    e.partitionHeader("st-2")
+    e.byte(0x80).byte(0x01).vint(0).vint(0).vint(0)
+    e.endOfPartition()
+    val ex = intercept[IllegalArgumentException] {
+      new MaFormat.Reader(new ByteArrayInputStream(e.result), Cols, 0, 0).toList
+    }
+    assert(ex.getMessage.contains("staticColumns"))
+  }
+
+  test("clustering tables read through the DataSource with the clustering option") {
+    val dir = Files.createTempDirectory("ma-clustering")
+    val e = new Enc
+    (1 to 5).foreach { i =>
+      e.partitionHeader(s"u$i")
+      e.byte(0x04 | 0x20)
+      clusteringBlock(e, Seq(Some((s"ck-$i".getBytes(UTF_8), false))))
+      e.vint(0).vint(0).vint(i.toLong * 10)
+      e.byte(0x08).vint(2).bytes(s"v$i".getBytes(UTF_8))
+      e.byte(0x08).bytes(longBytes(i.toLong))
+      e.endOfPartition()
+    }
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    val df = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString)
+      .option("columns", ColsSpec)
+      .option("clustering", "text")
+      .load()
+    assert(df.count() === 10)
+    val good = df.select(col("key"), col("col"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(good === (1 to 5).flatMap(i =>
+      Seq(("u" + i, "click", i * 10L), ("u" + i, "nclicks", i * 10L))).toSet)
+    // Without the option the same file must NOT silently decode to the
+    // correct cells — the clustering block desyncs the stream (throws,
+    // or decodes garbage that cannot equal the true result).
+    val bad = scala.util.Try {
+      spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", dir.toString).option("columns", ColsSpec)
+        .load().select(col("key"), col("col"), col("ts")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    }
+    assert(bad.isFailure || bad.get != good)
+  }
+
+  test("ma counter columns carry the counter flag and SUM-merge, not LWW") {
+    val dir = Files.createTempDirectory("ma-counter")
+    // Two generations, each contributing a counter shard to key c1
+    // (counter values are vint-length-prefixed per the counter type).
+    (1 to 2).foreach { gen =>
+      val e = new Enc
+      e.partitionHeader("c1")
+      e.byte(0x04 | 0x20).vint(0).vint(0).vint(gen.toLong * 100)
+      e.byte(0x08).vint(8).bytes(longBytes(gen.toLong * 10))
+      e.endOfPartition()
+      Files.write(dir.resolve(s"mc-$gen-big-Data.db"), e.result)
+    }
+    val raw = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString)
+      .option("columns", "hits:counter")
+      .load()
+    assert(raw.collect().forall(_.getAs[Boolean]("counter")),
+      "counter-typed ma cells must carry counter = true")
+    // Kv routing: counter cells aggregate by SUM across generations
+    // (Kv.counterMerge semantics), not last-write-wins.
+    val summed = graft.kv.Kv.cellsFromSSTables(spark, dir.toString, "hits:counter")
+      .filter(col("counter"))
+      .withColumn("shard",
+        expr("cast(conv(hex(value), 16, 10) as long)"))
+      .groupBy(col("key"), col("col"))
+      .agg(sum(col("shard")).as("counter_value"), max(col("ts")).as("last_write"))
+      .collect()
+    assert(summed.length === 1)
+    assert(summed.head.getAs[Long]("counter_value") === 30L,
+      "counter shards must SUM (10 + 20), not LWW")
+  }
+
+  test("legacy compressed SSTables use their version's checksum regime") {
+    def payloadFor(key: String): Array[Byte] = {
+      val e = new KaEnc
+      e.partition(key)
+      e.cell("click", 1000L, "v".getBytes(UTF_8))
+      e.endRow()
+      e.result
+    }
+    // ka (jb <= v < ma): Adler32 over the COMPRESSED bytes.
+    val kaDir = Files.createTempDirectory("ka-compressed")
+    writeCompressed(kaDir, "ks-tbl-ka-1", payloadFor("ak"), "LZ4Compressor",
+      chunkLen = 1024, checksum = "adler32-compressed")
+    val kaDf = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", kaDir.toString).option("columns", ColsSpec).load()
+    assert(kaDf.collect().map(_.getAs[String]("key")).toSeq === Seq("ak"))
+    // ja (< jb): CRC32 over the UNCOMPRESSED chunk bytes.
+    val jaDir = Files.createTempDirectory("ja-compressed")
+    writeCompressed(jaDir, "ks-tbl-ja-1", payloadFor("aj"), "LZ4Compressor",
+      chunkLen = 1024, checksum = "crc32-uncompressed")
+    val jaDf = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", jaDir.toString).option("columns", ColsSpec).load()
+    assert(jaDf.collect().map(_.getAs[String]("key")).toSeq === Seq("aj"))
+    // Cross-check: the ka file under the ma regime (CRC32/compressed)
+    // must FAIL its checksum — the regimes are genuinely different.
+    val wrongDir = Files.createTempDirectory("wrong-regime")
+    writeCompressed(wrongDir, "mc-1-big", payloadFor("x"), "LZ4Compressor",
+      chunkLen = 1024, checksum = "adler32-compressed")
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", wrongDir.toString).option("columns", ColsSpec)
+        .load().count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("checksum mismatch")))
+  }
+
+  test("migrate drops cells whose winning version is a cell tombstone") {
+    val dir1 = Files.createTempDirectory("del-gen1")
+    val ka = new KaEnc
+    ka.partition("a1"); ka.cell("click", 100L, "old-a".getBytes(UTF_8)); ka.endRow()
+    ka.partition("b1"); ka.cell("click", 100L, "keep-b".getBytes(UTF_8)); ka.endRow()
+    Files.write(dir1.resolve("ks-tbl-ka-1-Data.db"), ka.result)
+    // Generation 2: a1's click is cell-DELETED at ts 200 (newer).
+    val dir2 = Files.createTempDirectory("del-gen2")
+    val ma = new Enc
+    ma.partitionHeader("a1")
+    ma.byte(0x20).vint(0).vint(0)
+    ma.byte(0x01 | 0x04).vint(200L).vint(0) // click: IS_DELETED, empty value
+    ma.byte(0x04).vint(200L)                // nclicks: empty value
+    ma.endOfPartition()
+    Files.write(dir2.resolve("mc-2-big-Data.db"), ma.result)
+
+    val target = Files.createTempDirectory("del-out").resolve("t").toString
+    val stats = graft.kv.Kv.migrate(spark, Seq(dir1.toString, dir2.toString),
+      ColsSpec, target).toOption.get
+    val out = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("col"))).toSet
+    assert(!out.contains(("a1", "click")),
+      "a deleted winner must NOT be exported (it would resurrect deleted data)")
+    assert(out.contains(("b1", "click")))
+    assert(stats.deletedDropped === 1L,
+      s"the dropped deleted winner must be counted: $stats")
+    // Dry-run renders the same survivor set.
+    val rendered = graft.kv.Kv.migrate(spark, Seq(dir1.toString, dir2.toString),
+      ColsSpec, targetPath = "", dryRun = true).swap.toOption.get
+    assert(!rendered.collect().exists(r =>
+      r.getString(0) == "a1" && r.getString(1) == "click"))
   }
 
   test("the reference's whole job end-to-end: mixed-format SSTables -> merge -> tombstones -> TTL -> create-only export") {
