@@ -43,9 +43,11 @@ object Bench {
         Left(jsonSafe(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"))
       }
     }
-    val results: Map[String, Either[String, Double]] = SparkEntry.queries.map {
-      case (name, fn) =>
-        val attempts = (1 to 3).map(_ => once(fn))
+    val raw: Map[String, Seq[Either[String, Double]]] = SparkEntry.queries.map {
+      case (name, fn) => name -> (1 to 3).map(_ => once(fn))
+    }
+    val results: Map[String, Either[String, Double]] = raw.map {
+      case (name, attempts) =>
         val times = attempts.collect { case Right(s) => s }
         name -> (if (times.size == attempts.size) Right(times.min)
                  else Left(attempts.collectFirst { case Left(e) => e }.get))
@@ -54,11 +56,21 @@ object Bench {
       case (k, Right(s)) => s"\"$k\":$s"
       case (k, Left(_))  => s"\"$k\":-1"
     }.mkString("{", ",", "}")
+    // Raw per-attempt wall times: min-of-3 damps load noise only when
+    // at least one attempt ran unloaded — publishing the attempts lets
+    // a reader see the variance instead of inferring a regression from
+    // a single loaded snapshot.
+    val attemptsJson = raw.map { case (k, atts) =>
+      s"\"$k\":" + atts.map {
+        case Right(s) => f"$s%.6f"
+        case Left(_) => "-1"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
     val total = results.values.collect { case Right(s) => s }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attemptsJson,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

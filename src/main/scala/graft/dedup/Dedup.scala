@@ -65,6 +65,29 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
+  /** Append a constant self-audit column to an approximate pair list:
+    * the fraction of the EXACT df-capped ngram pair set (the in-engine
+    * ground truth [[ngramJaccard]] already computes for the cluster
+    * step) that the approximate list recovered — the same pattern as
+    * the ANN recall@k columns, so a rows-only dump carries its own
+    * checkable quality number. One extra ngram pass (the standard
+    * offline audit; at 100 TB it runs over a sampled partition). The
+    * recall rides a GLOBAL window over the joined pair frame — pair
+    * lists are capped and tiny, so the single-task window is safe, and
+    * it avoids consuming either side twice. */
+  private def withPairRecall(approx: DataFrame, spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    approx.withColumn("_a", lit(1))
+      .join(exact.withColumn("_e", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+      .withColumn("recall_vs_exact",
+        sum(when(col("_e") === 1 && col("_a") === 1, 1.0).otherwise(0.0)).over(all) /
+          greatest(sum(when(col("_e") === 1, 1.0).otherwise(0.0)).over(all), lit(1.0)))
+      .filter(col("_a") === 1)
+      .drop("_a", "_e")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** #35 dedup_minhash_lsh: 3-word shingles → 128-hash MinHash signature
     * → 32 bands × 4 rows → bucket join → exact-Jaccard verify ≥ 0.5.
     * Band probability at j=0.9 is ≈ 1, at j=0.02 (the corpus noise
@@ -85,12 +108,11 @@ object Dedup {
 
     val cand = candidatesFromBands(banded, maxBucket = 200)
     val bySh = docs.select(col("doc_id"), col("sh"))
-    cand
+    withPairRecall(cand
       .join(bySh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(bySh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("jaccard") >= 0.5), spark, dir)
   }
 
   /** #36 dedup_simhash: 64-bit SimHash over 3-word shingles; candidates
@@ -109,13 +131,12 @@ object Dedup {
 
     val cand = candidatesFromBands(banded, maxBucket = 200)
     val byId = sigs.select(col("doc_id"), col("sig"))
-    cand
+    withPairRecall(cand
       .join(byId.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(byId.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         Sketches.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-      .filter(col("hamming") <= 7)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("hamming") <= 7), spark, dir)
   }
 
   /** #37 dedup_ngram_jaccard: EXACT pairwise Jaccard ≥ 0.5 over the
@@ -179,13 +200,14 @@ object Dedup {
     // the pair subtree twice (forward + swapped), and without the cache
     // the whole ngram pipeline would run once per branch. The pair
     // graph is orders of magnitude smaller than the corpus (bounded by
-    // the capped candidate generation), so the loop's frames are
-    // repartitioned small — per-iteration cost is job overhead, not
-    // data; a caller at larger pair volumes raises the partition count.
+    // the capped candidate generation), so it rides a FRACTION of the
+    // session's shuffle parallelism — derived from the conf, so a
+    // cluster-sized session scales the loop without a code change.
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    val edgeParts = math.max(2, spark.conf.get("spark.sql.shuffle.partitions").toInt / 8)
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(4)
+      .repartition(edgeParts)
       .persist()
     var cached = edges.select(col("doc_a").as("v")).distinct()
       .withColumn("label", col("v"))
@@ -194,41 +216,61 @@ object Dedup {
     try {
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 25) {
+      val maxIters = 25
+      while (changed > 0 && iter < maxIters) {
         val nbrMin = edges
           .join(labels.select(col("v").as("doc_b"), col("label")), "doc_b")
           .groupBy(col("doc_a").as("v"))
           .agg(min(col("label")).as("nbr_min"))
         // Single join carries old + new label so the convergence count
         // rides the same materialization instead of a second join.
-        val joined = labels
+        val joined0 = labels
           .join(nbrMin, Seq("v"), "left_outer")
           .select(col("v"), col("label").as("_old"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .persist()
+        // Every 5th round, truncate lineage with an eager local
+        // checkpoint (plan depth otherwise grows per iteration and
+        // analysis cost with it); other rounds just cache.
+        val joined =
+          if (iter % 5 == 4) joined0.localCheckpoint() else joined0.persist()
         changed = joined.filter(col("label") =!= col("_old")).count()
         cached.unpersist()
         cached = joined
         labels = joined.select(col("v"), col("label"))
         iter += 1
       }
+      // An unconverged exit would silently return WRONG cluster ids —
+      // fail loudly instead (a graph whose diameter beats the cap needs
+      // the large-star/small-star variant, not more iterations).
+      require(changed == 0,
+        s"cluster label propagation did not converge in $maxIters iterations " +
+          s"($changed labels still changing)")
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "label")
+      val result = labels.join(sizes, "label")
         .select(col("v").as("doc_id"), col("label").as("cluster_id"),
           col("cluster_size"))
         .orderBy(col("doc_id"))
-    } finally { edges.unpersist(); pairs.unpersist() }
+      // Materialize the (tiny) result once into a lineage-free local
+      // checkpoint so EVERY loop cache can be released before
+      // returning — consumers re-read the checkpoint, not the loop's
+      // cached frames. Without this the final iteration's cache had to
+      // stay resident for the caller, stranding one frame per call.
+      result.localCheckpoint()
+    } finally { cached.unpersist(); edges.unpersist(); pairs.unpersist() }
   }
 
   /** #37c dedup_survivors: the dedup pipeline's final step — drop every
     * clustered doc except its cluster's min-id survivor, keeping all
-    * unclustered docs. The non-survivor set is tiny relative to the
-    * corpus, so the anti-join broadcasts; the corpus itself never
-    * shuffles. Emits the surviving corpus as (doc_id, n_chars) plus a
-    * flag for whether the doc won a cluster (vs was never duplicated). */
+    * unclustered docs. The corpus never shuffles for the check: the
+    * dropped/winner sides carry NO forced broadcast hint — real web
+    * corpora run 30-50% duplicates, where a forced broadcast of the
+    * dropped-id set hits the broadcast wall; AQE/stats pick broadcast
+    * on their own whenever the set actually is small. Emits the
+    * surviving corpus as (doc_id, n_chars) plus a flag for whether the
+    * doc won a cluster (vs was never duplicated). */
   def survivors(spark: SparkSession, dir: String): DataFrame = {
-    // One clusters() call: its label frame is already materialized by
-    // the propagation loop, so both derived sides read the cache.
+    // One clusters() call: its result is a materialized local
+    // checkpoint, so both derived sides re-read that, not the pipeline.
     val cl = clusters(spark, dir)
     val dropped = cl.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(true).as("_dup"))
@@ -236,8 +278,8 @@ object Dedup {
       .select(col("doc_id"), lit(true).as("_won"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).as("n_chars"))
-      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
-      .join(broadcast(winners), Seq("doc_id"), "left_outer")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(winners, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("_won"), lit(false)).as("cluster_survivor"))
       .orderBy(col("doc_id"))
@@ -281,13 +323,41 @@ object Dedup {
       .select(col("vec_id"), col("cand_id"),
         Sketches.cosineSim(col("embedding"), col("cand_emb")).as("cos"))
 
-    pairs
+    val best = pairs
       .groupBy(col("vec_id"))
       .agg(
         countDistinct(col("cand_id")).as("n_candidates"),
         max(struct(col("cos"), col("cand_id"))).as("best"))
       .select(col("vec_id"), col("best.cand_id").as("best_match"),
         col("best.cos").as("best_cos"), col("n_candidates"))
+
+    // Sampled self-audit (the ANN-recall pattern for the rows-only
+    // gate): exact nearest neighbor for the first 100 vectors by
+    // brute-force cosine, then two constant columns — the fraction of
+    // sampled vectors whose LSH best-match IS the true NN, and the
+    // mean best-cos / true-NN-cos ratio (how close the bucket winner
+    // gets when it isn't the argmax). Sampling keeps the audit
+    // O(sample × corpus), the form that survives 100 TB.
+    val sampleQ = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val trueNn = emb
+      .join(broadcast(sampleQ), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("cos"), col("vec_id"))).as("nn"))
+      .select(col("q_id"), col("nn.vec_id").as("_true_nn"),
+        col("nn.cos").as("_true_cos"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    best
+      .join(broadcast(trueNn), col("vec_id") === col("q_id"), "left_outer")
+      .withColumn("nn_recall_sampled",
+        avg(when(col("_true_nn").isNotNull,
+          (col("best_match") === col("_true_nn")).cast("double"))).over(all))
+      .withColumn("nn_cos_ratio_sampled",
+        avg(when(col("_true_cos").isNotNull, col("best_cos") / col("_true_cos")))
+          .over(all))
+      .drop("q_id", "_true_nn", "_true_cos")
       .orderBy(col("vec_id"))
   }
 }

@@ -10,8 +10,12 @@ import graft.sources.Tables
 /** Relational/OLAP operator coverage (SURVEY.md §2.2) on the TPC-H-ish
   * star schema.
   *
-  * Scale notes: dimension tables (region/nation/supplier/part/customer)
-  * are explicitly broadcast; fact-fact joins shuffle on the join key and
+  * Scale notes: true dimension tables (region/nation/supplier/part) are
+  * explicitly broadcast; customer is FACT-SIZED (150k rows × SF in
+  * TPC-H), so it carries no hint — a forced broadcast is not demoted by
+  * AQE and would drive toward the broadcast wall / driver OOM at 100×,
+  * while AQE still picks a broadcast join on its own at small SF (the
+  * PlanSpec pins this). Fact-fact joins shuffle on the join key and
   * rely on AQE for skew handling; all filters are plain column
   * predicates so Catalyst pushes them into the parquet scan.
   */
@@ -40,7 +44,7 @@ object Relational {
     val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
     val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(pres(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
         .as("revenue"))
@@ -73,7 +77,7 @@ object Relational {
     val nat  = Tables.nation(spark, dir)
     val reg  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
                             col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -104,7 +108,7 @@ object Relational {
     val li  = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
     val nat = Tables.nation(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(pres(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
@@ -151,7 +155,7 @@ object Relational {
     val cust = Tables.customer(spark, dir)
     li.join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
                col("o_totalprice"))
       .agg(pres(dsum(col("l_quantity"), 2)).as("sum_qty"))

@@ -128,4 +128,41 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getLong(3) >= 1L)
     }
   }
+
+  test("approximate variants self-report recall against the exact pair set") {
+    // The rows-only dedup dumps carry their own checkable quality
+    // column (the ANN recall@k pattern): recall of the exact df-capped
+    // ngram pair set for the pair-list variants, sampled true-NN
+    // agreement for the embedding variant.
+    val mh = Dedup.minhashLsh(spark, sf).collect()
+    val mhRecall = mh.map(_.getDouble(3)).distinct
+    assert(mhRecall.length === 1, "recall is one global constant column")
+    assert(mhRecall.head >= 0.7, s"minhash recall_vs_exact: ${mhRecall.head}")
+
+    val sh = Dedup.simhash(spark, sf).collect()
+    val shRecall = sh.map(_.getDouble(3)).distinct
+    assert(shRecall.length === 1)
+    assert(shRecall.head >= 0.7, s"simhash recall_vs_exact: ${shRecall.head}")
+
+    val em = Dedup.embedding(spark, sf).collect()
+    val nnRecall = em.map(_.getDouble(4)).distinct
+    val cosRatio = em.map(_.getDouble(5)).distinct
+    assert(nnRecall.length === 1 && cosRatio.length === 1)
+    assert(nnRecall.head >= 0.0 && nnRecall.head <= 1.0)
+    assert(cosRatio.head >= 0.4 && cosRatio.head <= 1.0001,
+      s"embedding nn_cos_ratio_sampled: ${cosRatio.head}")
+  }
+
+  test("the dedup pipeline releases every cached frame it creates") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    spark.catalog.clearCache()
+    val out = Dedup.survivors(spark, sf)
+    assert(out.count() > 0)
+    // survivors() runs the whole chain: ngram pairs, the edge frame,
+    // and every label-propagation iteration persist — and must all be
+    // released before the result is handed back (the result itself is
+    // a lineage-free local checkpoint, not a cache entry).
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clusters/survivors stranded cached frames")
+  }
 }

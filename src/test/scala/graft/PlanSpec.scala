@@ -34,6 +34,26 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("customer joins broadcast unhinted at small SF (stats/AQE decide)") {
+    // customer carries no broadcast() hint — it is fact-sized at TPC-H
+    // scale and a forced hint is never demoted by AQE, so at 100× it
+    // would drive into the broadcast wall. This pins the other half of
+    // that decision: at sf0.001 the size stats still pick a broadcast
+    // join for customer on their own, so dropping the hint costs
+    // nothing locally while restoring the scale posture.
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q5_local_supplier")(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(finalPlan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("c_custkey")),
+      s"q5's customer join must still broadcast unhinted at sf0.001:\n$finalPlan")
+  }
+
   test("no accidental cartesian products anywhere") {
     // ann_bruteforce_topk is intentionally a broadcast nested-loop score
     // of corpus x queries; everything else must be equality-joined.
