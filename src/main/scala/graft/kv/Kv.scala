@@ -91,8 +91,38 @@ object Kv {
         lit(null).cast("binary").as("value"),
         lit(null).cast("long").as("ttl_s"),
         lit(false).as("counter"),
-        lit(true).as("deleted"))
-    data.unionAll(markers)
+        lit(true).as("deleted"),
+        // Legacy ka range tombstones carry their column bounds (start
+        // name in col, end name in value — MaFormat.KaReader preserves
+        // the pair); they suppress only columns INSIDE [start, end]
+        // (update_tombstones, CassandraParser.cpp:337-372). Whole-key
+        // markers (ma markers, partition/row deletions) carry nulls.
+        when(col("marker") && col("col").isNotNull, col("col")).as("range_start"),
+        when(col("marker") && col("col").isNotNull, col("value").cast("string")).as("range_end"))
+    data
+      .withColumn("range_start", lit(null).cast("string"))
+      .withColumn("range_end", lit(null).cast("string"))
+      .unionAll(markers)
+  }
+
+  /** Tombstone application for SSTable cell bags ([[cellsFromSSTables]]
+    * shape): every marker suppresses the cells of its key that are at
+    * or before its timestamp — bounded to the [range_start, range_end]
+    * column range when the marker is a legacy range tombstone, the
+    * whole key otherwise. An anti-join (key equality + residual
+    * condition), so several differently-bounded markers per key each
+    * apply; the marker side is tiny and AQE broadcasts it. */
+  def applyMarkerTombstones(cellBag: DataFrame): DataFrame = {
+    val markers = cellBag.filter(col("col") === TombstoneCol)
+      .select(col("key").as("_mk"), col("ts").as("_mts"),
+        col("range_start").as("_rs"), col("range_end").as("_re"))
+    cellBag
+      .filter(col("col") =!= TombstoneCol)
+      .join(markers,
+        col("key") === col("_mk") && col("ts") <= col("_mts") &&
+          (col("_rs").isNull || col("col").between(col("_rs"), col("_re"))),
+        "left_anti")
+      .drop("range_start", "range_end")
   }
 
   /** Split into k "SSTable generations" (deterministic, by sequence). */
@@ -202,7 +232,7 @@ object Kv {
       resumeKey: Option[String] = None,
       dryRun: Boolean = false): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
     val bags = sstableDirs.map(cellsFromSSTables(spark, _, columnsSpec))
-    val merged = lww(applyRowTombstones(
+    val merged = lww(applyMarkerTombstones(
       bags.reduce(_ unionAll _)
         .transform(df => resumeKey.fold(df)(k => df.filter(col("key") >= k)))))
     // A cell whose WINNING version is a cell-tombstone is dead — the

@@ -60,17 +60,24 @@ object CompressedBlocks {
     * pre-"jb" tables checksum the UNCOMPRESSED bytes with CRC32.
     * `dataLen` is the compressed file's total length (read_bytes'
     * end_of_read for the last chunk).
+    *
+    * `startChunk` supports mid-file starts for sub-file input splits:
+    * the CALLER seeks the underlying data stream to
+    * `info.offsets(startChunk)` first, and this stream then produces
+    * uncompressed bytes from offset `startChunk * chunkLen` — the
+    * chunk-granular seek the CompressionInfo offsets exist for.
     */
   final class ChunkedInputStream(
       data: InputStream,
       info: CompressionInfo,
       dataLen: Long,
       useCrc32: Boolean = true,
-      checksumCompressed: Boolean = true) extends InputStream {
+      checksumCompressed: Boolean = true,
+      startChunk: Int = 0) extends InputStream {
 
     private val din = new DataInputStream(data)
-    private var chunkIdx = 0
-    private var produced = 0L
+    private var chunkIdx = startChunk
+    private var produced = startChunk.toLong * info.chunkLen
     private var buf: Array[Byte] = Array.emptyByteArray
     private var bufPos = 0
 

@@ -71,6 +71,49 @@ object MaFormat {
   /** The no-TTL sentinel inside the decoder (reference uses u64 max). */
   private val NoTtl: Long = -1L
 
+  /** Cassandra unsigned vint (Buffer.cpp:read_unsigned_vint): the count
+    * of leading one bits in the first byte is the count of continuation
+    * bytes; remaining first-byte bits are the high bits of the
+    * big-endian value. Shared by the row decoder and the Index.db
+    * reader. */
+  private[sstable] def readUnsignedVintFrom(din: DataInputStream): Long = {
+    val first = din.readUnsignedByte()
+    if (first < 0x7f) return first.toLong
+    var extraBytes = 0
+    while (extraBytes < 8 && (first & (0x80 >> extraBytes)) != 0) extraBytes += 1
+    var v: Long = (first & (0xff >> extraBytes)).toLong
+    var i = 0
+    while (i < extraBytes) { v = (v << 8) | din.readUnsignedByte(); i += 1 }
+    v
+  }
+
+  /** Index.db positions (the seek source behind the reference's
+    * `-s`/`-S` Summary/Index resume, Cassandra2Aerospike.cpp): a
+    * sequence of (16-bit-length key, unsigned-vint data position,
+    * unsigned-vint promoted-index length, promoted bytes) entries.
+    * Only the positions are consumed — each is a partition-start
+    * offset in the UNCOMPRESSED Data.db stream, i.e. exactly the
+    * valid sub-file split points. */
+  def readIndexPositions(in: InputStream): Array[Long] = {
+    val din = new DataInputStream(in)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      while (true) {
+        val key = new Array[Byte](din.readUnsignedShort())
+        din.readFully(key)
+        val pos = readUnsignedVintFrom(din)
+        val promoted = readUnsignedVintFrom(din)
+        var skipped = 0L
+        while (skipped < promoted) {
+          val n = din.skipBytes(math.min(promoted - skipped, Int.MaxValue.toLong).toInt)
+          if (n <= 0) { din.readUnsignedByte(); skipped += 1 } else skipped += n
+        }
+        out += pos
+      }
+    } catch { case _: EOFException => () }
+    out.toArray
+  }
+
   /** One decoded unfiltered: a cell, or a range-tombstone marker.
     * "ma" markers carry col = null; "ka" range tombstones carry the
     * range START column name in col and the range END name bytes in
@@ -96,14 +139,21 @@ object MaFormat {
     * (names are never needed — values are skipped, SSTableSchema.cpp:131
     * parses only the formats); `staticColumns` is the static-row column
     * schema (SSTableSchema.cpp:134), read in place of the regular
-    * columns when a row carries the IS_STATIC extended flag. */
+    * columns when a row carries the IS_STATIC extended flag.
+    *
+    * `stopAfter` is consulted at every PARTITION boundary (before the
+    * next partition header is read): when it returns true the reader
+    * ends the stream — the hook sub-file input splits use to stop at
+    * their planned end offset without reading into the next split's
+    * partitions. */
   final class Reader(
       in: InputStream,
       columns: Seq[(String, ColType)],
       minTimestamp: Long,
       minTtl: Long,
       clustering: Seq[ColType] = Nil,
-      staticColumns: Seq[(String, ColType)] = Nil) extends Iterator[MaCell] {
+      staticColumns: Seq[(String, ColType)] = Nil,
+      stopAfter: () => Boolean = () => false) extends Iterator[MaCell] {
 
     private val din = new DataInputStream(in)
     private var atEndOfPartition = true
@@ -288,6 +338,7 @@ object MaFormat {
     private def advance(): Unit = {
       while (pending.isEmpty && !eof) {
         if (atEndOfPartition) {
+          if (stopAfter()) { eof = true; return }
           // Partition header: key, local deletion (skipped), deletion ts.
           val k = try readString() catch { case _: EOFException => eof = true; return }
           key = k
@@ -340,8 +391,11 @@ object MaFormat {
     * expiration) / counter / range-tombstone cells; composite column
     * names carry length-prefixed path elements that unwrap to their
     * final element. Pre-"ja" column-count framing (ancient) is not
-    * supported. Emits the same MaCell shape as the "ma" reader. */
-  final class KaReader(in: InputStream) extends Iterator[MaCell] {
+    * supported. Emits the same MaCell shape as the "ma" reader.
+    * `stopAfter` — see [[Reader]]. */
+  final class KaReader(
+      in: InputStream,
+      stopAfter: () => Boolean = () => false) extends Iterator[MaCell] {
 
     private val DELETION_MASK = 0x01
     private val EXPIRATION_MASK = 0x02
@@ -382,6 +436,7 @@ object MaFormat {
       nextCell = null
       while (nextCell == null && !eof) {
         if (!inPartition) {
+          if (stopAfter()) { eof = true; return }
           val k = try readString() catch { case _: EOFException => eof = true; return }
           key = k
           try {

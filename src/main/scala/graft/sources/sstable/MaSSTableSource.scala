@@ -27,15 +27,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `staticColumns`: the static-row column schema (same shape as
   *    `columns`); required if the table has static columns
   *  - `minTimestamp`, `minTtl`: the Statistics.db delta-encoding bases
+  *  - `splitBytes`: target UNCOMPRESSED bytes per input split (default
+  *    128 MiB). A Data.db with a sibling Index.db splits into multiple
+  *    InputPartitions at partition-start offsets taken from the index
+  *    (the reference's Summary/Index seek, Cassandra2Aerospike.cpp
+  *    `-s`/`-S`, reused as the split planner); compressed files seek
+  *    chunk-granularly via the CompressionInfo offsets. A file with no
+  *    Index.db stays one split — the format is a stream and has no
+  *    other safe cut points.
   *
-  * Scale shape: each Data.db file is one InputPartition (SSTables are
-  * independently streamable); a production source would additionally
-  * split large files at Index.db partition boundaries and push the
-  * token-range filter into the Summary seek — the resume-scan queries
-  * model that pruning on the relational side. Column pruning IS pushed
-  * down (SupportsPushDownRequiredColumns): a pruned-away value column
-  * still has to be skipped byte-wise (the format is a stream), but
-  * pruned rows never materialize into InternalRow fields.
+  * Scale shape: without splitting, a multi-hundred-GB SSTable is one
+  * task; with Index.db present the parallelism ceiling is
+  * uncompressed-bytes / splitBytes. The token-range filter is not yet
+  * pushed into the Summary seek — the resume-scan queries model that
+  * pruning on the relational side. Column pruning IS pushed down
+  * (SupportsPushDownRequiredColumns): a pruned-away value column still
+  * has to be skipped byte-wise (the format is a stream), but pruned
+  * rows never materialize into InternalRow fields.
   */
 class MaSSTableSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -117,9 +125,49 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
   override def planInputPartitions(): Array[InputPartition] = {
     val path = options.getOrElse("path",
       throw new IllegalArgumentException("path option required"))
+    val splitBytes = options.getOrElse("splitBytes", (128L * 1024 * 1024).toString).toLong
     val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
     MaSSTableSource.listDataFiles(spark.sparkContext, path)
-      .map(f => MaInputPartition(f): InputPartition).toArray
+      .flatMap(planSplits(_, splitBytes, conf)).toArray
+  }
+
+  /** Split one Data.db at Index.db partition boundaries: pick the first
+    * partition-start offset at or past each multiple of the target
+    * split size (offsets are positions in the UNCOMPRESSED stream —
+    * the only safe cut points the format has). The index itself is
+    * tiny relative to its Data.db, so the driver-side read is the same
+    * cost class as parquet footer planning. */
+  private def planSplits(
+      file: String, splitBytes: Long,
+      conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
+    val dataPath = new Path(file)
+    val fs = dataPath.getFileSystem(conf)
+    val idxPath = new Path(file.stripSuffix("Data.db") + "Index.db")
+    val whole = Seq(MaInputPartition(file, 0L, Long.MaxValue))
+    if (!fs.exists(idxPath)) return whole
+    val ciPath = new Path(file.stripSuffix("Data.db") + "CompressionInfo.db")
+    val totalUncompressed =
+      if (fs.exists(ciPath)) {
+        val in = fs.open(ciPath)
+        try CompressedBlocks.readCompressionInfo(in).uncompressedLen finally in.close()
+      } else fs.getFileStatus(dataPath).getLen
+    if (totalUncompressed <= splitBytes) return whole
+    val in = fs.open(idxPath)
+    val positions = try MaFormat.readIndexPositions(in) finally in.close()
+    if (positions.length < 2) return whole
+    val bounds = Seq.newBuilder[Long]
+    var nextTarget = splitBytes
+    positions.foreach { p =>
+      if (p >= nextTarget && p > 0) {
+        bounds += p
+        nextTarget = p + splitBytes
+      }
+    }
+    val cuts = 0L +: bounds.result()
+    cuts.zipAll(cuts.drop(1), 0L, Long.MaxValue).map {
+      case (start, end) => MaInputPartition(file, start, end)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -138,7 +186,24 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
-private[sstable] case class MaInputPartition(file: String) extends InputPartition
+/** One planned read: the UNCOMPRESSED byte range [start, end) of a
+  * Data.db, both bounds at partition-start offsets (end = Long.MaxValue
+  * reads to EOF). */
+private[sstable] case class MaInputPartition(
+    file: String, start: Long = 0L, end: Long = Long.MaxValue) extends InputPartition
+
+/** Counts consumed bytes so the row reader can stop at its split's end
+  * offset; `count` starts at the split's absolute start position. */
+private[sstable] final class CountingInputStream(
+    in: java.io.InputStream, var count: Long) extends java.io.InputStream {
+  override def read(): Int = {
+    val b = in.read(); if (b >= 0) count += 1; b
+  }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    val n = in.read(b, off, len); if (n > 0) count += n; n
+  }
+  override def close(): Unit = in.close()
+}
 
 private[sstable] class MaReaderFactory(
     columnsSpec: String,
@@ -158,7 +223,8 @@ private[sstable] class MaReaderFactory(
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[MaInputPartition].file
+    val MaInputPartition(file, splitStart, splitEnd) =
+      partition.asInstanceOf[MaInputPartition]
     val columns = parseColumns(columnsSpec)
     val clustering =
       if (clusteringSpec.trim.isEmpty) Nil
@@ -174,29 +240,71 @@ private[sstable] class MaReaderFactory(
       private val ciPath = new Path(
         file.stripSuffix("Data.db") + "CompressionInfo.db")
       private val version = MaSSTableSource.versionOf(path.getName)
-      private val in: java.io.InputStream =
-        if (fs.exists(ciPath)) {
-          val ciIn = fs.open(ciPath)
-          val info = try CompressedBlocks.readCompressionInfo(ciIn) finally ciIn.close()
-          // Checksum regime per format version (SSTable.cpp:102-104):
-          // Adler32 over compressed bytes for jb..la, CRC32 over
-          // compressed bytes for ma+, CRC32 over UNCOMPRESSED bytes
-          // before jb.
-          new CompressedBlocks.ChunkedInputStream(
-            raw, info, fs.getFileStatus(path).getLen,
-            useCrc32 = version >= "ma" || version < "jb",
-            checksumCompressed = version >= "jb")
-        } else raw
+      private val in: CountingInputStream = {
+        val (base, basePos): (java.io.InputStream, Long) =
+          if (fs.exists(ciPath)) {
+            val ciIn = fs.open(ciPath)
+            val info = try CompressedBlocks.readCompressionInfo(ciIn) finally ciIn.close()
+            // Mid-file start: jump the RAW stream to the chunk holding
+            // the split's start offset (the chunk-granular seek the
+            // CompressionInfo offsets enable), then decompress forward.
+            val startChunk = (splitStart / info.chunkLen).toInt
+            if (startChunk > 0) raw.seek(info.offsets(startChunk))
+            // Checksum regime per format version (SSTable.cpp:102-104):
+            // Adler32 over compressed bytes for jb..la, CRC32 over
+            // compressed bytes for ma+, CRC32 over UNCOMPRESSED bytes
+            // before jb.
+            (new CompressedBlocks.ChunkedInputStream(
+              raw, info, fs.getFileStatus(path).getLen,
+              useCrc32 = version >= "ma" || version < "jb",
+              checksumCompressed = version >= "jb",
+              startChunk = startChunk),
+              startChunk.toLong * info.chunkLen)
+          } else {
+            if (splitStart > 0) raw.seek(splitStart)
+            (raw, splitStart)
+          }
+        val cis = new CountingInputStream(base, basePos)
+        // Discard the in-chunk remainder between the chunk boundary and
+        // the split's partition-start offset.
+        val garbage = new Array[Byte](65536)
+        while (cis.count < splitStart) {
+          val n = cis.read(garbage, 0,
+            math.min(splitStart - cis.count, garbage.length.toLong).toInt)
+          require(n > 0, s"EOF before split start $splitStart in $file")
+        }
+        cis
+      }
+      // Stop at the first partition boundary at or past the split end.
+      private val stop = () => in.count >= splitEnd
       private val cells: Iterator[MaFormat.MaCell] =
         if (version >= "ma")
           new MaFormat.Reader(in, columns, minTimestamp, minTtl,
-            clustering, staticColumns)
-        else new MaFormat.KaReader(in)
+            clustering, staticColumns, stop)
+        else new MaFormat.KaReader(in, stop)
       private var current: MaFormat.MaCell = _
 
       // Project only the pruned columns into the output row.
       private val fieldIdx = requiredFields.map(
         MaSSTableSource.OutputSchema.fieldNames.indexOf(_))
+
+      /** Keys surface as StringType (the KV operators compare and
+        * resume on them as text); Cassandra keys are arbitrary bytes,
+        * so REJECT non-UTF8 keys loudly — silently mangling them via
+        * replacement chars could merge distinct keys. ASCII fast path;
+        * non-ASCII keys pay one round-trip validation. */
+      private def keyString(b: Array[Byte]): UTF8String = {
+        var i = 0
+        var ascii = true
+        while (i < b.length && ascii) { if (b(i) < 0) ascii = false; i += 1 }
+        if (!ascii &&
+            !java.util.Arrays.equals(
+              UTF8String.fromBytes(b).toString.getBytes("UTF-8"), b))
+          throw new IllegalArgumentException(
+            s"non-UTF8 partition key in $file (${b.length} bytes): this source " +
+              "exposes keys as text; binary-keyed tables are not supported")
+        UTF8String.fromBytes(b)
+      }
 
       override def next(): Boolean = {
         if (cells.hasNext) { current = cells.next(); true } else false
@@ -205,7 +313,7 @@ private[sstable] class MaReaderFactory(
       override def get(): InternalRow = {
         val c = current
         val full: Array[Any] = Array(
-          UTF8String.fromBytes(c.key),
+          keyString(c.key),
           if (c.col == null) null else UTF8String.fromString(c.col),
           c.ts,
           c.value,

@@ -494,6 +494,92 @@ class MaSSTableSpec extends AnyFunSuite {
       s"expected checksum failure, got: ${messages(ex).mkString(" | ")}")
   }
 
+  // ---- sub-file input splits (Index.db) ------------------------------
+
+  /** Write an Index.db for `positions` (uncompressed partition-start
+    * offsets): (short key, vint position, vint promoted-size 0). */
+  private def writeIndex(
+      dir: java.nio.file.Path, prefix: String,
+      entries: Seq[(String, Long)]): Unit = {
+    val e = new Enc
+    entries.foreach { case (k, pos) => e.string(k).vint(pos).vint(0) }
+    Files.write(dir.resolve(s"$prefix-Index.db"), e.result)
+  }
+
+  /** A multi-partition ma payload plus its (key, offset) index. */
+  private def indexedPayload(n: Int): (Array[Byte], Seq[(String, Long)]) = {
+    val e = new Enc
+    val entries = Seq.newBuilder[(String, Long)]
+    (1 to n).foreach { i =>
+      entries += (f"user-$i%03d" -> e.bos.size().toLong)
+      e.partitionHeader(f"user-$i%03d")
+      e.byte(0x20).vint(0).vint(0)
+      val v = (s"value-$i-" + "x" * 40).getBytes(UTF_8)
+      e.byte(0x00).vint(i.toLong).vint(v.length).bytes(v)
+      e.byte(0x00).vint(i.toLong).bytes(longBytes(i.toLong))
+      e.endOfPartition()
+    }
+    (e.result, entries.result())
+  }
+
+  private def readKeyTs(dir: String, splitBytes: Option[Long]): (Int, Set[(String, String, Long)]) = {
+    val base = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir).option("columns", ColsSpec)
+    val df = splitBytes.fold(base)(b => base.option("splitBytes", b.toString)).load()
+    (df.rdd.getNumPartitions,
+      df.select(col("key"), col("col"), col("ts")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+  }
+
+  test("Index.db splits a Data.db into multiple input partitions with identical output") {
+    val (payload, entries) = indexedPayload(40)
+    val dir = Files.createTempDirectory("ma-split")
+    Files.write(dir.resolve("mc-1-big-Data.db"), payload)
+    writeIndex(dir, "mc-1-big", entries)
+    val (nWhole, whole) = readKeyTs(dir.toString, splitBytes = None) // default 128 MiB: 1 split
+    val (nSplit, split) = readKeyTs(dir.toString, splitBytes = Some(500L))
+    assert(nWhole === 1)
+    assert(nSplit >= 3, s"expected multiple splits, got $nSplit")
+    assert(split === whole, "split read must produce exactly the single-split rows")
+    assert(whole.size === 80)
+  }
+
+  test("compressed Data.db splits seek chunk-granularly and agree with the whole read") {
+    val (payload, entries) = indexedPayload(60)
+    Seq("LZ4Compressor", "SnappyCompressor", "DeflateCompressor").foreach { codec =>
+      val dir = Files.createTempDirectory("ma-split-comp")
+      // Small chunks so split starts land mid-chunk and cross chunks.
+      writeCompressed(dir, "mc-1-big", payload, codec, chunkLen = 256)
+      writeIndex(dir, "mc-1-big", entries)
+      val (nWhole, whole) = readKeyTs(dir.toString, splitBytes = None)
+      val (nSplit, split) = readKeyTs(dir.toString, splitBytes = Some(700L))
+      assert(nWhole === 1)
+      assert(nSplit >= 3, s"$codec: expected multiple splits, got $nSplit")
+      assert(split === whole, s"$codec: split read diverged")
+      assert(whole.size === 120)
+    }
+  }
+
+  test("legacy ka files split at Index.db boundaries too") {
+    val e = new KaEnc
+    val entries = Seq.newBuilder[(String, Long)]
+    (1 to 30).foreach { i =>
+      entries += (f"u$i%02d" -> e.bos.size().toLong)
+      e.partition(f"u$i%02d")
+      e.cell("click", i.toLong * 10, (s"k$i" + "y" * 30).getBytes(UTF_8))
+      e.endRow()
+    }
+    val dir = Files.createTempDirectory("ka-split")
+    Files.write(dir.resolve("ks-tbl-ka-1-Data.db"), e.result)
+    writeIndex(dir, "ks-tbl-ka-1", entries.result())
+    val (nWhole, whole) = readKeyTs(dir.toString, splitBytes = None)
+    val (nSplit, split) = readKeyTs(dir.toString, splitBytes = Some(400L))
+    assert(nWhole === 1)
+    assert(nSplit >= 2, s"expected multiple splits, got $nSplit")
+    assert(split === whole)
+    assert(whole.size === 30)
+  }
+
   // ---- clustering columns, static rows, counter columns -------------
 
   /** Encode a clustering-value block (SSTable.cpp:487-503's wire shape):
@@ -732,6 +818,63 @@ class MaSSTableSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("checksum mismatch")))
+  }
+
+  test("legacy range tombstones suppress only columns inside their bounds") {
+    val dir = Files.createTempDirectory("ka-range")
+    val ka = new KaEnc
+    ka.partition("rk")
+    ka.cell("apple", 100L, "a".getBytes(UTF_8))  // in [a,m], older -> killed
+    ka.cell("banana", 300L, "b".getBytes(UTF_8)) // in range but NEWER -> lives
+    ka.cell("pear", 100L, "p".getBytes(UTF_8))   // outside the range -> lives
+    ka.rangeTombstone("a", "m", 200L)
+    ka.endRow()
+    // A second key proves the marker stays key-scoped.
+    ka.partition("other")
+    ka.cell("apple", 100L, "o".getBytes(UTF_8))
+    ka.endRow()
+    Files.write(dir.resolve("ks-tbl-ka-1-Data.db"), ka.result)
+
+    val bag = graft.kv.Kv.cellsFromSSTables(spark, dir.toString, ColsSpec)
+    val out = graft.kv.Kv.applyMarkerTombstones(bag)
+      .select(col("key"), col("col")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("rk", "banana"), ("rk", "pear"), ("other", "apple")),
+      s"range [a,m]@200 must kill only rk.apple@100, got $out")
+    // Whole-key markers (ma row/partition deletions) still suppress
+    // every older column of the key.
+    val dir2 = Files.createTempDirectory("ma-wholekey")
+    val ma = new Enc
+    ma.partitionHeader("rk", deletionTs = 200L)
+    ma.byte(0x20).vint(0).vint(0)
+    ma.byte(0x00).vint(100L).vint(1).bytes("x".getBytes(UTF_8)) // older -> killed
+    ma.byte(0x00).vint(300L).bytes(longBytes(1L))               // newer -> lives
+    ma.endOfPartition()
+    Files.write(dir2.resolve("mc-1-big-Data.db"), ma.result)
+    val out2 = graft.kv.Kv.applyMarkerTombstones(
+      graft.kv.Kv.cellsFromSSTables(spark, dir2.toString, ColsSpec))
+      .select(col("col")).collect().map(_.getString(0)).toSet
+    assert(out2 === Set("nclicks"), s"whole-key deletion@200: got $out2")
+  }
+
+  test("non-UTF8 partition keys are rejected loudly, not mangled") {
+    val dir = Files.createTempDirectory("bad-key")
+    val e = new KaEnc
+    // Raw partition header with an invalid UTF-8 key (lone 0xFF bytes).
+    e.short(3).bytes(Array[Byte](0x41, 0xff.toByte, 0xfe.toByte))
+    e.out.writeInt(Int.MaxValue); e.longlong(MaFormat.NoDeletion)
+    e.cell("click", 100L, "v".getBytes(UTF_8))
+    e.endRow()
+    Files.write(dir.resolve("ks-tbl-ka-1-Data.db"), e.result)
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", dir.toString).option("columns", ColsSpec)
+        .load().collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("non-UTF8 partition key")),
+      s"got: ${messages(ex).mkString(" | ")}")
   }
 
   test("migrate drops cells whose winning version is a cell tombstone") {
