@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_simhash"            -> (Dedup.simhash _),
     "dedup_ngram_jaccard"      -> (Dedup.ngramJaccard _),
     "dedup_clusters"           -> (Dedup.clusters _),
+    "dedup_clusters_star"      -> (Dedup.clustersStar _),
     "dedup_survivors"          -> (Dedup.survivors _),
     "dedup_embedding"          -> (Dedup.embedding _),
     // §2.5 similarity search
@@ -191,6 +192,40 @@ object SparkEntry {
       s" FROM mm_s${stages.length})")
     sb.toString
   }
+
+  /** Connected components over the exact ngram pair graph as a DuckDB
+    * recursive CTE — shared verbatim by dedup_clusters (label
+    * propagation) and dedup_clusters_star (large-star/small-star):
+    * both must produce this exact relation. */
+  private val ClustersOracleSql: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN t[r.i] || ' ' || t[r.i+1] || ' ' || t[r.i+2]
+      |         ELSE array_to_string(t, ' ') END AS shingle
+      |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) ELSE [1] END) AS r(i)
+      |  WHERE len(t) >= 1),
+      |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200),
+      |uni AS (SELECT s.doc_id, s.shingle FROM sh s JOIN capped USING (shingle)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM uni GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |       FROM uni a JOIN uni b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |  FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT a AS v, a AS r FROM edges
+      |  UNION
+      |  SELECT e.a AS v, w.r FROM edges e JOIN reach w ON e.b = w.v),
+      |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+      |SELECT doc_id, cluster_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM cl ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -727,35 +762,11 @@ object SparkEntry {
         |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rank FROM ranked
         |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    CASE WHEN len(t) >= 3 THEN t[r.i] || ' ' || t[r.i+1] || ' ' || t[r.i+2]
-        |         ELSE array_to_string(t, ' ') END AS shingle
-        |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) ELSE [1] END) AS r(i)
-        |  WHERE len(t) >= 1),
-        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200),
-        |uni AS (SELECT s.doc_id, s.shingle FROM sh s JOIN capped USING (shingle)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM uni GROUP BY doc_id),
-        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        |       FROM uni a JOIN uni b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b
-        |  FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT a AS v, a AS r FROM edges
-        |  UNION
-        |  SELECT e.a AS v, w.r FROM edges e JOIN reach w ON e.b = w.v),
-        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
-        |SELECT doc_id, cluster_id,
-        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        |FROM cl ORDER BY doc_id""".stripMargin,
+    // dedup_clusters_star computes the SAME relation by a different
+    // distributed algorithm (large-star/small-star), so it shares the
+    // connected-components oracle verbatim.
+    "dedup_clusters" -> ClustersOracleSql,
+    "dedup_clusters_star" -> ClustersOracleSql,
 
     "dedup_survivors" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,

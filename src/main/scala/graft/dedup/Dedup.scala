@@ -259,6 +259,100 @@ object Dedup {
     } finally { cached.unpersist(); edges.unpersist(); pairs.unpersist() }
   }
 
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", Alg. 2): every node u links each LARGER
+    * neighbor to the minimum of its closed neighborhood. The per-node
+    * minimum rides a WINDOW over the symmetric view — one shuffle,
+    * where the groupBy-then-join-back form costs two more; duplicates
+    * are left for the following small-star's distinct. */
+  private def largeStarRound(edges: DataFrame): DataFrame = {
+    val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+    sym
+      .withColumn("_m", least(col("a"), min(col("b")).over(w)))
+      .filter(col("b") > col("a") && col("b") =!= col("_m"))
+      .select(col("b").as("a"), col("_m").as("b"))
+  }
+
+  /** One small-star round (ibid., Alg. 3): every node links its
+    * SMALLER neighbors (and itself) to their minimum — the same
+    * single-shuffle window shape, emitting both halves from one pass. */
+  private def smallStarRound(edges: DataFrame): DataFrame = {
+    val directed = edges.select(
+      greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+    directed
+      .withColumn("_m", min(col("b")).over(w))
+      .select(explode(array(
+        struct(col("b").as("a"), col("_m").as("b")),
+        struct(col("a").as("a"), col("_m").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * over a (doc_a, doc_b) pair frame — O(log² n) rounds regardless of
+    * component DIAMETER (min-label propagation needs diameter-many
+    * rounds, its one structural limit). Convergence is edge-set
+    * stability, checked with a (count, hash-sum) signature so each
+    * round costs one tiny action. Same output contract and cache
+    * hygiene as [[clusters]]. */
+  private[graft] def ccStar(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val edgeParts = math.max(2, spark.conf.get("spark.sql.shuffle.partitions").toInt / 8)
+    var cached = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .repartition(edgeParts).persist()
+    try {
+      var prevSig: Option[(Long, String)] = None
+      var converged = false
+      var round = 0
+      val maxRounds = 30
+      while (!converged && round < maxRounds) {
+        val next0 = smallStarRound(largeStarRound(cached))
+        val next = if (round % 3 == 2) next0.localCheckpoint() else next0.persist()
+        // Decimal sum: a long sum of 64-bit hashes overflows under
+        // ANSI arithmetic.
+        val s = next
+          .agg(count(lit(1)).as("n"),
+            sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")).as("h"))
+          .collect()(0)
+        val sig = (s.getLong(0), String.valueOf(s.get(1)))
+        converged = prevSig.contains(sig)
+        prevSig = Some(sig)
+        cached.unpersist()
+        cached = next
+        round += 1
+      }
+      require(converged,
+        s"large-star/small-star did not stabilize in $maxRounds rounds")
+      // The stable state is a star per component: every non-minimum
+      // node carries one edge to its component minimum; minima appear
+      // only on the b side and label themselves.
+      val labels = cached.groupBy(col("a").as("v")).agg(min(col("b")).as("label"))
+      val nodes = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("v")).distinct()
+      val lab = nodes.join(labels, Seq("v"), "left_outer")
+        .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+      val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, "label")
+        .select(col("v").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally cached.unpersist()
+  }
+
+  /** #37d dedup_clusters_star: [[clusters]]' output contract computed
+    * by [[ccStar]] — the variant to reach for when near-dup chains make
+    * component diameter unbounded (label propagation's round count) at
+    * trillion-edge scale. Shares the dedup_clusters DuckDB oracle. */
+  def clustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    try ccStar(spark, pairs) finally pairs.unpersist()
+  }
+
   /** #37c dedup_survivors: the dedup pipeline's final step — drop every
     * clustered doc except its cluster's min-id survivor, keeping all
     * unclustered docs. The corpus never shuffles for the check: the

@@ -129,6 +129,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("large-star/small-star clusters match label propagation on the real corpus") {
+    // Same pair graph, two algorithms, one relation — parity on the
+    // bigger sf0.01 corpus (the driver-gate scale), where clusters of
+    // several shapes exist.
+    val dir = "/root/testdata/sf0.01"
+    val lp = Dedup.clusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val star = Dedup.clustersStar(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lp.nonEmpty)
+    assert(star === lp)
+  }
+
+  test("star rounds converge on a high-diameter graph that defeats label propagation") {
+    // A 120-node path has diameter 119 — far past the label loop's
+    // 25-iteration cap, and exactly the graph class the star variant
+    // exists for: it converges in O(log^2 n) rounds.
+    val sparkS = spark
+    import sparkS.implicits._
+    val path = (0L until 119L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.ccStar(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 120)
+    assert(got.forall { case (_, cid, sz) => cid == 0L && sz == 120L },
+      s"all nodes must join component 0: ${got.take(5).mkString(",")}")
+    // Two disjoint components stay separate.
+    val two = ((0L until 10L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val comps = Dedup.ccStar(spark, two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 10L).forall(comps(_) == 0L))
+    assert((100L to 110L).forall(comps(_) == 100L))
+  }
+
   test("approximate variants self-report recall against the exact pair set") {
     // The rows-only dedup dumps carry their own checkable quality
     // column (the ANN recall@k pattern): recall of the exact df-capped
