@@ -65,11 +65,13 @@ object Kv {
     * pick among exact ties is likewise arbitrary-but-single.
     */
   def cellsFromSSTables(
-      spark: SparkSession, path: String, columnsSpec: String): DataFrame = {
-    val raw = spark.read
-      .format("graft.sources.sstable.MaSSTableSource")
-      .option("path", path)
-      .option("columns", columnsSpec)
+      spark: SparkSession, path: String, columnsSpec: String,
+      resumeKey: Option[String] = None): DataFrame = {
+    val raw = resumeKey.foldLeft(
+      spark.read
+        .format("graft.sources.sstable.MaSSTableSource")
+        .option("path", path)
+        .option("columns", columnsSpec))((r, k) => r.option("resumeKey", k))
       .load()
     val data = raw.filter(!col("marker"))
       .select(
@@ -231,7 +233,11 @@ object Kv {
       policy: Option[graft.sinks.KeyedSink.TtlPolicy] = None,
       resumeKey: Option[String] = None,
       dryRun: Boolean = false): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
-    val bags = sstableDirs.map(cellsFromSSTables(spark, _, columnsSpec))
+    // The resume key reaches the SOURCE (Index.db seek skips whole
+    // partitions at plan time — the reference's `-s` Summary seek);
+    // the relational filter stays as the declarative form of the same
+    // bound so the plan is correct over any source.
+    val bags = sstableDirs.map(cellsFromSSTables(spark, _, columnsSpec, resumeKey))
     val merged = lww(applyMarkerTombstones(
       bags.reduce(_ unionAll _)
         .transform(df => resumeKey.fold(df)(k => df.filter(col("key") >= k)))))

@@ -87,16 +87,16 @@ object MaFormat {
     v
   }
 
-  /** Index.db positions (the seek source behind the reference's
+  /** Index.db entries (the seek source behind the reference's
     * `-s`/`-S` Summary/Index resume, Cassandra2Aerospike.cpp): a
     * sequence of (16-bit-length key, unsigned-vint data position,
     * unsigned-vint promoted-index length, promoted bytes) entries.
-    * Only the positions are consumed — each is a partition-start
-    * offset in the UNCOMPRESSED Data.db stream, i.e. exactly the
-    * valid sub-file split points. */
-  def readIndexPositions(in: InputStream): Array[Long] = {
+    * Each position is a partition-start offset in the UNCOMPRESSED
+    * Data.db stream — exactly the valid sub-file split points — and
+    * the key lets a resume seek skip whole partitions at plan time. */
+  def readIndexEntries(in: InputStream): Array[(Array[Byte], Long)] = {
     val din = new DataInputStream(in)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
     try {
       while (true) {
         val key = new Array[Byte](din.readUnsignedShort())
@@ -108,11 +108,14 @@ object MaFormat {
           val n = din.skipBytes(math.min(promoted - skipped, Int.MaxValue.toLong).toInt)
           if (n <= 0) { din.readUnsignedByte(); skipped += 1 } else skipped += n
         }
-        out += pos
+        out += ((key, pos))
       }
     } catch { case _: EOFException => () }
     out.toArray
   }
+
+  def readIndexPositions(in: InputStream): Array[Long] =
+    readIndexEntries(in).map(_._2)
 
   /** One decoded unfiltered: a cell, or a range-tombstone marker.
     * "ma" markers carry col = null; "ka" range tombstones carry the

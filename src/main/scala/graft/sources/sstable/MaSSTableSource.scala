@@ -27,6 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `staticColumns`: the static-row column schema (same shape as
   *    `columns`); required if the table has static columns
   *  - `minTimestamp`, `minTtl`: the Statistics.db delta-encoding bases
+  *  - `resumeKey`: resume the scan from this key (the reference's `-s`
+  *    flag): with an Index.db the seek skips every earlier partition at
+  *    plan time (partitions read in index/ring order, memcmp bound);
+  *    without one the reader filters per cell — same rows either way
   *  - `splitBytes`: target UNCOMPRESSED bytes per input split (default
   *    128 MiB). A Data.db with a sibling Index.db splits into multiple
   *    InputPartitions at partition-start offsets taken from the index
@@ -88,6 +92,19 @@ object MaSSTableSource {
     }
   }
 
+  /** Unsigned bytewise compare, shorter-is-smaller on a shared prefix —
+    * the memcmp order Cassandra keys and UTF8String both use. */
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   def listDataFiles(spark: org.apache.spark.SparkContext, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.hadoopConfiguration)
@@ -126,20 +143,25 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     val path = options.getOrElse("path",
       throw new IllegalArgumentException("path option required"))
     val splitBytes = options.getOrElse("splitBytes", (128L * 1024 * 1024).toString).toLong
+    val resumeKey = options.get("resumeKey")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     MaSSTableSource.listDataFiles(spark.sparkContext, path)
-      .flatMap(planSplits(_, splitBytes, conf)).toArray
+      .flatMap(planSplits(_, splitBytes, resumeKey, conf)).toArray
   }
 
   /** Split one Data.db at Index.db partition boundaries: pick the first
     * partition-start offset at or past each multiple of the target
     * split size (offsets are positions in the UNCOMPRESSED stream —
-    * the only safe cut points the format has). The index itself is
+    * the only safe cut points the format has). With a resume key, all
+    * partitions ordered strictly before it are skipped at PLAN time —
+    * the reference's `-s` Summary/Index seek; the reader still filters
+    * residually so indexless files return the same rows. The index is
     * tiny relative to its Data.db, so the driver-side read is the same
     * cost class as parquet footer planning. */
   private def planSplits(
-      file: String, splitBytes: Long,
+      file: String, splitBytes: Long, resumeKey: Option[Array[Byte]],
       conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
     val dataPath = new Path(file)
     val fs = dataPath.getFileSystem(conf)
@@ -152,19 +174,30 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
         val in = fs.open(ciPath)
         try CompressedBlocks.readCompressionInfo(in).uncompressedLen finally in.close()
       } else fs.getFileStatus(dataPath).getLen
-    if (totalUncompressed <= splitBytes) return whole
     val in = fs.open(idxPath)
-    val positions = try MaFormat.readIndexPositions(in) finally in.close()
-    if (positions.length < 2) return whole
+    val entries = try MaFormat.readIndexEntries(in) finally in.close()
+    if (entries.isEmpty) return whole
+    // Resume seek: the index is written in the table's ring/key order,
+    // so the first entry at-or-after the key is the scan start; every
+    // earlier partition is never read at all.
+    val seekStartOpt: Option[Long] = resumeKey match {
+      case None => Some(0L)
+      case Some(rk) =>
+        entries.find(e => MaSSTableSource.compareBytes(e._1, rk) >= 0).map(_._2)
+    }
+    if (seekStartOpt.isEmpty) return Nil // whole file precedes the key
+    val seekStart = seekStartOpt.get
+    if (totalUncompressed - seekStart <= splitBytes)
+      return Seq(MaInputPartition(file, seekStart, Long.MaxValue))
     val bounds = Seq.newBuilder[Long]
-    var nextTarget = splitBytes
-    positions.foreach { p =>
-      if (p >= nextTarget && p > 0) {
+    var nextTarget = seekStart + splitBytes
+    entries.map(_._2).foreach { p =>
+      if (p >= nextTarget && p > seekStart) {
         bounds += p
         nextTarget = p + splitBytes
       }
     }
-    val cuts = 0L +: bounds.result()
+    val cuts = seekStart +: bounds.result()
     cuts.zipAll(cuts.drop(1), 0L, Long.MaxValue).map {
       case (start, end) => MaInputPartition(file, start, end)
     }
@@ -178,6 +211,7 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
       options.getOrElse("staticColumns", ""),
       options.getOrElse("minTimestamp", "0").toLong,
       options.getOrElse("minTtl", "0").toLong,
+      options.getOrElse("resumeKey", ""),
       required.fieldNames,
       // Ship the SESSION's hadoop conf to executors (a fresh
       // Configuration() would drop filesystem credentials/settings
@@ -211,6 +245,7 @@ private[sstable] class MaReaderFactory(
     staticSpec: String,
     minTimestamp: Long,
     minTtl: Long,
+    resumeKeySpec: String,
     requiredFields: Array[String],
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
@@ -306,8 +341,24 @@ private[sstable] class MaReaderFactory(
         UTF8String.fromBytes(b)
       }
 
+      // Residual resume filter: the Index.db seek skips whole
+      // partitions at plan time, but an indexless file (or the first
+      // indexed partition at-or-after the key) still needs the exact
+      // key bound applied per cell.
+      private val resumeKeyBytes: Array[Byte] =
+        if (resumeKeySpec.isEmpty) null
+        else resumeKeySpec.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
       override def next(): Boolean = {
-        if (cells.hasNext) { current = cells.next(); true } else false
+        while (cells.hasNext) {
+          val c = cells.next()
+          if (resumeKeyBytes == null ||
+              MaSSTableSource.compareBytes(c.key, resumeKeyBytes) >= 0) {
+            current = c
+            return true
+          }
+        }
+        false
       }
 
       override def get(): InternalRow = {

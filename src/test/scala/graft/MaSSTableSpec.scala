@@ -560,6 +560,35 @@ class MaSSTableSpec extends AnyFunSuite {
     }
   }
 
+  test("resumeKey seeks past earlier partitions at plan time (Index.db) and filters without one") {
+    val (payload, entries) = indexedPayload(40)
+    // Indexed file: partitions before the key are PRUNED from planning.
+    val dir = Files.createTempDirectory("ma-resume")
+    Files.write(dir.resolve("mc-1-big-Data.db"), payload)
+    writeIndex(dir, "mc-1-big", entries)
+    def read(d: String, resume: Option[String]) = {
+      val b = spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", d).option("columns", ColsSpec)
+        .option("splitBytes", "500")
+      resume.fold(b)(k => b.option("resumeKey", k)).load()
+    }
+    val all = read(dir.toString, None)
+    val resumed = read(dir.toString, Some("user-030"))
+    assert(resumed.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      "plan must drop input splits that end before the resume key")
+    val keys = resumed.select(col("key")).collect().map(_.getString(0)).toSet
+    assert(keys === (30 to 40).map(i => f"user-$i%03d").toSet,
+      s"resume from user-030 must return exactly keys >= user-030: $keys")
+    // Resume key past the whole file: nothing planned, nothing read.
+    assert(read(dir.toString, Some("zzz")).collect().isEmpty)
+    // Indexless file: same rows via the reader-side residual filter.
+    val dir2 = Files.createTempDirectory("ma-resume-noidx")
+    Files.write(dir2.resolve("mc-1-big-Data.db"), payload)
+    val filtered = read(dir2.toString, Some("user-030"))
+      .select(col("key")).collect().map(_.getString(0)).toSet
+    assert(filtered === keys, "indexless resume must return the same rows")
+  }
+
   test("legacy ka files split at Index.db boundaries too") {
     val e = new KaEnc
     val entries = Seq.newBuilder[(String, Long)]
