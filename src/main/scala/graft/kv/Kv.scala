@@ -66,12 +66,15 @@ object Kv {
     */
   def cellsFromSSTables(
       spark: SparkSession, path: String, columnsSpec: String,
-      resumeKey: Option[String] = None): DataFrame = {
+      resumeKey: Option[String] = None,
+      verifyChecksums: Boolean = true): DataFrame = {
     val raw = resumeKey.foldLeft(
       spark.read
         .format("graft.sources.sstable.MaSSTableSource")
         .option("path", path)
-        .option("columns", columnsSpec))((r, k) => r.option("resumeKey", k))
+        .option("columns", columnsSpec)
+        .option("verifyChecksums", verifyChecksums.toString))(
+        (r, k) => r.option("resumeKey", k))
       .load()
     val data = raw.filter(!col("marker"))
       .select(
@@ -232,12 +235,14 @@ object Kv {
       targetPath: String,
       policy: Option[graft.sinks.KeyedSink.TtlPolicy] = None,
       resumeKey: Option[String] = None,
-      dryRun: Boolean = false): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
+      dryRun: Boolean = false,
+      verifyChecksums: Boolean = true): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
     // The resume key reaches the SOURCE (Index.db seek skips whole
     // partitions at plan time — the reference's `-s` Summary seek);
     // the relational filter stays as the declarative form of the same
     // bound so the plan is correct over any source.
-    val bags = sstableDirs.map(cellsFromSSTables(spark, _, columnsSpec, resumeKey))
+    val bags = sstableDirs.map(
+      cellsFromSSTables(spark, _, columnsSpec, resumeKey, verifyChecksums))
     val merged = lww(applyMarkerTombstones(
       bags.reduce(_ unionAll _)
         .transform(df => resumeKey.fold(df)(k => df.filter(col("key") >= k)))))

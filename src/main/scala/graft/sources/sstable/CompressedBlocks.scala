@@ -73,7 +73,8 @@ object CompressedBlocks {
       dataLen: Long,
       useCrc32: Boolean = true,
       checksumCompressed: Boolean = true,
-      startChunk: Int = 0) extends InputStream {
+      startChunk: Int = 0,
+      verify: Boolean = true) extends InputStream {
 
     private val din = new DataInputStream(data)
     private var chunkIdx = startChunk
@@ -120,7 +121,7 @@ object CompressedBlocks {
       val compressed = new Array[Byte](compressedSize)
       din.readFully(compressed)
       val storedChecksum = din.readInt()
-      if (checksumCompressed) verifyChecksum(compressed, storedChecksum)
+      if (verify && checksumCompressed) verifyChecksum(compressed, storedChecksum)
       val expectedOut = math.min(info.chunkLen.toLong,
         info.uncompressedLen - produced).toInt
       buf = decompress(compressed, expectedOut)
@@ -131,7 +132,7 @@ object CompressedBlocks {
       if (buf.length > expectedOut) buf = buf.take(expectedOut)
       // Pre-"jb" regime: the stored checksum covers the UNCOMPRESSED
       // (real-length) chunk bytes (Buffer.cpp:356-364).
-      if (!checksumCompressed) verifyChecksum(buf, storedChecksum)
+      if (verify && !checksumCompressed) verifyChecksum(buf, storedChecksum)
       bufPos = 0
       chunkIdx += 1
       true

@@ -212,6 +212,7 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
       options.getOrElse("minTimestamp", "0").toLong,
       options.getOrElse("minTtl", "0").toLong,
       options.getOrElse("resumeKey", ""),
+      options.getOrElse("verifyChecksums", "true").toBoolean,
       required.fieldNames,
       // Ship the SESSION's hadoop conf to executors (a fresh
       // Configuration() would drop filesystem credentials/settings
@@ -246,6 +247,7 @@ private[sstable] class MaReaderFactory(
     minTimestamp: Long,
     minTtl: Long,
     resumeKeySpec: String,
+    verifyChecksums: Boolean,
     requiredFields: Array[String],
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
@@ -293,7 +295,8 @@ private[sstable] class MaReaderFactory(
               raw, info, fs.getFileStatus(path).getLen,
               useCrc32 = version >= "ma" || version < "jb",
               checksumCompressed = version >= "jb",
-              startChunk = startChunk),
+              startChunk = startChunk,
+              verify = verifyChecksums),
               startChunk.toLong * info.chunkLen)
           } else {
             if (splitStart > 0) raw.seek(splitStart)

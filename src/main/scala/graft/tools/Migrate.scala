@@ -11,14 +11,17 @@ import org.apache.spark.sql.SparkSession
   *   -c <name:type,...>                      regular-column schema
   *   -o <targetPath>                         keyed parquet target
   *   [-s <resumeKey>]                        resume scan from key
+  *   [-S <hexKey>]                           resume key given in hex
+  *   [-C]                                    disable chunk-checksum verify
   *   [-L <seconds>]                          minimum-TTL discard
   *   [-x]                                    prohibit eternal records
   *   [-f]                                    record TTL from first-expiring cell
   *   [-D]                                    dry run: print, write nothing
   * }}}
   *
-  * The Aerospike connection flags of the reference (-h/-n/-t/-u/-p/...)
-  * have no analog: the target is a keyed lake-house table.
+  * The Aerospike connection/threading flags of the reference
+  * (-h/-n/-t/-u/-p/-a/-e) have no analog: the target is a keyed
+  * lake-house table and Spark owns parallelism.
   */
 object Migrate {
   def main(args: Array[String]): Unit = {
@@ -30,6 +33,7 @@ object Migrate {
     var prohibitEternal = false
     var ttlFromFirst = false
     var dryRun = false
+    var verifyChecksums = true
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -37,6 +41,17 @@ object Migrate {
         case "-c" => columns = args(i + 1); i += 2
         case "-o" => target = args(i + 1); i += 2
         case "-s" => resume = Some(args(i + 1)); i += 2
+        case "-S" =>
+          // Hex-encoded resume key (the reference's -S,
+          // Cassandra2Aerospike.cpp hex_nibble_to_nibble loop). Keys
+          // are text in this engine, so the decoded bytes must be
+          // valid UTF-8 — the source rejects binary keys anyway.
+          val hex = args(i + 1)
+          require(hex.length % 2 == 0, "-S argument must be an even length")
+          val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          resume = Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          i += 2
+        case "-C" => verifyChecksums = false; i += 1
         case "-L" => minTtlS = args(i + 1).toLong; i += 2
         case "-x" => prohibitEternal = true; i += 1
         case "-f" => ttlFromFirst = true; i += 1
@@ -65,7 +80,8 @@ object Migrate {
           nowUs = System.currentTimeMillis() * 1000L))
       else None
 
-    graft.kv.Kv.migrate(spark, inputs, columns, target, policy, resume, dryRun) match {
+    graft.kv.Kv.migrate(spark, inputs, columns, target, policy, resume, dryRun,
+      verifyChecksums) match {
       case Left(rendered) =>
         rendered.show(100, truncate = false)
         println(s"[migrate] DRY RUN: ${rendered.count()} records would be written")

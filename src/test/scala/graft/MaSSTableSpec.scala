@@ -492,6 +492,20 @@ class MaSSTableSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("checksum mismatch")),
       s"expected checksum failure, got: ${messages(ex).mkString(" | ")}")
+    // The -C escape hatch (reference CompressedBuffer::enableChecksum
+    // (false)): verification off, the chunk decodes without the check.
+    // The flipped byte sits in LZ4 payload, so decode itself may or may
+    // not survive — only the CHECKSUM must no longer be what throws.
+    val relaxed = scala.util.Try {
+      spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", dir.toString).option("columns", ColsSpec)
+        .option("verifyChecksums", "false")
+        .load().count()
+    }
+    relaxed.failed.foreach { t =>
+      assert(!messages(t).exists(_.contains("checksum mismatch")),
+        "with verifyChecksums=false the checksum must not be checked")
+    }
   }
 
   // ---- sub-file input splits (Index.db) ------------------------------
