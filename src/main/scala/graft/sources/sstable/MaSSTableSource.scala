@@ -29,8 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `minTimestamp`, `minTtl`: the Statistics.db delta-encoding bases
   *  - `resumeKey`: resume the scan from this key (the reference's `-s`
   *    flag): with an Index.db the seek skips every earlier partition at
-  *    plan time (partitions read in index/ring order, memcmp bound);
-  *    without one the reader filters per cell — same rows either way
+  *    plan time (partitions read in index/ring order); without one the
+  *    reader filters per cell — same rows either way
+  *  - `partitioner`: the ring order the resume seek walks, matching
+  *    the reference's assign_token + init_at_key (CassandraParser.cpp
+  *    :198): `byteOrdered` (default, raw-key memcmp), `murmur3`
+  *    ((sign-bug Murmur3 token, key) order), `random` ((abs-MD5
+  *    token, key) order)
   *  - `splitBytes`: target UNCOMPRESSED bytes per input split (default
   *    128 MiB). A Data.db with a sibling Index.db splits into multiple
   *    InputPartitions at partition-start offsets taken from the index
@@ -42,9 +47,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale shape: without splitting, a multi-hundred-GB SSTable is one
   * task; with Index.db present the parallelism ceiling is
-  * uncompressed-bytes / splitBytes. The token-range filter is not yet
-  * pushed into the Summary seek — the resume-scan queries model that
-  * pruning on the relational side. Column pruning IS pushed down
+  * uncompressed-bytes / splitBytes, and a resume key prunes the ring
+  * prefix at plan time under any of the three partitioner orders.
+  * Column pruning IS pushed down
   * (SupportsPushDownRequiredColumns): a pruned-away value column still
   * has to be skipped byte-wise (the format is a stream), but pruned
   * rows never materialize into InternalRow fields.
@@ -105,6 +110,29 @@ object MaSSTableSource {
     a.length - b.length
   }
 
+  /** Ring-order compare under the table's partitioner — the order the
+    * reference's resume seek walks (CassandraParser.cpp:198-207
+    * assign_token + init_at_key): (token, key) for the hashing
+    * partitioners, raw key memcmp for ByteOrdered/OrderPreserving.
+    * The Index.db is written in this same order, so the seek is a
+    * linear find over its entries. */
+  def ringCompare(partitioner: String)(a: Array[Byte], b: Array[Byte]): Int =
+    partitioner match {
+      case "byteOrdered" => compareBytes(a, b)
+      case "murmur3" =>
+        val d = java.lang.Long.compare(
+          graft.functions.CassandraMurmur3.token(a),
+          graft.functions.CassandraMurmur3.token(b))
+        if (d != 0) d else compareBytes(a, b)
+      case "random" =>
+        val d = compareBytes(
+          graft.functions.CassandraRandomMd5.tokenBytes(a),
+          graft.functions.CassandraRandomMd5.tokenBytes(b))
+        if (d != 0) d else compareBytes(a, b)
+      case other => throw new IllegalArgumentException(
+        s"unknown partitioner: $other (byteOrdered | murmur3 | random)")
+    }
+
   def listDataFiles(spark: org.apache.spark.SparkContext, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.hadoopConfiguration)
@@ -145,10 +173,11 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     val splitBytes = options.getOrElse("splitBytes", (128L * 1024 * 1024).toString).toLong
     val resumeKey = options.get("resumeKey")
       .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val partitioner = options.getOrElse("partitioner", "byteOrdered")
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     MaSSTableSource.listDataFiles(spark.sparkContext, path)
-      .flatMap(planSplits(_, splitBytes, resumeKey, conf)).toArray
+      .flatMap(planSplits(_, splitBytes, resumeKey, partitioner, conf)).toArray
   }
 
   /** Split one Data.db at Index.db partition boundaries: pick the first
@@ -162,6 +191,7 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     * cost class as parquet footer planning. */
   private def planSplits(
       file: String, splitBytes: Long, resumeKey: Option[Array[Byte]],
+      partitioner: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
     val dataPath = new Path(file)
     val fs = dataPath.getFileSystem(conf)
@@ -180,10 +210,11 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     // Resume seek: the index is written in the table's ring/key order,
     // so the first entry at-or-after the key is the scan start; every
     // earlier partition is never read at all.
+    val ringGe = MaSSTableSource.ringCompare(partitioner) _
     val seekStartOpt: Option[Long] = resumeKey match {
       case None => Some(0L)
       case Some(rk) =>
-        entries.find(e => MaSSTableSource.compareBytes(e._1, rk) >= 0).map(_._2)
+        entries.find(e => ringGe(e._1, rk) >= 0).map(_._2)
     }
     if (seekStartOpt.isEmpty) return Nil // whole file precedes the key
     val seekStart = seekStartOpt.get
@@ -212,6 +243,7 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
       options.getOrElse("minTimestamp", "0").toLong,
       options.getOrElse("minTtl", "0").toLong,
       options.getOrElse("resumeKey", ""),
+      options.getOrElse("partitioner", "byteOrdered"),
       options.getOrElse("verifyChecksums", "true").toBoolean,
       required.fieldNames,
       // Ship the SESSION's hadoop conf to executors (a fresh
@@ -247,6 +279,7 @@ private[sstable] class MaReaderFactory(
     minTimestamp: Long,
     minTtl: Long,
     resumeKeySpec: String,
+    partitioner: String,
     verifyChecksums: Boolean,
     requiredFields: Array[String],
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
@@ -352,11 +385,12 @@ private[sstable] class MaReaderFactory(
         if (resumeKeySpec.isEmpty) null
         else resumeKeySpec.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
+      private val ringGe = MaSSTableSource.ringCompare(partitioner) _
+
       override def next(): Boolean = {
         while (cells.hasNext) {
           val c = cells.next()
-          if (resumeKeyBytes == null ||
-              MaSSTableSource.compareBytes(c.key, resumeKeyBytes) >= 0) {
+          if (resumeKeyBytes == null || ringGe(c.key, resumeKeyBytes) >= 0) {
             current = c
             return true
           }

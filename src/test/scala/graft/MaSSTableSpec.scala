@@ -603,6 +603,41 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(filtered === keys, "indexless resume must return the same rows")
   }
 
+  test("resume under the murmur3 partitioner walks token order, not key order") {
+    // Build the file and its index in RING order (token, key) — where
+    // key order and token order genuinely differ — exactly how a
+    // Murmur3 table's Summary/Index is laid out.
+    val keys = (1 to 30).map(i => f"user-$i%03d")
+    val ringOrder = keys.sortBy(k => (
+      graft.functions.CassandraMurmur3.token(k.getBytes(UTF_8)), k))
+    assert(ringOrder !== keys.sorted, "fixture must distinguish the orders")
+    val e = new Enc
+    val entries = Seq.newBuilder[(String, Long)]
+    ringOrder.foreach { k =>
+      entries += (k -> e.bos.size().toLong)
+      e.partitionHeader(k)
+      e.byte(0x20).vint(0).vint(0)
+      e.byte(0x00).vint(1L).vint(1).bytes("v".getBytes(UTF_8))
+      e.byte(0x04).vint(1L)
+      e.endOfPartition()
+    }
+    val dir = Files.createTempDirectory("ma-ring")
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    writeIndex(dir, "mc-1-big", entries.result())
+
+    // Resume from the ring's midpoint key: expect exactly the ring
+    // SUFFIX (which is NOT a key-order suffix).
+    val resume = ringOrder(15)
+    val expect = ringOrder.drop(15).toSet
+    val got = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString).option("columns", ColsSpec)
+      .option("resumeKey", resume).option("partitioner", "murmur3")
+      .option("splitBytes", "300")
+      .load().select(col("key")).collect().map(_.getString(0)).toSet
+    assert(got === expect,
+      s"murmur3 resume must keep the ring suffix; missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("legacy ka files split at Index.db boundaries too") {
     val e = new KaEnc
     val entries = Seq.newBuilder[(String, Long)]
