@@ -68,13 +68,16 @@ object Kv {
       spark: SparkSession, path: String, columnsSpec: String,
       resumeKey: Option[String] = None,
       verifyChecksums: Boolean = true): DataFrame = {
-    val raw = resumeKey.foldLeft(
-      spark.read
-        .format("graft.sources.sstable.MaSSTableSource")
-        .option("path", path)
-        .option("columns", columnsSpec)
-        .option("verifyChecksums", verifyChecksums.toString))(
-        (r, k) => r.option("resumeKey", k))
+    val withCols = spark.read
+      .format("graft.sources.sstable.MaSSTableSource")
+      .option("path", path)
+      .option("verifyChecksums", verifyChecksums.toString)
+    // An empty spec self-describes from each file's Statistics.db
+    // (the reference reads the schema there — SSTable.cpp:275).
+    val withSpec =
+      if (columnsSpec.trim.isEmpty) withCols
+      else withCols.option("columns", columnsSpec)
+    val raw = resumeKey.foldLeft(withSpec)((r, k) => r.option("resumeKey", k))
       .load()
     val data = raw.filter(!col("marker"))
       .select(

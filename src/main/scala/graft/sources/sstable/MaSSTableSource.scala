@@ -16,10 +16,20 @@ import org.apache.spark.unsafe.types.UTF8String
 /** DataSource V2 reader for the minimal "ma" SSTable subset decoded by
   * [[MaFormat]] — `spark.read.format("graft.sources.sstable.MaSSTableSource")`.
   *
+  * A Data.db with a sibling Statistics.db is SELF-DESCRIBING: the
+  * schema (columns / clustering / staticColumns), the per-file
+  * minTimestamp / minTtl delta bases, and the partitioner are read
+  * from its serialization header and validation metadata (the
+  * reference's read_metadata, SSTable.cpp:275; SSTableSchema.cpp:121),
+  * so none of those options are needed — exactly like the reference
+  * CLI, which takes only paths. Explicit options override the
+  * discovered values; note the delta bases are per file, so the
+  * options only make sense for single-generation reads.
+  *
   * Options:
   *  - `path`: file or directory of `*-Data.db` files
   *  - `columns`: the regular-column schema, e.g. `"click:text,count:long"`
-  *    (the reference reads this from table metadata, SSTableSchema.cpp)
+  *    (read from Statistics.db when present, SSTableSchema.cpp)
   *  - `clustering`: clustering-key column TYPES in schema order, e.g.
   *    `"text,int32"` — values are parsed and skipped per row exactly as
   *    the reference does (SSTable.cpp:487 read_clustering_columns);
@@ -142,6 +152,21 @@ object MaSSTableSource {
         .map(_.getPath.toString).sorted
     else Seq(path)
   }
+
+  /** Sibling Statistics.db metadata for a Data.db, if present — the
+    * reference's read_metadata (SSTable.cpp:275) makes the table
+    * self-describing; explicit options still win where given. */
+  def statsFor(
+      dataFile: String,
+      fs: org.apache.hadoop.fs.FileSystem): Option[StatsFile.TableMeta] = {
+    val sp = new Path(dataFile.stripSuffix("Data.db") + "Statistics.db")
+    if (!fs.exists(sp)) None
+    else {
+      val in = fs.open(sp)
+      try Some(StatsFile.read(in, versionOf(new Path(dataFile).getName)))
+      finally in.close()
+    }
+  }
 }
 
 private[sstable] class MaTable(props: Map[String, String])
@@ -173,11 +198,10 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     val splitBytes = options.getOrElse("splitBytes", (128L * 1024 * 1024).toString).toLong
     val resumeKey = options.get("resumeKey")
       .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val partitioner = options.getOrElse("partitioner", "byteOrdered")
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     MaSSTableSource.listDataFiles(spark.sparkContext, path)
-      .flatMap(planSplits(_, splitBytes, resumeKey, partitioner, conf)).toArray
+      .flatMap(planSplits(_, splitBytes, resumeKey, conf)).toArray
   }
 
   /** Split one Data.db at Index.db partition boundaries: pick the first
@@ -191,10 +215,16 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     * cost class as parquet footer planning. */
   private def planSplits(
       file: String, splitBytes: Long, resumeKey: Option[Array[Byte]],
-      partitioner: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
     val dataPath = new Path(file)
     val fs = dataPath.getFileSystem(conf)
+    // Ring order for the resume seek: explicit option, else the
+    // partitioner recorded in this file's own Statistics.db (the
+    // reference's read_metadata VALIDATION component).
+    val partitioner = options.getOrElse("partitioner",
+      (if (resumeKey.isDefined)
+         MaSSTableSource.statsFor(file, fs).flatMap(_.partitioner)
+       else None).getOrElse("byteOrdered"))
     val idxPath = new Path(file.stripSuffix("Data.db") + "Index.db")
     val whole = Seq(MaInputPartition(file, 0L, Long.MaxValue))
     if (!fs.exists(idxPath)) return whole
@@ -236,15 +266,7 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MaReaderFactory(
-      options.getOrElse("columns",
-        throw new IllegalArgumentException("columns option required")),
-      options.getOrElse("clustering", ""),
-      options.getOrElse("staticColumns", ""),
-      options.getOrElse("minTimestamp", "0").toLong,
-      options.getOrElse("minTtl", "0").toLong,
-      options.getOrElse("resumeKey", ""),
-      options.getOrElse("partitioner", "byteOrdered"),
-      options.getOrElse("verifyChecksums", "true").toBoolean,
+      options,
       required.fieldNames,
       // Ship the SESSION's hadoop conf to executors (a fresh
       // Configuration() would drop filesystem credentials/settings
@@ -273,14 +295,7 @@ private[sstable] final class CountingInputStream(
 }
 
 private[sstable] class MaReaderFactory(
-    columnsSpec: String,
-    clusteringSpec: String,
-    staticSpec: String,
-    minTimestamp: Long,
-    minTtl: Long,
-    resumeKeySpec: String,
-    partitioner: String,
-    verifyChecksums: Boolean,
+    options: Map[String, String],
     requiredFields: Array[String],
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
@@ -292,24 +307,58 @@ private[sstable] class MaReaderFactory(
       (n, MaFormat.colType(t))
     }
 
+  private def opt(name: String): Option[String] =
+    options.get(name).filter(_.trim.nonEmpty)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val MaInputPartition(file, splitStart, splitEnd) =
       partition.asInstanceOf[MaInputPartition]
-    val columns = parseColumns(columnsSpec)
-    val clustering =
-      if (clusteringSpec.trim.isEmpty) Nil
-      else clusteringSpec.split(",").toSeq.map(t => MaFormat.colType(t.trim))
-    val staticColumns = parseColumns(staticSpec)
+    val resumeKeySpec = options.getOrElse("resumeKey", "")
+    val verifyChecksums = options.getOrElse("verifyChecksums", "true").toBoolean
     new PartitionReader[InternalRow] {
       private val path = new Path(file)
       private val fs = path.getFileSystem(hadoopConf.value)
+      // Per-file metadata: explicit options win; a sibling
+      // Statistics.db supplies the rest (reference read_metadata,
+      // SSTable.cpp:275). The delta bases in particular are PER FILE —
+      // generations of one table each carry their own — so the
+      // stats-discovered values are the only correct ones for a
+      // multi-generation directory read.
+      private val stats: Option[StatsFile.TableMeta] =
+        MaSSTableSource.statsFor(file, fs)
+      private val version = MaSSTableSource.versionOf(path.getName)
+      private val columns: Seq[(String, MaFormat.ColType)] =
+        opt("columns").map(parseColumns)
+          .orElse(stats.flatMap(_.columns))
+          .getOrElse {
+            // Legacy ja/ka framing is self-describing; only the "ma"
+            // row format needs the column list to frame values.
+            if (version >= "ma") throw new IllegalArgumentException(
+              s"no `columns` option and no readable sibling Statistics.db for $file")
+            Nil
+          }
+      private val clustering: Seq[MaFormat.ColType] =
+        opt("clustering")
+          .map(_.split(",").toSeq.map(t => MaFormat.colType(t.trim)))
+          .orElse(stats.map(_.clustering)).getOrElse(Nil)
+      private val staticColumns: Seq[(String, MaFormat.ColType)] =
+        opt("staticColumns").map(parseColumns)
+          .orElse(stats.map(_.staticColumns)).getOrElse(Nil)
+      private val minTimestamp: Long =
+        opt("minTimestamp").map(_.toLong)
+          .orElse(stats.map(_.minTimestamp)).getOrElse(0L)
+      private val minTtl: Long =
+        opt("minTtl").map(_.toLong)
+          .orElse(stats.map(_.minTtl)).getOrElse(0L)
+      private val partitioner: String =
+        opt("partitioner")
+          .orElse(stats.flatMap(_.partitioner)).getOrElse("byteOrdered")
       private val raw = fs.open(path)
       // A sibling CompressionInfo.db means the Data.db is
       // chunk-compressed (the Cassandra default) — layer the block
       // decoder under the format reader transparently.
       private val ciPath = new Path(
         file.stripSuffix("Data.db") + "CompressionInfo.db")
-      private val version = MaSSTableSource.versionOf(path.getName)
       private val in: CountingInputStream = {
         val (base, basePos): (java.io.InputStream, Long) =
           if (fs.exists(ciPath)) {

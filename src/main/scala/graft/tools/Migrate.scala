@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * runMain graft.tools.Migrate \
   *   -i <sstableDir> [-i <sstableDir> ...]   input generations
-  *   -c <name:type,...>                      regular-column schema
+  *   [-c <name:type,...>]                    regular-column schema
+  *                                           (discovered from each
+  *                                           file's Statistics.db
+  *                                           when omitted)
   *   -o <targetPath>                         keyed parquet target
   *   [-s <resumeKey>]                        resume scan from key
   *   [-S <hexKey>]                           resume key given in hex
@@ -59,8 +62,11 @@ object Migrate {
         case other => sys.error(s"unrecognised option $other")
       }
     }
-    require(inputs.nonEmpty && columns.nonEmpty && (dryRun || target.nonEmpty),
-      "need -i <dir>, -c <cols>, and -o <target> (or -D)")
+    // -c is optional when every input carries a Statistics.db — the
+    // source then self-describes, like the reference CLI (which takes
+    // only paths and reads the schema from the table's metadata).
+    require(inputs.nonEmpty && (dryRun || target.nonEmpty),
+      "need -i <dir> and -o <target> (or -D)")
 
     val spark = graft.sources.Tables.sessionConfs
       .foldLeft(SparkSession.builder()

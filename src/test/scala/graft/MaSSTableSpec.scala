@@ -7,7 +7,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.sstable.{MaFormat, MaSSTableSource}
+import graft.sources.sstable.{MaFormat, MaSSTableSource, StatsFile}
 import graft.sources.sstable.MaFormat._
 
 /** Round-trip spec for the minimal "ma" SSTable reader: an independent
@@ -1118,5 +1118,165 @@ class MaSSTableSpec extends AnyFunSuite {
       assert(new String(r.getAs[Array[Byte]]("value"), UTF_8).startsWith("g2-"),
         s"LWW must pick generation 2 for ${r.getString(0)}")
     }
+  }
+
+  // ---- Statistics.db: independent encoder + discovery tests ---------
+
+  private val Marshal = "org.apache.cassandra.db.marshal."
+
+  private case class StatsHeader(
+      minTimestamp: Long, minTtl: Long, keyClass: String,
+      clustering: Seq[String], statics: Seq[(String, String)],
+      regulars: Seq[(String, String)])
+
+  /** Independent Statistics.db encoder per the reference layout
+    * (SSTable.cpp:275 read_metadata; SSTableSchema.cpp:121 parse):
+    * int32 count then (type, offset) int32 pairs; VALIDATION(0) a
+    * 16-bit-length partitioner class name; HEADER(3) the vint
+    * serialization header with vint-length marshal class names. */
+  private def statsBytes(
+      partitionerClass: String, header: Option[StatsHeader]): Array[Byte] = {
+    def vlenStr(e: Enc, s: String): Unit = {
+      val b = s.getBytes(UTF_8); e.vint(b.length.toLong); e.bytes(b)
+    }
+    val validation = { val e = new Enc; e.string(partitionerClass); e.result }
+    val headerBytes = header.map { h =>
+      val e = new Enc
+      e.vint(h.minTimestamp).vint(0L).vint(h.minTtl)
+      vlenStr(e, h.keyClass)
+      e.vint(h.clustering.length.toLong)
+      h.clustering.foreach(vlenStr(e, _))
+      Seq(h.statics, h.regulars).foreach { cols =>
+        e.vint(cols.length.toLong)
+        cols.foreach { case (n, c) => vlenStr(e, n); vlenStr(e, c) }
+      }
+      e.result
+    }
+    val n = 1 + headerBytes.size
+    val tocLen = 4 + n * 8
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.writeInt(n)
+    d.writeInt(0); d.writeInt(tocLen) // VALIDATION
+    headerBytes.foreach { _ =>
+      d.writeInt(3); d.writeInt(tocLen + validation.length) // HEADER
+    }
+    d.write(validation)
+    headerBytes.foreach(d.write)
+    d.flush()
+    out.toByteArray
+  }
+
+  test("Statistics.db decodes the schema, delta bases, and partitioner") {
+    val bytes = statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+      5000L, 77L, Marshal + "UTF8Type",
+      clustering = Seq(Marshal + "UTF8Type", Marshal + "Int32Type"),
+      statics = Seq("s1" -> (Marshal + "LongType")),
+      regulars = Seq(
+        "click" -> (Marshal + "UTF8Type"),
+        "nclicks" -> (Marshal + "LongType"),
+        "weird" -> "com.example.CustomType")))) // no marshal prefix -> vint-framed
+    val m = StatsFile.read(new ByteArrayInputStream(bytes), "mc")
+    assert(m.minTimestamp === 5000L)
+    assert(m.minTtl === 77L)
+    assert(m.clustering === Seq(CText, CInt32))
+    assert(m.staticColumns === Seq("s1" -> CLong))
+    assert(m.columns === Some(Seq(
+      "click" -> CText, "nclicks" -> CLong, "weird" -> CText)))
+    assert(m.partitioner === Some("murmur3"))
+  }
+
+  test("ka Statistics.db yields the partitioner; no header component") {
+    val bytes = statsBytes(Marshal + "RandomPartitioner", None)
+    val m = StatsFile.read(new ByteArrayInputStream(bytes), "ka")
+    assert(m.columns === None)
+    assert(m.partitioner === Some("random"))
+  }
+
+  test("ja Statistics.db skips histograms to reach the partitioner") {
+    val e = new Enc
+    e.out.writeInt(3); (1 to 6).foreach(i => e.longlong(i.toLong))
+    e.out.writeInt(2); (1 to 4).foreach(i => e.longlong(i.toLong))
+    (1 to 5).foreach(i => e.longlong(i.toLong)) // 5 fixed longs
+    e.out.writeInt(0); e.out.writeInt(0) // 2 fixed ints
+    e.string(Marshal + "ByteOrderedPartitioner")
+    val m = StatsFile.read(new ByteArrayInputStream(e.result), "ja")
+    assert(m.columns === None)
+    assert(m.partitioner === Some("byteOrdered"))
+  }
+
+  test("a sibling Statistics.db makes the source self-describing, with per-file bases") {
+    val dir = Files.createTempDirectory("ma-stats")
+    // Two generations with DIFFERENT timestamp delta bases — a global
+    // minTimestamp option cannot decode both; per-file discovery can.
+    val gens = Seq((1, 1000L), (2, 2000L))
+    gens.foreach { case (gen, base) =>
+      val e = new Enc
+      (1 to 5).foreach { i =>
+        e.partitionHeader(s"u$i")
+        e.byte(0x20).vint(0).vint(0)
+        val v = s"g$gen-$i".getBytes(UTF_8)
+        e.byte(0x00).vint(i.toLong).vint(v.length.toLong).bytes(v)
+        e.byte(0x00).vint(i.toLong).bytes(longBytes(gen.toLong))
+        e.endOfPartition()
+      }
+      Files.write(dir.resolve(s"mc-$gen-big-Data.db"), e.result)
+      Files.write(dir.resolve(s"mc-$gen-big-Statistics.db"),
+        statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+          base, 0L, Marshal + "UTF8Type", Nil, Nil,
+          regulars = Seq(
+            "click" -> (Marshal + "UTF8Type"),
+            "nclicks" -> (Marshal + "LongType"))))))
+    }
+    // No columns / minTimestamp / partitioner options at all.
+    val df = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString).load()
+    val got = df.select(col("key"), col("col"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expect = (for { (_, base) <- gens; i <- 1 to 5 } yield Seq(
+      (s"u$i", "click", base + i), (s"u$i", "nclicks", base + i))).flatten.toSet
+    assert(got === expect)
+    // The KV entry point takes the same path with an empty spec.
+    assert(graft.kv.Kv.cellsFromSSTables(spark, dir.toString, "").count() === 20)
+  }
+
+  test("resume discovers the ring order from Statistics.db when unconfigured") {
+    val keys = (1 to 30).map(i => f"user-$i%03d")
+    val ringOrder = keys.sortBy(k => (
+      graft.functions.CassandraMurmur3.token(k.getBytes(UTF_8)), k))
+    assert(ringOrder !== keys.sorted, "fixture must distinguish the orders")
+    val e = new Enc
+    val entries = Seq.newBuilder[(String, Long)]
+    ringOrder.foreach { k =>
+      entries += (k -> e.bos.size().toLong)
+      e.partitionHeader(k)
+      e.byte(0x20).vint(0).vint(0)
+      e.byte(0x00).vint(1L).vint(1).bytes("v".getBytes(UTF_8))
+      e.byte(0x04).vint(1L)
+      e.endOfPartition()
+    }
+    val dir = Files.createTempDirectory("ma-stats-ring")
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    writeIndex(dir, "mc-1-big", entries.result())
+    Files.write(dir.resolve("mc-1-big-Statistics.db"),
+      statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+        0L, 0L, Marshal + "UTF8Type", Nil, Nil,
+        regulars = Seq(
+          "click" -> (Marshal + "UTF8Type"),
+          "nclicks" -> (Marshal + "LongType"))))))
+
+    // Neither partitioner nor columns configured: both come from the
+    // stats; the plan-time seek and the residual filter must walk the
+    // discovered murmur3 ring order.
+    val resume = ringOrder(15)
+    val expect = ringOrder.drop(15).toSet
+    val got = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString)
+      .option("resumeKey", resume)
+      .option("splitBytes", "300")
+      .load().select(col("key")).collect().map(_.getString(0)).toSet
+    assert(got === expect,
+      s"stats-discovered resume must keep the ring suffix; " +
+        s"missing=${expect -- got} extra=${got -- expect}")
   }
 }
