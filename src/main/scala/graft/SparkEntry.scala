@@ -85,6 +85,11 @@ object SparkEntry {
     "text_quality"             -> (Text.quality _),
     "text_langid"              -> (Text.langid _),
     "text_fingerprint"         -> (Text.fingerprint _),
+    "text_decontaminate"       -> (Text.decontaminate _),
+    "text_repetition"          -> (Text.repetition _),
+    "text_pii_scrub"           -> (Text.piiScrub _),
+    "sample_stratified"        -> (Text.sampleStratified _),
+    "emb_outliers"             -> (Similarity.embOutliers _),
     // §2.7 multimodal
     "mm_binary_pipeline"       -> (Multimodal.pipeline _)
   )
@@ -914,6 +919,130 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
     },
+
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 8
+        |      THEN t[r.i]||' '||t[r.i+1]||' '||t[r.i+2]||' '||t[r.i+3]||' '
+        |           ||t[r.i+4]||' '||t[r.i+5]||' '||t[r.i+6]||' '||t[r.i+7]
+        |      ELSE array_to_string(t, ' ') END AS ngram
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 8 THEN range(1, len(t)-6) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |ev AS (SELECT DISTINCT ngram FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, ngram FROM sh WHERE doc_id % 20 <> 0),
+        |n AS (SELECT doc_id, COUNT(*)::INT AS n_ngrams FROM tr GROUP BY doc_id),
+        |h AS (SELECT doc_id, COUNT(*) AS n_hits FROM tr JOIN ev USING (ngram) GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_ngrams, COALESCE(h.n_hits, 0) AS n_hits,
+        |  CAST(CAST(ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+        |    / CAST(GREATEST(n.n_ngrams, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS contamination,
+        |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM n LEFT JOIN h USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(t)::INT AS n_tokens,
+        |    len(list_distinct(t))::INT AS n_distinct, t FROM t),
+        |g AS (
+        |  SELECT doc_id, 2 AS gn, t[r.i]||' '||t[r.i+1] AS gram
+        |  FROM t, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS gn, t[r.i]||' '||t[r.i+1]||' '||t[r.i+2] AS gram
+        |  FROM t, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+        |c AS (SELECT doc_id, gn, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, gn,
+        |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(c) AS DOUBLE) AS dup_frac
+        |  FROM c GROUP BY 1, 2),
+        |piv AS (SELECT doc_id,
+        |    MAX(CASE WHEN gn = 2 THEN top_frac END) AS top2,
+        |    MAX(CASE WHEN gn = 2 THEN dup_frac END) AS dup2,
+        |    MAX(CASE WHEN gn = 3 THEN top_frac END) AS top3,
+        |    MAX(CASE WHEN gn = 3 THEN dup_frac END) AS dup3
+        |  FROM p GROUP BY doc_id),
+        |d4 AS (SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |    CAST(b.n_distinct AS DOUBLE) / CAST(GREATEST(b.n_tokens, 1) AS DOUBLE) AS dr,
+        |    COALESCE(piv.top2, 0) AS top2, COALESCE(piv.dup2, 0) AS dup2,
+        |    COALESCE(piv.top3, 0) AS top3, COALESCE(piv.dup3, 0) AS dup3
+        |  FROM base b LEFT JOIN piv USING (doc_id))
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(CAST(ROUND(dr, 4) AS DECIMAL(10,4)) AS DOUBLE) AS distinct_ratio,
+        |  CAST(CAST(ROUND(top2, 4) AS DECIMAL(10,4)) AS DOUBLE) AS top_2gram_frac,
+        |  CAST(CAST(ROUND(dup2, 4) AS DECIMAL(10,4)) AS DOUBLE) AS dup_2gram_frac,
+        |  CAST(CAST(ROUND(top3, 4) AS DECIMAL(10,4)) AS DOUBLE) AS top_3gram_frac,
+        |  CAST(CAST(ROUND(dup3, 4) AS DECIMAL(10,4)) AS DOUBLE) AS dup_3gram_frac
+        |FROM d4
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH full_t AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        |      || CASE WHEN doc_id % 3 = 0
+        |           THEN ' cc admin' || CAST(doc_id % 11 AS VARCHAR) || '@corp.example.org'
+        |           ELSE '' END
+        |      || ' phone +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || CASE WHEN doc_id % 4 = 0
+        |           THEN ' fax 212-555-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+        |           ELSE '' END
+        |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |      || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS f
+        |  FROM documents),
+        |st AS (SELECT doc_id, f,
+        |    regexp_replace(f, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+        |  FROM full_t),
+        |st2 AS (SELECT *, regexp_replace(s1, '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS s2 FROM st),
+        |st3 AS (SELECT *, regexp_replace(s2,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s3 FROM st2)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(f, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+        |  len(regexp_extract_all(s1, '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))::INT AS n_phones,
+        |  len(regexp_extract_all(s2,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INT AS n_ips,
+        |  length(s3)::INT AS n_chars_redacted,
+        |  md5(s3) AS redacted_md5
+        |FROM st3
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    5 + (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) * 7) % 90 AS rate_pct,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT source, rate_pct, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(CAST(ROUND(
+        |    CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+        |      / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS realized_pct
+        |FROM d
+        |GROUP BY source, rate_pct
+        |ORDER BY source""".stripMargin,
+
+    "emb_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dim AS (SELECT label, r.i AS pos, SUM(CAST(FLOOR(v[r.i] * 1048576.0) AS BIGINT)) AS qsum,
+        |    COUNT(*) AS n
+        |  FROM e, UNNEST(range(1, len(v)+1)) AS r(i) GROUP BY 1, 2),
+        |c AS (SELECT label,
+        |    list(CAST(qsum AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE) ORDER BY pos) AS cent
+        |  FROM dim GROUP BY label),
+        |scored AS (SELECT e.vec_id, e.label,
+        |    ROUND(list_dot_product(v, cent)
+        |      / sqrt(list_dot_product(v, v) * list_dot_product(cent, cent)), 6) AS r6
+        |  FROM e JOIN c USING (label))
+        |SELECT vec_id, label,
+        |  CAST(CAST(r6 AS DECIMAL(12,6)) AS DOUBLE) AS cos_centroid,
+        |  CAST(r6 AS DECIMAL(12,6)) < 0 AS is_outlier
+        |FROM scored
+        |ORDER BY vec_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Centroids, Sketches, TopKByScore}
@@ -135,5 +135,50 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))))
+  }
+
+  /** Sequential dot product over two double arrays — index order, so
+    * the per-row float arithmetic is bit-identical to the oracle's
+    * `list_dot_product` (both accumulate left to right). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** #50 emb_outliers: embedding-quality audit — cosine of every vector
+    * against its label's centroid, flagging vectors on the wrong side
+    * of it (the standard cheap screen for mislabeled / degenerate
+    * embeddings before training). Exactness across engines is the
+    * design point: a float centroid is a cross-row SUM, whose value
+    * depends on reduction order, so the mean is taken over components
+    * QUANTIZED to 2^-20 — `floor(x·2^20)` is exact in IEEE (power-of-two
+    * scale) and the integer sums are order-free — after which every
+    * remaining operation is per-row and order-fixed. Hence a hash-exact
+    * oracle for a floating-point centroid computation.
+    *
+    * Scale shape: one posexplode + (label, dim) aggregation — partial
+    * map-side sums compact the explosion to |labels|×dim before the
+    * shuffle — then the tiny centroid table broadcasts back onto the
+    * corpus (a genuine dimension table: one row per label). */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cents = emb
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(floor(col("col") * lit(1048576.0))).as("qsum"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("qsum").cast("double") / lit(1048576.0) / col("n").cast("double"))
+          .as("c")))).as("cs"))
+      .select(col("label"), transform(col("cs"), s => s.getField("c")).as("cent"))
+    val cos = dot(col("v"), col("cent")) /
+      sqrt(dot(col("v"), col("v")) * dot(col("cent"), col("cent")))
+    emb.join(broadcast(cents), Seq("label"))
+      .select(
+        col("vec_id"), col("label"),
+        round(cos, 6).cast("decimal(12,6)").cast("double").as("cos_centroid"),
+        (round(cos, 6).cast("decimal(12,6)") < 0).as("is_outlier"))
+      .orderBy(col("vec_id"))
   }
 }

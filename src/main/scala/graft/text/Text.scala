@@ -122,4 +122,188 @@ object Text {
         // (scalar columns only) for the driver's pandas sort
         concat_ws(",", slice(col("fp"), 1, 8).cast("array<string>")).as("fp_head"))
       .orderBy(col("doc_id"))
+
+  /** Round-to-4-places presentation helper shared by the ratio columns:
+    * exact decimal rounding, presented as double (see [[quality]]). */
+  private def d4(c: Column): Column =
+    round(c, 4).cast("decimal(10,4)").cast("double")
+
+  /** #46 text_decontaminate: benchmark decontamination — flag training
+    * documents that share any k-token n-gram with the held-out
+    * evaluation slice (here `doc_id % 20 == 0`, the driver-visible
+    * stand-in for a benchmark suite). k = 8 makes an overlap evidence
+    * of real duplication rather than phrase-level coincidence.
+    *
+    * Scale shape: the eval side of a decontamination run is tiny
+    * (benchmarks are thousands of docs; the corpus is the 100 TB side),
+    * so its distinct n-gram set is aggregated and BROADCAST; the corpus
+    * streams through the semi-join map-side, and only matching
+    * (doc, ngram) rows — a sliver — reach the per-doc count shuffle.
+    * The corpus-wide doc list never shuffles: hit counts join back onto
+    * the narrow (doc_id, n_ngrams) projection. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Sketches.wordShingles(col("text"), k).as("sh"))
+    val isEval = col("doc_id") % 20 === 0
+    // Distinct n-grams of the eval slice — the small, broadcastable side.
+    val evalNgrams = docs.filter(isEval)
+      .select(explode(col("sh")).as("ngram"))
+      .distinct()
+    val train = docs.filter(!isEval)
+    val hits = train
+      .select(col("doc_id"), explode(col("sh")).as("ngram"))
+      .join(broadcast(evalNgrams), Seq("ngram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col("doc_id"), size(col("sh")).as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        d4(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          greatest(col("n_ngrams"), lit(1)).cast("double")).as("contamination"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** All n-token grams of a token array WITH duplicates, in order (the
+    * repetition signals need multiplicity, unlike the dedup shingles). */
+  private def grams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** #47 text_repetition: repetition-based quality signals in the
+    * Gopher/MassiveText style — distinct-token ratio plus, for 2- and
+    * 3-grams, the fraction of gram instances held by the single most
+    * frequent gram and the fraction covered by any repeated gram. (The
+    * line/paragraph variants collapse to these here: the corpus has no
+    * newlines.) Docs too short to have a gram report 0.
+    *
+    * Scale shape: one explode + two aggregations, all keyed by doc_id —
+    * per-doc gram cardinality is bounded by document length, so the
+    * shuffle is corpus-sized (never quadratic) and partial aggregation
+    * compacts it map-side. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val base = docs.select(
+      col("doc_id"),
+      size(col("t")).as("n_tokens"),
+      size(array_distinct(col("t"))).as("n_distinct"))
+    val gramRows = docs.select(col("doc_id"), explode(concat(
+        transform(grams(col("t"), 2), x => struct(lit(2).as("gn"), x.as("gram"))),
+        transform(grams(col("t"), 3), x => struct(lit(3).as("gn"), x.as("gram"))))).as("g"))
+      .select(col("doc_id"), col("g.gn").as("gn"), col("g.gram").as("gram"))
+    val per = gramRows
+      .groupBy(col("doc_id"), col("gn"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("gn"))
+      .agg(
+        (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"),
+        (sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).cast("double") /
+          sum(col("c")).cast("double")).as("dup_frac"))
+    val piv = per.groupBy(col("doc_id")).agg(
+      max(when(col("gn") === 2, col("top_frac"))).as("top2"),
+      max(when(col("gn") === 2, col("dup_frac"))).as("dup2"),
+      max(when(col("gn") === 3, col("top_frac"))).as("top3"),
+      max(when(col("gn") === 3, col("dup_frac"))).as("dup3"))
+    base.join(piv, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        d4(col("n_distinct").cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double")).as("distinct_ratio"),
+        d4(coalesce(col("top2"), lit(0.0))).as("top_2gram_frac"),
+        d4(coalesce(col("dup2"), lit(0.0))).as("dup_2gram_frac"),
+        d4(coalesce(col("top3"), lit(0.0))).as("top_3gram_frac"),
+        d4(coalesce(col("dup3"), lit(0.0))).as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII patterns shared by the scrubber and its spec: plain ASCII
+    * classes only, so the Java (Spark) and RE2 (DuckDB oracle) engines
+    * agree on every match. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** #48 text_pii_scrub: PII detection + redaction counts — emails,
+    * phone numbers, IPv4 addresses found, replaced by typed placeholder
+    * tags, with the redacted text fingerprinted (md5) so the oracle
+    * checks the exact redaction output byte-for-byte. The corpus text
+    * carries no PII (word-salad fixtures), so the pipeline derives a
+    * deterministic PII suffix per doc_id first — the same
+    * realness trade the mm_binary_pipeline stub codec makes: the
+    * detection/redaction semantics under test are fully real, the data
+    * is synthesized in-plan. Redaction is staged (emails, then phones,
+    * then IPs) and each count is taken on the previous stage's output,
+    * so the stages compose deterministically.
+    *
+    * Scale shape: pure per-row regex map, zero shuffle — whole-stage
+    * codegen over 100 TB. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val full = concat(
+      col("text"),
+      lit(" contact user"), id.cast("string"),
+      lit("@mail"), (id % 7).cast("string"), lit(".example.com"),
+      when(id % 3 === 0,
+        concat(lit(" cc admin"), (id % 11).cast("string"), lit("@corp.example.org")))
+        .otherwise(lit("")),
+      lit(" phone +1-555-"), lpad((id % 10000).cast("string"), 4, "0"),
+      when(id % 4 === 0,
+        concat(lit(" fax 212-555-"), lpad(((id * 3) % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" ip 10."), (id % 256).cast("string"),
+      lit("."), ((id * 7) % 256).cast("string"),
+      lit("."), ((id * 13) % 256).cast("string"))
+    val s1 = regexp_replace(full, EmailRe, "<EMAIL>")
+    val s2 = regexp_replace(s1, PhoneRe, "<PHONE>")
+    val s3 = regexp_replace(s2, IpRe, "<IP>")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(full, lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(s1, lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(s2, lit(IpRe), lit(0))).as("n_ips"),
+        length(s3).as("n_chars_redacted"),
+        md5(s3.cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #49 sample_stratified: deterministic stratified corpus sampling —
+    * the mixing step of a training-data pipeline (per-source sampling
+    * weights, e.g. upweight curated sources, downweight crawl). Every
+    * doc hashes to a stable [0,100) bucket via md5(doc_id:source) —
+    * reproducible across runs, engines and partitionings, unlike
+    * `rand()` — and is kept iff bucket < the source's rate. Rates here
+    * derive from the source id (5 + 7·i mod 90) as a driver-checkable
+    * stand-in for a mixing-weights config table. Emits the per-source
+    * audit (docs, sampled, realized rate vs target).
+    *
+    * Scale shape: narrow hash + one partial-aggregated groupBy on the
+    * (low-cardinality) source key; the corpus itself never reshuffles.
+    * The same predicate applied as a filter IS the sampler. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+    val ratePct = lit(5) + (srcNum * 7) % 90
+    val bucket = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+    Tables.documents(spark, dir)
+      .select(col("source"), ratePct.as("rate_pct"), bucket.as("bucket"))
+      .groupBy(col("source"), col("rate_pct"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(
+        col("source"), col("rate_pct"), col("n_docs"), col("n_sampled"),
+        d4(col("n_sampled").cast("double") * 100.0 /
+          col("n_docs").cast("double")).as("realized_pct"))
+      .orderBy(col("source"))
+  }
 }

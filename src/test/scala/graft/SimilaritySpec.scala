@@ -88,4 +88,39 @@ class SimilaritySpec extends AnyFunSuite {
     // Every query returns exactly k ranked candidates.
     assert(rows.groupBy(_.getAs[Long]("query_id")).values.forall(_.length == 10))
   }
+
+  test("emb_outliers: planted geometry gets the exact centroid cosines") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("embfix").toString
+    // label 0: two copies of e1 -> centroid e1, cos 1.0 for both.
+    // label 1: e1 and e2 -> centroid (.5, .5), cos = 1/sqrt(2) each.
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.embOutliers(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Double]("cos_centroid") === 1.0)
+    assert(got(1L).getAs[Double]("cos_centroid") === 1.0)
+    assert(got(2L).getAs[Double]("cos_centroid") === 0.707107)
+    assert(got(3L).getAs[Double]("cos_centroid") === 0.707107)
+    assert(got.values.forall(!_.getAs[Boolean]("is_outlier")))
+  }
+
+  test("emb_outliers on the corpus: bounded cosines, deterministic, total") {
+    val rows = Similarity.embOutliers(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === n, "one row per vector")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_centroid")
+      assert(c >= -1.0 && c <= 1.0, s"cos out of range: $c")
+      assert(r.getAs[Boolean]("is_outlier") === (c < 0))
+    }
+    val again = Similarity.embOutliers(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }

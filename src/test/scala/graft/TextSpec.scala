@@ -69,4 +69,99 @@ class TextSpec extends AnyFunSuite {
       .filter(col("n_bpe_tokens") < col("n_ws_tokens")).count()
     assert(bad === 0)
   }
+
+  /** Writes a documents.parquet fixture and returns its table dir. */
+  private def docsFixture(rows: Seq[(Long, String)]): String = {
+    val sparkS = spark
+    import sparkS.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("textfix").toString
+    rows.map { case (id, t) => (id, t, "xx", s"src${id % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("decontaminate flags train docs sharing an 8-gram with the eval slice") {
+    // doc 0 is eval (0 % 20 == 0); doc 1 shares its first 8 tokens,
+    // doc 3 shares nothing.
+    val dir = docsFixture(Seq(
+      0L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9",
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2",
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+    val got = Text.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 3L), "eval docs must not appear")
+    assert(got(1L).getAs[Long]("n_hits") === 1L)
+    assert(got(1L).getAs[Boolean]("contaminated"))
+    assert(got(1L).getAs[Int]("n_ngrams") === 3)
+    assert(got(3L).getAs[Long]("n_hits") === 0L)
+    assert(!got(3L).getAs[Boolean]("contaminated"))
+  }
+
+  test("repetition computes exact gram fractions on a planted doc") {
+    val dir = docsFixture(Seq(
+      1L -> "a b a b a b",          // 2-grams: ab×3 ba×2; 3-grams: aba×2 bab×2
+      2L -> "one two three four"))  // all grams unique
+    val got = Text.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Int]("n_tokens") === 6)
+    assert(r1.getAs[Int]("n_distinct") === 2)
+    assert(r1.getAs[Double]("distinct_ratio") === 0.3333)
+    assert(r1.getAs[Double]("top_2gram_frac") === 0.6)    // 3/5
+    assert(r1.getAs[Double]("dup_2gram_frac") === 1.0)    // all repeated
+    assert(r1.getAs[Double]("top_3gram_frac") === 0.5)    // 2/4
+    assert(r1.getAs[Double]("dup_3gram_frac") === 1.0)
+    val r2 = got(2L)
+    assert(r2.getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(r2.getAs[Double]("top_2gram_frac") === 0.3333) // 1/3
+  }
+
+  test("pii scrub counts and redacts emails, phones, and IPs exactly") {
+    val dir = docsFixture(Seq(1L -> "hello world", 12L -> "other text"))
+    val got = Text.piiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: one email (1%3!=0), one phone (1%4!=0), one ip.
+    assert(got(1L).getAs[Int]("n_emails") === 1)
+    assert(got(1L).getAs[Int]("n_phones") === 1)
+    assert(got(1L).getAs[Int]("n_ips") === 1)
+    // doc 12: extra email (12%3==0) and extra phone (12%4==0).
+    assert(got(12L).getAs[Int]("n_emails") === 2)
+    assert(got(12L).getAs[Int]("n_phones") === 2)
+    // Cross-check the exact redaction output via the same Java regexes.
+    def expected(id: Long, text: String): String = {
+      val full = text +
+        s" contact user$id@mail${id % 7}.example.com" +
+        (if (id % 3 == 0) s" cc admin${id % 11}@corp.example.org" else "") +
+        s" phone +1-555-${"%04d".format(id % 10000)}" +
+        (if (id % 4 == 0) s" fax 212-555-${"%04d".format((id * 3) % 10000)}" else "") +
+        s" ip 10.${id % 256}.${(id * 7) % 256}.${(id * 13) % 256}"
+      full.replaceAll(Text.EmailRe, "<EMAIL>")
+        .replaceAll(Text.PhoneRe, "<PHONE>")
+        .replaceAll(Text.IpRe, "<IP>")
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Seq(1L -> "hello world", 12L -> "other text").foreach { case (id, t) =>
+      val e = expected(id, t)
+      assert(!e.contains("@") && !e.contains("10."), s"unredacted PII in: $e")
+      assert(got(id).getAs[String]("redacted_md5") === md5hex(e))
+      assert(got(id).getAs[Int]("n_chars_redacted") === e.length)
+    }
+  }
+
+  test("stratified sample is deterministic and self-consistent") {
+    val a = Text.sampleStratified(spark, sf).collect()
+    val b = Text.sampleStratified(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    a.foreach { r =>
+      val rate = r.getAs[Int]("rate_pct")
+      val srcNum = r.getAs[String]("source").filter(_.isDigit).toInt
+      assert(rate === 5 + (srcNum * 7) % 90)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("realized_pct") >= 0.0 &&
+        r.getAs[Double]("realized_pct") <= 100.0)
+    }
+  }
 }
