@@ -55,6 +55,7 @@ object SparkEntry {
     "kv_record_ttl"            -> (Kv.recordTtl _),
     "kv_create_only"           -> (Kv.createOnly _),
     "kv_resume_scan"           -> (Kv.resumeScan _),
+    "kv_token_range_scan"      -> (Kv.tokenRangeScan _),
     "kv_byte_ordered_scan"     -> (Kv.byteOrderedScan _),
     "kv_random_resume_scan"    -> (Kv.randomResumeScan _),
     "kv_token_distribution"    -> (Kv.tokenDistribution _),
@@ -474,6 +475,22 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY c.key, c.col ORDER BY c.ts DESC, c.seq DESC) AS rn
         |  FROM cells c JOIN mtok t USING (key)
         |  WHERE t.token >= $start AND (t.token > $start OR c.key >= '42'))
+        |SELECT key, col, ts, seq, value, token FROM ranked WHERE rn = 1
+        |ORDER BY token, key, col""".stripMargin
+    },
+
+    "kv_token_range_scan" -> {
+      val t1 = graft.functions.CassandraMurmur3.token(
+        org.apache.spark.unsafe.types.UTF8String.fromString("25"))
+      val t2 = graft.functions.CassandraMurmur3.token(
+        org.apache.spark.unsafe.types.UTF8String.fromString("75"))
+      val (tMin, tMax) = (math.min(t1, t2), math.max(t1, t2))
+      s"""$cellsCte,
+        |$murmurTokenSqlCte,
+        |ranked AS (SELECT c.key, c.col, c.ts, c.seq, c.value, t.token,
+        |  ROW_NUMBER() OVER (PARTITION BY c.key, c.col ORDER BY c.ts DESC, c.seq DESC) AS rn
+        |  FROM cells c JOIN mtok t USING (key)
+        |  WHERE t.token BETWEEN $tMin AND $tMax)
         |SELECT key, col, ts, seq, value, token FROM ranked WHERE rn = 1
         |ORDER BY token, key, col""".stripMargin
     },

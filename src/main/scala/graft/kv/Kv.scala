@@ -67,7 +67,8 @@ object Kv {
   def cellsFromSSTables(
       spark: SparkSession, path: String, columnsSpec: String,
       resumeKey: Option[String] = None,
-      verifyChecksums: Boolean = true): DataFrame = {
+      verifyChecksums: Boolean = true,
+      tokenRange: Option[(String, String)] = None): DataFrame = {
     val withCols = spark.read
       .format("graft.sources.sstable.MaSSTableSource")
       .option("path", path)
@@ -77,7 +78,17 @@ object Kv {
     val withSpec =
       if (columnsSpec.trim.isEmpty) withCols
       else withCols.option("columns", columnsSpec)
-    val raw = resumeKey.foldLeft(withSpec)((r, k) => r.option("resumeKey", k))
+    // A token slice ([min, max] in the partitioner's own token
+    // notation, either side empty for open) reaches the source's
+    // Index.db seek: each shard of a DISTRIBUTED migration reads only
+    // its ring slice of every SSTable (the source applies the exact
+    // per-cell residual as well, so indexless files return the same
+    // rows).
+    val withSlice = tokenRange.foldLeft(withSpec) { case (r, (lo, hi)) =>
+      val r2 = if (lo.nonEmpty) r.option("tokenMin", lo) else r
+      if (hi.nonEmpty) r2.option("tokenMax", hi) else r2
+    }
+    val raw = resumeKey.foldLeft(withSlice)((r, k) => r.option("resumeKey", k))
       .load()
     val data = raw.filter(!col("marker"))
       .select(
@@ -239,13 +250,16 @@ object Kv {
       policy: Option[graft.sinks.KeyedSink.TtlPolicy] = None,
       resumeKey: Option[String] = None,
       dryRun: Boolean = false,
-      verifyChecksums: Boolean = true): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
+      verifyChecksums: Boolean = true,
+      tokenRange: Option[(String, String)] = None): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
     // The resume key reaches the SOURCE (Index.db seek skips whole
-    // partitions at plan time — the reference's `-s` Summary seek);
-    // the relational filter stays as the declarative form of the same
-    // bound so the plan is correct over any source.
+    // partitions at plan time — the reference's `-s` Summary seek), as
+    // does the token slice of a sharded run (`-T`, each worker's ring
+    // range); the relational filter stays as the declarative form of
+    // the resume bound so the plan is correct over any source.
     val bags = sstableDirs.map(
-      cellsFromSSTables(spark, _, columnsSpec, resumeKey, verifyChecksums))
+      cellsFromSSTables(spark, _, columnsSpec, resumeKey, verifyChecksums,
+        tokenRange))
     val merged = lww(applyMarkerTombstones(
       bags.reduce(_ unionAll _)
         .transform(df => resumeKey.fold(df)(k => df.filter(col("key") >= k)))))
@@ -374,6 +388,29 @@ object Kv {
         .withColumn("token", cassandraToken(col("key")))
         .filter(col("token") >= startToken &&
                 (col("token") > startToken || col("key") >= startKey)))
+      .orderBy(col("token"), col("key"), col("col"))
+  }
+
+  /** #8d kv_token_range_scan: one shard's ring slice — the predicate a
+    * DISTRIBUTED migration uses to split the reference's single-node
+    * scan across executors: worker i of N owns tokens in
+    * [ring·i/N, ring·(i+1)/N) and scans exactly that slice (the
+    * reference's Summary/Index seek generalized from "resume at key" to
+    * "read my token range"; [[graft.sources.sstable.MaSSTableSource]]
+    * pushes the same bounds into the Index.db seek at plan time). Here:
+    * LWW over the keys whose sign-bug-Murmur3 token lands between the
+    * tokens of two sentinel keys, token-ring output order. The token
+    * filter is a pure key predicate, so it commutes below the LWW
+    * shuffle — skipped keys never enter the exchange. */
+  def tokenRangeScan(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = graft.functions.CassandraMurmur3.token(
+      org.apache.spark.unsafe.types.UTF8String.fromString("25"))
+    val t2 = graft.functions.CassandraMurmur3.token(
+      org.apache.spark.unsafe.types.UTF8String.fromString("75"))
+    val (tMin, tMax) = (math.min(t1, t2), math.max(t1, t2))
+    lww(cells(spark, dir)
+        .withColumn("token", cassandraToken(col("key")))
+        .filter(col("token") >= tMin && col("token") <= tMax))
       .orderBy(col("token"), col("key"), col("col"))
   }
 

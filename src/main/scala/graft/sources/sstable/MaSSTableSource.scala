@@ -41,6 +41,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    flag): with an Index.db the seek skips every earlier partition at
   *    plan time (partitions read in index/ring order); without one the
   *    reader filters per cell — same rows either way
+  *  - `tokenMin`, `tokenMax`: inclusive TOKEN bounds on the partitioner
+  *    ring — the shard predicate a distributed migration uses (worker i
+  *    of N reads ring·i/N ≤ token ≤ ring·(i+1)/N), generalizing the
+  *    reference's resume seek from "start at key" to "read my slice".
+  *    Format follows the partitioner: a signed decimal long for
+  *    `murmur3`, 32 lowercase hex chars (the |MD5| token) for `random`,
+  *    raw key text for `byteOrdered`. With an Index.db BOTH bounds
+  *    prune at plan time (the scan starts at the first in-range
+  *    partition and STOPS at the first past-range one — partitions
+  *    outside the slice are never read); the reader always applies the
+  *    exact residual per cell
   *  - `partitioner`: the ring order the resume seek walks, matching
   *    the reference's assign_token + init_at_key (CassandraParser.cpp
   *    :198): `byteOrdered` (default, raw-key memcmp), `murmur3`
@@ -57,8 +68,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale shape: without splitting, a multi-hundred-GB SSTable is one
   * task; with Index.db present the parallelism ceiling is
-  * uncompressed-bytes / splitBytes, and a resume key prunes the ring
-  * prefix at plan time under any of the three partitioner orders.
+  * uncompressed-bytes / splitBytes, a resume key prunes the ring
+  * prefix at plan time under any of the three partitioner orders, and
+  * a token slice prunes BOTH ends (each of N workers reads only its
+  * 1/N of every SSTable).
   * Column pruning IS pushed down
   * (SupportsPushDownRequiredColumns): a pruned-away value column still
   * has to be skipped byte-wise (the format is a stream), but pruned
@@ -143,6 +156,30 @@ object MaSSTableSource {
         s"unknown partitioner: $other (byteOrdered | murmur3 | random)")
     }
 
+  /** Comparator of a key's TOKEN against a bound given in the
+    * partitioner's own token notation (`tokenMin`/`tokenMax` option
+    * values): signed decimal long for murmur3, 32-hex |MD5| for random,
+    * raw key text for byteOrdered. Token-only — no key tie-break — so
+    * a bound compares equal across every key sharing its token, which
+    * is what an inclusive slice wants. */
+  def tokenCompare(partitioner: String, bound: String): Array[Byte] => Int =
+    partitioner match {
+      case "byteOrdered" =>
+        val b = bound.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        k => compareBytes(k, b)
+      case "murmur3" =>
+        val b = bound.trim.toLong
+        k => java.lang.Long.compare(graft.functions.CassandraMurmur3.token(k), b)
+      case "random" =>
+        require(bound.length == 32 && bound.forall(c =>
+          (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+          s"random-partitioner token bound must be 32 lowercase hex chars: $bound")
+        val b = bound.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        k => compareBytes(graft.functions.CassandraRandomMd5.tokenBytes(k), b)
+      case other => throw new IllegalArgumentException(
+        s"unknown partitioner: $other (byteOrdered | murmur3 | random)")
+    }
+
   def listDataFiles(spark: org.apache.spark.SparkContext, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.hadoopConfiguration)
@@ -218,11 +255,13 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
       conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
     val dataPath = new Path(file)
     val fs = dataPath.getFileSystem(conf)
-    // Ring order for the resume seek: explicit option, else the
+    val tokenMin = options.get("tokenMin").filter(_.nonEmpty)
+    val tokenMax = options.get("tokenMax").filter(_.nonEmpty)
+    // Ring order for the resume/slice seek: explicit option, else the
     // partitioner recorded in this file's own Statistics.db (the
     // reference's read_metadata VALIDATION component).
     val partitioner = options.getOrElse("partitioner",
-      (if (resumeKey.isDefined)
+      (if (resumeKey.isDefined || tokenMin.isDefined || tokenMax.isDefined)
          MaSSTableSource.statsFor(file, fs).flatMap(_.partitioner)
        else None).getOrElse("byteOrdered"))
     val idxPath = new Path(file.stripSuffix("Data.db") + "Index.db")
@@ -237,29 +276,45 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     val in = fs.open(idxPath)
     val entries = try MaFormat.readIndexEntries(in) finally in.close()
     if (entries.isEmpty) return whole
-    // Resume seek: the index is written in the table's ring/key order,
-    // so the first entry at-or-after the key is the scan start; every
-    // earlier partition is never read at all.
+    // Seek: the index is written in the table's ring/key order, so the
+    // first entry at-or-after the resume key / token-slice start is the
+    // scan start and the first entry PAST the slice end caps it — every
+    // partition outside [start, cap) is never read at all.
     val ringGe = MaSSTableSource.ringCompare(partitioner) _
-    val seekStartOpt: Option[Long] = resumeKey match {
+    def seekFor(pred: Array[Byte] => Boolean): Option[Long] =
+      entries.find(e => pred(e._1)).map(_._2)
+    val startResume: Option[Long] = resumeKey match {
       case None => Some(0L)
-      case Some(rk) =>
-        entries.find(e => ringGe(e._1, rk) >= 0).map(_._2)
+      case Some(rk) => seekFor(k => ringGe(k, rk) >= 0)
     }
-    if (seekStartOpt.isEmpty) return Nil // whole file precedes the key
-    val seekStart = seekStartOpt.get
-    if (totalUncompressed - seekStart <= splitBytes)
-      return Seq(MaInputPartition(file, seekStart, Long.MaxValue))
+    val startToken: Option[Long] = tokenMin match {
+      case None => Some(0L)
+      case Some(b) =>
+        val cmp = MaSSTableSource.tokenCompare(partitioner, b)
+        seekFor(k => cmp(k) >= 0)
+    }
+    if (startResume.isEmpty || startToken.isEmpty) return Nil // all before
+    val seekStart = math.max(startResume.get, startToken.get)
+    val endCap: Long = tokenMax match {
+      case None => Long.MaxValue
+      case Some(b) =>
+        val cmp = MaSSTableSource.tokenCompare(partitioner, b)
+        seekFor(k => cmp(k) > 0).getOrElse(Long.MaxValue)
+    }
+    if (endCap <= seekStart) return Nil // all past the slice
+    val lastBound = math.min(endCap, totalUncompressed)
+    if (lastBound - seekStart <= splitBytes)
+      return Seq(MaInputPartition(file, seekStart, endCap))
     val bounds = Seq.newBuilder[Long]
     var nextTarget = seekStart + splitBytes
     entries.map(_._2).foreach { p =>
-      if (p >= nextTarget && p > seekStart) {
+      if (p >= nextTarget && p > seekStart && p < endCap) {
         bounds += p
         nextTarget = p + splitBytes
       }
     }
     val cuts = seekStart +: bounds.result()
-    cuts.zipAll(cuts.drop(1), 0L, Long.MaxValue).map {
+    cuts.zipAll(cuts.drop(1), 0L, endCap).map {
       case (start, end) => MaInputPartition(file, start, end)
     }
   }
@@ -426,20 +481,28 @@ private[sstable] class MaReaderFactory(
         UTF8String.fromBytes(b)
       }
 
-      // Residual resume filter: the Index.db seek skips whole
-      // partitions at plan time, but an indexless file (or the first
-      // indexed partition at-or-after the key) still needs the exact
-      // key bound applied per cell.
+      // Residual resume/slice filters: the Index.db seek skips whole
+      // partitions at plan time, but an indexless file (or the boundary
+      // partitions of an indexed one) still needs the exact key/token
+      // bounds applied per cell.
       private val resumeKeyBytes: Array[Byte] =
         if (resumeKeySpec.isEmpty) null
         else resumeKeySpec.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
       private val ringGe = MaSSTableSource.ringCompare(partitioner) _
+      private val tokenMinCmp: Array[Byte] => Int =
+        options.get("tokenMin").filter(_.nonEmpty)
+          .map(MaSSTableSource.tokenCompare(partitioner, _)).orNull
+      private val tokenMaxCmp: Array[Byte] => Int =
+        options.get("tokenMax").filter(_.nonEmpty)
+          .map(MaSSTableSource.tokenCompare(partitioner, _)).orNull
 
       override def next(): Boolean = {
         while (cells.hasNext) {
           val c = cells.next()
-          if (resumeKeyBytes == null || ringGe(c.key, resumeKeyBytes) >= 0) {
+          if ((resumeKeyBytes == null || ringGe(c.key, resumeKeyBytes) >= 0) &&
+              (tokenMinCmp == null || tokenMinCmp(c.key) >= 0) &&
+              (tokenMaxCmp == null || tokenMaxCmp(c.key) <= 0)) {
             current = c
             return true
           }

@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   *   -o <targetPath>                         keyed parquet target
   *   [-s <resumeKey>]                        resume scan from key
   *   [-S <hexKey>]                           resume key given in hex
+  *   [-T <tokenMin>,<tokenMax>]              this worker's ring slice
+  *                                           (either side empty for an
+  *                                           open end; token notation
+  *                                           follows the partitioner —
+  *                                           beyond the reference: how
+  *                                           a DISTRIBUTED run shards)
   *   [-C]                                    disable chunk-checksum verify
   *   [-L <seconds>]                          minimum-TTL discard
   *   [-x]                                    prohibit eternal records
@@ -32,6 +38,7 @@ object Migrate {
     var columns = ""
     var target = ""
     var resume: Option[String] = None
+    var tokenRange: Option[(String, String)] = None
     var minTtlS = 0L
     var prohibitEternal = false
     var ttlFromFirst = false
@@ -53,6 +60,12 @@ object Migrate {
           require(hex.length % 2 == 0, "-S argument must be an even length")
           val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
           resume = Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          i += 2
+        case "-T" =>
+          val spec = args(i + 1)
+          val cut = spec.indexOf(',')
+          require(cut >= 0, "-T argument must be <tokenMin>,<tokenMax>")
+          tokenRange = Some((spec.substring(0, cut), spec.substring(cut + 1)))
           i += 2
         case "-C" => verifyChecksums = false; i += 1
         case "-L" => minTtlS = args(i + 1).toLong; i += 2
@@ -87,7 +100,7 @@ object Migrate {
       else None
 
     graft.kv.Kv.migrate(spark, inputs, columns, target, policy, resume, dryRun,
-      verifyChecksums) match {
+      verifyChecksums, tokenRange) match {
       case Left(rendered) =>
         rendered.show(100, truncate = false)
         println(s"[migrate] DRY RUN: ${rendered.count()} records would be written")

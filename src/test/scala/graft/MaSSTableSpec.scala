@@ -638,6 +638,66 @@ class MaSSTableSpec extends AnyFunSuite {
       s"murmur3 resume must keep the ring suffix; missing=${expect -- got} extra=${got -- expect}")
   }
 
+  test("token range bounds prune the plan at both ends and slice exactly") {
+    // Murmur3 ring-ordered fixture: the shard-slice read a distributed
+    // migration issues (worker i of N owns one token range).
+    val keys = (1 to 30).map(i => f"user-$i%03d")
+    val ringOrder = keys.sortBy(k => (
+      graft.functions.CassandraMurmur3.token(k.getBytes(UTF_8)), k))
+    val e = new Enc
+    val entries = Seq.newBuilder[(String, Long)]
+    ringOrder.foreach { k =>
+      entries += (k -> e.bos.size().toLong)
+      e.partitionHeader(k)
+      e.byte(0x20).vint(0).vint(0)
+      e.byte(0x00).vint(1L).vint(1).bytes("v".getBytes(UTF_8))
+      e.byte(0x04).vint(1L)
+      e.endOfPartition()
+    }
+    val dir = Files.createTempDirectory("ma-slice")
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    writeIndex(dir, "mc-1-big", entries.result())
+    val dirNoIdx = Files.createTempDirectory("ma-slice-noidx")
+    Files.write(dirNoIdx.resolve("mc-1-big-Data.db"), e.result)
+
+    def read(d: String, tMin: Option[String], tMax: Option[String]) = {
+      val b = spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", d).option("columns", ColsSpec)
+        .option("partitioner", "murmur3").option("splitBytes", "300")
+      val b2 = tMin.fold(b)(v => b.option("tokenMin", v))
+      tMax.fold(b2)(v => b2.option("tokenMax", v)).load()
+    }
+    def tok(k: String): String =
+      graft.functions.CassandraMurmur3.token(k.getBytes(UTF_8)).toString
+
+    val full = read(dir.toString, None, None)
+    val sliced = read(dir.toString, Some(tok(ringOrder(8))), Some(tok(ringOrder(21))))
+    val expect = ringOrder.slice(8, 22).toSet // inclusive bounds
+    val got = sliced.select(col("key")).collect().map(_.getString(0)).toSet
+    assert(got === expect,
+      s"slice must return exactly the ring segment; missing=${expect -- got} extra=${got -- expect}")
+    assert(sliced.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      "plan must drop input splits wholly outside the token slice")
+    // Open-ended bounds behave as prefix/suffix slices.
+    assert(read(dir.toString, Some(tok(ringOrder(25))), None)
+      .select(col("key")).collect().map(_.getString(0)).toSet === ringOrder.drop(25).toSet)
+    assert(read(dir.toString, None, Some(tok(ringOrder(4))))
+      .select(col("key")).collect().map(_.getString(0)).toSet === ringOrder.take(5).toSet)
+    // A slice past the whole file plans nothing at all.
+    assert(read(dir.toString, Some(Long.MaxValue.toString), None).collect().isEmpty)
+    // Indexless file: identical rows via the reader-side residual.
+    val gotNoIdx = read(dirNoIdx.toString, Some(tok(ringOrder(8))), Some(tok(ringOrder(21))))
+      .select(col("key")).collect().map(_.getString(0)).toSet
+    assert(gotNoIdx === expect, "indexless slice must return the same rows")
+    // byteOrdered slices take raw keys as bounds (token == key).
+    val byteSlice = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dirNoIdx.toString).option("columns", ColsSpec)
+      .option("partitioner", "byteOrdered")
+      .option("tokenMin", "user-010").option("tokenMax", "user-020")
+      .load().select(col("key")).collect().map(_.getString(0)).toSet
+    assert(byteSlice === (10 to 20).map(i => f"user-$i%03d").toSet)
+  }
+
   test("legacy ka files split at Index.db boundaries too") {
     val e = new KaEnc
     val entries = Seq.newBuilder[(String, Long)]
@@ -1078,6 +1138,49 @@ class MaSSTableSpec extends AnyFunSuite {
       s"resume from 'b' must export only b1: $stats")
     val keys = spark.read.parquet(target).collect().map(_.getAs[String]("key")).toSet
     assert(keys === Set("b1"))
+  }
+
+  test("sharded migration: disjoint token slices partition the export exactly") {
+    // One 12-key generation; shard the ring in half by murmur3 token
+    // and check the two -T slices reconstruct the unsharded run with
+    // no overlap — the distributed-run contract.
+    val dir = Files.createTempDirectory("mig-shard")
+    val ma = new Enc
+    val keys = (1 to 12).map(i => f"k$i%02d")
+    keys.foreach { k =>
+      ma.partitionHeader(k)
+      ma.byte(0x20).vint(0).vint(0)
+      ma.byte(0x00).vint(100L).vint(1).bytes("v".getBytes(UTF_8))
+      ma.byte(0x04).vint(100L)
+      ma.endOfPartition()
+    }
+    Files.write(dir.resolve("mc-1-big-Data.db"), ma.result)
+    // The table's own Statistics.db declares the murmur3 ring, so the
+    // -T bounds are interpreted in the right token notation without
+    // any explicit partitioner plumbing — as with a real table.
+    Files.write(dir.resolve("mc-1-big-Statistics.db"),
+      statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+        0L, 0L, Marshal + "UTF8Type", Nil, Nil,
+        regulars = Seq(
+          "click" -> (Marshal + "UTF8Type"),
+          "nclicks" -> (Marshal + "LongType"))))))
+    val tokens = keys.map(k =>
+      graft.functions.CassandraMurmur3.token(k.getBytes(UTF_8))).sorted
+    val mid = tokens(5)
+    def shard(range: (String, String)): Set[String] =
+      graft.kv.Kv.migrate(spark, Seq(dir.toString), ColsSpec,
+          targetPath = "", dryRun = true,
+          tokenRange = Some(range)).swap.toOption.get
+        .collect().map(_.getString(0)).toSet
+    val full = graft.kv.Kv.migrate(spark, Seq(dir.toString), ColsSpec,
+      targetPath = "", dryRun = true).swap.toOption.get
+      .collect().map(_.getString(0)).toSet
+    val lo = shard(("", mid.toString))
+    val hi = shard(((mid + 1).toString, ""))
+    assert(lo.nonEmpty && hi.nonEmpty, s"both shards must own keys: $lo / $hi")
+    assert((lo & hi) === Set.empty, "slices must not overlap")
+    assert((lo | hi) === full, "slices must cover the full export")
+    assert(lo.size === 6, "half the ring = half the keys")
   }
 
   test("DataSource V2 reads Data.db files and prunes columns") {
