@@ -134,13 +134,15 @@ object Text {
     * stand-in for a benchmark suite). k = 8 makes an overlap evidence
     * of real duplication rather than phrase-level coincidence.
     *
-    * Scale shape: the eval side of a decontamination run is tiny
-    * (benchmarks are thousands of docs; the corpus is the 100 TB side),
-    * so its distinct n-gram set is aggregated and BROADCAST; the corpus
-    * streams through the semi-join map-side, and only matching
-    * (doc, ngram) rows — a sliver — reach the per-doc count shuffle.
-    * The corpus-wide doc list never shuffles: hit counts join back onto
-    * the narrow (doc_id, n_ngrams) projection. */
+    * Scale shape: the eval side of a decontamination run is small
+    * relative to the corpus (benchmarks are thousands of docs; the
+    * corpus is the 100 TB side), so its distinct n-gram set semi-joins
+    * onto the streaming corpus — broadcast when it fits (AQE/stats
+    * decide; no forced hint, since a large benchmark suite's n-gram set
+    * can exceed the broadcast wall), shuffle otherwise — and only
+    * matching (doc, ngram) rows — a sliver — reach the per-doc count
+    * shuffle. The corpus-wide doc list never shuffles: hit counts join
+    * back onto the narrow (doc_id, n_ngrams) projection. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val k = 8
     val docs = Tables.documents(spark, dir)
@@ -153,7 +155,7 @@ object Text {
     val train = docs.filter(!isEval)
     val hits = train
       .select(col("doc_id"), explode(col("sh")).as("ngram"))
-      .join(broadcast(evalNgrams), Seq("ngram"), "left_semi")
+      .join(evalNgrams, Seq("ngram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
     train

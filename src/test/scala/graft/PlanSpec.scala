@@ -112,6 +112,51 @@ class PlanSpec extends AnyFunSuite {
       s"q21 must shuffle lineitem rows exactly once, got $wideShuffles:\n$finalPlan")
   }
 
+  test("per-row text operators plan as pure map scans (no hash shuffle)") {
+    // pii_scrub and token_stats are narrow column arithmetic: the only
+    // exchange allowed is the presentation sort's range partitioning.
+    Seq("text_pii_scrub", "text_token_stats", "text_quality").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q: unexpected hash shuffle in a map-only operator\n$plan")
+    }
+  }
+
+  test("decontamination semi-joins the eval n-grams unhinted (AQE decides broadcast)") {
+    // No forced broadcast on the eval side — a large benchmark suite's
+    // n-gram set can exceed the broadcast wall, and a hint is never
+    // demoted. This pins the other half: at sf0.001 stats still pick a
+    // broadcast semi-join on their own, so the unhinted plan costs
+    // nothing locally while keeping the scale posture.
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("text_decontaminate")(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(finalPlan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"eval n-gram semi-join must broadcast unhinted at sf0.001:\n$finalPlan")
+  }
+
+  test("stratified sampling aggregates in one shuffle on the source key") {
+    val plan = planOf("sample_stratified")
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"sample_stratified should shuffle once on source, got $hashExchanges:\n$plan")
+  }
+
+  test("centroid outliers broadcast the per-label centroid table") {
+    // The centroid frame is a genuine dimension (one row per label) —
+    // the corpus streams past it without reshuffling.
+    val plan = planOf("emb_outliers")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"emb_outliers: centroid join should broadcast\n$plan")
+  }
+
   test("whole-stage codegen covers the sketch pipeline") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     df.collect() // let AQE finalize
