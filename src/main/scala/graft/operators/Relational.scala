@@ -285,15 +285,53 @@ object Relational {
     * so the result is oracle-checkable; presented at cents). At
     * 100 TB you'd reach for approx_percentile's KLL-style sketch —
     * this is the exactness baseline it is judged against. */
-  def quantileAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 2).as("p99"),
-        count(lit(1)).as("n_rows"))
+  def quantileAgg(spark: SparkSession, dir: String): DataFrame = {
+    // Exact interpolating quantiles as ORDER STATISTICS + lerp (the
+    // quantile_cont contract), not Spark's percentile() aggregate:
+    // percentile buffers every value of a group inside one aggregation
+    // buffer (OOM-bound at 100 TB group sizes), while rank-and-pick is
+    // a window over the group's sort — spill-safe, one shuffle. The
+    // lerp v_lo·(1−f) + v_hi·f with f from p·(n−1) runs in the same
+    // IEEE operation order as DuckDB's quantile_cont (fuzz-matched bit
+    // for bit over random groups), which Spark's percentile — a
+    // different interpolation expression — only matched to within one
+    // ulp, occasionally flipping the rounded cent.
+    val ps = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+    val byFlag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    def idxOf(p: Double) = lit(p) * (col("n") - 1).cast("double")
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("n", count(lit(1)).over(byFlag))
+      .withColumn("rn", row_number().over(byFlag.orderBy(col("v"))))
+    // Keep only the ≤ 2 bracketing order statistics per requested p.
+    val needed = ps.map { case (_, p) =>
+      (col("rn") === floor(idxOf(p)) + 1) || (col("rn") === floor(idxOf(p)) + 2)
+    }.reduce(_ || _)
+    val aggs = ps.flatMap { case (name, p) =>
+      Seq(
+        max(when(col("rn") === floor(idxOf(p)) + 1, col("v"))).as(s"_lo_$name"),
+        max(when(col("rn") === floor(idxOf(p)) + 2, col("v"))).as(s"_hi_$name"))
+    }
+    val picked = ranked.filter(needed)
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = ps.map { case (name, p) =>
+      val frac = idxOf(p) - floor(idxOf(p)).cast("double")
+      // coalesce: a single-row group has no upper bracket (f = 0 there).
+      val lerp = col(s"_lo_$name") * (lit(1.0) - frac) +
+        coalesce(col(s"_hi_$name"), col(s"_lo_$name")) * frac
+      // Present at cents in the ORACLE's rounding: DuckDB rounds a
+      // double as std::round(x·100)/100 — the scale-multiply can cross
+      // a tie the exact decimal expansion sits below, so Spark's
+      // exact-decimal round(x, 2) flips the last cent on such values.
+      // round(x·100, 0)/100 reproduces DuckDB bit for bit (fuzz-checked).
+      (round(lerp * 100.0, 0) / lit(100.0)).as(name)
+    }
+    picked
+      .select(col("l_returnflag") +: outs :+ col("n").as("n_rows"): _*)
       .orderBy(col("l_returnflag"))
+  }
 
   /** HLL sketch aggregation (approximate; rows-only check). */
   /** TPC-H Q17 analog: correlated scalar aggregation subquery
