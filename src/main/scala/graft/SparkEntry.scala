@@ -59,6 +59,7 @@ object SparkEntry {
     "kv_byte_ordered_scan"     -> (Kv.byteOrderedScan _),
     "kv_random_resume_scan"    -> (Kv.randomResumeScan _),
     "kv_token_distribution"    -> (Kv.tokenDistribution _),
+    "kv_long_key_tokens"       -> (Kv.longKeyTokens _),
     "kv_random_token_distribution" -> (Kv.randomTokenDistribution _),
     "kv_export_stats"          -> (Kv.exportStats _),
     "kv_dry_run_format"        -> (Kv.dryRunFormat _),
@@ -124,20 +125,24 @@ object SparkEntry {
 
   /** Cassandra's sign-bug Murmur3 token (Partitioners.cpp:80-180)
     * expressed in DuckDB SQL, independently cross-validating the
-    * engine's CassandraMurmur3 expression under the hard gate. Valid
-    * for keys < 16 bytes (the block loop never runs for the cell
-    * store's decimal keys); longer keys yield NULL so a violation
-    * fails the gate loudly instead of silently. All 64-bit wrapping
-    * arithmetic runs on non-negative HUGEINT bit patterns: multiply
-    * splits into 32-bit halves (a 64x64 product overflows HUGEINT),
-    * rotate/shift become scaled adds over disjoint bits, and the
-    * signed-char tail bytes sign-extend exactly like the reference.
-    * Generated as a chain of MATERIALIZED CTE stages: DuckDB inlines
-    * plain single-use CTEs, and an inlined stage whose expression
-    * references its input column four times (mul64) would compound
-    * EXPONENTIALLY through ~24 stages (measured: >300 s vs 0.09 s);
-    * materialization keeps evaluation linear. */
-  private val murmurTokenSqlCte: String = {
+    * engine's CassandraMurmur3 expression under the hard gate — the
+    * FULL hash: `maxBlocks` 16-byte body blocks (unsigned
+    * little-endian lanes, the h1/h2 cross-mixing rounds) plus the
+    * signed-char tail exactly like the reference; keys longer than
+    * 16·maxBlocks+15 yield NULL so a violation fails the gate loudly
+    * instead of silently. All 64-bit wrapping arithmetic runs on
+    * non-negative HUGEINT bit patterns: multiply splits into 32-bit
+    * halves (a 64x64 product overflows HUGEINT), rotate/shift become
+    * scaled adds over disjoint bits. Generated as a chain of
+    * MATERIALIZED CTE stages: DuckDB inlines plain single-use CTEs,
+    * and an inlined stage whose expression references its input column
+    * four times (mul64) would compound EXPONENTIALLY through the ~60
+    * stages (measured: >300 s vs 0.09 s); materialization keeps
+    * evaluation linear. `prefix` namespaces the chain so several key
+    * relations can be tokenized in one statement; the result CTE is
+    * `<prefix>tok(key, token)`. */
+  private def murmurTokenSqlChain(
+      prefix: String, fromSql: String, maxBlocks: Int = 3): String = {
     val M = "18446744073709551616::HUGEINT"  // 2^64
     val HB = "9223372036854775808::HUGEINT"  // 2^63
     val B32 = "4294967296::HUGEINT"          // 2^32
@@ -156,48 +161,89 @@ object SparkEntry {
     def xor64(a: String, b: String) = s"xor(($a)::UBIGINT, ($b)::UBIGINT)::HUGEINT"
     def shr33(x: String) = s"(($x) // 8589934592::HUGEINT)"
     def add64(a: String, b: String) = m64(s"($a) + ($b)")
-    def byteTerm(j: Int, shift: Int) = {
-      val b = s"ascii(substring(key, $j, 1))::HUGEINT"
+    // Tail byte j (1-based within the tail, after `len // 16` whole
+    // blocks): SIGNED char sign-extension — the Cassandra quirk.
+    def tailByteTerm(j: Int, shift: Int) = {
+      val pos = s"((len // 16) * 16 + $j)::BIGINT"
+      val b = s"ascii(substring(key, $pos, 1))::HUGEINT"
       val sb = s"($b - CASE WHEN $b >= 128 THEN 256 ELSE 0 END)"
-      s"CASE WHEN len >= $j THEN ${m64(s"$sb * ${BigInt(1) << shift}::HUGEINT")} ELSE 0::HUGEINT END"
+      s"CASE WHEN (len % 16) >= $j THEN ${m64(s"$sb * ${BigInt(1) << shift}::HUGEINT")} ELSE 0::HUGEINT END"
+    }
+    // Body block half: 8 UNSIGNED little-endian byte lanes (disjoint,
+    // so XOR == sum, no carries), zero when the block is absent.
+    def bodyHalf(block: Int, off: Int) = {
+      val terms = (1 to 8).map { j =>
+        val pos = 16 * block + off + j
+        s"ascii(substring(key, $pos, 1))::HUGEINT * ${BigInt(1) << (8 * (j - 1))}::HUGEINT"
+      }.mkString(" + ")
+      s"(CASE WHEN len >= ${16 * (block + 1)} THEN $terms ELSE 0::HUGEINT END)"
     }
     def fmixStages(c: String): Seq[Map[String, String]] = Seq(
       Map(c -> xor64(c, shr33(c))), Map(c -> mul64(c, F1)),
       Map(c -> xor64(c, shr33(c))), Map(c -> mul64(c, F2)),
       Map(c -> xor64(c, shr33(c))))
 
-    // XOR over disjoint byte lanes == sum (no carries).
-    val k1 = (1 to 8).map(j => byteTerm(j, 8 * (j - 1))).mkString(" + ")
-    val k2 = (9 to 15).map(j => byteTerm(j, 8 * (j - 9))).mkString(" + ")
-    val stages: Seq[Map[String, String]] = Seq(
+    // Body rounds: for each present block, the standard x64_128 mixing
+    // (h-side steps gated on block presence; the k-side mixes of an
+    // absent block produce 0, so their XORs are no-ops regardless).
+    val blockStages: Seq[Map[String, String]] = (0 until maxBlocks).flatMap { b =>
+      def cond(e: String, keep: String) =
+        s"CASE WHEN len >= ${16 * (b + 1)} THEN $e ELSE $keep END"
+      Seq(
+        Map("bk1" -> bodyHalf(b, 0), "bk2" -> bodyHalf(b, 8)),
+        Map("bk1" -> mul64("bk1", C1), "bk2" -> mul64("bk2", C2)),
+        Map("bk1" -> rotl("bk1", 31), "bk2" -> rotl("bk2", 33)),
+        Map("bk1" -> mul64("bk1", C2), "bk2" -> mul64("bk2", C1)),
+        Map("h1" -> xor64("h1", "bk1")),
+        Map("h1" -> cond(rotl("h1", 27), "h1")),
+        Map("h1" -> cond(add64("h1", "h2"), "h1")),
+        Map("h1" -> cond(add64(mul64("h1", "5::HUGEINT"), "1390208809::HUGEINT"), "h1")),
+        Map("h2" -> xor64("h2", "bk2")),
+        Map("h2" -> cond(rotl("h2", 31), "h2")),
+        Map("h2" -> cond(add64("h2", "h1"), "h2")),
+        Map("h2" -> cond(add64(mul64("h2", "5::HUGEINT"), "944331445::HUGEINT"), "h2")))
+    }
+
+    val k1 = (1 to 8).map(j => tailByteTerm(j, 8 * (j - 1))).mkString(" + ")
+    val k2 = (9 to 15).map(j => tailByteTerm(j, 8 * (j - 9))).mkString(" + ")
+    val tailStages: Seq[Map[String, String]] = Seq(
       Map("k1" -> s"($k1)", "k2" -> s"($k2)"),
       Map("k1" -> mul64("k1", C1), "k2" -> mul64("k2", C2)),
       Map("k1" -> rotl("k1", 31), "k2" -> rotl("k2", 33)),
       Map("k1" -> mul64("k1", C2), "k2" -> mul64("k2", C1)),
-      Map("h1" -> "k1", "h2" -> "CASE WHEN len >= 9 THEN k2 ELSE 0::HUGEINT END"),
+      // A zero-mixed half stays zero, so the XOR is a no-op for an
+      // empty tail half — no length condition needed here.
+      Map("h1" -> xor64("h1", "k1"), "h2" -> xor64("h2", "k2")),
       Map("h1" -> xor64("h1", "len::HUGEINT"), "h2" -> xor64("h2", "len::HUGEINT")),
       Map("h1" -> add64("h1", "h2")),
       Map("h2" -> add64("h2", "h1"))) ++
       fmixStages("h1") ++ fmixStages("h2") ++
       Seq(Map("h1" -> add64("h1", "h2")))
+    val stages = blockStages ++ tailStages
 
+    val cols = Seq("key", "len", "bk1", "bk2", "k1", "k2", "h1", "h2")
     val sb = new StringBuilder(
-      "mm_s0 AS MATERIALIZED (SELECT key, length(key)::HUGEINT AS len, " +
+      s"${prefix}_s0 AS MATERIALIZED (SELECT key, length(key)::HUGEINT AS len, " +
+      "0::HUGEINT AS bk1, 0::HUGEINT AS bk2, " +
       "0::HUGEINT AS k1, 0::HUGEINT AS k2, 0::HUGEINT AS h1, 0::HUGEINT AS h2 " +
-      "FROM (SELECT DISTINCT key FROM cells))")
+      s"FROM $fromSql)")
     stages.zipWithIndex.foreach { case (st, i0) =>
       val i = i0 + 1
-      val sel = Seq("key", "len", "k1", "k2", "h1", "h2")
+      val sel = cols
         .map(c => st.get(c).map(e => s"$e AS $c").getOrElse(c)).mkString(", ")
-      sb.append(s",\nmm_s$i AS MATERIALIZED (SELECT $sel FROM mm_s${i0})")
+      sb.append(s",\n${prefix}_s$i AS MATERIALIZED (SELECT $sel FROM ${prefix}_s${i0})")
     }
     sb.append(
-      s",\nmtok AS MATERIALIZED (SELECT key, CASE WHEN len > 15 THEN NULL" +
+      s",\n${prefix}tok AS MATERIALIZED (SELECT key, CASE WHEN len > ${16 * maxBlocks + 15} THEN NULL" +
       s" WHEN h1 = $HB THEN 9223372036854775807::BIGINT" +
       s" ELSE (h1 - CASE WHEN h1 >= $HB THEN $M ELSE 0::HUGEINT END)::BIGINT END AS token" +
-      s" FROM mm_s${stages.length})")
+      s" FROM ${prefix}_s${stages.length})")
     sb.toString
   }
+
+  /** The default token chain over the cell store's key set — `mtok`. */
+  private val murmurTokenSqlCte: String =
+    murmurTokenSqlChain("m", "(SELECT DISTINCT key FROM cells)")
 
   /** Connected components over the exact ngram pair graph as a DuckDB
     * recursive CTE — shared verbatim by dedup_clusters (label
@@ -478,6 +524,19 @@ object SparkEntry {
         |SELECT key, col, ts, seq, value, token FROM ranked WHERE rn = 1
         |ORDER BY token, key, col""".stripMargin
     },
+
+    "kv_long_key_tokens" ->
+      s"""$cellsCte,
+        |${murmurTokenSqlChain("w1", "(SELECT DISTINCT rpad(key, 20, 'x') AS key FROM cells)")},
+        |${murmurTokenSqlChain("w2", "(SELECT DISTINCT rpad(key, 37, 'y') AS key FROM cells)")},
+        |${murmurTokenSqlChain("w3", "(SELECT DISTINCT rpad(key, 52, 'z') AS key FROM cells)")}
+        |SELECT k.key,
+        |  a.token AS token_1block, b.token AS token_2block, c.token AS token_3block
+        |FROM (SELECT DISTINCT key FROM cells) k
+        |JOIN w1tok a ON a.key = rpad(k.key, 20, 'x')
+        |JOIN w2tok b ON b.key = rpad(k.key, 37, 'y')
+        |JOIN w3tok c ON c.key = rpad(k.key, 52, 'z')
+        |ORDER BY k.key""".stripMargin,
 
     "kv_token_range_scan" -> {
       val t1 = graft.functions.CassandraMurmur3.token(

@@ -448,6 +448,22 @@ object Kv {
       .orderBy(col("token"), col("key"), col("col"))
   }
 
+  /** #9c kv_long_key_tokens: the Murmur3 kernel over MULTI-BLOCK keys —
+    * each distinct key padded to 20 / 37 / 52 bytes so the hash runs
+    * its 1-, 2- and 3-block body rounds plus a tail (real Cassandra
+    * keys are routinely longer than 15 bytes; the short-key queries
+    * never leave the tail path). DuckDB-oracled against the full
+    * block-loop closed form, so the body rounds sit under the hard
+    * gate too. */
+  def longKeyTokens(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir).select(col("key")).distinct()
+      .select(
+        col("key"),
+        cassandraToken(rpad(col("key"), 20, "x")).as("token_1block"),
+        cassandraToken(rpad(col("key"), 37, "y")).as("token_2block"),
+        cassandraToken(rpad(col("key"), 52, "z")).as("token_3block"))
+      .orderBy(col("key"))
+
   /** #9b kv_random_token_distribution: ring balance under the
     * RandomPartitioner — cells per top-byte bucket of the 128-bit
     * |MD5| token (buckets 0x00..0x80; the abs keeps the sign bit
