@@ -14,8 +14,16 @@ import java.io.{DataInputStream, EOFException, InputStream}
   * static rows are handled as in the reference: clustering VALUES are
   * parsed and skipped (SSTable.cpp:489 — "not currently in use"),
   * clustering-bound range-tombstone markers are decoded, and static
-  * rows read the static-column schema. Complex (collection) cells are
-  * not supported.
+  * rows read the static-column schema.
+  *
+  * Complex (collection) columns — `list<t>` / `set<t>` / `map<k,v>` —
+  * decode BEYOND the reference (which has no complex arm at all and
+  * would desync on any table using them): each sub-cell surfaces as
+  * its own cell named `column[path]` (the path printable-or-hex), and
+  * a complex deletion becomes a column-scoped range-tombstone marker
+  * over exactly that `column[...]` name range, so the KV merge
+  * machinery applies it with the same bounded semantics as legacy ka
+  * range tombstones.
   *
   * Everything the KV semantics need is decoded: partition deletion,
   * row deletion, cell tombstones, counter cells, expiring cells with
@@ -36,8 +44,14 @@ object MaFormat {
   case object CTimestamp extends ColType(8)
   case object CBool extends ColType(1)
   case object CUuid extends ColType(16)
+  /** A complex (multi-cell collection) column: every cell carries a
+    * vint-length-prefixed CELL PATH before its value, values frame per
+    * `valueType` (the collection's value type; sets write empty
+    * values). `fixedSize` is never consulted — complex columns take a
+    * dedicated decode arm. */
+  final case class CComplex(valueType: ColType) extends ColType(-2)
 
-  def colType(name: String): ColType = name match {
+  def colType(name: String): ColType = name.trim match {
     case "text" => CText
     case "counter" => CCounter
     case "int32" => CInt32
@@ -46,6 +60,18 @@ object MaFormat {
     case "timestamp" => CTimestamp
     case "bool" => CBool
     case "uuid" => CUuid
+    // Collections (flat element types only): the cell VALUE framing is
+    // the element type for lists, the value type for maps, and empty
+    // for sets (the element lives in the path) — SetType keeps its
+    // element type as the (unused) value fallback.
+    case s if s.startsWith("list<") && s.endsWith(">") =>
+      CComplex(colType(s.substring(5, s.length - 1)))
+    case s if s.startsWith("set<") && s.endsWith(">") =>
+      CComplex(colType(s.substring(4, s.length - 1)))
+    case s if s.startsWith("map<") && s.endsWith(">") =>
+      val parts = s.substring(4, s.length - 1).split(",")
+      require(parts.length == 2, s"map type needs <key,value>: $s")
+      CComplex(colType(parts(1)))
     case other => throw new IllegalArgumentException(s"unknown column type: $other")
   }
 
@@ -56,6 +82,7 @@ object MaFormat {
   private val HAS_TTL = 0x08
   private val HAS_DELETION = 0x10
   private val HAS_ALL_COLUMNS = 0x20
+  private val HAS_COMPLEX_DELETION = 0x40
   private val EXTENSION_FLAG = 0x80
   private val IS_STATIC = 0x01 // extended flags
 
@@ -304,37 +331,88 @@ object MaFormat {
       var i = 0
       while (i < cols.size) {
         if (present(i)) {
-          val (name, tpe) = cols(i)
-          val cellFlags = readByte()
-          val ts =
-            if ((cellFlags & USE_ROW_TIMESTAMP_MASK) != 0) rowTs
-            else readUnsignedVint() + minTimestamp
-          var deleted = (cellFlags & IS_DELETED_MASK) != 0
-          var expiring = (cellFlags & IS_EXPIRING_MASK) != 0
-          var ttl = NoTtl
-          if ((cellFlags & USE_ROW_TTL_MASK) != 0) {
-            expiring = rowTtl != NoTtl
-            ttl = rowTtl
-          } else {
-            if (expiring || deleted) readUnsignedVint() // local deletion time
-            if (expiring) ttl = readUnsignedVint() + minTtl
+          cols(i) match {
+            case (name, CComplex(valueTpe)) =>
+              // Complex column (Cassandra UnfilteredSerializer
+              // writeComplexColumn): optional complex deletion — a
+              // column-scoped tombstone over every sub-cell of this
+              // column, emitted as a range marker bounded to exactly
+              // the `name[...]` rendered-name range so the merge
+              // applies it with ka-range-tombstone semantics — then a
+              // vint cell count, each cell carrying its path.
+              if ((flags & HAS_COMPLEX_DELETION) != 0) {
+                val d = readUnsignedVint() + minTimestamp
+                readUnsignedVint() // local deletion time
+                if (d != NoDeletion)
+                  // Range [name + "[", name + "[\uffff"]: every rendered
+                  // sub-cell name sorts inside it, every other column
+                  // outside (string order diverges at the '[').
+                  out += MaCell(key, name + "[", d,
+                    (name + "[\uffff").getBytes("UTF-8"),
+                    deleted = true, expiring = false, ttlSec = NoTtl,
+                    deletionTs = d, marker = true)
+              }
+              val n = readUnsignedVint().toInt
+              var j = 0
+              while (j < n) {
+                out += readCell(name, valueTpe, complexPath = true,
+                  rowTs, rowTtl, rowDeletion)
+                j += 1
+              }
+            case (name, tpe) =>
+              out += readCell(name, tpe, complexPath = false,
+                rowTs, rowTtl, rowDeletion)
           }
-          val value =
-            if ((cellFlags & HAS_EMPTY_VALUE_MASK) == 0) {
-              val size =
-                if (tpe.fixedSize >= 0) tpe.fixedSize
-                else readUnsignedVint().toInt
-              readBytes(size)
-            } else null
-          // Counter columns keep their flag so Kv routes them to
-          // SUM-merge instead of LWW (SSTableSchema.cpp counter type;
-          // the legacy path derives the same flag from COUNTER_MASK).
-          out += MaCell(key, name, ts, value, deleted, expiring, ttl,
-            rowDeletion, marker = false, counter = tpe == CCounter)
         }
         i += 1
       }
       out.result()
+    }
+
+    /** Cell-path rendering for complex sub-cell names: printable ASCII
+      * paths read as text, anything else (or a `]` that would break
+      * the `name[path]` shape) as 0x-hex — deterministic either way. */
+    private def renderPath(p: Array[Byte]): String =
+      if (p.nonEmpty && p.forall(b => b >= 0x20 && b <= 0x7e && b != ']'))
+        new String(p, "UTF-8")
+      else "0x" + p.map(b => f"$b%02x").mkString
+
+    /** One cell (read_column/read_column_data, SSTable.cpp:622-705;
+      * Cassandra Cell.Serializer order): flags, timestamp, deletion/TTL
+      * block, then — for complex columns only — the vint-length cell
+      * path, then the value framed per the (value) type. */
+    private def readCell(
+        name: String, tpe: ColType, complexPath: Boolean,
+        rowTs: Long, rowTtl: Long, rowDeletion: Long): MaCell = {
+      val cellFlags = readByte()
+      val ts =
+        if ((cellFlags & USE_ROW_TIMESTAMP_MASK) != 0) rowTs
+        else readUnsignedVint() + minTimestamp
+      val deleted = (cellFlags & IS_DELETED_MASK) != 0
+      var expiring = (cellFlags & IS_EXPIRING_MASK) != 0
+      var ttl = NoTtl
+      if ((cellFlags & USE_ROW_TTL_MASK) != 0) {
+        expiring = rowTtl != NoTtl
+        ttl = rowTtl
+      } else {
+        if (expiring || deleted) readUnsignedVint() // local deletion time
+        if (expiring) ttl = readUnsignedVint() + minTtl
+      }
+      val colName =
+        if (complexPath) s"$name[${renderPath(readBytes(readUnsignedVint().toInt))}]"
+        else name
+      val value =
+        if ((cellFlags & HAS_EMPTY_VALUE_MASK) == 0) {
+          val size =
+            if (tpe.fixedSize >= 0) tpe.fixedSize
+            else readUnsignedVint().toInt
+          readBytes(size)
+        } else null
+      // Counter columns keep their flag so Kv routes them to
+      // SUM-merge instead of LWW (SSTableSchema.cpp counter type;
+      // the legacy path derives the same flag from COUNTER_MASK).
+      MaCell(key, colName, ts, value, deleted, expiring, ttl,
+        rowDeletion, marker = false, counter = tpe == CCounter)
     }
 
     /** read_row (SSTable.cpp:505): partition header / flags dispatch. */

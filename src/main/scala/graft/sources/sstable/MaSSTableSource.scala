@@ -29,7 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Options:
   *  - `path`: file or directory of `*-Data.db` files
   *  - `columns`: the regular-column schema, e.g. `"click:text,count:long"`
-  *    (read from Statistics.db when present, SSTableSchema.cpp)
+  *    (read from Statistics.db when present, SSTableSchema.cpp);
+  *    complex collections spell as `tags:set<text>`, `log:list<long>`,
+  *    `attrs:map<text,text>` — their sub-cells surface as
+  *    `column[path]` rows and complex deletions as column-scoped range
+  *    markers (the spec splits on top-level commas only, so map types
+  *    nest fine)
   *  - `clustering`: clustering-key column TYPES in schema order, e.g.
   *    `"text,int32"` — values are parsed and skipped per row exactly as
   *    the reference does (SSTable.cpp:487 read_clustering_columns);
@@ -355,10 +360,26 @@ private[sstable] class MaReaderFactory(
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
+  /** Split a column spec on TOP-LEVEL commas only, so collection types
+    * (`attrs:map<text,long>`) keep their inner comma. */
+  private def splitTopLevel(spec: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    spec.foreach {
+      case '<' => depth += 1; sb += '<'
+      case '>' => depth -= 1; sb += '>'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result()
+  }
+
   private def parseColumns(spec: String): Seq[(String, MaFormat.ColType)] =
     if (spec.trim.isEmpty) Nil
-    else spec.split(",").toSeq.map { s =>
-      val Array(n, t) = s.trim.split(":")
+    else splitTopLevel(spec).map { s =>
+      val Array(n, t) = s.trim.split(":", 2)
       (n, MaFormat.colType(t))
     }
 

@@ -49,6 +49,17 @@ object StatsFile {
       case "FloatType" => MaFormat.CFloat
       case "TimestampType" => MaFormat.CTimestamp
       case "UUIDType" | "TimeUUIDType" | "LexicalUUIDType" => MaFormat.CUuid
+      // Multi-cell collections: the cell VALUE framing is the element
+      // type for lists, the value type for maps, empty for sets.
+      // (FrozenType(...) deliberately falls through to CText — frozen
+      // collections serialize as one vint-length blob cell.)
+      case s if s.startsWith("ListType(") && s.endsWith(")") =>
+        MaFormat.CComplex(colTypeOf(s.substring("ListType(".length, s.length - 1)))
+      case s if s.startsWith("SetType(") && s.endsWith(")") =>
+        MaFormat.CComplex(colTypeOf(s.substring("SetType(".length, s.length - 1)))
+      case s if s.startsWith("MapType(") && s.endsWith(")") =>
+        val parts = s.substring("MapType(".length, s.length - 1).split(",")
+        MaFormat.CComplex(colTypeOf(parts.last.trim))
       case _ => MaFormat.CText
     }
 

@@ -49,6 +49,11 @@ class MaSSTableSpec extends AnyFunSuite {
       val b = s.getBytes(UTF_8); short(b.length); bytes(b)
     }
 
+    /** Full-width unsigned vint: negative longs (e.g. the LIVE deletion
+      * sentinel delta) take the 9-byte form — 0xff then 8 BE bytes. */
+    def vintRaw(v: Long): this.type =
+      if (v >= 0) vint(v) else { out.writeByte(0xff); out.writeLong(v); this }
+
     def partitionHeader(key: String, deletionTs: Long = MaFormat.NoDeletion): this.type = {
       string(key); out.writeInt(Int.MaxValue); longlong(deletionTs); this
     }
@@ -1221,6 +1226,114 @@ class MaSSTableSpec extends AnyFunSuite {
       assert(new String(r.getAs[Array[Byte]]("value"), UTF_8).startsWith("g2-"),
         s"LWW must pick generation 2 for ${r.getString(0)}")
     }
+  }
+
+  // ---- complex (collection) columns ----------------------------------
+
+  test("complex collection cells decode as column[path] sub-cells") {
+    val cols = Seq("click" -> CText, "tags" -> CComplex(CText),
+      "attrs" -> CComplex(CLong), "log" -> CComplex(CLong))
+    val e = new Enc
+    e.partitionHeader("u1")
+    e.byte(0x20).vint(0).vint(0) // HAS_ALL_COLUMNS, per-cell timestamps
+    // click: plain simple cell.
+    e.byte(0x00).vint(100L).vint(3).bytes("abc".getBytes(UTF_8))
+    // tags (set<text>): two sub-cells, EMPTY values, element in the path.
+    e.vint(2)
+    e.byte(0x04).vint(110L).vint(3).bytes("red".getBytes(UTF_8))
+    e.byte(0x04).vint(120L).vint(4).bytes("blue".getBytes(UTF_8))
+    // attrs (map<text,long>): key in the path, fixed-8 value.
+    e.vint(1)
+    e.byte(0x00).vint(130L).vint(2).bytes("k1".getBytes(UTF_8)).bytes(longBytes(42L))
+    // log (list<long>): binary (timeuuid-style) path renders as hex.
+    e.vint(1)
+    e.byte(0x00).vint(140L).vint(2).bytes(Array[Byte](0x00, 0xab.toByte))
+      .bytes(longBytes(7L))
+    e.endOfPartition()
+    val cells = decode(e.result, cols = cols)
+    assert(cells.map(_.col) ===
+      List("click", "tags[red]", "tags[blue]", "attrs[k1]", "log[0x00ab]"))
+    assert(cells(1).value === null && cells(2).value === null)
+    assert(java.nio.ByteBuffer.wrap(cells(3).value).getLong === 42L)
+    assert(java.nio.ByteBuffer.wrap(cells(4).value).getLong === 7L)
+    assert(cells.map(_.ts) === List(100L, 110L, 120L, 130L, 140L))
+    assert(cells.forall(c => !c.marker && !c.deleted))
+  }
+
+  test("complex deletion emits a column-scoped range marker; LIVE emits none") {
+    val cols = Seq("click" -> CText, "tags" -> CComplex(CText),
+      "attrs" -> CComplex(CLong))
+    val e = new Enc
+    e.partitionHeader("u1")
+    e.byte(0x20 | 0x40).vint(0).vint(0) // HAS_ALL_COLUMNS | HAS_COMPLEX_DELETION
+    e.byte(0x00).vint(50L).vint(1).bytes("x".getBytes(UTF_8))
+    // tags: real complex deletion at ts 200, then a newer sub-cell.
+    e.vint(200L).vint(0)
+    e.vint(1)
+    e.byte(0x04).vint(300L).vint(3).bytes("red".getBytes(UTF_8))
+    // attrs: LIVE deletion (sentinel delta), no sub-cells.
+    e.vintRaw(MaFormat.NoDeletion - 0L).vint(0)
+    e.vint(0)
+    e.endOfPartition()
+    val cells = decode(e.result, cols = cols)
+    val markers = cells.filter(_.marker)
+    assert(markers.size === 1, "LIVE complex deletion must not emit a marker")
+    val m = markers.head
+    assert(m.col === "tags[")
+    assert(new String(m.value, UTF_8) === "tags[" + "\uffff")
+    assert(m.ts === 200L && m.deleted)
+    assert(cells.filterNot(_.marker).map(_.col) === List("click", "tags[red]"))
+  }
+
+  test("complex deletions suppress only their column's older sub-cells in the merge") {
+    val dir = Files.createTempDirectory("ma-complex")
+    val e = new Enc
+    e.partitionHeader("u1")
+    e.byte(0x20 | 0x40).vint(0).vint(0)
+    e.byte(0x00).vint(50L).vint(1).bytes("x".getBytes(UTF_8)) // click @50: outside range
+    e.vint(200L).vint(0)                                      // tags deletion @200
+    e.vint(2)
+    e.byte(0x04).vint(100L).vint(3).bytes("old".getBytes(UTF_8)) // @100 <= 200: dropped
+    e.byte(0x04).vint(300L).vint(3).bytes("new".getBytes(UTF_8)) // @300 >  200: kept
+    e.endOfPartition()
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    val bag = graft.kv.Kv.cellsFromSSTables(
+      spark, dir.toString, "click:text,tags:set<text>")
+    val live = graft.kv.Kv.lww(graft.kv.Kv.applyMarkerTombstones(bag))
+      .select(col("key"), col("col")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(live === Set(("u1", "click"), ("u1", "tags[new]")))
+  }
+
+  test("column spec parses collection types (top-level comma split)") {
+    val dir = Files.createTempDirectory("ma-complex-spec")
+    val e = new Enc
+    e.partitionHeader("u1")
+    e.byte(0x20).vint(0).vint(0)
+    e.vint(1)
+    e.byte(0x00).vint(10L).vint(2).bytes("k1".getBytes(UTF_8)).bytes(longBytes(5L))
+    e.byte(0x00).vint(20L).vint(1).bytes("v".getBytes(UTF_8))
+    e.endOfPartition()
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    val rows = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString)
+      .option("columns", "attrs:map<text,long>,click:text")
+      .load().select(col("col")).collect().map(_.getString(0)).toSet
+    assert(rows === Set("attrs[k1]", "click"))
+  }
+
+  test("Statistics.db maps collection marshal types to complex columns") {
+    val bytes = statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+      0L, 0L, Marshal + "UTF8Type", Nil, Nil,
+      regulars = Seq(
+        "tags" -> (Marshal + "SetType(" + Marshal + "UTF8Type)"),
+        "attrs" -> (Marshal + "MapType(" + Marshal + "UTF8Type," + Marshal + "LongType)"),
+        "log" -> (Marshal + "ListType(" + Marshal + "LongType)")))))
+    val m = StatsFile.read(new ByteArrayInputStream(bytes), "mc")
+    assert(m.columns === Some(Seq(
+      "tags" -> CComplex(CText),
+      "attrs" -> CComplex(CLong),
+      "log" -> CComplex(CLong))))
   }
 
   // ---- Statistics.db: independent encoder + discovery tests ---------
