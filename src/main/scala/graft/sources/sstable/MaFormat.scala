@@ -120,29 +120,89 @@ object MaFormat {
     * unsigned-vint promoted-index length, promoted bytes) entries.
     * Each position is a partition-start offset in the UNCOMPRESSED
     * Data.db stream — exactly the valid sub-file split points — and
-    * the key lets a resume seek skip whole partitions at plan time. */
-  def readIndexEntries(in: InputStream): Array[(Array[Byte], Long)] = {
+    * the key lets a resume seek skip whole partitions at plan time.
+    *
+    * STREAMING: the iterator holds one entry at a time, so a planner
+    * walking a multi-hundred-MB index (one entry per partition — a
+    * 100 GB Data.db of 10 KB partitions carries ~10M entries) retains
+    * only what it keeps, not the whole file. Combine with
+    * [[readSummary]] to skip the index prefix without reading it. */
+  def indexEntries(in: InputStream): Iterator[(Array[Byte], Long)] = {
     val din = new DataInputStream(in)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
-    try {
-      while (true) {
-        val key = new Array[Byte](din.readUnsignedShort())
-        din.readFully(key)
-        val pos = readUnsignedVintFrom(din)
-        val promoted = readUnsignedVintFrom(din)
-        var skipped = 0L
-        while (skipped < promoted) {
-          val n = din.skipBytes(math.min(promoted - skipped, Int.MaxValue.toLong).toInt)
-          if (n <= 0) { din.readUnsignedByte(); skipped += 1 } else skipped += n
-        }
-        out += ((key, pos))
+    new Iterator[(Array[Byte], Long)] {
+      private var nextEntry: (Array[Byte], Long) = _
+      private var eof = false
+      private def advance(): Unit = {
+        try {
+          val key = new Array[Byte](din.readUnsignedShort())
+          din.readFully(key)
+          val pos = readUnsignedVintFrom(din)
+          val promoted = readUnsignedVintFrom(din)
+          var skipped = 0L
+          while (skipped < promoted) {
+            val n = din.skipBytes(math.min(promoted - skipped, Int.MaxValue.toLong).toInt)
+            if (n <= 0) { din.readUnsignedByte(); skipped += 1 } else skipped += n
+          }
+          nextEntry = (key, pos)
+        } catch { case _: EOFException => eof = true; nextEntry = null }
       }
-    } catch { case _: EOFException => () }
-    out.toArray
+      override def hasNext: Boolean = {
+        if (nextEntry == null && !eof) advance()
+        nextEntry != null
+      }
+      override def next(): (Array[Byte], Long) = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = nextEntry; nextEntry = null; e
+      }
+    }
   }
+
+  def readIndexEntries(in: InputStream): Array[(Array[Byte], Long)] =
+    indexEntries(in).toArray
 
   def readIndexPositions(in: InputStream): Array[Long] =
     readIndexEntries(in).map(_._2)
+
+  /** Summary.db — the downsampled index the reference loads whole
+    * ("Summary is designed to keep in memory", SSTable.cpp:121-180
+    * find_partition_in_summary): header of BIG-endian minIndexInterval
+    * (skipped), entry count, and toc byte size ("ka"+ adds 8 more
+    * header bytes: samplingLevel + sizeAtFullSampling), then a toc
+    * block whose offsets and index positions are NATIVE-endian
+    * (little-endian on every machine Cassandra writes these on): the
+    * first `size` int32s are entry offsets into the block; each entry
+    * is the sampled key's bytes followed by its int64 Index.db
+    * position. Every ~minIndexInterval-th partition is sampled, so the
+    * summary is O(partitions/128) — the in-memory seek structure that
+    * lets a planner jump into a huge Index.db instead of scanning it
+    * from byte 0. */
+  def readSummary(in: InputStream, version: String): Array[(Array[Byte], Long)] = {
+    val din = new DataInputStream(in)
+    din.skipBytes(4) // minIndexInterval
+    val size = din.readInt()
+    val memSize = din.readLong()
+    if (version >= "ka") din.skipBytes(8)
+    require(size >= 0 && memSize >= (4L * size) && memSize <= Int.MaxValue,
+      s"implausible Summary.db header: size=$size memSize=$memSize")
+    val toc = new Array[Byte](memSize.toInt)
+    din.readFully(toc)
+    def i32(off: Int): Int =
+      (toc(off) & 0xff) | ((toc(off + 1) & 0xff) << 8) |
+        ((toc(off + 2) & 0xff) << 16) | ((toc(off + 3) & 0xff) << 24)
+    def i64(off: Int): Long = {
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (toc(off + i) & 0xff); i -= 1 }
+      v
+    }
+    Array.tabulate(size) { i =>
+      val off = i32(4 * i)
+      val end = if (i + 1 < size) i32(4 * (i + 1)) else memSize.toInt
+      require(off >= 4 * size && end - off >= 8 && end <= memSize,
+        s"corrupt Summary.db toc entry $i: [$off,$end)")
+      (java.util.Arrays.copyOfRange(toc, off, end - 8), i64(end - 8))
+    }
+  }
 
   /** One decoded unfiltered: a cell, or a range-tombstone marker.
     * "ma" markers carry col = null; "ka" range tombstones carry the

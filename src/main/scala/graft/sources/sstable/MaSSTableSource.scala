@@ -76,7 +76,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * uncompressed-bytes / splitBytes, a resume key prunes the ring
   * prefix at plan time under any of the three partitioner orders, and
   * a token slice prunes BOTH ends (each of N workers reads only its
-  * 1/N of every SSTable).
+  * 1/N of every SSTable). The planner STREAMS the index (one entry in
+  * memory at a time, O(#splits) retained — a 100 GB Data.db's index
+  * runs to millions of entries), and a sibling Summary.db seeds the
+  * seek exactly as the reference's find_partition_in_summary
+  * (SSTable.cpp:121): binary-search the in-memory sampled keys, then
+  * read the index only from the floor entry on — the bytes before it
+  * are never touched.
   * Column pruning IS pushed down
   * (SupportsPushDownRequiredColumns): a pruned-away value column still
   * has to be skipped byte-wise (the format is a stream), but pruned
@@ -278,50 +284,68 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
         val in = fs.open(ciPath)
         try CompressedBlocks.readCompressionInfo(in).uncompressedLen finally in.close()
       } else fs.getFileStatus(dataPath).getLen
-    val in = fs.open(idxPath)
-    val entries = try MaFormat.readIndexEntries(in) finally in.close()
-    if (entries.isEmpty) return whole
     // Seek: the index is written in the table's ring/key order, so the
     // first entry at-or-after the resume key / token-slice start is the
     // scan start and the first entry PAST the slice end caps it — every
     // partition outside [start, cap) is never read at all.
     val ringGe = MaSSTableSource.ringCompare(partitioner) _
-    def seekFor(pred: Array[Byte] => Boolean): Option[Long] =
-      entries.find(e => pred(e._1)).map(_._2)
-    val startResume: Option[Long] = resumeKey match {
-      case None => Some(0L)
-      case Some(rk) => seekFor(k => ringGe(k, rk) >= 0)
-    }
-    val startToken: Option[Long] = tokenMin match {
-      case None => Some(0L)
-      case Some(b) =>
-        val cmp = MaSSTableSource.tokenCompare(partitioner, b)
-        seekFor(k => cmp(k) >= 0)
-    }
-    if (startResume.isEmpty || startToken.isEmpty) return Nil // all before
-    val seekStart = math.max(startResume.get, startToken.get)
-    val endCap: Long = tokenMax match {
-      case None => Long.MaxValue
-      case Some(b) =>
-        val cmp = MaSSTableSource.tokenCompare(partitioner, b)
-        seekFor(k => cmp(k) > 0).getOrElse(Long.MaxValue)
-    }
-    if (endCap <= seekStart) return Nil // all past the slice
-    val lastBound = math.min(endCap, totalUncompressed)
-    if (lastBound - seekStart <= splitBytes)
-      return Seq(MaInputPartition(file, seekStart, endCap))
-    val bounds = Seq.newBuilder[Long]
-    var nextTarget = seekStart + splitBytes
-    entries.map(_._2).foreach { p =>
-      if (p >= nextTarget && p > seekStart && p < endCap) {
-        bounds += p
-        nextTarget = p + splitBytes
+    val cmpMin = tokenMin.map(MaSSTableSource.tokenCompare(partitioner, _))
+    val cmpMax = tokenMax.map(MaSSTableSource.tokenCompare(partitioner, _))
+    def inStart(k: Array[Byte]): Boolean =
+      resumeKey.forall(rk => ringGe(k, rk) >= 0) && cmpMin.forall(_(k) >= 0)
+    // Summary.db floor (the reference's find_partition_in_summary,
+    // SSTable.cpp:121-180): the last SAMPLED entry strictly before the
+    // seek target is a safe place to start reading the index — every
+    // skipped index byte belongs to partitions the slice excludes
+    // anyway. Without it a seek scans the index from byte 0 (still
+    // streamed, never materialized).
+    val sumPath = new Path(file.stripSuffix("Data.db") + "Summary.db")
+    val indexSeek: Long =
+      if ((resumeKey.isDefined || tokenMin.isDefined) && fs.exists(sumPath)) {
+        val sin = fs.open(sumPath)
+        val summary =
+          try MaFormat.readSummary(sin, MaSSTableSource.versionOf(dataPath.getName))
+          finally sin.close()
+        // inStart is monotone along the summary's ring order
+        // (false* true*) — binary-search the last false.
+        var lo = 0
+        var hi = summary.length - 1
+        var floor = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (!inStart(summary(mid)._1)) { floor = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        if (floor >= 0) summary(floor)._2 else 0L
+      } else 0L
+    // One streaming pass over the (remaining) index — O(#splits)
+    // retained: scan start, split cuts at every splitBytes of
+    // uncompressed payload, and the cap position.
+    val fin = fs.open(idxPath)
+    try {
+      if (indexSeek > 0) fin.seek(indexSeek)
+      val it = MaFormat.indexEntries(fin)
+      if (it.isEmpty && indexSeek == 0) return whole // empty Index.db
+      var seekStart = -1L
+      var endCap = Long.MaxValue
+      val bounds = Seq.newBuilder[Long]
+      var nextTarget = 0L
+      var done = false
+      while (!done && it.hasNext) {
+        val (k, p) = it.next()
+        if (cmpMax.exists(_(k) > 0)) { endCap = p; done = true }
+        else if (seekStart < 0) {
+          if (inStart(k)) { seekStart = p; nextTarget = p + splitBytes }
+        } else if (p >= nextTarget) { bounds += p; nextTarget = p + splitBytes }
       }
-    }
-    val cuts = seekStart +: bounds.result()
-    cuts.zipAll(cuts.drop(1), 0L, endCap).map {
-      case (start, end) => MaInputPartition(file, start, end)
-    }
+      if (seekStart < 0) return Nil // slice empty or wholly before/past the file
+      val lastBound = math.min(endCap, totalUncompressed)
+      if (lastBound - seekStart <= splitBytes)
+        return Seq(MaInputPartition(file, seekStart, endCap))
+      val cuts = seekStart +: bounds.result()
+      cuts.zipAll(cuts.drop(1), 0L, endCap).map {
+        case (start, end) => MaInputPartition(file, start, end)
+      }
+    } finally fin.close()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -516,13 +516,46 @@ class MaSSTableSpec extends AnyFunSuite {
   // ---- sub-file input splits (Index.db) ------------------------------
 
   /** Write an Index.db for `positions` (uncompressed partition-start
-    * offsets): (short key, vint position, vint promoted-size 0). */
+    * offsets): (short key, vint position, vint promoted-size 0).
+    * Returns each entry's own byte offset WITHIN the index file — what
+    * a Summary.db samples. */
   private def writeIndex(
       dir: java.nio.file.Path, prefix: String,
-      entries: Seq[(String, Long)]): Unit = {
+      entries: Seq[(String, Long)]): Seq[Long] = {
     val e = new Enc
-    entries.foreach { case (k, pos) => e.string(k).vint(pos).vint(0) }
+    val offsets = entries.map { case (k, pos) =>
+      val off = e.bos.size().toLong
+      e.string(k).vint(pos).vint(0)
+      off
+    }
     Files.write(dir.resolve(s"$prefix-Index.db"), e.result)
+    offsets
+  }
+
+  /** Write a Summary.db (the reference's find_partition_in_summary
+    * layout, SSTable.cpp:121-180): BIG-endian header — minIndexInterval,
+    * entry count, toc byte size, plus samplingLevel/sizeAtFullSampling
+    * for "ka"+ — then the NATIVE(little)-endian toc: int32 entry
+    * offsets, then each sampled key's bytes + its int64 Index.db
+    * position. */
+  private def writeSummary(
+      dir: java.nio.file.Path, prefix: String,
+      sampled: Seq[(String, Long)], version: String = "mc"): Unit = {
+    val keys = sampled.map(_._1.getBytes(UTF_8))
+    var off = 4 * sampled.size
+    val offsets = keys.map { kb => val o = off; off += kb.length + 8; o }
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(128)          // minIndexInterval
+    out.writeInt(sampled.size) // entry count
+    out.writeLong(off.toLong)  // toc byte size
+    if (version >= "ka") { out.writeInt(128); out.writeInt(sampled.size) }
+    def le32(v: Int): Unit = { var i = 0; while (i < 4) { out.write((v >>> (8 * i)) & 0xff); i += 1 } }
+    def le64(v: Long): Unit = { var i = 0; while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
+    offsets.foreach(le32)
+    keys.zip(sampled.map(_._2)).foreach { case (kb, pos) => out.write(kb); le64(pos) }
+    out.flush()
+    Files.write(dir.resolve(s"$prefix-Summary.db"), bos.toByteArray)
   }
 
   /** A multi-partition ma payload plus its (key, offset) index. */
@@ -721,6 +754,72 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(nSplit >= 2, s"expected multiple splits, got $nSplit")
     assert(split === whole)
     assert(whole.size === 30)
+  }
+
+  // ---- Summary.db-seeded index seeks ---------------------------------
+
+  test("Summary.db round-trips through readSummary, both header widths") {
+    val sampled = (1 to 10).map(i => f"user-$i%03d" -> i * 1000L)
+    Seq("mc", "ja").foreach { version =>
+      val dir = Files.createTempDirectory("ma-summary-rt")
+      writeSummary(dir, "t", sampled, version)
+      val in = Files.newInputStream(dir.resolve("t-Summary.db"))
+      val got = try MaFormat.readSummary(in, version) finally in.close()
+      assert(got.map { case (k, p) => (new String(k, UTF_8), p) }.toSeq === sampled,
+        s"version $version")
+    }
+  }
+
+  test("summary floor seeds the index seek without changing the plan") {
+    val (payload, entries) = indexedPayload(40)
+    def mkDir(withSummary: Boolean): String = {
+      val dir = Files.createTempDirectory("ma-sum-parity")
+      Files.write(dir.resolve("mc-1-big-Data.db"), payload)
+      val idxOffsets = writeIndex(dir, "mc-1-big", entries)
+      if (withSummary)
+        writeSummary(dir, "mc-1-big",
+          entries.zip(idxOffsets).zipWithIndex
+            .collect { case (((k, _), io), i) if i % 8 == 0 => (k, io) })
+      dir.toString
+    }
+    def read(d: String) = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", d).option("columns", ColsSpec)
+      .option("splitBytes", "500").option("resumeKey", "user-030").load()
+    val plain = read(mkDir(withSummary = false))
+    val seeded = read(mkDir(withSummary = true))
+    assert(seeded.rdd.getNumPartitions === plain.rdd.getNumPartitions,
+      "summary must only seed the seek, not change the planned splits")
+    val want = plain.select(col("key"), col("col"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = seeded.select(col("key"), col("col"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.map(_._1) === (30 to 40).map(i => f"user-$i%03d").toSet)
+  }
+
+  test("the planner genuinely SEEKS: index bytes before the summary floor are never read") {
+    // Corrupt every index byte before the floor entry's offset. Only a
+    // planner that jumps straight to the summary's floor position can
+    // plan this file; scanning the index from byte 0 would misparse.
+    val (payload, entries) = indexedPayload(40)
+    val dir = Files.createTempDirectory("ma-sum-seek")
+    Files.write(dir.resolve("mc-1-big-Data.db"), payload)
+    val idxOffsets = writeIndex(dir, "mc-1-big", entries)
+    val sampled = entries.zip(idxOffsets).zipWithIndex
+      .collect { case (((k, _), io), i) if i % 8 == 0 => (k, io) }
+    writeSummary(dir, "mc-1-big", sampled)
+    // Resume user-030: sampled floor is user-025 (sample #3, entry 24).
+    val floorOffset = idxOffsets(24)
+    val idxPath = dir.resolve("mc-1-big-Index.db")
+    val idxBytes = Files.readAllBytes(idxPath)
+    java.util.Arrays.fill(idxBytes, 0, floorOffset.toInt, 0xff.toByte)
+    Files.write(idxPath, idxBytes)
+    val got = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString).option("columns", ColsSpec)
+      .option("splitBytes", "500").option("resumeKey", "user-030")
+      .load().select(col("key")).collect().map(_.getString(0)).toSet
+    assert(got === (30 to 40).map(i => f"user-$i%03d").toSet,
+      "seek must start at the summary floor, skipping the corrupted prefix")
   }
 
   // ---- clustering columns, static rows, counter columns -------------
