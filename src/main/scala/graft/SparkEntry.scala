@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_minhash_lsh"        -> (Dedup.minhashLsh _),
     "dedup_simhash"            -> (Dedup.simhash _),
     "dedup_ngram_jaccard"      -> (Dedup.ngramJaccard _),
+    "dedup_substring"          -> (Dedup.substringPairs _),
     "dedup_clusters"           -> (Dedup.clusters _),
     "dedup_clusters_star"      -> (Dedup.clustersStar _),
     "dedup_survivors"          -> (Dedup.survivors _),
@@ -95,6 +96,41 @@ object SparkEntry {
     // §2.7 multimodal
     "mm_binary_pipeline"       -> (Multimodal.pipeline _)
   )
+
+  /** Rabin-Karp winnowing (k=8, w=4) in DuckDB SQL, shared by the
+    * text_fingerprint and dedup_substring oracles: the rolling hash
+    * telescopes to a closed form (8 byte terms x B^j mod 2^64
+    * constants, HUGEINT pattern arithmetic), per-window minima via a
+    * window frame — the p <= m-w+1 start filter applied OUTSIDE the
+    * window so trailing frames keep their following rows. The tie rule
+    * (rightmost min) does not affect the emitted VALUE set, so MIN
+    * reproduces the kernel exactly. Yields CTEs through `sel` =
+    * (doc_id, fpv) DISTINCT winnowed fingerprints. */
+  private lazy val winnowSelCtes: String = {
+    val M = "18446744073709551616::HUGEINT"
+    val H = "9223372036854775808::HUGEINT"
+    val B = BigInt(1000003)
+    val mod = BigInt(1) << 64
+    def byteAt(idx: String) =
+      s"((strpos('0123456789ABCDEF', substring(h, 2*($idx)-1, 1))-1)*16 + " +
+      s"strpos('0123456789ABCDEF', substring(h, 2*($idx), 1))-1)::HUGEINT"
+    val terms = (0 until 8).map(j =>
+      s"${byteAt(s"p+$j")} * ${B.modPow(BigInt(7 - j), mod)}::HUGEINT").mkString(" + ")
+    s"""WITH hx AS MATERIALIZED (SELECT doc_id, hex(encode(lower(text))) AS h,
+      |    octet_length(encode(lower(text))) AS n FROM documents),
+      |tokd AS MATERIALIZED (SELECT doc_id, n, r.i AS p,
+      |    ((($terms) % $M) - CASE WHEN (($terms) % $M) >= $H
+      |     THEN $M ELSE 0::HUGEINT END)::BIGINT AS tok
+      |  FROM hx, UNNEST(range(1, n - 8 + 2)) AS r(i) WHERE n >= 8),
+      |wins AS (
+      |  SELECT doc_id, fpv FROM (
+      |    SELECT doc_id, p, n, MIN(tok) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fpv
+      |    FROM tokd WHERE n - 7 > 4) WHERE p <= n - 10
+      |  UNION ALL
+      |  SELECT doc_id, MIN(tok) AS fpv FROM tokd WHERE n - 7 <= 4 GROUP BY doc_id),
+      |sel AS (SELECT DISTINCT doc_id, fpv FROM wins)""".stripMargin
+  }
 
   /** Shared SQL prelude for the KV oracles: the events table as a cell
     * bag (key, col, ts, seq, value). */
@@ -953,37 +989,8 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id, nb FROM hx) x JOIN agg a USING (doc_id)
         |ORDER BY x.doc_id""".stripMargin,
 
-    "text_fingerprint" -> {
-      // Rabin-Karp winnowing (k=8, w=4) in DuckDB SQL: the rolling
-      // hash telescopes to a closed form (8 byte terms x B^j mod 2^64
-      // constants, HUGEINT pattern arithmetic), per-window minima via
-      // a window frame — the p <= m-w+1 start filter applied OUTSIDE
-      // the window so trailing frames keep their following rows.
-      // The tie rule (rightmost min) does not affect the emitted
-      // VALUE set, so MIN reproduces the kernel exactly.
-      val M = "18446744073709551616::HUGEINT"
-      val H = "9223372036854775808::HUGEINT"
-      val B = BigInt(1000003)
-      val mod = BigInt(1) << 64
-      def byteAt(idx: String) =
-        s"((strpos('0123456789ABCDEF', substring(h, 2*($idx)-1, 1))-1)*16 + " +
-        s"strpos('0123456789ABCDEF', substring(h, 2*($idx), 1))-1)::HUGEINT"
-      val terms = (0 until 8).map(j =>
-        s"${byteAt(s"p+$j")} * ${B.modPow(BigInt(7 - j), mod)}::HUGEINT").mkString(" + ")
-      s"""WITH hx AS MATERIALIZED (SELECT doc_id, hex(encode(lower(text))) AS h,
-        |    octet_length(encode(lower(text))) AS n FROM documents),
-        |tokd AS MATERIALIZED (SELECT doc_id, n, r.i AS p,
-        |    ((($terms) % $M) - CASE WHEN (($terms) % $M) >= $H
-        |     THEN $M ELSE 0::HUGEINT END)::BIGINT AS tok
-        |  FROM hx, UNNEST(range(1, n - 8 + 2)) AS r(i) WHERE n >= 8),
-        |wins AS (
-        |  SELECT doc_id, fpv FROM (
-        |    SELECT doc_id, p, n, MIN(tok) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fpv
-        |    FROM tokd WHERE n - 7 > 4) WHERE p <= n - 10
-        |  UNION ALL
-        |  SELECT doc_id, MIN(tok) AS fpv FROM tokd WHERE n - 7 <= 4 GROUP BY doc_id),
-        |sel AS (SELECT DISTINCT doc_id, fpv FROM wins),
+    "text_fingerprint" ->
+      s"""$winnowSelCtes,
         |agg AS (SELECT doc_id, list_sort(list(fpv)) AS fp,
         |    bit_xor(fpv) AS dig
         |  FROM sel GROUP BY doc_id)
@@ -993,8 +1000,29 @@ object SparkEntry {
         |  COALESCE(array_to_string(list_transform(a.fp[1:8],
         |    x -> CAST(x AS VARCHAR)), ','), '') AS fp_head
         |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
-    },
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same winnowing kernel feeding the substring-pair operator: an
+    // inverted index on the fingerprint value (df <= 200), pairs from
+    // docs sharing >= 3 values, containment vs the smaller side.
+    "dedup_substring" ->
+      s"""$winnowSelCtes,
+        |post AS (SELECT fpv FROM sel GROUP BY fpv HAVING COUNT(*) <= 200),
+        |keep AS (SELECT s.doc_id, s.fpv FROM sel s JOIN post USING (fpv)),
+        |szs AS (SELECT doc_id, COUNT(*) AS n_fp FROM keep GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM keep a JOIN keep b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |  CAST(CAST(ROUND(CAST(p.n_shared AS DOUBLE)
+        |    / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |    AS containment
+        |FROM pairs p
+        |JOIN szs na ON na.doc_id = p.doc_a
+        |JOIN szs nb ON nb.doc_id = p.doc_b
+        |WHERE p.n_shared >= 3
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "text_decontaminate" ->
       """WITH toks AS (SELECT doc_id,

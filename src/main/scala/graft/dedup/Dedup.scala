@@ -174,13 +174,70 @@ object Dedup {
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
 
+    // No forced broadcast on the size frame: it carries one row per doc
+    // with any retained shingle — corpus-cardinality at 100 TB, exactly
+    // the shape a hardcoded hint drives into the broadcast wall. The
+    // pair side is capped and tiny, so AQE picks the broadcast (of
+    // whichever side fits) on its own at any SF.
     coCounts
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** #37e dedup_substring: SUBSTRING-level duplicate pairs — the
+    * overlap regime document-level shingle Jaccard misses (a long
+    * quotation or boilerplate block inside two otherwise-unrelated
+    * docs). Docs pair when they share ≥ `minShared` winnowed Rabin-Karp
+    * fingerprints (k=8 chars, window 4 — the same kernel
+    * `text_fingerprint` oracles): winnowing guarantees any shared
+    * substring of ≥ k+w-1 = 11 chars contributes a common fingerprint,
+    * so shared spans surface even at near-zero whole-doc Jaccard.
+    * Same inverted-index shape as [[ngramJaccard]] — df-capped postings
+    * on the fingerprint value (a fingerprint in hundreds of docs is
+    * boilerplate hash residue, not duplication evidence), in-posting
+    * sorted pairs, ONE shuffle, never O(n²). Emits the shared count and
+    * a containment score (shared / smaller side's fingerprint count):
+    * a small doc fully embedded in a large one scores 1.0 where Jaccard
+    * would vanish. */
+  def substringPairs(spark: SparkSession, dir: String): DataFrame = {
+    val minShared = 3
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Sketches.winnowFingerprint(lower(col("text")), 8, 4).as("fp"))
+
+    val postings0 = docs
+      .select(col("doc_id"), explode(col("fp")).as("fpv"))
+      .groupBy(col("fpv"))
+      .agg(graft.functions.CollectSetLimit
+        .collectSetLimit(col("doc_id"), 200).as("ids"))
+      .filter(col("ids").isNotNull)
+
+    val sizes = postings0
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"))
+
+    val coCounts = postings0.filter(size(col("ids")) >= 2)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
+    // Unhinted size joins — see ngramJaccard: the size frame is
+    // corpus-cardinality, the pair frame is capped; AQE broadcasts
+    // whichever side fits.
+    coCounts
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 4)
+          .cast("decimal(10,4)").cast("double").as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
