@@ -93,6 +93,7 @@ object SparkEntry {
     "text_pii_scrub"           -> (Text.piiScrub _),
     "sample_stratified"        -> (Text.sampleStratified _),
     "emb_outliers"             -> (Similarity.embOutliers _),
+    "emb_quantize"             -> (Similarity.embQuantize _),
     // §2.7 multimodal
     "mm_binary_pipeline"       -> (Multimodal.pipeline _)
   )
@@ -1013,16 +1014,19 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
         |  FROM keep a JOIN keep b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT p.doc_a, p.doc_b, p.n_shared,
-        |  CAST(CAST(ROUND(CAST(p.n_shared AS DOUBLE)
-        |    / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
-        |    AS containment
-        |FROM pairs p
-        |JOIN szs na ON na.doc_id = p.doc_a
-        |JOIN szs nb ON nb.doc_id = p.doc_b
-        |WHERE p.n_shared >= 3
-        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT p.doc_a, p.doc_b, p.n_shared,
+        |    CAST(CAST(ROUND(CAST(p.n_shared AS DOUBLE)
+        |      / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |      AS containment
+        |  FROM pairs p
+        |  JOIN szs na ON na.doc_id = p.doc_a
+        |  JOIN szs nb ON nb.doc_id = p.doc_b
+        |  WHERE p.n_shared >= 3)
+        |SELECT doc_a, doc_b, n_shared, containment FROM scored
+        |WHERE containment >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_decontaminate" ->
       """WITH toks AS (SELECT doc_id,
@@ -1146,6 +1150,30 @@ object SparkEntry {
         |  CAST(CAST(r6 AS DECIMAL(12,6)) AS DOUBLE) AS cos_centroid,
         |  CAST(r6 AS DECIMAL(12,6)) < 0 AS is_outlier
         |FROM scored
+        |ORDER BY vec_id""".stripMargin,
+
+    // Same double-fold parity as ann_bruteforce/emb_outliers: per-row
+    // maps only, index-order dot products, order-free maxima.
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |         THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+        |         ELSE 1.0 END AS scale
+        |  FROM e),
+        |d AS (SELECT vec_id, v, scale,
+        |    list_transform(v,
+        |      x -> CAST(CAST(ROUND(x / scale, 0) AS INT) AS DOUBLE) * scale) AS dq
+        |  FROM s)
+        |SELECT vec_id, CAST(len(v) AS INT) AS n_dims, scale,
+        |  CASE WHEN list_dot_product(v, v) > 0 AND list_dot_product(dq, dq) > 0
+        |    THEN CAST(CAST(ROUND(list_dot_product(v, dq)
+        |      / sqrt(list_dot_product(v, v) * list_dot_product(dq, dq)), 6)
+        |      AS DECIMAL(12,6)) AS DOUBLE)
+        |  END AS cos_dequant,
+        |  list_max(list_transform(range(1, len(v)+1), i -> abs(v[i] - dq[i])))
+        |    AS max_abs_err
+        |FROM d
         |ORDER BY vec_id""".stripMargin,
 
     "text_token_stats" ->

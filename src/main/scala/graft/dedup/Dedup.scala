@@ -203,7 +203,11 @@ object Dedup {
     * sorted pairs, ONE shuffle, never O(n²). Emits the shared count and
     * a containment score (shared / smaller side's fingerprint count):
     * a small doc fully embedded in a large one scores 1.0 where Jaccard
-    * would vanish. */
+    * would vanish. Pairs emit at containment ≥ 0.5 (the ngram
+    * threshold convention): random 8-char window collisions put a
+    * NOISE floor well below it (this corpus: ≤ ~0.45) while true
+    * substring duplication scores ≥ 0.6 — the cut keeps the output
+    * duplication-bounded instead of corpus-quadratic. */
   def substringPairs(spark: SparkSession, dir: String): DataFrame = {
     val minShared = 3
     val docs = Tables.documents(spark, dir)
@@ -238,6 +242,9 @@ object Dedup {
         round(col("n_shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"), 4)
           .cast("decimal(10,4)").cast("double").as("containment"))
+      // Cut on the ROUNDED value so the threshold bites identically in
+      // the DuckDB oracle (both engines compare the same d4 double).
+      .filter(col("containment") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -158,6 +158,44 @@ object Similarity {
     * map-side sums compact the explosion to |labels|×dim before the
     * shuffle — then the tiny centroid table broadcasts back onto the
     * corpus (a genuine dimension table: one row per label). */
+  /** #51 emb_quantize: int8 scalar quantization audit — the compression
+    * step a vector-serving pipeline applies before ANN (SQ8): per
+    * vector, symmetric scale = max|x|/127, q_i = round(x_i/scale)
+    * ∈ [-127,127], and the reconstruction-quality columns a quantizer
+    * rollout decision needs: cosine(original, dequantized) and the max
+    * absolute element error. All arithmetic runs in doubles with
+    * order-fixed folds (index-order [[dot]], order-free max), so the
+    * oracle is hash-exact like the other float kernels; cosine is
+    * presented d6-rounded per the emb_outliers convention.
+    *
+    * Scale shape: pure per-row map over the corpus — zero shuffle,
+    * whole-stage codegen'd HOFs; the one presentation orderBy is the
+    * driver-gate contract, not part of the operator. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val absMax = aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x)))
+    // Zero vectors quantize to zeros under a unit scale (guard keeps
+    // the division total; cos is null for them, not NaN).
+    val scale = when(absMax > 0.0, absMax / 127.0).otherwise(lit(1.0))
+    val deq = transform(col("v"),
+      x => round(x / col("_scale"), 0).cast("int").cast("double") * col("_scale"))
+    val cos = dot(col("v"), col("deq")) /
+      sqrt(dot(col("v"), col("v")) * dot(col("deq"), col("deq")))
+    emb
+      .withColumn("_scale", scale)
+      .withColumn("deq", deq)
+      .select(
+        col("vec_id"),
+        size(col("v")).as("n_dims"),
+        col("_scale").as("scale"),
+        when(dot(col("v"), col("v")) > 0.0 && dot(col("deq"), col("deq")) > 0.0,
+          round(cos, 6).cast("decimal(12,6)").cast("double")).as("cos_dequant"),
+        aggregate(zip_with(col("v"), col("deq"), (x, y) => abs(x - y)),
+          lit(0.0), (m, e) => greatest(m, e)).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   def embOutliers(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))

@@ -91,36 +91,38 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (p, j) => assert(math.abs(truth(p) - j) < 1e-9) }
   }
 
-  test("substring pairs surface shared long spans at near-zero document Jaccard") {
+  test("substring pairs surface an embedded doc at near-zero document Jaccard") {
     val sparkS = spark
     import sparkS.implicits._
-    // Docs 1 & 2: one identical 60+-char span inside otherwise disjoint
-    // word salads (distinct letter alphabets, so no accidental shared
-    // 8-char window outside the span). Docs 3 & 4: digit alphabets,
-    // disjoint from everything including each other.
+    // The motivating regime: doc 1 is a short document that appears
+    // VERBATIM inside the much larger doc 2 (a quotation / boilerplate
+    // block) — containment ≈ 1 while whole-document Jaccard vanishes.
+    // Salads use disjoint letter alphabets so no accidental shared
+    // 8-char window exists outside the span; docs 3 & 4 use disjoint
+    // digit alphabets and must pair with nothing.
     val shared = "mnop monp ponm nomp pmno omnp npom mopn pnmo onmp mnpo pomn"
-    val salad1 = (1 to 30).map(i => s"qw${"ert" * (i % 3 + 1)}$i").mkString(" ")
-    val salad2 = (1 to 30).map(i => s"zx${"cvb" * (i % 3 + 1)}$i").mkString(" ")
+    val salad2 = (1 to 60).map(i => s"zx${"cvb" * (i % 3 + 1)}$i").mkString(" ")
     val doc3 = (1 to 20).map(i => s"0011${i % 4}2233${i % 3}44").mkString(" ")
     val doc4 = (1 to 20).map(i => s"5566${i % 4}7788${i % 3}99").mkString(" ")
     val dir = java.nio.file.Files.createTempDirectory("dedup-substr").toString
-    Seq((1L, s"$salad1 $shared $salad1"), (2L, s"$salad2 $shared $salad2"),
+    Seq((1L, shared), (2L, s"$salad2 $shared $salad2"),
         (3L, doc3), (4L, doc4))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
     val got = Dedup.substringPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(got.keySet === Set((1L, 2L)),
-      s"exactly the span-sharing pair must surface: ${got.keySet}")
+      s"exactly the embedded-doc pair must surface: ${got.keySet}")
     val (nShared, containment) = got((1L, 2L))
     assert(nShared >= 3, s"shared winnowed fingerprints: $nShared")
-    assert(containment > 0.0 && containment <= 1.0)
+    assert(containment >= 0.5 && containment <= 1.0,
+      s"an embedded doc must clear the containment cut: $containment")
     // The regime difference that motivates the operator: document-level
     // ngram Jaccard misses this pair entirely (j << 0.5).
     assert(Dedup.ngramJaccard(spark, dir).collect().isEmpty,
-      "document-level Jaccard should NOT pair span-sharing docs")
-    // Identity containment: a doc duplicated verbatim scores 1.0.
+      "document-level Jaccard should NOT pair an embedded short doc")
+    // Identity containment: a doc duplicated verbatim scores exactly 1.
     val dir2 = java.nio.file.Files.createTempDirectory("dedup-substr-id").toString
-    Seq((10L, s"$salad1 $shared"), (11L, s"$salad1 $shared"))
+    Seq((10L, s"$salad2 $shared"), (11L, s"$salad2 $shared"))
       .toDF("doc_id", "text").write.parquet(s"$dir2/documents.parquet")
     val idPair = Dedup.substringPairs(spark, dir2).collect()
     assert(idPair.length === 1 && idPair(0).getDouble(3) === 1.0)

@@ -111,6 +111,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.forall(!_.getAs[Boolean]("is_outlier")))
   }
 
+  test("emb_quantize: planted vectors quantize exactly; corpus bounds hold") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("embq").toString
+    // v0: max|x| = 2.54 -> scale .02, elements quantize losslessly
+    //     (127, -50, 0) -> cos exactly 1, max_abs_err 0.
+    // v1: zero vector -> unit scale, null cosine, zero error.
+    Seq(
+      (0L, Array(2.54f, -1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.embQuantize(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val s0 = got(0L).getAs[Double]("scale")
+    assert(math.abs(s0 - 2.54f.toDouble / 127.0) < 1e-18)
+    assert(got(0L).getAs[Double]("cos_dequant") === 1.0)
+    assert(got(0L).getAs[Double]("max_abs_err") <= s0 / 2)
+    assert(got(1L).getAs[Double]("scale") === 1.0)
+    assert(got(1L).isNullAt(got(1L).fieldIndex("cos_dequant")))
+    assert(got(1L).getAs[Double]("max_abs_err") === 0.0)
+
+    // Corpus: one row per vector; SQ8 error bound max_abs_err <= scale/2
+    // everywhere; reconstruction cosine stays high for random 64-dim
+    // vectors; deterministic across runs.
+    val rows = Similarity.embQuantize(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === n)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_dims") === 64)
+      val sc = r.getAs[Double]("scale")
+      assert(r.getAs[Double]("max_abs_err") <= sc / 2 * (1 + 1e-12),
+        s"vec ${r.getLong(0)}: err beyond scale/2")
+      val c = r.getAs[Double]("cos_dequant")
+      assert(c > 0.99 && c <= 1.0, s"vec ${r.getLong(0)}: cos_dequant $c")
+    }
+    val again = Similarity.embQuantize(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("emb_outliers on the corpus: bounded cosines, deterministic, total") {
     val rows = Similarity.embOutliers(spark, sf).collect()
     val n = graft.sources.Tables.embeddings(spark, sf).count()
