@@ -83,6 +83,7 @@ object SparkEntry {
     "ann_bruteforce_topk"      -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk"             -> (Similarity.lshTopK _),
     "ann_ivf_topk"             -> (Similarity.ivfTopK _),
+    "ann_pq_topk"              -> (Similarity.pqTopK _),
     // §2.6 text analysis
     "text_token_stats"         -> (Text.tokenStats _),
     "text_quality"             -> (Text.quality _),

@@ -77,6 +77,102 @@ object Centroids {
 
   def nearestCentroids(c: Column, cents: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(c), cents, nProbe))
+
+  // ---- product quantization (PQ) --------------------------------------
+
+  /** Plain (L2, UN-normalized) k-means for PQ sub-block codebooks.
+    * PQ reconstructs each block's magnitude from its codeword, so
+    * unlike the spherical [[fit]] the centroids must keep their norms —
+    * normalizing would collapse every block onto the unit sphere and
+    * lose the length information ADC scoring depends on. Deterministic
+    * (fixed seed / iterations), driver-side on a bounded sample. */
+  def fitL2(sample: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample.head.length
+    val rng = new java.util.Random(seed)
+    var cents = Array.fill(k)(sample(rng.nextInt(sample.length)).map(_.toDouble))
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestL2(v, 0, dim, cents)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = sums.zipWithIndex.map { case (s, c) =>
+        if (counts(c) == 0) cents(c) else s.map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** Nearest centroid of `v[off, off+len)` by squared L2 distance. */
+  private def nearestL2(
+      v: Array[Float], off: Int, len: Int, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < len) { val t = v(off + i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ encode: per sub-block j, the index of the L2-nearest codeword
+    * in `books(j)` — an m-entry int code array per vector. */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val vf = v.toFloatArray()
+    val m = books.length
+    val sub = books(0)(0).length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      codes(j) = nearestL2(vf, j * sub, sub, books(j))
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** ADC (asymmetric distance computation) cosine estimate: the exact
+    * query against the RECONSTRUCTED candidate x̂ = concat of codewords —
+    * cos(q, x̂) = Σ_j <q_j, c_(j,code_j)> / (‖q‖·‖x̂‖). The candidate's
+    * raw vector is never touched: scoring reads m ints. */
+  def pqAdcScore(q: ArrayData, codes: ArrayData, books: Array[Array[Array[Double]]]): Double = {
+    val qf = q.toFloatArray()
+    val cs = codes.toIntArray()
+    val m = books.length
+    val sub = books(0)(0).length
+    var dot = 0.0
+    var cNorm2 = 0.0
+    var qNorm2 = 0.0
+    var j = 0
+    while (j < m) {
+      val cent = books(j)(cs(j))
+      var i = 0
+      while (i < sub) {
+        val qv = qf(j * sub + i).toDouble
+        dot += qv * cent(i)
+        cNorm2 += cent(i) * cent(i)
+        qNorm2 += qv * qv
+        i += 1
+      }
+      j += 1
+    }
+    val denom = math.sqrt(qNorm2 * cNorm2)
+    if (denom == 0) 0.0 else dot / denom
+  }
+
+  def pqEncode(c: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(c), books))
+  def pqAdcScore(q: Column, codes: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(
+      PqAdcScore(ColumnBridge.expression(q), ColumnBridge.expression(codes), books))
 }
 
 /** `nearest_centroids(vec)`: the nProbe nearest centroid ids, best
@@ -105,4 +201,59 @@ case class NearestCentroids(
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `pq_encode(vec)`: m-entry PQ code array (per-block nearest-codeword
+  * indices); the codebooks ride as a codegen reference object. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Centroids.pqEncode(input.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Centroids.pqEncode($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_adc_score(q, codes)`: ADC cosine of an exact query against a
+  * PQ-reconstructed candidate — compression-domain scoring, the
+  * candidate's raw vector is never read. */
+case class PqAdcScore(
+    left: Expression, right: Expression, books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score requires (array<float>, array<int>), got $other")
+  }
+
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    Centroids.pqAdcScore(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev, (q, c) =>
+      s"graft.functions.Centroids.pqAdcScore($q, $c, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -137,6 +137,53 @@ object Similarity {
         Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))))
   }
 
+  /** #40e ann_pq_topk: product-quantization top-k — the COMPRESSION
+    * path of large-scale ANN (a 64-dim float vector becomes m=8
+    * 4-bit-ish codes; the raw corpus is only touched for the final
+    * re-rank). Per-block L2 codebooks (k=16 codewords over 8-dim
+    * sub-blocks) fit on the same bounded deterministic sample as IVF;
+    * the corpus encodes in one narrow codegen'd pass; each query ADC
+    * -scans the CODES (m ints per row, not the 64-float vector) for a
+    * shortlist of 50, and exact cosine re-ranks only the shortlist.
+    *
+    * Scale shape: the scan side of the join carries (vec_id, codes) —
+    * at 100 TB that is ~3% of the raw embedding bytes, which is the
+    * entire point of PQ serving — and the re-rank join touches ≤
+    * 50·|queries| raw vectors. Self-reports recall@k like LSH/IVF. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8
+    val kCodes = 16
+    val shortlist = 50
+
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // Same deterministic sample discipline as IVF (orderBy before
+    // limit: a bare limit takes scheduling-order rows).
+    val sample = corpus.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .orderBy(col("vec_id")).limit(1024)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val sub = sample.head.length / m
+    val books = Array.tabulate(m)(j =>
+      Centroids.fitL2(sample.map(_.slice(j * sub, (j + 1) * sub)),
+        kCodes, iters = 5, seed = 40L + j))
+
+    val codes = corpus.select(col("vec_id"),
+      Centroids.pqEncode(col("embedding"), books).as("codes"))
+    val adcShort = codes
+      .join(broadcast(queries(spark, dir)), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Centroids.pqAdcScore(col("q_emb"), col("codes"), books).as("adc"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topkByScore(col("adc"), col("vec_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("vec_id"))
+
+    withRecall(spark, dir, topK(adcShort
+      .join(corpus, "vec_id")
+      .join(broadcast(queries(spark, dir)), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))))
+  }
+
   /** Sequential dot product over two double arrays — index order, so
     * the per-row float arithmetic is bit-identical to the oracle's
     * `list_dot_product` (both accumulate left to right). */

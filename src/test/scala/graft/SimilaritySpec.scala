@@ -111,6 +111,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.forall(!_.getAs[Boolean]("is_outlier")))
   }
 
+  test("PQ top-k: ADC shortlist + exact re-rank achieves reasonable recall") {
+    val rows = Similarity.pqTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    // Every query returns exactly k rows, ranked 1..k.
+    byQuery.values.foreach { rs =>
+      assert(rs.length === 10)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 10))
+    }
+    // The emitted cosines are EXACT (re-ranked on raw vectors): each
+    // must match the brute-force cosine for that (query, candidate).
+    rows.take(50).foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val v = r.getAs[Long]("vec_id")
+      val want = cos(vectors(q), vectors(v))
+      assert(math.abs(r.getAs[Double]("cos") - want) < 1e-12,
+        s"($q,$v): re-ranked cos must be exact")
+    }
+    // 8 blocks x 16 codewords on a random Gaussian corpus (PQ's worst
+    // case: no cluster structure) with a 50-deep re-rank shortlist.
+    val recalls = byQuery.map { case (q, rs) =>
+      val truth = trueTopK(q, 10).toSet
+      (rs.map(_.getAs[Long]("vec_id")).toSet & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.25, s"PQ mean recall@10 too low: $mean")
+  }
+
   test("emb_quantize: planted vectors quantize exactly; corpus bounds hold") {
     val sparkS = spark
     import sparkS.implicits._
