@@ -947,6 +947,73 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(c2.col === "nclicks" && c2.ts === 200L)
   }
 
+  test("randomized clustering/static/marker streams round-trip against the model") {
+    val rng = new scala.util.Random(99887766L)
+    def randClustValue(t: ColType): Option[(Array[Byte], Boolean)] =
+      if (rng.nextInt(3) == 0) None // null lane
+      else t match {
+        case CText =>
+          val s = (1 to 1 + rng.nextInt(6)).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+          Some((s.getBytes(UTF_8), false))
+        case CLong => Some((Array.fill(8)(rng.nextInt(256).toByte), true))
+        case _ => Some((Array.fill(4)(rng.nextInt(256).toByte), true))
+      }
+    (1 to 30).foreach { trial =>
+      val clustTypes = Seq.fill(rng.nextInt(4))(
+        Seq(CText, CInt32, CLong)(rng.nextInt(3)))
+      val e = new Enc
+      // model: (key, col, ts, deleted, marker, deletionTs)
+      val model = Seq.newBuilder[(String, String, Long, Boolean, Boolean, Long)]
+      (1 to 1 + rng.nextInt(4)).foreach { p =>
+        val key = s"k-$trial-$p"
+        val partDel =
+          if (rng.nextInt(6) == 0) rng.nextInt(100000).toLong else MaFormat.NoDeletion
+        e.partitionHeader(key, partDel)
+        if (partDel != MaFormat.NoDeletion)
+          model += ((key, null, partDel, true, true, partDel))
+        (1 to 1 + rng.nextInt(5)).foreach { _ =>
+          val ts = rng.nextInt(1000000).toLong
+          rng.nextInt(5) match {
+            case 0 if clustTypes.nonEmpty =>
+              // Range-tombstone marker with a random clustering-bound
+              // prefix; type 2 is a boundary (second deletion block).
+              val bound = rng.nextInt(clustTypes.size + 1)
+              val markerType = if (rng.nextBoolean()) 2 else 0
+              e.byte(0x02).byte(markerType).short(bound)
+              clusteringBlock(e, (0 until bound).map(i => randClustValue(clustTypes(i))))
+              e.vint(0).vint(0)
+              e.longlong(ts)
+              e.out.writeInt(0)
+              if (markerType == 2) { e.longlong(0L); e.out.writeInt(0) }
+              model += ((key, null, ts, true, true, ts))
+            case 1 =>
+              // Static row: no clustering block, static schema.
+              e.byte(0x80 | 0x04 | 0x20).byte(0x01).vint(0).vint(0).vint(ts)
+              val n = rng.nextLong()
+              e.byte(0x08).bytes(longBytes(n))
+              model += ((key, "stot", ts, false, false, partDel))
+            case _ =>
+              // Normal row: random clustering values, both columns.
+              e.byte(0x04 | 0x20)
+              clusteringBlock(e, clustTypes.map(randClustValue))
+              e.vint(0).vint(0).vint(ts)
+              val v = s"v${rng.nextInt(1000)}"
+              e.byte(0x08).vint(v.length.toLong).bytes(v.getBytes(UTF_8))
+              e.byte(0x08).bytes(longBytes(rng.nextLong()))
+              model += ((key, "click", ts, false, false, partDel))
+              model += ((key, "nclicks", ts, false, false, partDel))
+          }
+        }
+        e.endOfPartition()
+      }
+      val got = new MaFormat.Reader(new ByteArrayInputStream(e.result),
+        Cols, 0, 0, clustering = clustTypes,
+        staticColumns = Seq("stot" -> CLong)).toList
+        .map(c => (new String(c.key, UTF_8), c.col, c.ts, c.deleted, c.marker, c.deletionTs))
+      assert(got === model.result(), s"trial $trial (clustering=$clustTypes)")
+    }
+  }
+
   test("static row without a staticColumns schema fails loudly") {
     val e = new Enc
     e.partitionHeader("st-2")
