@@ -68,6 +68,8 @@ object SparkEntry {
     "events_windowed_agg"      -> (Events.windowedAgg _),
     "events_sessionize"        -> (Events.sessionize _),
     "events_asof_prev"         -> (Events.asofPrev _),
+    "events_funnel"            -> (Events.funnel _),
+    "events_retention"         -> (Events.retention _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     // §2.4 dedup
     "dedup_exact"              -> (Dedup.exact _),
@@ -776,6 +778,61 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE event_type IN ('view','click','purchase')),
+        |u AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN tus END) AS t1
+        |  FROM e GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(tus) AS t2
+        |  FROM e JOIN u USING (user_id)
+        |  WHERE event_type = 'click' AND tus > u.t1
+        |    AND tus <= u.t1 + 259200000000
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(tus) AS t3
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tus > s2.t2
+        |    AND tus <= s2.t2 + 259200000000
+        |  GROUP BY e.user_id),
+        |n AS (SELECT (SELECT COUNT(t1) FROM u) AS n1,
+        |             (SELECT COUNT(*) FROM s2) AS n2,
+        |             (SELECT COUNT(*) FROM s3) AS n3)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS step_name, n1 AS n_users,
+        |  CAST(CAST(ROUND(CAST(n1 AS DOUBLE)
+        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |    AS conversion FROM n
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'view>click', n2,
+        |  CAST(CAST(ROUND(CAST(n2 AS DOUBLE)
+        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |  FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'view>click>purchase', n3,
+        |  CAST(CAST(ROUND(CAST(n3 AS DOUBLE)
+        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |  FROM n
+        |ORDER BY step""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |fw AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM e GROUP BY user_id),
+        |cs AS (SELECT cohort_week, COUNT(*) AS cohort_size
+        |  FROM fw GROUP BY cohort_week),
+        |aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM e),
+        |m AS (SELECT f.cohort_week,
+        |    CAST((epoch_us(a.week) - epoch_us(f.cohort_week)) / 604800000000 AS INT)
+        |      AS week_offset,
+        |    COUNT(DISTINCT a.user_id) AS n_active
+        |  FROM aw a JOIN fw f USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort_week, m.week_offset, m.n_active,
+        |  CAST(CAST(ROUND(CAST(m.n_active AS DOUBLE)
+        |    / CAST(c.cohort_size AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |    AS retention_pct
+        |FROM m JOIN cs c USING (cohort_week)
+        |ORDER BY m.cohort_week, m.week_offset""".stripMargin,
 
     "q8_market_share" ->
       """SELECT o_year,

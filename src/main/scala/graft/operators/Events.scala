@@ -19,6 +19,11 @@ import graft.sources.Tables
   */
 object Events {
 
+  /** Exact-decimal 4-place rounding presented as double — the ratio
+    * presentation convention shared with the text/dedup operators. */
+  private def d4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c, 4).cast("decimal(10,4)").cast("double")
+
   /** #30 events_windowed_agg: tumbling 1-hour windows per event type.
     * Uses Spark's `window()` (the same construct the streaming variant
     * uses, so batch and stream share plan shape); epoch-aligned, so the
@@ -60,6 +65,88 @@ object Events {
         count(lit(1)).as("n_events"),
         pres(dsum(col("value"), 2)).as("sum_value"))
       .orderBy(col("user_id"), col("session_seq"))
+
+  /** #32c events_funnel: strict-order, first-touch funnel — the
+    * conversion question every event pipeline answers: of the users
+    * who VIEWed, how many went on to CLICK within the tolerance, and
+    * of those, how many PURCHASEd within it again. First-touch
+    * semantics: step 1 anchors at the user's first view; each later
+    * step takes the EARLIEST qualifying event after the previous
+    * step's timestamp. Emits one row per funnel stage with the user
+    * count and conversion from stage 1.
+    *
+    * Scale shape: one shuffle on user_id — per-user step times come
+    * from a single conditional aggregation (the collected follow-up
+    * timestamp lists are bounded by one user's activity, the same
+    * per-user-locality unit every operator here relies on), and the
+    * 3-row summary is a global aggregate of counts. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 72L * 3600L * 1000000L // 72h per step
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val perUser = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("tus"))).as("t1"),
+      collect_list(when(col("event_type") === "click", col("tus"))).as("clicks"),
+      collect_list(when(col("event_type") === "purchase", col("tus"))).as("purchases"))
+      .withColumn("t2", array_min(filter(col("clicks"),
+        c => c > col("t1") && c <= col("t1") + tolUs)))
+      .withColumn("t3", array_min(filter(col("purchases"),
+        p => p > col("t2") && p <= col("t2") + tolUs)))
+    val counts = perUser.agg(
+      count(col("t1")).as("n1"),
+      count(col("t2")).as("n2"),
+      count(col("t3")).as("n3"))
+    counts
+      .select(col("n1"), explode(array(
+        struct(lit(1).as("step"), lit("view").as("step_name"),
+          col("n1").as("n_users")),
+        struct(lit(2).as("step"), lit("view>click").as("step_name"),
+          col("n2").as("n_users")),
+        struct(lit(3).as("step"), lit("view>click>purchase").as("step_name"),
+          col("n3").as("n_users")))).as("s"))
+      .select(col("s.step").as("step"), col("s.step_name").as("step_name"),
+        col("s.n_users").as("n_users"),
+        d4(col("s.n_users").cast("double") /
+          greatest(col("n1"), lit(1L)).cast("double")).as("conversion"))
+      .orderBy(col("step"))
+  }
+
+  /** #32d events_retention: weekly cohort retention — users cohorted by
+    * the week of their FIRST event; each (cohort, week-offset) cell
+    * counts how many of them were active that week, as the classic
+    * retention matrix (offset 0 is 1.0 by construction: a user's first
+    * event is in their cohort week).
+    *
+    * Scale shape: two user-keyed aggregations (first-seen week,
+    * distinct active weeks) — the same single-shuffle user locality as
+    * the rest of the module — then a cohort-keyed rollup whose
+    * cardinality is weeks², trivially small; the cohort-size join is a
+    * dimension join AQE broadcasts unhinted. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val firstWeek = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val cohortSizes = firstWeek.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val activeWeeks = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    activeWeeks.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"),
+        ((unix_micros(col("week")) - unix_micros(col("cohort_week"))) / weekUs)
+          .cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(cohortSizes, "cohort_week")
+      // DATE presentation: a cohort week is a calendar date (and the
+      // DuckDB oracle's date_trunc yields DATE, so the schemas align).
+      .select(col("cohort_week").cast("date").as("cohort_week"),
+        col("week_offset"), col("n_active"),
+        d4(col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention_pct"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 
   /** #32 events_asof_prev: each event joined to the user's previous
     * event (the as-of-prior row in the same series) — previous type,
