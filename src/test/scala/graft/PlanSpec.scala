@@ -149,6 +149,34 @@ class PlanSpec extends AnyFunSuite {
       s"sample_stratified should shuffle once on source, got $hashExchanges:\n$plan")
   }
 
+  test("emb_quantize plans as a pure map: no joins, no hash shuffle") {
+    val plan = planOf("emb_quantize")
+    assert(!plan.contains("Join"),
+      s"emb_quantize must not join anything:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"emb_quantize: unexpected hash shuffle in a per-row operator\n$plan")
+  }
+
+  test("substring dedup pairs come from a bounded fingerprint aggregation, never a doc x doc join") {
+    // The inverted-index property that keeps this O(postings) at 100 TB:
+    // candidate pairs are generated INSIDE the per-fingerprint
+    // aggregation (bounded collect_set_limit buffer), so no plan node
+    // ever joins the corpus to itself.
+    val plan = planOf("dedup_substring")
+    assert(plan.contains("collectsetlimit"),
+      s"dedup_substring: expected the bounded posting aggregation\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"dedup_substring: corpus must never nested-loop join\n$plan")
+  }
+
+  test("funnel shuffles the events once on user_id before the 3-row summary") {
+    val plan = planOf("events_funnel")
+    val userShuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userShuffles === 1,
+      s"events_funnel should shuffle events once on user_id, got $userShuffles:\n$plan")
+  }
+
   test("centroid outliers broadcast the per-label centroid table") {
     // The centroid frame is a genuine dimension (one row per label) —
     // the corpus streams past it without reshuffling.
