@@ -16,6 +16,17 @@ import org.apache.spark.sql.types.DecimalType
   * unambiguous and the sum bit-stable under any partitioning.
   */
 object Exact {
+  /** The ratio presentation convention shared by the text / dedup /
+    * event operators: exact-decimal 4-place rounding, presented as
+    * double, so a [0,1]-ish ratio is bit-stable across engines (the
+    * decimal→double conversion is the same IEEE nearest on both sides;
+    * a decimal output column would string-compare with trailing zeros
+    * a float64 oracle lacks). ONE definition on purpose — a precision
+    * change must hit every operator at once or oracle exactness
+    * silently diverges per operator. */
+  def d4(c: Column): Column =
+    round(c, 4).cast("decimal(10,4)").cast("double")
+
   /** Cast a double term to an exact decimal at the given scale. */
   def dec(c: Column, scale: Int): Column = c.cast(DecimalType(30, scale))
 

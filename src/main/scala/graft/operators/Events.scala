@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{dsum, pres}
+import graft.functions.Exact.{d4, dsum, pres}
 import graft.sources.Tables
 
 /** Event-stream analytics (SURVEY.md §2.3) over the `events` table.
@@ -18,11 +18,6 @@ import graft.sources.Tables
   * partitions before the sort.
   */
 object Events {
-
-  /** Exact-decimal 4-place rounding presented as double — the ratio
-    * presentation convention shared with the text/dedup operators. */
-  private def d4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(c, 4).cast("decimal(10,4)").cast("double")
 
   /** #30 events_windowed_agg: tumbling 1-hour windows per event type.
     * Uses Spark's `window()` (the same construct the streaming variant
@@ -137,7 +132,11 @@ object Events {
       .groupBy(col("cohort_week"),
         ((unix_micros(col("week")) - unix_micros(col("cohort_week"))) / weekUs)
           .cast("int").as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      // Plain count: activeWeeks is distinct on (user_id, week) and the
+      // cohort join adds one row per user, so a user appears at most
+      // once per cell — a countDistinct would plan a second Exchange
+      // for nothing.
+      .agg(count(lit(1)).as("n_active"))
       .join(cohortSizes, "cohort_week")
       // DATE presentation: a cohort week is a calendar date (and the
       // DuckDB oracle's date_trunc yields DATE, so the schemas align).

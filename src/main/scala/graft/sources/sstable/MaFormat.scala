@@ -178,10 +178,14 @@ object MaFormat {
     * from byte 0. */
   def readSummary(in: InputStream, version: String): Array[(Array[Byte], Long)] = {
     val din = new DataInputStream(in)
-    din.skipBytes(4) // minIndexInterval
+    // readFully, not skipBytes: DataInputStream.skipBytes stops at the
+    // first short skip() without being at EOF on some stream impls,
+    // which would silently misalign every header field after it.
+    val scratch = new Array[Byte](8)
+    din.readFully(scratch, 0, 4) // minIndexInterval
     val size = din.readInt()
     val memSize = din.readLong()
-    if (version >= "ka") din.skipBytes(8)
+    if (version >= "ka") din.readFully(scratch, 0, 8)
     require(size >= 0 && memSize >= (4L * size) && memSize <= Int.MaxValue,
       s"implausible Summary.db header: size=$size memSize=$memSize")
     val toc = new Array[Byte](memSize.toInt)

@@ -302,20 +302,27 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     val sumPath = new Path(file.stripSuffix("Data.db") + "Summary.db")
     val indexSeek: Long =
       if ((resumeKey.isDefined || tokenMin.isDefined) && fs.exists(sumPath)) {
-        val sin = fs.open(sumPath)
-        val summary =
-          try MaFormat.readSummary(sin, MaSSTableSource.versionOf(dataPath.getName))
-          finally sin.close()
-        // inStart is monotone along the summary's ring order
-        // (false* true*) — binary-search the last false.
-        var lo = 0
-        var hi = summary.length - 1
-        var floor = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (!inStart(summary(mid)._1)) { floor = mid; lo = mid + 1 } else hi = mid - 1
+        // The summary is PURELY an optimization (the index pass below
+        // re-checks every entry), so a truncated/corrupt Summary.db
+        // must degrade to the always-safe scan-from-0, never abort
+        // the query a plain Index.db could have planned.
+        val floorPos = scala.util.Try {
+          val sin = fs.open(sumPath)
+          val summary =
+            try MaFormat.readSummary(sin, MaSSTableSource.versionOf(dataPath.getName))
+            finally sin.close()
+          // inStart is monotone along the summary's ring order
+          // (false* true*) — binary-search the last false.
+          var lo = 0
+          var hi = summary.length - 1
+          var floor = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (!inStart(summary(mid)._1)) { floor = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          if (floor >= 0) summary(floor)._2 else 0L
         }
-        if (floor >= 0) summary(floor)._2 else 0L
+        floorPos.getOrElse(0L)
       } else 0L
     // One streaming pass over the (remaining) index — O(#splits)
     // retained: scan start, split cuts at every splitBytes of

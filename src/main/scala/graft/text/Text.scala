@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exact.d4
 import graft.functions.Sketches
 import graft.sources.Tables
 
@@ -47,11 +48,7 @@ object Text {
     val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double")
     val digits = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
     val stops = size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
-    // Round through an exact decimal so both engines agree on the 4-place
-    // value, then present as double (the decimal→double conversion is the
-    // same IEEE nearest on both sides; a decimal output column would
-    // string-compare with trailing zeros the float64 oracle lacks).
-    val d4 = (c: Column) => round(c, 4).cast("decimal(10,4)").cast("double")
+    // 4-place exact-decimal presentation: graft.functions.Exact.d4.
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -95,7 +92,6 @@ object Text {
       length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
       greatest(length(col("text")), lit(1)).cast("double")
     val best = greatest(scores: _*)
-    val d4 = (c: Column) => round(c, 4).cast("decimal(10,4)").cast("double")
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -122,11 +118,6 @@ object Text {
         // (scalar columns only) for the driver's pandas sort
         concat_ws(",", slice(col("fp"), 1, 8).cast("array<string>")).as("fp_head"))
       .orderBy(col("doc_id"))
-
-  /** Round-to-4-places presentation helper shared by the ratio columns:
-    * exact decimal rounding, presented as double (see [[quality]]). */
-  private def d4(c: Column): Column =
-    round(c, 4).cast("decimal(10,4)").cast("double")
 
   /** #46 text_decontaminate: benchmark decontamination — flag training
     * documents that share any k-token n-gram with the held-out

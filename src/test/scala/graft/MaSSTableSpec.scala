@@ -797,6 +797,23 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(got.map(_._1) === (30 to 40).map(i => f"user-$i%03d").toSet)
   }
 
+  test("a corrupt Summary.db degrades to the scan-from-0 seek, never aborts the plan") {
+    // The summary is purely an optimization: a truncated/garbage one
+    // must not fail a query that a plain Index.db could plan.
+    val (payload, entries) = indexedPayload(40)
+    val dir = Files.createTempDirectory("ma-sum-corrupt")
+    Files.write(dir.resolve("mc-1-big-Data.db"), payload)
+    writeIndex(dir, "mc-1-big", entries)
+    Files.write(dir.resolve("mc-1-big-Summary.db"),
+      Array.fill[Byte](37)(0x5a)) // garbage: implausible header/toc
+    val got = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString).option("columns", ColsSpec)
+      .option("splitBytes", "500").option("resumeKey", "user-030")
+      .load().select(col("key")).collect().map(_.getString(0)).toSet
+    assert(got === (30 to 40).map(i => f"user-$i%03d").toSet,
+      "corrupt summary must fall back to the full index walk")
+  }
+
   test("the planner genuinely SEEKS: index bytes before the summary floor are never read") {
     // Corrupt every index byte before the floor entry's offset. Only a
     // planner that jumps straight to the summary's floor position can
