@@ -1236,6 +1236,68 @@ class MaSSTableSpec extends AnyFunSuite {
       r.getString(0) == "a1" && r.getString(1) == "click"))
   }
 
+  test("grand combined read: compressed + clustering + complex + Index/Summary + token shards") {
+    // Every byte-reader feature on ONE file, the way a real table uses
+    // them together: LZ4 chunking, a clustering column (values skipped),
+    // a complex set<text> column (sub-cells), sibling Index.db and
+    // Summary.db, murmur3 ring order, and a 2-way disjoint token-slice
+    // shard plan over it all.
+    val keys = (1 to 30).map(i => f"gu-$i%03d")
+    val ringOrder = keys.sortBy(k => (
+      graft.functions.CassandraMurmur3.token(k.getBytes(UTF_8)), k))
+    val e = new Enc
+    val entries = Seq.newBuilder[(String, Long)]
+    ringOrder.zipWithIndex.foreach { case (k, i) =>
+      entries += (k -> e.bos.size().toLong)
+      e.partitionHeader(k)
+      e.byte(0x04 | 0x20) // HAS_TIMESTAMP | HAS_ALL_COLUMNS
+      clusteringBlock(e, Seq(Some((s"ck-$k".getBytes(UTF_8), false))))
+      e.vint(0).vint(0).vint(1000L + i)
+      e.byte(0x08).vint(2).bytes("ab".getBytes(UTF_8)) // click @ row ts
+      e.vint(2) // tags: two set sub-cells, empty values, element in path
+      e.byte(0x04).vint(10L).vint(4).bytes(f"t$i%03d".getBytes(UTF_8))
+      e.byte(0x04).vint(20L).vint(4).bytes("blue".getBytes(UTF_8))
+      e.endOfPartition()
+    }
+    val dir = Files.createTempDirectory("ma-grand")
+    writeCompressed(dir, "mc-1-big", e.result, "LZ4Compressor", chunkLen = 512)
+    val idxOffsets = writeIndex(dir, "mc-1-big", entries.result())
+    writeSummary(dir, "mc-1-big",
+      entries.result().zip(idxOffsets).zipWithIndex
+        .collect { case (((k, _), io), i) if i % 8 == 0 => (k, io) })
+
+    def read(tMin: Option[String], tMax: Option[String]) = {
+      val b = spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", dir.toString)
+        .option("columns", "click:text,tags:set<text>")
+        .option("clustering", "text")
+        .option("partitioner", "murmur3").option("splitBytes", "600")
+      val b2 = tMin.fold(b)(v => b.option("tokenMin", v))
+      tMax.fold(b2)(v => b2.option("tokenMax", v)).load()
+    }
+    def keyCols(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("col"), col("ts")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def tok(k: String): String =
+      graft.functions.CassandraMurmur3.token(k.getBytes(UTF_8)).toString
+
+    val whole = read(None, None)
+    val all = keyCols(whole)
+    assert(all.size === 30 * 3, s"click + 2 tag sub-cells per key: ${all.size}")
+    assert(all.count(_._2.startsWith("tags[")) === 60)
+    assert(whole.rdd.getNumPartitions >= 3, "splitBytes must split the file")
+
+    val a = read(None, Some(tok(ringOrder(14))))
+    val b = read(Some(tok(ringOrder(15))), None)
+    val setA = keyCols(a)
+    val setB = keyCols(b)
+    assert((setA & setB).isEmpty, "shards must be disjoint")
+    assert((setA ++ setB) === all, "shard union must be exactly the whole read")
+    assert(setA.map(_._1) === ringOrder.take(15).toSet)
+    assert(a.rdd.getNumPartitions < whole.rdd.getNumPartitions,
+      "a token slice must prune planned splits")
+  }
+
   test("the reference's whole job end-to-end: mixed-format SSTables -> merge -> tombstones -> TTL -> create-only export") {
     val dir = Files.createTempDirectory("e2e-sstables")
     // Generation 1: legacy ka file. u1 has an old click; u2 a value
