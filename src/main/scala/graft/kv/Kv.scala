@@ -68,11 +68,16 @@ object Kv {
       spark: SparkSession, path: String, columnsSpec: String,
       resumeKey: Option[String] = None,
       verifyChecksums: Boolean = true,
-      tokenRange: Option[(String, String)] = None): DataFrame = {
+      tokenRange: Option[(String, String)] = None,
+      clusteringIdentity: Boolean = false): DataFrame = {
     val withCols = spark.read
       .format("graft.sources.sstable.MaSSTableSource")
       .option("path", path)
       .option("verifyChecksums", verifyChecksums.toString)
+      // Clustered-table mode: clustering values become part of each
+      // cell's column identity (see MaSSTableSource docs) so distinct
+      // rows survive the LWW merge below as distinct records.
+      .option("clusteringIdentity", clusteringIdentity.toString)
     // An empty spec self-describes from each file's Statistics.db
     // (the reference reads the schema there — SSTable.cpp:275).
     val withSpec =
@@ -251,7 +256,8 @@ object Kv {
       resumeKey: Option[String] = None,
       dryRun: Boolean = false,
       verifyChecksums: Boolean = true,
-      tokenRange: Option[(String, String)] = None): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
+      tokenRange: Option[(String, String)] = None,
+      clusteringIdentity: Boolean = false): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
     // The resume key reaches the SOURCE (Index.db seek skips whole
     // partitions at plan time — the reference's `-s` Summary seek), as
     // does the token slice of a sharded run (`-T`, each worker's ring
@@ -259,7 +265,7 @@ object Kv {
     // the resume bound so the plan is correct over any source.
     val bags = sstableDirs.map(
       cellsFromSSTables(spark, _, columnsSpec, resumeKey, verifyChecksums,
-        tokenRange))
+        tokenRange, clusteringIdentity))
     val merged = lww(applyMarkerTombstones(
       bags.reduce(_ unionAll _)
         .transform(df => resumeKey.fold(df)(k => df.filter(col("key") >= k)))))

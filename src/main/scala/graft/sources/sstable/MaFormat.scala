@@ -11,10 +11,13 @@ import java.io.{DataInputStream, EOFException, InputStream}
   * streams, plain or chunk-compressed ([[CompressedBlocks]] layers the
   * block decode + checksum verify underneath), plus the legacy
   * "ja"/"ka" cell framing ([[KaReader]]). Clustering columns and
-  * static rows are handled as in the reference: clustering VALUES are
-  * parsed and skipped (SSTable.cpp:489 — "not currently in use"),
-  * clustering-bound range-tombstone markers are decoded, and static
-  * rows read the static-column schema.
+  * static rows are handled as in the reference by default: clustering
+  * VALUES are parsed and skipped (SSTable.cpp:489 — "not currently in
+  * use"), clustering-bound range-tombstone markers are decoded, and
+  * static rows read the static-column schema. The `clusteringIdentity`
+  * reader option goes BEYOND the reference for real clustered tables:
+  * clustering values become part of each cell's column identity and
+  * row/range deletions bound to exactly their rows (see [[Reader]]).
   *
   * Complex (collection) columns — `list<t>` / `set<t>` / `map<k,v>` —
   * decode BEYOND the reference (which has no complex arm at all and
@@ -97,6 +100,27 @@ object MaFormat {
   val NoDeletion: Long = Long.MinValue
   /** The no-TTL sentinel inside the decoder (reference uses u64 max). */
   private val NoTtl: Long = -1L
+
+  /** Separator terminating each rendered clustering value inside a
+    * cell's column identity (`clusteringIdentity` mode). 0x1F (ASCII
+    * unit separator) sorts BELOW every printable char and below '[',
+    * so a rendered prefix is a contiguous STRING RANGE: exactly the
+    * names `P <= name <= P + "\uffff"` carry clustering prefix P —
+    * which is what lets row deletions and clustering-bound range
+    * tombstones reuse the ka-range-tombstone merge machinery
+    * ([[graft.kv.Kv.applyMarkerTombstones]]) unchanged. */
+  val ClusteringSep: Char = '\u001f'
+  /** Rendered stand-in for a NULL clustering value (0x00 cannot come
+    * out of [[renderClusteringValue]], so it never collides). */
+  val NullValue: String = "\u0000"
+
+  /** Clustering-value rendering for cell identity: printable ASCII
+    * reads as text, anything else as 0x-hex — the same deterministic
+    * convention complex cell paths use (renderPath). */
+  private[sstable] def renderClusteringValue(b: Array[Byte]): String =
+    if (b.isEmpty || b.forall(x => x >= 0x20 && x <= 0x7e))
+      new String(b, "UTF-8")
+    else "0x" + b.map(x => f"$x%02x").mkString
 
   /** Cassandra unsigned vint (Buffer.cpp:read_unsigned_vint): the count
     * of leading one bits in the first byte is the count of continuation
@@ -230,10 +254,25 @@ object MaFormat {
   /** Streaming reader state over a DataInputStream.
     *
     * `clustering` lists the clustering-key column TYPES in schema order
-    * (names are never needed — values are skipped, SSTableSchema.cpp:131
-    * parses only the formats); `staticColumns` is the static-row column
-    * schema (SSTableSchema.cpp:134), read in place of the regular
-    * columns when a row carries the IS_STATIC extended flag.
+    * (names are never needed — SSTableSchema.cpp:131 parses only the
+    * formats); `staticColumns` is the static-row column schema
+    * (SSTableSchema.cpp:134), read in place of the regular columns when
+    * a row carries the IS_STATIC extended flag.
+    *
+    * `clusteringIdentity` — reference PARITY is false: clustering
+    * values are parsed and DISCARDED (SSTable.cpp:489 — "not currently
+    * in use"), which collapses every row of a partition onto one
+    * (key, col) identity; fine for the unclustered KV tables the
+    * reference targets, silent data loss for real clustered tables.
+    * With true, each cell's column identity is PREFIXED with its row's
+    * rendered clustering values (`ck1␟ck2␟col`, [[ClusteringSep]]
+    * terminating every value) so distinct rows survive LWW; row
+    * deletions become markers bounded to exactly their row's name
+    * range, and open/close clustering-bound range-tombstone markers
+    * are PAIRED into one bounded marker per range — both ride the
+    * existing [start, end] column-range tombstone semantics
+    * (graft.kv.Kv.applyMarkerTombstones) because the prefix sorts
+    * first in the rendered name.
     *
     * `stopAfter` is consulted at every PARTITION boundary (before the
     * next partition header is read): when it returns true the reader
@@ -247,7 +286,8 @@ object MaFormat {
       minTtl: Long,
       clustering: Seq[ColType] = Nil,
       staticColumns: Seq[(String, ColType)] = Nil,
-      stopAfter: () => Boolean = () => false) extends Iterator[MaCell] {
+      stopAfter: () => Boolean = () => false,
+      clusteringIdentity: Boolean = false) extends Iterator[MaCell] {
 
     private val din = new DataInputStream(in)
     private var atEndOfPartition = true
@@ -255,6 +295,10 @@ object MaFormat {
     private var key: Array[Byte] = _
     private var partitionDeletion: Long = NoDeletion
     private var pending: List[MaCell] = Nil
+    /** The currently-open range-tombstone bound (rendered start name,
+      * deletion ts) awaiting its close marker — clusteringIdentity
+      * pairing state, always null in parity mode. */
+    private var openMarker: (String, Long) = _
 
     // --- primitive decode (Buffer.cpp) ---------------------------------
 
@@ -309,11 +353,14 @@ object MaFormat {
 
     /** read_clustering_columns (SSTable.cpp:487-503): one vint header
       * per block of up to 32 clustering values, two bits per value
-      * (null / empty); a 00 bit-pair means value bytes follow — skip
-      * them per the clustering column's size rule (vint-prefixed for
+      * (0 = bytes follow, 1 = null, 2 = empty) — present values frame
+      * per the clustering column's size rule (vint-prefixed for
       * text-like types, fixed otherwise). `n` is the value count: the
       * full clustering size for rows, the bound's prefix length for
-      * markers. Values are parsed and DISCARDED, as in the reference.
+      * markers. In parity mode values are parsed and DISCARDED, as in
+      * the reference, and "" is returned; with `clusteringIdentity`
+      * the rendered prefix (each value [[ClusteringSep]]-terminated)
+      * is returned for the caller to prepend to cell names.
       * (Two deliberate deviations from the reference, both toward the
       * actual wire format: the reference masks with an int-typed
       * `3 << shift`, undefined past 16 columns per block — `3L` keeps
@@ -322,51 +369,101 @@ object MaFormat {
       * which would mis-read bit-lanes the bound's header never encodes —
       * the writer emits header bits only for the bound's own `n`
       * values, so the limit here is `min(n, c + 32)`.) */
-    private def readClusteringValues(n: Int): Unit = {
+    private def readClusteringValues(n: Int): String = {
       require(n <= clustering.size,
         s"row carries $n clustering values but schema declares ${clustering.size} " +
           "(pass the clustering option)")
+      val sb = if (clusteringIdentity && n > 0) new StringBuilder else null
       var c = 0
       while (c < n) {
         val header = readUnsignedVint()
         val limit = math.min(n, c + 32)
         var shift = 0
         while (c < limit) {
-          if ((header & (3L << shift)) == 0) {
+          val lane = (header >> shift) & 3L
+          if (lane == 0L) {
             val size = clustering(c).fixedSize match {
               case -1 => readUnsignedVint().toInt
               case s => s
             }
-            skip(size)
-          }
+            if (sb != null) sb.append(renderClusteringValue(readBytes(size)))
+            else skip(size)
+          } else if (lane == 1L && sb != null) sb.append(NullValue)
+          // lane 2 (empty value) renders as the empty string.
+          if (sb != null) sb.append(ClusteringSep)
           c += 1
           shift += 2
         }
       }
+      if (sb == null) "" else sb.toString
     }
 
-    /** read_marker (SSTable.cpp:540): clustering-bound markers parse
-      * (and discard) their bound prefix like any clustering block. */
-    private def readMarker(isStatic: Boolean): MaCell = {
+    /** read_marker (SSTable.cpp:540): clustering-bound markers. Parity
+      * mode parses (and discards) the bound prefix and emits each
+      * marker as a whole-key tombstone, exactly the reference. With
+      * `clusteringIdentity`, open and close bounds are PAIRED into one
+      * column-range tombstone per range: the marker kind byte is
+      * Cassandra's ClusteringPrefix.Kind ordinal — 0 EXCL_END_BOUND,
+      * 1 INCL_START_BOUND, 2 EXCL_END_INCL_START_BOUNDARY,
+      * 5 INCL_END_EXCL_START_BOUNDARY, 6 INCL_END_BOUND,
+      * 7 EXCL_START_BOUND (boundaries carry the close deletion first,
+      * then the open deletion — the reference's skip(12) arm). A
+      * bound's name range follows the prefix-order rule: inclusive-of-
+      * the-prefix renders P, exclusive renders P + "\uffff" on the
+      * start side / P alone on the end side, so `between(start, end)`
+      * covers exactly the deleted rows' cell names. */
+    private def readMarker(isStatic: Boolean): List[MaCell] = {
       val tpe = readByte()
       val size = readShort()
-      if (!isStatic) readClusteringValues(size)
+      val prefix = if (!isStatic) readClusteringValues(size) else ""
       readUnsignedVint() // row size
       readUnsignedVint() // previous unfiltered size
       val markedForDeletion = readLongLong()
       skip(4) // local deletion time
-      // Boundary markers carry a second deletion time (unused).
-      if (tpe == 2 || tpe == 5) skip(12)
-      MaCell(key, null, markedForDeletion, null,
-        deleted = true, expiring = false, ttlSec = NoTtl,
-        deletionTs = markedForDeletion, marker = true)
+      if (!clusteringIdentity) {
+        // Boundary markers carry a second deletion time (unused).
+        if (tpe == 2 || tpe == 5) skip(12)
+        List(MaCell(key, null, markedForDeletion, null,
+          deleted = true, expiring = false, ttlSec = NoTtl,
+          deletionTs = markedForDeletion, marker = true))
+      } else {
+        val openDeletion =
+          if (tpe == 2 || tpe == 5) { val d = readLongLong(); skip(4); d }
+          else markedForDeletion
+        def open(startName: String, d: Long): Unit = {
+          require(openMarker == null,
+            s"unmatched open range-tombstone marker (kind $tpe follows an open bound)")
+          openMarker = (startName, d)
+        }
+        def close(endName: String): List[MaCell] = {
+          require(openMarker != null,
+            s"range-tombstone close marker (kind $tpe) without an open bound")
+          val (start, d) = openMarker
+          openMarker = null
+          List(MaCell(key, start, d, endName.getBytes("UTF-8"),
+            deleted = true, expiring = false, ttlSec = NoTtl,
+            deletionTs = d, marker = true))
+        }
+        tpe match {
+          case 1 => open(prefix, markedForDeletion); Nil
+          case 7 => open(prefix + "\uffff", markedForDeletion); Nil
+          case 0 => close(prefix)
+          case 6 => close(prefix + "\uffff")
+          case 2 => val out = close(prefix); open(prefix, openDeletion); out
+          case 5 =>
+            val out = close(prefix + "\uffff")
+            open(prefix + "\uffff", openDeletion); out
+          case other =>
+            throw new IllegalArgumentException(s"unexpected marker kind $other")
+        }
+      }
     }
 
     /** read_normal_row + the full cell loop (SSTable.cpp:572-705).
       * Static rows (IS_STATIC extended flag) carry no clustering block
       * and read the static-column schema (SSTable.cpp:575-577,605). */
     private def readNormalRow(flags: Int, isStatic: Boolean): List[MaCell] = {
-      if (!isStatic) readClusteringValues(clustering.size)
+      val prefix = if (!isStatic) readClusteringValues(clustering.size) else ""
       val cols = if (isStatic) staticColumns else columns
       readUnsignedVint() // row size
       readUnsignedVint() // previous unfiltered size
@@ -380,23 +477,40 @@ object MaFormat {
           readUnsignedVint() // local deletion time
         }
       }
-      val rowDeletion =
+      var rowDeletion =
         if ((flags & HAS_DELETION) != 0) {
           val d = readUnsignedVint() + minTimestamp
           readUnsignedVint() // local deletion time
           d
         } else partitionDeletion
 
+      val out = List.newBuilder[MaCell]
+      // clusteringIdentity: a ROW deletion scopes to its row, not the
+      // partition — emit it as a marker bounded to exactly this row's
+      // rendered name range (every cell name of the row starts with
+      // `prefix`; no other row's does), and let the row's own cells
+      // carry only the partition-level deletion. In parity mode the
+      // row deletion stays on the cells (whole-key semantics), as in
+      // the reference.
+      if (prefix.nonEmpty && (flags & HAS_DELETION) != 0) {
+        if (rowDeletion != NoDeletion)
+          out += MaCell(key, prefix, rowDeletion,
+            (prefix + "\uffff").getBytes("UTF-8"),
+            deleted = true, expiring = false, ttlSec = NoTtl,
+            deletionTs = rowDeletion, marker = true)
+        rowDeletion = partitionDeletion
+      }
+
       val present =
         if ((flags & HAS_ALL_COLUMNS) != 0) Array.fill(cols.size)(true)
         else readColumnSubset(cols.size)
 
-      val out = List.newBuilder[MaCell]
       var i = 0
       while (i < cols.size) {
         if (present(i)) {
           cols(i) match {
-            case (name, CComplex(valueTpe)) =>
+            case (name0, CComplex(valueTpe)) =>
+              val name = prefix + name0
               // Complex column (Cassandra UnfilteredSerializer
               // writeComplexColumn): optional complex deletion — a
               // column-scoped tombstone over every sub-cell of this
@@ -424,7 +538,7 @@ object MaFormat {
                 j += 1
               }
             case (name, tpe) =>
-              out += readCell(name, tpe, complexPath = false,
+              out += readCell(prefix + name, tpe, complexPath = false,
                 rowTs, rowTtl, rowDeletion)
           }
         }
@@ -503,6 +617,8 @@ object MaFormat {
         }
         val flags = try readByte() catch { case _: EOFException => eof = true; return }
         if ((flags & END_OF_PARTITION) != 0) {
+          require(openMarker == null,
+            "partition ended with an unclosed range-tombstone bound")
           atEndOfPartition = true
         } else {
           val extended = if ((flags & EXTENSION_FLAG) != 0) readByte() else 0
@@ -510,7 +626,7 @@ object MaFormat {
           if (isStatic) require(staticColumns.nonEmpty,
             "static row but no staticColumns schema (pass the staticColumns option)")
           pending =
-            if ((flags & IS_MARKER) != 0) List(readMarker(isStatic))
+            if ((flags & IS_MARKER) != 0) readMarker(isStatic)
             else readNormalRow(flags, isStatic)
         }
       }
@@ -537,10 +653,20 @@ object MaFormat {
     * names carry length-prefixed path elements that unwrap to their
     * final element. Pre-"ja" column-count framing (ancient) is not
     * supported. Emits the same MaCell shape as the "ma" reader.
-    * `stopAfter` — see [[Reader]]. */
+    * `stopAfter` — see [[Reader]].
+    * `clusteringIdentity` mirrors [[Reader]]'s option for legacy
+    * composite names: a composite cell name renders ALL its path
+    * elements ([[ClusteringSep]]-terminated) before the final column
+    * name instead of unwrapping to the last element alone, so
+    * clustered legacy rows keep distinct (key, col) identities; a
+    * composite range-tombstone bound renders as the same prefix with
+    * the end extended to cover every prefixed name (bound
+    * end-of-component inclusivity is approximated as
+    * prefix-inclusive). */
   final class KaReader(
       in: InputStream,
-      stopAfter: () => Boolean = () => false) extends Iterator[MaCell] {
+      stopAfter: () => Boolean = () => false,
+      clusteringIdentity: Boolean = false) extends Iterator[MaCell] {
 
     private val DELETION_MASK = 0x01
     private val EXPIRATION_MASK = 0x02
@@ -557,6 +683,52 @@ object MaFormat {
     private def readString(): Array[Byte] = {
       val b = new Array[Byte](din.readUnsignedShort()); din.readFully(b); b
     }
+
+    /** All elements of a well-formed composite name (the same exact-
+      * termination rule [[unwrapName]] applies), or null when the
+      * bytes do not parse as a composite. */
+    private def compositeElements(name: Array[Byte]): List[Array[Byte]] = {
+      var off = 0
+      val out = List.newBuilder[Array[Byte]]
+      var n = 0
+      while (off < name.length) {
+        if (name.length - off < 3) return null
+        val len = ((name(off) & 0xff) << 8) | (name(off + 1) & 0xff)
+        if (name.length - off < len + 3) return null
+        out += java.util.Arrays.copyOfRange(name, off + 2, off + 2 + len)
+        off += len + 3
+        n += 1
+      }
+      if (n == 0) null else out.result()
+    }
+
+    /** clusteringIdentity cell-name rendering: composite names keep
+      * every path element ([[ClusteringSep]]-terminated clustering
+      * values, then the final element as the column name); plain
+      * names pass through. */
+    private def renderName(name: Array[Byte]): String =
+      compositeElements(name) match {
+        case null => new String(unwrapName(name), "UTF-8")
+        case els =>
+          val sb = new StringBuilder
+          els.init.foreach { e =>
+            sb.append(renderClusteringValue(e)); sb.append(ClusteringSep)
+          }
+          sb.append(new String(els.last, "UTF-8"))
+          sb.toString
+      }
+
+    /** clusteringIdentity range-tombstone bound rendering: a composite
+      * bound is a clustering prefix — render every element value-style
+      * and cover all prefixed names (end bounds extend by "\uffff");
+      * a plain bound names an exact column, kept exact. */
+    private def renderBound(bound: Array[Byte], isEnd: Boolean): String =
+      compositeElements(bound) match {
+        case null => new String(bound, "UTF-8")
+        case els =>
+          val p = els.map(e => renderClusteringValue(e) + ClusteringSep).mkString
+          if (isEnd) p + "\uffff" else p
+      }
 
     /** Composite-path unwrap (SSTable.cpp:401-422): take the final
       * length-prefixed element of a compound/clustering name. */
@@ -601,13 +773,20 @@ object MaFormat {
         if (name.isEmpty) {
           inPartition = false // empty name terminates the row
         } else {
-          val colName = new String(unwrapName(name), "UTF-8")
+          val colName =
+            if (clusteringIdentity) renderName(name)
+            else new String(unwrapName(name), "UTF-8")
           val flags = din.readUnsignedByte()
           if ((flags & RANGE_TOMBSTONE_MASK) != 0) {
             val rangeEnd = readString()
             val skip = new Array[Byte](4); din.readFully(skip) // local_deletion
             val ts = din.readLong()
-            nextCell = MaCell(key, colName, ts, rangeEnd,
+            val (start, end) =
+              if (clusteringIdentity)
+                (renderBound(name, isEnd = false),
+                  renderBound(rangeEnd, isEnd = true).getBytes("UTF-8"))
+              else (colName, rangeEnd)
+            nextCell = MaCell(key, start, ts, end,
               deleted = true, expiring = false, ttlSec = NoTtl,
               deletionTs = ts, marker = true)
           } else {

@@ -39,6 +39,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `"text,int32"` — values are parsed and skipped per row exactly as
   *    the reference does (SSTable.cpp:487 read_clustering_columns);
   *    required for any table with clustering keys
+  *  - `clusteringIdentity` (default false = reference parity): render
+  *    each row's clustering values into its cells' column identity
+  *    (`ck1␟ck2␟col`, [[MaFormat.ClusteringSep]]-terminated values) so
+  *    rows of a CLUSTERED table that differ only in clustering key
+  *    survive the KV LWW merge as distinct records instead of
+  *    silently collapsing; row deletions and paired open/close
+  *    clustering-bound markers become column-RANGE tombstones over
+  *    exactly their rows' name range. Parity mode discards the values
+  *    (the reference targets unclustered tables) and treats every
+  *    marker/row deletion as whole-partition
   *  - `staticColumns`: the static-row column schema (same shape as
   *    `columns`); required if the table has static columns
   *  - `minTimestamp`, `minTtl`: the Statistics.db delta-encoding bases
@@ -504,11 +514,13 @@ private[sstable] class MaReaderFactory(
       }
       // Stop at the first partition boundary at or past the split end.
       private val stop = () => in.count >= splitEnd
+      private val clusteringIdentity =
+        options.getOrElse("clusteringIdentity", "false").toBoolean
       private val cells: Iterator[MaFormat.MaCell] =
         if (version >= "ma")
           new MaFormat.Reader(in, columns, minTimestamp, minTtl,
-            clustering, staticColumns, stop)
-        else new MaFormat.KaReader(in, stop)
+            clustering, staticColumns, stop, clusteringIdentity)
+        else new MaFormat.KaReader(in, stop, clusteringIdentity)
       private var current: MaFormat.MaCell = _
 
       // Project only the pruned columns into the output row.

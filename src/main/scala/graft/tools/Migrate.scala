@@ -22,6 +22,12 @@ import org.apache.spark.sql.SparkSession
   *                                           beyond the reference: how
   *                                           a DISTRIBUTED run shards)
   *   [-C]                                    disable chunk-checksum verify
+  *   [-k]                                    clustered-table mode: render
+  *                                           clustering values into each
+  *                                           cell's column identity so
+  *                                           distinct rows survive the
+  *                                           merge (beyond the reference,
+  *                                           which discards them)
   *   [-L <seconds>]                          minimum-TTL discard
   *   [-x]                                    prohibit eternal records
   *   [-f]                                    record TTL from first-expiring cell
@@ -44,6 +50,7 @@ object Migrate {
     var ttlFromFirst = false
     var dryRun = false
     var verifyChecksums = true
+    var clusteringIdentity = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -68,6 +75,7 @@ object Migrate {
           tokenRange = Some((spec.substring(0, cut), spec.substring(cut + 1)))
           i += 2
         case "-C" => verifyChecksums = false; i += 1
+        case "-k" => clusteringIdentity = true; i += 1
         case "-L" => minTtlS = args(i + 1).toLong; i += 2
         case "-x" => prohibitEternal = true; i += 1
         case "-f" => ttlFromFirst = true; i += 1
@@ -100,7 +108,7 @@ object Migrate {
       else None
 
     graft.kv.Kv.migrate(spark, inputs, columns, target, policy, resume, dryRun,
-      verifyChecksums, tokenRange) match {
+      verifyChecksums, tokenRange, clusteringIdentity) match {
       case Left(rendered) =>
         rendered.show(100, truncate = false)
         println(s"[migrate] DRY RUN: ${rendered.count()} records would be written")

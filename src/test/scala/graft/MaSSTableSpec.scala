@@ -1031,6 +1031,224 @@ class MaSSTableSpec extends AnyFunSuite {
     }
   }
 
+  // ---- clusteringIdentity: clustered-table cell identity -------------
+
+  private val Sep = MaFormat.ClusteringSep
+
+  /** Sibling Statistics.db declaring one text clustering column — how a
+    * real clustered table self-describes its clustering schema to the
+    * Kv entry points (which take no clustering option). */
+  private def writeClusteredTextStats(dir: java.nio.file.Path): Unit =
+    Files.write(dir.resolve("mc-1-big-Statistics.db"),
+      statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+        0L, 0L, Marshal + "UTF8Type",
+        clustering = Seq(Marshal + "UTF8Type"), statics = Nil,
+        regulars = Seq(
+          "click" -> (Marshal + "UTF8Type"),
+          "nclicks" -> (Marshal + "LongType"))))))
+
+  test("clusteringIdentity renders clustering values into cell identity; parity mode collapses") {
+    val e = new Enc
+    e.partitionHeader("u1")
+    Seq(("alpha", 100L, "row-a"), ("beta", 200L, "row-b")).foreach {
+      case (ck, ts, v) =>
+        e.byte(0x04 | 0x20)
+        clusteringBlock(e, Seq(Some((ck.getBytes(UTF_8), false))))
+        e.vint(0).vint(0).vint(ts)
+        e.byte(0x08).vint(v.length.toLong).bytes(v.getBytes(UTF_8))
+        e.byte(0x08).bytes(longBytes(ts))
+    }
+    e.endOfPartition()
+    def cells(identity: Boolean) = new MaFormat.Reader(
+      new ByteArrayInputStream(e.result), Cols, 0, 0,
+      clustering = Seq(CText), clusteringIdentity = identity).toList
+    // Parity: both rows produce the SAME (key, col) identities.
+    assert(cells(identity = false).map(_.col) ===
+      List("click", "nclicks", "click", "nclicks"))
+    // Identity mode: the clustering value prefixes the column name.
+    assert(cells(identity = true).map(_.col) ===
+      List(s"alpha${Sep}click", s"alpha${Sep}nclicks",
+        s"beta${Sep}click", s"beta${Sep}nclicks"))
+    // Null and empty clustering values render distinctly.
+    val e2 = new Enc
+    e2.partitionHeader("u2")
+    Seq(None, Some((Array.emptyByteArray, false))).foreach { v =>
+      e2.byte(0x04 | 0x20)
+      clusteringBlock(e2, Seq(v))
+      e2.vint(0).vint(0).vint(10L)
+      e2.byte(0x08).vint(1).bytes("x".getBytes(UTF_8))
+      e2.byte(0x08).bytes(longBytes(1L))
+    }
+    e2.endOfPartition()
+    val got2 = new MaFormat.Reader(new ByteArrayInputStream(e2.result),
+      Cols, 0, 0, clustering = Seq(CText), clusteringIdentity = true)
+      .toList.map(_.col).distinct
+    assert(got2 === List(s"${MaFormat.NullValue}${Sep}click",
+      s"${MaFormat.NullValue}${Sep}nclicks", s"${Sep}click", s"${Sep}nclicks"))
+  }
+
+  test("clusteringIdentity scopes a ROW deletion to exactly its row") {
+    val e = new Enc
+    e.partitionHeader("u1")
+    // Row a and row b, both ts 100, both columns.
+    Seq("a", "b").foreach { ck =>
+      e.byte(0x04 | 0x20)
+      clusteringBlock(e, Seq(Some((ck.getBytes(UTF_8), false))))
+      e.vint(0).vint(0).vint(100L)
+      e.byte(0x08).vint(3).bytes(s"v-$ck".getBytes(UTF_8))
+      e.byte(0x08).bytes(longBytes(1L))
+    }
+    // Row a again with a ROW deletion at ts 200 and a newer click@300
+    // (subset = click only).
+    e.byte(0x10)
+    clusteringBlock(e, Seq(Some(("a".getBytes(UTF_8), false))))
+    e.vint(0).vint(0)
+    e.vint(200L).vint(0) // row deletion + local deletion time
+    e.vint(1L)           // subset: click only
+    e.byte(0x00).vint(300L).vint(5).bytes("new-a".getBytes(UTF_8))
+    e.endOfPartition()
+    val dir = Files.createTempDirectory("ma-rowdel")
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    writeClusteredTextStats(dir)
+
+    val bag = graft.kv.Kv.cellsFromSSTables(spark, dir.toString,
+      "click:text,nclicks:long", clusteringIdentity = true)
+    val live = graft.kv.Kv.lww(graft.kv.Kv.applyMarkerTombstones(bag))
+      .filter(!col("deleted"))
+      .select(col("col")).collect().map(_.getString(0)).toSet
+    // Row a's ts-100 cells die (100 <= 200, inside a's name range);
+    // a's newer click survives; row b is untouched.
+    assert(live === Set(s"a${Sep}click", s"b${Sep}click", s"b${Sep}nclicks"),
+      s"row deletion must kill only row a's older cells: $live")
+  }
+
+  test("clusteringIdentity pairs open/close markers into a bounded range tombstone") {
+    val e = new Enc
+    e.partitionHeader("u1")
+    Seq("a", "b", "c").foreach { ck =>
+      e.byte(0x04 | 0x20)
+      clusteringBlock(e, Seq(Some((ck.getBytes(UTF_8), false))))
+      e.vint(0).vint(0).vint(100L)
+      e.byte(0x08).vint(3).bytes(s"v-$ck".getBytes(UTF_8))
+      e.byte(0x08).bytes(longBytes(1L))
+    }
+    // DELETE ... WHERE ck >= 'b' AND ck <= 'b' — INCL_START("b")@200,
+    // INCL_END("b")@200 (Kind ordinals 1 and 6).
+    def marker(kind: Int, ck: String, d: Long): Unit = {
+      e.byte(0x02).byte(kind).short(1)
+      clusteringBlock(e, Seq(Some((ck.getBytes(UTF_8), false))))
+      e.vint(0).vint(0)
+      e.longlong(d)
+      e.out.writeInt(0)
+    }
+    marker(1, "b", 200L)
+    marker(6, "b", 200L)
+    e.endOfPartition()
+    val dir = Files.createTempDirectory("ma-rangedel")
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    writeClusteredTextStats(dir)
+
+    val bag = graft.kv.Kv.cellsFromSSTables(spark, dir.toString,
+      "click:text,nclicks:long", clusteringIdentity = true)
+    val live = graft.kv.Kv.lww(graft.kv.Kv.applyMarkerTombstones(bag))
+      .filter(!col("deleted"))
+      .select(col("col")).collect().map(_.getString(0)).toSet
+    assert(live === Set(s"a${Sep}click", s"a${Sep}nclicks",
+      s"c${Sep}click", s"c${Sep}nclicks"),
+      s"range [b, b]@200 must kill exactly row b: $live")
+    // Parity mode still treats the same markers as whole-key deletions.
+    val parityLive = graft.kv.Kv.lww(graft.kv.Kv.applyMarkerTombstones(
+      graft.kv.Kv.cellsFromSSTables(spark, dir.toString, "click:text,nclicks:long")))
+      .filter(!col("deleted")).collect()
+    assert(parityLive.isEmpty, "reference parity: markers are whole-key")
+  }
+
+  test("clusteringIdentity: boundary markers close one range and open the next") {
+    val e = new Enc
+    e.partitionHeader("u1")
+    Seq("a", "b", "c").foreach { ck =>
+      e.byte(0x04 | 0x20)
+      clusteringBlock(e, Seq(Some((ck.getBytes(UTF_8), false))))
+      e.vint(0).vint(0).vint(100L)
+      e.byte(0x08).vint(3).bytes(s"v-$ck".getBytes(UTF_8))
+      e.byte(0x08).bytes(longBytes(1L))
+    }
+    // INCL_START("a")@200 ... EXCL_END_INCL_START boundary at "b"
+    // (closes [a, b) @200, opens [b, ... @300) ... INCL_END("c")@300:
+    // row a dies at 200, rows b and c die at 300.
+    e.byte(0x02).byte(1).short(1)
+    clusteringBlock(e, Seq(Some(("a".getBytes(UTF_8), false))))
+    e.vint(0).vint(0); e.longlong(200L); e.out.writeInt(0)
+    e.byte(0x02).byte(2).short(1) // EXCL_END_INCL_START boundary
+    clusteringBlock(e, Seq(Some(("b".getBytes(UTF_8), false))))
+    e.vint(0).vint(0); e.longlong(200L); e.out.writeInt(0) // close deletion
+    e.longlong(300L); e.out.writeInt(0)                    // open deletion
+    e.byte(0x02).byte(6).short(1)
+    clusteringBlock(e, Seq(Some(("c".getBytes(UTF_8), false))))
+    e.vint(0).vint(0); e.longlong(300L); e.out.writeInt(0)
+    e.endOfPartition()
+
+    val markers = new MaFormat.Reader(new ByteArrayInputStream(e.result),
+      Cols, 0, 0, clustering = Seq(CText), clusteringIdentity = true)
+      .toList.filter(_.marker)
+    assert(markers.map(m =>
+      (m.col, new String(m.value, UTF_8), m.deletionTs)) === List(
+      (s"a$Sep", s"b$Sep", 200L),              // [a, b) — excl end
+      (s"b$Sep", s"c$Sep\uffff", 300L)))       // [b, c] — incl end
+  }
+
+  test("ka composite names keep full clustering identity under clusteringIdentity") {
+    val e = new KaEnc
+    e.partition("u1")
+    e.compositeCell(Seq("2024-01", "click"), 100L, "jan".getBytes(UTF_8))
+    e.compositeCell(Seq("2024-02", "click"), 200L, "feb".getBytes(UTF_8))
+    e.endRow()
+    def cols(identity: Boolean) = new MaFormat.KaReader(
+      new ByteArrayInputStream(e.result), clusteringIdentity = identity)
+      .toList.map(_.col)
+    // Parity: both collapse onto "click" (LWW would drop January).
+    assert(cols(identity = false) === List("click", "click"))
+    assert(cols(identity = true) ===
+      List(s"2024-01${Sep}click", s"2024-02${Sep}click"))
+  }
+
+  test("migrate keeps clustered rows distinct with clusteringIdentity (VERDICT r4 #1)") {
+    // Two clustering rows per partition key: reference parity silently
+    // LWW-collapses them; identity mode must export BOTH.
+    val e = new Enc
+    Seq("u1", "u2").foreach { key =>
+      e.partitionHeader(key)
+      Seq(("ck-a", 100L), ("ck-b", 200L)).foreach { case (ck, ts) =>
+        e.byte(0x04 | 0x20)
+        clusteringBlock(e, Seq(Some((ck.getBytes(UTF_8), false))))
+        e.vint(0).vint(0).vint(ts)
+        e.byte(0x08).vint(4).bytes(s"v-$ts".take(4).getBytes(UTF_8))
+        e.byte(0x08).bytes(longBytes(ts))
+      }
+      e.endOfPartition()
+    }
+    val dir = Files.createTempDirectory("mig-clustered")
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    writeClusteredTextStats(dir)
+
+    val lossy = Files.createTempDirectory("mig-clustered-out").resolve("lossy").toString
+    val statsLossy = graft.kv.Kv.migrate(spark, Seq(dir.toString),
+      "click:text,nclicks:long", lossy).toOption.get
+    assert(statsLossy.written === 4, "parity mode collapses to one row per key")
+
+    val full = Files.createTempDirectory("mig-clustered-out").resolve("full").toString
+    val statsFull = graft.kv.Kv.migrate(spark, Seq(dir.toString),
+      "click:text,nclicks:long", full, clusteringIdentity = true).toOption.get
+    assert(statsFull.written === 8,
+      s"identity mode must export both clustering rows per key: $statsFull")
+    val cols = spark.read.parquet(full)
+      .select(col("key"), col("col")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cols === (for {
+      k <- Set("u1", "u2"); ck <- Set("ck-a", "ck-b"); c <- Set("click", "nclicks")
+    } yield (k, s"$ck$Sep$c")))
+  }
+
   test("static row without a staticColumns schema fails loudly") {
     val e = new Enc
     e.partitionHeader("st-2")
