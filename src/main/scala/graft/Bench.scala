@@ -52,9 +52,11 @@ object Bench {
         name -> (if (times.size == attempts.size) Right(times.min)
                  else Left(attempts.collectFirst { case Left(e) => e }.get))
     }
+    // Compact per-query times (ms precision) keep the summary line
+    // small enough to survive a tail-bounded log capture.
     val qs = results.map {
-      case (k, Right(s)) => s"\"$k\":$s"
-      case (k, Left(_))  => s"\"$k\":-1"
+      case (k, Right(s)) => f""""$k":$s%.3f"""
+      case (k, Left(_))  => s""""$k":-1"""
     }.mkString("{", ",", "}")
     // Raw per-attempt wall times: min-of-3 damps load noise only when
     // at least one attempt ran unloaded — publishing the attempts lets
@@ -70,7 +72,20 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
     val total = results.values.collect { case Right(s) => s }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attemptsJson,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}""")
+    // Tail-safe ordering: the bulky per-attempt arrays go on their OWN
+    // line FIRST, so a capture that keeps only the last N bytes always
+    // retains the complete compact summary line that follows (round 4's
+    // artifact lost its head to exactly this).
+    val attemptsLine = s"""{"metric":"attempts","attempts":$attemptsJson,"sf":"$sfDir"}"""
+    val summaryLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
+    // Belt and braces: the full artifact also lands in a file next to
+    // the build, immune to any stdout truncation.
+    scala.util.Try {
+      val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
+      try { w.println(attemptsLine); w.println(summaryLine) } finally w.close()
+    }
+    println(attemptsLine)
+    println(summaryLine)
     spark.stop()
   }
 }

@@ -73,8 +73,8 @@ object SparkEntry {
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     // §2.4 dedup
     "dedup_exact"              -> (Dedup.exact _),
-    "dedup_minhash_lsh"        -> (Dedup.minhashLsh _),
-    "dedup_simhash"            -> (Dedup.simhash _),
+    "dedup_minhash_lsh"        -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"            -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard"      -> (Dedup.ngramJaccard _),
     "dedup_substring"          -> (Dedup.substringPairs _),
     "dedup_clusters"           -> (Dedup.clusters _),

@@ -65,26 +65,57 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
+  /** The exact df-capped ngram pair set (the in-engine ground truth
+    * [[ngramJaccard]] already computes for the cluster step),
+    * materialized ONCE per (session, dir) into a lineage-free local
+    * checkpoint and memoized: minhash and simhash audit against the
+    * SAME tiny materialized frame instead of each re-running the whole
+    * exact pipeline. The checkpoint is duplication-bounded (the capped
+    * pair list), so keeping it resident costs kilobytes, not corpus. */
+  private val exactPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def exactPairSet(spark: SparkSession, dir: String): DataFrame =
+    exactPairCache.computeIfAbsent((spark, dir),
+      _ => ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint())
+
   /** Append a constant self-audit column to an approximate pair list:
-    * the fraction of the EXACT df-capped ngram pair set (the in-engine
-    * ground truth [[ngramJaccard]] already computes for the cluster
-    * step) that the approximate list recovered — the same pattern as
-    * the ANN recall@k columns, so a rows-only dump carries its own
-    * checkable quality number. One extra ngram pass (the standard
-    * offline audit; at 100 TB it runs over a sampled partition). The
-    * recall rides a GLOBAL window over the joined pair frame — pair
-    * lists are capped and tiny, so the single-task window is safe, and
-    * it avoids consuming either side twice. */
-  private def withPairRecall(approx: DataFrame, spark: SparkSession, dir: String): DataFrame = {
-    val exact = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    approx.withColumn("_a", lit(1))
+    * the fraction of the exact pair set ([[exactPairSet]] — shared
+    * across both sketch audits) that the approximate list recovered —
+    * the same pattern as the ANN recall@k columns, so a rows-only dump
+    * carries its own checkable quality number. The approximate list is
+    * materialized first (it is capped and tiny) so the recall aggregate
+    * and the output both re-read it instead of re-running the sketch
+    * pipeline; the recall itself is a 1-row global AGGREGATE broadcast
+    * back onto the pairs — no single-task global window anywhere, so
+    * the shape survives a corpus-proportional pair frame at 100 TB.
+    *
+    * `sampleMod`: optional sampled audit for scales where even one
+    * shared exact-pair pass is a full corpus job — ground truth is
+    * computed only over the deterministic 1-in-`mod` doc sample
+    * (md5-bucket on doc_id) and recall over sampled-endpoint pairs,
+    * cutting the audit's pair volume by ~mod² and its corpus pass by
+    * ~mod. The emitted column keeps its name and meaning (recall vs
+    * the in-sample exact pairs). */
+  private def withPairRecall(approx: DataFrame, spark: SparkSession, dir: String,
+      sampleMod: Option[Int] = None): DataFrame = {
+    val approxM = approx.localCheckpoint()
+    val inSample = (id: Column) => sampleMod.fold(lit(true))(m =>
+      pmod(crc32(id.cast("string")), lit(m.toLong)) === 0L)
+    val exact = sampleMod match {
+      case None => exactPairSet(spark, dir)
+      case Some(_) => ngramJaccardOf(
+          shingledDocs(spark, dir).filter(inSample(col("doc_id"))))
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val recall = approxM
+      .filter(inSample(col("doc_a")) && inSample(col("doc_b")))
+      .select(col("doc_a"), col("doc_b")).withColumn("_a", lit(1))
       .join(exact.withColumn("_e", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
-      .withColumn("recall_vs_exact",
-        sum(when(col("_e") === 1 && col("_a") === 1, 1.0).otherwise(0.0)).over(all) /
-          greatest(sum(when(col("_e") === 1, 1.0).otherwise(0.0)).over(all), lit(1.0)))
-      .filter(col("_a") === 1)
-      .drop("_a", "_e")
+      .agg((sum(when(col("_e") === 1 && col("_a") === 1, 1.0).otherwise(0.0)) /
+        greatest(sum(when(col("_e") === 1, 1.0).otherwise(0.0)), lit(1.0)))
+        .as("recall_vs_exact"))
+    approxM.crossJoin(broadcast(recall))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -92,12 +123,19 @@ object Dedup {
     * → 32 bands × 4 rows → bucket join → exact-Jaccard verify ≥ 0.5.
     * Band probability at j=0.9 is ≈ 1, at j=0.02 (the corpus noise
     * floor) is ≈ 0 — candidates are a tiny fraction of n². */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String,
+      auditSampleMod: Option[Int] = None): DataFrame =
+    withPairRecall(minhashPairs(spark, dir), spark, dir, auditSampleMod)
+
+  /** The verified minhash pair list BEFORE the recall audit — the
+    * frame the audit materializes; exposed so plan tests can pin the
+    * pipeline's shape (the audited query plans over the materialized
+    * checkpoint, which hides this subtree). */
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val numHashes = 128
     val bands = 32
     val rows = numHashes / bands
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val docs = shingledDocs(spark, dir)
     val sigs = docs.select(col("doc_id"), col("sh"),
       Sketches.minhashSigs(col("sh"), numHashes).as("sig"))
 
@@ -108,19 +146,24 @@ object Dedup {
 
     val cand = candidatesFromBands(banded, maxBucket = 200)
     val bySh = docs.select(col("doc_id"), col("sh"))
-    withPairRecall(cand
+    cand
       .join(bySh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(bySh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5), spark, dir)
+      .filter(col("jaccard") >= 0.5)
   }
 
   /** #36 dedup_simhash: 64-bit SimHash over 3-word shingles; candidates
     * share one of 8 8-bit bands (pigeonhole: any pair with Hamming ≤ 7
     * is guaranteed a clean band), verified at Hamming ≤ 7. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+  def simhash(spark: SparkSession, dir: String,
+      auditSampleMod: Option[Int] = None): DataFrame =
+    withPairRecall(simhashPairs(spark, dir), spark, dir, auditSampleMod)
+
+  /** The verified simhash pair list before the recall audit — see
+    * [[minhashPairs]]. */
+  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
     val sigs = docs.select(col("doc_id"), Sketches.simhash64(col("sh")).as("sig"))
 
     val banded = sigs.select(
@@ -131,12 +174,12 @@ object Dedup {
 
     val cand = candidatesFromBands(banded, maxBucket = 200)
     val byId = sigs.select(col("doc_id"), col("sig"))
-    withPairRecall(cand
+    cand
       .join(byId.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(byId.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         Sketches.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-      .filter(col("hamming") <= 7), spark, dir)
+      .filter(col("hamming") <= 7)
   }
 
   /** #37 dedup_ngram_jaccard: EXACT pairwise Jaccard ≥ 0.5 over the
@@ -148,10 +191,16 @@ object Dedup {
     * count); numerator AND denominator are computed over the SAME
     * capped universe, so emitted Jaccard values are exact within it
     * rather than silently undercounted. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(shingledDocs(spark, dir))
+
+  /** The corpus as (doc_id, 3-word shingle set) — the shared input of
+    * the exact pipeline and its sampled-audit variant. */
+  private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
 
+  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
     // One inverted index serves both sides: per-shingle posting lists
     // (null once df exceeds the cap — bounded buffer), from which both
     // the pair counts and the per-doc retained-shingle counts derive.
@@ -505,16 +554,20 @@ object Dedup {
       .agg(max(struct(col("cos"), col("vec_id"))).as("nn"))
       .select(col("q_id"), col("nn.vec_id").as("_true_nn"),
         col("nn.cos").as("_true_cos"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    best
-      .join(broadcast(trueNn), col("vec_id") === col("q_id"), "left_outer")
-      .withColumn("nn_recall_sampled",
-        avg(when(col("_true_nn").isNotNull,
-          (col("best_match") === col("_true_nn")).cast("double"))).over(all))
-      .withColumn("nn_cos_ratio_sampled",
-        avg(when(col("_true_cos").isNotNull, col("best_cos") / col("_true_cos")))
-          .over(all))
-      .drop("q_id", "_true_nn", "_true_cos")
+    // The audit scalars are a 1-row aggregate of the ≤|sample| joined
+    // rows, broadcast back onto the per-vector frame — NOT a global
+    // window, which would funnel the corpus-cardinality result through
+    // one task. The per-vector frame is materialized once (it IS the
+    // query's output) so the audit branch re-reads it instead of
+    // re-running the LSH pipeline.
+    val bestM = best.localCheckpoint()
+    val stats = bestM
+      .join(broadcast(trueNn), col("vec_id") === col("q_id"))
+      .agg(
+        avg((col("best_match") === col("_true_nn")).cast("double"))
+          .as("nn_recall_sampled"),
+        avg(col("best_cos") / col("_true_cos")).as("nn_cos_ratio_sampled"))
+    bestM.crossJoin(broadcast(stats))
       .orderBy(col("vec_id"))
   }
 }

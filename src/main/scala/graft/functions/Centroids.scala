@@ -199,6 +199,20 @@ case class NearestCentroids(
       s"graft.functions.Centroids.nearestCentroids($c, $ref, $nProbe)")
   }
 
+  // Case-class equality on Array fields is reference equality, which
+  // would make structurally identical plans never compare equal
+  // (missed subexpression elimination); compare the matrix by value.
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCentroids =>
+      child == that.child && nProbe == that.nProbe &&
+        java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], that.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(nProbe),
+    Integer.valueOf(java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -223,6 +237,17 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
     val ref = ctx.addReferenceObj("books", books, "double[][][]")
     defineCodeGen(ctx, ev, c => s"graft.functions.Centroids.pqEncode($c, $ref)")
   }
+
+  // Value-based codebook equality — see NearestCentroids.equals.
+  override def equals(other: Any): Boolean = other match {
+    case that: PqEncode =>
+      child == that.child && java.util.Arrays.deepEquals(
+        books.asInstanceOf[Array[AnyRef]], that.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child,
+    Integer.valueOf(java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -252,6 +277,17 @@ case class PqAdcScore(
     defineCodeGen(ctx, ev, (q, c) =>
       s"graft.functions.Centroids.pqAdcScore($q, $c, $ref)")
   }
+
+  // Value-based codebook equality — see NearestCentroids.equals.
+  override def equals(other: Any): Boolean = other match {
+    case that: PqAdcScore =>
+      left == that.left && right == that.right && java.util.Arrays.deepEquals(
+        books.asInstanceOf[Array[AnyRef]], that.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    left, right,
+    Integer.valueOf(java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

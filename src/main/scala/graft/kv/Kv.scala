@@ -179,6 +179,52 @@ object Kv {
   def mergeGenerations(gens: Seq[DataFrame]): DataFrame =
     lww(gens.reduce(_ unionAll _))
 
+  /** Counter-aware merge of an SSTable cell bag ([[cellsFromSSTables]]
+    * shape, markers already applied): non-counter cells take the
+    * standard LWW, counter-flagged cells SUM their shards across
+    * generations instead — LWW on a counter table keeps one shard and
+    * silently loses the rest of the count. BEYOND the reference, whose
+    * transfer LWWs counter columns like any other
+    * (choose_latest_match, CassandraParser.cpp:316 — it only parses
+    * the counter header, SSTable.cpp:434-436); the summed form is what
+    * the logical table actually holds.
+    *
+    * Deletion semantics: a cell-tombstone on a counter kills every
+    * shard at-or-before its timestamp; if no shard survives, the cell
+    * surfaces as a deleted winner so the export path drops AND counts
+    * it exactly like an LWW'd tombstone. Shapes: two aggregations and
+    * one broadcast-back join on (key, col) — the delete-ts frame is
+    * one row per deleted counter cell, tiny; shard sums are map-side
+    * combinable; nothing buffers a cell's shard list. */
+  def mergeWithCounterSum(cellBag: DataFrame): DataFrame = {
+    import graft.functions.CounterCodec.{counterLong, longBinary}
+    val counters = cellBag.filter(col("counter"))
+    val delTs = counters.filter(col("deleted"))
+      .groupBy(col("key"), col("col"))
+      .agg(max(col("ts")).as("_dts"), max(col("seq")).as("_dseq"))
+    val liveShards = counters.filter(!col("deleted"))
+      .join(delTs, Seq("key", "col"), "left_outer")
+      .filter(col("_dts").isNull || col("ts") > col("_dts"))
+    val summed = liveShards
+      .groupBy(col("key"), col("col"))
+      .agg(
+        max(col("ts")).as("ts"),
+        max(col("seq")).as("seq"),
+        longBinary(sum(counterLong(col("value")))).as("value"))
+      .select(col("key"), col("col"), col("ts"), col("seq"), col("value"),
+        lit(null).cast("long").as("ttl_s"), lit(true).as("counter"),
+        lit(false).as("deleted"))
+    // Fully-deleted counter cells (no shard newer than the tombstone)
+    // surface as deleted winners — dropped and counted at export.
+    val dead = delTs
+      .join(summed.select(col("key"), col("col")), Seq("key", "col"), "left_anti")
+      .select(col("key"), col("col"), col("_dts").as("ts"), col("_dseq").as("seq"),
+        lit(null).cast("binary").as("value"), lit(null).cast("long").as("ttl_s"),
+        lit(true).as("counter"), lit(true).as("deleted"))
+    lww(cellBag.filter(!col("counter")))
+      .unionByName(summed).unionByName(dead)
+  }
+
   /** Per-key newest tombstone timestamp — a tiny frame (one row per
     * tombstoned key), map-side-combined before its shuffle. */
   private def deletionMarkers(cellBag: DataFrame): DataFrame =
@@ -257,7 +303,8 @@ object Kv {
       dryRun: Boolean = false,
       verifyChecksums: Boolean = true,
       tokenRange: Option[(String, String)] = None,
-      clusteringIdentity: Boolean = false): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
+      clusteringIdentity: Boolean = false,
+      counterSum: Boolean = false): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
     // The resume key reaches the SOURCE (Index.db seek skips whole
     // partitions at plan time — the reference's `-s` Summary seek), as
     // does the token slice of a sharded run (`-T`, each worker's ring
@@ -266,9 +313,12 @@ object Kv {
     val bags = sstableDirs.map(
       cellsFromSSTables(spark, _, columnsSpec, resumeKey, verifyChecksums,
         tokenRange, clusteringIdentity))
-    val merged = lww(applyMarkerTombstones(
+    val bag = applyMarkerTombstones(
       bags.reduce(_ unionAll _)
-        .transform(df => resumeKey.fold(df)(k => df.filter(col("key") >= k)))))
+        .transform(df => resumeKey.fold(df)(k => df.filter(col("key") >= k))))
+    // Default = reference parity (LWW even for counters); counterSum
+    // opts into the shard-summing merge a counter table actually needs.
+    val merged = if (counterSum) mergeWithCounterSum(bag) else lww(bag)
     // A cell whose WINNING version is a cell-tombstone is dead — the
     // reference drops it at export and counts it skipped
     // (CassandraParser.cpp:481,524); exporting the null-valued winner

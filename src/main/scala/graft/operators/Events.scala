@@ -71,23 +71,33 @@ object Events {
     * count and conversion from stage 1.
     *
     * Scale shape: one shuffle on user_id — per-user step times come
-    * from a single conditional aggregation (the collected follow-up
-    * timestamp lists are bounded by one user's activity, the same
-    * per-user-locality unit every operator here relies on), and the
-    * 3-row summary is a global aggregate of counts. */
+    * from three stacked whole-partition window MINs over the same
+    * user partitioning (t2's predicate reads t1, t3's reads t2), so
+    * every buffer is a single running minimum: NO operator collects a
+    * user's event list, and a bot/power user with millions of events
+    * costs rows, never aggregation-buffer memory. The per-user rollup
+    * after the windows rides the exchange the windows already made,
+    * and the 3-row summary is a global aggregate of counts. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val tolUs = 72L * 3600L * 1000000L // 72h per step
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
-    val perUser = ev.groupBy(col("user_id")).agg(
-      min(when(col("event_type") === "view", col("tus"))).as("t1"),
-      collect_list(when(col("event_type") === "click", col("tus"))).as("clicks"),
-      collect_list(when(col("event_type") === "purchase", col("tus"))).as("purchases"))
-      .withColumn("t2", array_min(filter(col("clicks"),
-        c => c > col("t1") && c <= col("t1") + tolUs)))
-      .withColumn("t3", array_min(filter(col("purchases"),
-        p => p > col("t2") && p <= col("t2") + tolUs)))
+    val byUser = Window.partitionBy(col("user_id"))
+    val perUser = ev
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tus"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("tus") > col("t1") && col("tus") <= col("t1") + tolUs,
+          col("tus"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("tus") > col("t2") && col("tus") <= col("t2") + tolUs,
+          col("tus"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
     val counts = perUser.agg(
       count(col("t1")).as("n1"),
       count(col("t2")).as("n2"),

@@ -161,6 +161,11 @@ object Similarity {
     val sample = corpus.filter(pmod(col("vec_id"), lit(3)) === 0)
       .orderBy(col("vec_id")).limit(1024)
       .collect().map(_.getSeq[Float](1).toArray)
+    // A dimension that doesn't divide into m sub-blocks would silently
+    // drop the tail dims from encode/ADC (and bias every score) — fail
+    // loudly instead.
+    require(sample.head.length % m == 0,
+      s"PQ requires dim % m == 0, got dim=${sample.head.length}, m=$m")
     val sub = sample.head.length / m
     val books = Array.tabulate(m)(j =>
       Centroids.fitL2(sample.map(_.slice(j * sub, (j + 1) * sub)),

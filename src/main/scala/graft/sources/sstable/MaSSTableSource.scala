@@ -315,7 +315,12 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
         // The summary is PURELY an optimization (the index pass below
         // re-checks every entry), so a truncated/corrupt Summary.db
         // must degrade to the always-safe scan-from-0, never abort
-        // the query a plain Index.db could have planned.
+        // the query a plain Index.db could have planned. Parsing alone
+        // is not enough of a guard: a summary that PARSES but carries a
+        // stale position would land the seek mid-entry and the index
+        // stream would misparse silently — so the candidate position is
+        // verified by actually reading the index entry there and
+        // checking it is the very key the summary sampled.
         val floorPos = scala.util.Try {
           val sin = fs.open(sumPath)
           val summary =
@@ -330,7 +335,19 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
             val mid = (lo + hi) >>> 1
             if (!inStart(summary(mid)._1)) { floor = mid; lo = mid + 1 } else hi = mid - 1
           }
-          if (floor >= 0) summary(floor)._2 else 0L
+          if (floor < 0) 0L
+          else {
+            val pos = summary(floor)._2
+            require(pos >= 0 && pos < fs.getFileStatus(idxPath).getLen,
+              s"summary position $pos outside Index.db")
+            val vin = fs.open(idxPath)
+            val firstKey =
+              try { vin.seek(pos); MaFormat.indexEntries(vin).next()._1 }
+              finally vin.close()
+            require(java.util.Arrays.equals(firstKey, summary(floor)._1),
+              "summary position does not point at its sampled key")
+            pos
+          }
         }
         floorPos.getOrElse(0L)
       } else 0L

@@ -28,6 +28,11 @@ import org.apache.spark.sql.SparkSession
   *                                           distinct rows survive the
   *                                           merge (beyond the reference,
   *                                           which discards them)
+  *   [-m]                                    counter-table mode: SUM
+  *                                           counter shards across
+  *                                           generations instead of LWW
+  *                                           (beyond the reference,
+  *                                           which keeps one shard)
   *   [-L <seconds>]                          minimum-TTL discard
   *   [-x]                                    prohibit eternal records
   *   [-f]                                    record TTL from first-expiring cell
@@ -51,6 +56,7 @@ object Migrate {
     var dryRun = false
     var verifyChecksums = true
     var clusteringIdentity = false
+    var counterSum = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -76,6 +82,7 @@ object Migrate {
           i += 2
         case "-C" => verifyChecksums = false; i += 1
         case "-k" => clusteringIdentity = true; i += 1
+        case "-m" => counterSum = true; i += 1
         case "-L" => minTtlS = args(i + 1).toLong; i += 2
         case "-x" => prohibitEternal = true; i += 1
         case "-f" => ttlFromFirst = true; i += 1
@@ -108,7 +115,7 @@ object Migrate {
       else None
 
     graft.kv.Kv.migrate(spark, inputs, columns, target, policy, resume, dryRun,
-      verifyChecksums, tokenRange, clusteringIdentity) match {
+      verifyChecksums, tokenRange, clusteringIdentity, counterSum) match {
       case Left(rendered) =>
         rendered.show(100, truncate = false)
         println(s"[migrate] DRY RUN: ${rendered.count()} records would be written")

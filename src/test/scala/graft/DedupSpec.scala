@@ -224,6 +224,33 @@ class DedupSpec extends AnyFunSuite {
       s"embedding nn_cos_ratio_sampled: ${cosRatio.head}")
   }
 
+  test("recall floors hold at the driver-gate scale (sf0.01)") {
+    // The driver's rows-only gate records the self-reported recall but
+    // asserts nothing about it — these floors make a kernel regression
+    // that silently zeroes a recall column fail HERE instead.
+    val dir = "/root/testdata/sf0.01"
+    val mh = Dedup.minhashLsh(spark, dir).select("recall_vs_exact")
+      .head().getDouble(0)
+    assert(mh >= 0.9, s"minhash recall_vs_exact floor at sf0.01: $mh")
+    val sh = Dedup.simhash(spark, dir).select("recall_vs_exact")
+      .head().getDouble(0)
+    assert(sh >= 0.7, s"simhash recall_vs_exact floor at sf0.01: $sh")
+  }
+
+  test("sampled pair-recall audit: mod=1 reproduces the full audit exactly") {
+    // sampleMod=1 keeps every doc (crc32 % 1 == 0 always), so the
+    // sampled path must compute the identical recall through its own
+    // plan; a real mod keeps the column a valid fraction.
+    val full = Dedup.minhashLsh(spark, sf).select("recall_vs_exact")
+      .head().getDouble(0)
+    val mod1 = Dedup.minhashLsh(spark, sf, auditSampleMod = Some(1))
+      .select("recall_vs_exact").head().getDouble(0)
+    assert(mod1 === full, s"mod=1 sampled audit drifted: $mod1 vs $full")
+    val mod3 = Dedup.simhash(spark, sf, auditSampleMod = Some(3))
+      .select("recall_vs_exact").head().getDouble(0)
+    assert(mod3 >= 0.0 && mod3 <= 1.0, s"sampled recall out of range: $mod3")
+  }
+
   test("the dedup pipeline releases every cached frame it creates") {
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl
     spark.catalog.clearCache()

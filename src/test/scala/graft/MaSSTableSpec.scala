@@ -1249,6 +1249,121 @@ class MaSSTableSpec extends AnyFunSuite {
     } yield (k, s"$ck$Sep$c")))
   }
 
+  test("migrate end-to-end: clustered + counter + legacy ka generations in one run") {
+    // The hardest real table shape in one multi-directory job: a
+    // CLUSTERED table with a COUNTER column whose generations span the
+    // modern "ma" format and the legacy "ka" format, merged with
+    // clusteringIdentity (distinct rows survive) and counterSum
+    // (shards add up instead of LWW), checked record by record against
+    // the in-memory model of the logical table.
+    def ck(v: String) = Seq(Some((v.getBytes(UTF_8), false)))
+
+    // Generation 1 (ma): u1/a click g1-a@100 + shard 5@100; u1/b click
+    // g1-b@110 + shard 7@110; u2/a click g1-2a@120 (subset: click only).
+    val g1 = new Enc
+    g1.partitionHeader("u1")
+    Seq(("a", 100L, "g1-a", 5L), ("b", 110L, "g1-b", 7L)).foreach {
+      case (c, ts, v, shard) =>
+        g1.byte(0x04 | 0x20)
+        clusteringBlock(g1, ck(c))
+        g1.vint(0).vint(0).vint(ts)
+        g1.byte(0x08).vint(v.length.toLong).bytes(v.getBytes(UTF_8))
+        g1.byte(0x08).vint(8).bytes(longBytes(shard))
+    }
+    g1.endOfPartition()
+    g1.partitionHeader("u2")
+    g1.byte(0x04)
+    clusteringBlock(g1, ck("a"))
+    g1.vint(0).vint(0).vint(120L)
+    g1.vint(1L) // subset: click only
+    g1.byte(0x08).vint(5).bytes("g1-2a".getBytes(UTF_8))
+    g1.endOfPartition()
+
+    // Generation 2 (ma): u1/a click g2-a@200 (wins LWW) + shard 3@150
+    // (sums with gen 1's 5); u1/b click cell-TOMBSTONE@300 (kills
+    // g1-b and must be dropped-and-counted at export).
+    val g2 = new Enc
+    g2.partitionHeader("u1")
+    g2.byte(0x20)
+    clusteringBlock(g2, ck("a"))
+    g2.vint(0).vint(0)
+    g2.byte(0x00).vint(200L).vint(4).bytes("g2-a".getBytes(UTF_8))
+    g2.byte(0x00).vint(150L).vint(8).bytes(longBytes(3L))
+    g2.byte(0x00)
+    clusteringBlock(g2, ck("b"))
+    g2.vint(0).vint(0)
+    g2.vint(1L) // subset: click only
+    g2.byte(0x01 | 0x04).vint(300L).vint(0) // deleted cell, empty value
+    g2.endOfPartition()
+
+    // Generation 3 (legacy ka): composite (a, click) — an OLDER u1
+    // value that must lose the LWW, and a new partition u3 whose cell
+    // survives untouched.
+    val g3 = new KaEnc
+    g3.partition("u1")
+    g3.compositeCell(Seq("a", "click"), 50L, "ka-old".getBytes(UTF_8))
+    g3.endRow()
+    g3.partition("u3")
+    g3.compositeCell(Seq("a", "click"), 60L, "ka-3a".getBytes(UTF_8))
+    g3.endRow()
+
+    def maDir(e: Enc, gen: Int): String = {
+      val d = Files.createTempDirectory(s"mig-full-$gen")
+      Files.write(d.resolve(s"mc-$gen-big-Data.db"), e.result)
+      Files.write(d.resolve(s"mc-$gen-big-Statistics.db"),
+        statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+          0L, 0L, Marshal + "UTF8Type",
+          clustering = Seq(Marshal + "UTF8Type"), statics = Nil,
+          regulars = Seq(
+            "click" -> (Marshal + "UTF8Type"),
+            "hits" -> (Marshal + "CounterColumnType"))))))
+      d.toString
+    }
+    val kaDir = Files.createTempDirectory("mig-full-ka")
+    Files.write(kaDir.resolve("ks-t-ka-3-Data.db"), g3.result)
+
+    val out = Files.createTempDirectory("mig-full-out").resolve("t").toString
+    val stats = graft.kv.Kv.migrate(spark,
+      Seq(maDir(g1, 1), maDir(g2, 2), kaDir.toString),
+      "click:text,hits:counter", out,
+      clusteringIdentity = true, counterSum = true).toOption.get
+
+    // In-memory model: (key, rendered col) -> (decoded value, ts µs).
+    val model = Map(
+      ("u1", s"a${Sep}click") -> ("g2-a": Any, 200L),
+      ("u1", s"a${Sep}hits")  -> (8L: Any, 150L),
+      ("u1", s"b${Sep}hits")  -> (7L: Any, 110L),
+      ("u2", s"a${Sep}click") -> ("g1-2a": Any, 120L),
+      ("u3", s"a${Sep}click") -> ("ka-3a": Any, 60L))
+    assert(stats.written === model.size, s"stats: $stats")
+    assert(stats.deletedDropped === 1L,
+      "the tombstoned click cell must be dropped AND counted")
+    val got = spark.read.parquet(out)
+      .selectExpr("key", "col", "value", "unix_micros(ts) AS tus")
+      .collect().map { r =>
+        val c = r.getAs[String]("col")
+        val v = r.getAs[Array[Byte]]("value")
+        val decoded: Any =
+          if (c.endsWith("hits")) java.nio.ByteBuffer.wrap(v).getLong
+          else new String(v, UTF_8)
+        (r.getAs[String]("key"), c) -> ((decoded, r.getAs[Long]("tus")))
+      }.toMap
+    assert(got === model, s"migrated records differ from the model: $got")
+
+    // Parity default (counterSum = false) LWWs the counter instead:
+    // same record set, but u1/a's count collapses to the newest shard.
+    val outLww = Files.createTempDirectory("mig-full-out").resolve("lww").toString
+    assert(graft.kv.Kv.migrate(spark,
+      Seq(maDir(g1, 1), maDir(g2, 2), kaDir.toString),
+      "click:text,hits:counter", outLww,
+      clusteringIdentity = true).toOption.get.written === model.size)
+    val lwwHits = spark.read.parquet(outLww)
+      .filter(col("key") === "u1" && col("col") === s"a${Sep}hits")
+      .collect().map(r => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]]("value")).getLong)
+    assert(lwwHits.toSeq === Seq(3L),
+      "reference-parity LWW keeps only the newest shard (the data-loss counterSum fixes)")
+  }
+
   test("static row without a staticColumns schema fails loudly") {
     val e = new Enc
     e.partitionHeader("st-2")

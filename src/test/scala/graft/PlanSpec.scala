@@ -175,6 +175,11 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning") && l.contains("user_id"))
     assert(userShuffles === 1,
       s"events_funnel should shuffle events once on user_id, got $userShuffles:\n$plan")
+    // The step times come from running window MINs — no aggregation
+    // buffer ever collects a user's event list (a power user's history
+    // is rows, never one buffer).
+    assert(!plan.contains("collect_list"),
+      s"events_funnel must not buffer per-user event lists:\n$plan")
   }
 
   test("centroid outliers broadcast the per-label centroid table") {
@@ -186,7 +191,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("whole-stage codegen covers the sketch pipeline") {
-    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    // The audited query materializes this subtree up front (the audit
+    // and the output share one checkpointed frame), so the pipeline's
+    // own plan is pinned on the pre-audit frame it executes.
+    val df = graft.dedup.Dedup.minhashPairs(spark, sf)
     df.collect() // let AQE finalize
     val plan = df.queryExecution.executedPlan.toString
     // WholeStageCodegen spans render as "*(n)" prefixes in the tree.

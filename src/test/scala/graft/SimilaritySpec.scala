@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.similarity.Similarity
@@ -177,6 +178,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val again = Similarity.embQuantize(spark, sf).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("ANN recall floors hold at the driver-gate scale (sf0.01)") {
+    // The driver's rows-only gate records recall_at_k but asserts
+    // nothing — these floors catch a kernel regression that would
+    // silently zero the column. Floors are set ~0.1 under current
+    // measured recall at sf0.01 (5k vectors, clusterless Gaussian —
+    // ANN's worst case).
+    val dir = "/root/testdata/sf0.01"
+    Seq(
+      ("lsh", Similarity.lshTopK(spark, dir), 0.25),
+      ("ivf", Similarity.ivfTopK(spark, dir), 0.25),
+      ("pq", Similarity.pqTopK(spark, dir), 0.25)).foreach {
+      case (name, df, floor) =>
+        val perQuery = df.groupBy(col("query_id"))
+          .agg(first(col("recall_at_k")).as("r")).collect().map(_.getDouble(1))
+        val mean = perQuery.sum / perQuery.length
+        assert(mean >= floor, s"$name mean recall@10 at sf0.01: $mean < $floor")
+    }
   }
 
   test("emb_outliers on the corpus: bounded cosines, deterministic, total") {
