@@ -140,8 +140,10 @@ object MaFormat {
 
   /** Index.db entries (the seek source behind the reference's
     * `-s`/`-S` Summary/Index resume, Cassandra2Aerospike.cpp): a
-    * sequence of (16-bit-length key, unsigned-vint data position,
-    * unsigned-vint promoted-index length, promoted bytes) entries.
+    * sequence of (16-bit-length key, data position, promoted-index
+    * length, promoted bytes) entries. The position/length FRAMING is
+    * version-dependent (SSTable.cpp:76,83): unsigned vints for "ma"+,
+    * an 8-byte longlong position and 4-byte int length before it.
     * Each position is a partition-start offset in the UNCOMPRESSED
     * Data.db stream — exactly the valid sub-file split points — and
     * the key lets a resume seek skip whole partitions at plan time.
@@ -151,8 +153,9 @@ object MaFormat {
     * 100 GB Data.db of 10 KB partitions carries ~10M entries) retains
     * only what it keeps, not the whole file. Combine with
     * [[readSummary]] to skip the index prefix without reading it. */
-  def indexEntries(in: InputStream): Iterator[(Array[Byte], Long)] = {
+  def indexEntries(in: InputStream, version: String = "ma"): Iterator[(Array[Byte], Long)] = {
     val din = new DataInputStream(in)
+    val vintFramed = version >= "ma"
     new Iterator[(Array[Byte], Long)] {
       private var nextEntry: (Array[Byte], Long) = _
       private var eof = false
@@ -160,8 +163,9 @@ object MaFormat {
         try {
           val key = new Array[Byte](din.readUnsignedShort())
           din.readFully(key)
-          val pos = readUnsignedVintFrom(din)
-          val promoted = readUnsignedVintFrom(din)
+          val pos = if (vintFramed) readUnsignedVintFrom(din) else din.readLong()
+          val promoted =
+            if (vintFramed) readUnsignedVintFrom(din) else din.readInt().toLong
           var skipped = 0L
           while (skipped < promoted) {
             val n = din.skipBytes(math.min(promoted - skipped, Int.MaxValue.toLong).toInt)
@@ -181,11 +185,11 @@ object MaFormat {
     }
   }
 
-  def readIndexEntries(in: InputStream): Array[(Array[Byte], Long)] =
-    indexEntries(in).toArray
+  def readIndexEntries(in: InputStream, version: String = "ma"): Array[(Array[Byte], Long)] =
+    indexEntries(in, version).toArray
 
-  def readIndexPositions(in: InputStream): Array[Long] =
-    readIndexEntries(in).map(_._2)
+  def readIndexPositions(in: InputStream, version: String = "ma"): Array[Long] =
+    readIndexEntries(in, version).map(_._2)
 
   /** Summary.db — the downsampled index the reference loads whole
     * ("Summary is designed to keep in memory", SSTable.cpp:121-180
@@ -666,12 +670,23 @@ object MaFormat {
   final class KaReader(
       in: InputStream,
       stopAfter: () => Boolean = () => false,
-      clusteringIdentity: Boolean = false) extends Iterator[MaCell] {
+      clusteringIdentity: Boolean = false,
+      version: String = "ja") extends Iterator[MaCell] {
 
     private val DELETION_MASK = 0x01
     private val EXPIRATION_MASK = 0x02
     private val COUNTER_MASK = 0x04
     private val RANGE_TOMBSTONE_MASK = 0x10
+
+    // Pre-"ja" row layout (read_row, SSTable.cpp:344-360): the key is
+    // followed by an on-disk row SIZE (4 bytes before version "d"
+    // — the reference's VERSION_D is the normalized "da" — 8 after),
+    // and rows carry an explicit COLUMN COUNT after the deletion info
+    // instead of "ja"+'s empty-name terminator. Cell framing itself is
+    // identical, so everything below the row header is shared.
+    private val preJa = version < "ja"
+    private val rowSizeBytes = if (!preJa) 0 else if (version < "da") 4 else 8
+    private var remainingColumns = 0
 
     private val din = new DataInputStream(in)
     private var eof = false
@@ -757,8 +772,12 @@ object MaFormat {
           val k = try readString() catch { case _: EOFException => eof = true; return }
           key = k
           try {
+            if (rowSizeBytes > 0) {
+              val sz = new Array[Byte](rowSizeBytes); din.readFully(sz)
+            }
             val skip = new Array[Byte](4); din.readFully(skip) // local_deletion
             partitionDeletion = din.readLong()
+            if (preJa) remainingColumns = din.readInt()
           } catch { case _: EOFException => eof = true; return }
           inPartition = true
           // Emit the partition deletion as a marker row (see Reader).
@@ -768,46 +787,50 @@ object MaFormat {
               deletionTs = partitionDeletion, marker = true)
             return
           }
-        }
-        val name = try readString() catch { case _: EOFException => eof = true; return }
-        if (name.isEmpty) {
-          inPartition = false // empty name terminates the row
+        } else if (preJa && remainingColumns <= 0) {
+          inPartition = false // count exhausted: next partition header
         } else {
-          val colName =
-            if (clusteringIdentity) renderName(name)
-            else new String(unwrapName(name), "UTF-8")
-          val flags = din.readUnsignedByte()
-          if ((flags & RANGE_TOMBSTONE_MASK) != 0) {
-            val rangeEnd = readString()
-            val skip = new Array[Byte](4); din.readFully(skip) // local_deletion
-            val ts = din.readLong()
-            val (start, end) =
-              if (clusteringIdentity)
-                (renderBound(name, isEnd = false),
-                  renderBound(rangeEnd, isEnd = true).getBytes("UTF-8"))
-              else (colName, rangeEnd)
-            nextCell = MaCell(key, start, ts, end,
-              deleted = true, expiring = false, ttlSec = NoTtl,
-              deletionTs = ts, marker = true)
+          val name = try readString() catch { case _: EOFException => eof = true; return }
+          if (preJa) remainingColumns -= 1
+          if (!preJa && name.isEmpty) {
+            inPartition = false // empty name terminates the row
           } else {
-            var counter = false
-            var expiring = false
-            var ttl = NoTtl
-            if ((flags & COUNTER_MASK) != 0) {
-              din.readLong() // counter timestamp-of-last-delete (unused)
-              counter = true
-            } else if ((flags & EXPIRATION_MASK) != 0) {
-              ttl = din.readInt().toLong
-              din.readInt() // expiration time (derivable from ts + ttl)
-              expiring = true
+            val colName =
+              if (clusteringIdentity) renderName(name)
+              else new String(unwrapName(name), "UTF-8")
+            val flags = din.readUnsignedByte()
+            if ((flags & RANGE_TOMBSTONE_MASK) != 0) {
+              val rangeEnd = readString()
+              val skip = new Array[Byte](4); din.readFully(skip) // local_deletion
+              val ts = din.readLong()
+              val (start, end) =
+                if (clusteringIdentity)
+                  (renderBound(name, isEnd = false),
+                    renderBound(rangeEnd, isEnd = true).getBytes("UTF-8"))
+                else (colName, rangeEnd)
+              nextCell = MaCell(key, start, ts, end,
+                deleted = true, expiring = false, ttlSec = NoTtl,
+                deletionTs = ts, marker = true)
+            } else {
+              var counter = false
+              var expiring = false
+              var ttl = NoTtl
+              if ((flags & COUNTER_MASK) != 0) {
+                din.readLong() // counter timestamp-of-last-delete (unused)
+                counter = true
+              } else if ((flags & EXPIRATION_MASK) != 0) {
+                ttl = din.readInt().toLong
+                din.readInt() // expiration time (derivable from ts + ttl)
+                expiring = true
+              }
+              val ts = din.readLong()
+              val value = new Array[Byte](din.readInt())
+              din.readFully(value)
+              nextCell = MaCell(key, colName, ts, value,
+                deleted = (flags & DELETION_MASK) != 0, expiring = expiring,
+                ttlSec = ttl, deletionTs = partitionDeletion, marker = false,
+                counter = counter)
             }
-            val ts = din.readLong()
-            val value = new Array[Byte](din.readInt())
-            din.readFully(value)
-            nextCell = MaCell(key, colName, ts, value,
-              deleted = (flags & DELETION_MASK) != 0, expiring = expiring,
-              ttlSec = ttl, deletionTs = partitionDeletion, marker = false,
-              counter = counter)
           }
         }
       }

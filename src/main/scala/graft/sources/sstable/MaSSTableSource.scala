@@ -125,10 +125,13 @@ object MaSSTableSource {
     StructField("counter", BooleanType, nullable = false)))
 
   /** SSTable format version from the file name (the reference's
-    * getVersionFromFilename, SSTable.cpp): "la"-and-later versions
+    * getVersionFromFilename, SSTable.cpp:191): "la"-and-later versions
     * lead the name ("ma-1-big-Data.db"); older names carry the version
-    * in the third hyphen token ("ks-tbl-ka-1-Data.db"). Versions
-    * before "ma" use the legacy cell framing. */
+    * in the third hyphen token ("ks-tbl-ka-1-Data.db"); ancient
+    * single-letter versions ("ks-tbl-c-1-...") normalize to
+    * letter+"a" exactly as the reference maps them, so version-string
+    * comparisons stay total. Versions before "ma" use the legacy cell
+    * framing; before "ja", the old count-framed row layout. */
   def versionOf(fileName: String): String = {
     if (fileName.length >= 3 && fileName(0) >= 'l' && fileName(0) <= 'z' &&
         fileName(1).isLetter && fileName(2) == '-')
@@ -137,6 +140,9 @@ object MaSSTableSource {
       val parts = fileName.split("-")
       if (parts.length >= 3 && parts(2).length == 2 && parts(2).forall(_.isLetter))
         parts(2)
+      else if (parts.length >= 3 && parts(2).length == 1 &&
+               parts(2)(0) >= 'a' && parts(2)(0) <= 'd')
+        parts(2) + "a"
       else "ma"
     }
   }
@@ -276,6 +282,7 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
       conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
     val dataPath = new Path(file)
     val fs = dataPath.getFileSystem(conf)
+    val version = MaSSTableSource.versionOf(dataPath.getName)
     val tokenMin = options.get("tokenMin").filter(_.nonEmpty)
     val tokenMax = options.get("tokenMax").filter(_.nonEmpty)
     // Ring order for the resume/slice seek: explicit option, else the
@@ -324,7 +331,7 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
         val floorPos = scala.util.Try {
           val sin = fs.open(sumPath)
           val summary =
-            try MaFormat.readSummary(sin, MaSSTableSource.versionOf(dataPath.getName))
+            try MaFormat.readSummary(sin, version)
             finally sin.close()
           // inStart is monotone along the summary's ring order
           // (false* true*) — binary-search the last false.
@@ -342,7 +349,7 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
               s"summary position $pos outside Index.db")
             val vin = fs.open(idxPath)
             val firstKey =
-              try { vin.seek(pos); MaFormat.indexEntries(vin).next()._1 }
+              try { vin.seek(pos); MaFormat.indexEntries(vin, version).next()._1 }
               finally vin.close()
             require(java.util.Arrays.equals(firstKey, summary(floor)._1),
               "summary position does not point at its sampled key")
@@ -357,7 +364,7 @@ private[sstable] class MaScan(options: Map[String, String], required: StructType
     val fin = fs.open(idxPath)
     try {
       if (indexSeek > 0) fin.seek(indexSeek)
-      val it = MaFormat.indexEntries(fin)
+      val it = MaFormat.indexEntries(fin, version)
       if (it.isEmpty && indexSeek == 0) return whole // empty Index.db
       var seekStart = -1L
       var endCap = Long.MaxValue
@@ -537,7 +544,7 @@ private[sstable] class MaReaderFactory(
         if (version >= "ma")
           new MaFormat.Reader(in, columns, minTimestamp, minTtl,
             clustering, staticColumns, stop, clusteringIdentity)
-        else new MaFormat.KaReader(in, stop, clusteringIdentity)
+        else new MaFormat.KaReader(in, stop, clusteringIdentity, version)
       private var current: MaFormat.MaCell = _
 
       // Project only the pruned columns into the output row.

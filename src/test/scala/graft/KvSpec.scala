@@ -61,6 +61,50 @@ class KvSpec extends AnyFunSuite {
     assert(total.compareTo(perGen) === 0)
   }
 
+  test("counter-sum merge: shards add, counter tombstones bound, dead counters surface deleted") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.functions.CounterCodec
+    def cell(key: String, name: String, ts: Long, shard: Option[Long],
+        deleted: Boolean, counter: Boolean, text: Option[String] = None) =
+      (key, name, ts, ts,
+        text.map(_.getBytes("UTF-8")).orElse(shard.map(CounterCodec.longBe)).orNull,
+        Option.empty[Long], counter, deleted)
+    val bag = Seq(
+      // Plain shard sum, including a NEGATIVE shard (signed BE decode).
+      cell("k1", "hits", 100L, Some(5L), deleted = false, counter = true),
+      cell("k1", "hits", 200L, Some(-3L), deleted = false, counter = true),
+      cell("k1", "hits", 150L, Some(9L), deleted = false, counter = true),
+      // Counter cell-tombstone at 300 kills shards <= 300 only.
+      cell("k1", "hits2", 100L, Some(7L), deleted = false, counter = true),
+      cell("k1", "hits2", 300L, None, deleted = true, counter = true),
+      cell("k1", "hits2", 250L, Some(4L), deleted = false, counter = true),
+      cell("k1", "hits2", 350L, Some(6L), deleted = false, counter = true),
+      // No shard survives the tombstone: surfaces as a deleted winner.
+      cell("k2", "hits", 100L, Some(8L), deleted = false, counter = true),
+      cell("k2", "hits", 200L, None, deleted = true, counter = true),
+      // Non-counter columns keep plain LWW.
+      cell("k1", "name", 100L, None, deleted = false, counter = false, text = Some("old")),
+      cell("k1", "name", 120L, None, deleted = false, counter = false, text = Some("new")))
+      .toDF("key", "col", "tus", "seq", "value", "ttl_s", "counter", "deleted")
+      .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+    val got = Kv.mergeWithCounterSum(bag)
+      .selectExpr("key", "col", "value", "unix_micros(ts) AS tus", "deleted")
+      .collect().map { r =>
+        val v = Option(r.getAs[Array[Byte]]("value")).map { b =>
+          if (r.getAs[String]("col") == "name") new String(b, "UTF-8"): Any
+          else java.nio.ByteBuffer.wrap(b).getLong: Any
+        }
+        (r.getAs[String]("key"), r.getAs[String]("col")) ->
+          ((v, r.getAs[Long]("tus"), r.getAs[Boolean]("deleted")))
+      }.toMap
+    assert(got === Map(
+      ("k1", "hits") -> ((Some(11L), 200L, false)),
+      ("k1", "hits2") -> ((Some(6L), 350L, false)),
+      ("k2", "hits") -> ((None, 200L, true)),
+      ("k1", "name") -> ((Some("new"), 120L, false))))
+  }
+
   test("sql extensions expose the kernels to plain SQL") {
     org.apache.spark.sql.graftbridge.ColumnBridge
       .registerExtensionFunctions(spark, new GraftExtensions)

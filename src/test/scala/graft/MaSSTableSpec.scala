@@ -350,6 +350,62 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(rows.forall(!_.getAs[Boolean]("counter")))
   }
 
+  test("pre-ja old-row framing: size field + column-count rows decode through the version dispatch") {
+    // Reference read_row (SSTable.cpp:344-360): before "ja" a row is
+    // key, on-disk row size (4 bytes before VERSION_D = "da", 8 bytes
+    // after), deletion info, then an explicit COLUMN COUNT — rows have
+    // no empty-name terminator. Cell framing is the ka form.
+    def encode(rowSizeBytes: Int): Array[Byte] = {
+      val e = new KaEnc
+      def preJaPartition(key: String, nCols: Int,
+          deletionTs: Long = MaFormat.NoDeletion): Unit = {
+        e.string(key)
+        if (rowSizeBytes == 4) e.out.writeInt(77) else e.longlong(77L)
+        e.out.writeInt(Int.MaxValue) // local_deletion
+        e.longlong(deletionTs)
+        e.out.writeInt(nCols)
+      }
+      preJaPartition("u1", 3)
+      e.cell("click", 1000L, "v1".getBytes(UTF_8))
+      e.expiringCell("temp", 1100L, "t".getBytes(UTF_8), ttlS = 600, expirationS = 99)
+      e.counterCell("hits", 1200L, longBytes(9L))
+      preJaPartition("u2", 1, deletionTs = 500L)
+      e.cell("click", 2000L, "v2".getBytes(UTF_8))
+      e.result
+    }
+    // Version detection: two-letter legacy tokens pass through; the
+    // ancient single-letter versions normalize to letter+"a" (the
+    // reference's VERSION_STRING_TO_VERSION(c, 'a')).
+    assert(MaSSTableSource.versionOf("ks-t-hc-1-Data.db") === "hc")
+    assert(MaSSTableSource.versionOf("ks-t-c-1-Data.db") === "ca")
+    Seq(("hc", 8), ("ca", 4)).foreach { case (v, szBytes) =>
+      val cells = new MaFormat.KaReader(
+        new ByteArrayInputStream(encode(szBytes)), version = v).toList
+      assert(cells.map(_.col) === List("click", "temp", "hits", null, "click"),
+        s"version $v")
+      assert(cells(1).expiring && cells(1).ttlSec === 600L)
+      assert(cells(2).counter &&
+        java.nio.ByteBuffer.wrap(cells(2).value).getLong === 9L)
+      assert(cells(3).marker && cells(3).deletionTs === 500L,
+        "partition deletion surfaces as a marker")
+      assert(cells(4).ts === 2000L)
+    }
+    // Through the DataSource: the FILENAME picks the framing.
+    def readDir(name: String, szBytes: Int): Set[(String, String, Long)] = {
+      val dir = Files.createTempDirectory("preja")
+      Files.write(dir.resolve(name), encode(szBytes))
+      spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", dir.toString).option("columns", ColsSpec).load()
+        .filter(!col("marker"))
+        .select(col("key"), col("col"), col("ts")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    }
+    val want = Set(("u1", "click", 1000L), ("u1", "temp", 1100L),
+      ("u1", "hits", 1200L), ("u2", "click", 2000L))
+    assert(readDir("ks-t-hc-1-Data.db", 8) === want)
+    assert(readDir("ks-t-c-1-Data.db", 4) === want)
+  }
+
   // ---- compressed-chunk fixture writer ------------------------------
 
   /** Chunk-compress a Data.db payload + matching CompressionInfo.db
@@ -519,13 +575,17 @@ class MaSSTableSpec extends AnyFunSuite {
     * offsets): (short key, vint position, vint promoted-size 0).
     * Returns each entry's own byte offset WITHIN the index file — what
     * a Summary.db samples. */
+  /** Index.db fixture in the version's own wire form: vint position +
+    * vint promoted length for "ma"+, 8-byte longlong position + 4-byte
+    * int promoted length before (SSTable.cpp:76,83). */
   private def writeIndex(
       dir: java.nio.file.Path, prefix: String,
-      entries: Seq[(String, Long)]): Seq[Long] = {
+      entries: Seq[(String, Long)], version: String = "ma"): Seq[Long] = {
     val e = new Enc
     val offsets = entries.map { case (k, pos) =>
       val off = e.bos.size().toLong
-      e.string(k).vint(pos).vint(0)
+      if (version >= "ma") e.string(k).vint(pos).vint(0)
+      else { e.string(k).longlong(pos); e.out.writeInt(0) }
       off
     }
     Files.write(dir.resolve(s"$prefix-Index.db"), e.result)
@@ -747,7 +807,9 @@ class MaSSTableSpec extends AnyFunSuite {
     }
     val dir = Files.createTempDirectory("ka-split")
     Files.write(dir.resolve("ks-tbl-ka-1-Data.db"), e.result)
-    writeIndex(dir, "ks-tbl-ka-1", entries.result())
+    // Legacy index form: longlong position + int promoted length — the
+    // round-trip that catches a reader assuming "ma" vints everywhere.
+    writeIndex(dir, "ks-tbl-ka-1", entries.result(), version = "ka")
     val (nWhole, whole) = readKeyTs(dir.toString, splitBytes = None)
     val (nSplit, split) = readKeyTs(dir.toString, splitBytes = Some(400L))
     assert(nWhole === 1)
