@@ -71,6 +71,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     },
     fn("sorted_pairs", "1", "all (a, b) pairs with a before b (array order) of an array<bigint>") {
       args => SortedPairs(args.head)
+    },
+    fn("counter_long", "1", "8-byte big-endian Cassandra counter shard as bigint") {
+      args => CounterLong(args.head)
+    },
+    fn("long_binary", "1", "bigint as 8-byte big-endian binary") {
+      args => LongBinary(args.head)
+    },
+    fn("frozen_list_elements", "1",
+      "elements of a migrated FROZEN list/set blob as array<binary>") {
+      args => FrozenListElements(args.head)
+    },
+    fn("frozen_map_entries", "1",
+      "entries of a migrated FROZEN map blob as array<struct<key,value binary>>") {
+      args => FrozenMapEntries(args.head)
     })
 
   override def apply(ext: SparkSessionExtensions): Unit =

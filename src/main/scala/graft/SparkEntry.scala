@@ -94,6 +94,8 @@ object SparkEntry {
     "text_decontaminate"       -> (Text.decontaminate _),
     "text_repetition"          -> (Text.repetition _),
     "text_pii_scrub"           -> (Text.piiScrub _),
+    "text_tfidf"               -> (Text.tfidf _),
+    "text_vocab"               -> (Text.vocab _),
     "sample_stratified"        -> (Text.sampleStratified _),
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
@@ -1176,6 +1178,47 @@ object SparkEntry {
         |  md5(s3) AS redacted_md5
         |FROM st3
         |ORDER BY doc_id""".stripMargin,
+
+    // Log-free smoothed inverse frequency (tf * (N+1)/(df+1)): one
+    // exact integer product plus one correctly-rounded IEEE division,
+    // so both engines rank identically — ln() would differ in the last
+    // ulp between libm implementations and make top-5 cut points
+    // engine-dependent.
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |terms AS (SELECT doc_id, r.t AS term
+        |  FROM t, UNNEST(toks) AS r(t) WHERE len(r.t) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |    tf::DOUBLE * (n_docs + 1)::DOUBLE / (df + 1)::DOUBLE AS raw
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY raw DESC, term) AS rank FROM s)
+        |SELECT doc_id, rank::INT AS rank, term, tf, df,
+        |  CAST(CAST(ROUND(raw, 4) AS DECIMAL(10,4)) AS DOUBLE) AS tfidf
+        |FROM r WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "text_vocab" ->
+      """WITH toks AS (SELECT doc_id, r.t AS token
+        |  FROM (SELECT doc_id,
+        |      regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS ts
+        |    FROM documents), UNNEST(ts) AS r(t)),
+        |counts AS (SELECT token, COUNT(*)::BIGINT AS n_occurrences,
+        |    COUNT(DISTINCT doc_id)::BIGINT AS n_docs FROM toks GROUP BY 1),
+        |total AS (SELECT SUM(n_occurrences)::BIGINT AS n_total FROM counts),
+        |top AS (SELECT * FROM counts ORDER BY n_occurrences DESC, token LIMIT 100),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank,
+        |    SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token) AS cum
+        |  FROM top)
+        |SELECT rank::INT AS rank, token, n_occurrences, n_docs,
+        |  CAST(CAST(ROUND(cum::DOUBLE / n_total::DOUBLE, 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |    AS cum_coverage
+        |FROM r CROSS JOIN total ORDER BY rank""".stripMargin,
 
     "sample_stratified" ->
       """WITH d AS (SELECT doc_id, source,

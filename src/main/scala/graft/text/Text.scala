@@ -299,4 +299,82 @@ object Text {
           col("n_docs").cast("double")).as("realized_pct"))
       .orderBy(col("source"))
   }
+
+  /** #44f text_tfidf: corpus IDF + per-doc top-5 keyword extraction —
+    * the curation signal behind topic balancing / keyword filters in a
+    * training-data pipeline. Smoothed RAW-inverse-frequency weighting,
+    * tfidf = tf · (N+1)/(df+1), deliberately log-free: the whole score
+    * is one exact integer product (≪ 2^53) and one IEEE-754 division,
+    * both correctly rounded and therefore bit-identical across
+    * engines, so the per-doc ranking sits under the hash-exact oracle
+    * — ln() differs in the last ulp between libm implementations,
+    * which would make top-5 boundaries engine-dependent. Ties break
+    * lexicographically.
+    *
+    * Scale shape: three map-side-combinable aggregations (doc-term tf,
+    * term df, corpus N) and one unhinted tf⋈df join on the term — the
+    * vocabulary is corpus-scale at 100 TB, so no broadcast hint; AQE
+    * decides. The per-doc top-5 rides a doc-partitioned window. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_raw",
+        col("tf").cast("double") * (col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        d4(col("tfidf_raw")).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** #44g text_vocab: the corpus token-frequency table — top-100 BPE-ish
+    * tokens by occurrence count with document frequency and CUMULATIVE
+    * corpus coverage (what fraction of all token instances the
+    * vocabulary prefix up to this rank explains) — the artifact a
+    * tokenizer-training / vocab-sizing step reads. Coverage is an
+    * exact integer ratio (cumulative count / total count) presented at
+    * d4, so the whole result sits under the hash gate; ties break
+    * lexicographically.
+    *
+    * Scale shape: one map-side-combinable (token) aggregation over the
+    * exploded corpus + a doc-distinct aggregation for df; the top-100
+    * cut is orderBy+limit — Spark plans TakeOrderedAndProject
+    * (per-partition bounded heaps, merged once), so the
+    * vocabulary-sized count table is never globally sorted — and only
+    * the 100 surviving rows ride the ranking window; the total is a
+    * 1-row broadcast. */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          .as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val total = counts.agg(sum(col("n_occurrences")).as("n_total"))
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("token")).limit(100)
+    val ranked = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token"))
+    top
+      .withColumn("rank", row_number().over(ranked))
+      .withColumn("cum_occurrences", sum(col("n_occurrences")).over(ranked))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n_occurrences"), col("n_docs"),
+        d4(col("cum_occurrences").cast("double") / col("n_total").cast("double"))
+          .as("cum_coverage"))
+      .orderBy(col("rank"))
+  }
 }

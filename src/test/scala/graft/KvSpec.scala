@@ -114,7 +114,8 @@ class KvSpec extends AnyFunSuite {
         |            simhash64(word_shingles('a b c d', 2))) AS ham,
         |  size(minhash_sigs(word_shingles('a b c d e f', 2), 16)) AS k,
         |  random_partitioner_token('42') AS rtok,
-        |  sorted_pairs(array(3L, 1L, 2L)) AS pairs
+        |  sorted_pairs(array(3L, 1L, 2L)) AS pairs,
+        |  counter_long(long_binary(-42L)) AS shard
         |""".stripMargin).collect().head
     assert(row.getLong(0) === graft.functions.CassandraMurmur3.token(
       org.apache.spark.unsafe.types.UTF8String.fromString("42")))
@@ -124,5 +125,6 @@ class KvSpec extends AnyFunSuite {
     // Pairs follow ARRAY order (callers feed pre-sorted id sets).
     assert(row.getSeq[org.apache.spark.sql.Row](4).map(r => (r.getLong(0), r.getLong(1)))
       === Seq((3L, 1L), (3L, 2L), (1L, 2L)))
+    assert(row.getLong(5) === -42L, "counter codec must round-trip signed values")
   }
 }

@@ -182,6 +182,23 @@ class PlanSpec extends AnyFunSuite {
       s"events_funnel must not buffer per-user event lists:\n$plan")
   }
 
+  test("tfidf windows per doc and nested-loops only the 1-row corpus count") {
+    val plan = planOf("text_tfidf")
+    val winLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(winLine.contains("doc_id"),
+      s"tfidf ranking window must partition by doc_id:\n$plan")
+    // tf⋈df is an equality join on the term; the only nested-loop
+    // member is the broadcast single-row N frame.
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"text_tfidf: unexpected nested-loop joins\n$plan")
+  }
+
+  test("vocab cuts its top-100 with a bounded TakeOrdered, never a global sort") {
+    val plan = planOf("text_vocab")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"text_vocab must plan per-partition bounded top-k:\n$plan")
+  }
+
   test("centroid outliers broadcast the per-label centroid table") {
     // The centroid frame is a genuine dimension (one row per label) —
     // the corpus streams past it without reshuffling.

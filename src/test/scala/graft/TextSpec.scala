@@ -164,4 +164,68 @@ class TextSpec extends AnyFunSuite {
         r.getAs[Double]("realized_pct") <= 100.0)
     }
   }
+
+  test("tfidf ranks a planted corpus exactly (smooth raw inverse frequency)") {
+    // N = 3; score = tf * (N+1)/(df+1). apple df=1, banana df=2,
+    // cherry df=2, durian df=1. Ties rank lexicographically (doc 2:
+    // banana and cherry both score 4/3).
+    val dir = docsFixture(Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry durian")))
+    val got = Text.tfidf(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    }.toMap
+    assert(got === Map(
+      (1L, 1) -> (("apple", 2L, 1L, 4.0)),
+      (1L, 2) -> (("banana", 1L, 2L, 1.3333)),
+      (2L, 1) -> (("banana", 1L, 2L, 1.3333)),
+      (2L, 2) -> (("cherry", 1L, 2L, 1.3333)),
+      (3L, 1) -> (("cherry", 2L, 2L, 2.6667)),
+      (3L, 2) -> (("durian", 1L, 1L, 2.0))))
+
+    // Corpus: <= 5 ranked terms per doc, ranks contiguous from 1,
+    // scores non-increasing within a doc, deterministic across runs.
+    val rows = Text.tfidf(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq === (1 to ranked.length))
+      assert(ranked.length <= 5)
+      val scores = ranked.map(_.getDouble(5))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+    }
+    val again = Text.tfidf(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("vocab ranks a planted corpus with exact cumulative coverage") {
+    // Tokens (BPE-ish): d1 -> [aa, aa, bb, '!'], d2 -> [aa, cc].
+    // Counts: aa 3 (2 docs), bb 1 (1), cc 1 (1), ! 1 (1); total 6.
+    // Rank ties lexicographically: '!' < 'bb' < 'cc'.
+    val dir = docsFixture(Seq((1L, "aa aa bb!"), (2L, "aa cc")))
+    val got = Text.vocab(spark, dir).collect().map { r =>
+      (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }
+    assert(got.toSeq === Seq(
+      (1, "aa", 3L, 2L, 0.5),
+      (2, "!", 1L, 1L, 0.6667),
+      (3, "bb", 1L, 1L, 0.8333),
+      (4, "cc", 1L, 1L, 1.0)))
+
+    // Corpus: at most 100 rows (the synthetic vocabulary is small),
+    // ranks contiguous from 1, counts non-increasing, coverage
+    // non-decreasing and closing at 1 when the vocab fits, deterministic.
+    val rows = Text.vocab(spark, sf).collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+    if (rows.length < 100) assert(rows.last.getDouble(4) === 1.0)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b })
+    val cov = rows.map(_.getDouble(4))
+    assert(cov.zip(cov.drop(1)).forall { case (a, b) => a <= b })
+    assert(cov.last <= 1.0)
+    assert(rows.map(_.toString).sameElements(Text.vocab(spark, sf).collect().map(_.toString)))
+  }
 }
