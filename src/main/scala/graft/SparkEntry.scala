@@ -70,6 +70,7 @@ object SparkEntry {
     "events_asof_prev"         -> (Events.asofPrev _),
     "events_funnel"            -> (Events.funnel _),
     "events_retention"         -> (Events.retention _),
+    "events_transitions"       -> (Events.transitions _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     // §2.4 dedup
     "dedup_exact"              -> (Dedup.exact _),
@@ -770,6 +771,20 @@ object SparkEntry {
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, event_type AS to_type,
+        |    COUNT(*)::BIGINT AS n_transitions
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(CAST(ROUND(n_transitions::DOUBLE /
+        |    (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE, 4)
+        |    AS DECIMAL(10,4)) AS DOUBLE) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "events_asof_prev" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,

@@ -157,6 +157,34 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** #32e events_transitions: the event-type transition matrix — for
+    * every (from → to) pair of consecutive events within a user's
+    * stream, the transition count and the conditional probability
+    * P(to | from) — the Markov-chain summary behind next-event
+    * prediction features and funnel discovery (which funnels exist,
+    * before [[funnel]] measures a chosen one).
+    *
+    * Scale shape: one shuffle on user_id for the lag window (the same
+    * per-user locality as the rest of the module), then a
+    * map-side-combinable (from, to) count; the probability window
+    * rides the |types|² transition matrix — dimension-sized, not
+    * corpus-sized. The probability is an exact integer ratio under one
+    * IEEE division, so the result is hash-exact cross-engine. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("prob",
+        d4(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(byFrom).cast("double")))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** #32 events_asof_prev: each event joined to the user's previous
     * event (the as-of-prior row in the same series) — previous type,
     * previous value, and the inter-event gap in microseconds. */

@@ -41,4 +41,35 @@ class EventsSpec extends AnyFunSuite {
       assert(rs.exists(_.getAs[Int]("week_offset") == 0))
     }
   }
+
+  test("transition matrix matches a driver-side recount exactly") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toInstant, r.getLong(3)))
+    // In-memory oracle: per user, order by (ts, event_id), count every
+    // consecutive (from, to) pair; probabilities as exact ratios.
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      ordered.zip(ordered.drop(1)).map { case (a, b) => (a._2, b._2) }
+    }.toSeq
+    val want = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTotals = trans.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+
+    val got = Events.transitions(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (n, p)) =>
+      assert(n === want(k), s"transition count $k")
+      val exact = BigDecimal(n.toDouble / fromTotals(k._1).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p === exact, s"probability $k")
+    }
+    // Probabilities per from_type sum to ~1 (d4 rounding slack).
+    got.groupBy(_._1._1).values.foreach { g =>
+      val s = g.map(_._2._2).sum
+      assert(math.abs(s - 1.0) < 0.001, s"outgoing probabilities sum to $s")
+    }
+  }
 }

@@ -406,6 +406,81 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(readDir("ks-t-c-1-Data.db", 4) === want)
   }
 
+  test("randomized legacy streams round-trip across ka, hc, and ca framings") {
+    // One random cell model per trial, encoded THREE ways — "ka"
+    // (empty-name terminated), "hc" (8-byte row size + column count),
+    // "ca" (4-byte row size + column count) — each decoded with its
+    // version; all three must reproduce the model exactly. Covers
+    // live/deleted/expiring/counter cells, empty values, and partition
+    // deletions across the whole legacy version ladder.
+    val rng = new scala.util.Random(20260813L)
+    (1 to 30).foreach { trial =>
+      // model: (key, partDeletion, cells=(name, ts, value, kind))
+      case class MCell(name: String, ts: Long, value: Array[Byte],
+        deleted: Boolean, expiring: Boolean, ttl: Long, counter: Boolean)
+      val parts = (1 to 1 + rng.nextInt(5)).map { p =>
+        val delTs =
+          if (rng.nextInt(4) == 0) rng.nextInt(1000000).toLong
+          else MaFormat.NoDeletion
+        val cells = (1 to rng.nextInt(5)).map { c =>
+          val kind = rng.nextInt(4)
+          val ts = rng.nextInt(1000000).toLong
+          val value =
+            if (kind == 3) longBytes(rng.nextLong())
+            else if (rng.nextInt(5) == 0) Array.emptyByteArray
+            else s"v${rng.nextInt(1000)}".getBytes(UTF_8)
+          MCell(s"col$c", ts, value,
+            deleted = kind == 1, expiring = kind == 2,
+            ttl = if (kind == 2) 1 + rng.nextInt(5000).toLong else -1L,
+            counter = kind == 3)
+        }
+        (s"k-$trial-$p", delTs, cells)
+      }
+      def encCell(e: KaEnc, c: MCell): Unit =
+        if (c.counter) e.counterCell(c.name, c.ts, c.value)
+        else if (c.expiring)
+          e.expiringCell(c.name, c.ts, c.value, c.ttl.toInt, 99)
+        else e.cell(c.name, c.ts, c.value, if (c.deleted) 0x01 else 0)
+      def encode(version: String): Array[Byte] = {
+        val e = new KaEnc
+        parts.foreach { case (key, delTs, cells) =>
+          if (version >= "ja") {
+            e.partition(key, delTs)
+            cells.foreach(encCell(e, _))
+            e.endRow()
+          } else {
+            e.string(key)
+            if (version < "da") e.out.writeInt(rng.nextInt()) // skipped size
+            else e.longlong(rng.nextLong())
+            e.out.writeInt(Int.MaxValue)
+            e.longlong(delTs)
+            e.out.writeInt(cells.size)
+            cells.foreach(encCell(e, _))
+          }
+        }
+        e.result
+      }
+      val want = parts.flatMap { case (key, delTs, cells) =>
+        val marker =
+          if (delTs != MaFormat.NoDeletion)
+            Seq((key, null: String, delTs, "", true, false, -1L, false))
+          else Nil
+        marker ++ cells.map(c => (key, c.name, c.ts,
+          c.value.map(b => f"$b%02x").mkString, c.deleted, c.expiring,
+          c.ttl, c.counter))
+      }
+      Seq("ka", "hc", "ca").foreach { v =>
+        val got = new MaFormat.KaReader(
+          new ByteArrayInputStream(encode(v)), version = v).toList.map { c =>
+          (new String(c.key, UTF_8), c.col, c.ts,
+            Option(c.value).map(_.map(b => f"$b%02x").mkString).getOrElse(""),
+            c.deleted, c.expiring, c.ttlSec, c.counter)
+        }
+        assert(got === want, s"trial $trial version $v mismatch")
+      }
+    }
+  }
+
   // ---- compressed-chunk fixture writer ------------------------------
 
   /** Chunk-compress a Data.db payload + matching CompressionInfo.db
