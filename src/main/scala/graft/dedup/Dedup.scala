@@ -308,14 +308,17 @@ object Dedup {
     * (doc_id, cluster_id = min doc in component, cluster_size) for
     * every clustered doc. */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
-    // Persist the PAIRS, not just the edges: the union below consumes
-    // the pair subtree twice (forward + swapped), and without the cache
-    // the whole ngram pipeline would run once per branch. The pair
+    // The pair frame is the SAME exact ngram pair set the sketch
+    // audits consume — [[exactPairSet]]'s per-(session, dir) memoized
+    // checkpoint — so across a session the ngram pipeline runs once,
+    // not once per consumer (clusters / clusters_star / survivors /
+    // both audits); the union below then re-reads the materialized
+    // frame per branch instead of re-running the pipeline. The pair
     // graph is orders of magnitude smaller than the corpus (bounded by
     // the capped candidate generation), so it rides a FRACTION of the
     // session's shuffle parallelism — derived from the conf, so a
     // cluster-sized session scales the loop without a code change.
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    val pairs = exactPairSet(spark, dir)
     val edgeParts = math.max(2, spark.conf.get("spark.sql.shuffle.partitions").toInt / 8)
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -368,7 +371,7 @@ object Dedup {
       // cached frames. Without this the final iteration's cache had to
       // stay resident for the caller, stranding one frame per call.
       result.localCheckpoint()
-    } finally { cached.unpersist(); edges.unpersist(); pairs.unpersist() }
+    } finally { cached.unpersist(); edges.unpersist() }
   }
 
   /** One large-star round (Kiveris et al., "Connected Components in
@@ -460,10 +463,9 @@ object Dedup {
     * by [[ccStar]] — the variant to reach for when near-dup chains make
     * component diameter unbounded (label propagation's round count) at
     * trillion-edge scale. Shares the dedup_clusters DuckDB oracle. */
-  def clustersStar(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).persist()
-    try ccStar(spark, pairs) finally pairs.unpersist()
-  }
+  def clustersStar(spark: SparkSession, dir: String): DataFrame =
+    // Shares [[exactPairSet]]'s materialized pair frame — see clusters.
+    ccStar(spark, exactPairSet(spark, dir))
 
   /** #37c dedup_survivors: the dedup pipeline's final step — drop every
     * clustered doc except its cluster's min-id survivor, keeping all
