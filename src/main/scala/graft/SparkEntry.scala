@@ -71,6 +71,7 @@ object SparkEntry {
     "events_funnel"            -> (Events.funnel _),
     "events_retention"         -> (Events.retention _),
     "events_transitions"       -> (Events.transitions _),
+    "quantile_sketch"          -> (Relational.quantileSketch _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     // §2.4 dedup
     "dedup_exact"              -> (Dedup.exact _),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{dec, dsum, pres}
+import graft.functions.Exact.{d4, dec, dsum, pres}
 import graft.sources.Tables
 
 /** Relational/OLAP operator coverage (SURVEY.md §2.2) on the TPC-H-ish
@@ -330,6 +330,36 @@ object Relational {
     }
     picked
       .select(col("l_returnflag") +: outs :+ col("n").as("n_rows"): _*)
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** #29z quantile_sketch: approx_percentile — the bounded, MERGEABLE
+    * per-group quantile summary that replaces [[quantileAgg]]'s exact
+    * order statistics at 100 TB (the exact path sorts each group; the
+    * sketch is a fixed-size buffer with map-side partial merge) — run
+    * next to the exact baseline with self-reported relative errors per
+    * percentile, the rows-only sketch gate pattern (approx_distinct,
+    * ANN recall@k): the dump carries its own checkable quality column.
+    * At accuracy 10⁴ the rank error is ≤ n/10⁴, so the relative value
+    * errors sit near zero on this data; DedupSpec-style floors pin
+    * them in RelationalSpec. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val approx = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ap"))
+      .select(col("l_returnflag"),
+        element_at(col("ap"), 1).as("approx_p50"),
+        element_at(col("ap"), 2).as("approx_p95"),
+        element_at(col("ap"), 3).as("approx_p99"))
+    val exact = quantileAgg(spark, dir)
+      .select(col("l_returnflag"), col("p50"), col("p95"), col("p99"))
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("approx_p50"), col("approx_p95"), col("approx_p99"),
+        d4(abs(col("approx_p50") - col("p50")) / col("p50")).as("rel_err_p50"),
+        d4(abs(col("approx_p95") - col("p95")) / col("p95")).as("rel_err_p95"),
+        d4(abs(col("approx_p99") - col("p99")) / col("p99")).as("rel_err_p99"))
       .orderBy(col("l_returnflag"))
   }
 

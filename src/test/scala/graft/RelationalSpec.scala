@@ -71,6 +71,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch stays within its accuracy bound of the exact quantiles") {
+    val rows = SparkEntry.queries("quantile_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("rel_err_p50", "rel_err_p95", "rel_err_p99").foreach { c =>
+        val e = r.getAs[Double](c)
+        // Accuracy 10^4 bounds the RANK error at n/10^4; on this value
+        // distribution that keeps relative value error well under 2%.
+        assert(e >= 0.0 && e <= 0.02, s"${r.getString(0)} $c = $e")
+      }
+      // The sketch values themselves are real percentiles: positive and
+      // ordered p50 <= p95 <= p99.
+      val (a50, a95, a99) = (r.getAs[Double]("approx_p50"),
+        r.getAs[Double]("approx_p95"), r.getAs[Double]("approx_p99"))
+      assert(a50 > 0 && a50 <= a95 && a95 <= a99)
+    }
+  }
+
   test("q6 filters are pushed to the parquet scan") {
     val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
