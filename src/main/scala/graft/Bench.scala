@@ -43,7 +43,15 @@ object Bench {
         Left(jsonSafe(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"))
       }
     }
-    val raw: Map[String, Seq[Either[String, Double]]] = SparkEntry.queries.map {
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches just those
+    // queries. The driver never sets it, so the gate always runs all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val raw: Map[String, Seq[Either[String, Double]]] = selected.map {
       case (name, fn) => name -> (1 to 3).map(_ => once(fn))
     }
     val results: Map[String, Either[String, Double]] = raw.map {

@@ -71,6 +71,9 @@ object SparkEntry {
     "events_funnel"            -> (Events.funnel _),
     "events_retention"         -> (Events.retention _),
     "events_transitions"       -> (Events.transitions _),
+    "events_json_props"        -> (Events.jsonProps _),
+    "events_value_hist"        -> ((s, d) => Events.valueHist(s, d)),
+    "events_moving_avg"        -> (Events.movingAvg _),
     "quantile_sketch"          -> (Relational.quantileSketch _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     // §2.4 dedup
@@ -786,6 +789,36 @@ object SparkEntry {
         |    (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE, 4)
         |    AS DECIMAL(10,4)) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "events_json_props" ->
+      """SELECT event_type,
+        | COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+        | CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        | MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_value_hist" ->
+      """SELECT event_type,
+        | floor(value / 25.0) * 25.0 AS bucket_start,
+        | COUNT(*)::BIGINT AS n_events
+        |FROM events GROUP BY event_type, floor(value / 25.0) * 25.0
+        |ORDER BY event_type, bucket_start""".stripMargin,
+
+    "events_moving_avg" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_id, ts,
+        | COUNT(*) OVER w AS n_1h,
+        | CAST(CAST(ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
+        |   / (CAST(COUNT(*) OVER w AS DOUBLE) * 100.0), 4)
+        |   AS DECIMAL(14,4)) AS DOUBLE) AS avg_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "events_asof_prev" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,

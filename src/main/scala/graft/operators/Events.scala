@@ -185,6 +185,73 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** #32f events_json_props: semi-structured property extraction — the
+    * `props` column carries a JSON object per event; parse the typed
+    * field out with `get_json_object` (codegen'd, no UDF) and roll it
+    * up per event type. The canonical "events carry a JSON payload"
+    * shape every analytics engine must handle.
+    *
+    * Scale shape: the parse is a pure map fused into the parquet scan
+    * (only `event_type` and `props` are read), followed by one
+    * map-side-combinable aggregation on the |types|-sized key — the
+    * same single-shuffle shape as the other event rollups. Integer
+    * sum/min/max/count keep the output hash-exact cross-engine. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** #32g events_value_hist: fixed-width histogram of `value` per event
+    * type — the counts-per-bucket primitive behind distribution
+    * dashboards and drift monitors. Bucket id is `floor(value / w)`
+    * (one IEEE divide, bit-identical cross-engine), so the whole
+    * operator is a scan-fused map + one map-side-combinable aggregation
+    * on the (|types| × |buckets|)-sized key — dimension-sized output,
+    * corpus-sized input, single shuffle. */
+  def valueHist(spark: SparkSession, dir: String, width: Double = 25.0): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        (col("bucket").cast("double") * lit(width)).as("bucket_start"),
+        col("n_events"))
+      .orderBy(col("event_type"), col("bucket_start"))
+
+  /** #32h events_moving_avg: per-user trailing-1-hour moving average of
+    * `value` — a RANGE-framed window (time interval, not row count), the
+    * frame class none of the other window operators exercise. Rides the
+    * same single user_id shuffle as the rest of the module; the frame
+    * sort is per-partition. The average is an exact integer-scaled sum
+    * over a deterministic row set, rounded to 4 decimals under one IEEE
+    * divide, so the result is hash-exact cross-engine. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val oneHourUs = 3600L * 1000000L
+    val byUserRange = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"))
+      .rangeBetween(-oneHourUs, 0)
+    Tables.events(spark, dir)
+      // value has 2-decimal precision: aggregate as integer cents so the
+      // trailing sum is exact, divide once at the end.
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("tus"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(byUserRange))
+      .withColumn("avg_1h",
+        d4(sum(col("cents")).over(byUserRange).cast("double") /
+          (col("n_1h").cast("double") * 100.0)))
+      .select(col("user_id"), col("event_id"), col("ts"), col("n_1h"), col("avg_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** #32 events_asof_prev: each event joined to the user's previous
     * event (the as-of-prior row in the same series) — previous type,
     * previous value, and the inter-event gap in microseconds. */

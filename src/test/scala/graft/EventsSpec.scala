@@ -42,6 +42,60 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("json props rollup matches a driver-side JSON recount exactly") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "props").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // In-memory oracle: parse {"k": <int>} ourselves (no JSON lib —
+    // the corpus generator emits exactly this shape).
+    val K = """"k"\s*:\s*(-?\d+)""".r
+    val want = ev.groupBy(_._1).map { case (t, rs) =>
+      val ks = rs.flatMap(r => K.findFirstMatchIn(r._2).map(_.group(1).toLong))
+      t -> ((ks.size.toLong, ks.sum, ks.min, ks.max))
+    }
+    val got = Events.jsonProps(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("value histogram buckets partition the corpus exactly") {
+    val rows = Events.valueHist(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val n = graft.sources.Tables.events(spark, sf).count()
+    assert(total === n, "every event falls in exactly one bucket")
+    rows.foreach { r =>
+      val start = r.getAs[Double]("bucket_start")
+      assert(start >= 0.0 && start % 25.0 == 0.0, s"bucket start $start")
+      assert(r.getAs[Long]("n_events") > 0, "empty buckets are never emitted")
+    }
+  }
+
+  test("moving average over a trailing hour matches a driver-side recount") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toInstant, r.getDouble(3)))
+    val want = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      sorted.map { e =>
+        val tUs = e._3.getEpochSecond * 1000000L + e._3.getNano / 1000L
+        val in = sorted.filter { o =>
+          val oUs = o._3.getEpochSecond * 1000000L + o._3.getNano / 1000L
+          oUs >= tUs - 3600L * 1000000L && oUs <= tUs
+        }
+        val cents = in.map(x => math.round(x._4 * 100)).sum
+        val avg = BigDecimal(cents.toDouble / (in.size.toDouble * 100.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        e._2 -> ((in.size.toLong, avg))
+      }
+    }.toMap
+    val got = Events.movingAvg(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_1h"), r.getAs[Double]("avg_1h")))).toMap
+    assert(got === want)
+  }
+
   test("transition matrix matches a driver-side recount exactly") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select("user_id", "event_type", "ts", "event_id").collect()

@@ -182,6 +182,45 @@ class PlanSpec extends AnyFunSuite {
       s"events_funnel must not buffer per-user event lists:\n$plan")
   }
 
+  test("json props parses in the scan's map stage and aggregates on one shuffle") {
+    val plan = planOf("events_json_props")
+    // No UDF: get_json_object is a codegen'd expression, so the whole
+    // parse+partial-agg side stays inside WholeStageCodegen.
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+           !plan.contains("ScalaUDF"),
+      s"events_json_props must not parse JSON through a UDF:\n$plan")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1,
+      s"events_json_props should ride one hash shuffle on event_type, got $shuffles:\n$plan")
+    // Only the two referenced columns reach the scan.
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("event_type") && scan.contains("props") &&
+           !scan.contains("user_id"),
+      s"scan should prune to (event_type, props):\n$scan")
+  }
+
+  test("value histogram aggregates on one shuffle over a 2-column scan") {
+    val plan = planOf("events_value_hist")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1,
+      s"events_value_hist should ride one hash shuffle, got $shuffles:\n$plan")
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("event_type") && scan.contains("value") &&
+           !scan.contains("props") && !scan.contains("user_id"),
+      s"scan should prune to (event_type, value):\n$scan")
+  }
+
+  test("moving average rides one user_id shuffle into a RANGE-framed window") {
+    val plan = planOf("events_moving_avg")
+    val userShuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userShuffles === 1,
+      s"events_moving_avg should shuffle once on user_id, got $userShuffles:\n$plan")
+    val winLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(winLine.contains("RangeFrame") && winLine.contains("-3600000000"),
+      s"the moving average must use a RANGE (time) frame, not ROWS:\n$winLine")
+  }
+
   test("tfidf windows per doc and nested-loops only the 1-row corpus count") {
     val plan = planOf("text_tfidf")
     val winLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
