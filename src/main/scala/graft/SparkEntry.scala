@@ -32,6 +32,7 @@ object SparkEntry {
     "topk_per_group"           -> (Relational.topkPerGroup _),
     "running_total"            -> (Relational.runningTotal _),
     "rollup_agg"               -> (Relational.rollupAgg _),
+    "cube_agg"                 -> (Relational.cubeAgg _),
     "distinct_agg"             -> (Relational.distinctAgg _),
     "anti_semi_join"           -> (Relational.antiSemiJoin _),
     "set_ops"                  -> (Relational.setOps _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "events_moving_avg"        -> (Events.movingAvg _),
     "quantile_sketch"          -> (Relational.quantileSketch _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
+    "events_asof_next"         -> (graft.plans.AsOf.eventsAsofNext _),
     // §2.4 dedup
     "dedup_exact"              -> (Dedup.exact _),
     "dedup_minhash_lsh"        -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -476,6 +478,17 @@ object SparkEntry {
         |FROM events
         |WHERE user_id < 10
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY g_prio, g_status,
+        |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -966,6 +979,20 @@ object SparkEntry {
         |  AND epoch_us(p.ts) - epoch_us(c.click_ts) <= 604800000000
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
         |  ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC) = 1
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "events_asof_next" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user_id, event_id AS click_id,
+        |  CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts, p.value, c.click_id, c.click_ts,
+        | epoch_us(c.click_ts) - epoch_us(p.ts) AS gap_us
+        |FROM p LEFT JOIN c ON p.user_id = c.c_user_id AND c.click_ts >= p.ts
+        |  AND epoch_us(c.click_ts) - epoch_us(p.ts) <= 604800000000
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |  ORDER BY c.click_ts ASC NULLS LAST, c.click_id ASC) = 1
         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "dedup_exact" ->

@@ -213,6 +213,27 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** CUBE grouping sets — all 2^k key subsets in one pass ([[rollupAgg]]
+    * covers the hierarchy prefixes; CUBE is the full lattice). Spark
+    * plans both through the same Expand + single hash aggregate, so the
+    * 100 TB shape is one shuffle over (rows × 4 grouping sets).
+    * `grouping()` flags disambiguate a real NULL key from a subtotal
+    * row, which also keeps the sort deterministic cross-engine. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        // grouping() is only resolvable inside the grouping aggregate.
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        pres(dsum(col("o_totalprice"), 2)).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("g_prio"), col("g_status"), col("sum_price"), col("n_orders"))
+      .orderBy(col("g_prio"), col("g_status"),
+        col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
   /** Multiple DISTINCT aggregates in one pass. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)

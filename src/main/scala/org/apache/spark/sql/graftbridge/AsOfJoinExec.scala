@@ -8,17 +8,24 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
-/** As-of join: each left row matches the single latest right row of the
-  * same key whose time is ≤ the left time (and within `toleranceUs`,
-  * when ≥ 0); unmatched left rows survive with nulls (left-outer).
+/** As-of join: each left row matches one right row of the same key,
+  * picked by `direction` (and within `toleranceUs`, when ≥ 0); unmatched
+  * left rows survive with nulls (left-outer).
+  *
+  *  - `backward` (default): the latest right row with time ≤ left time.
+  *  - `forward`: the earliest right row with time ≥ left time.
+  *  - `nearest`: whichever of the two is closer in time; an exact
+  *    distance tie keeps the backward row.
   *
   * NULL semantics follow SQL join semantics: a NULL key or NULL time on
   * either side never matches — left rows with NULL key/time pass through
   * unmatched, right rows with NULL key/time are skipped. Ties among
-  * right rows with equal (key, time) are broken by `rightSeq` ascending
-  * with the LAST (largest) winning, mirroring an `ORDER BY time DESC,
-  * seq DESC LIMIT 1` pick; without a seq the winner would be arrival
-  * order, i.e. nondeterministic under shuffle.
+  * right rows with equal (key, time) are broken by `rightSeq`: backward
+  * keeps the LAST in ascending seq (the largest, mirroring `ORDER BY
+  * time DESC, seq DESC LIMIT 1`), forward keeps the FIRST (the
+  * smallest, mirroring `ORDER BY time ASC, seq ASC LIMIT 1`); without a
+  * seq the winner would be arrival order, i.e. nondeterministic under
+  * shuffle.
   *
   * This is the one operator family in the engine where composing
   * built-ins genuinely fails at scale: an inequality join explodes to a
@@ -43,8 +50,11 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Long,
-    rightSeq: Seq[Expression])
+    rightSeq: Seq[Expression],
+    direction: String = "backward")
     extends BinaryNode {
+  require(AsOfJoinApi.Directions(direction),
+    s"as-of direction must be one of ${AsOfJoinApi.Directions}, got '$direction'")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -54,8 +64,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, rs) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, rs) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, rs, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, rs, dir) :: Nil
     case _ => Nil
   }
 }
@@ -68,7 +78,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Long,
-    rightSeq: Seq[Expression])
+    rightSeq: Seq[Expression],
+    direction: String = "backward")
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -90,6 +101,7 @@ case class AsOfJoinExec(
     val lk = leftKeys; val rk = rightKeys
     val lt = leftTime; val rt = rightTime
     val tol = toleranceUs
+    val dir = direction
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val lKeyProj = UnsafeProjection.create(lk, leftOut)
@@ -137,10 +149,14 @@ case class AsOfJoinExec(
             candidate = null
           }
           // Advance the right side through all rows with key < curKey,
-          // then through rows of curKey with time <= t, keeping the last
-          // (ordering puts the tie-break seq ascending, so last = max
-          // seq). Right rows with NULL key/time are consumed and
-          // dropped — they can never be a match candidate.
+          // then through rows of curKey on this side of t. Backward and
+          // nearest consume rows with time <= t keeping the last as the
+          // backward candidate (ordering puts the tie-break seq
+          // ascending, so last = max seq); forward consumes time < t
+          // strictly and keeps nothing, so an exact-equal row stays
+          // ahead as the forward candidate. Right rows with NULL
+          // key/time are consumed and dropped — they can never match.
+          val keepBack = dir != "forward"
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rRow = rBuf.head
@@ -153,15 +169,41 @@ case class AsOfJoinExec(
               else if (cmp > 0) { advancing = false }
               else {
                 val rT = rTimeRow.getLong(0)
-                if (rT <= t) {
-                  candidate = rRow.copy(); candidateTime = rT; rBuf.next()
+                if (if (keepBack) rT <= t else rT < t) {
+                  if (keepBack) { candidate = rRow.copy(); candidateTime = rT }
+                  rBuf.next()
                 } else advancing = false
               }
             }
           }
-          val matched = candidate != null &&
+          // Forward candidate: the (unconsumed) head, iff it still
+          // carries this key — it is the earliest right row with
+          // time >= t (forward) / time > t (nearest), and first in
+          // ascending seq among equal times. Peeked, never consumed:
+          // later left rows of the key may need it again.
+          var fwdRow: InternalRow = null
+          var fwdTime = 0L
+          if (dir != "backward" && rBuf.hasNext) {
+            val h = rBuf.head
+            val hKey = rKeyProj(h)
+            val hTimeRow = rTimeProj(h)
+            if (!hKey.anyNull && !hTimeRow.isNullAt(0) &&
+                keyOrdering.compare(hKey, curKey) == 0) {
+              fwdRow = h; fwdTime = hTimeRow.getLong(0)
+            }
+          }
+          val backOk = dir != "forward" && candidate != null &&
             (tol < 0 || t - candidateTime <= tol)
-          joined(lRow, if (matched) candidate else nullRight)
+          val fwdOk = dir != "backward" && fwdRow != null &&
+            (tol < 0 || fwdTime - t <= tol)
+          // nearest: smaller distance wins, exact tie keeps backward.
+          val pick: InternalRow =
+            if (backOk && fwdOk)
+              if (t - candidateTime <= fwdTime - t) candidate else fwdRow
+            else if (backOk) candidate
+            else if (fwdOk) fwdRow
+            else nullRight
+          joined(lRow, pick)
           joiner(joined)
         }
       }
@@ -174,13 +216,17 @@ case class AsOfJoinExec(
 }
 
 object AsOfJoinApi {
+  /** The supported match directions (pandas merge_asof's vocabulary). */
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
+
   /** Build the as-of-join DataFrame (Dataset.ofRows is private[sql]). */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column,
       toleranceUs: Long,
-      rightSeq: Seq[Column] = Nil): DataFrame = {
+      rightSeq: Seq[Column] = Nil,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -194,7 +240,8 @@ object AsOfJoinApi {
       ColumnBridge.expression(leftTime),
       ColumnBridge.expression(rightTime),
       toleranceUs,
-      rightSeq.map(ColumnBridge.expression))
+      rightSeq.map(ColumnBridge.expression),
+      direction)
     classic.Dataset.ofRows(spark, plan)
   }
 }

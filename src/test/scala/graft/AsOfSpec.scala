@@ -155,6 +155,104 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of matches a brute-force oracle on real events") {
+    val tolUs = 7L * 24 * 3600 * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.getEpochSecond * 1000000L +
+          r.getTimestamp(2).toInstant.getNano / 1000L, r.getString(3)))
+    val clicks = ev.filter(_._4 == "click")
+    val want = ev.filter(_._4 == "purchase").map { p =>
+      val cands = clicks.filter(c =>
+        c._1 == p._1 && c._3 >= p._3 && c._3 - p._3 <= tolUs)
+      // earliest click, ties to the SMALLEST click_id (forward rule)
+      p._2 -> (if (cands.isEmpty) None
+               else Some(cands.minBy(c => (c._3, c._2))._2))
+    }.toMap
+    val got = AsOf.eventsAsofNext(spark, sf).collect()
+      .map(r => r.getLong(1) -> Option(r.get(r.fieldIndex("click_id")))
+        .map(_.asInstanceOf[Long])).toMap
+    assert(got === want)
+  }
+
+  test("forward includes an exact-equal time and ties to the smallest seq") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 11L)).toDF("k", "t", "id")
+    // Two right rows exactly AT t=100 (winner must be the smaller rid 3),
+    // one later (the only forward candidate for t=101), one earlier
+    // (backward-only, must never match forward).
+    val right = Seq((1L, 100L, 5L), (1L, 100L, 3L), (1L, 150L, 7L), (1L, 90L, 1L))
+      .toDF("rk", "rt", "rid")
+    (1 to 4).foreach { i =>
+      val out = AsOf.asofJoin(left.repartition(i), right.repartition(5 - i),
+          Seq(left("k")), Seq(right("rk")), left("t"), right("rt"),
+          toleranceUs = -1L, rightSeq = Seq(right("rid")),
+          direction = "forward")
+        .select(col("id"), col("rid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(10L -> 3L, 11L -> 7L),
+        s"partitioning $i picked the wrong forward winner")
+    }
+  }
+
+  test("nearest picks the closer side and keeps backward on exact ties") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L),  // back at 95 (d=5), fwd at 102 (d=2) -> fwd 4
+      (1L, 96L, 11L),   // back at 95 (d=1), fwd at 102 (d=6) -> back 2
+      (1L, 99L, 12L),   // back at 95 (d=4), fwd at 102 (d=3) -> fwd 4
+      (2L, 50L, 13L),   // back at 45 (d=5), fwd at 55 (d=5): tie -> back 5
+      (3L, 10L, 14L),   // forward-only key
+      (4L, 10L, 15L)    // backward-only key
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      (1L, 95L, 2L), (1L, 102L, 4L),
+      (2L, 45L, 5L), (2L, 55L, 6L),
+      (3L, 20L, 7L), (4L, 5L, 8L)
+    ).toDF("rk", "rt", "rid")
+    val out = AsOf.asofJoin(left, right,
+        Seq(left("k")), Seq(right("rk")), left("t"), right("rt"),
+        toleranceUs = -1L, rightSeq = Seq(right("rid")),
+        direction = "nearest")
+      .select(col("id"), col("rid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(10L -> 4L, 11L -> 2L, 12L -> 4L,
+      13L -> 5L, 14L -> 7L, 15L -> 8L))
+  }
+
+  test("nearest respects tolerance on each side independently") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "id")
+    // back at 80 (d=20), fwd at 109 (d=9); tolerance 10 excludes back.
+    val right = Seq((1L, 80L, 1L), (1L, 109L, 2L)).toDF("rk", "rt", "rid")
+    val out = AsOf.asofJoin(left, right,
+        Seq(left("k")), Seq(right("rk")), left("t"), right("rt"),
+        toleranceUs = 10L, rightSeq = Seq(right("rid")),
+        direction = "nearest")
+      .select(col("id"), col("rid")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out === Map(10L -> Some(2L)))
+    // tolerance 5 excludes both.
+    val none = AsOf.asofJoin(left, right,
+        Seq(left("k")), Seq(right("rk")), left("t"), right("rt"),
+        toleranceUs = 5L, rightSeq = Seq(right("rid")),
+        direction = "nearest")
+      .select(col("id"), col("rid")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(none === Map(10L -> None))
+  }
+
+  test("an unknown direction fails loudly at plan construction") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L)).toDF("k", "t", "id")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(df, df.select(col("k").as("rk"), col("t").as("rt"), col("id").as("rid")),
+        Seq(df("k")), Nil, df("t"), df("t"), -1L, Nil, direction = "sideways")
+    }
+    assert(e.getMessage.contains("sideways"))
+  }
+
   test("tolerance bounds the match window") {
     val ev = Tables.events(spark, sf)
     val p = ev.filter(col("event_type") === "purchase")

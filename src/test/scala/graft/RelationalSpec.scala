@@ -53,6 +53,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("cube emits the full grouping lattice and every set partitions the corpus") {
+    val rows = SparkEntry.queries("cube_agg")(spark, sf).collect()
+    val bySet = rows.groupBy(r =>
+      (r.getAs[Int]("g_prio"), r.getAs[Int]("g_status")))
+    assert(bySet.keySet === Set((0, 0), (0, 1), (1, 0), (1, 1)),
+      "CUBE over 2 keys must emit all 4 grouping sets")
+    val grand = bySet((1, 1))
+    assert(grand.length === 1, "exactly one grand-total row")
+    val n = grand.head.getAs[Long]("n_orders")
+    assert(n > 0)
+    // Each grouping set partitions the same corpus: counts re-sum to n.
+    bySet.foreach { case (set, rs) =>
+      assert(rs.map(_.getAs[Long]("n_orders")).sum === n,
+        s"grouping set $set does not partition the corpus")
+    }
+  }
+
   test("approx_count_distinct stays within HLL error bounds of exact") {
     val rows = SparkEntry.queries("approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
