@@ -81,4 +81,54 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(run(10) === (1L to 10L).toSeq)
     assert(Option(run(9)) === None)
   }
+
+  test("as-of merge: every direction matches brute force on random series") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Dense keys and a tiny time domain force collisions: equal-time
+    // ties, exact-distance ties, empty sides, and both-side candidates
+    // all occur across the trials.
+    (1 to 5).foreach { trial =>
+      val nL = 40 + rng.nextInt(60)
+      val nR = 40 + rng.nextInt(60)
+      val lRows = (1 to nL).map(i =>
+        (rng.nextInt(5).toLong, rng.nextInt(30).toLong, i.toLong))
+      val rRows = (1 to nR).map(i =>
+        (rng.nextInt(5).toLong, rng.nextInt(30).toLong, i.toLong))
+      val tol = if (rng.nextBoolean()) rng.nextInt(8).toLong else -1L
+      val left = lRows.toDF("k", "t", "id").repartition(3)
+      val right = rRows.toDF("rk", "rt", "rid").repartition(4)
+
+      def brute(dir: String): Map[Long, Option[Long]] = lRows.map { case (k, t, id) =>
+        val back = rRows.filter(r => r._1 == k && r._2 <= t &&
+          (tol < 0 || t - r._2 <= tol))
+          .sortBy(r => (r._2, r._3)).lastOption
+        val fwd = rRows.filter(r => r._1 == k && r._2 >= t &&
+          (tol < 0 || r._2 - t <= tol))
+          .sortBy(r => (r._2, r._3)).headOption
+        val pick = dir match {
+          case "backward" => back
+          case "forward"  => fwd
+          case "nearest"  => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              // forward candidates at distance 0 were consumed backward,
+              // and ties keep backward either way
+              if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        id -> pick.map(_._3)
+      }.toMap
+
+      Seq("backward", "forward", "nearest").foreach { dir =>
+        val got = graft.plans.AsOf.asofJoin(left, right,
+            Seq(left("k")), Seq(right("rk")), left("t"), right("rt"),
+            toleranceUs = tol, rightSeq = Seq(right("rid")), direction = dir)
+          .select(col("id"), col("rid")).collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+          .toMap
+        assert(got === brute(dir), s"trial=$trial dir=$dir tol=$tol")
+      }
+    }
+  }
 }
