@@ -75,6 +75,7 @@ object SparkEntry {
     "events_json_props"        -> (Events.jsonProps _),
     "events_value_hist"        -> ((s, d) => Events.valueHist(s, d)),
     "events_moving_avg"        -> (Events.movingAvg _),
+    "events_zscore_outliers"   -> (Events.zscoreOutliers _),
     "quantile_sketch"          -> (Relational.quantileSketch _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     "events_asof_next"         -> (graft.plans.AsOf.eventsAsofNext _),
@@ -103,6 +104,8 @@ object SparkEntry {
     "text_pii_scrub"           -> (Text.piiScrub _),
     "text_tfidf"               -> (Text.tfidf _),
     "text_vocab"               -> (Text.vocab _),
+    "corpus_mix"               -> (Text.corpusMix _),
+    "text_c4_filters"          -> (Text.c4Filters _),
     "sample_stratified"        -> (Text.sampleStratified _),
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
@@ -833,6 +836,28 @@ object SparkEntry {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
+    // Moments as exact integer cents (DuckDB's SUM(BIGINT) is HUGEINT —
+    // 128-bit exact, the analog of the Spark side's DECIMAL(38,0));
+    // the z arithmetic is the same IEEE sequence in both engines, so
+    // the 2.5 boundary is bit-stable.
+    "events_zscore_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+        |    SUM(cents) AS s, SUM(cents * cents) AS ss
+        |  FROM e GROUP BY event_type),
+        |z AS (SELECT e.event_id, e.event_type, e.value,
+        |    (CAST(e.cents AS DOUBLE)
+        |       - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+        |    / sqrt(CAST(st.ss AS DOUBLE) / CAST(st.n AS DOUBLE)
+        |           - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+        |             * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))) AS zv
+        |  FROM e JOIN st USING (event_type))
+        |SELECT event_id, event_type, value,
+        |  CAST(CAST(ROUND(zv, 4) AS DECIMAL(10,4)) AS DOUBLE) AS zscore
+        |FROM z WHERE abs(zv) > 2.5
+        |ORDER BY event_id""".stripMargin,
+
     "events_asof_prev" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         | LAG(event_type) OVER w AS prev_type,
@@ -1352,6 +1377,53 @@ object SparkEntry {
         |    AS max_abs_err
         |FROM d
         |ORDER BY vec_id""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH a AS (SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source, lang),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM a)
+        |SELECT source, lang, n_docs, n_tokens, n_chars,
+        |  CAST(CAST(ROUND(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4)
+        |    AS DECIMAL(10,4)) AS DOUBLE) AS token_share,
+        |  CAST(CAST(ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        |    AS DECIMAL(10,4)) AS DOUBLE) AS avg_doc_tokens
+        |FROM a CROSS JOIN t
+        |ORDER BY source, lang""".stripMargin,
+
+    "text_c4_filters" ->
+      """WITH f AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' function() { var x = 1; }' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum dolor sit amet' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' please enable javascript to continue' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(t, '\s+')) AS INT) AS n_words,
+        |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE)
+        |      / CAST(len(string_split_regex(t, '\s+')) AS DOUBLE) AS mean_len,
+        |    regexp_matches(t, '[.!?"]$') AS ends_punct,
+        |    contains(t, '{') AS has_curly,
+        |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |    contains(lower(t), 'javascript') AS has_js
+        |  FROM f),
+        |r AS (SELECT *,
+        |    CASE WHEN has_curly THEN 'curly_brace'
+        |         WHEN has_lorem THEN 'lorem_ipsum'
+        |         WHEN has_js THEN 'javascript'
+        |         WHEN NOT ends_punct THEN 'no_terminal_punct'
+        |         WHEN n_words < 5 THEN 'too_short'
+        |         WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'word_length'
+        |         ELSE 'kept' END AS drop_reason
+        |  FROM s)
+        |SELECT doc_id, n_words,
+        |  CAST(CAST(ROUND(mean_len, 4) AS DECIMAL(10,4)) AS DOUBLE) AS mean_word_len,
+        |  ends_punct, has_curly, has_lorem, has_js AS has_javascript,
+        |  drop_reason, drop_reason = 'kept' AS kept
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

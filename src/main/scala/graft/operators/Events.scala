@@ -252,6 +252,47 @@ object Events {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** #32j events_zscore_outliers: exact-aggregate anomaly detection —
+    * per-event-type mean and standard deviation of `value`, then every
+    * event whose z-score exceeds |2.5|, with the score. The classic
+    * metric-outlier sweep a pipeline runs before trusting a column.
+    *
+    * Exactness: values have 2-decimal precision, so the first and
+    * second moments aggregate as integer cents in DECIMAL(38,0) —
+    * exact, spill-safe, and overflow-proof at any corpus size (a
+    * 64-bit sum of squared cents would wrap around ~10^12 rows) — and
+    * the mean/variance/z arithmetic is a fixed IEEE-754 sequence over
+    * those exact integers, so scores (and the |z| > 2.5 boundary) are
+    * bit-identical cross-engine and the result sits under the hash
+    * gate.
+    *
+    * Scale shape: one map-side-combinable aggregation to the
+    * |types|-sized stats frame, joined back as a dimension join AQE
+    * broadcasts unhinted — the corpus itself never shuffles, and the
+    * outlier filter fuses into the scan-side map. Two pruned scans (a
+    * stats pass + a filter pass) are deliberate: the single-scan
+    * alternative is a partitionBy(event_type) window, which funnels
+    * the whole corpus through |types| tasks. */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("s"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("ss"))
+    val mean = col("s").cast("double") / col("n").cast("double")
+    val variance = col("ss").cast("double") / col("n").cast("double") - mean * mean
+    val z = (col("cents").cast("double") - mean) / sqrt(variance)
+    ev.join(stats, "event_type")
+      .withColumn("zv", z)
+      .filter(abs(col("zv")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        d4(col("zv")).as("zscore"))
+      .orderBy(col("event_id"))
+  }
+
   /** #32 events_asof_prev: each event joined to the user's previous
     * event (the as-of-prior row in the same series) — previous type,
     * previous value, and the inter-event gap in microseconds. */

@@ -339,6 +339,87 @@ object Text {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** #44h corpus_mix: the corpus composition report — per (source,
+    * language) document and token counts, each cell's share of all
+    * corpus tokens, and mean document length — the table a data-mixing
+    * step reads before choosing sampling weights (and the audit a
+    * curation run publishes after). Shares are exact integer ratios
+    * under one IEEE division, so the result sits under the hash gate.
+    *
+    * Scale shape: one map-side-combinable aggregation on the
+    * (|sources| × |langs|)-sized key — dimension-sized output from
+    * corpus-sized input, single shuffle — then a 1-row total broadcast
+    * cross-joined back. The corpus itself never reshuffles. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).as("n_toks"),
+        length(col("text")).as("len"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("len")).as("n_chars"))
+    val total = agg.agg(sum(col("n_tokens")).as("total_tokens"))
+    agg.crossJoin(broadcast(total))
+      .select(
+        col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        d4(col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("token_share"),
+        d4(col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avg_doc_tokens"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** #44i text_c4_filters: the C4-style document filter battery —
+    * terminal-punctuation check, curly-brace (code) detection,
+    * "lorem ipsum" boilerplate, the "javascript" enable-JS banner,
+    * minimum word count, and mean-word-length bounds — each doc gets
+    * its signal columns, the FIRST failing rule as `drop_reason`, and
+    * the final keep verdict. The corpus text is word salad with none
+    * of these artifacts, so (the [[piiScrub]] trade) a deterministic
+    * per-doc_id decoration injects them in-plan: the filter semantics
+    * under test are fully real, the triggering text is synthesized,
+    * and every rule fires on a driver-checkable subset.
+    *
+    * Scale shape: pure per-row string/regex map, zero shuffle —
+    * whole-stage codegen over 100 TB, the same class as [[quality]]. */
+  def c4Filters(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val full = concat(
+      col("text"),
+      when(id % 7 === 0, lit(" function() { var x = 1; }")).otherwise(lit("")),
+      when(id % 13 === 0, lit(" lorem ipsum dolor sit amet")).otherwise(lit("")),
+      when(id % 11 === 0, lit(" please enable javascript to continue")).otherwise(lit("")),
+      when(id % 2 === 0, lit(".")).otherwise(lit("")))
+    val nWords = size(split(full, "\\s+"))
+    val meanLen = length(regexp_replace(full, "\\s", "")).cast("double") /
+      nWords.cast("double")
+    val endsPunct = full.rlike("[.!?\"]$")
+    val hasCurly = full.contains("{")
+    val hasLorem = lower(full).contains("lorem ipsum")
+    val hasJs = lower(full).contains("javascript")
+    val reason = when(hasCurly, "curly_brace")
+      .when(hasLorem, "lorem_ipsum")
+      .when(hasJs, "javascript")
+      .when(!endsPunct, "no_terminal_punct")
+      .when(nWords < 5, "too_short")
+      .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
+      .otherwise("kept")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        d4(meanLen).as("mean_word_len"),
+        endsPunct.as("ends_punct"),
+        hasCurly.as("has_curly"),
+        hasLorem.as("has_lorem"),
+        hasJs.as("has_javascript"),
+        reason.as("drop_reason"),
+        (reason === "kept").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #44g text_vocab: the corpus token-frequency table — top-100 BPE-ish
     * tokens by occurrence count with document frequency and CUMULATIVE
     * corpus coverage (what fraction of all token instances the

@@ -59,6 +59,32 @@ class EventsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("z-score outliers match a driver-side recomputation exactly") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // Mirror the operator's arithmetic step for step (same IEEE order):
+    // exact integer-cents moments, then mean/var/z in doubles.
+    val want = ev.groupBy(_._2).flatMap { case (_, rs) =>
+      val cents = rs.map(t => math.round(t._3 * 100))
+      val n = cents.length.toDouble
+      val s = cents.map(BigInt(_)).sum
+      val ss = cents.map(c => BigInt(c) * BigInt(c)).sum
+      val mean = s.toDouble / n
+      val variance = ss.toDouble / n - mean * mean
+      val std = math.sqrt(variance)
+      rs.zip(cents).toSeq.collect {
+        case ((id, _, _), c) if math.abs((c.toDouble - mean) / std) > 2.5 =>
+          id -> BigDecimal((c.toDouble - mean) / std)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val got = Events.zscoreOutliers(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("zscore")).toMap
+    assert(got === want)
+    assert(got.nonEmpty, "corpus should contain tail values beyond 2.5 sigma")
+  }
+
   test("value histogram buckets partition the corpus exactly") {
     val rows = Events.valueHist(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_events")).sum

@@ -115,11 +115,35 @@ class PlanSpec extends AnyFunSuite {
   test("per-row text operators plan as pure map scans (no hash shuffle)") {
     // pii_scrub and token_stats are narrow column arithmetic: the only
     // exchange allowed is the presentation sort's range partitioning.
-    Seq("text_pii_scrub", "text_token_stats", "text_quality").foreach { q =>
+    Seq("text_pii_scrub", "text_token_stats", "text_quality",
+        "text_c4_filters").foreach { q =>
       val plan = planOf(q)
       assert(!plan.contains("Exchange hashpartitioning"),
         s"$q: unexpected hash shuffle in a map-only operator\n$plan")
     }
+  }
+
+  test("zscore outliers: one stats shuffle, stats broadcast back, corpus unshuffled") {
+    // The |types|-sized moments frame is the ONLY thing that rides a
+    // hash exchange; the corpus-sized probe side joins it by broadcast
+    // (unhinted — AQE/stats decide) and never repartitions. A
+    // partitionBy(event_type) window would compute the same thing with
+    // the whole corpus funneled through |types| tasks — the shape this
+    // test exists to keep out.
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("events_zscore_outliers")(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"stats frame should broadcast back onto the corpus:\n$finalPlan")
+    val hashExchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"only the stats aggregation may shuffle, got $hashExchanges:\n$finalPlan")
   }
 
   test("decontamination semi-joins the eval n-grams unhinted (AQE decides broadcast)") {

@@ -64,6 +64,50 @@ class TextSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("c4 filter battery: every rule fires and the verdict matches the signals") {
+    val rows = Text.c4Filters(spark, sf).collect()
+    assert(rows.length === graft.sources.Tables.documents(spark, sf).count())
+    val reasons = rows.map(_.getAs[String]("drop_reason")).toSet
+    // The %2/%7/%11/%13 decoration guarantees each of these fires.
+    Seq("curly_brace", "lorem_ipsum", "javascript", "no_terminal_punct", "kept")
+      .foreach(r => assert(reasons.contains(r), s"rule '$r' never fired"))
+    rows.foreach { r =>
+      val (curly, lorem, js, punct) = (r.getAs[Boolean]("has_curly"),
+        r.getAs[Boolean]("has_lorem"), r.getAs[Boolean]("has_javascript"),
+        r.getAs[Boolean]("ends_punct"))
+      val want =
+        if (curly) "curly_brace"
+        else if (lorem) "lorem_ipsum"
+        else if (js) "javascript"
+        else if (!punct) "no_terminal_punct"
+        else if (r.getAs[Int]("n_words") < 5) "too_short"
+        else if (r.getAs[Double]("mean_word_len") < 3.0 ||
+                 r.getAs[Double]("mean_word_len") > 10.0) "word_length"
+        else "kept"
+      assert(r.getAs[String]("drop_reason") === want, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Boolean]("kept") === (want == "kept"))
+      // Decoration determinism: the flag columns follow doc_id exactly.
+      val id = r.getLong(0)
+      assert(curly === (id % 7 == 0), s"doc $id curly")
+      assert(lorem === (id % 13 == 0), s"doc $id lorem")
+      assert(js === (id % 11 == 0), s"doc $id js")
+    }
+  }
+
+  test("corpus mix cells partition the corpus and shares sum to one") {
+    val rows = Text.corpusMix(spark, sf).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === graft.sources.Tables.documents(spark, sf).count())
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    // Each cell is d4-rounded, so the sum can drift by n_cells * 5e-5.
+    assert(math.abs(shareSum - 1.0) <= rows.length * 5e-5,
+      s"token shares sum to $shareSum over ${rows.length} cells")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0 && r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Double]("avg_doc_tokens") > 0.0)
+    }
+  }
+
   test("bpe-ish token count >= whitespace token count") {
     val bad = Text.tokenStats(spark, sf)
       .filter(col("n_bpe_tokens") < col("n_ws_tokens")).count()
