@@ -106,11 +106,13 @@ object SparkEntry {
     "text_vocab"               -> (Text.vocab _),
     "corpus_mix"               -> (Text.corpusMix _),
     "text_c4_filters"          -> (Text.c4Filters _),
+    "text_seq_packing"         -> (Text.seqPacking _),
     "sample_stratified"        -> (Text.sampleStratified _),
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
     // §2.7 multimodal
-    "mm_binary_pipeline"       -> (Multimodal.pipeline _)
+    "mm_binary_pipeline"       -> (Multimodal.pipeline _),
+    "mm_frame_sample"          -> (Multimodal.frameSample _)
   )
 
   /** Rabin-Karp winnowing (k=8, w=4) in DuckDB SQL, shared by the
@@ -1151,6 +1153,20 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id, nb FROM hx) x JOIN agg a USING (doc_id)
         |ORDER BY x.doc_id""".stripMargin,
 
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |f AS (SELECT doc_id, nb, h, CAST(r.i AS INT) AS frame_idx
+        |  FROM m, UNNEST(range(0, GREATEST(nb // 64, 1), 4)) AS r(i))
+        |SELECT doc_id,
+        |  (['jpeg','png','webp'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  frame_idx,
+        |  CAST(LEAST(64, nb - frame_idx * 64) AS INT) AS frame_bytes,
+        |  md5(substring(h, frame_idx * 128 + 1, 128)) AS frame_md5
+        |FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "text_fingerprint" ->
       s"""$winnowSelCtes,
         |agg AS (SELECT doc_id, list_sort(list(fpv)) AS fp,
@@ -1423,6 +1439,27 @@ object SparkEntry {
         |  ends_punct, has_curly, has_lorem, has_js AS has_javascript,
         |  drop_reason, drop_reason = 'kept' AS kept
         |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    // The oracle is the NAIVE corpus-wide prefix sum (one global
+    // window — fine at DuckDB scale); the Spark side computes the same
+    // numbers hierarchically. Equality here pins the decomposition.
+    "text_seq_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_offset
+        |  FROM d)
+        |SELECT doc_id, n_tokens, token_offset,
+        |  token_offset // 2048 AS seq_first,
+        |  (token_offset + GREATEST(n_tokens, 1) - 1) // 2048 AS seq_last,
+        |  token_offset // 2048 <>
+        |    (token_offset + GREATEST(n_tokens, 1) - 1) // 2048 AS spans_boundary
+        |FROM o
         |ORDER BY doc_id""".stripMargin,
 
     "text_token_stats" ->

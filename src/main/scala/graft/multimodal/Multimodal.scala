@@ -116,6 +116,38 @@ object Multimodal {
     }
   }
 
+  /** #45b mm_frame_sample: the video-path driver query — every media
+    * payload treated as fixed-size frames, every `stride`-th frame
+    * sampled and fingerprinted (md5 over the frame's hex rendition),
+    * as pure codegen'd column functions: hex + a bounded `sequence`
+    * explode + substring + md5, no UDF, no mapPartitions. The
+    * [[sampleFrames]] Dataset API is the batched-codec variant of the
+    * same semantics; this one sits under the DuckDB hash oracle.
+    *
+    * Scale shape: scan-fused map with a stride-bounded explode (output
+    * rows ≈ payload_bytes / (frameBytes · stride), linear in input),
+    * zero shuffle except the presentation sort. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val frameBytes = 64
+    val stride = 4
+    mediaTable(spark, dir).toDF()
+      .select(
+        col("doc_id"), col("format"),
+        hex(col("payload")).as("h"),
+        length(col("payload")).as("n_bytes"))
+      .select(col("doc_id"), col("format"), col("h"), col("n_bytes"),
+        explode(sequence(lit(0),
+          greatest((col("n_bytes") / frameBytes).cast("int"), lit(1)) - 1,
+          lit(stride))).as("frame_idx"))
+      .select(
+        col("doc_id"), col("format"), col("frame_idx"),
+        least(lit(frameBytes), col("n_bytes") - col("frame_idx") * frameBytes)
+          .cast("int").as("frame_bytes"),
+        md5(expr(s"substring(h, frame_idx * ${frameBytes * 2} + 1, ${frameBytes * 2})")
+          .cast("binary")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** #45 mm_binary_pipeline: media synthesis → batched stub decode →
     * per-doc feature presentation. The normalized float features are
     * de-normalized back to their exact integer histogram counts

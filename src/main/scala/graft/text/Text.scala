@@ -420,6 +420,52 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** #44j text_seq_packing: concat-and-chunk sequence packing — the
+    * step that turns a curated corpus into fixed-length training
+    * sequences: documents are concatenated in doc_id order and cut
+    * into 2048-token context windows; each doc reports its global
+    * token offset, the first/last sequence it lands in, and whether
+    * it straddles a chunk boundary (the packing-efficiency signal).
+    *
+    * Scale shape: the global prefix sum is computed HIERARCHICALLY —
+    * a per-block running sum (windows partitioned by `doc_id / B`, so
+    * every block is an independent task) plus a block-offset table
+    * (one tiny window over n_docs/B block rows) joined back as a
+    * dimension broadcast — never a corpus-wide unpartitioned window,
+    * which would funnel 100 TB through a single task. The oracle IS
+    * that naive global window (fine at DuckDB's scale), pinning the
+    * hierarchical decomposition exactly. At another 1000× the block
+    * table recurses one more level; the per-doc plan is unchanged. */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 2048L // context-window tokens
+    val B = 256L      // docs per prefix-sum block
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          .cast("long").as("n_tokens"),
+        (col("doc_id") / B).cast("long").as("block"))
+    val wBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).orderBy(col("doc_id"))
+    val inBlock = base.withColumn("cum_in_block",
+      sum(col("n_tokens")).over(wBlock) - col("n_tokens"))
+    val wBlocks = org.apache.spark.sql.expressions.Window.orderBy(col("block"))
+    val blockOffsets = base.groupBy(col("block"))
+      .agg(sum(col("n_tokens")).as("block_tokens"))
+      .withColumn("block_offset",
+        coalesce(sum(col("block_tokens")).over(wBlocks) - col("block_tokens"),
+          lit(0L)))
+      .select(col("block"), col("block_offset"))
+    inBlock.join(blockOffsets, "block")
+      .withColumn("token_offset", col("block_offset") + col("cum_in_block"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("token_offset"),
+        expr(s"token_offset DIV $chunk").as("seq_first"),
+        expr(s"(token_offset + greatest(n_tokens, 1L) - 1L) DIV $chunk")
+          .as("seq_last"))
+      .withColumn("spans_boundary", col("seq_first") =!= col("seq_last"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #44g text_vocab: the corpus token-frequency table — top-100 BPE-ish
     * tokens by occurrence count with document frequency and CUMULATIVE
     * corpus coverage (what fraction of all token instances the

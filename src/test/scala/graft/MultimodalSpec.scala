@@ -68,4 +68,28 @@ class MultimodalSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     assert(n === docs)
   }
+
+  test("frame-sample driver query matches a byte-level driver recount") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hexUp(bs: Array[Byte]) = bs.map(b => f"$b%02X").mkString
+    def hexLo(bs: Array[Byte]) = bs.map(b => f"$b%02x").mkString
+    val want = docs.flatMap { case (id, payload) =>
+      val h = hexUp(payload)
+      val nFrames = math.max(payload.length / 64, 1)
+      (0 until nFrames by 4).map { f =>
+        val sub = h.substring(math.min(f * 128, h.length),
+          math.min(f * 128 + 128, h.length))
+        ((id, f), (math.min(64, payload.length - f * 64),
+          hexLo(md.digest(sub.getBytes("UTF-8")))))
+      }
+    }.toMap
+    val got = Multimodal.frameSample(spark, sf).collect().map { r =>
+      ((r.getLong(0), r.getInt(2)), (r.getInt(3), r.getString(4)))
+    }.toMap
+    assert(got === want)
+    assert(got.keys.exists(_._2 >= 4), "long payloads must sample multiple frames")
+  }
 }

@@ -123,6 +123,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("seq packing computes its prefix sum hierarchically (no corpus-wide window)") {
+    // The per-doc running sum must ride windows PARTITIONED by the
+    // prefix-sum block — a corpus-wide unpartitioned window (the naive
+    // formulation, and exactly what the DuckDB oracle runs) would pull
+    // every row through one task. The only single-partition funnel
+    // allowed is the n_docs/B block-offset table.
+    val plan = planOf("text_seq_packing")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("block")),
+      s"per-doc window should shuffle by block:\n$plan")
+    val singleParts = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singleParts <= 1,
+      s"only the block-offset table may single-partition, got $singleParts:\n$plan")
+  }
+
   test("zscore outliers: one stats shuffle, stats broadcast back, corpus unshuffled") {
     // The |types|-sized moments frame is the ONLY thing that rides a
     // hash exchange; the corpus-sized probe side joins it by broadcast

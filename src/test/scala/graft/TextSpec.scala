@@ -108,6 +108,24 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("seq packing offsets equal a sequential driver-side pack") {
+    val toks = Text.tokenStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(3).toLong).sortBy(_._1)
+    var off = 0L
+    val want = toks.map { case (id, n) =>
+      val o = off; off += n
+      val first = o / 2048
+      val last = (o + math.max(n, 1L) - 1L) / 2048
+      (id, (n, o, first, last, first != last))
+    }.toMap
+    val got = Text.seqPacking(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    }.toMap
+    assert(got === want)
+    assert(got.values.exists(_._5), "some doc must straddle a 2048 boundary")
+  }
+
   test("bpe-ish token count >= whitespace token count") {
     val bad = Text.tokenStats(spark, sf)
       .filter(col("n_bpe_tokens") < col("n_ws_tokens")).count()
