@@ -108,6 +108,7 @@ object SparkEntry {
     "text_c4_filters"          -> (Text.c4Filters _),
     "text_seq_packing"         -> (Text.seqPacking _),
     "sample_stratified"        -> (Text.sampleStratified _),
+    "curation_report"          -> (graft.pipeline.Curation.report _),
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
     // §2.7 multimodal
@@ -1152,6 +1153,145 @@ object SparkEntry {
         |  CAST(c0 AS DOUBLE) / CAST(x.nb AS DOUBLE) AS feat_0
         |FROM (SELECT DISTINCT doc_id, nb FROM hx) x JOIN agg a USING (doc_id)
         |ORDER BY x.doc_id""".stripMargin,
+
+    // The curation funnel: the per-stage oracles composed into one
+    // statement — the dedup recursive-CTE chain (dedup_survivors), the
+    // quality score (text_quality), the language argmax (text_langid),
+    // the 8-gram hit flag (text_decontaminate), and the md5-bucket
+    // sampler (sample_stratified), each verbatim.
+    "curation_report" ->
+      """WITH RECURSIVE toks3 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh3 AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[r.i] || ' ' || t[r.i+1] || ' ' || t[r.i+2]
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks3, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |capped AS (SELECT shingle FROM sh3 GROUP BY shingle HAVING COUNT(*) <= 200),
+        |uni AS (SELECT s.doc_id, s.shingle FROM sh3 s JOIN capped USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM uni GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |       FROM uni a JOIN uni b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |prs AS (SELECT doc_a, doc_b
+        |  FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        |          UNION ALL SELECT doc_b, doc_a FROM prs),
+        |reach AS (
+        |  SELECT a AS v, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a AS v, w.r FROM edges e JOIN reach w ON e.b = w.v),
+        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        |qt AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS toks,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct
+        |  FROM documents),
+        |qs AS (SELECT doc_id, n_chars, punct,
+        |  CAST(len(toks) AS DOUBLE) AS n_toks,
+        |  CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','on','for'], x))) AS DOUBLE) AS stops
+        |  FROM qt),
+        |qq AS (SELECT doc_id,
+        |  CAST(CAST(ROUND(
+        |    LEAST(n_chars / 500.0, 1.0) * 0.4
+        |    + LEAST(stops / GREATEST(n_toks * 0.05, 1.0), 1.0) * 0.4
+        |    + GREATEST(1.0 - punct / GREATEST(n_chars * 0.1, 1.0), 0.0) * 0.2, 4)
+        |    AS DECIMAL(10,4)) AS DOUBLE) AS quality_score
+        |  FROM qs),
+        |lt AS (SELECT doc_id, text,
+        |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |ls AS (SELECT doc_id, text, toks,
+        |    CAST(GREATEST(len(toks), 1) AS DOUBLE) AS n FROM lt),
+        |lsc AS (SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','is','that','with','for'], x))) AS DOUBLE) / n AS s_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit'], x))) AS DOUBLE) / n AS s_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','est','pas','une','dans'], x))) AS DOUBLE) / n AS s_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['el','los','las','es','y','no','una','por'], x))) AS DOUBLE) / n AS s_es,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+        |      AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE) AS cjk
+        |  FROM ls),
+        |llng AS (
+        |  SELECT doc_id, cjk, MAX(b) AS best FROM (
+        |    SELECT doc_id, cjk, {'score': s_en, 'lang': 'en'} AS b FROM lsc
+        |    UNION ALL SELECT doc_id, cjk, {'score': s_de, 'lang': 'de'} FROM lsc
+        |    UNION ALL SELECT doc_id, cjk, {'score': s_fr, 'lang': 'fr'} FROM lsc
+        |    UNION ALL SELECT doc_id, cjk, {'score': s_es, 'lang': 'es'} FROM lsc) u
+        |  GROUP BY doc_id, cjk),
+        |lpred AS (SELECT doc_id,
+        |    CASE WHEN cjk > 0.3 THEN 'zh' ELSE best.lang END AS pred_lang
+        |  FROM llng),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 8
+        |      THEN t[r.i]||' '||t[r.i+1]||' '||t[r.i+2]||' '||t[r.i+3]||' '
+        |           ||t[r.i+4]||' '||t[r.i+5]||' '||t[r.i+6]||' '||t[r.i+7]
+        |      ELSE array_to_string(t, ' ') END AS ngram
+        |  FROM toks3, UNNEST(CASE WHEN len(t) >= 8 THEN range(1, len(t)-6) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |dev AS (SELECT DISTINCT ngram FROM dsh WHERE doc_id % 20 = 0),
+        |dtr AS (SELECT doc_id, ngram FROM dsh WHERE doc_id % 20 <> 0),
+        |dh AS (SELECT doc_id, COUNT(*) AS n_hits FROM dtr JOIN dev USING (ngram) GROUP BY doc_id),
+        |dclean AS (SELECT t.doc_id
+        |  FROM (SELECT DISTINCT doc_id FROM dtr) t LEFT JOIN dh ON dh.doc_id = t.doc_id
+        |  WHERE COALESCE(dh.n_hits, 0) = 0),
+        |smp AS (SELECT doc_id,
+        |    5 + (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) * 7) % 90 AS rate_pct,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+        |  FROM documents),
+        |bse AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |flags AS (SELECT b.doc_id, b.n_toks,
+        |    (q.quality_score >= 0.5) AS s1x,
+        |    (q.quality_score >= 0.5 AND p.pred_lang = 'en') AS s2x,
+        |    (q.quality_score >= 0.5 AND p.pred_lang = 'en'
+        |      AND (cl.doc_id IS NULL OR cl.cluster_id = cl.doc_id)) AS s3x,
+        |    (q.quality_score >= 0.5 AND p.pred_lang = 'en'
+        |      AND (cl.doc_id IS NULL OR cl.cluster_id = cl.doc_id)
+        |      AND dc.doc_id IS NOT NULL) AS s4x,
+        |    (q.quality_score >= 0.5 AND p.pred_lang = 'en'
+        |      AND (cl.doc_id IS NULL OR cl.cluster_id = cl.doc_id)
+        |      AND dc.doc_id IS NOT NULL AND s.bucket < s.rate_pct) AS s5x
+        |  FROM bse b
+        |  JOIN qq q ON q.doc_id = b.doc_id
+        |  JOIN lpred p ON p.doc_id = b.doc_id
+        |  LEFT JOIN cl ON cl.doc_id = b.doc_id
+        |  LEFT JOIN dclean dc ON dc.doc_id = b.doc_id
+        |  JOIN smp s ON s.doc_id = b.doc_id),
+        |rep AS (
+        |  SELECT CAST(0 AS INT) AS stage, 'raw' AS stage_name,
+        |    COUNT(*)::BIGINT AS n_docs,
+        |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM flags
+        |  UNION ALL SELECT 1, 'quality',
+        |    CAST(SUM(CASE WHEN s1x THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN s1x THEN n_toks ELSE 0 END), 0) AS BIGINT) FROM flags
+        |  UNION ALL SELECT 2, 'language',
+        |    CAST(SUM(CASE WHEN s2x THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN s2x THEN n_toks ELSE 0 END), 0) AS BIGINT) FROM flags
+        |  UNION ALL SELECT 3, 'dedup',
+        |    CAST(SUM(CASE WHEN s3x THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN s3x THEN n_toks ELSE 0 END), 0) AS BIGINT) FROM flags
+        |  UNION ALL SELECT 4, 'decontaminate',
+        |    CAST(SUM(CASE WHEN s4x THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN s4x THEN n_toks ELSE 0 END), 0) AS BIGINT) FROM flags
+        |  UNION ALL SELECT 5, 'sample',
+        |    CAST(SUM(CASE WHEN s5x THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN s5x THEN n_toks ELSE 0 END), 0) AS BIGINT) FROM flags),
+        |tot AS (SELECT n_docs AS n0 FROM rep WHERE stage = 0)
+        |SELECT stage, stage_name, n_docs, n_tokens,
+        |  CAST(CAST(ROUND(CAST(n_docs AS DOUBLE)
+        |    / CAST(GREATEST(n0, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS pct_of_raw
+        |FROM rep CROSS JOIN tot
+        |ORDER BY stage""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS h,

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.Exact.d4
+import graft.sources.Tables
+import graft.text.Text
+
+/** The end-to-end training-data curation pipeline as ONE declarative
+  * plan (SURVEY §2.6 #44k): the composition every section of the
+  * library builds toward — quality gate → language filter → near-dup
+  * survivor pick → benchmark decontamination → stratified sampling —
+  * reported as the per-stage funnel (docs, tokens, fraction of raw
+  * corpus remaining) that a curation run publishes as its audit
+  * artifact.
+  *
+  * Every stage reuses the EXACT operator it names — [[Text.quality]]'s
+  * d4 score, [[Text.langid]]'s argmax, [[Dedup.survivors]]' cluster
+  * pick (which rides the session-memoized exact pair set, so the ngram
+  * pipeline is not re-run), [[Text.decontaminate]]'s 8-gram hit flag
+  * (whose eval slice is dropped at the same stage, as a held-out set
+  * must be), and [[Text.sampleStratified]]'s md5-bucket predicate —
+  * so the funnel numbers are consistent with each stage's own driver
+  * query by construction, and the DuckDB oracle is the composition of
+  * their oracles.
+  *
+  * Scale shape: one pass assembles per-doc stage flags — the corpus
+  * frame shuffles on doc_id and every stage join reuses that one key
+  * (quality/langid fuse into the scan; survivors/decontaminate join as
+  * doc-keyed lists) — then a single 1-row aggregate explodes into the
+  * 6-row report. Nothing corpus-sized crosses a second partitioning.
+  */
+object Curation {
+
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+    val q = Text.quality(spark, dir).select(col("doc_id"), col("quality_score"))
+    val lang = Text.langid(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val surv = Dedup.survivors(spark, dir)
+      .select(col("doc_id"), lit(true).as("surv"))
+    val clean = Text.decontaminate(spark, dir)
+      .filter(!col("contaminated"))
+      .select(col("doc_id"), lit(true).as("clean"))
+    // The sampler IS its predicate (see Text.sampleStratified).
+    val srcNum = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+    val ratePct = lit(5) + (srcNum * 7) % 90
+    val bucket = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+
+    val flags = base
+      .join(q, "doc_id")
+      .join(lang, "doc_id")
+      .join(surv, Seq("doc_id"), "left_outer")
+      .join(clean, Seq("doc_id"), "left_outer")
+      .withColumn("s1", col("quality_score") >= 0.5)
+      .withColumn("s2", col("s1") && col("pred_lang") === "en")
+      .withColumn("s3", col("s2") && coalesce(col("surv"), lit(false)))
+      .withColumn("s4", col("s3") && coalesce(col("clean"), lit(false)))
+      .withColumn("s5", col("s4") && bucket < ratePct)
+
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    def tok(c: org.apache.spark.sql.Column) =
+      sum(when(c, col("n_toks")).otherwise(0L))
+    val agg = flags.agg(
+      count(lit(1)).as("n0"), sum(col("n_toks")).as("t0"),
+      cnt(col("s1")).as("n1"), tok(col("s1")).as("t1"),
+      cnt(col("s2")).as("n2"), tok(col("s2")).as("t2"),
+      cnt(col("s3")).as("n3"), tok(col("s3")).as("t3"),
+      cnt(col("s4")).as("n4"), tok(col("s4")).as("t4"),
+      cnt(col("s5")).as("n5"), tok(col("s5")).as("t5"))
+
+    def stage(i: Int, name: String) =
+      struct(lit(i).as("stage"), lit(name).as("stage_name"),
+        col(s"n$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+    agg
+      .select(col("n0"), explode(array(
+        stage(0, "raw"), stage(1, "quality"), stage(2, "language"),
+        stage(3, "dedup"), stage(4, "decontaminate"), stage(5, "sample")))
+        .as("s"))
+      .select(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"),
+        d4(col("s.n_docs").cast("double") /
+          greatest(col("n0"), lit(1L)).cast("double")).as("pct_of_raw"))
+      .orderBy(col("stage"))
+  }
+}
