@@ -21,16 +21,21 @@ object AsOf {
     * shuffle each, O(1) state for every direction. NULL key/time rows
     * never match (left passes through unmatched, right is skipped);
     * `rightSeq` pins the winner among equal (key, time) right rows
-    * (largest seq backward, smallest forward). */
+    * (largest seq backward, smallest forward).
+    * `allowExactMatches = false` makes both inequalities strict
+    * (pandas merge_asof's flag): equal-time right rows are never
+    * matched — backward takes the latest strictly-earlier row,
+    * forward the earliest strictly-later one. */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column,
       toleranceUs: Long = -1L,
       rightSeq: Seq[Column] = Nil,
-      direction: String = "backward"): DataFrame =
+      direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame =
     AsOfJoinApi.asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      toleranceUs, rightSeq, direction)
+      toleranceUs, rightSeq, direction, allowExactMatches)
 
   /** #32b events_asof_join: every purchase matched to the user's latest
     * click no more than 7 days earlier (attribution-window semantics). */

@@ -17,6 +17,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *  - `nearest`: whichever of the two is closer in time; an exact
   *    distance tie keeps the backward row.
   *
+  * `allowExactMatches = false` (pandas merge_asof's flag) makes both
+  * inequalities strict: equal-time rows are never matched — in
+  * backward/nearest they park in an O(1) side buffer until the left
+  * time moves past them, in forward they are dead and dropped.
+  *
   * NULL semantics follow SQL join semantics: a NULL key or NULL time on
   * either side never matches — left rows with NULL key/time pass through
   * unmatched, right rows with NULL key/time are skipped. Ties among
@@ -51,7 +56,8 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     toleranceUs: Long,
     rightSeq: Seq[Expression],
-    direction: String = "backward")
+    direction: String = "backward",
+    allowExactMatches: Boolean = true)
     extends BinaryNode {
   require(AsOfJoinApi.Directions(direction),
     s"as-of direction must be one of ${AsOfJoinApi.Directions}, got '$direction'")
@@ -64,8 +70,9 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, rs, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, rs, dir) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, rs, dir, exact) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, rs, dir,
+        exact) :: Nil
     case _ => Nil
   }
 }
@@ -79,7 +86,8 @@ case class AsOfJoinExec(
     rightTime: Expression,
     toleranceUs: Long,
     rightSeq: Seq[Expression],
-    direction: String = "backward")
+    direction: String = "backward",
+    allowExactMatches: Boolean = true)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -102,6 +110,7 @@ case class AsOfJoinExec(
     val lt = leftTime; val rt = rightTime
     val tol = toleranceUs
     val dir = direction
+    val exact = allowExactMatches
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val lKeyProj = UnsafeProjection.create(lk, leftOut)
@@ -125,10 +134,16 @@ case class AsOfJoinExec(
 
         private val rBuf = rIter.buffered
         // One buffered candidate: the latest right row (copied) whose
-        // key equals `curKey` and time <= the left row's time.
+        // key equals `curKey` and time <= (strict: <) the left row's
+        // time. In strict mode, rows at EXACTLY the current left time
+        // park in `eqCandidate` — ineligible now, but the latest of
+        // them becomes the backward candidate once the left time moves
+        // past them (still O(1) state).
         private var curKey: InternalRow = _
         private var candidate: InternalRow = _
         private var candidateTime: Long = 0L
+        private var eqCandidate: InternalRow = _
+        private var eqTime: Long = 0L
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -147,6 +162,13 @@ case class AsOfJoinExec(
           if (curKey == null || keyOrdering.compare(key, curKey) != 0) {
             curKey = key.copy()
             candidate = null
+            eqCandidate = null
+          } else if (eqCandidate != null && eqTime < t) {
+            // The left time moved past the parked equal-time rows:
+            // they are strictly earlier now, and the last of them is
+            // later in stream order than any current candidate.
+            candidate = eqCandidate; candidateTime = eqTime
+            eqCandidate = null
           }
           // Advance the right side through all rows with key < curKey,
           // then through rows of curKey on this side of t. Backward and
@@ -154,8 +176,14 @@ case class AsOfJoinExec(
           // backward candidate (ordering puts the tie-break seq
           // ascending, so last = max seq); forward consumes time < t
           // strictly and keeps nothing, so an exact-equal row stays
-          // ahead as the forward candidate. Right rows with NULL
-          // key/time are consumed and dropped — they can never match.
+          // ahead as the forward candidate. In STRICT mode
+          // (allowExactMatches = false) rows at exactly t are consumed
+          // but parked (backward/nearest) or dropped (forward — an
+          // equal-time row can never match any later left row either),
+          // so the head after the advance is the first row with
+          // time > t — exactly the strict forward candidate. Right rows
+          // with NULL key/time are consumed and dropped — they can
+          // never match.
           val keepBack = dir != "forward"
           var advancing = true
           while (advancing && rBuf.hasNext) {
@@ -169,9 +197,25 @@ case class AsOfJoinExec(
               else if (cmp > 0) { advancing = false }
               else {
                 val rT = rTimeRow.getLong(0)
-                if (if (keepBack) rT <= t else rT < t) {
+                if (rT < t) {
                   if (keepBack) { candidate = rRow.copy(); candidateTime = rT }
                   rBuf.next()
+                } else if (rT == t) {
+                  if (exact && keepBack) {
+                    candidate = rRow.copy(); candidateTime = rT
+                    rBuf.next()
+                  } else if (exact) {
+                    // forward-exact: the head IS the match — leave it.
+                    advancing = false
+                  } else if (keepBack) {
+                    // strict backward/nearest: park, eligible once the
+                    // left time moves past t.
+                    eqCandidate = rRow.copy(); eqTime = rT
+                    rBuf.next()
+                  } else {
+                    // strict forward: dead row (no later left can use it).
+                    rBuf.next()
+                  }
                 } else advancing = false
               }
             }
@@ -226,7 +270,8 @@ object AsOfJoinApi {
       leftTime: Column, rightTime: Column,
       toleranceUs: Long,
       rightSeq: Seq[Column] = Nil,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -241,7 +286,8 @@ object AsOfJoinApi {
       ColumnBridge.expression(rightTime),
       toleranceUs,
       rightSeq.map(ColumnBridge.expression),
-      direction)
+      direction,
+      allowExactMatches)
     classic.Dataset.ofRows(spark, plan)
   }
 }

@@ -99,35 +99,43 @@ class KernelPropertySpec extends AnyFunSuite {
       val left = lRows.toDF("k", "t", "id").repartition(3)
       val right = rRows.toDF("rk", "rt", "rid").repartition(4)
 
-      def brute(dir: String): Map[Long, Option[Long]] = lRows.map { case (k, t, id) =>
-        val back = rRows.filter(r => r._1 == k && r._2 <= t &&
-          (tol < 0 || t - r._2 <= tol))
-          .sortBy(r => (r._2, r._3)).lastOption
-        val fwd = rRows.filter(r => r._1 == k && r._2 >= t &&
-          (tol < 0 || r._2 - t <= tol))
-          .sortBy(r => (r._2, r._3)).headOption
-        val pick = dir match {
-          case "backward" => back
-          case "forward"  => fwd
-          case "nearest"  => (back, fwd) match {
-            case (Some(b), Some(f)) =>
-              // forward candidates at distance 0 were consumed backward,
-              // and ties keep backward either way
-              if (t - b._2 <= f._2 - t) Some(b) else Some(f)
-            case (b, f) => b.orElse(f)
+      def brute(dir: String, exact: Boolean): Map[Long, Option[Long]] =
+        lRows.map { case (k, t, id) =>
+          val back = rRows.filter(r => r._1 == k &&
+            (if (exact) r._2 <= t else r._2 < t) &&
+            (tol < 0 || t - r._2 <= tol))
+            .sortBy(r => (r._2, r._3)).lastOption
+          val fwd = rRows.filter(r => r._1 == k &&
+            (if (exact) r._2 >= t else r._2 > t) &&
+            (tol < 0 || r._2 - t <= tol))
+            .sortBy(r => (r._2, r._3)).headOption
+          val pick = dir match {
+            case "backward" => back
+            case "forward"  => fwd
+            case "nearest"  => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                // forward candidates at distance 0 were consumed backward,
+                // and ties keep backward either way
+                if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+              case (b, f) => b.orElse(f)
+            }
           }
-        }
-        id -> pick.map(_._3)
-      }.toMap
+          id -> pick.map(_._3)
+        }.toMap
 
-      Seq("backward", "forward", "nearest").foreach { dir =>
+      for {
+        dir <- Seq("backward", "forward", "nearest")
+        exact <- Seq(true, false)
+      } {
         val got = graft.plans.AsOf.asofJoin(left, right,
             Seq(left("k")), Seq(right("rk")), left("t"), right("rt"),
-            toleranceUs = tol, rightSeq = Seq(right("rid")), direction = dir)
+            toleranceUs = tol, rightSeq = Seq(right("rid")), direction = dir,
+            allowExactMatches = exact)
           .select(col("id"), col("rid")).collect()
           .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
           .toMap
-        assert(got === brute(dir), s"trial=$trial dir=$dir tol=$tol")
+        assert(got === brute(dir, exact),
+          s"trial=$trial dir=$dir exact=$exact tol=$tol")
       }
     }
   }
