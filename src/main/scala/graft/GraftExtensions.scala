@@ -87,6 +87,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => FrozenMapEntries(args.head)
     })
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    // The as-of join's planner strategy: AsOfJoinApi registers it
+    // lazily per session, but injecting it here means a pure
+    // `spark.sql.extensions=graft.GraftExtensions` setup plans
+    // AsOfJoinPlan nodes without any API call having run first.
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graftbridge.AsOfJoinStrategy)
+    // Ring-slice pushdown: WHERE cassandra_token(key) BETWEEN a AND b
+    // over an SSTable read folds into the source's tokenMin/tokenMax
+    // plan-time pruning (see the rule's guards).
+    ext.injectOptimizerRule(_ => graft.sources.sstable.TokenRangePushdown)
+  }
 }

@@ -233,9 +233,12 @@ object MaSSTableSource {
   }
 }
 
-private[sstable] class MaTable(props: Map[String, String])
+private[sstable] class MaTable(private[sstable] val props: Map[String, String])
     extends Table with SupportsRead {
   override def name(): String = s"ma-sstable(${props.getOrElse("path", "?")})"
+  // Standard DSv2 surface for the effective options — also how tests
+  // (and EXPLAIN readers) observe a pushed ring slice.
+  override def properties(): util.Map[String, String] = props.asJava
   override def schema(): StructType = MaSSTableSource.OutputSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -251,7 +254,9 @@ private[sstable] class MaScanBuilder(options: Map[String, String])
   override def build(): Scan = new MaScan(options, required)
 }
 
-private[sstable] class MaScan(options: Map[String, String], required: StructType)
+private[sstable] class MaScan(
+    private[sstable] val options: Map[String, String],
+    private[sstable] val required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -350,6 +350,53 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(rows.forall(!_.getAs[Boolean]("counter")))
   }
 
+  test("token-range filters fold into the scan's ring-slice options (optimizer rule)") {
+    val dir = Files.createTempDirectory("tok-push")
+    val e = new KaEnc
+    val keys = (1 to 16).map(i => s"u$i")
+    keys.foreach { k =>
+      e.partition(k); e.cell("click", 10L, k.getBytes(UTF_8)); e.endRow()
+    }
+    Files.write(dir.resolve("ks-tbl-ka-1-Data.db"), e.result)
+    def read(withPartitioner: Boolean) = {
+      val r = spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", dir.toString).option("columns", ColsSpec)
+      (if (withPartitioner) r.option("partitioner", "murmur3") else r).load()
+    }
+    val toks = keys.map(k => k -> graft.functions.CassandraMurmur3.token(
+      org.apache.spark.unsafe.types.UTF8String.fromString(k))).toMap
+    val sorted = toks.values.toSeq.sorted
+    val (lo, hi) = (sorted(3), sorted(11))
+    def tokOf(df: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.CassandraMurmur3Token(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(df("key"))))
+    def sliceOf(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.queryExecution.optimizedPlan.collect {
+        case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          import scala.jdk.CollectionConverters._
+          sr.relation.table.properties().asScala.toMap
+      }.head.filter { case (k, _) => k == "tokenMin" || k == "tokenMax" }
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.sources.sstable.TokenRangePushdown
+    try {
+      val df = read(withPartitioner = true)
+      val q = df.filter(tokOf(df) >= lo && tokOf(df) <= hi)
+      val want = keys.filter(k => toks(k) >= lo && toks(k) <= hi).sorted
+      assert(want.nonEmpty && want.size < keys.size, "bounds must select a strict subset")
+      assert(q.collect().map(_.getAs[String]("key")).sorted === want.toArray)
+      assert(sliceOf(q) === Map("tokenMin" -> lo.toString, "tokenMax" -> hi.toString),
+        "the murmur3 token range must reach the reader options")
+      // Guard: no explicit partitioner option → the rule must NOT fire
+      // (the file's own ring order is unknown at optimize time).
+      val dfNo = read(withPartitioner = false)
+      val qNo = dfNo.filter(tokOf(dfNo) >= lo && tokOf(dfNo) <= hi)
+      assert(qNo.collect().map(_.getAs[String]("key")).sorted === want.toArray)
+      assert(sliceOf(qNo) === Map.empty, "no pushdown without an explicit partitioner")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("pre-ja old-row framing: size field + column-count rows decode through the version dispatch") {
     // Reference read_row (SSTable.cpp:344-360): before "ja" a row is
     // key, on-disk row size (4 bytes before VERSION_D = "da", 8 bytes
