@@ -43,15 +43,8 @@ object Bench {
         Left(jsonSafe(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"))
       }
     }
-    // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches just those
-    // queries. The driver never sets it, so the gate always runs all.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
-    }
-    val raw: Map[String, Seq[Either[String, Double]]] = selected.map {
+    // Local-iteration filter — the one definition shared with Verify.
+    val raw: Map[String, Seq[Either[String, Double]]] = SparkEntry.selectedQueries.map {
       case (name, fn) => name -> (1 to 3).map(_ => once(fn))
     }
     val results: Map[String, Either[String, Double]] = raw.map {
@@ -62,8 +55,13 @@ object Bench {
     }
     // Compact per-query times (ms precision) keep the summary line
     // small enough to survive a tail-bounded log capture.
+    // Locale-pinned number rendering: the f interpolator uses the JVM
+    // default locale, which on comma-decimal locales would print
+    // "1,234" inside the JSON and corrupt the artifact.
+    def num(s: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(s))
     val qs = results.map {
-      case (k, Right(s)) => f""""$k":$s%.3f"""
+      case (k, Right(s)) => s""""$k":${num(s, 3)}"""
       case (k, Left(_))  => s""""$k":-1"""
     }.mkString("{", ",", "}")
     // Raw per-attempt wall times: min-of-3 damps load noise only when
@@ -72,7 +70,7 @@ object Bench {
     // a single loaded snapshot.
     val attemptsJson = raw.map { case (k, atts) =>
       s"\"$k\":" + atts.map {
-        case Right(s) => f"$s%.6f"
+        case Right(s) => num(s, 6)
         case Left(_) => "-1"
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -85,7 +83,7 @@ object Bench {
     // retains the complete compact summary line that follows (round 4's
     // artifact lost its head to exactly this).
     val attemptsLine = s"""{"metric":"attempts","attempts":$attemptsJson,"sf":"$sfDir"}"""
-    val summaryLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
+    val summaryLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
     // Belt and braces: the full artifact also lands in a file next to
     // the build, immune to any stdout truncation.
     scala.util.Try {

@@ -16,6 +16,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** The query set after the SPARK_GRAFT_ONLY local-iteration filter
+    * (comma-separated names; unset = all). ONE definition shared by
+    * Bench and Verify so the two mains can never bench and verify
+    * different selections. The driver never sets the variable, so the
+    * gate always runs every query. */
+  def selectedQueries: Map[String, (SparkSession, String) => DataFrame] =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet) match {
+      case Some(names) => queries.filter { case (n, _) => names(n) }
+      case None        => queries
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 relational/OLAP
@@ -849,13 +861,16 @@ object SparkEntry {
         |st AS (SELECT event_type, COUNT(*)::BIGINT AS n,
         |    SUM(cents) AS s, SUM(cents * cents) AS ss
         |  FROM e GROUP BY event_type),
+        |m AS (SELECT event_type, n, s, ss,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+        |  FROM st),
         |z AS (SELECT e.event_id, e.event_type, e.value,
-        |    (CAST(e.cents AS DOUBLE)
-        |       - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
-        |    / sqrt(CAST(st.ss AS DOUBLE) / CAST(st.n AS DOUBLE)
-        |           - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
-        |             * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))) AS zv
-        |  FROM e JOIN st USING (event_type))
+        |    CASE WHEN m.var > 0
+        |      THEN (CAST(e.cents AS DOUBLE) - m.mean) / sqrt(m.var) END AS zv
+        |  FROM e JOIN m USING (event_type))
         |SELECT event_id, event_type, value,
         |  CAST(CAST(ROUND(zv, 4) AS DECIMAL(10,4)) AS DOUBLE) AS zscore
         |FROM z WHERE abs(zv) > 2.5
@@ -1298,7 +1313,7 @@ object SparkEntry {
         |    octet_length(encode(text)) AS nb
         |  FROM documents),
         |f AS (SELECT doc_id, nb, h, CAST(r.i AS INT) AS frame_idx
-        |  FROM m, UNNEST(range(0, GREATEST(nb // 64, 1), 4)) AS r(i))
+        |  FROM m, UNNEST(range(0, GREATEST((nb + 63) // 64, 1), 4)) AS r(i))
         |SELECT doc_id,
         |  (['jpeg','png','webp'])[CAST(doc_id % 3 AS INT) + 1] AS format,
         |  frame_idx,

@@ -72,10 +72,19 @@ object Dedup {
     * SAME tiny materialized frame instead of each re-running the whole
     * exact pipeline. The checkpoint is duplication-bounded (the capped
     * pair list), so keeping it resident costs kilobytes, not corpus. */
+  // WEAK-keyed on the session: a stopped-and-dropped SparkSession must
+  // not stay reachable (pinning its checkpoint blocks forever) just
+  // because it once computed a pair set — in a long-lived JVM that
+  // cycles sessions (test suites, notebook servers) a strong-keyed map
+  // would grow monotonically.
   private val exactPairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
   private def exactPairSet(spark: SparkSession, dir: String): DataFrame =
-    exactPairCache.computeIfAbsent((spark, dir),
+    exactPairCache.synchronized {
+      exactPairCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }.computeIfAbsent(dir,
       _ => ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
         .localCheckpoint())
 

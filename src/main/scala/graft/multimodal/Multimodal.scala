@@ -97,14 +97,14 @@ object Multimodal {
   /** One sampled "frame" of a media payload. */
   case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
 
-  /** STUB frame sampling: treat the payload as fixed-size frames and
-    * keep every `stride`-th one — the video-path shape (explode one
-    * media row into few frame rows, bounded by stride, never all
-    * frames). */
+  /** STUB frame sampling: treat the payload as fixed-size frames
+    * (including the partial tail frame) and keep every `stride`-th
+    * one — the video-path shape (explode one media row into few frame
+    * rows, bounded by stride, never all frames). */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val nFrames = math.max(1, m.payload.length / frameBytes)
+      val nFrames = math.max(1, (m.payload.length + frameBytes - 1) / frameBytes)
       (0 until nFrames by stride).map { f =>
         val start = f * frameBytes
         val end = math.min(start + frameBytes, m.payload.length)
@@ -136,8 +136,13 @@ object Multimodal {
         hex(col("payload")).as("h"),
         length(col("payload")).as("n_bytes"))
       .select(col("doc_id"), col("format"), col("h"), col("n_bytes"),
+        // ceil, not floor: the tail partial frame is sampled too —
+        // flooring would silently skip the trailing bytes of every
+        // payload over one frame while sampling the partial frame of
+        // sub-frame payloads.
         explode(sequence(lit(0),
-          greatest((col("n_bytes") / frameBytes).cast("int"), lit(1)) - 1,
+          greatest(((col("n_bytes") + (frameBytes - 1)) / frameBytes).cast("int"),
+            lit(1)) - 1,
           lit(stride))).as("frame_idx"))
       .select(
         col("doc_id"), col("format"), col("frame_idx"),

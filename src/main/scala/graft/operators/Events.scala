@@ -284,7 +284,12 @@ object Events {
         sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("ss"))
     val mean = col("s").cast("double") / col("n").cast("double")
     val variance = col("ss").cast("double") / col("n").cast("double") - mean * mean
-    val z = (col("cents").cast("double") - mean) / sqrt(variance)
+    // Guard σ = 0: a constant-valued (or single-event) type has no
+    // outliers — without it z = 0/0 = NaN and Spark's NaN ordering
+    // makes abs(z) > 2.5 TRUE for the whole type. variance > 0 also
+    // absorbs a catastrophic-cancellation tiny negative.
+    val z = when(variance > 0,
+      (col("cents").cast("double") - mean) / sqrt(variance))
     ev.join(stats, "event_type")
       .withColumn("zv", z)
       .filter(abs(col("zv")) > 2.5)

@@ -45,12 +45,8 @@ object Curation {
     val clean = Text.decontaminate(spark, dir)
       .filter(!col("contaminated"))
       .select(col("doc_id"), lit(true).as("clean"))
-    // The sampler IS its predicate (see Text.sampleStratified).
-    val srcNum = regexp_replace(col("source"), "[^0-9]", "").cast("int")
-    val ratePct = lit(5) + (srcNum * 7) % 90
-    val bucket = conv(
-      substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))
-        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+    // The sampler IS its predicate — the ONE shared definition.
+    val (ratePct, bucket) = Text.samplerColumns
 
     val flags = base
       .join(q, "doc_id")

@@ -116,9 +116,16 @@ object MaFormat {
 
   /** Clustering-value rendering for cell identity: printable ASCII
     * reads as text, anything else as 0x-hex — the same deterministic
-    * convention complex cell paths use (renderPath). */
+    * convention complex cell paths use (renderPath). INJECTIVE: a
+    * printable value that itself starts with "0x" is hex-rendered
+    * too, so a text rendering can never collide with the hex
+    * rendering of different bytes (two distinct clustering values
+    * must never merge to one cell identity — that is the data loss
+    * this mode exists to prevent). */
   private[sstable] def renderClusteringValue(b: Array[Byte]): String =
-    if (b.isEmpty || b.forall(x => x >= 0x20 && x <= 0x7e))
+    if (b.isEmpty) ""
+    else if (b.forall(x => x >= 0x20 && x <= 0x7e) &&
+             !(b.length >= 2 && b(0) == '0' && b(1) == 'x'))
       new String(b, "UTF-8")
     else "0x" + b.map(x => f"$x%02x").mkString
 
@@ -553,9 +560,12 @@ object MaFormat {
 
     /** Cell-path rendering for complex sub-cell names: printable ASCII
       * paths read as text, anything else (or a `]` that would break
-      * the `name[path]` shape) as 0x-hex — deterministic either way. */
+      * the `name[path]` shape) as 0x-hex — deterministic either way,
+      * and INJECTIVE (a printable path starting with "0x" hex-renders,
+      * see renderClusteringValue's rationale). */
     private def renderPath(p: Array[Byte]): String =
-      if (p.nonEmpty && p.forall(b => b >= 0x20 && b <= 0x7e && b != ']'))
+      if (p.nonEmpty && p.forall(b => b >= 0x20 && b <= 0x7e && b != ']') &&
+          !(p.length >= 2 && p(0) == '0' && p(1) == 'x'))
         new String(p, "UTF-8")
       else "0x" + p.map(b => f"$b%02x").mkString
 
@@ -733,16 +743,47 @@ object MaFormat {
           sb.toString
       }
 
+    /** The end-of-component byte of a composite's LAST element: the
+      * legacy inclusivity encoding (+1 = the bound sorts AFTER all
+      * names carrying this prefix, -1 = BEFORE, 0 = middle/neutral). */
+    private def lastEoc(name: Array[Byte]): Int = {
+      var off = 0
+      var eoc = 0
+      while (off < name.length) {
+        val len = ((name(off) & 0xff) << 8) | (name(off + 1) & 0xff)
+        eoc = name(off + 2 + len).toInt
+        off += len + 3
+      }
+      eoc
+    }
+
     /** clusteringIdentity range-tombstone bound rendering: a composite
-      * bound is a clustering prefix — render every element value-style
-      * and cover all prefixed names (end bounds extend by "\uffff");
-      * a plain bound names an exact column, kept exact. */
+      * bound is a clustering prefix whose last element's EOC byte
+      * carries INCLUSIVITY (the legacy encoding of `ck > 5` vs
+      * `ck >= 5`). Inclusive bounds cover every prefixed name (start =
+      * P, end = P + "\uffff"); exclusive bounds flip to the other side
+      * of the prefix's name range — an exclusive start (EOC +1) sorts
+      * after every prefixed name (P + "\uffff"), an exclusive end
+      * (EOC -1) sorts before every prefixed name, rendered as
+      * P-minus-separator + "\u001e\uffff" rather than bare P so the
+      * legacy CQL row-marker cell (clustering values + EMPTY column
+      * name, which renders as exactly P) is not swallowed by the
+      * inclusive [start, end] merge compare; rendered values never
+      * contain chars below 0x20, so no real name sorts inside the
+      * gap this leaves. A plain bound names an exact column, kept
+      * exact. */
     private def renderBound(bound: Array[Byte], isEnd: Boolean): String =
       compositeElements(bound) match {
         case null => new String(bound, "UTF-8")
         case els =>
           val p = els.map(e => renderClusteringValue(e) + ClusteringSep).mkString
-          if (isEnd) p + "\uffff" else p
+          val eoc = lastEoc(bound)
+          if (isEnd) {
+            if (eoc < 0) p.dropRight(1) + "\u001e\uffff"
+            else p + "\uffff"
+          } else {
+            if (eoc > 0) p + "\uffff" else p
+          }
       }
 
     /** Composite-path unwrap (SSTable.cpp:401-422): take the final

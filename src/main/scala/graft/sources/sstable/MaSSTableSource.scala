@@ -141,7 +141,11 @@ object MaSSTableSource {
       if (parts.length >= 3 && parts(2).length == 2 && parts(2).forall(_.isLetter))
         parts(2)
       else if (parts.length >= 3 && parts(2).length == 1 &&
-               parts(2)(0) >= 'a' && parts(2)(0) <= 'd')
+               parts(2)(0) >= 'a' && parts(2)(0) <= 'g')
+        // Every ancient single-letter version ("a".."g" — "h"+ went
+        // two-letter) normalizes to letter+"a"; e/f/g sort < "ja" and
+        // carry the 8-byte row size, so they take the preJa path
+        // instead of silently defaulting to the modern "ma" framing.
         parts(2) + "a"
       else "ma"
     }

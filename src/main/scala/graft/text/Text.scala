@@ -282,11 +282,7 @@ object Text {
     * (low-cardinality) source key; the corpus itself never reshuffles.
     * The same predicate applied as a filter IS the sampler. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val srcNum = regexp_replace(col("source"), "[^0-9]", "").cast("int")
-    val ratePct = lit(5) + (srcNum * 7) % 90
-    val bucket = conv(
-      substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))
-        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+    val (ratePct, bucket) = samplerColumns
     Tables.documents(spark, dir)
       .select(col("source"), ratePct.as("rate_pct"), bucket.as("bucket"))
       .groupBy(col("source"), col("rate_pct"))
@@ -418,6 +414,20 @@ object Text {
         reason.as("drop_reason"),
         (reason === "kept").as("kept"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The stratified sampler's (target rate %, stable md5 bucket)
+    * columns over (doc_id, source) — the predicate `bucket < ratePct`
+    * IS the sampler. ONE definition shared by [[sampleStratified]] and
+    * the curation funnel's sample stage, so the two can never
+    * silently de-synchronize. */
+  def samplerColumns: (Column, Column) = {
+    val srcNum = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+    val ratePct = lit(5) + (srcNum * 7) % 90
+    val bucket = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+    (ratePct, bucket)
   }
 
   /** #44j text_seq_packing: concat-and-chunk sequence packing — the

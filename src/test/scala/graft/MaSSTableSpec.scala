@@ -288,6 +288,24 @@ class MaSSTableSpec extends AnyFunSuite {
       string(startName); byte(0x10); string(endName)
       out.writeInt(Int.MaxValue); longlong(ts); this
     }
+    /** Range tombstone with raw composite bounds (caller controls the
+      * EOC bytes). */
+    def rangeTombstoneRaw(start: Array[Byte], end: Array[Byte], ts: Long): this.type = {
+      short(start.length); bytes(start); byte(0x10)
+      short(end.length); bytes(end)
+      out.writeInt(Int.MaxValue); longlong(ts); this
+    }
+    /** Composite name bytes: length-prefixed elements, each followed
+      * by an EOC byte (0 for all but the last, `lastEoc` for the
+      * last — the legacy inclusivity encoding). */
+    def composite(els: Seq[String], lastEoc: Int = 0): Array[Byte] = {
+      val b = new ByteArrayOutputStream(); val d = new DataOutputStream(b)
+      els.zipWithIndex.foreach { case (el, i) =>
+        val e2 = el.getBytes(UTF_8); d.writeShort(e2.length); d.write(e2)
+        d.writeByte(if (i == els.size - 1) lastEoc else 0)
+      }
+      d.flush(); b.toByteArray
+    }
     /** Composite name: length-prefixed path elements, each followed by
       * an end-of-component byte; the decoder keeps the LAST element. */
     def compositeCell(path: Seq[String], ts: Long, value: Array[Byte]): this.type = {
@@ -1394,6 +1412,73 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(cols(identity = false) === List("click", "click"))
     assert(cols(identity = true) ===
       List(s"2024-01${Sep}click", s"2024-02${Sep}click"))
+  }
+
+  test("ka range-tombstone bounds honor the EOC byte (ck > 5 vs ck >= 5)") {
+    // Legacy composite bounds carry inclusivity in the LAST element's
+    // end-of-component byte: +1 = the bound sorts after all names with
+    // this prefix (exclusive start / inclusive end), -1 = before
+    // (inclusive start / exclusive end). Applying exclusive bounds
+    // inclusively silently deletes the boundary row.
+    def boundsOf(startEoc: Int, endEoc: Int): (String, String) = {
+      val e = new KaEnc
+      e.partition("u1")
+      e.rangeTombstoneRaw(
+        e.composite(Seq("5"), lastEoc = startEoc),
+        e.composite(Seq("9"), lastEoc = endEoc), 500L)
+      e.endRow()
+      val m = new MaFormat.KaReader(
+        new ByteArrayInputStream(e.result), clusteringIdentity = true)
+        .toList.filter(_.marker).head
+      (m.col, new String(m.value, UTF_8))
+    }
+    // ck >= 5 AND ck <= 9 (inclusive both: EOC -1 start, +1 end)
+    assert(boundsOf(-1, 1) === (s"5$Sep", s"9$Sep￿"))
+    // ck > 5 AND ck < 9 (exclusive both: EOC +1 start, -1 end) — the
+    // start jumps past every prefix-5 name; the end stops before the
+    // first prefix-9 name WITHOUT swallowing the bare-prefix row
+    // marker "9<sep>".
+    assert(boundsOf(1, -1) === (s"5$Sep￿", "9￿"))
+    // Neutral EOC 0 keeps the old prefix-inclusive approximation.
+    assert(boundsOf(0, 0) === (s"5$Sep", s"9$Sep￿"))
+    // End-to-end: [ck > 5, ck <= 9] keeps row 5, kills row 7; and the
+    // rendered bound strings bracket exactly that.
+    val (s1, e1) = boundsOf(1, 1)
+    def name(ck: String) = s"$ck${Sep}click"
+    assert(!(name("5") >= s1 && name("5") <= e1), "ck=5 must survive ck > 5")
+    assert(name("7") >= s1 && name("7") <= e1, "ck=7 must die inside (5, 9]")
+    val (s2, e2) = boundsOf(-1, -1)
+    assert(name("5") >= s2 && name("5") <= e2, "ck=5 must die inside [5, 9)")
+    assert(!(s"9$Sep" >= s2 && s"9$Sep" <= e2),
+      "the ck=9 row marker must survive ck < 9")
+    assert(!(name("9") >= s2 && name("9") <= e2), "ck=9 must survive ck < 9")
+  }
+
+  test("clustering-value rendering is injective (printable '0x...' never collides with hex)") {
+    val e = new KaEnc
+    e.partition("u1")
+    // 'é' = bytes C3 A9 (non-printable → hex "0xc3a9") vs the literal
+    // printable string "0xc3a9": identical under the old rendering —
+    // two distinct rows LWW-collapsing is exactly the data loss
+    // clusteringIdentity exists to prevent.
+    e.compositeCell(Seq("é", "c"), 100L, "a".getBytes(UTF_8))
+    e.compositeCell(Seq("0xc3a9", "c"), 200L, "b".getBytes(UTF_8))
+    e.endRow()
+    val cols = new MaFormat.KaReader(
+      new ByteArrayInputStream(e.result), clusteringIdentity = true)
+      .toList.map(_.col)
+    assert(cols.distinct.length === 2,
+      s"distinct clustering values must keep distinct identities: $cols")
+  }
+
+  test("ancient single-letter versions e/f/g normalize to the preJa path") {
+    Seq("e", "f", "g").foreach { v =>
+      assert(MaSSTableSource.versionOf(s"ks-tbl-$v-1-Data.db") === s"${v}a")
+    }
+    assert(MaSSTableSource.versionOf("ks-tbl-d-1-Data.db") === "da")
+    // "h"+ never existed single-letter; unknown names keep the modern
+    // default.
+    assert(MaSSTableSource.versionOf("ks-tbl-h-1-Data.db") === "ma")
   }
 
   test("migrate keeps clustered rows distinct with clusteringIdentity (VERDICT r4 #1)") {

@@ -78,7 +78,7 @@ class MultimodalSpec extends AnyFunSuite {
     def hexLo(bs: Array[Byte]) = bs.map(b => f"$b%02x").mkString
     val want = docs.flatMap { case (id, payload) =>
       val h = hexUp(payload)
-      val nFrames = math.max(payload.length / 64, 1)
+      val nFrames = math.max((payload.length + 63) / 64, 1)
       (0 until nFrames by 4).map { f =>
         val sub = h.substring(math.min(f * 128, h.length),
           math.min(f * 128 + 128, h.length))
