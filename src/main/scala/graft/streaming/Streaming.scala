@@ -104,6 +104,62 @@ object Streaming {
       .select(purchases("user_id"), col("event_id"), col("ts"),
         col("click_id"), col("click_ts"))
 
+  /** Running per-type moments carried between micro-batches: count,
+    * sum of integer cents, and sum of squared cents. The square sum
+    * rides a BigDecimal so the state stays EXACT at any stream length
+    * (a 64-bit squared-cents sum wraps near 10^12 events), mirroring
+    * the batch operator's DECIMAL(38,0) moments. */
+  case class MomentState(n: Long, sCents: Long, ssCents: BigDecimal)
+
+  /** One flagged event. */
+  case class Anomaly(event_id: Long, event_type: String, value: Double,
+      zscore: Double)
+
+  /** #32j's streaming form: per-event-type running z-score anomaly
+    * detection. Each event is scored CAUSALLY against the moments of
+    * all earlier events of its type (warmup: ≥ 30 prior events and
+    * positive variance), then folded into the state — so an anomaly is
+    * flagged the moment it arrives, with O(1) state per event type, no
+    * watermark needed (the state never grows with the stream). The
+    * batch operator scores against the corpus-global moments instead;
+    * the streaming semantics are the deployable monitor (you cannot
+    * know the future mean), and the spec pins them against a
+    * driver-side fold of the same arithmetic. */
+  def zscoreAnomalies(events: Dataset[Ev]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MomentState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(zscoreGroup)
+  }
+
+  /** Per-type state transition: score this batch's (sorted) events
+    * against the running moments, folding each in after scoring. */
+  def zscoreGroup(
+      eventType: String, batch: Iterator[Ev],
+      state: GroupState[MomentState]): Iterator[Anomaly] = {
+    val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+    var st = state.getOption.getOrElse(MomentState(0L, 0L, BigDecimal(0)))
+    val out = Seq.newBuilder[Anomaly]
+    sorted.foreach { e =>
+      val c = math.round(e.value * 100)
+      if (st.n >= 30) {
+        val n = st.n.toDouble
+        val mean = st.sCents.toDouble / n
+        val variance = st.ssCents.toDouble / n - mean * mean
+        if (variance > 0) {
+          val z = (c.toDouble - mean) / math.sqrt(variance)
+          if (math.abs(z) > 2.5)
+            out += Anomaly(e.event_id, eventType, e.value,
+              BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      st = MomentState(st.n + 1, st.sCents + c, st.ssCents + BigDecimal(c) * c)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   private val GapUs: Long = 30L * 60L * 1000000L
 
   private def tsUs(t: java.sql.Timestamp): Long =

@@ -212,4 +212,52 @@ class StreamingSpec extends AnyFunSuite {
       s"session count mismatch: ${got.length} vs ${want.length}")
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
+
+  test("streaming zscore anomalies match a driver-side causal fold across batch splits") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Time-ordered feed, split mid-stream: the running moments must
+    // carry across the micro-batch boundary.
+    val evs = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val (a, b) = evs.splitAt(evs.length / 2)
+
+    val input = MemoryStream[Ev]
+    val q = Streaming.zscoreAnomalies(input.toDS()).writeStream
+      .format("memory").queryName("zscore_anoms")
+      .outputMode("append")
+      .start()
+    input.addData(a); q.processAllAvailable()
+    input.addData(b); q.processAllAvailable()
+    q.stop()
+
+    // Driver-side oracle: the same causal fold, same arithmetic.
+    val want = evs.groupBy(_.event_type).toSeq.flatMap { case (t, es) =>
+      var n = 0L; var s = 0L; var ss = BigInt(0)
+      es.sortBy(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000,
+        e.event_id)).flatMap { e =>
+        val c = math.round(e.value * 100)
+        val hit = if (n >= 30) {
+          val mean = s.toDouble / n.toDouble
+          val variance = ss.toDouble / n.toDouble - mean * mean
+          if (variance > 0) {
+            val z = (c.toDouble - mean) / math.sqrt(variance)
+            if (math.abs(z) > 2.5)
+              Some((e.event_id, t,
+                BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            else None
+          } else None
+        } else None
+        n += 1; s += c; ss += BigInt(c) * BigInt(c)
+        hit
+      }
+    }.sortBy(_._1)
+    val got = spark.table("zscore_anoms")
+      .select(col("event_id"), col("event_type"), col("zscore"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty, "the corpus should contain running-stat outliers")
+    assert(got === want)
+  }
 }
