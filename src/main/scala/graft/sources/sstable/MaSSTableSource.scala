@@ -151,6 +151,15 @@ object MaSSTableSource {
     }
   }
 
+  /** The effective reader options of a planned scan — how tests and
+    * EXPLAIN readers observe pushed seeks/slices; None for scans of
+    * other sources. */
+  def scanOptions(scan: org.apache.spark.sql.connector.read.Scan)
+      : Option[Map[String, String]] = scan match {
+    case m: MaScan => Some(m.options)
+    case _ => None
+  }
+
   /** Unsigned bytewise compare, shorter-is-smaller on a shared prefix —
     * the memcmp order Cassandra keys and UTF8String both use. */
   def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
@@ -251,11 +260,44 @@ private[sstable] class MaTable(private[sstable] val props: Map[String, String])
 }
 
 private[sstable] class MaScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = MaSSTableSource.OutputSchema
+  private var opts = options
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new MaScan(options, required)
+
+  /** Standard DSv2 filter pushdown: a lower bound on `key` becomes the
+    * source's `resumeKey` — the reference's `-s` Summary/Index seek —
+    * when the ring order is EXPLICITLY byteOrdered (raw-key order; the
+    * only ring where key order and seek order coincide — under
+    * murmur3/random a key bound says nothing about ring position, and
+    * an absent option defers to each file's own Statistics.db, which
+    * the builder cannot see). The tightest bound wins; a strict `>`
+    * seeks to the bound too (the residual filter drops the boundary
+    * row). EVERY filter stays residual: the seek is purely plan-time
+    * and reader-side pruning, so correctness never depends on it. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    if (opts.get("partitioner").contains("byteOrdered") &&
+        !opts.contains("resumeKey")) {
+      import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual}
+      val contributing = filters.collect {
+        case f @ GreaterThanOrEqual("key", v: String) => (f, v)
+        case f @ GreaterThan("key", v: String) => (f, v)
+        case f @ EqualTo("key", v: String) => (f, v)
+      }
+      if (contributing.nonEmpty) {
+        opts = opts + ("resumeKey" -> contributing.map(_._2).max)
+        pushed = contributing.map(_._1)
+      }
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new MaScan(opts, required)
 }
 
 private[sstable] class MaScan(

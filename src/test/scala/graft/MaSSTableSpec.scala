@@ -1414,6 +1414,37 @@ class MaSSTableSpec extends AnyFunSuite {
       List(s"2024-01${Sep}click", s"2024-02${Sep}click"))
   }
 
+  test("key lower bounds push down as the resume seek under byteOrdered (DSv2 filters)") {
+    val dir = Files.createTempDirectory("key-push")
+    val e = new KaEnc
+    (1 to 9).foreach { i =>
+      e.partition(s"u$i"); e.cell("click", 10L, s"k$i".getBytes(UTF_8)); e.endRow()
+    }
+    Files.write(dir.resolve("ks-tbl-ka-1-Data.db"), e.result)
+    def read(partitioner: Option[String]) = {
+      val r = spark.read.format("graft.sources.sstable.MaSSTableSource")
+        .option("path", dir.toString).option("columns", ColsSpec)
+      partitioner.fold(r)(p => r.option("partitioner", p)).load()
+    }
+    def resumeOf(df: org.apache.spark.sql.DataFrame): Option[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          MaSSTableSource.scanOptions(sr.scan).get.get("resumeKey")
+      }.head
+    // byteOrdered: both bounds contribute; the tighter one seeds the seek.
+    val q = read(Some("byteOrdered"))
+      .filter(col("key") >= "u3" && col("key") >= "u5" && col("key") =!= "u7")
+    assert(q.collect().map(_.getAs[String]("key")).sorted ===
+      Array("u5", "u6", "u8", "u9"))
+    assert(resumeOf(q) === Some("u5"), "the tightest lower bound must seed the seek")
+    // murmur3 ring order: a KEY bound says nothing about ring position —
+    // no seek may be pushed.
+    val qM = read(Some("murmur3")).filter(col("key") >= "u5")
+    assert(qM.collect().map(_.getAs[String]("key")).sorted ===
+      Array("u5", "u6", "u7", "u8", "u9"))
+    assert(resumeOf(qM) === None, "no key-seek under a hashed ring order")
+  }
+
   test("ka range-tombstone bounds honor the EOC byte (ck > 5 vs ck >= 5)") {
     // Legacy composite bounds carry inclusivity in the LAST element's
     // end-of-component byte: +1 = the bound sorts after all names with
