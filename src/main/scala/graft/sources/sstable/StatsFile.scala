@@ -15,7 +15,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   * (SSTable.cpp:313-318). With a sibling Statistics.db the Data.db
   * source is fully self-describing: no columns / clustering /
   * staticColumns / minTimestamp / minTtl / partitioner options needed,
-  * exactly like the reference CLI.
+  * exactly like the reference CLI. Beyond the reference's "ma"
+  * ceiling, the 3.x m-family successors (mb..me — TOC layout
+  * unchanged; their deltas live in the skipped StatsMetadata
+  * component) and the 4.x n-family ("na"/"nb", checksummed TOC — see
+  * [[readToc]]) parse too, because the Data.db row format itself is
+  * stable from 3.0 through 4.x.
   */
 object StatsFile {
 
@@ -84,22 +89,49 @@ object StatsFile {
     * readable schema (reference read_metadata's final arm). */
   def read(in: InputStream, version: String): TableMeta = {
     val bytes = in.readAllBytes()
-    if (version >= "ka") readToc(bytes)
+    if (version >= "ka") readToc(bytes, version)
     else if (version >= "ja") readJa(bytes)
     else TableMeta(0L, 0L, Nil, Nil, None, Some("random"))
   }
 
-  private def readToc(bytes: Array[Byte]): TableMeta = {
+  /** Beyond the reference's "ma" ceiling: 4.x "na"/"nb" files checksum
+    * this component (Cassandra 4.0 MetadataSerializer, FBUtilities
+    * .updateChecksumInt big-endian int bytes). ONE CRC32 accumulates
+    * over the count int and every (type, offset) int of the TOC, and
+    * its running value is written twice — after the count and after the
+    * last TOC pair; each component's bytes then carry their own CRC32
+    * right behind them. Offsets stay absolute, so component parsing is
+    * version-identical; we validate both TOC checksums and fail loudly
+    * on mismatch rather than misparse a shifted table. */
+  private def readToc(bytes: Array[Byte], version: String): TableMeta = {
     val toc = new DataInputStream(new ByteArrayInputStream(bytes))
-    val nComponents = toc.readInt()
+    val checked = version >= "na"
+    val crc = new java.util.zip.CRC32
+    def readIntChecked(): Int = {
+      val v = toc.readInt()
+      if (checked) {
+        crc.update((v >>> 24) & 0xff); crc.update((v >>> 16) & 0xff)
+        crc.update((v >>> 8) & 0xff); crc.update(v & 0xff)
+      }
+      v
+    }
+    def validateCrc(what: String): Unit = if (checked) {
+      val stored = toc.readInt()
+      if (stored != crc.getValue.toInt) throw new IllegalArgumentException(
+        s"Statistics.db $what checksum mismatch: " +
+          f"stored 0x$stored%08x != computed 0x${crc.getValue.toInt}%08x")
+    }
+    val nComponents = readIntChecked()
+    validateCrc("component-count")
     var validationOff = -1
     var headerOff = -1
     (0 until nComponents).foreach { _ =>
-      val tpe = toc.readInt()
-      val off = toc.readInt()
+      val tpe = readIntChecked()
+      val off = readIntChecked()
       if (tpe == 0) validationOff = off // META_DATA_VALIDATION
       else if (tpe == 3) headerOff = off // META_DATA_HEADER
     }
+    validateCrc("toc")
 
     val partitioner =
       if (validationOff < 0) None

@@ -2227,9 +2227,14 @@ class MaSSTableSpec extends AnyFunSuite {
     * (SSTable.cpp:275 read_metadata; SSTableSchema.cpp:121 parse):
     * int32 count then (type, offset) int32 pairs; VALIDATION(0) a
     * 16-bit-length partitioner class name; HEADER(3) the vint
-    * serialization header with vint-length marshal class names. */
+    * serialization header with vint-length marshal class names.
+    * `version >= "na"` emits Cassandra 4.0's checksummed form
+    * (MetadataSerializer): one CRC32 over count + TOC ints, written
+    * after the count and again after the TOC, then a per-component
+    * CRC32 behind each component's bytes. */
   private def statsBytes(
-      partitionerClass: String, header: Option[StatsHeader]): Array[Byte] = {
+      partitionerClass: String, header: Option[StatsHeader],
+      version: String = "mc"): Array[Byte] = {
     def vlenStr(e: Enc, s: String): Unit = {
       val b = s.getBytes(UTF_8); e.vint(b.length.toLong); e.bytes(b)
     }
@@ -2246,17 +2251,35 @@ class MaSSTableSpec extends AnyFunSuite {
       }
       e.result
     }
+    val checked = version >= "na"
     val n = 1 + headerBytes.size
-    val tocLen = 4 + n * 8
+    val tocLen = 4 + n * 8 + (if (checked) 8 else 0)
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
-    d.writeInt(n)
-    d.writeInt(0); d.writeInt(tocLen) // VALIDATION
-    headerBytes.foreach { _ =>
-      d.writeInt(3); d.writeInt(tocLen + validation.length) // HEADER
+    val crc = new java.util.zip.CRC32
+    def putInt(v: Int): Unit = {
+      d.writeInt(v)
+      if (checked) {
+        crc.update((v >>> 24) & 0xff); crc.update((v >>> 16) & 0xff)
+        crc.update((v >>> 8) & 0xff); crc.update(v & 0xff)
+      }
     }
-    d.write(validation)
-    headerBytes.foreach(d.write)
+    def putComponent(b: Array[Byte]): Unit = {
+      d.write(b)
+      if (checked) {
+        crc.reset(); crc.update(b); d.writeInt(crc.getValue.toInt)
+      }
+    }
+    putInt(n)
+    if (checked) d.writeInt(crc.getValue.toInt)
+    val componentCrc = if (checked) 4 else 0
+    putInt(0); putInt(tocLen) // VALIDATION
+    headerBytes.foreach { _ =>
+      putInt(3); putInt(tocLen + validation.length + componentCrc) // HEADER
+    }
+    if (checked) d.writeInt(crc.getValue.toInt)
+    putComponent(validation)
+    headerBytes.foreach(putComponent)
     d.flush()
     out.toByteArray
   }
@@ -2297,6 +2320,74 @@ class MaSSTableSpec extends AnyFunSuite {
     val m = StatsFile.read(new ByteArrayInputStream(e.result), "ja")
     assert(m.columns === None)
     assert(m.partitioner === Some("byteOrdered"))
+  }
+
+  test("nb Statistics.db: checksummed TOC decodes schema and partitioner") {
+    // Cassandra 4.x ("na"/"nb") checksums the metadata file; layout is
+    // otherwise the mc TOC. The m-family successors stay unchecksummed.
+    val header = Some(StatsHeader(
+      9000L, 33L, Marshal + "UTF8Type",
+      clustering = Seq(Marshal + "Int32Type"),
+      statics = Nil,
+      regulars = Seq("click" -> (Marshal + "UTF8Type"))))
+    val nb = statsBytes(Marshal + "Murmur3Partitioner", header, version = "nb")
+    val mc = statsBytes(Marshal + "Murmur3Partitioner", header, version = "mc")
+    assert(nb.length === mc.length + 4 * (2 + 2),
+      "nb adds two TOC CRCs and one CRC per component")
+    val m = StatsFile.read(new ByteArrayInputStream(nb), "nb")
+    assert(m.minTimestamp === 9000L)
+    assert(m.minTtl === 33L)
+    assert(m.clustering === Seq(CInt32))
+    assert(m.columns === Some(Seq("click" -> CText)))
+    assert(m.partitioner === Some("murmur3"))
+    // md/me: same unchecksummed TOC as mc (their deltas live in the
+    // skipped StatsMetadata component).
+    for (v <- Seq("md", "me"))
+      assert(StatsFile.read(new ByteArrayInputStream(mc), v).minTimestamp === 9000L)
+  }
+
+  test("nb Statistics.db: corrupted TOC fails loudly, not a misparse") {
+    val nb = statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+      9000L, 33L, Marshal + "UTF8Type", Nil, Nil,
+      regulars = Seq("click" -> (Marshal + "UTF8Type")))), version = "nb")
+    // Flip a byte inside the second TOC entry's offset int (count:4,
+    // crc:4, entry1:8 — byte 17 sits in entry2's type/offset region).
+    val bad = nb.clone(); bad(17) = (bad(17) ^ 0x40).toByte
+    val ex = intercept[IllegalArgumentException] {
+      StatsFile.read(new ByteArrayInputStream(bad), "nb")
+    }
+    assert(ex.getMessage.contains("checksum mismatch"))
+  }
+
+  test("4.x nb SSTable end-to-end: checksummed stats make the read self-describing") {
+    // The Data.db row format is unchanged from 3.0 ("ma") through 4.x
+    // ("nb"), so an nb file is the ma framing under an nb name; the nb
+    // difference a reader must handle is the checksummed Statistics.db.
+    assert(MaSSTableSource.versionOf("nb-1-big-Data.db") === "nb")
+    val dir = Files.createTempDirectory("nb-stats")
+    val e = new Enc
+    (1 to 5).foreach { i =>
+      e.partitionHeader(s"u$i")
+      e.byte(0x20).vint(0).vint(0)
+      val v = s"v$i".getBytes(UTF_8)
+      e.byte(0x00).vint(i.toLong).vint(v.length.toLong).bytes(v)
+      e.byte(0x00).vint(i.toLong).bytes(longBytes(i.toLong))
+      e.endOfPartition()
+    }
+    Files.write(dir.resolve("nb-1-big-Data.db"), e.result)
+    Files.write(dir.resolve("nb-1-big-Statistics.db"),
+      statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+        4000L, 0L, Marshal + "UTF8Type", Nil, Nil,
+        regulars = Seq(
+          "click" -> (Marshal + "UTF8Type"),
+          "nclicks" -> (Marshal + "LongType")))), version = "nb"))
+    val df = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString).load()
+    val got = df.select(col("key"), col("col"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expect = (1 to 5).flatMap(i => Seq(
+      (s"u$i", "click", 4000L + i), (s"u$i", "nclicks", 4000L + i))).toSet
+    assert(got === expect)
   }
 
   test("a sibling Statistics.db makes the source self-describing, with per-file bases") {
