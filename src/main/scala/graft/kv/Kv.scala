@@ -293,6 +293,17 @@ object Kv {
     * parallelizes per file, the merge is one hash shuffle, policies are
     * column arithmetic, and the create-only check is one key anti-join.
     */
+  /** Pre-migration inventory of the input dirs — one row per SSTable
+    * with version, generation, partitioner, discovered schema widths,
+    * sizes, and Index.db partition counts (see
+    * [[graft.sources.sstable.MaSSTableSource.describe]]); the numbers
+    * that size a `-T` shard fan-out before any Data.db byte is read. */
+  def describeSSTables(spark: SparkSession, sstableDirs: Seq[String]): DataFrame =
+    sstableDirs.map(d => graft.sources.sstable.MaSSTableSource
+        .describe(spark, d).withColumn("dir", lit(d)))
+      .reduce(_ unionAll _)
+      .orderBy("dir", "file")
+
   def migrate(
       spark: SparkSession,
       sstableDirs: Seq[String],

@@ -230,6 +230,97 @@ object MaSSTableSource {
     else Seq(path)
   }
 
+  /** SSTable generation number from the file name: modern names lead
+    * with the version ("nb-42-big-Data.db" → 42), legacy names carry
+    * it after the version token ("ks-tbl-ka-3-Data.db" → 3); -1 when
+    * the name doesn't parse. */
+  def generationOf(fileName: String): Long = {
+    val parts = fileName.split("-")
+    val tok =
+      if (fileName.length >= 3 && fileName(0) >= 'l' && fileName(0) <= 'z' &&
+          fileName(1).isLetter && fileName(2) == '-')
+        parts.lift(1) // version-led modern name
+      else parts.lift(3) // ks-tbl-<version>-<generation>-...
+    tok.filter(t => t.nonEmpty && t.forall(_.isDigit)).map(_.toLong).getOrElse(-1L)
+  }
+
+  private val DescribeSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("version", StringType, nullable = false),
+    StructField("generation", LongType, nullable = false),
+    StructField("data_bytes", LongType, nullable = false),
+    StructField("compressed", BooleanType, nullable = false),
+    StructField("codec", StringType, nullable = true),
+    StructField("chunk_len", IntegerType, nullable = true),
+    StructField("uncompressed_bytes", LongType, nullable = true),
+    StructField("partitioner", StringType, nullable = true),
+    StructField("min_timestamp", LongType, nullable = true),
+    StructField("min_ttl", LongType, nullable = true),
+    StructField("clustering_cols", IntegerType, nullable = true),
+    StructField("static_cols", IntegerType, nullable = true),
+    StructField("regular_cols", IntegerType, nullable = true),
+    StructField("index_partitions", LongType, nullable = true),
+    StructField("summary_entries", IntegerType, nullable = true)))
+
+  /** Directory-level metadata report — the operational "what's here" a
+    * real migration plans from: versions present, ring/partitioner,
+    * discovered schema widths, per-file and uncompressed sizes, and
+    * Index.db partition counts (the numbers that size a `-T` shard
+    * fan-out). One row per Data.db. Only sibling METADATA files are
+    * opened (Statistics / CompressionInfo / Index / Summary — never
+    * Data.db itself), and the per-file parse runs on the executors, so
+    * a directory of thousands of SSTables describes in one small job.
+    * Beyond the reference CLI, which reports nothing until it scans. */
+  def describe(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val files = listDataFiles(spark.sparkContext, path)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism)))
+      .map { f =>
+        val dataPath = new Path(f)
+        val fs = dataPath.getFileSystem(hconf.value)
+        val name = dataPath.getName
+        val version = versionOf(name)
+        val stem = f.stripSuffix("Data.db")
+        def withSibling[A](component: String)(read: java.io.InputStream => A)
+            : Option[A] = {
+          val p = new Path(stem + component)
+          if (!fs.exists(p)) None
+          else { val in = fs.open(p); try Some(read(in)) finally in.close() }
+        }
+        val stats = statsFor(f, fs)
+        val ci = withSibling("CompressionInfo.db")(
+          CompressedBlocks.readCompressionInfo)
+        val indexPartitions = withSibling("Index.db") { in =>
+          var n = 0L
+          val it = MaFormat.indexEntries(in, version)
+          while (it.hasNext) { it.next(); n += 1 }
+          n
+        }
+        val summaryEntries = withSibling("Summary.db")(in =>
+          MaFormat.readSummary(in, version).length)
+        org.apache.spark.sql.Row(
+          name, version, generationOf(name),
+          fs.getFileStatus(dataPath).getLen,
+          ci.isDefined,
+          ci.map(_.codec.toString).orNull,
+          ci.map(i => Integer.valueOf(i.chunkLen)).orNull,
+          ci.map(i => java.lang.Long.valueOf(i.uncompressedLen)).orNull,
+          stats.flatMap(_.partitioner).orNull,
+          stats.map(s => java.lang.Long.valueOf(s.minTimestamp)).orNull,
+          stats.map(s => java.lang.Long.valueOf(s.minTtl)).orNull,
+          stats.map(s => Integer.valueOf(s.clustering.size)).orNull,
+          stats.map(s => Integer.valueOf(s.staticColumns.size)).orNull,
+          stats.flatMap(_.columns).map(c => Integer.valueOf(c.size)).orNull,
+          indexPartitions.map(java.lang.Long.valueOf).orNull,
+          summaryEntries.map(Integer.valueOf).orNull)
+      }
+    spark.createDataFrame(rows, DescribeSchema).orderBy("file")
+  }
+
   /** Sibling Statistics.db metadata for a Data.db, if present — the
     * reference's read_metadata (SSTable.cpp:275) makes the table
     * self-describing; explicit options still win where given. */

@@ -37,6 +37,13 @@ import org.apache.spark.sql.SparkSession
   *   [-x]                                    prohibit eternal records
   *   [-f]                                    record TTL from first-expiring cell
   *   [-D]                                    dry run: print, write nothing
+  *   [--describe]                            print the per-SSTable
+  *                                           inventory (version,
+  *                                           generation, partitioner,
+  *                                           schema widths, sizes,
+  *                                           Index.db partition counts)
+  *                                           and exit — the numbers a
+  *                                           -T fan-out is sized from
   * }}}
   *
   * The Aerospike connection/threading flags of the reference
@@ -57,6 +64,7 @@ object Migrate {
     var verifyChecksums = true
     var clusteringIdentity = false
     var counterSum = false
+    var describe = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -87,14 +95,15 @@ object Migrate {
         case "-x" => prohibitEternal = true; i += 1
         case "-f" => ttlFromFirst = true; i += 1
         case "-D" => dryRun = true; i += 1
+        case "--describe" => describe = true; i += 1
         case other => sys.error(s"unrecognised option $other")
       }
     }
     // -c is optional when every input carries a Statistics.db — the
     // source then self-describes, like the reference CLI (which takes
     // only paths and reads the schema from the table's metadata).
-    require(inputs.nonEmpty && (dryRun || target.nonEmpty),
-      "need -i <dir> and -o <target> (or -D)")
+    require(inputs.nonEmpty && (describe || dryRun || target.nonEmpty),
+      "need -i <dir> and -o <target> (or -D / --describe)")
 
     val spark = graft.sources.Tables.sessionConfs
       .foldLeft(SparkSession.builder()
@@ -104,6 +113,12 @@ object Migrate {
         .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (describe) {
+      graft.kv.Kv.describeSSTables(spark, inputs).show(1000, truncate = false)
+      spark.stop()
+      return
+    }
 
     val policy =
       if (minTtlS > 0 || prohibitEternal || ttlFromFirst)

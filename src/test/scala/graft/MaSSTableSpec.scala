@@ -2390,6 +2390,84 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("describe: the per-SSTable inventory a migration plans from") {
+    assert(MaSSTableSource.generationOf("nb-12-big-Data.db") === 12L)
+    assert(MaSSTableSource.generationOf("ks-tbl-ka-3-Data.db") === 3L)
+    assert(MaSSTableSource.generationOf("weird.db") === -1L)
+
+    val dir = Files.createTempDirectory("describe")
+    // (1) compressed mc generation 7 with stats + index + summary
+    val e1 = new Enc
+    val entries = Seq.newBuilder[(String, Long)]
+    (1 to 4).foreach { i =>
+      entries += (s"k$i" -> e1.bos.size().toLong)
+      e1.partitionHeader(s"k$i")
+      e1.byte(0x20).vint(0).vint(0)
+      e1.byte(0x00).vint(1L).vint(1).bytes("v".getBytes(UTF_8))
+      e1.endOfPartition()
+    }
+    writeCompressed(dir, "mc-7-big", e1.result, "LZ4Compressor", 64)
+    writeIndex(dir, "mc-7-big", entries.result())
+    writeSummary(dir, "mc-7-big", Seq("k1" -> 0L))
+    Files.write(dir.resolve("mc-7-big-Statistics.db"),
+      statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+        0L, 0L, Marshal + "UTF8Type", Nil, Nil,
+        regulars = Seq("click" -> (Marshal + "UTF8Type"))))))
+    // (2) plain nb generation 2 with checksummed stats, no index/summary
+    val e2 = new Enc
+    e2.partitionHeader("z1")
+    e2.byte(0x20).vint(0).vint(0)
+    e2.byte(0x00).vint(1L).vint(1).bytes("w".getBytes(UTF_8))
+    e2.endOfPartition()
+    Files.write(dir.resolve("nb-2-big-Data.db"), e2.result)
+    Files.write(dir.resolve("nb-2-big-Statistics.db"),
+      statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+        0L, 0L, Marshal + "UTF8Type", Nil, Nil,
+        regulars = Seq(
+          "click" -> (Marshal + "UTF8Type"),
+          "n" -> (Marshal + "LongType")))), version = "nb"))
+    // (3) bare legacy ka generation 3 — no sibling metadata at all
+    //     (describe never opens Data.db, so content is irrelevant)
+    Files.write(dir.resolve("ks-tbl-ka-3-Data.db"), Array[Byte](1, 2, 3))
+
+    val rows = MaSSTableSource.describe(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set(
+      "mc-7-big-Data.db", "nb-2-big-Data.db", "ks-tbl-ka-3-Data.db"))
+
+    val mc = rows("mc-7-big-Data.db")
+    assert(mc.getString(1) === "mc")
+    assert(mc.getLong(2) === 7L)
+    assert(mc.getBoolean(4) === true)
+    assert(mc.getString(5) === "Lz4")
+    assert(mc.getInt(6) === 64)
+    assert(mc.getLong(7) === e1.result.length.toLong)
+    assert(mc.getString(8) === "murmur3")
+    assert(mc.getInt(13) === 1) // regular_cols
+    assert(mc.getLong(14) === 4L) // index_partitions
+    assert(mc.getInt(15) === 1) // summary_entries
+
+    val nb = rows("nb-2-big-Data.db")
+    assert(nb.getString(1) === "nb")
+    assert(nb.getLong(2) === 2L)
+    assert(nb.getBoolean(4) === false)
+    assert(nb.isNullAt(5) && nb.isNullAt(6) && nb.isNullAt(7))
+    assert(nb.getString(8) === "murmur3")
+    assert(nb.getInt(13) === 2)
+    assert(nb.isNullAt(14) && nb.isNullAt(15))
+
+    val ka = rows("ks-tbl-ka-3-Data.db")
+    assert(ka.getString(1) === "ka")
+    assert(ka.getLong(2) === 3L)
+    assert(ka.getLong(3) === 3L) // data_bytes
+    assert((8 to 15).forall(ka.isNullAt))
+
+    // The Kv/Migrate wrapper unions dirs and tags each row with its dir.
+    val multi = graft.kv.Kv.describeSSTables(spark, Seq(dir.toString))
+    assert(multi.columns.last === "dir")
+    assert(multi.count() === 3L)
+  }
+
   test("a sibling Statistics.db makes the source self-describing, with per-file bases") {
     val dir = Files.createTempDirectory("ma-stats")
     // Two generations with DIFFERENT timestamp delta bases — a global
