@@ -84,6 +84,7 @@ object SparkEntry {
     "events_funnel"            -> (Events.funnel _),
     "events_retention"         -> (Events.retention _),
     "events_transitions"       -> (Events.transitions _),
+    "events_sequences"         -> (Events.sequences _),
     "events_json_props"        -> (Events.jsonProps _),
     "events_value_hist"        -> ((s, d) => Events.valueHist(s, d)),
     "events_moving_avg"        -> (Events.movingAvg _),
@@ -821,6 +822,20 @@ object SparkEntry {
         |    AS DECIMAL(10,4)) AS DOUBLE) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
+    "events_sequences" ->
+      """WITH s AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT e1, e2, e3, COUNT(*)::BIGINT AS n_seq
+        |  FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+        |t AS (SELECT SUM(n_seq)::DOUBLE AS total FROM g)
+        |SELECT e1, e2, e3, n_seq,
+        |  CAST(CAST(ROUND(n_seq::DOUBLE / total, 4) AS DECIMAL(10,4))
+        |    AS DOUBLE) AS share
+        |FROM g, t
+        |ORDER BY n_seq DESC, e1, e2, e3 LIMIT 20""".stripMargin,
     "events_json_props" ->
       """SELECT event_type,
         | COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,

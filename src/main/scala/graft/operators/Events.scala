@@ -185,6 +185,43 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** #32k events_sequences: the top-20 most frequent consecutive
+    * 3-step event-type sequences across all user streams — the
+    * PrefixSpan-lite mining summary behind funnel discovery (the
+    * 3-gram extension of [[transitions]]' 2-gram matrix: which
+    * view→click→purchase-shaped paths actually occur, before
+    * [[funnel]] measures a chosen one).
+    *
+    * Scale shape: two leads over the SAME one user_id exchange (one
+    * window spec, so Catalyst plans a single sort + window), then a
+    * map-side-combinable count on the ≤|types|³ dimension-sized key.
+    * The top-20 cut is a bounded TakeOrderedAndProject over that
+    * dimension-sized aggregate — never a global sort of the corpus —
+    * and the share denominator is a global window over the SAME
+    * dimension-sized aggregate (the class of window [[transitions]]
+    * already rides: its single task holds ≤|types|³ rows, never the
+    * corpus), chosen over a 1-row aggregate cross-join because the
+    * join's second lineage would re-scan and re-window the whole
+    * corpus. Integer counts + one rounded IEEE divide keep the output
+    * hash-exact under the DuckDB oracle; the (n_seq desc, e1, e2, e3)
+    * sort is a total order, so the 20-row cut is deterministic. */
+  def sequences(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("e1"),
+        col("ts"), col("event_id"))
+      .withColumn("e2", lead(col("e1"), 1).over(byUser))
+      .withColumn("e3", lead(col("e1"), 2).over(byUser))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_seq"))
+      .withColumn("share",
+        d4(col("n_seq").cast("double") /
+          sum(col("n_seq")).over(Window.partitionBy()).cast("double")))
+      .orderBy(col("n_seq").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
   /** #32f events_json_props: semi-structured property extraction — the
     * `props` column carries a JSON object per event; parse the typed
     * field out with `get_json_object` (codegen'd, no UDF) and roll it

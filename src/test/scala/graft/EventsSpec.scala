@@ -122,6 +122,34 @@ class EventsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("top-20 sequence mining matches a driver-side 3-gram recount") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toInstant, r.getLong(3)))
+    // In-memory oracle: per user, order by (ts, event_id), every
+    // consecutive type 3-gram; top-20 under the total (n desc, e1,
+    // e2, e3) order; shares as exact rounded ratios of the total.
+    val grams = ev.groupBy(_._1).values.flatMap { es =>
+      val o = es.sortBy(e => (e._3, e._4)).map(_._2)
+      o.zip(o.drop(1)).zip(o.drop(2)).map { case ((a, b), c) => (a, b, c) }
+    }.toSeq
+    val counts = grams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = grams.size.toLong
+    val want = counts.toSeq.map { case (k, n) => (n, k._1, k._2, k._3) }
+      .sortBy { case (n, a, b, c) => (-n, a, b, c) }.take(20)
+
+    val got = Events.sequences(spark, sf).collect().map(r =>
+      (r.getLong(3), r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === want)
+    got.foreach { case (n, _, _, _, share) =>
+      val exact = BigDecimal(n.toDouble / total.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(share === exact, s"share of $n/$total")
+    }
+  }
+
   test("transition matrix matches a driver-side recount exactly") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select("user_id", "event_type", "ts", "event_id").collect()

@@ -271,6 +271,21 @@ class PlanSpec extends AnyFunSuite {
       s"text_tfidf: unexpected nested-loop joins\n$plan")
   }
 
+  test("sequences: one corpus scan, one user_id window, bounded top-k") {
+    val plan = planOf("events_sequences")
+    // The share window must NOT clone the pipeline: one events scan.
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"events_sequences: corpus must be scanned once:\n$plan")
+    // Both leads ride one window over one user_id exchange; the only
+    // other window is the global share window over the ≤|types|³
+    // aggregate.
+    assert(plan.linesIterator.count(l =>
+      l.contains("Window ") && l.contains("user_id")) == 1,
+      s"events_sequences: the two leads must share one window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"events_sequences: top-20 must be a bounded TakeOrdered:\n$plan")
+  }
+
   test("vocab cuts its top-100 with a bounded TakeOrdered, never a global sort") {
     val plan = planOf("text_vocab")
     assert(plan.contains("TakeOrderedAndProject"),
