@@ -1552,8 +1552,9 @@ class MaSSTableSpec extends AnyFunSuite {
   test("migrate end-to-end: clustered + counter + legacy ka generations in one run") {
     // The hardest real table shape in one multi-directory job: a
     // CLUSTERED table with a COUNTER column whose generations span the
-    // modern "ma" format and the legacy "ka" format, merged with
-    // clusteringIdentity (distinct rows survive) and counterSum
+    // modern "ma" format, a 4.x "nb" file (same row framing,
+    // checksummed Statistics.db), and the legacy "ka" format, merged
+    // with clusteringIdentity (distinct rows survive) and counterSum
     // (shards add up instead of LWW), checked record by record against
     // the in-memory model of the logical table.
     def ck(v: String) = Seq(Some((v.getBytes(UTF_8), false)))
@@ -1607,16 +1608,17 @@ class MaSSTableSpec extends AnyFunSuite {
     g3.compositeCell(Seq("a", "click"), 60L, "ka-3a".getBytes(UTF_8))
     g3.endRow()
 
-    def maDir(e: Enc, gen: Int): String = {
+    def maDir(e: Enc, gen: Int, version: String = "mc"): String = {
       val d = Files.createTempDirectory(s"mig-full-$gen")
-      Files.write(d.resolve(s"mc-$gen-big-Data.db"), e.result)
-      Files.write(d.resolve(s"mc-$gen-big-Statistics.db"),
+      Files.write(d.resolve(s"$version-$gen-big-Data.db"), e.result)
+      Files.write(d.resolve(s"$version-$gen-big-Statistics.db"),
         statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
           0L, 0L, Marshal + "UTF8Type",
           clustering = Seq(Marshal + "UTF8Type"), statics = Nil,
           regulars = Seq(
             "click" -> (Marshal + "UTF8Type"),
-            "hits" -> (Marshal + "CounterColumnType"))))))
+            "hits" -> (Marshal + "CounterColumnType")))),
+          version = version))
       d.toString
     }
     val kaDir = Files.createTempDirectory("mig-full-ka")
@@ -1624,7 +1626,7 @@ class MaSSTableSpec extends AnyFunSuite {
 
     val out = Files.createTempDirectory("mig-full-out").resolve("t").toString
     val stats = graft.kv.Kv.migrate(spark,
-      Seq(maDir(g1, 1), maDir(g2, 2), kaDir.toString),
+      Seq(maDir(g1, 1), maDir(g2, 2, version = "nb"), kaDir.toString),
       "click:text,hits:counter", out,
       clusteringIdentity = true, counterSum = true).toOption.get
 
@@ -1654,7 +1656,7 @@ class MaSSTableSpec extends AnyFunSuite {
     // same record set, but u1/a's count collapses to the newest shard.
     val outLww = Files.createTempDirectory("mig-full-out").resolve("lww").toString
     assert(graft.kv.Kv.migrate(spark,
-      Seq(maDir(g1, 1), maDir(g2, 2), kaDir.toString),
+      Seq(maDir(g1, 1), maDir(g2, 2, version = "nb"), kaDir.toString),
       "click:text,hits:counter", outLww,
       clusteringIdentity = true).toOption.get.written === model.size)
     val lwwHits = spark.read.parquet(outLww)
