@@ -7,7 +7,7 @@ import graft.kv.Kv
 import graft.multimodal.Multimodal
 import graft.operators.{Events, Relational}
 import graft.similarity.Similarity
-import graft.text.Text
+import graft.text.{Bpe, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -117,6 +117,10 @@ object SparkEntry {
     "text_pii_scrub"           -> (Text.piiScrub _),
     "text_tfidf"               -> (Text.tfidf _),
     "text_vocab"               -> (Text.vocab _),
+    // rows-only by design: the merge loop's argmax feeds the next
+    // round, which no single SQL statement expresses; exact-parity
+    // ScalaTest oracle in TextSpec instead.
+    "text_bpe_train"           -> ((s: SparkSession, d: String) => Bpe.train(s, d)),
     "corpus_mix"               -> (Text.corpusMix _),
     "text_c4_filters"          -> (Text.c4Filters _),
     "text_seq_packing"         -> (Text.seqPacking _),

@@ -290,4 +290,48 @@ class TextSpec extends AnyFunSuite {
     assert(cov.last <= 1.0)
     assert(rows.map(_.toString).sameElements(Text.vocab(spark, sf).collect().map(_.toString)))
   }
+
+  test("bpe training replays exactly against an in-memory reference trainer") {
+    import graft.text.Bpe
+    // Reference trainer: same pre-tokenization, same word-frequency
+    // weighting, same (count desc, left, right) argmax tie-break, same
+    // leftmost-first greedy merge application.
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+      .flatMap(t => Text.BpePattern.r.findAllIn(t.toLowerCase).toSeq)
+      .filter(_.length <= 64)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    def chars(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    var table: Vector[(Vector[String], Long)] =
+      words.toVector.map { case (w, f) => (chars(w) :+ Bpe.WordEnd) -> f }
+    val n = 12
+    val want = Vector.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= n && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      table.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        want += ((rank, a, b, a + b, cnt))
+        table = table.map { case (syms, f) =>
+          syms.foldLeft(Vector.empty[String])((acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x) -> f
+        }
+        rank += 1
+      }
+    }
+    val got = Bpe.train(spark, sf, nMerges = n).collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toVector
+    assert(got === want.result())
+    assert(got.map(_._1) === (1 to got.size).toVector)
+    assert(got.forall { case (_, a, b, m, _) => m == a + b })
+  }
 }
