@@ -85,6 +85,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("frozen_map_entries", "1",
       "entries of a migrated FROZEN map blob as array<struct<key,value binary>>") {
       args => FrozenMapEntries(args.head)
+    },
+    // Bounded-memory aggregates: the analyzer wraps a registered
+    // AggregateFunction in its AggregateExpression, exactly like the
+    // built-ins.
+    fn("collect_set_limit", "2",
+      "distinct bigints of a group, null once the set exceeds the limit") {
+      args => CollectSetLimit(args(0), intArg(args(1), "collect_set_limit"))
+    },
+    fn("topk_by_score", "3",
+      "k best (score, id) pairs of a group, score desc then id asc") {
+      args => TopKByScore(args(0), args(1), intArg(args(2), "topk_by_score"))
+    },
+    fn("freq_sketch", "2",
+      "mergeable Misra-Gries heavy hitters: <= k (item, count) counters") {
+      args => FreqSketch(args(0), intArg(args(1), "freq_sketch"))
     })
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -121,6 +121,10 @@ object SparkEntry {
     // round, which no single SQL statement expresses; exact-parity
     // ScalaTest oracle in TextSpec instead.
     "text_bpe_train"           -> ((s: SparkSession, d: String) => Bpe.train(s, d)),
+    // rows-only by design: the Misra-Gries multiset legally varies
+    // with merge order; in-output exact/underestimate/err_bound audit
+    // columns + invariant ScalaTest oracle (SketchesSpec).
+    "text_vocab_sketch"        -> ((s: SparkSession, d: String) => Text.vocabSketch(s, d)),
     "corpus_mix"               -> (Text.corpusMix _),
     "text_c4_filters"          -> (Text.c4Filters _),
     "text_seq_packing"         -> (Text.seqPacking _),

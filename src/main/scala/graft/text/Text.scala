@@ -21,6 +21,29 @@ object Text {
     * non-space chars — the standard byte-pair-encoding pre-split. */
   val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** Exact per-token corpus counts (token, n_occurrences, n_docs) —
+    * the vocabulary-sized table [[vocab]] ranks and [[vocabSketch]]
+    * audits against, materialized once per (session, dir) behind a
+    * weak-keyed memoized localCheckpoint (the shared-subtree pattern
+    * the dedup audits established) so one driver session never
+    * recounts it across its consumers. */
+  private val tokenCountCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private[graft] def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokenCountCache.synchronized {
+      tokenCountCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }.computeIfAbsent(dir, _ =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+            .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .localCheckpoint())
+
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** #41 text_token_stats: char/token counts per document. */
@@ -493,13 +516,7 @@ object Text {
     * the 100 surviving rows ride the ranking window; the total is a
     * 1-row broadcast. */
   def vocab(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
-          .as("token"))
-    val counts = toks.groupBy(col("token"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+    val counts = tokenCounts(spark, dir)
     val total = counts.agg(sum(col("n_occurrences")).as("n_total"))
     val top = counts
       .orderBy(col("n_occurrences").desc, col("token")).limit(100)
@@ -512,6 +529,53 @@ object Text {
       .select(col("rank"), col("token"), col("n_occurrences"), col("n_docs"),
         d4(col("cum_occurrences").cast("double") / col("n_total").cast("double"))
           .as("cum_coverage"))
+      .orderBy(col("rank"))
+  }
+
+  /** #44m text_vocab_sketch: the top-`topK` heavy-hitter tokens from a
+    * MERGEABLE Misra-Gries summary ([[graft.functions.FreqSketch]],
+    * `capacity` counters) — the bounded-memory path that replaces
+    * [[vocab]]'s exact vocabulary-sized count table when even the
+    * vocabulary outgrows an executor (the frequency member of the
+    * sketch family, next to its exact baseline like quantile_sketch /
+    * quantile_agg). Self-audit columns, per the sketch-family rule:
+    * `exact_count` (from the shared [[tokenCounts]] checkpoint — no
+    * recount), `underestimate` = exact − estimate (≥ 0 by the MG
+    * invariant), and `err_bound` = ⌊(n − S)/(k+1)⌋ — the proven
+    * mergeable-summaries bound every underestimate must respect under
+    * ANY merge order (the stored multiset itself may legally vary
+    * with task completion order, so the spec asserts the invariants,
+    * not a fixed rendition — rows-only by design).
+    *
+    * Scale shape: one corpus scan into a single map-side-combinable
+    * global aggregation whose buffer never exceeds `capacity`
+    * counters; the audit join touches ≤ topK rows against the
+    * checkpointed count table (AQE broadcasts the tiny side). */
+  def vocabSketch(spark: SparkSession, dir: String,
+      capacity: Int = 64, topK: Int = 20): DataFrame = {
+    val sk = Tables.documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit(BpePattern), lit(0))).as("token"))
+      .agg(
+        graft.functions.FreqSketch.freqSketch(col("token"), capacity)
+          .as("entries"),
+        count(lit(1)).as("n_total"))
+    sk.select(col("n_total"),
+        aggregate(col("entries"), lit(0L),
+          (s, e) => s + e.getField("count")).as("stored_total"),
+        posexplode(col("entries")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).as("rank"),
+        col("e.item").as("token"),
+        col("e.count").as("est_count"),
+        col("n_total"), col("stored_total"))
+      .filter(col("rank") <= topK)
+      .join(tokenCounts(spark, dir)
+        .select(col("token"), col("n_occurrences").as("exact_count")),
+        Seq("token"), "left")
+      .select(col("rank"), col("token"), col("est_count"), col("exact_count"),
+        (col("exact_count") - col("est_count")).as("underestimate"),
+        floor((col("n_total") - col("stored_total")) / lit(capacity + 1L))
+          .cast("long").as("err_bound"))
       .orderBy(col("rank"))
   }
 }

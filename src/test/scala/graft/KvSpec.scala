@@ -126,5 +126,16 @@ class KvSpec extends AnyFunSuite {
     assert(row.getSeq[org.apache.spark.sql.Row](4).map(r => (r.getLong(0), r.getLong(1)))
       === Seq((3L, 1L), (3L, 2L), (1L, 2L)))
     assert(row.getLong(5) === -42L, "counter codec must round-trip signed values")
+
+    // Aggregates register too — the analyzer wraps them like built-ins.
+    val agg = spark.sql(
+      """SELECT collect_set_limit(x, 10) AS s,
+        |  topk_by_score(CAST(x AS DOUBLE), x, 2) AS t,
+        |  freq_sketch(CAST(x % 2 AS STRING), 4) AS f
+        |FROM VALUES (1L), (2L), (3L) AS v(x)""".stripMargin).collect().head
+    assert(agg.getSeq[Long](0).sorted === Seq(1L, 2L, 3L))
+    assert(agg.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) === Seq(3L, 2L))
+    assert(agg.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getString(0), r.getLong(1))).toSet === Set("1" -> 2L, "0" -> 1L))
   }
 }

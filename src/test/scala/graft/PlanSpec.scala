@@ -292,6 +292,13 @@ class PlanSpec extends AnyFunSuite {
       s"text_vocab must plan per-partition bounded top-k:\n$plan")
   }
 
+  test("vocab sketch scans the corpus once; the exact audit side rides the shared checkpoint") {
+    val plan = planOf("text_vocab_sketch")
+    assert(plan.linesIterator.count(_.contains("FileScan")) <= 1,
+      s"text_vocab_sketch: the exact-count audit must come from the " +
+        s"memoized checkpoint, not a second corpus scan:\n$plan")
+  }
+
   test("centroid outliers broadcast the per-label centroid table") {
     // The centroid frame is a genuine dimension (one row per label) —
     // the corpus streams past it without reshuffling.

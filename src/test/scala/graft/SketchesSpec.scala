@@ -94,4 +94,41 @@ class SketchesSpec extends AnyFunSuite {
       assert(m >= 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
+
+  test("freq_sketch is exact below capacity, across a forced multi-partition merge") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val items = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c") ++
+      Seq.fill(3)("d") ++ Seq("e")
+    val got = items.toDF("x").repartition(7)
+      .agg(graft.functions.FreqSketch.freqSketch(col("x"), 10).as("s"))
+      .selectExpr("inline(s)").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // Distinct items ≤ capacity: no decrement ever fires, the summary
+    // is the exact multiset regardless of merge order, sorted
+    // (count desc, item asc).
+    assert(got === Seq(("a", 30L), ("b", 20L), ("c", 10L), ("d", 3L), ("e", 1L)))
+  }
+
+  test("vocab sketch holds the Misra-Gries invariants against exact corpus counts") {
+    val cap = 64
+    // topK = capacity surfaces the whole summary for the guarantees.
+    val rows = graft.text.Text.vocabSketch(spark, sf, cap, cap).collect()
+    assert(rows.nonEmpty)
+    val sketched = rows.map(_.getString(1)).toSet
+    rows.foreach { r =>
+      val (tok, under, bound) = (r.getString(1), r.getLong(4), r.getLong(5))
+      assert(under >= 0L, s"$tok: stored count above the true count")
+      assert(under <= bound, s"$tok: underestimate $under > err_bound $bound")
+    }
+    // Every true heavy hitter (count > n/(k+1)) MUST be present.
+    val exact = graft.text.Text.tokenCounts(spark, sf)
+      .select("token", "n_occurrences").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val nTotal = exact.map(_._2).sum
+    exact.filter(_._2 > nTotal / (cap + 1)).foreach { case (tok, cnt) =>
+      assert(sketched.contains(tok),
+        s"guaranteed heavy hitter $tok ($cnt of $nTotal) missing from the sketch")
+    }
+  }
 }
