@@ -243,6 +243,43 @@ object MaFormat {
     }
   }
 
+  /** Trailing (first, last) partition keys of a Summary.db — Cassandra
+    * writes them right after the sampled-entry block (saveSummary:
+    * `writeWithLength(first)`, `writeWithLength(last)` — 4-byte
+    * big-endian length + raw key bytes each). They bound the FILE's
+    * whole ring range, so a token-sliced scan can skip a
+    * non-overlapping SSTable entirely at plan time, before its
+    * Index.db is even opened. Minimal/truncated summaries (or our own
+    * older fixtures) simply end after the entries — any EOF or
+    * implausible length yields None and the caller falls back to the
+    * per-partition index pass, which is always safe. */
+  def readSummaryBounds(in: InputStream, version: String)
+      : Option[(Array[Byte], Array[Byte])] = scala.util.Try {
+    val din = new DataInputStream(in)
+    val scratch = new Array[Byte](8)
+    din.readFully(scratch, 0, 4) // minIndexInterval
+    val size = din.readInt()
+    val memSize = din.readLong()
+    if (version >= "ka") din.readFully(scratch, 0, 8)
+    require(size >= 0 && memSize >= (4L * size) && memSize <= Int.MaxValue,
+      s"implausible Summary.db header: size=$size memSize=$memSize")
+    var toSkip = memSize
+    val junk = new Array[Byte](65536)
+    while (toSkip > 0) {
+      val n = din.read(junk, 0, math.min(toSkip, junk.length.toLong).toInt)
+      require(n > 0, "EOF inside the Summary.db entry block")
+      toSkip -= n
+    }
+    def keyWithLength(): Array[Byte] = {
+      val len = din.readInt()
+      require(len >= 0 && len <= (1 << 20), s"implausible summary key length $len")
+      val k = new Array[Byte](len)
+      din.readFully(k)
+      k
+    }
+    (keyWithLength(), keyWithLength())
+  }.toOption
+
   /** One decoded unfiltered: a cell, or a range-tombstone marker.
     * "ma" markers carry col = null; "ka" range tombstones carry the
     * range START column name in col and the range END name bytes in

@@ -160,6 +160,16 @@ object MaSSTableSource {
     case _ => None
   }
 
+  /** The Data.db files a planned scan will actually open (one entry
+    * per input split) — how tests observe file-level ring pruning. */
+  def scanPartitionFiles(scan: org.apache.spark.sql.connector.read.Scan)
+      : Option[Seq[String]] = scan match {
+    case m: MaScan =>
+      Some(m.planInputPartitions().toSeq
+        .map(_.asInstanceOf[MaInputPartition].file))
+    case _ => None
+  }
+
   /** Unsigned bytewise compare, shorter-is-smaller on a shared prefix —
     * the memcmp order Cassandra keys and UTF8String both use. */
   def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
@@ -434,6 +444,35 @@ private[sstable] class MaScan(
       (if (resumeKey.isDefined || tokenMin.isDefined || tokenMax.isDefined)
          MaSSTableSource.statsFor(file, fs).flatMap(_.partitioner)
        else None).getOrElse("byteOrdered"))
+    val ringGe = MaSSTableSource.ringCompare(partitioner) _
+    val cmpMin = tokenMin.map(MaSSTableSource.tokenCompare(partitioner, _))
+    val cmpMax = tokenMax.map(MaSSTableSource.tokenCompare(partitioner, _))
+    def inStart(k: Array[Byte]): Boolean =
+      resumeKey.forall(rk => ringGe(k, rk) >= 0) && cmpMin.forall(_(k) >= 0)
+    val sumPath = new Path(file.stripSuffix("Data.db") + "Summary.db")
+    // FILE-level ring pruning: the Summary's trailing (first, last)
+    // keys bound the whole file's ring range (SSTables are written in
+    // ring order), so a sharded worker (-T) or resumed scan skips a
+    // non-overlapping SSTable without opening its Index.db at all —
+    // at 1000 executors × 1/N slices this is the difference between
+    // "every worker touches every file's index" and "each worker
+    // plans only its own files". Runs BEFORE the index check, so even
+    // an index-less file is skipped on its bounds. Purely an
+    // optimization: the index seek below (and the caller's residual
+    // filter) excludes the same partitions anyway, and files without
+    // readable bounds take that path unchanged.
+    if ((resumeKey.isDefined || cmpMin.isDefined || cmpMax.isDefined) &&
+        fs.exists(sumPath)) {
+      val bounds = {
+        val sin = fs.open(sumPath)
+        try MaFormat.readSummaryBounds(sin, version) finally sin.close()
+      }
+      val skipWholeFile = bounds.exists { case (firstKey, lastKey) =>
+        !inStart(lastKey) ||          // even the ring-greatest key precedes the start
+          cmpMax.exists(_(firstKey) > 0) // even the ring-least key is past the end
+      }
+      if (skipWholeFile) return Seq.empty
+    }
     val idxPath = new Path(file.stripSuffix("Data.db") + "Index.db")
     val whole = Seq(MaInputPartition(file, 0L, Long.MaxValue))
     if (!fs.exists(idxPath)) return whole
@@ -447,18 +486,12 @@ private[sstable] class MaScan(
     // first entry at-or-after the resume key / token-slice start is the
     // scan start and the first entry PAST the slice end caps it — every
     // partition outside [start, cap) is never read at all.
-    val ringGe = MaSSTableSource.ringCompare(partitioner) _
-    val cmpMin = tokenMin.map(MaSSTableSource.tokenCompare(partitioner, _))
-    val cmpMax = tokenMax.map(MaSSTableSource.tokenCompare(partitioner, _))
-    def inStart(k: Array[Byte]): Boolean =
-      resumeKey.forall(rk => ringGe(k, rk) >= 0) && cmpMin.forall(_(k) >= 0)
     // Summary.db floor (the reference's find_partition_in_summary,
     // SSTable.cpp:121-180): the last SAMPLED entry strictly before the
     // seek target is a safe place to start reading the index — every
     // skipped index byte belongs to partitions the slice excludes
     // anyway. Without it a seek scans the index from byte 0 (still
     // streamed, never materialized).
-    val sumPath = new Path(file.stripSuffix("Data.db") + "Summary.db")
     val indexSeek: Long =
       if ((resumeKey.isDefined || tokenMin.isDefined) && fs.exists(sumPath)) {
         // The summary is PURELY an optimization (the index pass below

@@ -740,7 +740,8 @@ class MaSSTableSpec extends AnyFunSuite {
     * position. */
   private def writeSummary(
       dir: java.nio.file.Path, prefix: String,
-      sampled: Seq[(String, Long)], version: String = "mc"): Unit = {
+      sampled: Seq[(String, Long)], version: String = "mc",
+      bounds: Option[(String, String)] = None): Unit = {
     val keys = sampled.map(_._1.getBytes(UTF_8))
     var off = 4 * sampled.size
     val offsets = keys.map { kb => val o = off; off += kb.length + 8; o }
@@ -754,6 +755,14 @@ class MaSSTableSpec extends AnyFunSuite {
     def le64(v: Long): Unit = { var i = 0; while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
     offsets.foreach(le32)
     keys.zip(sampled.map(_._2)).foreach { case (kb, pos) => out.write(kb); le64(pos) }
+    // Trailing first/last partition keys (saveSummary's
+    // writeWithLength pair): BIG-endian length + raw bytes each.
+    bounds.foreach { case (first, last) =>
+      Seq(first, last).foreach { k =>
+        val kb = k.getBytes(UTF_8)
+        out.writeInt(kb.length); out.write(kb)
+      }
+    }
     out.flush()
     Files.write(dir.resolve(s"$prefix-Summary.db"), bos.toByteArray)
   }
@@ -2468,6 +2477,70 @@ class MaSSTableSpec extends AnyFunSuite {
     val multi = graft.kv.Kv.describeSSTables(spark, Seq(dir.toString))
     assert(multi.columns.last === "dir")
     assert(multi.count() === 3L)
+  }
+
+  test("summary first/last bounds prune whole files from a token-sliced plan") {
+    // Nine keys in murmur3 ring order, split into three files of three
+    // — each file with Index.db and a Summary.db carrying the trailing
+    // (first, last) bound keys. A slice covering only the middle
+    // file's token range must plan ONLY that file.
+    val keys = (1 to 9).map(i => s"user-$i").sortBy(k =>
+      graft.functions.CassandraMurmur3.token(k.getBytes(UTF_8)))
+    val dir = Files.createTempDirectory("bounds-prune")
+    keys.grouped(3).zipWithIndex.foreach { case (ks, gi) =>
+      val e = new Enc
+      val entries = Seq.newBuilder[(String, Long)]
+      ks.foreach { k =>
+        entries += (k -> e.bos.size().toLong)
+        e.partitionHeader(k)
+        e.byte(0x20).vint(0).vint(0)
+        e.byte(0x00).vint(1L).vint(1).bytes("v".getBytes(UTF_8))
+        e.byte(0x04).vint(1L)
+        e.endOfPartition()
+      }
+      val prefix = s"mc-${gi + 1}-big"
+      Files.write(dir.resolve(s"$prefix-Data.db"), e.result)
+      // Only the middle file gets an Index.db: the outer files can be
+      // excluded ONLY by the new summary-bounds file skip — without
+      // it they would plan as whole-file partitions and this test
+      // fails, so it pins the file-level path specifically.
+      if (gi == 1) writeIndex(dir, prefix, entries.result())
+      writeSummary(dir, prefix, Seq(ks.head -> 0L),
+        bounds = Some((ks.head, ks.last)))
+      Files.write(dir.resolve(s"$prefix-Statistics.db"),
+        statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+          0L, 0L, Marshal + "UTF8Type", Nil, Nil,
+          regulars = Seq(
+            "click" -> (Marshal + "UTF8Type"),
+            "nclicks" -> (Marshal + "LongType"))))))
+    }
+    val mid = keys.slice(3, 6)
+    def tok(k: String) =
+      graft.functions.CassandraMurmur3.token(k.getBytes(UTF_8)).toString
+    val df = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", dir.toString)
+      .option("tokenMin", tok(mid.head)).option("tokenMax", tok(mid.last))
+      .load()
+    assert(df.select(col("key")).collect().map(_.getString(0)).toSet
+      === mid.toSet)
+    val planned = df.queryExecution.optimizedPlan.collect {
+      case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        MaSSTableSource.scanPartitionFiles(sr.scan).get
+    }.head
+    assert(planned.map(f => new java.io.File(f).getName).distinct
+      === Seq("mc-2-big-Data.db"),
+      s"only the slice-overlapping file may be planned, got $planned")
+
+    // Bounds round-trip; a summary WITHOUT trailing bounds yields None
+    // (older fixtures) and keeps the un-pruned path.
+    val sin = Files.newInputStream(dir.resolve("mc-1-big-Summary.db"))
+    val b = try MaFormat.readSummaryBounds(sin, "mc") finally sin.close()
+    assert(b.map { case (f, l) => (new String(f, UTF_8), new String(l, UTF_8)) }
+      === Some((keys(0), keys(2))))
+    writeSummary(dir, "unbounded", Seq("a" -> 0L))
+    val sin2 = Files.newInputStream(dir.resolve("unbounded-Summary.db"))
+    val b2 = try MaFormat.readSummaryBounds(sin2, "mc") finally sin2.close()
+    assert(b2 === None)
   }
 
   test("a sibling Statistics.db makes the source self-describing, with per-file bases") {
