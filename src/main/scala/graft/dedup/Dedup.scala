@@ -72,21 +72,15 @@ object Dedup {
     * SAME tiny materialized frame instead of each re-running the whole
     * exact pipeline. The checkpoint is duplication-bounded (the capped
     * pair list), so keeping it resident costs kilobytes, not corpus. */
-  // WEAK-keyed on the session: a stopped-and-dropped SparkSession must
-  // not stay reachable (pinning its checkpoint blocks forever) just
-  // because it once computed a pair set — in a long-lived JVM that
-  // cycles sessions (test suites, notebook servers) a strong-keyed map
-  // would grow monotonically.
-  private val exactPairCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  // Session-scoped with explicit application-end eviction (see
+  // SessionScopedCache: the cached frames strongly reference their
+  // session, so weak keying alone could never free an entry).
+  private val exactPairCache = new graft.functions.SessionScopedCache
   private def exactPairSet(spark: SparkSession, dir: String): DataFrame =
-    exactPairCache.synchronized {
-      exactPairCache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    }.computeIfAbsent(dir,
-      _ => ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint())
+    exactPairCache.getOrCompute(spark, dir) {
+      ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    }
 
   /** Append a constant self-audit column to an approximate pair list:
     * the fraction of the exact pair set ([[exactPairSet]] — shared

@@ -78,12 +78,18 @@ case class FreqSketch(
       InternalRow(UTF8String.fromString(i), c)
     }.toArray[Any])
 
+  // Length-prefixed UTF-8, not writeUTF: the sketch is registered over
+  // arbitrary strings and writeUTF throws past 64 KiB — the
+  // bounded-memory aggregate must survive any item.
   override def serialize(s: FreqSketch.Summary): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     val entries = s.sorted()
     out.writeInt(entries.length)
-    entries.foreach { case (i, c) => out.writeUTF(i); out.writeLong(c) }
+    entries.foreach { case (i, c) =>
+      val b = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -92,7 +98,11 @@ case class FreqSketch(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val s = new FreqSketch.Summary(k)
     val n = in.readInt()
-    (0 until n).foreach(_ => s.put(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      s.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     s
   }
 

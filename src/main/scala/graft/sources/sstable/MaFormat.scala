@@ -129,6 +129,44 @@ object MaFormat {
       new String(b, "UTF-8")
     else "0x" + b.map(x => f"$x%02x").mkString
 
+  /** Type-aware clustering-value rendering: injective like the
+    * untyped form, and for the FIXED-WIDTH comparator types also
+    * ORDER-PRESERVING — the rendered strings sort exactly as the
+    * type's own comparator, so the open/close bound pair a multi-row
+    * range deletion turns into ([[graft.kv.Kv.applyMarkerTombstones]]
+    * applies it as a string `between`) covers precisely the
+    * comparator range. Signed ints and timestamps render as
+    * offset-binary fixed-width hex (sign bit flipped: memcmp order ==
+    * signed order), floats via the IEEE total-order transform, bools
+    * as their byte. Variable-width types (text, uuid, blobs) keep the
+    * printable-or-hex scheme: order-correct across printable text
+    * (the overwhelmingly common text-clustering regime); a
+    * non-printable or literal-"0x" text value still renders
+    * injectively, but its hex form can order differently from raw
+    * printable neighbors — a residual only reachable by a range
+    * delete whose bounds straddle such values, documented here and at
+    * the ClusteringSep contract. */
+  private[sstable] def renderClusteringValue(tpe: ColType, b: Array[Byte]): String =
+    tpe match {
+      case CInt32 if b.length == 4 =>
+        val signed = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+          ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+        "x" + f"${(signed ^ 0x80000000).toLong & 0xffffffffL}%08x"
+      case CLong | CTimestamp if b.length == 8 =>
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (b(i) & 0xff).toLong; i += 1 }
+        "x" + f"${v ^ Long.MinValue}%016x"
+      case CFloat if b.length == 4 =>
+        val bits = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+          ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+        val key = if (bits < 0) ~bits else bits ^ 0x80000000
+        "x" + f"${key.toLong & 0xffffffffL}%08x"
+      case CBool if b.length == 1 =>
+        "x" + f"${b(0) & 0xff}%02x"
+      case _ => renderClusteringValue(b)
+    }
+
   /** Cassandra unsigned vint (Buffer.cpp:read_unsigned_vint): the count
     * of leading one bits in the first byte is the count of continuation
     * bytes; remaining first-byte bits are the high bits of the
@@ -434,7 +472,8 @@ object MaFormat {
               case -1 => readUnsignedVint().toInt
               case s => s
             }
-            if (sb != null) sb.append(renderClusteringValue(readBytes(size)))
+            if (sb != null)
+              sb.append(renderClusteringValue(clustering(c), readBytes(size)))
             else skip(size)
           } else if (lane == 1L && sb != null) sb.append(NullValue)
           // lane 2 (empty value) renders as the empty string.

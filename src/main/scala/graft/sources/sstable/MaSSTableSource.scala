@@ -132,9 +132,16 @@ object MaSSTableSource {
     * letter+"a" exactly as the reference maps them, so version-string
     * comparisons stay total. Versions before "ma" use the legacy cell
     * framing; before "ja", the old count-framed row layout. */
+  /** "la"-and-later file names LEAD with the version
+    * ("nb-1-big-Data.db"); shared by [[versionOf]] and
+    * [[generationOf]] so the two can never disagree on a name's
+    * shape. */
+  private def isVersionLedName(fileName: String): Boolean =
+    fileName.length >= 3 && fileName(0) >= 'l' && fileName(0) <= 'z' &&
+      fileName(1).isLetter && fileName(2) == '-'
+
   def versionOf(fileName: String): String = {
-    if (fileName.length >= 3 && fileName(0) >= 'l' && fileName(0) <= 'z' &&
-        fileName(1).isLetter && fileName(2) == '-')
+    if (isVersionLedName(fileName))
       fileName.substring(0, 2)
     else {
       val parts = fileName.split("-")
@@ -247,9 +254,7 @@ object MaSSTableSource {
   def generationOf(fileName: String): Long = {
     val parts = fileName.split("-")
     val tok =
-      if (fileName.length >= 3 && fileName(0) >= 'l' && fileName(0) <= 'z' &&
-          fileName(1).isLetter && fileName(2) == '-')
-        parts.lift(1) // version-led modern name
+      if (isVersionLedName(fileName)) parts.lift(1)
       else parts.lift(3) // ks-tbl-<version>-<generation>-...
     tok.filter(t => t.nonEmpty && t.forall(_.isDigit)).map(_.toLong).getOrElse(-1L)
   }
@@ -270,7 +275,8 @@ object MaSSTableSource {
     StructField("static_cols", IntegerType, nullable = true),
     StructField("regular_cols", IntegerType, nullable = true),
     StructField("index_partitions", LongType, nullable = true),
-    StructField("summary_entries", IntegerType, nullable = true)))
+    StructField("summary_entries", IntegerType, nullable = true),
+    StructField("meta_error", StringType, nullable = true)))
 
   /** Directory-level metadata report — the operational "what's here" a
     * real migration plans from: versions present, ring/partitioner,
@@ -295,13 +301,27 @@ object MaSSTableSource {
         val name = dataPath.getName
         val version = versionOf(name)
         val stem = f.stripSuffix("Data.db")
+        // An inventory must REPORT a corrupt sibling (nulls + the
+        // error), not abort the whole job over one bad file — a
+        // broken Statistics.db is exactly what a pre-migration triage
+        // is looking for.
+        val errors = Seq.newBuilder[String]
         def withSibling[A](component: String)(read: java.io.InputStream => A)
             : Option[A] = {
           val p = new Path(stem + component)
           if (!fs.exists(p)) None
-          else { val in = fs.open(p); try Some(read(in)) finally in.close() }
+          else scala.util.Try {
+            val in = fs.open(p)
+            try read(in) finally in.close()
+          } match {
+            case scala.util.Success(a) => Some(a)
+            case scala.util.Failure(ex) =>
+              errors += s"$component: ${ex.getMessage}"
+              None
+          }
         }
-        val stats = statsFor(f, fs)
+        val stats = withSibling("Statistics.db")(
+          StatsFile.read(_, version))
         val ci = withSibling("CompressionInfo.db")(
           CompressedBlocks.readCompressionInfo)
         val indexPartitions = withSibling("Index.db") { in =>
@@ -312,6 +332,10 @@ object MaSSTableSource {
         }
         val summaryEntries = withSibling("Summary.db")(in =>
           MaFormat.readSummary(in, version).length)
+        val metaError = {
+          val es = errors.result()
+          if (es.isEmpty) null else es.mkString("; ")
+        }
         org.apache.spark.sql.Row(
           name, version, generationOf(name),
           fs.getFileStatus(dataPath).getLen,
@@ -326,7 +350,8 @@ object MaSSTableSource {
           stats.map(s => Integer.valueOf(s.staticColumns.size)).orNull,
           stats.flatMap(_.columns).map(c => Integer.valueOf(c.size)).orNull,
           indexPartitions.map(java.lang.Long.valueOf).orNull,
-          summaryEntries.map(Integer.valueOf).orNull)
+          summaryEntries.map(Integer.valueOf).orNull,
+          metaError)
       }
     spark.createDataFrame(rows, DescribeSchema).orderBy("file")
   }
@@ -390,7 +415,16 @@ private[sstable] class MaScanBuilder(options: Map[String, String])
         case f @ EqualTo("key", v: String) => (f, v)
       }
       if (contributing.nonEmpty) {
-        opts = opts + ("resumeKey" -> contributing.map(_._2).max)
+        // Tightest = ring-greatest, i.e. UTF-8 BYTE order (the memcmp
+        // order the seek walks) — Scala String max would compare
+        // UTF-16 code units, which diverges for supplementary-plane
+        // keys.
+        val tightest = contributing.map(_._2).reduce((a, b) =>
+          if (MaSSTableSource.compareBytes(
+              a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >= 0) a
+          else b)
+        opts = opts + ("resumeKey" -> tightest)
         pushed = contributing.map(_._1)
       }
     }

@@ -24,17 +24,13 @@ object Text {
   /** Exact per-token corpus counts (token, n_occurrences, n_docs) —
     * the vocabulary-sized table [[vocab]] ranks and [[vocabSketch]]
     * audits against, materialized once per (session, dir) behind a
-    * weak-keyed memoized localCheckpoint (the shared-subtree pattern
-    * the dedup audits established) so one driver session never
-    * recounts it across its consumers. */
-  private val tokenCountCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    * session-scoped memoized localCheckpoint (the shared-subtree
+    * pattern the dedup audits established; eviction semantics in
+    * [[graft.functions.SessionScopedCache]]) so one driver session
+    * never recounts it across its consumers. */
+  private val tokenCountCache = new graft.functions.SessionScopedCache
   private[graft] def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    tokenCountCache.synchronized {
-      tokenCountCache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    }.computeIfAbsent(dir, _ =>
+    tokenCountCache.getOrCompute(spark, dir) {
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
@@ -42,7 +38,8 @@ object Text {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"))
-        .localCheckpoint())
+        .localCheckpoint()
+    }
 
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 

@@ -1494,6 +1494,73 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(!(name("9") >= s2 && name("9") <= e2), "ck=9 must survive ck < 9")
   }
 
+  test("typed clustering render is order-preserving: int32 range delete covers the signed range") {
+    def i32(v: Int) = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val e = new Enc
+    e.partitionHeader("u1")
+    Seq(-100, -5, 0, 7, 100).foreach { ck =>
+      e.byte(0x04 | 0x20)
+      clusteringBlock(e, Seq(Some((i32(ck), true))))
+      e.vint(0).vint(0).vint(100L)
+      e.byte(0x08).vint(1).bytes("v".getBytes(UTF_8))
+      e.byte(0x08).bytes(longBytes(1L))
+    }
+    // DELETE ... WHERE ck >= -5 AND ck <= 7 @200: under a raw-byte
+    // render the start bound (0xfffffffb…) sorts ABOVE the end bound
+    // (0x00000007…) and the tombstone covers nothing — the signed
+    // offset-binary render makes the string range equal the signed
+    // range.
+    def marker(kind: Int, ck: Int, d: Long): Unit = {
+      e.byte(0x02).byte(kind).short(1)
+      clusteringBlock(e, Seq(Some((i32(ck), true))))
+      e.vint(0).vint(0)
+      e.longlong(d)
+      e.out.writeInt(0)
+    }
+    marker(1, -5, 200L)
+    marker(6, 7, 200L)
+    e.endOfPartition()
+    val dir = Files.createTempDirectory("ma-int32-range")
+    Files.write(dir.resolve("mc-1-big-Data.db"), e.result)
+    Files.write(dir.resolve("mc-1-big-Statistics.db"),
+      statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+        0L, 0L, Marshal + "UTF8Type",
+        clustering = Seq(Marshal + "Int32Type"), statics = Nil,
+        regulars = Seq(
+          "click" -> (Marshal + "UTF8Type"),
+          "nclicks" -> (Marshal + "LongType"))))))
+    val bag = graft.kv.Kv.cellsFromSSTables(spark, dir.toString, "",
+      clusteringIdentity = true)
+    val live = graft.kv.Kv.lww(graft.kv.Kv.applyMarkerTombstones(bag))
+      .filter(!col("deleted"))
+      .select(col("col")).collect().map(_.getString(0)).toSet
+    def renderInt(v: Int) = "x" + f"${(v ^ 0x80000000).toLong & 0xffffffffL}%08x"
+    assert(live === Set(-100, 100).flatMap(v => Set(
+      s"${renderInt(v)}${Sep}click", s"${renderInt(v)}${Sep}nclicks")),
+      s"range [-5, 7]@200 must kill exactly the in-range rows: $live")
+
+    // Long/timestamp order preservation, behaviorally: rendered
+    // identities sort exactly as the signed values.
+    val vals = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue)
+    val e2 = new Enc
+    e2.partitionHeader("u2")
+    vals.zipWithIndex.foreach { case (v, i) =>
+      e2.byte(0x04 | 0x20)
+      clusteringBlock(e2, Seq(Some((longBytes(v), true))))
+      e2.vint(0).vint(0).vint(10L + i)
+      e2.byte(0x08).vint(1).bytes("v".getBytes(UTF_8))
+      e2.byte(0x08).bytes(longBytes(i.toLong))
+    }
+    e2.endOfPartition()
+    val cols2 = new MaFormat.Reader(new ByteArrayInputStream(e2.result),
+      Cols, 0, 0, clustering = Seq(CLong), clusteringIdentity = true)
+      .toList.map(_.col).filter(_.endsWith("click"))
+    assert(cols2.size === vals.size && cols2.sorted === cols2,
+      s"signed long clustering renders must sort in signed order: $cols2")
+  }
+
   test("clustering-value rendering is injective (printable '0x...' never collides with hex)") {
     val e = new KaEnc
     e.partition("u1")
@@ -2440,11 +2507,22 @@ class MaSSTableSpec extends AnyFunSuite {
     // (3) bare legacy ka generation 3 — no sibling metadata at all
     //     (describe never opens Data.db, so content is irrelevant)
     Files.write(dir.resolve("ks-tbl-ka-3-Data.db"), Array[Byte](1, 2, 3))
+    // (4) nb generation 9 with a CORRUPT Statistics.db: the inventory
+    //     must report it (nulls + meta_error), never abort the job.
+    Files.write(dir.resolve("nb-9-big-Data.db"), Array[Byte](0))
+    Files.write(dir.resolve("nb-9-big-Statistics.db"),
+      Array[Byte](0, 0, 0, 1, 9, 9, 9, 9))
 
     val rows = MaSSTableSource.describe(spark, dir.toString).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(rows.keySet === Set(
-      "mc-7-big-Data.db", "nb-2-big-Data.db", "ks-tbl-ka-3-Data.db"))
+      "mc-7-big-Data.db", "nb-2-big-Data.db", "ks-tbl-ka-3-Data.db",
+      "nb-9-big-Data.db"))
+    val bad = rows("nb-9-big-Data.db")
+    assert(bad.isNullAt(8), "corrupt stats yield null fields")
+    assert(bad.getString(16) != null &&
+      bad.getString(16).startsWith("Statistics.db:"),
+      s"the corruption must be reported in meta_error: $bad")
 
     val mc = rows("mc-7-big-Data.db")
     assert(mc.getString(1) === "mc")
@@ -2476,7 +2554,7 @@ class MaSSTableSpec extends AnyFunSuite {
     // The Kv/Migrate wrapper unions dirs and tags each row with its dir.
     val multi = graft.kv.Kv.describeSSTables(spark, Seq(dir.toString))
     assert(multi.columns.last === "dir")
-    assert(multi.count() === 3L)
+    assert(multi.count() === 4L)
   }
 
   test("summary first/last bounds prune whole files from a token-sliced plan") {
