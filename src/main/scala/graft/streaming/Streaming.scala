@@ -48,6 +48,23 @@ object Streaming {
       .select(col("w.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Per-window heavy-hitter event types — the STREAMING member of the
+    * freq_sketch family: a windowed aggregation whose buffer is the
+    * mergeable ≤k-counter Misra-Gries summary
+    * ([[graft.functions.FreqSketch]]), so the state store holds O(k)
+    * per window REGARDLESS of stream volume — the property that lets a
+    * top-k monitor run forever. The MG invariants hold under any
+    * micro-batch split or merge order: counts never overcount, every
+    * type whose true share of the window exceeds 1/(k+1) is present,
+    * and when a window's distinct universe fits in k the summary is
+    * its exact multiset — the regime the parity spec pins against the
+    * batch aggregate. */
+  def topTypesStream(events: DataFrame, k: Int = 8): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.FreqSketch.freqSketch(col("event_type"), k).as("top"))
+      .select(col("w.start").as("window_start"), col("top"))
+
   /** The reference's whole job as a streaming pipeline: a cell stream
     * continuously exported into a keyed target with create-only
     * semantics and TTL policies, via foreachBatch over

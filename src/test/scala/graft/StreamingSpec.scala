@@ -213,6 +213,47 @@ class StreamingSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
 
+  test("streaming windowed heavy hitters match batch counts when the universe fits") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Split the feed into three micro-batches: MG summaries merge
+    // across state-store boundaries; with capacity >= the distinct
+    // event-type universe no decrement ever fires, so the result is
+    // the EXACT per-window multiset regardless of split or merge
+    // order — byte-for-byte comparable to the batch counts.
+    val evs = loadEvents()
+    val chunks = evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq
+
+    val input = MemoryStream[Ev]
+    val q = Streaming.topTypesStream(
+      input.toDF().withWatermark("ts", "2 hours"), k = 32).writeStream
+      .format("memory").queryName("top_types")
+      .outputMode("complete")
+      .start()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("top_types")
+      .selectExpr("window_start", "inline(top)")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = Events.windowedAgg(spark, sf)
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want,
+      s"per-window sketch counts must equal batch counts below capacity; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // Within each window the entries arrive sorted (count desc, item).
+    spark.table("top_types").collect().foreach { r =>
+      val entries = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getLong(1), e.getString(0)))
+      assert(entries.sortBy { case (c, i) => (-c, i) } === entries)
+    }
+  }
+
   test("streaming zscore anomalies match a driver-side causal fold across batch splits") {
     val sparkS = spark
     import sparkS.implicits._
