@@ -121,6 +121,10 @@ object SparkEntry {
     // round, which no single SQL statement expresses; exact-parity
     // ScalaTest oracle in TextSpec instead.
     "text_bpe_train"           -> ((s: SparkSession, d: String) => Bpe.train(s, d)),
+    // rows-only by design: applies the iterative 44l artifact (the
+    // training is memoized, so train+encode share one run); per-doc
+    // exact-replay + losslessness ScalaTest oracle.
+    "text_bpe_encode"          -> ((s: SparkSession, d: String) => Bpe.encode(s, d)),
     // rows-only by design: the Misra-Gries multiset legally varies
     // with merge order; in-output exact/underestimate/err_bound audit
     // columns + invariant ScalaTest oracle (SketchesSpec).

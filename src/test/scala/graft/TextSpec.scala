@@ -334,4 +334,48 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_._1) === (1 to got.size).toVector)
     assert(got.forall { case (_, a, b, m, _) => m == a + b })
   }
+
+  test("bpe encode applies the learned table losslessly, matching a rank-greedy replay") {
+    import graft.text.Bpe
+    val merges = Bpe.train(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val ranks = merges.zipWithIndex.toMap
+    def chars(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    def encodeRef(w: String): Vector[String] = {
+      var syms = chars(w) :+ Bpe.WordEnd
+      var go = true
+      while (go && syms.length > 1) {
+        val cands = syms.zip(syms.drop(1)).zipWithIndex
+          .flatMap { case (p, i) => ranks.get(p).map(r => (r, i)) }
+        if (cands.isEmpty) go = false
+        else {
+          val (_, i) = cands.minBy(identity)
+          syms = syms.patch(i, Seq(syms(i) + syms(i + 1)), 2)
+        }
+      }
+      syms
+    }
+    // In-memory per-doc expectation over the same pre-tokenization.
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = docs.flatMap { case (id, t) =>
+      val words = Text.BpePattern.r.findAllIn(t.toLowerCase).toSeq
+      if (words.isEmpty) None // no pre-tokens -> no row after the explode
+      else {
+        val encoded = words.map(encodeRef)
+        Some((id, words.size.toLong, encoded.map(_.size.toLong).sum,
+          words.map(_.length.toLong).sum, 1))
+      }
+    }.sortBy(_._1).toSeq
+    val got = Bpe.encode(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSeq
+    assert(got === want)
+    // The learned tokenizer must compress: fewer tokens than raw
+    // chars+wordend on this corpus.
+    assert(got.map(_._3).sum < got.map(_._4).sum + got.map(_._2).sum,
+      "25 merges should compress below the char baseline")
+  }
 }
