@@ -315,7 +315,8 @@ object Kv {
       verifyChecksums: Boolean = true,
       tokenRange: Option[(String, String)] = None,
       clusteringIdentity: Boolean = false,
-      counterSum: Boolean = false): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
+      counterSum: Boolean = false,
+      sinceTsUs: Option[Long] = None): Either[DataFrame, graft.sinks.KeyedSink.WriteStats] = {
     // The resume key reaches the SOURCE (Index.db seek skips whole
     // partitions at plan time — the reference's `-s` Summary seek), as
     // does the token slice of a sharded run (`-T`, each worker's ring
@@ -341,8 +342,19 @@ object Kv {
           unix_micros(col("ts")) + col("ttl_s") * 1000000L))
       .withColumn("ttl_us", coalesce(col("ttl_s") * 1000000L, lit(0L)))
       .drop("ttl_s", "counter", "deleted")
+    // Incremental catch-up (`-W` watermark, beyond the reference —
+    // which re-reads and re-offers everything and leans on create-only
+    // to dedupe): a record whose WINNING cell is at or below the
+    // previous run's high-water timestamp was already shipped, so it
+    // is dropped before export and counted. The filter sits on the
+    // MERGED winners, not the raw cells: an old cell must still lose
+    // the LWW to a newer one (and a newer tombstone must still kill
+    // it), so merge correctness is unchanged — only the export set
+    // shrinks.
+    def fresh(df: DataFrame): DataFrame =
+      sinceTsUs.fold(df)(w => df.filter(unix_micros(col("ts")) > w))
     if (dryRun)
-      Left(records(merged)
+      Left(records(fresh(merged))
         .withColumn("cell_text",
           concat(col("col"), lit("="), coalesce(col("value").cast("string"), lit(""))))
         .withColumn("cell_hex", lower(hex(col("cell_text"))))
@@ -355,9 +367,12 @@ object Kv {
       val cached = merged.persist()
       try {
         val deletedDropped = cached.filter(col("deleted")).count()
+        val skippedUnchanged = sinceTsUs.fold(0L)(w =>
+          cached.filter(!col("deleted") && unix_micros(col("ts")) <= w).count())
         val stats = graft.sinks.KeyedSink.createOnlyAppend(
-          spark, records(cached), targetPath, policy)
-        Right(stats.copy(deletedDropped = deletedDropped))
+          spark, records(fresh(cached)), targetPath, policy)
+        Right(stats.copy(deletedDropped = deletedDropped,
+          skippedUnchanged = skippedUnchanged))
       } finally cached.unpersist()
     }
   }

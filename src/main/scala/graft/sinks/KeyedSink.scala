@@ -31,7 +31,11 @@ object KeyedSink {
       // Cells whose winning version was a cell-tombstone, dropped before
       // export (the reference's skipped-deleted counter,
       // CassandraParser.cpp:524). Populated by Kv.migrate, not the sink.
-      deletedDropped: Long = 0L)
+      deletedDropped: Long = 0L,
+      // Surviving records at or below an incremental run's `-W`
+      // watermark, skipped before export (already shipped by the
+      // previous run). Populated by Kv.migrate, not the sink.
+      skippedUnchanged: Long = 0L)
 
   case class TtlPolicy(
       minTtlUs: Long = 0L,

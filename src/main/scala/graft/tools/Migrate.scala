@@ -36,6 +36,12 @@ import org.apache.spark.sql.SparkSession
   *   [-L <seconds>]                          minimum-TTL discard
   *   [-x]                                    prohibit eternal records
   *   [-f]                                    record TTL from first-expiring cell
+  *   [-W <microseconds>]                     incremental catch-up: skip
+  *                                           records whose winning cell
+  *                                           timestamp is at or below
+  *                                           this watermark (already
+  *                                           shipped by a previous run;
+  *                                           merge semantics unchanged)
   *   [-D]                                    dry run: print, write nothing
   *   [--describe]                            print the per-SSTable
   *                                           inventory (version,
@@ -65,6 +71,7 @@ object Migrate {
     var clusteringIdentity = false
     var counterSum = false
     var describe = false
+    var sinceTsUs: Option[Long] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -91,6 +98,7 @@ object Migrate {
         case "-C" => verifyChecksums = false; i += 1
         case "-k" => clusteringIdentity = true; i += 1
         case "-m" => counterSum = true; i += 1
+        case "-W" => sinceTsUs = Some(args(i + 1).toLong); i += 2
         case "-L" => minTtlS = args(i + 1).toLong; i += 2
         case "-x" => prohibitEternal = true; i += 1
         case "-f" => ttlFromFirst = true; i += 1
@@ -130,14 +138,16 @@ object Migrate {
       else None
 
     graft.kv.Kv.migrate(spark, inputs, columns, target, policy, resume, dryRun,
-      verifyChecksums, tokenRange, clusteringIdentity, counterSum) match {
+      verifyChecksums, tokenRange, clusteringIdentity, counterSum,
+      sinceTsUs) match {
       case Left(rendered) =>
         rendered.show(100, truncate = false)
         println(s"[migrate] DRY RUN: ${rendered.count()} records would be written")
       case Right(stats) =>
         println(s"[migrate] incoming=${stats.incoming} written=${stats.written} " +
           s"skipped_existing=${stats.skippedExisting} expired=${stats.expired} " +
-          s"deleted_dropped=${stats.deletedDropped}")
+          s"deleted_dropped=${stats.deletedDropped} " +
+          s"skipped_unchanged=${stats.skippedUnchanged}")
     }
     spark.stop()
   }

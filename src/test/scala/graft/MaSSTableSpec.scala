@@ -1625,6 +1625,47 @@ class MaSSTableSpec extends AnyFunSuite {
     } yield (k, s"$ck$Sep$c")))
   }
 
+  test("incremental migrate (-W): only records newer than the watermark export") {
+    // gen1: k1/k2 cells at ts 80-90. gen2: k1 re-written at ts 95
+    // (wins LWW but sits AT/BELOW the watermark 100 — already shipped
+    // by the previous run), k2 cell-tombstoned at 150 (deleted winner
+    // — dropped and counted, as always), k3 born at ts 300 (the only
+    // export). The watermark filters WINNERS, never merge inputs.
+    def row(e: Enc, ts: Long, v: String): Unit = {
+      e.byte(0x20).vint(0).vint(0)
+      e.byte(0x00).vint(ts).vint(v.length.toLong).bytes(v.getBytes(UTF_8))
+      e.byte(0x00).vint(ts).bytes(longBytes(ts))
+    }
+    val g1 = new Enc
+    g1.partitionHeader("k1"); row(g1, 90L, "old1"); g1.endOfPartition()
+    g1.partitionHeader("k2"); row(g1, 80L, "old2"); g1.endOfPartition()
+    val g2 = new Enc
+    g2.partitionHeader("k1"); row(g2, 95L, "newer"); g2.endOfPartition()
+    g2.partitionHeader("k2")
+    g2.byte(0x20).vint(0).vint(0)
+    g2.byte(0x01).vint(150L).vint(0).vint(0) // click tombstone, empty value
+    g2.byte(0x01).vint(150L).vint(0).bytes(longBytes(0L)) // nclicks tombstone
+    g2.endOfPartition()
+    g2.partitionHeader("k3"); row(g2, 300L, "fresh"); g2.endOfPartition()
+
+    def dirOf(e: Enc, gen: Int): String = {
+      val d = Files.createTempDirectory(s"mig-inc-$gen")
+      Files.write(d.resolve(s"mc-$gen-big-Data.db"), e.result)
+      d.toString
+    }
+    val out = Files.createTempDirectory("mig-inc-out").resolve("t").toString
+    val stats = graft.kv.Kv.migrate(spark,
+      Seq(dirOf(g1, 1), dirOf(g2, 2)), ColsSpec, out,
+      sinceTsUs = Some(100L)).toOption.get
+    assert(stats.written === 2L, s"only k3's two cells are fresh: $stats")
+    assert(stats.skippedUnchanged === 2L,
+      s"k1's winners (95 <= 100) were already shipped: $stats")
+    assert(stats.deletedDropped === 2L, s"k2's tombstoned winners: $stats")
+    val keys = spark.read.parquet(out).select(col("key"))
+      .collect().map(_.getString(0)).toSet
+    assert(keys === Set("k3"), s"the target must hold only fresh records: $keys")
+  }
+
   test("migrate end-to-end: clustered + counter + legacy ka generations in one run") {
     // The hardest real table shape in one multi-directory job: a
     // CLUSTERED table with a COUNTER column whose generations span the
