@@ -1494,6 +1494,82 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(!(name("9") >= s2 && name("9") <= e2), "ck=9 must survive ck < 9")
   }
 
+  test("fuzz: typed clustering identities render per the documented convention, in order") {
+    val rng = new scala.util.Random(4242)
+    // Mirror of the documented rendering convention (MaFormat
+    // .renderClusteringValue): offset-binary fixed-width hex for the
+    // signed fixed types, IEEE total order for float, byte for bool,
+    // printable-or-hex for everything else.
+    def mirror(t: MaFormat.ColType, b: Array[Byte]): String = {
+      def be32 = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+        ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+      t match {
+        case CInt32 => "x" + f"${(be32 ^ 0x80000000).toLong & 0xffffffffL}%08x"
+        case CLong | CTimestamp =>
+          var v = 0L; b.foreach(x => v = (v << 8) | (x & 0xff).toLong)
+          "x" + f"${v ^ Long.MinValue}%016x"
+        case CFloat =>
+          val key = if (be32 < 0) ~be32 else be32 ^ 0x80000000
+          "x" + f"${key.toLong & 0xffffffffL}%08x"
+        case CBool => "x" + f"${b(0) & 0xff}%02x"
+        case _ =>
+          if (b.isEmpty) ""
+          else if (b.forall(x => x >= 0x20 && x <= 0x7e) &&
+                   !(b.length >= 2 && b(0) == '0' && b(1) == 'x'))
+            new String(b, UTF_8)
+          else "0x" + b.map(x => f"$x%02x").mkString
+      }
+    }
+    def signedOrderKey(t: MaFormat.ColType, b: Array[Byte]): Option[Long] = {
+      def be32 = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+        ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+      t match {
+        case CInt32 => Some(be32.toLong)
+        case CLong | CTimestamp =>
+          var v = 0L; b.foreach(x => v = (v << 8) | (x & 0xff).toLong); Some(v)
+        case _ => None
+      }
+    }
+    val allTypes = Seq(CText, CInt32, CLong, CTimestamp, CFloat, CBool)
+    (1 to 25).foreach { trial =>
+      val types = Seq.fill(1 + rng.nextInt(3))(allTypes(rng.nextInt(allTypes.size)))
+      def value(t: MaFormat.ColType): Array[Byte] = t match {
+        case CText =>
+          val s = Seq.fill(rng.nextInt(6))(
+            (0x20 + rng.nextInt(0x5f)).toChar).mkString
+          s.getBytes(UTF_8)
+        case t => Array.fill(t.fixedSize)(rng.nextInt(256).toByte)
+      }
+      val e = new Enc
+      e.partitionHeader(s"fz-$trial")
+      val rows = (1 to 3 + rng.nextInt(4)).map { i =>
+        val vals = types.map(value)
+        e.byte(0x04 | 0x20)
+        clusteringBlock(e, vals.zip(types).map { case (v, t) =>
+          Some((v, t.fixedSize >= 0))
+        })
+        e.vint(0).vint(0).vint(i.toLong)
+        e.byte(0x08).vint(1).bytes("v".getBytes(UTF_8))
+        e.byte(0x08).bytes(longBytes(i.toLong))
+        vals
+      }
+      e.endOfPartition()
+      val got = new MaFormat.Reader(new ByteArrayInputStream(e.result),
+        Cols, 0, 0, clustering = types, clusteringIdentity = true).toList
+        .filter(_.col.endsWith("click")).map(_.col)
+      val want = rows.map(vals =>
+        vals.zip(types).map { case (v, t) => mirror(t, v) + Sep }.mkString + "click")
+      assert(got === want, s"trial $trial types $types")
+      // Single-column signed types: rendered order == signed order.
+      if (types.size == 1 && signedOrderKey(types.head, rows.head.head).isDefined) {
+        val keyed = rows.map(v => (signedOrderKey(types.head, v.head).get,
+          mirror(types.head, v.head)))
+        assert(keyed.sortBy(_._1).map(_._2) === keyed.map(_._2).sorted,
+          s"trial $trial: rendered order must equal signed order")
+      }
+    }
+  }
+
   test("typed clustering render is order-preserving: int32 range delete covers the signed range") {
     def i32(v: Int) = Array[Byte](
       ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
