@@ -78,19 +78,19 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
     val total = results.values.collect { case Right(s) => s }.sum
-    // Tail-safe ordering: the bulky per-attempt arrays go on their OWN
-    // line FIRST, so a capture that keeps only the last N bytes always
-    // retains the complete compact summary line that follows (round 4's
-    // artifact lost its head to exactly this).
-    val attemptsLine = s"""{"metric":"attempts","attempts":$attemptsJson,"sf":"$sfDir"}"""
-    val summaryLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir"}"""
-    // Belt and braces: the full artifact also lands in a file next to
-    // the build, immune to any stdout truncation.
+    // ONE JSON object, one line: the driver parses stdout as a single
+    // JSON document, so the per-attempt arrays are nested in the summary
+    // rather than emitted as a second line (round-4/5 artifacts came out
+    // unparseable from the two-line format). The compact `queries` map
+    // leads so a tail-bounded capture still loses only attempt detail.
+    val summaryLine =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","attempts":$attemptsJson}"""
+    // Belt and braces: the artifact also lands in a file next to the
+    // build, immune to any stdout truncation.
     scala.util.Try {
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
-      try { w.println(attemptsLine); w.println(summaryLine) } finally w.close()
+      try w.println(summaryLine) finally w.close()
     }
-    println(attemptsLine)
     println(summaryLine)
     spark.stop()
   }

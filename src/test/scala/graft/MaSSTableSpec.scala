@@ -1025,6 +1025,41 @@ class MaSSTableSpec extends AnyFunSuite {
       "corrupt summary must fall back to the full index walk")
   }
 
+  test("a STALE-but-parsable Summary.db never skips partitions: positions are verified against the index") {
+    // The data-loss class worse than a crash: a summary that parses
+    // cleanly but carries positions from another generation of the
+    // index would land the seek mid-entry (or at the wrong entry) and
+    // silently drop every partition between the true floor and the
+    // bogus one. The planner verifies the candidate position by reading
+    // the index entry there and comparing keys (the reference treats
+    // the summary as advisory and the index as truth,
+    // find_partition_in_summary SSTable.cpp:121-138).
+    val (payload, entries) = indexedPayload(40)
+    def mkDir(tag: String, stale: Seq[(String, Long)] => Seq[(String, Long)]): String = {
+      val dir = Files.createTempDirectory(s"ma-sum-stale-$tag")
+      Files.write(dir.resolve("mc-1-big-Data.db"), payload)
+      val idxOffsets = writeIndex(dir, "mc-1-big", entries)
+      val sampled = entries.zip(idxOffsets).zipWithIndex
+        .collect { case (((k, _), io), i) if i % 8 == 0 => (k, io) }
+      writeSummary(dir, "mc-1-big", stale(sampled))
+      dir.toString
+    }
+    def read(d: String) = spark.read.format("graft.sources.sstable.MaSSTableSource")
+      .option("path", d).option("columns", ColsSpec)
+      .option("splitBytes", "500").option("resumeKey", "user-030")
+      .load().select(col("key")).collect().map(_.getString(0)).toSet
+    val want = (30 to 40).map(i => f"user-$i%03d").toSet
+    // Variant 1: every position shifted a few bytes — the seek target
+    // is mid-entry, the index misparses or yields a foreign key.
+    assert(read(mkDir("shift", _.map { case (k, p) => (k, p + 3) })) === want,
+      "byte-shifted stale positions must fall back, not skip partitions")
+    // Variant 2: right keys paired with the NEXT sample's (valid,
+    // parsable) position — the entry there reads cleanly but is a
+    // different key, so only the key comparison catches it.
+    assert(read(mkDir("rotate", s => s.map(_._1).zip(s.map(_._2).drop(1) :+ s.head._2))) === want,
+      "rotated stale positions must fall back, not skip partitions")
+  }
+
   test("the planner genuinely SEEKS: index bytes before the summary floor are never read") {
     // Corrupt every index byte before the floor entry's offset. Only a
     // planner that jumps straight to the summary's floor position can
@@ -2216,6 +2251,43 @@ class MaSSTableSpec extends AnyFunSuite {
       s"resume from 'b' must export only b1: $stats")
     val keys = spark.read.parquet(target).collect().map(_.getAs[String]("key")).toSet
     assert(keys === Set("b1"))
+  }
+
+  test("Kv.migrate deduces its schema from Statistics.db when -c is omitted") {
+    // The reference CLI takes only paths and reads the table schema
+    // from the sstable's own metadata (Cassandra2Aerospike.cpp:87-95
+    // deduces names; read_metadata supplies the column layout). An
+    // empty columns spec must ride the same self-describing path
+    // end-to-end through migrate — per-generation, with DIFFERENT
+    // timestamp bases so a global option could not have decoded both.
+    val dir = Files.createTempDirectory("mig-selfdesc")
+    val gens = Seq((1, 1000L), (2, 2000L))
+    gens.foreach { case (gen, base) =>
+      val e = new Enc
+      e.partitionHeader(s"k$gen")
+      e.byte(0x20).vint(0).vint(0)
+      val v = s"v$gen".getBytes(UTF_8)
+      e.byte(0x00).vint(gen.toLong).vint(v.length.toLong).bytes(v)
+      e.byte(0x00).vint(gen.toLong).bytes(longBytes(gen.toLong))
+      e.endOfPartition()
+      Files.write(dir.resolve(s"mc-$gen-big-Data.db"), e.result)
+      Files.write(dir.resolve(s"mc-$gen-big-Statistics.db"),
+        statsBytes(Marshal + "Murmur3Partitioner", Some(StatsHeader(
+          base, 0L, Marshal + "UTF8Type", Nil, Nil,
+          regulars = Seq(
+            "click" -> (Marshal + "UTF8Type"),
+            "nclicks" -> (Marshal + "LongType"))))))
+    }
+    val target = Files.createTempDirectory("mig-selfdesc-out").resolve("t").toString
+    val stats = graft.kv.Kv.migrate(spark, Seq(dir.toString),
+      columnsSpec = "", targetPath = target).toOption.get
+    assert(stats.written === 4 && stats.failed === 0, s"unexpected stats: $stats")
+    val got = spark.read.parquet(target)
+      .select(col("key"), col("col"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === gens.flatMap { case (gen, base) =>
+      Seq((s"k$gen", "click", base + gen), (s"k$gen", "nclicks", base + gen))
+    }.toSet, "per-file Statistics.db bases must decode each generation")
   }
 
   test("sharded migration: disjoint token slices partition the export exactly") {

@@ -286,6 +286,28 @@ class PlanSpec extends AnyFunSuite {
       s"events_sequences: top-20 must be a bounded TakeOrdered:\n$plan")
   }
 
+  test("quantile_agg never window-sorts a group's raw rows: every window rides bucketed/aggregated input") {
+    // The scale trap this pins out: row_number().over(partitionBy(
+    // l_returnflag).orderBy(v)) over the raw fact rows — parallelism
+    // = #groups (3), each task sorting a corpus third. The two-level
+    // scheme instead (1) windows the aggregated bucket-count frame
+    // (corpus-independent cardinality) and (2) row-numbers only within
+    // (l_returnflag, b) bucket partitions.
+    val df = SparkEntry.queries("quantile_agg")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val partCols = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      val overAggregate = w.child.collectFirst {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+      }.isDefined
+      assert(overAggregate || partCols.contains("b"),
+        s"window partitioned on $partCols runs over raw corpus rows:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("vocab cuts its top-100 with a bounded TakeOrdered, never a global sort") {
     val plan = planOf("text_vocab")
     assert(plan.contains("TakeOrderedAndProject"),
@@ -297,6 +319,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("FileScan")) <= 1,
       s"text_vocab_sketch: the exact-count audit must come from the " +
         s"memoized checkpoint, not a second corpus scan:\n$plan")
+  }
+
+  test("dedup_embedding's audit reads the memoized LSH-best checkpoint, not a re-run pipeline") {
+    val plan = planOf("dedup_embedding")
+    // The LSH pipeline (banded + bucket-capped self-join + best-per
+    // -vector) lives behind the session-memoized checkpoint: the
+    // audited query's own plan must read that materialized frame
+    // (ExistingRDD) twice — main branch + stats broadcast — and touch
+    // the embeddings parquet only for the audit's exact side (the
+    // sampled query set + one corpus pass), never re-run the LSH join.
+    assert(plan.contains("ExistingRDD"),
+      s"dedup_embedding: expected the checkpointed best frame:\n$plan")
+    assert(plan.linesIterator.count(_.contains("FileScan")) <= 2,
+      s"dedup_embedding: audit must add at most one corpus pass plus " +
+        s"the sampled query scan:\n$plan")
+    assert(!plan.contains("hyperplane") && !plan.contains("SortMergeJoin"),
+      s"dedup_embedding: LSH pipeline must not re-run in the audited plan:\n$plan")
   }
 
   test("centroid outliers broadcast the per-label centroid table") {

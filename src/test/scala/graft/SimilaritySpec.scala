@@ -212,4 +212,17 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.embOutliers(spark, sf).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("PQ fails loudly when the embedding dim does not divide into m sub-blocks") {
+    // A non-multiple dim would silently drop the tail dimensions from
+    // encode and ADC scoring, biasing every score — the guard must
+    // surface it at plan time instead.
+    import spark.implicits._
+    val dir = "/tmp/graft-test-pq-dim"
+    (0L until 20L).map(i => (i, Array.fill(12)(i.toFloat / 20f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](Similarity.pqTopK(spark, dir))
+    assert(e.getMessage.contains("dim % m == 0"), e.getMessage)
+  }
 }

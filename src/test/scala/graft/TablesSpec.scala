@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The events loader must accept every `ts` encoding the testdata
+  * generator has shipped — INT64 nanos (arrives as LongType under
+  * nanosAsLong), timestamp[us] NTZ, and zoned timestamp — and always
+  * surface a microsecond TimestampType column with identical wall-clock
+  * values. Round 5 broke because the loader pinned one vintage.
+  */
+class TablesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val micros = Seq(1700000000000000L, 1700000000123456L, 1712345678901234L)
+
+  private def writeFixture(sub: String)(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    import spark.implicits._
+    val dir = s"/tmp/graft-test-tables/$sub"
+    val base = micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us, i.toLong % 2, s"e$i", i.toDouble, "{}") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    build(base).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def loadedMicros(dir: String): Seq[Long] = {
+    val df = graft.sources.Tables.events(spark, dir)
+    assert(df.schema("ts").dataType === TimestampType, s"$dir: ts must normalize to TimestampType")
+    df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  test("events loader normalizes long-nanos, timestamp_ntz, and timestamp ts encodings identically") {
+    val longDir = writeFixture("long-nanos")(_.withColumn("ts", col("us") * lit(1000L)))
+    val ntzDir = writeFixture("ts-ntz")(_.withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType)))
+    val tzDir = writeFixture("ts-zoned")(_.withColumn("ts", timestamp_micros(col("us"))))
+    val expected = micros.sorted
+    assert(loadedMicros(longDir) === expected)
+    assert(loadedMicros(ntzDir) === expected)
+    assert(loadedMicros(tzDir) === expected)
+  }
+
+  test("events loader rejects an unsupported ts type loudly") {
+    val strDir = writeFixture("ts-string")(_.withColumn("ts", lit("2024-01-01")))
+    val e = intercept[IllegalArgumentException](graft.sources.Tables.events(spark, strDir))
+    assert(e.getMessage.contains("unsupported parquet type"))
+  }
+
+  test("driver testdata events loads and ts is TimestampType") {
+    val df = graft.sources.Tables.events(spark, sf)
+    assert(df.schema("ts").dataType === TimestampType)
+    assert(df.limit(1).count() === 1)
+  }
+}
