@@ -77,9 +77,17 @@ object Dedup {
   // session, so weak keying alone could never free an entry).
   private val exactPairCache = new graft.functions.SessionScopedCache
   private def exactPairSet(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardM(spark, dir).select(col("doc_a"), col("doc_b"))
+
+  /** The FULL exact ngram pair frame (with jaccard), memoized per
+    * (session, dir): the dedup_ngram_jaccard query, both sketch
+    * audits, and the clusters/survivors pipeline all read ONE
+    * materialized checkpoint — the inverted-index pipeline runs once
+    * per session regardless of which consumer asks first. The frame is
+    * duplication-bounded (the capped pair list), kilobytes resident. */
+  private def ngramJaccardM(spark: SparkSession, dir: String): DataFrame =
     exactPairCache.getOrCompute(spark, dir) {
-      ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
+      ngramJaccardOf(shingledDocs(spark, dir)).localCheckpoint()
     }
 
   /** Append a constant self-audit column to an approximate pair list:
@@ -100,9 +108,18 @@ object Dedup {
     * cutting the audit's pair volume by ~mod² and its corpus pass by
     * ~mod. The emitted column keeps its name and meaning (recall vs
     * the in-sample exact pairs). */
-  private def withPairRecall(approx: DataFrame, spark: SparkSession, dir: String,
+  /** Memoized approximate pair lists, one entry per sketch family —
+    * the same session-shared-artifact discipline as [[ngramJaccardM]]:
+    * a pair list is the frame a pipeline's downstream stages (and
+    * repeated calls) consume, and it is capped-tiny, so it
+    * materializes once per (session, dir, family). */
+  private val approxPairCache = new graft.functions.SessionScopedCache
+
+  private def withPairRecall(approx: => DataFrame, memoKey: String,
+      spark: SparkSession, dir: String,
       sampleMod: Option[Int] = None): DataFrame = {
-    val approxM = approx.localCheckpoint()
+    val approxM = approxPairCache.getOrCompute(
+      spark, s"$dir#$memoKey#${sampleMod.getOrElse(0)}")(approx.localCheckpoint())
     val inSample = (id: Column) => sampleMod.fold(lit(true))(m =>
       pmod(crc32(id.cast("string")), lit(m.toLong)) === 0L)
     val exact = sampleMod match {
@@ -128,7 +145,7 @@ object Dedup {
     * floor) is ≈ 0 — candidates are a tiny fraction of n². */
   def minhashLsh(spark: SparkSession, dir: String,
       auditSampleMod: Option[Int] = None): DataFrame =
-    withPairRecall(minhashPairs(spark, dir), spark, dir, auditSampleMod)
+    withPairRecall(minhashPairs(spark, dir), "minhash", spark, dir, auditSampleMod)
 
   /** The verified minhash pair list BEFORE the recall audit — the
     * frame the audit materializes; exposed so plan tests can pin the
@@ -161,7 +178,7 @@ object Dedup {
     * is guaranteed a clean band), verified at Hamming ≤ 7. */
   def simhash(spark: SparkSession, dir: String,
       auditSampleMod: Option[Int] = None): DataFrame =
-    withPairRecall(simhashPairs(spark, dir), spark, dir, auditSampleMod)
+    withPairRecall(simhashPairs(spark, dir), "simhash", spark, dir, auditSampleMod)
 
   /** The verified simhash pair list before the recall audit — see
     * [[minhashPairs]]. */
@@ -195,7 +212,9 @@ object Dedup {
     * capped universe, so emitted Jaccard values are exact within it
     * rather than silently undercounted. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardOf(shingledDocs(spark, dir))
+    // Re-sorted after the checkpoint: materialization does not promise
+    // to preserve the pipeline's output order.
+    ngramJaccardM(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** The corpus as (doc_id, 3-word shingle set) — the shared input of
     * the exact pipeline and its sampled-audit variant. */
@@ -260,7 +279,15 @@ object Dedup {
     * NOISE floor well below it (this corpus: ≤ ~0.45) while true
     * substring duplication scores ≥ 0.6 — the cut keeps the output
     * duplication-bounded instead of corpus-quadratic. */
-  def substringPairs(spark: SparkSession, dir: String): DataFrame = {
+  def substringPairs(spark: SparkSession, dir: String): DataFrame =
+    // Same memoized-pair-list discipline as [[ngramJaccardM]]; the
+    // pipeline's shape is pinned on [[substringPairsRaw]] (the
+    // checkpoint hides the subtree from the audited plan).
+    approxPairCache.getOrCompute(spark, s"$dir#substring")(
+        substringPairsRaw(spark, dir).localCheckpoint())
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private[graft] def substringPairsRaw(spark: SparkSession, dir: String): DataFrame = {
     val minShared = 3
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -310,7 +337,16 @@ object Dedup {
     * you'd switch to large-star/small-star, same skeleton). Emits
     * (doc_id, cluster_id = min doc in component, cluster_size) for
     * every clustered doc. */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    // The clustered-doc assignment is itself a shared pipeline artifact
+    // (survivors and the curation funnel re-derive from it, and its
+    // result is already a lineage-free localCheckpoint), so it
+    // memoizes per (session, dir) like the pair set it consumes: the
+    // iterative CC loop runs once per session, not once per consumer.
+    approxPairCache.getOrCompute(spark, s"$dir#clusters")(
+      clustersUncached(spark, dir))
+
+  private def clustersUncached(spark: SparkSession, dir: String): DataFrame = {
     // The pair frame is the SAME exact ngram pair set the sketch
     // audits consume — [[exactPairSet]]'s per-(session, dir) memoized
     // checkpoint — so across a session the ngram pipeline runs once,
@@ -467,8 +503,10 @@ object Dedup {
     * component diameter unbounded (label propagation's round count) at
     * trillion-edge scale. Shares the dedup_clusters DuckDB oracle. */
   def clustersStar(spark: SparkSession, dir: String): DataFrame =
-    // Shares [[exactPairSet]]'s materialized pair frame — see clusters.
-    ccStar(spark, exactPairSet(spark, dir))
+    // Shares [[exactPairSet]]'s materialized pair frame and memoizes
+    // its own checkpointed result — see clusters.
+    approxPairCache.getOrCompute(spark, s"$dir#clusters_star")(
+      ccStar(spark, exactPairSet(spark, dir)))
 
   /** #37c dedup_survivors: the dedup pipeline's final step — drop every
     * clustered doc except its cluster's min-id survivor, keeping all

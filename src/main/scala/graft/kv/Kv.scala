@@ -298,9 +298,10 @@ object Kv {
     * sizes, and Index.db partition counts (see
     * [[graft.sources.sstable.MaSSTableSource.describe]]); the numbers
     * that size a `-T` shard fan-out before any Data.db byte is read. */
-  def describeSSTables(spark: SparkSession, sstableDirs: Seq[String]): DataFrame =
+  def describeSSTables(spark: SparkSession, sstableDirs: Seq[String],
+      tokenRange: Option[(String, String)] = None): DataFrame =
     sstableDirs.map(d => graft.sources.sstable.MaSSTableSource
-        .describe(spark, d).withColumn("dir", lit(d)))
+        .describe(spark, d, tokenRange).withColumn("dir", lit(d)))
       .reduce(_ unionAll _)
       .orderBy("dir", "file")
 

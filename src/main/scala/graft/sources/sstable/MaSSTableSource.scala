@@ -276,7 +276,40 @@ object MaSSTableSource {
     StructField("regular_cols", IntegerType, nullable = true),
     StructField("index_partitions", LongType, nullable = true),
     StructField("summary_entries", IntegerType, nullable = true),
-    StructField("meta_error", StringType, nullable = true)))
+    // Summary.db trailing (first, last) partition keys — the file's
+    // whole-ring footprint, known without opening Index/Data.
+    StructField("first_key", StringType, nullable = true),
+    StructField("last_key", StringType, nullable = true),
+    // With a token slice: does this file's [first, last] ring range
+    // overlap the slice? (null when bounds or partitioner unknown.)
+    StructField("in_slice", BooleanType, nullable = true),
+    StructField("meta_error", StringType, nullable = true),
+    // Keyspace/table deduced from the on-disk layout — the reference's
+    // -t/-n defaulting (Cassandra2Aerospike.cpp:87-95): the modern
+    // .../<keyspace>/<table>-<32hexuuid>/ directory shape, or the
+    // legacy <ks>-<table>-<version>-<gen>- filename prefix.
+    StructField("keyspace", StringType, nullable = true),
+    StructField("table", StringType, nullable = true)))
+
+  private val TableDirPattern = "^(.+)-[0-9a-f]{32}$".r
+
+  /** Deduce (keyspace, table) for a Data.db path from the directory
+    * layout (modern) or the filename prefix (legacy ka-era names). */
+  def deduceKeyspaceTable(dataFile: String): (Option[String], Option[String]) = {
+    val p = new Path(dataFile)
+    val parentName = Option(p.getParent).map(_.getName)
+    val grandName = Option(p.getParent).flatMap(pp => Option(pp.getParent)).map(_.getName)
+    parentName.collect { case TableDirPattern(tbl) => tbl } match {
+      case Some(tbl) => (grandName.filter(_.nonEmpty), Some(tbl))
+      case None =>
+        // Legacy: ks-tbl-<version>-<gen>-... filename carries the names.
+        val parts = p.getName.split("-")
+        if (parts.length >= 5 && parts(2).length == 2 &&
+            parts(2).forall(_.isLetter) && parts(3).forall(_.isDigit))
+          (Some(parts(0)), Some(parts(1)))
+        else (None, None)
+    }
+  }
 
   /** Directory-level metadata report — the operational "what's here" a
     * real migration plans from: versions present, ring/partitioner,
@@ -286,8 +319,16 @@ object MaSSTableSource {
     * opened (Statistics / CompressionInfo / Index / Summary — never
     * Data.db itself), and the per-file parse runs on the executors, so
     * a directory of thousands of SSTables describes in one small job.
-    * Beyond the reference CLI, which reports nothing until it scans. */
-  def describe(spark: org.apache.spark.sql.SparkSession, path: String)
+    * Beyond the reference CLI, which reports nothing until it scans.
+    *
+    * `tokenRange`: a worker's prospective `-T` slice (either side empty
+    * for an open end). When given, each row carries `in_slice` — does
+    * the file's Summary-bound ring range overlap the slice? — so a
+    * sharded fan-out sizes each worker from slice-local file and
+    * partition counts BEFORE launching anything (the same overlap test
+    * planSplits uses to skip whole files at plan time). */
+  def describe(spark: org.apache.spark.sql.SparkSession, path: String,
+      tokenRange: Option[(String, String)] = None)
       : org.apache.spark.sql.DataFrame = {
     val files = listDataFiles(spark.sparkContext, path)
     val hconf = new org.apache.spark.util.SerializableConfiguration(
@@ -332,10 +373,26 @@ object MaSSTableSource {
         }
         val summaryEntries = withSibling("Summary.db")(in =>
           MaFormat.readSummary(in, version).length)
+        val bounds = withSibling("Summary.db")(
+          MaFormat.readSummaryBounds(_, version)).flatten
+        def keyText(b: Array[Byte]): String =
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        // Slice overlap on the Summary bounds — the planSplits
+        // whole-file test, surfaced as data: the file is OUT only when
+        // even its ring-greatest key precedes the slice start or its
+        // ring-least key is past the end.
+        val inSlice: Option[Boolean] = for {
+          (tMin, tMax) <- tokenRange
+          (firstKey, lastKey) <- bounds
+          part <- stats.flatMap(_.partitioner)
+          cmpMin = Some(tMin).filter(_.nonEmpty).map(tokenCompare(part, _))
+          cmpMax = Some(tMax).filter(_.nonEmpty).map(tokenCompare(part, _))
+        } yield !(cmpMin.exists(_(lastKey) < 0) || cmpMax.exists(_(firstKey) > 0))
         val metaError = {
           val es = errors.result()
           if (es.isEmpty) null else es.mkString("; ")
         }
+        val ksTbl = deduceKeyspaceTable(f)
         org.apache.spark.sql.Row(
           name, version, generationOf(name),
           fs.getFileStatus(dataPath).getLen,
@@ -351,7 +408,12 @@ object MaSSTableSource {
           stats.flatMap(_.columns).map(c => Integer.valueOf(c.size)).orNull,
           indexPartitions.map(java.lang.Long.valueOf).orNull,
           summaryEntries.map(Integer.valueOf).orNull,
-          metaError)
+          bounds.map(b => keyText(b._1)).orNull,
+          bounds.map(b => keyText(b._2)).orNull,
+          inSlice.map(java.lang.Boolean.valueOf).orNull,
+          metaError,
+          ksTbl._1.orNull,
+          ksTbl._2.orNull)
       }
     spark.createDataFrame(rows, DescribeSchema).orderBy("file")
   }

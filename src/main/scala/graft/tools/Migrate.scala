@@ -47,9 +47,15 @@ import org.apache.spark.sql.SparkSession
   *                                           inventory (version,
   *                                           generation, partitioner,
   *                                           schema widths, sizes,
-  *                                           Index.db partition counts)
+  *                                           Index.db partition counts,
+  *                                           Summary first/last keys)
   *                                           and exit — the numbers a
-  *                                           -T fan-out is sized from
+  *                                           -T fan-out is sized from.
+  *                                           With -T, each row also
+  *                                           reports in_slice (ring
+  *                                           overlap with the slice)
+  *                                           plus slice-local file and
+  *                                           partition totals
   * }}}
   *
   * The Aerospike connection/threading flags of the reference
@@ -123,7 +129,24 @@ object Migrate {
     spark.sparkContext.setLogLevel("WARN")
 
     if (describe) {
-      graft.kv.Kv.describeSSTables(spark, inputs).show(1000, truncate = false)
+      // With -T, each row also reports whether the file's Summary-bound
+      // ring range overlaps the slice, plus a slice-local footing — the
+      // numbers a fan-out controller sizes each worker from.
+      val inv = graft.kv.Kv.describeSSTables(spark, inputs, tokenRange)
+      inv.show(1000, truncate = false)
+      tokenRange.foreach { case (tMin, tMax) =>
+        import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+        val r = inv.agg(
+          sum(when(col("in_slice") === true, 1).otherwise(0)).as("files_in"),
+          sum(when(col("in_slice") === false, 1).otherwise(0)).as("files_out"),
+          sum(when(col("in_slice").isNull, 1).otherwise(0)).as("files_unknown"),
+          sum(when(coalesce(col("in_slice"), lit(true)),
+            coalesce(col("index_partitions"), lit(0L))).otherwise(0L))
+            .as("slice_index_partitions")).collect().head
+        println(s"[describe] slice [$tMin,$tMax]: files_in=${r.getLong(0)} " +
+          s"files_out=${r.getLong(1)} files_unknown=${r.getLong(2)} " +
+          s"max_slice_index_partitions=${r.getLong(3)}")
+      }
       spark.stop()
       return
     }

@@ -2709,8 +2709,8 @@ class MaSSTableSpec extends AnyFunSuite {
       "nb-9-big-Data.db"))
     val bad = rows("nb-9-big-Data.db")
     assert(bad.isNullAt(8), "corrupt stats yield null fields")
-    assert(bad.getString(16) != null &&
-      bad.getString(16).startsWith("Statistics.db:"),
+    assert(bad.getString(19) != null &&
+      bad.getString(19).startsWith("Statistics.db:"),
       s"the corruption must be reported in meta_error: $bad")
 
     val mc = rows("mc-7-big-Data.db")
@@ -2738,12 +2738,33 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(ka.getString(1) === "ka")
     assert(ka.getLong(2) === 3L)
     assert(ka.getLong(3) === 3L) // data_bytes
-    assert((8 to 15).forall(ka.isNullAt))
+    assert((8 to 18).forall(ka.isNullAt))
+
+    // Legacy filenames carry ks/table; bare mc/nb names deduce nothing.
+    assert(ka.getAs[String]("keyspace") === "ks")
+    assert(ka.getAs[String]("table") === "tbl")
+    assert(mc.isNullAt(mc.fieldIndex("keyspace")) && mc.isNullAt(mc.fieldIndex("table")))
 
     // The Kv/Migrate wrapper unions dirs and tags each row with its dir.
     val multi = graft.kv.Kv.describeSSTables(spark, Seq(dir.toString))
     assert(multi.columns.last === "dir")
     assert(multi.count() === 4L)
+  }
+
+  test("keyspace/table deduce from the modern directory layout and the legacy filename") {
+    import MaSSTableSource.deduceKeyspaceTable
+    // Modern: .../<keyspace>/<table>-<32hexuuid>/<file>
+    val uuid = "0123456789abcdef0123456789abcdef"
+    assert(deduceKeyspaceTable(s"/data/ks1/users-$uuid/nb-1-big-Data.db")
+      === (Some("ks1"), Some("users")))
+    // Hyphenated table names keep every segment before the uuid.
+    assert(deduceKeyspaceTable(s"/d/my_ks/event-log-$uuid/mc-3-big-Data.db")
+      === (Some("my_ks"), Some("event-log")))
+    // Legacy ka-era filename: <ks>-<table>-<version>-<gen>-Data.db
+    assert(deduceKeyspaceTable("/tmp/x/ks-tbl-ka-3-Data.db")
+      === (Some("ks"), Some("tbl")))
+    // Bare modern filename in an unstructured dir: unknown, never a guess.
+    assert(deduceKeyspaceTable("/tmp/scratch/mc-7-big-Data.db") === ((None, None)))
   }
 
   test("summary first/last bounds prune whole files from a token-sliced plan") {
@@ -2797,6 +2818,27 @@ class MaSSTableSpec extends AnyFunSuite {
     assert(planned.map(f => new java.io.File(f).getName).distinct
       === Seq("mc-2-big-Data.db"),
       s"only the slice-overlapping file may be planned, got $planned")
+
+    // describe surfaces the same overlap as data: first/last bounds
+    // per file and, with a prospective -T slice, the in_slice flag a
+    // fan-out controller sizes workers from.
+    val inv = MaSSTableSource
+      .describe(spark, dir.toString, Some((tok(mid.head), tok(mid.last))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    keys.grouped(3).zipWithIndex.foreach { case (ks, gi) =>
+      val row = inv(s"mc-${gi + 1}-big-Data.db")
+      assert(row.getAs[String]("first_key") === ks.head)
+      assert(row.getAs[String]("last_key") === ks.last)
+      assert(row.getAs[Boolean]("in_slice") === (gi == 1),
+        s"file ${gi + 1} slice overlap wrong: $row")
+    }
+    // Open-ended slice: everything from the middle file's start on.
+    val invOpen = MaSSTableSource
+      .describe(spark, dir.toString, Some((tok(mid.head), "")))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("in_slice")).toMap
+    assert(invOpen === Map(
+      "mc-1-big-Data.db" -> false, "mc-2-big-Data.db" -> true,
+      "mc-3-big-Data.db" -> true))
 
     // Bounds round-trip; a summary WITHOUT trailing bounds yields None
     // (older fixtures) and keeps the un-pruned path.

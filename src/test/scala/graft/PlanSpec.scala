@@ -200,8 +200,10 @@ class PlanSpec extends AnyFunSuite {
     // The inverted-index property that keeps this O(postings) at 100 TB:
     // candidate pairs are generated INSIDE the per-fingerprint
     // aggregation (bounded collect_set_limit buffer), so no plan node
-    // ever joins the corpus to itself.
-    val plan = planOf("dedup_substring")
+    // ever joins the corpus to itself. Pinned on the raw pipeline —
+    // the audited query reads its memoized checkpoint.
+    val plan = graft.dedup.Dedup.substringPairsRaw(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("collectsetlimit"),
       s"dedup_substring: expected the bounded posting aggregation\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
