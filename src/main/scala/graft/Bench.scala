@@ -8,6 +8,13 @@ import org.apache.spark.sql.SparkSession
   * noise damped); a query that throws reports -1 with its error in the
   * `errors` field rather than benching the elapsed time of the failed
   * attempt as a fast success.
+  *
+  * Reading the numbers for session-memoized queries (the dedup pair
+  * lists / cluster assignments): the min reflects the steady-state
+  * cached read — the cost every consumer after the first pays — while
+  * the FIRST entry of the published per-attempt array carries the full
+  * pipeline materialization. Both are real costs; regressions in the
+  * pipeline itself show in attempt 1, not the min.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -81,8 +88,9 @@ object Bench {
     // ONE JSON object, one line: the driver parses stdout as a single
     // JSON document, so the per-attempt arrays are nested in the summary
     // rather than emitted as a second line (round-4/5 artifacts came out
-    // unparseable from the two-line format). The compact `queries` map
-    // leads so a tail-bounded capture still loses only attempt detail.
+    // unparseable from the two-line format). A single JSON line cannot
+    // survive truncation from either end; the defenses are size (the
+    // whole line is ~10 KB) and the bench_full.json side-file below.
     val summaryLine =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","attempts":$attemptsJson}"""
     // Belt and braces: the artifact also lands in a file next to the

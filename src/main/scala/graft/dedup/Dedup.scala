@@ -118,8 +118,11 @@ object Dedup {
   private def withPairRecall(approx: => DataFrame, memoKey: String,
       spark: SparkSession, dir: String,
       sampleMod: Option[Int] = None): DataFrame = {
+    // Keyed WITHOUT sampleMod: the cached pair list is the same frame
+    // for every audit mode (only the recall branch depends on the
+    // sample), so one materialization serves them all.
     val approxM = approxPairCache.getOrCompute(
-      spark, s"$dir#$memoKey#${sampleMod.getOrElse(0)}")(approx.localCheckpoint())
+      spark, s"$dir#$memoKey")(approx.localCheckpoint())
     val inSample = (id: Column) => sampleMod.fold(lit(true))(m =>
       pmod(crc32(id.cast("string")), lit(m.toLong)) === 0L)
     val exact = sampleMod match {

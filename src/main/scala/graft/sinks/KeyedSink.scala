@@ -98,9 +98,15 @@ object KeyedSink {
     if (policy.prohibitEternal) base && col("expiry_us").isNotNull else base
   }
 
-  /** Annotate incoming rows with a `_live` flag under the policy. */
+  /** Annotate incoming rows with a `_live` flag under the policy.
+    * The predicate is null-proof: a malformed row (non-null expiry with
+    * a null ttl_us) evaluates to SQL NULL under `cellLive`, which must
+    * count as dropped-by-policy in BOTH sinks' accounting rather than
+    * vanish from the stats (parquet path) or NPE the partition loop
+    * (foreach path). */
   def withLiveFlag(incoming: DataFrame, policy: TtlPolicy): DataFrame = {
-    val flagged = incoming.withColumn("_live", cellLive(policy))
+    val flagged = incoming.withColumn("_live",
+      coalesce(cellLive(policy), lit(false)))
     if (!policy.recordTtlFromFirst) flagged
     else {
       // Record expires with its FIRST expiring cell: a key group whose
@@ -183,6 +189,14 @@ object KeyedSink {
     * with native create-only (the normal case) leaves this None and
     * reports [[KeyedWriter.AlreadyExists]] per record instead; both
     * routes land in the same counter.
+    *
+    * Accounting caveat under Spark task RETRY/speculation: the export
+    * itself stays correct (create-only makes re-offered records
+    * no-ops), but records written by a task attempt that later retries
+    * re-report AlreadyExists on the re-run, shifting counts from
+    * `written` to `skippedExisting` — the same drift the reference's
+    * at-least-once async pipeline has on reconnect. Exact-once
+    * *accounting* would need a transactional target.
     */
   def createOnlyForeach(
       spark: SparkSession,

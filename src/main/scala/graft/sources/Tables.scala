@@ -27,12 +27,17 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   /** Session configs every graft session needs; apply at session BUILD
-    * (a table accessor must not mutate shared session state). Today:
-    * some vintages of `events.parquet` store INT64 TIMESTAMP(NANOS),
-    * which the Spark parquet reader rejects unless nanos are read as
-    * long; the conf is harmless when the data is already micros. */
-  val sessionConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    * (a table accessor must not mutate shared session state).
+    *  - nanosAsLong: some vintages of `events.parquet` store INT64
+    *    TIMESTAMP(NANOS), which the Spark parquet reader rejects unless
+    *    nanos are read as long; harmless when the data is already micros.
+    *  - session.timeZone=UTC: [[events]]' TIMESTAMP_NTZ→TIMESTAMP cast
+    *    interprets the wall clock in the SESSION zone — pinning UTC here
+    *    (not just in the mains that happened to set it) keeps every
+    *    entry point's ts identical across machines and data vintages. */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
 
   /** Events with `ts` normalized to a microsecond TimestampType column,
     * whatever encoding the parquet writer chose. Known vintages:

@@ -281,6 +281,30 @@ object MaFormat {
     }
   }
 
+  /** One pass over a whole Summary.db: the sampled entries AND the
+    * trailing (first, last) bound keys (each None-safe independently) —
+    * for callers that want both without opening the file twice
+    * (describe over thousands of SSTables on a high-latency
+    * filesystem). The stream is positioned right after the entry block
+    * once [[readSummary]] returns, which is exactly where the bound
+    * pair starts. */
+  def readSummaryWithBounds(in: InputStream, version: String)
+      : (Array[(Array[Byte], Long)], Option[(Array[Byte], Array[Byte])]) = {
+    val entries = readSummary(in, version)
+    val bounds = scala.util.Try {
+      val din = new DataInputStream(in)
+      def keyWithLength(): Array[Byte] = {
+        val len = din.readInt()
+        require(len >= 0 && len <= (1 << 20), s"implausible summary key length $len")
+        val k = new Array[Byte](len)
+        din.readFully(k)
+        k
+      }
+      (keyWithLength(), keyWithLength())
+    }.toOption
+    (entries, bounds)
+  }
+
   /** Trailing (first, last) partition keys of a Summary.db — Cassandra
     * writes them right after the sampled-entry block (saveSummary:
     * `writeWithLength(first)`, `writeWithLength(last)` — 4-byte

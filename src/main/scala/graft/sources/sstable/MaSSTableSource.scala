@@ -371,10 +371,13 @@ object MaSSTableSource {
           while (it.hasNext) { it.next(); n += 1 }
           n
         }
-        val summaryEntries = withSibling("Summary.db")(in =>
-          MaFormat.readSummary(in, version).length)
-        val bounds = withSibling("Summary.db")(
-          MaFormat.readSummaryBounds(_, version)).flatten
+        // One open + one parse per Summary.db for BOTH the entry count
+        // and the bound keys (a directory of thousands of files on a
+        // high-latency filesystem pays per open).
+        val summaryAll = withSibling("Summary.db")(
+          MaFormat.readSummaryWithBounds(_, version))
+        val summaryEntries = summaryAll.map(_._1.length)
+        val bounds = summaryAll.flatMap(_._2)
         def keyText(b: Array[Byte]): String =
           new String(b, java.nio.charset.StandardCharsets.UTF_8)
         // Slice overlap on the Summary bounds — the planSplits

@@ -136,12 +136,13 @@ object Migrate {
       inv.show(1000, truncate = false)
       tokenRange.foreach { case (tMin, tMax) =>
         import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+        // coalesce: sums over an EMPTY inventory are SQL NULL.
         val r = inv.agg(
-          sum(when(col("in_slice") === true, 1).otherwise(0)).as("files_in"),
-          sum(when(col("in_slice") === false, 1).otherwise(0)).as("files_out"),
-          sum(when(col("in_slice").isNull, 1).otherwise(0)).as("files_unknown"),
-          sum(when(coalesce(col("in_slice"), lit(true)),
-            coalesce(col("index_partitions"), lit(0L))).otherwise(0L))
+          coalesce(sum(when(col("in_slice") === true, 1L).otherwise(0L)), lit(0L)).as("files_in"),
+          coalesce(sum(when(col("in_slice") === false, 1L).otherwise(0L)), lit(0L)).as("files_out"),
+          coalesce(sum(when(col("in_slice").isNull, 1L).otherwise(0L)), lit(0L)).as("files_unknown"),
+          coalesce(sum(when(coalesce(col("in_slice"), lit(true)),
+            coalesce(col("index_partitions"), lit(0L))).otherwise(0L)), lit(0L))
             .as("slice_index_partitions")).collect().head
         println(s"[describe] slice [$tMin,$tMax]: files_in=${r.getLong(0)} " +
           s"files_out=${r.getLong(1)} files_unknown=${r.getLong(2)} " +

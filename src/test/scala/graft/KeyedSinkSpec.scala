@@ -114,6 +114,27 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(!KeyedSinkSpec.store.contains("b"), "an exhausted record must not land")
   }
 
+  test("a malformed row (expiry set, ttl null) counts as policy-dropped in both sinks, never NPEs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val now = 1000000L
+    // (key, value, expiry_us, ttl_us) with ttl_us NULL on 'b' — the
+    // cellLive predicate evaluates to SQL NULL there.
+    val df = Seq(
+      ("a", 1L, java.lang.Long.valueOf(now + 100L), java.lang.Long.valueOf(100L)),
+      ("b", 2L, java.lang.Long.valueOf(now + 100L), null.asInstanceOf[java.lang.Long]))
+      .toDF("key", "value", "expiry_us", "ttl_us")
+    val policy = Some(TtlPolicy(minTtlUs = 50L, nowUs = now))
+    val target = freshDir()
+    val sParquet = KeyedSink.createOnlyAppend(spark, df, target, policy)
+    assert(sParquet === WriteStats(2, 1, 0, 1), s"parquet path: $sParquet")
+    KeyedSinkSpec.store.clear(); KeyedSinkSpec.attempts.clear()
+    val sForeach = KeyedSink.createOnlyForeach(spark, df,
+      new KeyedSinkSpec.MemoryStoreWriter(failKeysFirstN = Map.empty), policy)
+    assert(sForeach === WriteStats(2, 1, 0, 1), s"foreach path: $sForeach")
+    assert(KeyedSinkSpec.store.keySet === Set("a"))
+  }
+
   test("pluggable writer honors the TTL policy and pre-flight key set") {
     KeyedSinkSpec.store.clear()
     KeyedSinkSpec.attempts.clear()
