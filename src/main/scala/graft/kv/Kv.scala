@@ -293,6 +293,30 @@ object Kv {
     * parallelizes per file, the merge is one hash shuffle, policies are
     * column arithmetic, and the create-only check is one key anti-join.
     */
+  /** The `-T` arguments for an N-worker fan-out: N contiguous,
+    * disjoint, exhaustive murmur3 ring slices. Both slice ends are
+    * INCLUSIVE (the `-T`/tokenMin/tokenMax contract), so consecutive
+    * slices meet at `cut` / `cut + 1` — a token is in exactly one
+    * slice and the N sharded migrations reconstruct the unsharded run
+    * with no overlap (spec-pinned, including the Long.Min/Max ring
+    * ends). Even spacing over the token RANGE is the reference ring's
+    * uniformity assumption (murmur3 output is uniform in the 64-bit
+    * space); for a skewed directory, size workers from
+    * [[describeSSTables]]' slice-local partition counts instead. */
+  def planTokenSlices(n: Int): Seq[(String, String)] = {
+    require(n >= 1, s"slice count must be >= 1, got $n")
+    // Exact cut points on the 2^64-wide ring, computed in BigInt (a
+    // driver-side one-off; 64-bit modular tricks save nothing here):
+    // slice i covers unsigned offsets [floor(i·2^64/n),
+    // floor((i+1)·2^64/n) - 1], mapped back to signed tokens.
+    val two64 = BigInt(1) << 64
+    def cut(i: Int): BigInt = two64 * i / n
+    def tok(offset: BigInt): Long = (BigInt(Long.MinValue) + offset).toLong
+    (0 until n).map { i =>
+      (tok(cut(i)).toString, tok(cut(i + 1) - 1).toString)
+    }
+  }
+
   /** Pre-migration inventory of the input dirs — one row per SSTable
     * with version, generation, partitioner, discovered schema widths,
     * sizes, and Index.db partition counts (see

@@ -56,6 +56,11 @@ import org.apache.spark.sql.SparkSession
   *                                           overlap with the slice)
   *                                           plus slice-local file and
   *                                           partition totals
+  *   [--plan-slices <n>]                     print the -T argument for
+  *                                           each of n workers (even
+  *                                           murmur3 ring cuts,
+  *                                           disjoint and exhaustive)
+  *                                           and exit
   * }}}
   *
   * The Aerospike connection/threading flags of the reference
@@ -77,6 +82,7 @@ object Migrate {
     var clusteringIdentity = false
     var counterSum = false
     var describe = false
+    var planSlices: Option[Int] = None
     var sinceTsUs: Option[Long] = None
     var i = 0
     while (i < args.length) {
@@ -110,8 +116,17 @@ object Migrate {
         case "-f" => ttlFromFirst = true; i += 1
         case "-D" => dryRun = true; i += 1
         case "--describe" => describe = true; i += 1
+        case "--plan-slices" => planSlices = Some(args(i + 1).toInt); i += 2
         case other => sys.error(s"unrecognised option $other")
       }
+    }
+    // A pure planning ask needs no inputs or Spark at all: print the
+    // -T argument per worker and exit.
+    planSlices.foreach { n =>
+      graft.kv.Kv.planTokenSlices(n).zipWithIndex.foreach { case ((lo, hi), i) =>
+        println(s"[plan-slices] worker $i: -T $lo,$hi")
+      }
+      return
     }
     // -c is optional when every input carries a Statistics.db — the
     // source then self-describes, like the reference CLI (which takes

@@ -139,4 +139,49 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("two-level bucketed quantiles equal brute-force quantile_cont on random groups") {
+    // The rewritten quantileAgg selects order statistics through
+    // bucket counts + prefix offsets + bucket-local sorts; the lerp
+    // and cents rounding must land bit-identically on the value the
+    // straight sorted-array formulation picks — including duplicate
+    // values, bucket-boundary values (exact multiples of the width),
+    // negatives, and 1-row groups (no upper bracket).
+    val sparkS = spark
+    import sparkS.implicits._
+    def bruteQ(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val idx = p * (s.length - 1)
+      val lo = math.floor(idx).toInt
+      val f = idx - lo
+      val hi = if (lo + 1 < s.length) s(lo + 1) else s(lo)
+      val lerp = s(lo) * (1.0 - f) + hi * f
+      // Spark's round(x, 0) semantics: BigDecimal HALF_UP.
+      new java.math.BigDecimal(lerp * 100.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 100.0
+    }
+    (1 to 8).foreach { trial =>
+      val flags = Seq("A", "B", "C").take(1 + rng.nextInt(3))
+      val rows = flags.flatMap { fl =>
+        val n = 1 + rng.nextInt(60)
+        Seq.fill(n)(fl -> (rng.nextInt(7) match {
+          case 0 => rng.nextInt(5) * 100.0            // exact bucket cuts
+          case 1 => -rng.nextDouble() * 250.0         // negatives
+          case 2 => 100.0                             // heavy duplicate
+          case _ => rng.nextDouble() * 1000.0
+        }))
+      }
+      val dir = s"/tmp/graft-test-quantile/t$trial"
+      rows.toDF("l_returnflag", "l_extendedprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val got = graft.operators.Relational.quantileAgg(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (fl, g) =>
+        val vs = g.map(_._2)
+        fl -> (bruteQ(vs, 0.5), bruteQ(vs, 0.95), bruteQ(vs, 0.99), vs.length.toLong)
+      }
+      assert(got === want, s"trial=$trial: $got vs $want")
+    }
+  }
 }

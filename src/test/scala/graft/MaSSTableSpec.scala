@@ -2331,6 +2331,22 @@ class MaSSTableSpec extends AnyFunSuite {
     assert((lo & hi) === Set.empty, "slices must not overlap")
     assert((lo | hi) === full, "slices must cover the full export")
     assert(lo.size === 6, "half the ring = half the keys")
+
+    // The slice PLANNER's -T arguments do the same for any N: every
+    // worker's shard is disjoint, their union is the unsharded run.
+    Seq(1, 2, 3, 7).foreach { n =>
+      val shards = graft.kv.Kv.planTokenSlices(n).map(shard)
+      assert(shards.map(_.size).sum === full.size,
+        s"n=$n: slices must partition (no overlap, no loss)")
+      assert(shards.reduce(_ | _) === full, s"n=$n: union must cover")
+    }
+    // Cut-point exactness at the ring ends and between slices.
+    val cuts = graft.kv.Kv.planTokenSlices(3)
+    assert(cuts.head._1 === Long.MinValue.toString)
+    assert(cuts.last._2 === Long.MaxValue.toString)
+    cuts.sliding(2).foreach { case Seq((_, hi1), (lo2, _)) =>
+      assert(BigInt(lo2) === BigInt(hi1) + 1, s"adjacent slices must meet: $hi1 / $lo2")
+    }
   }
 
   test("DataSource V2 reads Data.db files and prunes columns") {
