@@ -136,6 +136,7 @@ object SparkEntry {
     "curation_report"          -> (graft.pipeline.Curation.report _),
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
+    "emb_dim_stats"            -> (Similarity.embDimStats _),
     // §2.7 multimodal
     "mm_binary_pipeline"       -> (Multimodal.pipeline _),
     "mm_frame_sample"          -> (Multimodal.frameSample _)
@@ -1551,6 +1552,35 @@ object SparkEntry {
         |  CAST(r6 AS DECIMAL(12,6)) < 0 AS is_outlier
         |FROM scored
         |ORDER BY vec_id""".stripMargin,
+
+    // Per-dimension health audit: the quantized-integer-sum fold makes
+    // mean/variance order-free (exact BIGINT sums), min/max are
+    // order-free natively, and the presentation mirrors emb_outliers'
+    // ROUND + DECIMAL cast so the hash gate bites bit-for-bit.
+    "emb_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT r.i - 1 AS dim, v[r.i] AS val
+        |  FROM e, UNNEST(range(1, len(v)+1)) AS r(i)),
+        |a AS (SELECT dim, COUNT(*) AS n,
+        |    SUM(CAST(FLOOR(val * 1048576.0) AS BIGINT)) AS qsum,
+        |    SUM(CAST(FLOOR(val * val * 1048576.0) AS BIGINT)) AS qsq,
+        |    MIN(val) AS dim_min, MAX(val) AS dim_max
+        |  FROM x GROUP BY 1),
+        |m AS (SELECT dim, n,
+        |    CAST(qsum AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE) AS mean,
+        |    CAST(qsq AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE) AS ex2,
+        |    dim_min, dim_max
+        |  FROM a),
+        |s AS (SELECT dim, n, mean, dim_min, dim_max,
+        |    sqrt(GREATEST(ex2 - mean * mean, 0.0)) AS sd
+        |  FROM m)
+        |SELECT CAST(dim AS INT) AS dim, n,
+        |  CAST(CAST(ROUND(mean, 6) AS DECIMAL(18,6)) AS DOUBLE) AS dim_mean,
+        |  CAST(CAST(ROUND(sd, 6) AS DECIMAL(18,6)) AS DOUBLE) AS dim_std,
+        |  dim_min, dim_max,
+        |  CAST(ROUND(sd, 6) AS DECIMAL(18,6)) < 0.000001 AS collapsed
+        |FROM s
+        |ORDER BY dim""".stripMargin,
 
     // Same double-fold parity as ann_bruteforce/emb_outliers: per-row
     // maps only, index-order dot products, order-free maxima.

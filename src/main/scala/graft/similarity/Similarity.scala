@@ -271,4 +271,44 @@ object Similarity {
         (round(cos, 6).cast("decimal(12,6)") < 0).as("is_outlier"))
       .orderBy(col("vec_id"))
   }
+
+  /** #51 emb_dim_stats: per-DIMENSION corpus health audit — mean, std,
+    * min, max for every embedding dimension plus a collapsed-dimension
+    * flag (σ ≈ 0): the standard pre-index screen for dead dimensions
+    * and gross anisotropy (a collapsed dim carries no information but
+    * still costs distance arithmetic; a dominant one drowns the rest).
+    *
+    * Exactness: the mean/variance sums ride the integer-quantized fold
+    * (floor(x·2^20) summed exactly as BIGINT — the emb_outliers
+    * pattern), so the aggregation is order-free and bit-identical
+    * across partitionings and engines; min/max are order-free natively.
+    * Scale shape: one posexplode + ONE dimension-keyed shuffle into a
+    * dimension-cardinality output (64 rows here) — the corpus streams
+    * through a codegen'd map regardless of row count. */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = lit(1048576.0) // 2^20 — the shared quantization unit
+    val byDim = Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(posexplode(col("v")))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("col") * q)).as("qsum"),
+        sum(floor(col("col") * col("col") * q)).as("qsq"),
+        min(col("col")).as("dim_min"),
+        max(col("col")).as("dim_max"))
+      // Staged columns so the double operation ORDER is pinned — the
+      // DuckDB oracle computes the same expressions in the same order.
+      .withColumn("mean", col("qsum").cast("double") / q / col("n").cast("double"))
+      .withColumn("ex2", col("qsq").cast("double") / q / col("n").cast("double"))
+      .withColumn("sd", sqrt(greatest(col("ex2") - col("mean") * col("mean"), lit(0.0))))
+    byDim.select(
+      col("pos").cast("int").as("dim"),
+      col("n"),
+      round(col("mean"), 6).cast("decimal(18,6)").cast("double").as("dim_mean"),
+      round(col("sd"), 6).cast("decimal(18,6)").cast("double").as("dim_std"),
+      col("dim_min"), col("dim_max"),
+      (round(col("sd"), 6).cast("decimal(18,6)") < lit(0.000001)).as("collapsed"))
+      .orderBy(col("dim"))
+  }
 }

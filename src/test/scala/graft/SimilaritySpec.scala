@@ -213,6 +213,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("emb_dim_stats: planted collapsed and known dims get exact stats") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test-dimstats"
+    // dim 0: constant 0.5 (collapsed); dim 1: alternating ±1 (mean 0,
+    // std 1); dim 2: ramp i/n.
+    val n = 64
+    (0 until n).map { i =>
+      (i.toLong, Array(0.5f, if (i % 2 == 0) 1f else -1f, i.toFloat / n), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.embDimStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet === Set(0, 1, 2))
+    val d0 = rows(0)
+    assert(d0.getAs[Boolean]("collapsed"), "constant dim must flag collapsed")
+    assert(d0.getAs[Double]("dim_mean") === 0.5 && d0.getAs[Double]("dim_std") === 0.0)
+    assert(d0.getAs[Double]("dim_min") === 0.5 && d0.getAs[Double]("dim_max") === 0.5)
+    val d1 = rows(1)
+    assert(!d1.getAs[Boolean]("collapsed"))
+    assert(d1.getAs[Double]("dim_mean") === 0.0 && d1.getAs[Double]("dim_std") === 1.0)
+    val d2 = rows(2)
+    assert(d2.getAs[Double]("dim_min") === 0.0)
+    assert(math.abs(d2.getAs[Double]("dim_mean") - (n - 1) / (2.0 * n)) < 1e-4)
+    // Determinism under different partitionings (the order-free fold).
+    val again = Similarity.embDimStats(spark, dir).collect().map(_.toString).sorted
+    assert(again.sameElements(
+      Similarity.embDimStats(spark, dir).repartition(7).collect().map(_.toString).sorted))
+    // The corpus table works too and reports every dimension once.
+    assert(Similarity.embDimStats(spark, sf).count() === 64)
+  }
+
   test("PQ fails loudly when the embedding dim does not divide into m sub-blocks") {
     // A non-multiple dim would silently drop the tail dimensions from
     // encode and ADC scoring, biasing every score — the guard must
