@@ -89,6 +89,7 @@ object SparkEntry {
     "events_value_hist"        -> ((s, d) => Events.valueHist(s, d)),
     "events_moving_avg"        -> (Events.movingAvg _),
     "events_zscore_outliers"   -> (Events.zscoreOutliers _),
+    "events_interval_join"     -> (Events.intervalJoin _),
     "quantile_sketch"          -> (Relational.quantileSketch _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     "events_asof_next"         -> (graft.plans.AsOf.eventsAsofNext _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "text_langid"              -> (Text.langid _),
     "text_fingerprint"         -> (Text.fingerprint _),
     "text_decontaminate"       -> (Text.decontaminate _),
+    "text_decontaminate_bloom" -> (Text.decontaminateBloom _),
     "text_repetition"          -> (Text.repetition _),
     "text_pii_scrub"           -> (Text.piiScrub _),
     "text_tfidf"               -> (Text.tfidf _),
@@ -361,8 +363,14 @@ object SparkEntry {
       |FROM cl ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys get a rows-only check. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omitted keys get a rows-only check.
+    * text_decontaminate_bloom computes the identical relation to
+    * text_decontaminate through a bloom prefilter, so it shares that
+    * oracle verbatim (appended after the literal below). */
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("text_decontaminate_bloom" -> oracleSqlBase("text_decontaminate"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty,
@@ -903,6 +911,24 @@ object SparkEntry {
         |  CAST(CAST(ROUND(zv, 4) AS DECIMAL(10,4)) AS DOUBLE) AS zscore
         |FROM z WHERE abs(zv) > 2.5
         |ORDER BY event_id""".stripMargin,
+
+    // Interval join: the oracle states the naive theta-join; the Spark
+    // side computes the identical relation through the bucketed
+    // equi-join decomposition — the hash gate pins the rewrite exact.
+    "events_interval_join" ->
+      """WITH w AS (SELECT event_id AS window_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - 1800000000 AS lo,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS hi
+        |  FROM events WHERE event_type = 'purchase' AND value >= 250)
+        |SELECT w.window_id,
+        | COUNT(*) AS n_events,
+        | COUNT(DISTINCT e.user_id) AS n_users,
+        | CAST(ROUND(SUM(CAST(e.value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value
+        |FROM w JOIN (SELECT user_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events) e
+        |  ON e.tus >= w.lo AND e.tus < w.hi
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "events_asof_prev" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,

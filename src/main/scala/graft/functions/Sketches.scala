@@ -321,6 +321,36 @@ object Sketches {
     ColumnBridge.column(BandHashes(ColumnBridge.expression(c), nBands))
   def sortedPairs(c: Column): Column =
     ColumnBridge.column(SortedPairs(ColumnBridge.expression(c)))
+
+  /** Fit a Bloom filter over `xxhash64(colName)` of `df` with Spark's
+    * own distributed `BloomFilterAggregate` (the expression behind
+    * runtime bloom-filter joins) and return its serialized bytes — ONE
+    * driver-bounded artifact (numBits/8 bytes), the fitted-codebook
+    * pattern. The caller embeds it as a literal via
+    * [[bloomMightContain]], which keeps the membership probe inside
+    * whole-stage codegen on the scan side — Spark's own runtime-filter
+    * machinery, driven explicitly where the optimizer's
+    * injection heuristics wouldn't reach. */
+  def bloomFit(
+      df: org.apache.spark.sql.DataFrame, colName: String,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.functions.xxhash64
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(df(colName))),
+      Literal(expectedItems), Literal(numBits))
+    df.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain(serializedBloom, hash)` as a codegen'd scan-side
+    * predicate; false positives at the configured rate, zero false
+    * negatives — callers keep an exact verify join downstream. */
+  def bloomMightContain(bloom: Array[Byte], hash: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(bloom, BinaryType),
+      ColumnBridge.expression(hash)))
 }
 
 /** `sorted_pairs(ids)`: all (a, b) pairs with a before b of an id

@@ -335,6 +335,54 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** #32l events_interval_join: pure time-INTERVAL join with no equi
+    * key — "what happened around each incident?": every high-value
+    * purchase (value ≥ 250) anchors a ±30-minute window, and the query
+    * reports the corpus-wide activity inside each window (all users,
+    * all types). The class as-of joins can't express: as-of matches one
+    * row per probe; an interval join matches a bounded time RANGE.
+    *
+    * Scale shape: a naive `a.ts BETWEEN w.lo AND w.hi` theta-join plans
+    * as BroadcastNestedLoopJoin — every executor scans every event per
+    * window, quadratic at 100 TB. Instead the time axis is bucketed at
+    * the window LENGTH (1 h): each event lands in exactly one epoch
+    * bucket, each window covers at most two consecutive buckets
+    * (`sequence` explode on the dimension-sized window frame), and the
+    * join becomes a plain shuffled EQUI-join on the bucket id with the
+    * exact [lo, hi) containment as a post-filter — linear scan work,
+    * partitioned by time. No duplicate pairs by construction (an
+    * event's single bucket appears once in a window's covered-bucket
+    * list), so no dedup pass. A flash-crowd bucket is ordinary AQE
+    * skew-split territory; bucket cardinality grows with the time span,
+    * so the shuffle parallelizes at any scale. PlanSpec pins the
+    * no-nested-loop shape. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val halfUs = 30L * 60L * 1000000L       // ±30 min
+    val bucketUs = 2 * halfUs               // bucket = window length
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("tus"))
+    val windows = ev
+      // anchors: rare high-value purchases (dimension-sized side)
+      .filter(col("event_type") === "purchase" && col("value") >= 250)
+      .select(
+        col("event_id").as("window_id"),
+        (col("tus") - halfUs).as("lo"),
+        (col("tus") + halfUs).as("hi"))
+      .withColumn("bucket",
+        explode(sequence(floor(col("lo") / bucketUs),
+          floor((col("hi") - 1) / bucketUs))))
+    ev.withColumn("bucket", floor(col("tus") / bucketUs))
+      .join(windows, Seq("bucket"))
+      .filter(col("tus") >= col("lo") && col("tus") < col("hi"))
+      .groupBy(col("window_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        pres(dsum(col("value"), 2)).as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
   /** #32 events_asof_prev: each event joined to the user's previous
     * event (the as-of-prior row in the same series) — previous type,
     * previous value, and the inter-event gap in microseconds. */

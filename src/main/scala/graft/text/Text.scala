@@ -154,7 +154,32 @@ object Text {
     * matching (doc, ngram) rows — a sliver — reach the per-doc count
     * shuffle. The corpus-wide doc list never shuffles: hit counts join
     * back onto the narrow (doc_id, n_ngrams) projection. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateImpl(spark, dir, bloomPrefilter = false)
+
+  /** #46b text_decontaminate_bloom: the same decontamination relation
+    * behind a broadcast BLOOM-FILTER prefilter — the 100 TB semi-join
+    * economics. The exact semi-join must move every train (doc, ngram)
+    * row that might match into the join; at corpus scale that shuffle
+    * is the whole cost, and almost every gram is clean. So the eval
+    * side is first collapsed into ONE bounded artifact — a Bloom filter
+    * over the eval n-gram hashes, built distributed by Spark's own
+    * `BloomFilterAggregate` (the expression behind runtime bloom-filter
+    * joins) and embedded as a literal (the fitted-codebook pattern the
+    * PQ/BPE operators established) — and `BloomFilterMightContain`
+    * drops non-matching grams INSIDE the corpus scan's codegen'd map
+    * stage, before any exchange. False positives (and only they)
+    * survive to the exact semi-join, so the result is bit-identical to
+    * [[decontaminate]] and shares its DuckDB oracle verbatim; the
+    * filter is sized for ~1% FP at a benchmark-suite-sized eval set
+    * (the artifact scales with the EVAL slice, which is bounded by
+    * construction — benchmarks are thousands of docs — never with the
+    * corpus). PlanSpec pins might_contain into the scan-side filter. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateImpl(spark, dir, bloomPrefilter = true)
+
+  private def decontaminateImpl(
+      spark: SparkSession, dir: String, bloomPrefilter: Boolean): DataFrame = {
     val k = 8
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), Sketches.wordShingles(col("text"), k).as("sh"))
@@ -164,8 +189,17 @@ object Text {
       .select(explode(col("sh")).as("ngram"))
       .distinct()
     val train = docs.filter(!isEval)
-    val hits = train
-      .select(col("doc_id"), explode(col("sh")).as("ngram"))
+    val trainGrams = train.select(col("doc_id"), explode(col("sh")).as("ngram"))
+    val prefiltered =
+      if (bloomPrefilter) {
+        val bf = Sketches.bloomFit(evalNgrams, "ngram",
+          expectedItems = 1L << 20, numBits = 1L << 23)
+        // Empty eval slice → null aggregate → nothing can match.
+        if (bf == null) trainGrams.filter(lit(false))
+        else trainGrams.filter(
+          Sketches.bloomMightContain(bf, xxhash64(col("ngram"))))
+      } else trainGrams
+    val hits = prefiltered
       .join(evalNgrams, Seq("ngram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

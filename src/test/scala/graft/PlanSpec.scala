@@ -348,6 +348,35 @@ class PlanSpec extends AnyFunSuite {
       s"emb_outliers: centroid join should broadcast\n$plan")
   }
 
+  test("interval join plans as a bucketed equi-join, never a nested loop") {
+    // The naive `ts BETWEEN lo AND hi` theta-join would plan as
+    // BroadcastNestedLoopJoin — per-window corpus scans, quadratic at
+    // scale. The bucket decomposition must keep it an equality join.
+    val plan = planOf("events_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"events_interval_join: nested-loop join leaked back in:\n$plan")
+    assert(plan.contains("bucket"),
+      s"events_interval_join: bucket key missing from the join plan:\n$plan")
+  }
+
+  test("bloom decontamination probes the filter in the scan-side map stage") {
+    // The bloom prefilter's whole point is dropping clean grams BEFORE
+    // the semi-join's exchange; might_contain must sit under a Filter
+    // in the same codegen'd stage as the corpus scan, not after a
+    // shuffle.
+    val lines = planOf("text_decontaminate_bloom").linesIterator.toVector
+    val probe = lines.indexWhere(_.contains("might_contain"))
+    assert(probe >= 0,
+      s"text_decontaminate_bloom: bloom probe missing:\n${lines.mkString("\n")}")
+    // The tree prints parents above children: everything between the
+    // probing Filter and its FileScan child is the scan-side map stage,
+    // so no Exchange may sit between them.
+    val descendants = lines.drop(probe + 1).takeWhile(!_.contains("FileScan"))
+    assert(lines.drop(probe + 1).exists(_.contains("FileScan")) &&
+      !descendants.exists(_.contains("Exchange")),
+      s"text_decontaminate_bloom: probe not fused with its scan:\n${lines.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the sketch pipeline") {
     // The audited query materializes this subtree up front (the audit
     // and the output share one checkpointed frame), so the pipeline's

@@ -160,6 +160,15 @@ class TextSpec extends AnyFunSuite {
     assert(!got(3L).getAs[Boolean]("contaminated"))
   }
 
+  test("bloom decontamination is bit-identical to the exact semi-join") {
+    // The bloom prefilter may only drop rows the exact semi-join would
+    // drop anyway; false positives die in the verify join. Checked on
+    // the real corpus so the filter sees realistic gram cardinality.
+    val exact = Text.decontaminate(spark, sf).collect()
+    val bloom = Text.decontaminateBloom(spark, sf).collect()
+    assert(exact.toSeq === bloom.toSeq)
+  }
+
   test("repetition computes exact gram fractions on a planted doc") {
     val dir = docsFixture(Seq(
       1L -> "a b a b a b",          // 2-grams: ab×3 ba×2; 3-grams: aba×2 bab×2
