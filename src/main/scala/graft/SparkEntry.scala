@@ -6,7 +6,7 @@ import graft.dedup.Dedup
 import graft.kv.Kv
 import graft.multimodal.Multimodal
 import graft.operators.{Events, Relational}
-import graft.similarity.Similarity
+import graft.similarity.{Pca, Similarity}
 import graft.text.{Bpe, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -135,10 +135,12 @@ object SparkEntry {
     "text_c4_filters"          -> (Text.c4Filters _),
     "text_seq_packing"         -> (Text.seqPacking _),
     "sample_stratified"        -> (Text.sampleStratified _),
+    "sample_temperature"       -> (Text.sampleTemperature _),
     "curation_report"          -> (graft.pipeline.Curation.report _),
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
     "emb_dim_stats"            -> (Similarity.embDimStats _),
+    "emb_pca"                  -> ((s, d) => Pca.embPca(s, d)),
     // §2.7 multimodal
     "mm_binary_pipeline"       -> (Multimodal.pipeline _),
     "mm_frame_sample"          -> (Multimodal.frameSample _)
@@ -1545,6 +1547,37 @@ object SparkEntry {
         |  CAST(CAST(ROUND(cum::DOUBLE / n_total::DOUBLE, 4) AS DECIMAL(10,4)) AS DOUBLE)
         |    AS cum_coverage
         |FROM r CROSS JOIN total ORDER BY rank""".stripMargin,
+
+    // Temperature mixing: √ and the quantizing floor are correctly
+    // rounded IEEE ops; everything downstream is BIGINT/HUGEINT
+    // integer math, so rates and per-doc decisions hash-match exactly.
+    "sample_temperature" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || '#' || source), 1, 12)) AS UBIGINT)
+        |      % 1000000 AS BIGINT) AS bucket_ppm
+        |  FROM documents),
+        |c AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576.0) AS BIGINT) AS w_q
+        |  FROM b GROUP BY source),
+        |t AS (SELECT SUM(w_q) AS w_total, SUM(n_docs) AS corpus_docs FROM c),
+        |r AS (SELECT c.source, c.n_docs,
+        |    CAST(((CAST(corpus_docs AS HUGEINT) // 2) * CAST(w_q AS HUGEINT))
+        |      // CAST(w_total AS HUGEINT) AS BIGINT) AS target_docs
+        |  FROM c, t),
+        |r2 AS (SELECT source, n_docs, target_docs,
+        |    LEAST(1000000, CAST((CAST(target_docs AS HUGEINT) * 1000000)
+        |      // CAST(n_docs AS HUGEINT) AS BIGINT)) AS rate_ppm
+        |  FROM r),
+        |s AS (SELECT b.source,
+        |    CAST(SUM(CASE WHEN b.bucket_ppm < r2.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |  FROM b JOIN r2 USING (source) GROUP BY b.source)
+        |SELECT r2.source, r2.n_docs, r2.target_docs, r2.rate_ppm, s.n_sampled,
+        |  CAST(CAST(ROUND(CAST(s.n_sampled AS DOUBLE)
+        |    / CAST(GREATEST(r2.n_docs, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |    AS realized_rate
+        |FROM r2 JOIN s USING (source)
+        |ORDER BY r2.source""".stripMargin,
 
     "sample_stratified" ->
       """WITH d AS (SELECT doc_id, source,

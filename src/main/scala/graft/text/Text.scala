@@ -350,6 +350,63 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** #44o sample_temperature: temperature-flattened corpus mixing —
+    * the standard multilingual/multi-source rebalancing step (α = 0.5,
+    * "square-root sampling"): a source's share of the output budget is
+    * proportional to √n_s instead of n_s, so giant sources stop
+    * drowning small ones. Budget = half the corpus; each source's
+    * target = budget · √n_s / Σ√n_s, applied as the same deterministic
+    * md5-bucket predicate the stratified sampler uses (ppm precision).
+    *
+    * Exactness: √ and the quantize-to-integer floor are both
+    * correctly-rounded IEEE ops, and everything after them — Σ√ (a sum
+    * of quantized BIGINTs, order-free), the budget·weight product
+    * (DECIMAL(38,0), overflow-proof at any corpus size), and the two
+    * `div` floors — is integer arithmetic, so the per-source rates and
+    * every per-doc keep/drop decision are bit-identical cross-engine:
+    * a sampling op under the HASH gate, not a statistical one.
+    *
+    * Scale shape: one narrow per-source count (map-side combinable),
+    * one 1-row scalar broadcast back onto the |sources|-sized frame,
+    * and one corpus pass applying the rate dimension-join — the corpus
+    * never shuffles; exactly the [[sampleStratified]] economics plus
+    * the global normalization. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("source"),
+      (conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+        col("source")).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % 1000000L).as("bucket_ppm"))
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      // √n quantized to 2^-20 — exact BIGINT from here on.
+      .withColumn("w_q",
+        floor(sqrt(col("n_docs").cast("double")) * 1048576.0).cast("long"))
+    val totals = counts.agg(
+      sum(col("w_q")).as("w_total"),
+      sum(col("n_docs")).as("corpus_docs"))
+    val rates = counts.crossJoin(broadcast(totals)) // 1-row scalar
+      .withColumn("target_docs",
+        expr("""cast(cast(corpus_docs div 2 as decimal(38,0)) * cast(w_q as decimal(38,0))
+               |  div cast(w_total as decimal(38,0)) as bigint)""".stripMargin))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("""cast(cast(target_docs as decimal(38,0)) * 1000000
+                 |  div cast(n_docs as decimal(38,0)) as bigint)""".stripMargin)))
+      .select(col("source"), col("n_docs"), col("w_q"), col("target_docs"),
+        col("rate_ppm"))
+    docs.join(rates.drop("n_docs"), Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("bucket_ppm") < col("rate_ppm"), 1L).otherwise(0L))
+        .as("n_sampled"))
+      .join(rates, Seq("source"))
+      .select(col("source"), col("n_docs"), col("target_docs"),
+        col("rate_ppm"), col("n_sampled"),
+        d4(col("n_sampled").cast("double") /
+          greatest(col("n_docs"), lit(1L)).cast("double")).as("realized_rate"))
+      .orderBy(col("source"))
+  }
+
   /** #44f text_tfidf: corpus IDF + per-doc top-5 keyword extraction —
     * the curation signal behind topic balancing / keyword filters in a
     * training-data pipeline. Smoothed RAW-inverse-frequency weighting,

@@ -244,6 +244,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.embDimStats(spark, sf).count() === 64)
   }
 
+  test("emb_pca: moment pass matches a driver fold; spectrum invariants hold") {
+    val rows = graft.similarity.Pca.embPca(spark, sf).collect()
+    assert(rows.length === 16)
+    // Spectrum invariants: descending non-negative eigenvalues, cum
+    // ratio monotone and bounded, orthonormal retained basis.
+    val ev = rows.map(_.getAs[Double]("eigenvalue"))
+    assert(ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 })
+    assert(ev.forall(_ >= 0.0))
+    val cum = rows.map(_.getAs[Double]("cum_ratio"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a - 1e-12 })
+    assert(cum.last <= 1.0 + 1e-9)
+    assert(rows.head.getAs[Double]("ortho_err") < 1e-8)
+    val eff = rows.head.getAs[Double]("effective_rank")
+    assert(eff >= 1.0 && eff <= 64.0)
+    // The distributed moment fold vs an exact driver-side covariance:
+    // same Jacobi on both sides, so any drift is the aggregation's.
+    val vs = vectors.values.toArray
+    val n = vs.length
+    val dim = vs.head.length
+    val mean = Array.tabulate(dim)(d => vs.map(_(d).toDouble).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      vs.map(v => v(i).toDouble * v(j).toDouble).sum / n - mean(i) * mean(j)
+    }
+    val (evd, _) = graft.similarity.Pca.jacobiEigen(cov)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      assert(math.abs(r.getAs[Double]("eigenvalue") - evd(c)) <=
+        1e-6 * math.max(1.0, math.abs(evd(c))),
+        s"component $c eigenvalue drift")
+    }
+    assert(math.abs(rows.head.getAs[Double]("total_variance") -
+      (0 until dim).map(d => cov(d)(d)).sum) < 1e-6)
+  }
+
+  test("emb_pca recovers planted principal axes") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test-pca"
+    val d = 8
+    // Variance 9 along dim 1, 1 along dim 5, ~0.01 elsewhere —
+    // deterministic pseudo-noise, no RNG (session replay safety).
+    val rows = (0L until 400L).map { i =>
+      val v = Array.fill(d)(0f)
+      v(1) = (3.0 * math.sin(i * 1.7)).toFloat
+      v(5) = math.cos(i * 0.9).toFloat
+      v(3) = (0.1 * math.sin(i * 2.3)).toFloat
+      (i, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.similarity.Pca.embPca(spark, dir, k = 3).collect()
+    assert(got(0).getAs[Int]("top_dim") === 1)
+    assert(got(1).getAs[Int]("top_dim") === 5)
+    assert(got(2).getAs[Int]("top_dim") === 3)
+    assert(got(0).getAs[Double]("var_ratio") > 0.8)
+    // Loadings concentrate: the top dim carries ~all of the component.
+    assert(math.abs(got(0).getAs[Double]("top_dim_loading")) > 0.99)
+  }
+
   test("PQ fails loudly when the embedding dim does not divide into m sub-blocks") {
     // A non-multiple dim would silently drop the tail dimensions from
     // encode and ADC scoring, biasing every score — the guard must

@@ -160,6 +160,32 @@ class TextSpec extends AnyFunSuite {
     assert(!got(3L).getAs[Boolean]("contaminated"))
   }
 
+  test("temperature sampling flattens a skewed source mix toward sqrt shares") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tempfix").toString
+    // 900 docs from srcBig, 100 from srcSmall: raw shares 90/10,
+    // sqrt shares 75/25 — the flattening the op exists for.
+    val rows = (0L until 900L).map(i => (i, s"big doc $i", "xx", "srcBig", 10L)) ++
+      (1000L until 1100L).map(i => (i, s"small doc $i", "xx", "srcSmall", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Text.sampleTemperature(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val big = got("srcBig"); val small = got("srcSmall")
+    // Budget = 500 docs. w ∝ √n: √900=30, √100=10 → targets 375/125.
+    assert(big.getAs[Long]("target_docs") === 375L)
+    assert(small.getAs[Long]("target_docs") === 125L)
+    // Small source is UPsampled relative to its raw share: its rate
+    // (125/100 → capped 100%) far exceeds the big source's (375/900).
+    assert(small.getAs[Long]("rate_ppm") === 1000000L)
+    assert(big.getAs[Long]("rate_ppm") === 416666L)
+    // The deterministic sampler realizes the rate on its own docs.
+    assert(small.getAs[Long]("n_sampled") === 100L)
+    val realized = big.getAs[Long]("n_sampled").toDouble / 900.0
+    assert(math.abs(realized - 0.4167) < 0.06, s"realized $realized")
+  }
+
   test("bloom decontamination is bit-identical to the exact semi-join") {
     // The bloom prefilter may only drop rows the exact semi-join would
     // drop anyway; false positives die in the verify join. Checked on
