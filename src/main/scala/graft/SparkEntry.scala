@@ -90,6 +90,7 @@ object SparkEntry {
     "events_moving_avg"        -> (Events.movingAvg _),
     "events_zscore_outliers"   -> (Events.zscoreOutliers _),
     "events_interval_join"     -> (Events.intervalJoin _),
+    "events_cusum"             -> (Events.cusum _),
     "quantile_sketch"          -> (Relational.quantileSketch _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     "events_asof_next"         -> (graft.plans.AsOf.eventsAsofNext _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "emb_quantize"             -> (Similarity.embQuantize _),
     "emb_dim_stats"            -> (Similarity.embDimStats _),
     "emb_pca"                  -> ((s, d) => Pca.embPca(s, d)),
+    "emb_pca_project"          -> ((s, d) => Pca.embPcaProject(s, d)),
     // §2.7 multimodal
     "mm_binary_pipeline"       -> (Multimodal.pipeline _),
     "mm_frame_sample"          -> (Multimodal.frameSample _)
@@ -913,6 +915,47 @@ object SparkEntry {
         |  CAST(CAST(ROUND(zv, 4) AS DECIMAL(10,4)) AS DOUBLE) AS zscore
         |FROM z WHERE abs(zv) > 2.5
         |ORDER BY event_id""".stripMargin,
+
+    // CUSUM: the oracle replays the recurrence as a recursive CTE in
+    // the same pinned IEEE operation order as the CusumSeq kernel.
+    "events_cusum" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+        |b AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |dense AS (SELECT t.event_type, r.h
+        |  FROM types t, b, UNNEST(range(b.hmin, b.hmax + 1)) AS r(h)),
+        |cnt AS (SELECT event_type, h, COUNT(*) AS x FROM ev GROUP BY 1, 2),
+        |d AS (SELECT dense.event_type, dense.h, COALESCE(cnt.x, 0) AS x
+        |  FROM dense LEFT JOIN cnt USING (event_type, h)),
+        |st AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS ss
+        |  FROM d GROUP BY 1),
+        |st2 AS (SELECT event_type,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(GREATEST(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS std
+        |  FROM st),
+        |idx AS (SELECT d.event_type, d.h, d.x, st2.mean, st2.std,
+        |    ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.h) AS i
+        |  FROM d JOIN st2 USING (event_type)),
+        |rec AS (
+        |  SELECT event_type, h, x, mean, std, i,
+        |    GREATEST(0.0, 0.0 + ((CAST(x AS DOUBLE) - mean) - 0.5 * std)) AS sp,
+        |    GREATEST(0.0, 0.0 + ((mean - CAST(x AS DOUBLE)) - 0.5 * std)) AS sn
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.h, idx.x, idx.mean, idx.std, idx.i,
+        |    GREATEST(0.0, rec.sp + ((CAST(idx.x AS DOUBLE) - idx.mean) - 0.5 * idx.std)),
+        |    GREATEST(0.0, rec.sn + ((idx.mean - CAST(idx.x AS DOUBLE)) - 0.5 * idx.std))
+        |  FROM rec JOIN idx ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
+        |SELECT event_type, h AS hour, x AS n_events,
+        |  CAST(CAST(ROUND(sp, 4) AS DECIMAL(10,4)) AS DOUBLE) AS cusum_pos,
+        |  CAST(CAST(ROUND(sn, 4) AS DECIMAL(10,4)) AS DOUBLE) AS cusum_neg,
+        |  (sp > 4.0 * std OR sn > 4.0 * std) AS alarm
+        |FROM rec
+        |ORDER BY event_type, hour""".stripMargin,
 
     // Interval join: the oracle states the naive theta-join; the Spark
     // side computes the identical relation through the bucketed

@@ -383,6 +383,70 @@ object Events {
       .orderBy(col("window_id"))
   }
 
+  /** #32m events_cusum: CUSUM changepoint detection (Page 1954) on the
+    * hourly event-rate series per type — the sequential drift detector
+    * behind "did this event stream's rate shift?", the class of
+    * question z-score outliers (pointwise, memoryless) can't answer: a
+    * sustained small shift never trips a pointwise threshold but
+    * accumulates in the CUSUM path.
+    *
+    * Scale shape: the corpus collapses FIRST — one map-side-combinable
+    * aggregation to the (type × hour) frame, whose cardinality grows
+    * with the time span and type count, never the row count — and the
+    * recurrence runs on that dimension-sized frame: the gap-densified
+    * hour series per type (a `sequence` explode between the corpus
+    * min/max hour, a 1-row scalar broadcast) is collected into ONE
+    * sorted array per type (bounded: |hours|, not |events|) and the
+    * two-sided path is a single [[graft.functions.CusumSeq]] pass.
+    * Exact integer moments feed mean/σ, the recurrence is a pinned
+    * IEEE sequence, and the DuckDB oracle replays it token-for-token
+    * as a recursive CTE — hash-exact including the 4σ alarm boundary.
+    * Slack 0.5σ, alarm at 4σ (the standard CUSUM tuning). */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      .withColumn("h", expr(s"tus div ${hourUs}L"))
+    val cnt = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+    val dense = cnt.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds)) // 1-row scalar
+      .select(col("event_type"),
+        explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val d = dense.join(cnt, Seq("event_type", "h"), "left_outer")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val stats = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("ss"))
+      .withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("std", sqrt(greatest(
+        col("ss").cast("double") / col("n").cast("double") -
+          (col("sx").cast("double") / col("n").cast("double")) *
+          (col("sx").cast("double") / col("n").cast("double")),
+        lit(0.0))))
+    val series = d.groupBy(col("event_type"))
+      // struct sorts by its first field, so this is the hour order.
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("hs"))
+      .join(stats.select(col("event_type"), col("mean"), col("std")),
+        Seq("event_type"))
+      .withColumn("cs", graft.functions.CusumSeq.cusumSeq(
+        transform(col("hs"), e => e.getField("x").cast("double")),
+        col("mean"), col("std")))
+    series
+      .select(col("event_type"), col("mean"), col("std"),
+        posexplode(arrays_zip(col("hs"), col("cs"))))
+      .select(
+        col("event_type"),
+        col("col.hs.h").as("hour"),
+        col("col.hs.x").as("n_events"),
+        d4(col("col.cs.sp")).as("cusum_pos"),
+        d4(col("col.cs.sn")).as("cusum_neg"),
+        (col("col.cs.sp") > lit(4.0) * col("std") ||
+         col("col.cs.sn") > lit(4.0) * col("std")).as("alarm"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** #32 events_asof_prev: each event joined to the user's previous
     * event (the as-of-prior row in the same series) — previous type,
     * previous value, and the inter-event gap in microseconds. */

@@ -2,7 +2,7 @@ package graft.similarity
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -39,14 +39,34 @@ import org.apache.spark.sql.types._
   */
 object Pca {
 
-  /** Eigen-spectrum report over `embeddings.embedding`: one row per
-    * retained component (top `k` by eigenvalue), with the fraction of
-    * variance explained, its running cumulative, the dominant input
-    * dimension of the component, and the spectral-health audits every
-    * row repeats (they are corpus-level scalars): total variance
-    * (trace), effective rank (exp of spectrum entropy), and the
-    * worst orthonormality residual of the retained basis. */
-  def embPca(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+  /** The fitted spectral model — the bounded artifact (O(d²) doubles)
+    * the report and the projection audit both read. */
+  final case class Model(
+      n: Long, dim: Int, mean: Array[Double], trace: Double,
+      eigVals: Array[Double], eigVecs: Array[Array[Double]])
+
+  // Per-(session, dir) memoized fit, so emb_pca and emb_pca_project
+  // share ONE moment pass per driver session (the SessionScopedCache
+  // discipline, typed for a driver-side model instead of a frame;
+  // same weak-keyed eviction posture — the model holds no session
+  // reference at all, so weak keying alone suffices here).
+  private val fitCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Model]]()
+
+  /** One corpus pass → covariance → driver Jacobi. See [[embPca]]. */
+  def fit(spark: SparkSession, dir: String): Model = {
+    val perSession = fitCache.synchronized {
+      var m = fitCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Model]()
+        fitCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ => fitUncached(spark, dir))
+  }
+
+  private def fitUncached(spark: SparkSession, dir: String): Model = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val agg = GramMoments(ColumnBridge.expression(col("embedding").cast(ArrayType(DoubleType))), dim)
@@ -71,6 +91,23 @@ object Pca {
     }
     val (eigVals, eigVecs) = jacobiEigen(cov) // descending
     val trace = (0 until dim).map(d => cov(d)(d)).sum
+    Model(n, dim, mean, trace, eigVals, eigVecs)
+  }
+
+  /** Eigen-spectrum report over `embeddings.embedding`: one row per
+    * retained component (top `k` by eigenvalue), with the fraction of
+    * variance explained, its running cumulative, the dominant input
+    * dimension of the component, and the spectral-health audits every
+    * row repeats (they are corpus-level scalars): total variance
+    * (trace), effective rank (exp of spectrum entropy), and the
+    * worst orthonormality residual of the retained basis. */
+  def embPca(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val model = fit(spark, dir)
+    val dim = model.dim
+    val n = model.n
+    val eigVals = model.eigVals
+    val eigVecs = model.eigVecs
+    val trace = model.trace
     val posVals = eigVals.map(v => math.max(v, 0.0))
     val valSum = posVals.sum
     // Effective rank: exp(entropy of the normalized spectrum) — the
@@ -113,6 +150,51 @@ object Pca {
       StructField("ortho_err", DoubleType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** #40h emb_pca_project: the APPLY side of [[embPca]] — project every
+    * vector onto the fitted top-`k` principal basis and audit, per
+    * vector, how much of its (centered) energy the reduced
+    * representation keeps. The k×d component matrix and the mean
+    * vector ride into the plan as LITERAL arrays (the fitted-codebook
+    * pattern: same economics as the PQ codebooks and the BPE merge
+    * table — a bounded artifact broadcast inside the expression tree,
+    * never a join), and the projection itself is built from Spark's
+    * higher-order array functions (`zip_with` dot products over the
+    * embedded basis) — a pure per-row map, zero shuffle, output linear
+    * in input. Fit and apply share one moment pass per session via the
+    * memoized [[fit]].
+    *
+    * energy_kept = ‖Vₖ(x−μ)‖² / ‖x−μ‖² ∈ [0, 1] because Vₖ is
+    * orthonormal; its corpus MEAN ties back to the spectrum report
+    * (≈ Σ top-k var_ratio when centering matches) — spec-pinned. */
+  def embPcaProject(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val model = fit(spark, dir)
+    val kk = math.min(k, model.dim)
+    val meanLit = typedLit(model.mean.toSeq)
+    val compLit = typedLit((0 until kk).map(c => model.eigVecs(c).toSeq))
+    val centered = zip_with(col("v"), meanLit, (x, mu) => x - mu)
+    def dotWith(arr: Column, other: Column): Column =
+      aggregate(zip_with(arr, other, (a, b) => a * b), lit(0.0), (s, t) => s + t)
+    graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("c", centered)
+      .withColumn("coords", transform(compLit, comp => dotWith(col("c"), comp)))
+      .withColumn("c_energy", dotWith(col("c"), col("c")))
+      .withColumn("p_energy", dotWith(col("coords"), col("coords")))
+      .select(
+        col("vec_id"),
+        lit(kk).as("k"),
+        round(col("c_energy"), 6).as("centered_energy"),
+        round(col("p_energy"), 6).as("projected_energy"),
+        // A vector AT the mean has no centered energy; keep total.
+        when(col("c_energy") > 0.0,
+          round(col("p_energy") / col("c_energy"), 6)).as("energy_kept"),
+        // Which component dominates this vector — the cluster-ish id.
+        expr("array_position(transform(coords, x -> abs(x)), " +
+          "array_max(transform(coords, x -> abs(x)))) - 1").cast("int")
+          .as("dominant_component"))
+      .orderBy(col("vec_id"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

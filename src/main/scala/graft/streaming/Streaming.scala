@@ -177,6 +177,94 @@ object Streaming {
     out.result().iterator
   }
 
+  /** Running CUSUM state per event type: hour-count moments (exact —
+    * the squared sum rides BigDecimal like [[MomentState]]), the
+    * two-sided path, and the currently-open hour's partial count.
+    * O(1) per type at any stream length. */
+  case class CusumState(
+      n: Long, sx: Long, ss: BigDecimal,
+      sp: Double, sn: Double, curHour: Long, curCount: Long)
+
+  /** One closed hour whose CUSUM path crossed the 4σ alarm line. */
+  case class RateAlarm(event_type: String, hour: Long, n_events: Long,
+      cusum_pos: Double, cusum_neg: Double)
+
+  private val HourUs: Long = 3600L * 1000000L
+
+  /** #32m's streaming form: CAUSAL per-type rate-shift detection. The
+    * stream buckets each type's events into epoch hours inside the
+    * keyed state (only the OPEN hour's partial count is ever held); a
+    * closed hour — including the zero-count gap hours between two
+    * observed ones, which the batch operator densifies explicitly —
+    * is scored against the running mean/σ of all PRIOR closed hours
+    * (warmup ≥ 24 hours, the first day calibrates) and folded into the
+    * CUSUM recurrence, emitting an alarm row the hour it crosses 4σ.
+    * The batch [[graft.operators.Events.cusum]] scores against the
+    * whole-corpus moments instead: the stream is the deployable
+    * monitor (the future mean is unknowable at detection time), the
+    * batch is the offline audit — the same contract as the z-score
+    * pair, with O(1) state per type and no watermark.
+    *
+    * Caveat shared with every causal detector: hours close only when
+    * a LATER event of the same type arrives; a type that falls silent
+    * holds its last partial hour open (a production deployment closes
+    * it with a processing-time timeout — the spec drives closure with
+    * a sentinel event, the sessionizer's trick). */
+  def cusumAlarms(events: Dataset[Ev]): Dataset[RateAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, RateAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(cusumGroup)
+  }
+
+  /** Per-type transition: close every hour the batch's events step
+    * past (gap hours close at zero), scoring each against the moments
+    * of the hours before it. */
+  def cusumGroup(
+      eventType: String, batch: Iterator[Ev],
+      state: GroupState[CusumState]): Iterator[RateAlarm] = {
+    val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+    var st = state.getOption.getOrElse(
+      CusumState(0L, 0L, BigDecimal(0), 0.0, 0.0, Long.MinValue, 0L))
+    val out = Seq.newBuilder[RateAlarm]
+    def closeHour(h: Long, x: Long): Unit = {
+      if (st.n >= 24) {
+        val n = st.n.toDouble
+        val mean = st.sx.toDouble / n
+        val variance = st.ss.toDouble / n - mean * mean
+        val std = math.sqrt(math.max(variance, 0.0))
+        val slack = 0.5 * std
+        val sp = math.max(0.0, st.sp + ((x.toDouble - mean) - slack))
+        val sn = math.max(0.0, st.sn + ((mean - x.toDouble) - slack))
+        if (std > 0 && (sp > 4.0 * std || sn > 4.0 * std))
+          out += RateAlarm(eventType, h, x,
+            BigDecimal(sp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(sn).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        st = st.copy(sp = sp, sn = sn)
+      }
+      st = st.copy(n = st.n + 1, sx = st.sx + x,
+        ss = st.ss + BigDecimal(x) * x)
+    }
+    sorted.foreach { e =>
+      val h = tsUs(e.ts) / HourUs
+      if (st.curHour == Long.MinValue)
+        st = st.copy(curHour = h, curCount = 1L)
+      else if (h == st.curHour)
+        st = st.copy(curCount = st.curCount + 1L)
+      else if (h > st.curHour) {
+        closeHour(st.curHour, st.curCount)
+        var g = st.curHour + 1
+        while (g < h) { closeHour(g, 0L); g += 1 }
+        st = st.copy(curHour = h, curCount = 1L)
+      }
+      // h < curHour (late data): a causal monitor cannot rewrite a
+      // closed hour — dropped, the documented watermark-free trade.
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   private val GapUs: Long = 30L * 60L * 1000000L
 
   private def tsUs(t: java.sql.Timestamp): Long =

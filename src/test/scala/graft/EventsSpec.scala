@@ -85,6 +85,42 @@ class EventsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "corpus should contain tail values beyond 2.5 sigma")
   }
 
+  test("cusum paths match a driver-side replay of the recurrence exactly") {
+    val hourUs = 3600L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", s"unix_micros(ts) div ${hourUs}L as h")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hmin = ev.map(_._2).min
+    val hmax = ev.map(_._2).max
+    val want = ev.groupBy(_._1).flatMap { case (tpe, rs) =>
+      val byHour = rs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val xs = (hmin to hmax).map(h => byHour.getOrElse(h, 0L))
+      val n = xs.length.toDouble
+      val mean = xs.sum.toDouble / n
+      val variance = xs.map(x => x * x).sum.toDouble / n - mean * mean
+      val std = math.sqrt(math.max(variance, 0.0))
+      val slack = 0.5 * std
+      var sp = 0.0; var sn = 0.0
+      xs.zipWithIndex.map { case (x, i) =>
+        sp = math.max(0.0, sp + ((x.toDouble - mean) - slack))
+        sn = math.max(0.0, sn + ((mean - x.toDouble) - slack))
+        (tpe, hmin + i) -> ((x,
+          BigDecimal(sp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(sn).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          sp > 4.0 * std || sn > 4.0 * std))
+      }
+    }
+    val got = Events.cusum(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    }.toMap
+    assert(got.size === want.size)
+    assert(got === want.toMap)
+    // The detector must actually fire somewhere on the real corpus —
+    // a threshold that can never alarm pins nothing.
+    assert(got.values.exists(_._4), "no CUSUM alarms on the corpus")
+  }
+
   test("value histogram buckets partition the corpus exactly") {
     val rows = Events.valueHist(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_events")).sum

@@ -301,6 +301,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(got(0).getAs[Double]("top_dim_loading")) > 0.99)
   }
 
+  test("emb_pca_project: per-vector energy audit ties back to the spectrum") {
+    val spec = graft.similarity.Pca.embPca(spark, sf, k = 8).collect()
+      .sortBy(_.getAs[Int]("component"))
+    val proj = graft.similarity.Pca.embPcaProject(spark, sf, k = 8).collect()
+    assert(proj.length === vectors.size)
+    proj.foreach { r =>
+      val kept = r.getAs[java.lang.Double]("energy_kept")
+      if (kept != null)
+        assert(kept >= 0.0 && kept <= 1.0 + 1e-9, s"energy_kept $kept")
+      val dc = r.getAs[Int]("dominant_component")
+      assert(dc >= 0 && dc < 8)
+    }
+    // Orthonormal basis ⇒ Σ projected / Σ centered = Σ top-k eig /
+    // trace = the spectrum's cum_ratio at k — the exact tie between
+    // the apply side and the fit side.
+    val sumP = proj.map(_.getAs[Double]("projected_energy")).sum
+    val sumC = proj.map(_.getAs[Double]("centered_energy")).sum
+    val cum8 = spec(7).getAs[Double]("cum_ratio")
+    assert(math.abs(sumP / sumC - cum8) < 1e-4,
+      s"energy ratio ${sumP / sumC} vs spectrum cum_ratio $cum8")
+  }
+
+  test("emb_pca_project keeps ~all energy on a planted low-rank corpus") {
+    // The 3-axis fixture from the embPca spec: rank ≈ 3, so k = 3
+    // must capture essentially everything.
+    val dir = "/tmp/graft-test-pca"
+    assert(new java.io.File(s"$dir/embeddings.parquet").exists,
+      "planted fixture written by the embPca spec")
+    val got = graft.similarity.Pca.embPcaProject(spark, dir, k = 3).collect()
+    val kept = got.flatMap(r => Option(r.getAs[java.lang.Double]("energy_kept")))
+    assert(kept.forall(_ > 0.999), s"min kept: ${kept.min}")
+  }
+
   test("PQ fails loudly when the embedding dim does not divide into m sub-blocks") {
     // A non-multiple dim would silently drop the tail dimensions from
     // encode and ADC scoring, biasing every score — the guard must

@@ -301,4 +301,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "the corpus should contain running-stat outliers")
     assert(got === want)
   }
+
+  test("causal CUSUM stream matches a driver fold and catches a planted burst") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Time-ordered feed + a planted 60-event burst hour per the
+    // 'click' type well past the corpus, then a closer per type so
+    // every hour (including the burst) closes.
+    val base = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxTs = base.map(_.ts.getTime).max
+    val burstStart = (maxTs / 3600000L + 3) * 3600000L
+    val burst = (0 until 60).map(i =>
+      Ev(999000L + i, 9990000L + i, new Timestamp(burstStart + i * 1000L),
+        "click", 1.0))
+    val closers = (base.map(_.event_type).distinct :+ "click").distinct.map(t =>
+      Ev(999999L, 9999999L, new Timestamp(burstStart + 48L * 3600 * 1000), t, 0.0))
+    val all = (base ++ burst) ++ closers
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    val input = MemoryStream[Ev]
+    val q = Streaming.cusumAlarms(input.toDS()).writeStream
+      .format("memory").queryName("rate_alarms")
+      .outputMode("append")
+      .start()
+    // Three time-contiguous micro-batches + the closers: the state
+    // machine's output must not depend on where the splits fall.
+    all.grouped(math.max(1, all.length / 3 + 1)).foreach { c =>
+      input.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+
+    // Driver fold of the same causal semantics over the same feed.
+    val want = all.groupBy(_.event_type).toSeq.flatMap { case (tpe, evs) =>
+      val sorted = evs.sortBy(e => (us(e.ts), e.event_id))
+      var n = 0L; var sx = 0L; var ss = BigDecimal(0)
+      var sp = 0.0; var sn = 0.0
+      var curHour = Long.MinValue; var curCount = 0L
+      val alarms = Seq.newBuilder[(String, Long, Long, Double, Double)]
+      def close(h: Long, x: Long): Unit = {
+        if (n >= 24) {
+          val mean = sx.toDouble / n
+          val std = math.sqrt(math.max(ss.toDouble / n - mean * mean, 0.0))
+          val slack = 0.5 * std
+          sp = math.max(0.0, sp + ((x.toDouble - mean) - slack))
+          sn = math.max(0.0, sn + ((mean - x.toDouble) - slack))
+          if (std > 0 && (sp > 4.0 * std || sn > 4.0 * std))
+            alarms += ((tpe, h, x,
+              BigDecimal(sp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              BigDecimal(sn).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+        n += 1; sx += x; ss += BigDecimal(x) * x
+      }
+      sorted.foreach { e =>
+        val h = us(e.ts) / (3600L * 1000000L)
+        if (curHour == Long.MinValue) { curHour = h; curCount = 1L }
+        else if (h == curHour) curCount += 1L
+        else if (h > curHour) {
+          close(curHour, curCount)
+          var g = curHour + 1
+          while (g < h) { close(g, 0L); g += 1 }
+          curHour = h; curCount = 1L
+        }
+      }
+      alarms.result()
+    }.sortBy(t => (t._1, t._2))
+
+    val got = spark.table("rate_alarms")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === want)
+    assert(got.exists { case (t, h, x, _, _) =>
+      t == "click" && x >= 60L }, s"planted burst hour must alarm: $got")
+  }
 }
