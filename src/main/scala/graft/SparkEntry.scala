@@ -116,6 +116,7 @@ object SparkEntry {
     "text_fingerprint"         -> (Text.fingerprint _),
     "text_decontaminate"       -> (Text.decontaminate _),
     "text_decontaminate_bloom" -> (Text.decontaminateBloom _),
+    "text_shard_plan"          -> ((s, d) => Text.shardPlan(s, d)),
     "text_repetition"          -> (Text.repetition _),
     "text_pii_scrub"           -> (Text.piiScrub _),
     "text_tfidf"               -> (Text.tfidf _),
@@ -1758,6 +1759,41 @@ object SparkEntry {
     // The oracle is the NAIVE corpus-wide prefix sum (one global
     // window — fine at DuckDB scale); the Spark side computes the same
     // numbers hierarchically. Equality here pins the decomposition.
+    // Shard plan: the oracle rebuilds the same plan from the naive
+    // global prefix sum — closed-form integer arithmetic both sides.
+    "text_shard_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM d),
+        |sp AS (SELECT doc_id, off // 2048 AS sf,
+        |    (off + GREATEST(n_tokens, 1) - 1) // 2048 AS sl
+        |  FROM o),
+        |ts AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    (CAST(SUM(n_tokens) AS BIGINT) + 2047) // 2048 AS total_seqs FROM d),
+        |touch AS (SELECT DISTINCT sp.doc_id, x.s % 16 AS shard_id
+        |  FROM sp, UNNEST(range(sp.sf, LEAST(sp.sl, sp.sf + 15) + 1)) AS x(s)),
+        |td AS (SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM touch GROUP BY 1),
+        |sh AS (SELECT r.s AS shard_id FROM UNNEST(range(0, 16)) AS r(s)),
+        |plan AS (SELECT sh.shard_id,
+        |    CASE WHEN sh.shard_id < ts.total_seqs
+        |      THEN (ts.total_seqs - 1 - sh.shard_id) // 16 + 1 ELSE 0 END AS n_seqs,
+        |    ts.total_tokens, ts.total_seqs
+        |  FROM sh, ts)
+        |SELECT shard_id, n_seqs,
+        |  n_seqs * 2048 - (CASE WHEN total_seqs > 0
+        |    AND (total_seqs - 1) % 16 = shard_id
+        |    THEN 2048 - (total_tokens - (total_seqs - 1) * 2048) ELSE 0 END) AS n_tokens,
+        |  COALESCE(td.n_docs, 0) AS n_docs
+        |FROM plan LEFT JOIN td USING (shard_id)
+        |ORDER BY shard_id""".stripMargin,
+
     "text_seq_packing" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)

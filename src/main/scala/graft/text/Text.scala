@@ -587,6 +587,56 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** #44q text_shard_plan: the WRITE-SIDE step after [[seqPacking]] —
+    * deal the packed 2048-token sequences round-robin onto `nShards`
+    * output shards (sequence s → shard s mod N, balanced to within one
+    * sequence by construction) and report the plan a shard writer
+    * executes: per shard, the sequence count, the exact token count
+    * (the globally-last sequence is partial and charged to its own
+    * shard), and how many documents the shard touches (a doc straddling
+    * a boundary lands in several shards — the doc-locality cost of
+    * round-robin dealing the report surfaces).
+    *
+    * Everything is closed-form integer arithmetic off seq_packing's
+    * hierarchical offsets: per-shard sequence counts come from ONE
+    * 1-row total (no per-sequence rows ever materialize), and the
+    * touched-doc count explodes each doc into at most min(spans, N)
+    * shard ids — output linear in docs, bounded by N, one shard-keyed
+    * shuffle. Hash-exact (all BIGINT) under the naive global-window
+    * oracle, which pins the decomposition the same way seq_packing's
+    * does. */
+  def shardPlan(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val chunk = 2048L
+    val packed = seqPacking(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("seq_first"), col("seq_last"))
+    val totals = packed
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("total_seqs", expr(s"(total_tokens + ${chunk - 1}L) DIV ${chunk}L"))
+    val touch = packed
+      .select(col("doc_id"), explode(sequence(col("seq_first"),
+        least(col("seq_last"), col("seq_first") + (nShards - 1)))).as("s"))
+      .select(col("doc_id"), (col("s") % nShards).as("shard_id"))
+      .distinct()
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    spark.range(nShards).select(col("id").as("shard_id"))
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .withColumn("n_seqs",
+        when(col("shard_id") < col("total_seqs"),
+          expr(s"(total_seqs - 1L - shard_id) DIV ${nShards}L + 1L"))
+          .otherwise(lit(0L)))
+      .withColumn("n_tokens",
+        col("n_seqs") * chunk -
+          when(col("total_seqs") > 0 &&
+               (col("total_seqs") - 1) % nShards === col("shard_id"),
+            lit(chunk) - (col("total_tokens") - (col("total_seqs") - 1) * chunk))
+            .otherwise(lit(0L)))
+      .join(touch, Seq("shard_id"), "left_outer")
+      .select(col("shard_id"), col("n_seqs"), col("n_tokens"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("shard_id"))
+  }
+
   /** #44g text_vocab: the corpus token-frequency table — top-100 BPE-ish
     * tokens by occurrence count with document frequency and CUMULATIVE
     * corpus coverage (what fraction of all token instances the

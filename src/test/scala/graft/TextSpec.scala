@@ -186,6 +186,20 @@ class TextSpec extends AnyFunSuite {
     assert(math.abs(realized - 0.4167) < 0.06, s"realized $realized")
   }
 
+  test("shard plan conserves tokens and deals sequences balanced within one") {
+    val rows = Text.shardPlan(spark, sf).collect()
+    assert(rows.length === 16)
+    val totalTokens = Text.seqPacking(spark, sf)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalTokens,
+      "round-robin dealing must conserve every token")
+    val seqs = rows.map(_.getAs[Long]("n_seqs"))
+    assert(seqs.max - seqs.min <= 1, s"unbalanced deal: ${seqs.toSeq}")
+    assert(rows.forall(r => r.getAs[Long]("n_seqs") === 0L ||
+      r.getAs[Long]("n_docs") >= 1L),
+      "a shard holding sequences must be touched by at least one doc")
+  }
+
   test("bloom decontamination is bit-identical to the exact semi-join") {
     // The bloom prefilter may only drop rows the exact semi-join would
     // drop anyway; false positives die in the verify join. Checked on
