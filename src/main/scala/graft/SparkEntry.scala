@@ -142,6 +142,7 @@ object SparkEntry {
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
     "emb_dim_stats"            -> (Similarity.embDimStats _),
+    "ann_range_search"         -> ((s, d) => Similarity.rangeSearch(s, d)),
     "emb_pca"                  -> ((s, d) => Pca.embPca(s, d)),
     "emb_pca_project"          -> ((s, d) => Pca.embPcaProject(s, d)),
     // §2.7 multimodal
@@ -1158,6 +1159,18 @@ object SparkEntry {
         |  ORDER BY cos DESC, vec_id) AS rnk FROM scored)
         |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rank FROM ranked
         |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_range_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+        |SELECT query_id, vec_id,
+        |  list_dot_product(qv, cv)
+        |    / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
+        |FROM q, c WHERE vec_id <> query_id
+        |  AND list_dot_product(qv, cv)
+        |    / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) >= 0.3
+        |ORDER BY query_id, vec_id""".stripMargin,
 
     // dedup_clusters_star computes the SAME relation by a different
     // distributed algorithm (large-star/small-star), so it shares the

@@ -69,6 +69,27 @@ object Similarity {
         Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos")))
   }
 
+  /** #40i ann_range_search: RANGE similarity query — every corpus
+    * vector with cosine ≥ τ of each query, the "all neighbors above a
+    * floor" API top-k can't express (k fixes the count; a range query
+    * answers "what is actually close", the primitive behind
+    * duplicate-radius checks and recall-oracle construction). Exact
+    * broadcast scan like [[bruteForceTopK]] and the same codegen'd
+    * cosine, so the DuckDB oracle's `list_dot_product` fold reproduces
+    * every double bit-for-bit and the τ boundary sits under the hash
+    * gate. At corpus scale the LSH/IVF bucket paths bound candidates
+    * the same way they do for top-k — the range filter swaps in for
+    * the rank cut. */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries(spark, dir)), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
   /** LSH-pruned top-k: candidates are corpus vectors sharing a
     * hyperplane bucket with the query in ANY of L=8 tables; exact
     * cosine re-ranks the candidates. Bits per table trade recall

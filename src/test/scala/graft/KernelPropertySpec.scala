@@ -184,4 +184,56 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got === want, s"trial=$trial: $got vs $want")
     }
   }
+
+  test("cusum_seq kernel equals a naive fold on random series") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    (1 to 200).foreach { trial =>
+      val n = rng.nextInt(50)
+      val xs = Array.fill(n)(rng.nextInt(4) match {
+        case 0 => 0.0
+        case 1 => rng.nextInt(10).toDouble
+        case _ => rng.nextDouble() * 20.0
+      })
+      val mean = rng.nextDouble() * 10.0
+      val std = if (rng.nextBoolean()) rng.nextDouble() * 5.0 else 0.0
+      val got = graft.functions.CusumSeq.run(new GenericArrayData(xs), mean, std)
+      val slack = 0.5 * std
+      var sp = 0.0; var sn = 0.0
+      xs.zipWithIndex.foreach { case (x, i) =>
+        sp = math.max(0.0, sp + ((x - mean) - slack))
+        sn = math.max(0.0, sn + ((mean - x) - slack))
+        val row = got.getStruct(i, 2)
+        assert(row.getDouble(0) === sp && row.getDouble(1) === sn,
+          s"trial=$trial i=$i")
+      }
+      assert(got.numElements() === n)
+    }
+  }
+
+  test("jacobi eigen: orthonormal basis reconstructing random symmetric matrices") {
+    (1 to 50).foreach { trial =>
+      val d = 2 + rng.nextInt(12)
+      val m = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val v = (rng.nextDouble() - 0.5) * 10.0
+        m(i)(j) = v; m(j)(i) = v
+      }
+      val (vals, vecs) = graft.similarity.Pca.jacobiEigen(m)
+      // Descending eigenvalues.
+      assert(vals.zip(vals.tail).forall { case (a, b) => a >= b - 1e-9 })
+      // Orthonormal rows.
+      for (a <- 0 until d; b <- a until d) {
+        val dot = (0 until d).map(k => vecs(a)(k) * vecs(b)(k)).sum
+        val target = if (a == b) 1.0 else 0.0
+        assert(math.abs(dot - target) < 1e-8, s"trial=$trial ortho($a,$b)=$dot")
+      }
+      // Every pair satisfies M v = lambda v to numeric tolerance.
+      val scale = math.max(1.0, vals.map(math.abs).max)
+      for (c <- 0 until d; r <- 0 until d) {
+        val mv = (0 until d).map(k => m(r)(k) * vecs(c)(k)).sum
+        assert(math.abs(mv - vals(c) * vecs(c)(r)) < 1e-7 * scale,
+          s"trial=$trial eigpair $c row $r")
+      }
+    }
+  }
 }

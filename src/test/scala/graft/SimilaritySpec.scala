@@ -244,6 +244,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.embDimStats(spark, sf).count() === 64)
   }
 
+  test("range search returns exactly the neighbors above the cosine floor") {
+    val tau = 0.3
+    val got = Similarity.rangeSearch(spark, sf, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      q <- 0L until 10L
+      (id, v) <- vectors.toSeq if id != q
+      if cos(vectors(q), v) >= tau
+    } yield (q, id)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "corpus should contain neighbors above the floor")
+  }
+
   test("emb_pca: moment pass matches a driver fold; spectrum invariants hold") {
     val rows = graft.similarity.Pca.embPca(spark, sf).collect()
     assert(rows.length === 16)
