@@ -147,7 +147,8 @@ object SparkEntry {
     "emb_pca_project"          -> ((s, d) => Pca.embPcaProject(s, d)),
     // §2.7 multimodal
     "mm_binary_pipeline"       -> (Multimodal.pipeline _),
-    "mm_frame_sample"          -> (Multimodal.frameSample _)
+    "mm_frame_sample"          -> (Multimodal.frameSample _),
+    "mm_corpus_audit"          -> (Multimodal.corpusAudit _)
   )
 
   /** Rabin-Karp winnowing (k=8, w=4) in DuckDB SQL, shared by the
@@ -1261,6 +1262,29 @@ object SparkEntry {
         |  CAST(CAST(ROUND(CASE WHEN cjk > 0.3 THEN cjk ELSE best.score END, 4)
         |    AS DECIMAL(10,4)) AS DOUBLE) AS pred_score
         |FROM lng ORDER BY doc_id""".stripMargin,
+
+    "mm_corpus_audit" ->
+      """WITH m AS (SELECT doc_id,
+        |    (['jpeg','png','webp'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST((doc_id % 8) * 64 + 64 AS BIGINT) AS width,
+        |    CAST((doc_id % 4) * 64 + 64 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT format,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  MAX(n_bytes) AS max_bytes,
+        |  CAST(SUM(CASE WHEN n_bytes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  CAST(SUM(CASE WHEN width * height > 16384 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oversize,
+        |  CAST(CAST(ROUND(CAST(SUM(n_bytes) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS mean_bytes,
+        |  CAST(CAST(ROUND(CAST(SUM((10000 * width) // height) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 10000.0), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |    AS mean_aspect
+        |FROM m
+        |GROUP BY format
+        |ORDER BY format""".stripMargin,
 
     "mm_binary_pipeline" ->
       """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h,

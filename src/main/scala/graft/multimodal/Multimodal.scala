@@ -153,6 +153,44 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** #45c mm_corpus_audit: the per-format media-corpus health report a
+    * decode budget is planned from — BEFORE any codec runs: item and
+    * byte totals, the largest payload (the decode-memory high-water
+    * mark), empty-payload count (the corrupt-upload class the decoder
+    * must tolerate), oversize count (frames above the resize cap =
+    * items that pay the resize path), and mean aspect ratio. Pure
+    * metadata arithmetic — payload LENGTH, never payload bytes, so
+    * the scan prunes to offsets even though the column is huge.
+    *
+    * Exactness: counts/sums are integers; the two means divide
+    * integer sums once (aspect summed in basis points via an integer
+    * `div`) — hash-exact. Scale shape: one map-side-combinable
+    * aggregation onto the |formats|-sized key, the same economics as
+    * corpus_mix. */
+  def corpusAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.d4
+    mediaTable(spark, dir).toDF()
+      .select(col("format"), length(col("payload")).cast("long").as("n_bytes"),
+        col("width"), col("height"))
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        sum(when(col("n_bytes") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("width") * col("height") > 128 * 128, 1L).otherwise(0L))
+          .as("n_oversize"),
+        sum(expr("(10000L * width) div height")).as("aspect_bp"))
+      .select(
+        col("format"), col("n_items"), col("total_bytes"), col("max_bytes"),
+        col("n_empty"), col("n_oversize"),
+        d4(col("total_bytes").cast("double") / col("n_items").cast("double"))
+          .as("mean_bytes"),
+        d4(col("aspect_bp").cast("double") /
+          (col("n_items").cast("double") * 10000.0)).as("mean_aspect"))
+      .orderBy(col("format"))
+  }
+
   /** #45 mm_binary_pipeline: media synthesis → batched stub decode →
     * per-doc feature presentation. The normalized float features are
     * de-normalized back to their exact integer histogram counts

@@ -92,4 +92,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.keys.exists(_._2 >= 4), "long payloads must sample multiple frames")
   }
+
+  test("corpus audit partitions the media table and agrees with its metadata") {
+    val media = Multimodal.mediaTable(spark, sf).collect()
+    val rows = Multimodal.corpusAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === media.map(_.format).toSet)
+    assert(rows.values.map(_.getAs[Long]("n_items")).sum === media.length)
+    assert(rows.values.map(_.getAs[Long]("total_bytes")).sum ===
+      media.map(_.payload.length.toLong).sum)
+    media.groupBy(_.format).foreach { case (fmt, ms) =>
+      val r = rows(fmt)
+      assert(r.getAs[Long]("max_bytes") === ms.map(_.payload.length).max.toLong)
+      assert(r.getAs[Long]("n_oversize") ===
+        ms.count(m => m.width.toLong * m.height > 16384).toLong)
+      assert(r.getAs[Long]("n_empty") === ms.count(_.payload.isEmpty).toLong)
+    }
+  }
 }

@@ -377,6 +377,17 @@ class PlanSpec extends AnyFunSuite {
       s"text_decontaminate_bloom: probe not fused with its scan:\n${lines.mkString("\n")}")
   }
 
+  test("temperature sampling joins its rate table broadcast; corpus rows never sort-merge") {
+    // The per-source rate frame is dimension-sized; if it ever
+    // sort-merge-joined, the corpus would shuffle on source — the
+    // economics the operator exists to avoid.
+    val plan = planOf("sample_temperature")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sample_temperature: rate join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sample_temperature: corpus-side sort-merge join leaked in:\n$plan")
+  }
+
   test("whole-stage codegen covers the sketch pipeline") {
     // The audited query materializes this subtree up front (the audit
     // and the output share one checkpointed frame), so the pipeline's
