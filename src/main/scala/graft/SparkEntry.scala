@@ -954,8 +954,8 @@ object SparkEntry {
         |    GREATEST(0.0, rec.sn + ((idx.mean - CAST(idx.x AS DOUBLE)) - 0.5 * idx.std))
         |  FROM rec JOIN idx ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
         |SELECT event_type, h AS hour, x AS n_events,
-        |  CAST(CAST(ROUND(sp, 4) AS DECIMAL(10,4)) AS DOUBLE) AS cusum_pos,
-        |  CAST(CAST(ROUND(sn, 4) AS DECIMAL(10,4)) AS DOUBLE) AS cusum_neg,
+        |  CAST(CAST(ROUND(sp, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cusum_pos,
+        |  CAST(CAST(ROUND(sn, 4) AS DECIMAL(28,4)) AS DOUBLE) AS cusum_neg,
         |  (sp > 4.0 * std OR sn > 4.0 * std) AS alarm
         |FROM rec
         |ORDER BY event_type, hour""".stripMargin,

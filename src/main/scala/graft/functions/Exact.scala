@@ -27,6 +27,18 @@ object Exact {
   def d4(c: Column): Column =
     round(c, 4).cast("decimal(10,4)").cast("double")
 
+  /** [[d4]] for UNBOUNDED magnitudes (running paths, cumulative
+    * sums): same 4-place exact rounding, but through DECIMAL(28,4) —
+    * headroom to 10^24 — because an ANSI cast to (10,4) ABORTS the
+    * query past 10^6, exactly the strong-signal inputs a detector
+    * exists for. Same bit-stability argument as [[d4]]. */
+  def d4w(c: Column): Column =
+    round(c, 4).cast("decimal(28,4)").cast("double")
+
+  /** SQL fragment mirroring [[d4w]] for the DuckDB oracle. */
+  def d4wSql(expr: String): String =
+    s"CAST(CAST(ROUND($expr, 4) AS DECIMAL(28,4)) AS DOUBLE)"
+
   /** Cast a double term to an exact decimal at the given scale. */
   def dec(c: Column, scale: Int): Column = c.cast(DecimalType(30, scale))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{d4, dsum, pres}
+import graft.functions.Exact.{d4, d4w, dsum, pres}
 import graft.sources.Tables
 
 /** Event-stream analytics (SURVEY.md §2.3) over the `events` table.
@@ -416,9 +416,15 @@ object Events {
         explode(sequence(col("hmin"), col("hmax"))).as("h"))
     val d = dense.join(cnt, Seq("event_type", "h"), "left_outer")
       .withColumn("x", coalesce(col("x"), lit(0L)))
+    // DECIMAL(38,0) moments (the zscore convention, Exact.scala): a
+    // LONG x*x wraps past ~3e9 events/hour and a LONG Σx² past ~10^12
+    // busy hours — under ANSI either aborts; the decimal sums stay
+    // exact at any corpus size, like DuckDB's HUGEINT promotion.
     val stats = d.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("ss"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+          .as("ss"))
       .withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
       .withColumn("std", sqrt(greatest(
         col("ss").cast("double") / col("n").cast("double") -
@@ -440,8 +446,8 @@ object Events {
         col("event_type"),
         col("col.hs.h").as("hour"),
         col("col.hs.x").as("n_events"),
-        d4(col("col.cs.sp")).as("cusum_pos"),
-        d4(col("col.cs.sn")).as("cusum_neg"),
+        d4w(col("col.cs.sp")).as("cusum_pos"),
+        d4w(col("col.cs.sn")).as("cusum_neg"),
         (col("col.cs.sp") > lit(4.0) * col("std") ||
          col("col.cs.sn") > lit(4.0) * col("std")).as("alarm"))
       .orderBy(col("event_type"), col("hour"))

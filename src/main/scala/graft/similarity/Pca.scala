@@ -68,7 +68,11 @@ object Pca {
 
   private def fitUncached(spark: SparkSession, dir: String): Model = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // limit(1).collect(), not head(): head() on an empty table throws a
+    // bare "next on empty iterator" before the diagnostic below runs.
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    require(dimRow.nonEmpty, "emb_pca: empty embeddings corpus")
+    val dim = dimRow.head.getInt(0)
     val agg = GramMoments(ColumnBridge.expression(col("embedding").cast(ArrayType(DoubleType))), dim)
     val row = emb.select(ColumnBridge.column(agg.toAggregateExpression()).as("m")).head()
     val m = row.getStruct(0)

@@ -395,11 +395,15 @@ object Text {
                  |  div cast(n_docs as decimal(38,0)) as bigint)""".stripMargin)))
       .select(col("source"), col("n_docs"), col("w_q"), col("target_docs"),
         col("rate_ppm"))
-    docs.join(rates.drop("n_docs"), Seq("source"))
-      .groupBy(col("source"))
+    // The rate columns ride THROUGH the aggregation as grouping keys
+    // (functionally determined by source), so the dimension table
+    // joins once and the corpus scans once — a second rates join
+    // would duplicate the whole counts lineage, scanning the corpus
+    // twice.
+    docs.join(rates.drop("w_q"), Seq("source"))
+      .groupBy(col("source"), col("n_docs"), col("target_docs"), col("rate_ppm"))
       .agg(sum(when(col("bucket_ppm") < col("rate_ppm"), 1L).otherwise(0L))
         .as("n_sampled"))
-      .join(rates, Seq("source"))
       .select(col("source"), col("n_docs"), col("target_docs"),
         col("rate_ppm"), col("n_sampled"),
         d4(col("n_sampled").cast("double") /

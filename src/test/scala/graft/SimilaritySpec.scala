@@ -290,12 +290,15 @@ class SimilaritySpec extends AnyFunSuite {
       (0 until dim).map(d => cov(d)(d)).sum) < 1e-6)
   }
 
-  test("emb_pca recovers planted principal axes") {
+  /** Deterministic rank-3 fixture (variance 9 along dim 1, 1 along
+    * dim 5, 0.01 along dim 3; no RNG — session replay safety) written
+    * to a FRESH temp dir per call, so no test depends on another's
+    * ordering or on stale /tmp state, and the per-(session, dir) fit
+    * cache can never serve a model from a different write. */
+  private def plantedPcaFixture(): String = {
     import spark.implicits._
-    val dir = "/tmp/graft-test-pca"
+    val dir = java.nio.file.Files.createTempDirectory("pcafix").toString
     val d = 8
-    // Variance 9 along dim 1, 1 along dim 5, ~0.01 elsewhere —
-    // deterministic pseudo-noise, no RNG (session replay safety).
     val rows = (0L until 400L).map { i =>
       val v = Array.fill(d)(0f)
       v(1) = (3.0 * math.sin(i * 1.7)).toFloat
@@ -305,7 +308,11 @@ class SimilaritySpec extends AnyFunSuite {
     }
     rows.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val got = graft.similarity.Pca.embPca(spark, dir, k = 3).collect()
+    dir
+  }
+
+  test("emb_pca recovers planted principal axes") {
+    val got = graft.similarity.Pca.embPca(spark, plantedPcaFixture(), k = 3).collect()
     assert(got(0).getAs[Int]("top_dim") === 1)
     assert(got(1).getAs[Int]("top_dim") === 5)
     assert(got(2).getAs[Int]("top_dim") === 3)
@@ -337,12 +344,9 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("emb_pca_project keeps ~all energy on a planted low-rank corpus") {
-    // The 3-axis fixture from the embPca spec: rank ≈ 3, so k = 3
-    // must capture essentially everything.
-    val dir = "/tmp/graft-test-pca"
-    assert(new java.io.File(s"$dir/embeddings.parquet").exists,
-      "planted fixture written by the embPca spec")
-    val got = graft.similarity.Pca.embPcaProject(spark, dir, k = 3).collect()
+    // Rank ≈ 3 fixture, so k = 3 must capture essentially everything.
+    val got = graft.similarity.Pca.embPcaProject(spark, plantedPcaFixture(), k = 3)
+      .collect()
     val kept = got.flatMap(r => Option(r.getAs[java.lang.Double]("energy_kept")))
     assert(kept.forall(_ > 0.999), s"min kept: ${kept.min}")
   }
