@@ -91,6 +91,8 @@ object SparkEntry {
     "events_zscore_outliers"   -> (Events.zscoreOutliers _),
     "events_interval_join"     -> (Events.intervalJoin _),
     "events_cusum"             -> (Events.cusum _),
+    "events_hopping_agg"       -> (Events.hoppingAgg _),
+    "events_user_overlap"      -> (Events.userOverlap _),
     "quantile_sketch"          -> (Relational.quantileSketch _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     "events_asof_next"         -> (graft.plans.AsOf.eventsAsofNext _),
@@ -143,6 +145,7 @@ object SparkEntry {
     "emb_quantize"             -> (Similarity.embQuantize _),
     "emb_dim_stats"            -> (Similarity.embDimStats _),
     "ann_range_search"         -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "ann_filtered_topk"        -> (Similarity.filteredTopK _),
     "emb_pca"                  -> ((s, d) => Pca.embPca(s, d)),
     "emb_pca_project"          -> ((s, d) => Pca.embPcaProject(s, d)),
     // §2.7 multimodal
@@ -819,6 +822,37 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    // Each event lies in EXACTLY the 4 hopping windows whose start is
+    // ⌊ts⌋₁₅ − k·15min for k = 0..3 (epoch alignment makes the covering
+    // set closed-form), so the oracle unnests the 4 offsets explicitly.
+    "events_hopping_agg" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    event_type, user_id, value FROM events),
+        |w AS (SELECT make_timestamp(
+        |      (tus // 900000000) * 900000000 - k * 900000000) AS window_start,
+        |    event_type, user_id, value
+        |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3])::BIGINT AS k))
+        |SELECT window_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_user_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM ut GROUP BY 1),
+        |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*)::BIGINT AS n_both
+        |  FROM ut a JOIN ut b USING (user_id)
+        |  WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        | CAST(CAST(ROUND(n_both::DOUBLE / (sa.n + sb.n - n_both)::DOUBLE, 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS jaccard
+        |FROM ov
+        |JOIN sz sa ON sa.event_type = type_a
+        |JOIN sz sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |  LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -1156,6 +1190,21 @@ object SparkEntry {
         |    list_dot_product(qv, cv)
         |      / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
         |  FROM q, c WHERE vec_id <> query_id),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |  ORDER BY cos DESC, vec_id) AS rnk FROM scored)
+        |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rank FROM ranked
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, c.vec_id,
+        |    list_dot_product(qv, cv)
+        |      / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
+        |  FROM q JOIN c ON c.label = q.label AND c.vec_id <> q.query_id),
         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |  ORDER BY cos DESC, vec_id) AS rnk FROM scored)
         |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rank FROM ranked

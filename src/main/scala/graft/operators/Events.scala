@@ -453,6 +453,65 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** #32n events_hopping_agg: SLIDING (hopping) 1-hour windows every
+    * 15 minutes per event type — the overlapping-window class #30's
+    * tumbling windows can't express (a tumbling hour reports each
+    * event once; a dashboard's "last hour, refreshed every 15 min"
+    * needs each event in all 4 windows that cover it). Spark's own
+    * `window(ts, "1 hour", "15 minutes")` plans this as a 4-way
+    * generator (Expand) fused into the scan — each event emits its 4
+    * covering window starts BEFORE the one map-side-combinable shuffle
+    * on the (window × type) key, so the exchange carries the
+    * dimension-sized aggregate frame, never 4× the corpus. Epoch
+    * alignment makes the covering-set closed-form (starts
+    * {⌊ts⌋₁₅ − k·15min, k=0..3}), which the oracle replays with an
+    * explicit 4-row unnest. Same exact-decimal value sum as #30. */
+  def hoppingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        pres(dsum(col("value"), 2)).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** #32o events_user_overlap: pairwise audience overlap between event
+    * types — |A∩B| distinct users, each side's audience size, and the
+    * Jaccard of the two audiences, for every unordered type pair. The
+    * audience-algebra report behind "do purchasers also click?" and
+    * the exact baseline the KMV sketch variant (#32p) audits against.
+    *
+    * Scale shape: the corpus collapses FIRST to the distinct
+    * (event_type, user_id) frame — one map-side-combinable shuffle,
+    * output ∝ distinct pairs, never events. The pair generation is a
+    * self EQUI-join on user_id (both sides carry the same
+    * partitioning, so the join reuses one exchange; per-user work is
+    * |types-this-user|² with |types| a small dimension, never a
+    * cross-join), and the rollup lands on the ≤|types|² key. Audience
+    * sizes ride in on a broadcast of the |types|-sized count frame.
+    * Exact integer counts; one 4-place-rounded IEEE divide for the
+    * Jaccard presentation (the d4 convention). */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut
+      .join(ut.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        d4(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** #32 events_asof_prev: each event joined to the user's previous
     * event (the as-of-prior row in the same series) — previous type,
     * previous value, and the inter-event gap in microseconds. */

@@ -90,6 +90,35 @@ object Similarity {
       .orderBy(col("query_id"), col("vec_id"))
   }
 
+  /** #40j ann_filtered_topk: METADATA-FILTERED vector search — each
+    * query's top-k restricted to corpus vectors sharing its `label`
+    * (the production-critical "search within my tenant / class /
+    * language" case every serving stack special-cases, and the query
+    * top-k alone can't answer: post-filtering a global top-k returns
+    * FEWER than k when neighbors fall outside the predicate). The
+    * filter is part of the JOIN KEY, not a post-filter: the broadcast
+    * hash join probes on label equality, so a corpus row only ever
+    * scores against the queries its label admits — the pre-filter
+    * strategy, correct at any filter selectivity. At 100 TB with a
+    * label-partitioned corpus layout the same plan prunes to the
+    * queries' label partitions before any scan; the LSH/IVF bucket
+    * paths compose by appending label to the bucket key. Exact cosine
+    * + bounded-heap top-k as [[bruteForceTopK]], same hash-gate
+    * semantics. */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    topK(corpus
+      .join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos")))
+  }
+
   /** LSH-pruned top-k: candidates are corpus vectors sharing a
     * hyperplane bucket with the query in ANY of L=8 tables; exact
     * cosine re-ranks the candidates. Bits per table trade recall

@@ -216,4 +216,56 @@ class EventsSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 0.001, s"outgoing probabilities sum to $s")
     }
   }
+
+  test("hopping windows cover each event exactly 4 times and recount one window") {
+    val rows = Events.hoppingAgg(spark, sf).collect()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === 4 * total,
+      "a 1h/15min hop covers every event with exactly 4 windows")
+    // Every window start sits on a 15-minute boundary.
+    rows.foreach { r =>
+      val us = r.getAs[java.sql.Timestamp]("window_start").toInstant
+      assert(us.toEpochMilli % (15 * 60 * 1000L) === 0L,
+        s"window start off the 15-min grid: $us")
+    }
+    // Driver recount of the busiest window: events with
+    // start <= ts < start + 1h of that type.
+    val busiest = rows.maxBy(_.getAs[Long]("n_events"))
+    val start = busiest.getAs[java.sql.Timestamp]("window_start").toInstant
+    val want = graft.sources.Tables.events(spark, sf)
+      .select("ts", "event_type").collect()
+      .count { r =>
+        val t = r.getTimestamp(0).toInstant
+        r.getString(1) == busiest.getAs[String]("event_type") &&
+          !t.isBefore(start) && t.isBefore(start.plusSeconds(3600))
+      }
+    assert(busiest.getAs[Long]("n_events") === want.toLong)
+  }
+
+  test("user overlap matrix matches a driver-side set recomputation exactly") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val audiences = ev.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).toSet }
+    val types = audiences.keys.toSeq.sorted
+    val want = (for {
+      a <- types; b <- types if a < b
+      inter = (audiences(a) & audiences(b)).size
+      if inter > 0
+    } yield (a, b) -> ((audiences(a).size.toLong, audiences(b).size.toLong,
+      inter.toLong))).toMap
+    val got = Events.userOverlap(spark, sf).collect().map { r =>
+      (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"),
+          r.getAs[Double]("jaccard")))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (na, nb, nBoth, j)) =>
+      val (wa, wb, wBoth) = want(k)
+      assert((na, nb, nBoth) === ((wa, wb, wBoth)), s"counts for $k")
+      val exact = BigDecimal(nBoth.toDouble / (na + nb - nBoth).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j === exact, s"jaccard for $k")
+    }
+  }
 }

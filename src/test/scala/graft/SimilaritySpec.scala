@@ -40,6 +40,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("filtered top-k searches only the query's label slice, exactly") {
+    val labels: Map[Long, Int] = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    def trueFilteredTopK(queryId: Long, k: Int): Seq[Long] = {
+      val q = vectors(queryId)
+      vectors.toSeq
+        .filter { case (id, _) => id != queryId && labels(id) == labels(queryId) }
+        .map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).map(_._1)
+    }
+    val rows = Similarity.filteredTopK(spark, sf).collect()
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) === labels(r.getLong(0)),
+        s"result ${r.getLong(1)} outside query ${r.getLong(0)}'s label slice")
+    }
+    val got = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    assert(got.keySet === (0L until 10L).toSet)
+    got.foreach { case (q, ids) =>
+      assert(ids === trueFilteredTopK(q, 10), s"query $q filtered top-k mismatch")
+    }
+  }
+
   test("LSH top-k achieves reasonable recall against exact top-k") {
     val got = Similarity.lshTopK(spark, sf).collect()
       .groupBy(_.getLong(0))
