@@ -93,6 +93,10 @@ object SparkEntry {
     "events_cusum"             -> (Events.cusum _),
     "events_hopping_agg"       -> (Events.hoppingAgg _),
     "events_user_overlap"      -> (Events.userOverlap _),
+    // rows-only by design: KMV estimates aren't ANSI SQL; the exact
+    // baseline events_user_overlap carries the oracle and this output
+    // self-audits (exact counts + rel_err columns + invariant spec).
+    "events_user_overlap_sketch" -> ((s, d) => Events.userOverlapSketch(s, d)),
     "quantile_sketch"          -> (Relational.quantileSketch _),
     "events_asof_join"         -> (graft.plans.AsOf.eventsAsofJoin _),
     "events_asof_next"         -> (graft.plans.AsOf.eventsAsofNext _),

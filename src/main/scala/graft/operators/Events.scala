@@ -512,6 +512,84 @@ object Events {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** #32p events_user_overlap_sketch: #32o's audience-overlap matrix
+    * from MERGEABLE KMV (k-minimum-values) distinct sketches — the
+    * set-algebra sketch (Beyer et al. 2007): keep each audience's k
+    * smallest distinct `xxhash64(user_id)` values and every pairwise
+    * union / intersection / Jaccard estimate is pure array arithmetic
+    * on two k-long arrays, long after the corpus is gone. This is what
+    * replaces #32o at 100 TB when |types| is large or the matrix is
+    * recomputed often: ONE corpus pass builds the |types|-row sketch
+    * frame (O(k) buffer on update and merge, map-side combinable), and
+    * the O(|types|²) pair algebra never touches the corpus again —
+    * versus the exact form's per-pair distinct-user join. The pair
+    * frame is an explicitly dimension×dimension broadcast cross join
+    * (|types| rows a side — the sketch's point is that this is the
+    * ONLY quadratic step and it runs on sketches, not users).
+    *
+    * Estimators: per-set D̂ = (k−1)/(m_k/2^63) with m_k the k-th
+    * smallest (sign bit masked → uniform on [0, 2^63)); union from the
+    * k smallest of the merged arrays; ρ = |shared hashes among those
+    * k| gives Ĵ = ρ/k and ∩̂ = Ĵ·∪̂ (the theta-sketch composition).
+    * Below capacity the sketch IS the distinct hash set and every
+    * estimate degrades to exact. KMV retention is an order-independent
+    * fold, so the whole output is repartition-proof (spec-pinned).
+    * Rows-only: the exact baseline #32o carries the oracle; this
+    * output self-audits with exact counts + relative errors. */
+  def userOverlapSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val pow63 = 9.223372036854775807e18
+    val hashed = Tables.events(spark, dir)
+      .select(col("event_type"),
+        shiftrightunsigned(xxhash64(col("user_id")), 1).as("h"))
+    val sk = hashed.groupBy(col("event_type"))
+      .agg(
+        graft.functions.KmvSketch.kmvSketch(col("h"), k).as("kh"),
+        // Exact distinct audiences ride along as the self-audit; at
+        // real scale this column is the one you'd drop (or HLL).
+        countDistinct(col("h")).as("n_exact"))
+      .withColumn("est_n",
+        when(size(col("kh")) < k, size(col("kh")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("kh"), k).cast("double") / pow63)))
+    val a = sk.select(col("event_type").as("type_a"), col("kh").as("kh_a"),
+      col("n_exact").as("n_a"), col("est_n").as("est_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("kh").as("kh_b"),
+      col("n_exact").as("n_b"), col("est_n").as("est_b"))
+    val merged = a.crossJoin(broadcast(b))
+      .filter(col("type_a") < col("type_b"))
+      .withColumn("comb", slice(array_sort(array_union(col("kh_a"), col("kh_b"))), 1, k))
+      .withColumn("size_u", size(col("comb")))
+      .withColumn("est_union",
+        when(col("size_u") < k, col("size_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("comb"), col("size_u")).cast("double") / pow63)))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("comb"), col("kh_a")), col("kh_b"))))
+      .withColumn("jaccard_est",
+        col("rho").cast("double") / col("size_u").cast("double"))
+      .withColumn("est_both", col("jaccard_est") * col("est_union"))
+    // Exact intersections for the self-audit (the #32o relation).
+    val exact = {
+      val ut = Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      ut.join(ut.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+        .filter(col("event_type") < col("type_b"))
+        .groupBy(col("event_type").as("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+    }
+    merged.join(exact, Seq("type_a", "type_b"), "left_outer")
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        d4(col("est_a")).as("est_a"), d4(col("est_b")).as("est_b"),
+        d4(col("est_union")).as("est_union"), d4(col("est_both")).as("est_both"),
+        d4(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"),
+        d4(col("jaccard_est")).as("jaccard_est"),
+        d4(abs(col("est_both") - col("n_both").cast("double")) /
+          greatest(col("n_both").cast("double"), lit(1.0))).as("rel_err"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** #32 events_asof_prev: each event joined to the user's previous
     * event (the as-of-prior row in the same series) — previous type,
     * previous value, and the inter-event gap in microseconds. */

@@ -268,4 +268,48 @@ class EventsSpec extends AnyFunSuite {
       assert(j === exact, s"jaccard for $k")
     }
   }
+
+  test("kmv_sketch keeps exactly the k smallest distinct hashes, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64, shiftrightunsigned}
+    val vals = (1L to 1000L) ++ (1L to 1000L) // duplicates must not count twice
+    val df = vals.toDF("v")
+      .select(shiftrightunsigned(xxhash64(col("v")), 1).as("h"))
+    val want = df.distinct().collect().map(_.getLong(0)).sorted.take(64).toSeq
+    Seq(df, df.repartition(7), df.repartition(31)) foreach { d =>
+      val got = d.agg(graft.functions.KmvSketch.kmvSketch(col("h"), 64))
+        .collect()(0).getSeq[Long](0)
+      assert(got === want, "KMV retention must be the exact k-smallest-distinct fold")
+    }
+  }
+
+  test("user overlap sketch is exact below capacity and bounded-error above") {
+    // Below capacity (k far above any audience here): every estimate
+    // must DEGRADE TO EXACT — the sketch is the full distinct hash set.
+    val exactRows = Events.userOverlapSketch(spark, sf, k = 1 << 20).collect()
+    assert(exactRows.nonEmpty)
+    exactRows.foreach { r =>
+      assert(r.getAs[Double]("est_a") === r.getAs[Long]("n_a").toDouble)
+      assert(r.getAs[Double]("est_b") === r.getAs[Long]("n_b").toDouble)
+      assert(r.getAs[Double]("est_both") === r.getAs[Long]("n_both").toDouble,
+        s"below-capacity intersection must be exact: $r")
+      assert(r.getAs[Double]("jaccard_est") === r.getAs[Double]("jaccard"))
+      assert(r.getAs[Double]("rel_err") === 0.0)
+    }
+    // Above capacity: estimates carry KMV error ~1/sqrt(k) on the
+    // union; intersections compound it. The audiences here overlap
+    // heavily (high Jaccard), so a loose multiplicative band is a
+    // meaningful correctness check without flaking on sketch noise.
+    val est = Events.userOverlapSketch(spark, sf, k = 32).collect()
+    est.foreach { r =>
+      val nBoth = r.getAs[Long]("n_both").toDouble
+      val got = r.getAs[Double]("est_both")
+      assert(got > 0.3 * nBoth && got < 3.0 * nBoth,
+        s"k=32 intersection estimate implausibly far: est=$got exact=$nBoth")
+    }
+    // Determinism: the sketch fold is order-independent, so two runs
+    // (different job, same data) must agree bit for bit.
+    val again = Events.userOverlapSketch(spark, sf, k = 32).collect()
+    assert(est.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
