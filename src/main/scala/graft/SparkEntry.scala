@@ -6,7 +6,7 @@ import graft.dedup.Dedup
 import graft.kv.Kv
 import graft.multimodal.Multimodal
 import graft.operators.{Events, Relational}
-import graft.similarity.{Pca, Similarity}
+import graft.similarity.{Kmeans, Pca, Similarity}
 import graft.text.{Bpe, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -150,6 +150,9 @@ object SparkEntry {
     "emb_dim_stats"            -> (Similarity.embDimStats _),
     "ann_range_search"         -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_filtered_topk"        -> (Similarity.filteredTopK _),
+    // rows-only by design: an iterative Lloyd fit isn't ANSI SQL;
+    // planted-cluster recovery + repartition-proof ScalaTest oracle.
+    "emb_kmeans"               -> ((s, d) => Kmeans.embKmeans(s, d)),
     "emb_pca"                  -> ((s, d) => Pca.embPca(s, d)),
     "emb_pca_project"          -> ((s, d) => Pca.embPcaProject(s, d)),
     // §2.7 multimodal

@@ -1,0 +1,104 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Centroids, Exact}
+import graft.sources.Tables
+
+/** #40k emb_kmeans: distributed spherical k-means over the full
+  * embedding corpus — the topic/shard clustering step (cluster-then-
+  * sample curation, semantic sharding, IVF list training at corpus
+  * scale) that the sample-fit quantizer in [[Similarity.ivfTopK]]
+  * deliberately avoids: here every vector votes in every Lloyd round.
+  *
+  * Scale shape per round (T rounds = T corpus passes — that IS
+  * Lloyd's): assignment is the codegen'd [[Centroids.nearestCentroids]]
+  * expression with the centroids embedded in the plan (no join, no
+  * broadcast variable), and the re-estimation collapses the corpus to
+  * a (k × d)-row frame by posexplode + one map-side-combinable shuffle
+  * on the (cluster, dim) key — O(k·d) rows cross the wire, never
+  * vectors. The k×d moment frame is a driver-side scalar job
+  * (CC-loop class, same budget as the PCA Jacobi step). Per-dimension
+  * sums are 2^-20-quantized integers in DECIMAL(38,0) (the
+  * emb_outliers convention), so every centroid — and therefore every
+  * downstream assignment — is exact under any partitioning; the spec
+  * pins repartition-proofness. Empty clusters keep their previous
+  * centroid (standard Lloyd's).
+  *
+  * Rows-only: an iterative eigenless fit isn't ANSI SQL; the spec
+  * recovers planted clusters exactly and re-derives the audit columns
+  * driver-side.
+  */
+object Kmeans {
+
+  /** One row per cluster over an arbitrary (vec_id, embedding) frame:
+    * size, corpus share, mean/min cosine of members to their final
+    * centroid. */
+  def kmeansOn(emb: DataFrame, k: Int, rounds: Int, sampleCap: Int = 1024): DataFrame = {
+    val q20 = (1L << 20).toDouble
+
+    // Deterministic init: spherical k-means on the bounded head sample
+    // (the IVF coarse-quantizer fit) — good seeds, then the corpus
+    // rounds below do the real work.
+    val sample = emb.filter(col("vec_id") < sampleCap).orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Float](1).toArray)
+    var cents = Centroids.fit(sample, k, iters = 10, seed = 42)
+    val dim = sample.head.length
+
+    def assigned(c: Array[Array[Double]]): DataFrame =
+      emb.withColumn("cluster",
+        element_at(Centroids.nearestCentroids(col("embedding"), c, 1), 1))
+
+    (1 to rounds).foreach { _ =>
+      // (cluster, dim) -> exact quantized component sum. Spherical
+      // re-estimation normalizes the sum, so the member count divides
+      // out and only the k×d sums come back to the driver.
+      val moments = assigned(cents)
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * q20).cast("decimal(38,0)")).as("s"))
+        .collect()
+      val sums = Array.fill(k)(new Array[Double](dim))
+      moments.foreach { r =>
+        sums(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
+          r.getAs[java.math.BigDecimal]("s").doubleValue() / q20
+      }
+      cents = sums.zipWithIndex.map { case (s, c) =>
+        val n = math.sqrt(s.map(x => x * x).sum)
+        if (n == 0.0) cents(c) else s.map(_ / n)
+      }
+    }
+
+    // Final audit pass: cosine of each member to its centroid, with
+    // the fitted k×d centroids riding in as LITERAL arrays (the
+    // fitted-codebook pattern — no join; clusters index the literal).
+    val total = emb.count().toDouble
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val cent = element_at(centLit, col("cluster") + 1)
+    val v = col("embedding").cast("array<double>")
+    val cos = dot(v, cent) / sqrt(dot(v, v) * dot(cent, cent))
+    assigned(cents)
+      .select(col("cluster"),
+        round(cos, 6).cast("decimal(12,6)").cast("double").as("cos"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        Exact.d4(Exact.dsum(col("cos"), 6).cast("double") /
+          count(lit(1)).cast("double")).as("mean_cos"),
+        Exact.d4(min(col("cos"))).as("min_cos"))
+      .withColumn("share", Exact.d4(col("n_points").cast("double") / total))
+      .select(col("cluster"), col("n_points"), col("share"),
+        col("mean_cos"), col("min_cos"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Order-fixed fold dot product (left-to-right `aggregate`, the
+    * deterministic-IEEE convention the ANN operators share). */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def embKmeans(spark: SparkSession, dir: String, k: Int = 8, rounds: Int = 5): DataFrame =
+    kmeansOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      k, rounds)
+}

@@ -402,4 +402,17 @@ class PlanSpec extends AnyFunSuite {
       l.contains("minhashsignature(wordshingles(") && l.contains("*(")),
       "sketch expressions fell out of whole-stage codegen")
   }
+
+  test("kmeans audit pass: literal centroids mean zero joins, one cluster-keyed exchange") {
+    // Assignment embeds the fitted centroids in the plan (a codegen'd
+    // expression) and the audit indexes a literal array — if either
+    // ever became a join, the corpus would shuffle against a k-row
+    // frame every round. The only hash exchange is the per-cluster
+    // rollup's.
+    val plan = planOf("emb_kmeans")
+    assert(!plan.contains("Join"), s"emb_kmeans must be join-free:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly the cluster-rollup exchange, saw $exchanges:\n$plan")
+  }
 }

@@ -64,6 +64,53 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("emb_kmeans recovers planted clusters exactly and is repartition-proof") {
+    import spark.implicits._
+    import graft.similarity.Kmeans
+    // Three well-separated unit directions + small deterministic noise:
+    // any correct spherical k-means must recover the partition exactly.
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    val dirs = Seq(0, 5, 11).map { axis =>
+      val v = new Array[Float](dim); v(axis) = 1.0f; v
+    }
+    val rows = (0 until 150).map { i =>
+      val base = dirs(i % 3)
+      val noisy = base.indices.map(j => base(j) + (rng.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, noisy.toArray)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+    val out = Kmeans.kmeansOn(emb, k = 3, rounds = 4).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("n_points")).sum === 150L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_points") === 50L,
+        s"planted 50/50/50 partition not recovered: $r")
+      assert(r.getAs[Double]("mean_cos") > 0.99, s"tight cluster expected: $r")
+      assert(r.getAs[Double]("min_cos") > 0.95, s"no straggler members: $r")
+      val share = r.getAs[Double]("share")
+      assert(math.abs(share - 1.0 / 3) < 0.001)
+    }
+    // Quantized-integer moments make every round exact under any
+    // partitioning — the whole fit must be bit-identical.
+    val again = Kmeans.kmeansOn(emb.repartition(13), k = 3, rounds = 4).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("emb_kmeans on the corpus: total coverage, valid audit columns") {
+    val out = graft.similarity.Kmeans.embKmeans(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_points")).sum === total,
+      "every vector lands in exactly one cluster")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_points") > 0)
+      val (mean, mn) = (r.getAs[Double]("mean_cos"), r.getAs[Double]("min_cos"))
+      assert(mean >= mn && mean <= 1.0 && mn >= -1.0)
+    }
+  }
+
   test("LSH top-k achieves reasonable recall against exact top-k") {
     val got = Similarity.lshTopK(spark, sf).collect()
       .groupBy(_.getLong(0))
