@@ -92,6 +92,7 @@ object SparkEntry {
     "events_interval_join"     -> (Events.intervalJoin _),
     "events_cusum"             -> (Events.cusum _),
     "events_hopping_agg"       -> (Events.hoppingAgg _),
+    "events_ewma"              -> ((s, d) => Events.ewma(s, d)),
     "events_user_overlap"      -> (Events.userOverlap _),
     // rows-only by design: KMV estimates aren't ANSI SQL; the exact
     // baseline events_user_overlap carries the oracle and this output
@@ -828,6 +829,39 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // The EWMA recurrence replayed as a recursive CTE: base row seeds
+    // s = x, err = 0; each step's err and α-update read the SAME
+    // (x − s_prev) subtraction the codegen'd ewma_seq computes, so the
+    // paths are bit-identical.
+    "events_ewma" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+        |b AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |dense AS (SELECT t.event_type, r.h
+        |  FROM types t, b, UNNEST(range(b.hmin, b.hmax + 1)) AS r(h)),
+        |cnt AS (SELECT event_type, h, COUNT(*) AS x FROM ev GROUP BY 1, 2),
+        |d AS (SELECT dense.event_type, dense.h, COALESCE(cnt.x, 0) AS x
+        |  FROM dense LEFT JOIN cnt USING (event_type, h)),
+        |idx AS (SELECT d.event_type, d.h, d.x,
+        |    ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.h) AS i
+        |  FROM d),
+        |rec AS (
+        |  SELECT event_type, h, x, i,
+        |    CAST(x AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS err
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.h, idx.x, idx.i,
+        |    rec.s + 0.25 * (CAST(idx.x AS DOUBLE) - rec.s),
+        |    CAST(idx.x AS DOUBLE) - rec.s
+        |  FROM rec JOIN idx ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
+        |SELECT event_type, h AS hour, x AS n_events,
+        |  CAST(CAST(ROUND(s, 4) AS DECIMAL(28,4)) AS DOUBLE) AS ewma,
+        |  CAST(CAST(ROUND(err, 4) AS DECIMAL(28,4)) AS DOUBLE) AS forecast_err
+        |FROM rec
+        |ORDER BY event_type, hour""".stripMargin,
 
     // Each event lies in EXACTLY the 4 hopping windows whose start is
     // ⌊ts⌋₁₅ − k·15min for k = 0..3 (epoch alignment makes the covering

@@ -453,6 +453,51 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** #32q events_ewma: exponentially-weighted moving average (α=0.25)
+    * of the per-type hourly event rate, with the one-step-ahead
+    * forecast error — the memoryless smoother every ops dashboard
+    * overlays on a rate series, and the residual its alerting rule
+    * thresholds. A feedback recurrence (s_t reads s_{t−1}) is the
+    * frame class neither windows nor `aggregate` HOF emit per-step —
+    * the same class as 32m's CUSUM — so it runs as ONE codegen'd
+    * `ewma_seq` pass over each type's gap-densified sorted hour array.
+    * Scale shape is 32m's: the corpus collapses FIRST to the
+    * (type × hour) frame (one map-side-combinable shuffle; cardinality
+    * grows with span × types, never rows), hours densify via a
+    * `sequence` explode off a 1-row min/max scalar (a silent gap is a
+    * zero-rate hour, not a missing step), and the recurrence loop is
+    * bounded by the span. Fixed IEEE sequence (err and the α-step
+    * share one subtraction), replayed token-for-token by the DuckDB
+    * recursive-CTE oracle — hash-exact. */
+  def ewma(spark: SparkSession, dir: String, alpha: Double = 0.25): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      .withColumn("h", expr(s"tus div ${hourUs}L"))
+    val cnt = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+    val dense = cnt.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds)) // 1-row scalar
+      .select(col("event_type"),
+        explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val d = dense.join(cnt, Seq("event_type", "h"), "left_outer")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    d.groupBy(col("event_type"))
+      // struct sorts by its first field, so this is the hour order.
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("hs"))
+      .withColumn("es", graft.functions.EwmaSeq.ewmaSeq(
+        transform(col("hs"), e => e.getField("x").cast("double")), lit(alpha)))
+      .select(col("event_type"), posexplode(arrays_zip(col("hs"), col("es"))))
+      .select(
+        col("event_type"),
+        col("col.hs.h").as("hour"),
+        col("col.hs.x").as("n_events"),
+        d4w(col("col.es.s")).as("ewma"),
+        d4w(col("col.es.err")).as("forecast_err"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** #32n events_hopping_agg: SLIDING (hopping) 1-hour windows every
     * 15 minutes per event type — the overlapping-window class #30's
     * tumbling windows can't express (a tumbling hour reports each

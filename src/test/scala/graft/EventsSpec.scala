@@ -269,6 +269,33 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma path matches a driver-side replay of the recurrence exactly") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant))
+    val hours = ev.map { case (t, i) =>
+      (t, Math.floorDiv(i.getEpochSecond * 1000000L + i.getNano / 1000L, 3600000000L))
+    }
+    val hmin = hours.map(_._2).min
+    val hmax = hours.map(_._2).max
+    val byType = hours.groupBy(_._1)
+    val want = byType.flatMap { case (t, hs) =>
+      val counts = hs.groupBy(_._2).map { case (h, g) => h -> g.size.toLong }
+      var s = 0.0
+      (hmin to hmax).zipWithIndex.map { case (h, i) =>
+        val x = counts.getOrElse(h, 0L).toDouble
+        val e = if (i == 0) { s = x; 0.0 } else { val d = x - s; s = s + 0.25 * d; d }
+        def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, h) -> ((counts.getOrElse(h, 0L), r4(s), r4(e)))
+      }
+    }
+    val got = Events.ewma(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(v === want(k), s"ewma at $k") }
+  }
+
   test("kmv_sketch keeps exactly the k smallest distinct hashes, any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, xxhash64, shiftrightunsigned}
