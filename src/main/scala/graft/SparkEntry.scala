@@ -45,6 +45,11 @@ object SparkEntry {
     "running_total"            -> (Relational.runningTotal _),
     "rollup_agg"               -> (Relational.rollupAgg _),
     "cube_agg"                 -> (Relational.cubeAgg _),
+    "grouping_sets_agg"        -> (Relational.groupingSetsAgg _),
+    "rfm_scores"               -> (Relational.rfmScores _),
+    "spend_deciles"            -> (Relational.spendDeciles _),
+    "basket_pairs"             -> (Relational.basketPairs _),
+    "cohort_ltv"               -> (Relational.cohortLtv _),
     "distinct_agg"             -> (Relational.distinctAgg _),
     "anti_semi_join"           -> (Relational.antiSemiJoin _),
     "set_ops"                  -> (Relational.setOps _),
@@ -93,6 +98,10 @@ object SparkEntry {
     "events_cusum"             -> (Events.cusum _),
     "events_hopping_agg"       -> (Events.hoppingAgg _),
     "events_ewma"              -> ((s, d) => Events.ewma(s, d)),
+    "events_heatmap"           -> (Events.heatmap _),
+    "events_interarrival"      -> (Events.interarrival _),
+    "events_mad_outliers"      -> (Events.madOutliers _),
+    "events_dau_mau"           -> (Events.dauMau _),
     "events_user_overlap"      -> (Events.userOverlap _),
     // rows-only by design: KMV estimates aren't ANSI SQL; the exact
     // baseline events_user_overlap carries the oracle and this output
@@ -128,6 +137,8 @@ object SparkEntry {
     "text_pii_scrub"           -> (Text.piiScrub _),
     "text_tfidf"               -> (Text.tfidf _),
     "text_vocab"               -> (Text.vocab _),
+    "text_collocations"        -> ((s, d) => Text.collocations(s, d)),
+    "text_readability"         -> (Text.readability _),
     // rows-only by design: the merge loop's argmax feeds the next
     // round, which no single SQL statement expresses; exact-parity
     // ScalaTest oracle in TextSpec instead.
@@ -548,6 +559,114 @@ object SparkEntry {
         |ORDER BY g_prio, g_status,
         |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
+    "grouping_sets_agg" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        | COUNT(*) AS n_rows,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin,
+
+    "rfm_scores" ->
+      """WITH per AS (SELECT o_custkey,
+        |    date_diff('day', MAX(CAST(o_orderdate AS TIMESTAMP)),
+        |      (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) FROM orders))::BIGINT
+        |      AS recency_days,
+        |    COUNT(*)::BIGINT AS frequency,
+        |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+        |      AS monetary_cents
+        |  FROM orders GROUP BY o_custkey),
+        |n AS (SELECT COUNT(*)::BIGINT AS n_cust FROM per),
+        |rh AS (SELECT recency_days, COUNT(*)::BIGINT AS c FROM per GROUP BY 1),
+        |rc AS (SELECT recency_days, SUM(c) OVER (ORDER BY recency_days) AS cum FROM rh),
+        |fh AS (SELECT frequency, COUNT(*)::BIGINT AS c FROM per GROUP BY 1),
+        |fc AS (SELECT frequency, SUM(c) OVER (ORDER BY frequency) AS cum FROM fh),
+        |mh AS (SELECT monetary_cents, COUNT(*)::BIGINT AS c FROM per GROUP BY 1),
+        |mc AS (SELECT monetary_cents, SUM(c) OVER (ORDER BY monetary_cents) AS cum FROM mh),
+        |scored AS (SELECT
+        |    CAST((4 * rc.cum + n_cust - 1) // n_cust AS BIGINT) AS r_q,
+        |    CAST((4 * fc.cum + n_cust - 1) // n_cust AS BIGINT) AS f_q,
+        |    CAST((4 * mc.cum + n_cust - 1) // n_cust AS BIGINT) AS m_q,
+        |    per.monetary_cents
+        |  FROM per
+        |  JOIN rc USING (recency_days) JOIN fc USING (frequency)
+        |  JOIN mc USING (monetary_cents) CROSS JOIN n)
+        |SELECT r_q, f_q, m_q, COUNT(*)::BIGINT AS n_customers,
+        | CAST(ROUND(SUM(monetary_cents) / 100.0, 2) AS DOUBLE) AS total_monetary,
+        | CAST(ROUND(CAST(SUM(monetary_cents) // COUNT(*) AS BIGINT) / 100.0, 2)
+        |   AS DOUBLE) AS avg_monetary
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "spend_deciles" ->
+      """WITH per AS (SELECT o_custkey,
+        |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS spend_cents
+        |  FROM orders GROUP BY o_custkey),
+        |n AS (SELECT COUNT(*)::BIGINT AS n_cust,
+        |    SUM(spend_cents)::BIGINT AS grand_cents FROM per),
+        |h AS (SELECT spend_cents, COUNT(*)::BIGINT AS c FROM per GROUP BY 1),
+        |cc AS (SELECT spend_cents, SUM(c) OVER (ORDER BY spend_cents) AS cum FROM h),
+        |scored AS (SELECT per.spend_cents,
+        |    CAST((10 * cum + n_cust - 1) // n_cust AS BIGINT) AS decile, grand_cents
+        |  FROM per JOIN cc USING (spend_cents) CROSS JOIN n)
+        |SELECT decile, COUNT(*)::BIGINT AS n_customers,
+        | CAST(ROUND(SUM(spend_cents) / 100.0, 2) AS DOUBLE) AS total_spend,
+        | CAST(ROUND(MIN(spend_cents) / 100.0, 2) AS DOUBLE) AS min_spend,
+        | CAST(ROUND(MAX(spend_cents) / 100.0, 2) AS DOUBLE) AS max_spend,
+        | CAST(CAST(ROUND(CAST(SUM(spend_cents) AS DOUBLE)
+        |   / CAST(ANY_VALUE(grand_cents) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |   AS revenue_share
+        |FROM scored GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |total AS (SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders FROM ob),
+        |reach AS (SELECT p_brand, COUNT(*)::BIGINT AS n FROM ob GROUP BY 1),
+        |pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    COUNT(*)::BIGINT AS n_both
+        |  FROM ob a JOIN ob b USING (l_orderkey)
+        |  WHERE a.p_brand < b.p_brand GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, ra.n AS n_a, rb.n AS n_b, n_both,
+        | CAST(CAST(ROUND(CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS support,
+        | CAST(CAST(ROUND((CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE)) /
+        |   ((CAST(ra.n AS DOUBLE) / CAST(n_orders AS DOUBLE)) *
+        |    (CAST(rb.n AS DOUBLE) / CAST(n_orders AS DOUBLE))), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN reach ra ON ra.p_brand = brand_a
+        |JOIN reach rb ON rb.p_brand = brand_b
+        |CROSS JOIN total
+        |ORDER BY brand_a, brand_b""".stripMargin,
+
+    "cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    year(CAST(o_orderdate AS TIMESTAMP)) * 12
+        |      + month(CAST(o_orderdate AS TIMESTAMP)) AS m,
+        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |fm AS (SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY 1),
+        |cs AS (SELECT cohort_m, COUNT(*)::BIGINT AS n_customers FROM fm GROUP BY 1),
+        |cell AS (SELECT cohort_m, o.m - cohort_m AS month_offset,
+        |    SUM(cents)::BIGINT AS rev_cents
+        |  FROM o JOIN fm USING (o_custkey) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_m, month_offset, rev_cents,
+        |    SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY month_offset)
+        |      AS cum_cents
+        |  FROM cell)
+        |SELECT printf('%04d-%02d', (cohort_m - 1) // 12,
+        |    cohort_m - 12 * ((cohort_m - 1) // 12)) AS cohort,
+        | month_offset, n_customers,
+        | CAST(ROUND(rev_cents / 100.0, 2) AS DOUBLE) AS revenue,
+        | CAST(ROUND(cum_cents / 100.0, 2) AS DOUBLE) AS cum_revenue,
+        | CAST(ROUND(CAST(cum_cents // n_customers AS BIGINT) / 100.0, 2)
+        |   AS DOUBLE) AS ltv_per_customer
+        |FROM cum JOIN cs USING (cohort_m)
+        |ORDER BY cohort, month_offset""".stripMargin,
+
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
@@ -878,6 +997,54 @@ object SparkEntry {
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_heatmap" ->
+      """SELECT event_type,
+        | CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 AS INT) AS dow,
+        | CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INT) AS hour,
+        | COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "events_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*)::BIGINT AS n_gaps,
+        | CAST(CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS DOUBLE)
+        |   / CAST(1000000.0 AS DOUBLE) AS avg_gap_s,
+        | CAST(MIN(gap_us) AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS min_gap_s,
+        | CAST(MAX(gap_us) AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS max_gap_s,
+        | quantile_cont(gap_us, 0.5) / CAST(1000000.0 AS DOUBLE) AS p50_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_mad_outliers" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+        |  FROM c GROUP BY 1),
+        |dev AS (SELECT c.event_type, cents, med_cents,
+        |    ABS(CAST(cents AS DOUBLE) - med_cents) AS adev
+        |  FROM c JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+        |  FROM dev GROUP BY 1),
+        |z AS (SELECT dev.event_type, med_cents, mad_cents,
+        |    CAST(0.6745 AS DOUBLE) * (CAST(cents AS DOUBLE) - med_cents)
+        |      / mad_cents AS mz
+        |  FROM dev JOIN mad USING (event_type))
+        |SELECT event_type, COUNT(*)::BIGINT AS n_events,
+        | CAST(CAST(ROUND(ANY_VALUE(med_cents) / 100.0, 4) AS DECIMAL(10,4))
+        |   AS DOUBLE) AS median_value,
+        | CAST(CAST(ROUND(ANY_VALUE(mad_cents) / 100.0, 4) AS DECIMAL(10,4))
+        |   AS DOUBLE) AS mad_value,
+        | SUM(CASE WHEN ABS(mz) > 3.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        | CAST(CAST(ROUND(MAX(ABS(mz)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_user_overlap" ->
       """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -1700,6 +1867,61 @@ object SparkEntry {
         |  CAST(CAST(ROUND(raw, 4) AS DECIMAL(10,4)) AS DOUBLE) AS tfidf
         |FROM r WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "events_dau_mau" ->
+      """WITH e AS (SELECT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) // 7 AS wk,
+        |    year(CAST(ts AS TIMESTAMP)) * 12 + month(CAST(ts AS TIMESTAMP)) AS mon,
+        |    user_id FROM events),
+        |d AS (SELECT day, MAX(wk) AS wk, MAX(mon) AS mon,
+        |    COUNT(DISTINCT user_id)::BIGINT AS dau FROM e GROUP BY 1),
+        |w AS (SELECT wk, COUNT(DISTINCT user_id)::BIGINT AS wau FROM e GROUP BY 1),
+        |m AS (SELECT mon, COUNT(DISTINCT user_id)::BIGINT AS mau FROM e GROUP BY 1)
+        |SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS DATE) AS day,
+        | dau, wau, mau,
+        | CAST(CAST(ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS dau_wau,
+        | CAST(CAST(ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS dau_mau
+        |FROM d JOIN w USING (wk) JOIN m USING (mon) ORDER BY day""".stripMargin,
+
+    "text_collocations" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS ts
+        |  FROM documents),
+        |uni AS (SELECT r.t AS token, COUNT(*)::BIGINT AS n
+        |  FROM t, UNNEST(ts) AS r(t) GROUP BY 1),
+        |nu AS (SELECT SUM(n)::BIGINT AS n_uni FROM uni),
+        |bi AS (SELECT ts[i] AS tok_a, ts[i + 1] AS tok_b
+        |  FROM t, UNNEST(range(1, len(ts))) AS r(i)),
+        |bc AS (SELECT tok_a, tok_b, COUNT(*)::BIGINT AS n_ab FROM bi GROUP BY 1, 2),
+        |nb AS (SELECT SUM(n_ab)::BIGINT AS n_bi FROM bc),
+        |top AS (SELECT * FROM bc ORDER BY n_ab DESC, tok_a, tok_b LIMIT 100),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY n_ab DESC, tok_a, tok_b) AS rank FROM top)
+        |SELECT rank::INT AS rank, tok_a, tok_b, n_ab, ua.n AS n_a, ub.n AS n_b,
+        | CAST(CAST(ROUND((CAST(n_ab AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
+        |   ((CAST(ua.n AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+        |    (CAST(ub.n AS DOUBLE) / CAST(n_uni AS DOUBLE))), 4)
+        |   AS DECIMAL(28,4)) AS DOUBLE) AS lift
+        |FROM r JOIN uni ua ON ua.token = tok_a JOIN uni ub ON ub.token = tok_b
+        |CROSS JOIN nu CROSS JOIN nb ORDER BY rank""".stripMargin,
+
+    "text_readability" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_words,
+        | CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |   AS n_sentences,
+        | CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |   AS n_nonspace_chars,
+        | CAST((100 * len(string_split_regex(lower(text), '\s+')))
+        |   // GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |   / CAST(100.0 AS DOUBLE) AS words_per_sentence,
+        | CAST((100 * length(regexp_replace(text, '\s', '', 'g')))
+        |   // GREATEST(len(string_split_regex(lower(text), '\s+')), 1) AS BIGINT)
+        |   / CAST(100.0 AS DOUBLE) AS chars_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_vocab" ->
       """WITH toks AS (SELECT doc_id, r.t AS token

@@ -635,6 +635,151 @@ object Events {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** #32r events_heatmap: day-of-week × hour-of-day activity matrix per
+    * event type — the load-shape report behind capacity planning and
+    * anomaly baselining. Day/hour are derived by INTEGER arithmetic on
+    * epoch microseconds (`us div 86400e6`, epoch day 0 = Thursday, so
+    * Monday-based dow = (day + 3) mod 7) rather than calendar
+    * functions, so the bucketing is timezone-free and bit-identical in
+    * any engine. Output is bounded at |types| × 7 × 24 whatever the
+    * corpus size; one map-side-combinable shuffle on the bucket key. */
+  def heatmap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("dow", expr("(us div 86400000000 + 3) % 7").cast("int"))
+      .withColumn("hour", expr("(us div 3600000000) % 24").cast("int"))
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        pres(dsum(col("value"), 2)).as("sum_value"))
+      .orderBy(col("event_type"), col("dow"), col("hour"))
+  }
+
+  /** #32s events_interarrival: per-type inter-arrival time profile —
+    * for each event type, statistics over the gaps between a user's
+    * consecutive events OF THAT TYPE (lag over the (user, type)
+    * series). The cadence fingerprint behind rate limiting and bot
+    * detection ("how often does a given user fire this event?").
+    *
+    * Scale shape: one shuffle on (user_id, event_type) for the lag
+    * window — per-user-per-type partitions, never global — then a
+    * map-side-combinable rollup to the |types|-sized output. Gaps are
+    * integer MICROSECONDS end to end; the only floating point is the
+    * final seconds presentation (sum/n/1e6 in a pinned operation
+    * order) and the p50 lerp, whose operands are integer-valued
+    * doubles < 2^53 — exact under any lerp arrangement, so Spark's
+    * percentile and DuckDB's quantile_cont agree bit for bit here
+    * (unlike over arbitrary doubles, see quantile_agg). */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUserType))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_us"),
+        min(col("gap_us")).as("min_us"),
+        max(col("gap_us")).as("max_us"),
+        percentile(col("gap_us"), lit(0.5)).as("p50_us"))
+      // No ROUND anywhere in the presentation: every column is ONE
+      // exactly-rounded IEEE division of exact operands (the average
+      // floors to whole microseconds first), so there is no rounding
+      // boundary for the engines to disagree on — a d4 of sum/n CAN
+      // land on an exact .xxxx5 when n is 2^a·5^b (the cohort_ltv
+      // lesson).
+      .select(
+        col("event_type"), col("n_gaps"),
+        (expr("sum_us div n_gaps").cast("double") / lit(1e6)).as("avg_gap_s"),
+        (col("min_us").cast("double") / lit(1e6)).as("min_gap_s"),
+        (col("max_us").cast("double") / lit(1e6)).as("max_gap_s"),
+        (col("p50_us") / lit(1e6)).as("p50_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** #32t events_mad_outliers: robust per-type outlier census via the
+    * median/MAD rule (Iglewicz-Hoaglin modified z-score,
+    * 0.6745·(x−med)/MAD, |z| > 3.5) — the detector that, unlike
+    * [[zscoreOutliers]]' mean/σ, does not let the outliers it hunts
+    * inflate its own threshold (breakdown point 50% vs 0%).
+    *
+    * Exactness: values are lifted to integer CENTS first, so both
+    * median lerps run over integer-or-half-integer doubles < 2^53 —
+    * exact under any lerp operand arrangement, hence bit-identical
+    * between Spark's percentile and DuckDB's quantile_cont (arbitrary
+    * doubles only match to an ulp — the quantile_agg lesson). The
+    * modified z itself is a pinned sequence of exactly-rounded IEEE
+    * ops, so the >3.5 census is engine-exact too.
+    *
+    * Scale shape: two aggregation passes over the corpus (median, then
+    * MAD of deviations) plus a broadcast-back census pass; every
+    * per-type frame is |types|-sized. percentile() buffers per GROUP —
+    * acceptable while |corpus|/|types| fits an executor; the two-level
+    * bucket decomposition (quantile_agg) is the swap-in at 100 TB. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), lit(0.5)).as("med_cents"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("cents").cast("double") - col("med_cents")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad_cents"))
+    val z = lit(0.6745) * (col("cents").cast("double") - col("med_cents")) / col("mad_cents")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        first(col("med_cents")).as("medc"),
+        first(col("mad_cents")).as("madc"),
+        sum(when(abs(z) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        max(abs(z)).as("max_z"))
+      .select(
+        col("event_type"), col("n_events"),
+        d4(col("medc") / lit(100.0)).as("median_value"),
+        d4(col("madc") / lit(100.0)).as("mad_value"),
+        col("n_outliers"),
+        d4(col("max_z")).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** #32u events_dau_mau: daily active users with the containing
+    * week's WAU and month's MAU plus the DAU/WAU and DAU/MAU
+    * stickiness ratios — the engagement dashboard staple. Day and week
+    * keys are INTEGER epoch arithmetic (day = us div 86400e6; Monday
+    * weeks = (day+3) div 7), months the calendar index year·12+month
+    * under the pinned-UTC session — all engine-exact.
+    *
+    * Scale shape: three distinct-user aggregations (day/week/month
+    * keys), each one map-side-partial-combinable shuffle; the
+    * week/month frames are dimension-sized and broadcast back onto the
+    * day frame. No trailing-window distinct (an exact rolling 30-day
+    * MAU would need a 30× event fan-out or per-user state; calendar
+    * MAU is the standard dashboard contract). */
+  def dauMau(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("day", expr("us div 86400000000"))
+      .withColumn("wk", expr("(us div 86400000000 + 3) div 7"))
+      .withColumn("mon", expr("year(ts) * 12 + month(ts)"))
+      .select(col("day"), col("wk"), col("mon"), col("user_id"))
+    val d = e.groupBy(col("day"))
+      .agg(max(col("wk")).as("wk"), max(col("mon")).as("mon"),
+        countDistinct(col("user_id")).as("dau"))
+    val w = e.groupBy(col("wk")).agg(countDistinct(col("user_id")).as("wau"))
+    val m = e.groupBy(col("mon")).agg(countDistinct(col("user_id")).as("mau"))
+    d.join(broadcast(w), Seq("wk")).join(broadcast(m), Seq("mon"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("day"),
+        col("dau"), col("wau"), col("mau"),
+        d4(col("dau").cast("double") / col("wau").cast("double")).as("dau_wau"),
+        d4(col("dau").cast("double") / col("mau").cast("double")).as("dau_mau"))
+      .orderBy(col("day"))
+  }
+
   /** #32 events_asof_prev: each event joined to the user's previous
     * event (the as-of-prior row in the same series) — previous type,
     * previous value, and the inter-event gap in microseconds. */

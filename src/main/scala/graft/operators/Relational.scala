@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{d4, dec, dsum, pres}
+import graft.functions.Exact.{d4, d4w, dec, dsum, pres}
 import graft.sources.Tables
 
 /** Relational/OLAP operator coverage (SURVEY.md §2.2) on the TPC-H-ish
@@ -596,6 +596,272 @@ object Relational {
       .agg(sum(col("n_late_rows")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
+  }
+
+  /** Value-cut k-quantile THRESHOLDS over integer metrics, one
+    * histogram pass for any number of metrics at once.
+    *
+    * Input: a (metric, v) frame (`metric` names the series). Output: a
+    * 1-row frame with columns `<metric>_c1 … _c(k−1)`, where c_j is
+    * the largest value whose inclusive cumulative fraction rounds into
+    * quantile ≤ j — so assignment is `1 + Σ_j [x > c_j]` by pure
+    * comparison against broadcast scalars, and the corpus never joins
+    * back by value (a customer-cardinality equi-join per metric, the
+    * shape the first cut of this operator paid 3× for).
+    *
+    * Internals are the two-level prefix decomposition (the
+    * quantile_agg/seq_packing scheme): per-value histogram (ONE
+    * map-side-combinable shuffle for all metrics) → per-bucket totals
+    * → prefix offsets over the bounded bucket frame → bucket-local
+    * prefix over the per-value frame → ceil(k·F(v)) in pure integer
+    * arithmetic ((k·cum + n − 1) div n — no IEEE, ties share a
+    * quantile by construction, unlike ntile). No window ever orders
+    * the raw row frame. An empty quantile (heavy ties) yields a NULL
+    * threshold; [[cutBucket]] treats NULL as −∞. */
+  private def valueCuts(
+      melted: DataFrame, metrics: Map[String, Long], k: Int): DataFrame = {
+    val width = metrics.foldLeft(lit(1L)) { case (acc, (m, w)) =>
+      when(col("metric") === m, lit(w)).otherwise(acc) }
+    // Monotone non-negative bucketing is all correctness needs (equal
+    // values share a bucket; bucket order follows value order) — the
+    // double division is safe below 2^53.
+    val hist = melted
+      .withColumn("gb", floor(col("v") / width).cast("long"))
+      .groupBy(col("metric"), col("gb"), col("v")).agg(count(lit(1)).as("cnt"))
+    val bucketTot = hist.groupBy(col("metric"), col("gb"))
+      .agg(sum(col("cnt")).as("bc"))
+    val wB = Window.partitionBy(col("metric")).orderBy(col("gb"))
+    val off = bucketTot
+      .withColumn("boff", sum(col("bc")).over(wB) - col("bc"))
+      .withColumn("n", sum(col("bc")).over(Window.partitionBy(col("metric"))))
+    val wIn = Window.partitionBy(col("metric"), col("gb")).orderBy(col("v"))
+    val q = hist
+      .join(broadcast(off.select(col("metric"), col("gb"), col("boff"), col("n"))),
+        Seq("metric", "gb"))
+      .withColumn("cum", col("boff") + sum(col("cnt")).over(wIn))
+      .withColumn("q", expr(s"($k * cum + n - 1) div n"))
+    val aggs = metrics.keys.toSeq.sorted.flatMap { m =>
+      (1 until k).map(j =>
+        max(when(col("metric") === m && col("q") <= j, col("v")))
+          .as(s"${m}_c$j"))
+    }
+    q.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Quantile assignment against [[valueCuts]] thresholds: 1 + the
+    * number of cuts strictly below x (NULL cut = empty quantile = −∞). */
+  private def cutBucket(v: Column, cuts: Seq[Column]): Column =
+    cuts.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(v > coalesce(c, lit(Long.MinValue)), 1L).otherwise(0L) }
+
+  /** #29g rfm_scores: RFM customer segmentation over `orders` —
+    * recency (days since the customer's last order, against the
+    * corpus max date), frequency (order count), monetary (lifetime
+    * cents) — each scored into value-cut quartiles (1 = lowest metric
+    * value; ties always share a quartile), rolled up to segment
+    * counts. The classic marketing-DB segmentation, expressed
+    * scale-first: ONE melted histogram shuffle computes all three
+    * quartile cut vectors ([[valueCuts]]), the 9 thresholds broadcast
+    * back as scalars, and the segment rollup is map-side combinable
+    * on a ≤ 4³-key space — the per-customer frame is never joined by
+    * value and never globally sorted. */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxD = o.agg(max(col("o_orderdate")).as("max_d"))
+    val per = o
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("recency_days", datediff(col("max_d"), col("last_d")).cast("long"))
+    val melted = per.select(explode(array(
+        struct(lit("r").as("metric"), col("recency_days").as("v")),
+        struct(lit("f").as("metric"), col("frequency").as("v")),
+        struct(lit("m").as("metric"), col("monetary_cents").as("v")))).as("mv"))
+      .select(col("mv.metric").as("metric"), col("mv.v").as("v"))
+    val cuts = valueCuts(melted,
+      Map("r" -> 30L, "f" -> 4L, "m" -> 10000000L), k = 4)
+    val scored = per.crossJoin(broadcast(cuts))
+      .select(
+        cutBucket(col("recency_days"),
+          (1 to 3).map(j => col(s"r_c$j"))).as("r_q"),
+        cutBucket(col("frequency"),
+          (1 to 3).map(j => col(s"f_c$j"))).as("f_q"),
+        cutBucket(col("monetary_cents"),
+          (1 to 3).map(j => col(s"m_c$j"))).as("m_q"),
+        col("monetary_cents"))
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("monetary_cents")).as("seg_cents"))
+      .select(
+        col("r_q"), col("f_q"), col("m_q"), col("n_customers"),
+        pres(col("seg_cents") / lit(100.0)).as("total_monetary"),
+        // Floor-cents average (integer div): seg_cents/n with small
+        // segments lands on exact rounding-boundary halves where
+        // engines disagree; floor has no boundary.
+        pres(expr("seg_cents div n_customers") / lit(100.0)).as("avg_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** #29h spend_deciles: customers ranked into value-cut spend deciles
+    * (1 = lowest-spending; [[valueCuts]] thresholds, tie-stable), with
+    * each decile's population, spend totals, bounds, and share of
+    * corpus revenue — the concentration report behind "the top decile
+    * is X% of revenue". Integer cents end to end; the only IEEE is the
+    * pinned-order presentation divides. Assignment is comparison
+    * against 9 broadcast scalars — no value join, no global sort. */
+  def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("spend_cents"))
+    val grand = per.agg(sum(col("spend_cents")).as("grand_cents"))
+    val cuts = valueCuts(
+      per.select(lit("s").as("metric"), col("spend_cents").as("v")),
+      Map("s" -> 10000000L), k = 10)
+    per.crossJoin(broadcast(cuts)).crossJoin(broadcast(grand))
+      .withColumn("decile",
+        cutBucket(col("spend_cents"), (1 to 9).map(j => col(s"s_c$j"))))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("spend_cents")).as("dec_cents"),
+        min(col("spend_cents")).as("min_cents"),
+        max(col("spend_cents")).as("max_cents"),
+        first(col("grand_cents")).as("grand_cents"))
+      .select(
+        col("decile"), col("n_customers"),
+        pres(col("dec_cents") / lit(100.0)).as("total_spend"),
+        pres(col("min_cents") / lit(100.0)).as("min_spend"),
+        pres(col("max_cents") / lit(100.0)).as("max_spend"),
+        d4(col("dec_cents").cast("double") / col("grand_cents").cast("double"))
+          .as("revenue_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** #24d grouping_sets_agg: explicit GROUPING SETS ((flag, status),
+    * (flag), ()) — the third member of the rollup/cube family, with
+    * per-column GROUPING indicators so a reader can tell an aggregated
+    * NULL from a data NULL. Same plan class as rollup/cube: Catalyst
+    * expands to one Expand + one aggregation, a single shuffle. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_rows"),
+        pres(dsum(col("l_quantity"), 2)).as("sum_qty"),
+        pres(dsum(col("l_extendedprice"), 2)).as("sum_price"))
+      // Aggregated-out keys present as the 'ALL' sentinel, not NULL:
+      // the two engines disagree on NULL sort placement (Spark NULLS
+      // FIRST asc, DuckDB NULLS LAST), and a sentinel keys the row
+      // unambiguously alongside the grouping indicators anyway.
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("n_rows"),
+        col("sum_qty"), col("sum_price"))
+      .orderBy(col("g_flag"), col("g_status"), col("returnflag"), col("linestatus"))
+
+  /** #29i basket_pairs: market-basket brand co-occurrence — for every
+    * unordered brand pair, the number of orders containing both, each
+    * brand's order reach, pair support, and lift. The association-rule
+    * seed query ("which brands sell together?").
+    *
+    * Scale shape: lineitem collapses FIRST to the distinct (order,
+    * brand) frame (brand rides in on a broadcast of the part
+    * dimension); the pair generation is a self EQUI-join on orderkey —
+    * per-order work is |brands-in-order|² with order size bounded by
+    * the schema (≤ 7 lines in TPC-H), so pair volume is linear in
+    * orders — and the rollup lands on the ≤ |brands|² key space. Lift
+    * is a pinned-order IEEE expression over exact counts. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    // ONE shuffle total: the per-order sorted brand set (collect_set
+    // dedups in the aggregation buffer; set size is bounded by order
+    // size, so the buffer never grows with the corpus), from which
+    // pairs, per-brand reach and the order total all derive — the
+    // first cut self-joined a distinct (order, brand) frame and paid
+    // four shuffles recomputing it. Pair generation is an IN-ARRAY
+    // combination explode (≤ |order|² structs per row, codegen'd), so
+    // no join ever multiplies corpus rows.
+    val sets = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    val total = sets.agg(count(lit(1)).as("n_orders"))
+    val reach = sets.select(explode(col("bs")).as("p_brand"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    val pairs = sets
+      .select(explode(graft.functions.ArrayPairs.combinations(col("bs"))).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(reach.select(col("p_brand").as("brand_a"), col("n").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(reach.select(col("p_brand").as("brand_b"), col("n").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("brand_a"), col("brand_b"), col("n_a"), col("n_b"), col("n_both"),
+        d4(col("n_both").cast("double") / col("n_orders").cast("double"))
+          .as("support"),
+        d4((col("n_both").cast("double") / col("n_orders").cast("double")) /
+          ((col("n_a").cast("double") / col("n_orders").cast("double")) *
+           (col("n_b").cast("double") / col("n_orders").cast("double"))))
+          .as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  /** #29j cohort_ltv: customer-cohort lifetime value — customers
+    * cohorted by first-order month, revenue accumulated by months
+    * since, per-customer LTV per (cohort, offset) cell. The
+    * growth-analytics staple ("how does the 1996-03 cohort's spend
+    * curve compare to 1996-04's?").
+    *
+    * Months are the integer index year·12+month (calendar-exact, no
+    * timezone or day-length arithmetic); offsets with no orders are
+    * absent (sparse). Scale shape: one groupBy to the per-customer
+    * first-month frame, one to the (customer, month) revenue frame,
+    * then everything lands on the (cohort, offset) dimension frame —
+    * the cumulative window rides cohorts × months, corpus-independent,
+    * and the sums are exact cents so the running total is
+    * order-insensitive. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("m"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val firstM = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+    val cohortSize = firstM.groupBy(col("cohort_m"))
+      .agg(count(lit(1)).as("n_customers"))
+    val cell = o.join(firstM, Seq("o_custkey"))
+      .groupBy(col("cohort_m"),
+        (col("m") - col("cohort_m")).cast("long").as("month_offset"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val wCum = Window.partitionBy(col("cohort_m")).orderBy(col("month_offset"))
+    cell
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .join(broadcast(cohortSize), Seq("cohort_m"))
+      .select(
+        format_string("%04d-%02d",
+          expr("(cohort_m - 1) div 12"),
+          expr("cohort_m - 12 * ((cohort_m - 1) div 12)")).as("cohort"),
+        col("month_offset"), col("n_customers"),
+        pres(col("rev_cents") / lit(100.0)).as("revenue"),
+        pres(col("cum_cents") / lit(100.0)).as("cum_revenue"),
+        // LTV as FLOOR-cents (integer div), not a rounded IEEE divide:
+        // cum_cents/n with small cohorts lands exactly on .xxxx5
+        // boundaries, where engines' half-rounding of doubles
+        // legitimately disagrees — integer floor has no boundary.
+        pres(expr("cum_cents div n_customers") / lit(100.0))
+          .as("ltv_per_customer"))
+      .orderBy(col("cohort"), col("month_offset"))
   }
 
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.d4
+import graft.functions.Exact.{d4, d4w}
 import graft.functions.Sketches
 import graft.sources.Tables
 
@@ -657,6 +657,79 @@ object Text {
     * vocabulary-sized count table is never globally sorted — and only
     * the 100 surviving rows ride the ranking window; the total is a
     * 1-row broadcast. */
+  /** #47b text_collocations: top bigram collocations of the BPE-regex
+    * token stream, scored by LIFT (the log-free PMI monotone:
+    * P(ab)/(P(a)P(b)) — log/exp are libm calls whose last ulp differs
+    * across engines, a pure rational never does). The phrase-mining
+    * primitive behind tokenizer-merge candidates and keyphrase lists.
+    *
+    * Scale shape: one corpus pass explodes bigrams (adjacent-pair zip
+    * inside the scan's codegen stage — no self-join on position), one
+    * map-side-combinable count shuffle each for bigrams and unigrams;
+    * the top-k is a TakeOrdered over the bigram-vocabulary frame and
+    * the unigram counts join back onto the 100-row result (broadcast).
+    * Deterministic ties: (count desc, a, b). */
+  def collocations(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
+    val docs = Tables.documents(spark, dir).select(toks.as("ts"))
+    // Compiled bigram generation (ArrayPairs) — the arrays_zip/slice
+    // composition runs interpreted and profiled 2.5× slower here.
+    val bi = docs
+      .select(explode(graft.functions.ArrayPairs.adjacentPairs(col("ts"))).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+    // Unigram counts: the session-memoized token-count checkpoint that
+    // also serves text_vocab / text_vocab_sketch — one corpus count
+    // per session, not per consumer.
+    val uni = tokenCounts(spark, dir)
+      .select(col("token"), col("n_occurrences").as("n"))
+    val nUni = uni.agg(sum(col("n")).as("n_uni"))
+    val biCnt = bi.groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab"))
+    val nBi = biCnt.agg(sum(col("n_ab")).as("n_bi"))
+    val top = biCnt.orderBy(col("n_ab").desc, col("tok_a"), col("tok_b")).limit(k)
+    val ranked = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+    // The 100-row top-k is the broadcast side BOTH times — the unigram
+    // table is vocabulary-sized (10M+ tokens at corpus scale) and must
+    // never ship to every executor.
+    val withA = uni.select(col("token").as("tok_a"), col("n").as("n_a"))
+      .join(broadcast(top), Seq("tok_a"))
+    val withB = uni.select(col("token").as("tok_b"), col("n").as("n_b"))
+      .join(broadcast(withA), Seq("tok_b"))
+    withB
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("rank", row_number().over(ranked))
+      .select(col("rank"), col("tok_a"), col("tok_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        d4w((col("n_ab").cast("double") / col("n_bi").cast("double")) /
+          ((col("n_a").cast("double") / col("n_uni").cast("double")) *
+           (col("n_b").cast("double") / col("n_uni").cast("double")))).as("lift"))
+      .orderBy(col("rank"))
+  }
+
+  /** #42b text_readability: per-document readability signals —
+    * sentence count (maximal [.!?]+ runs), words per sentence, chars
+    * per word — the grade-level proxy a quality gate reads next to
+    * [[quality]]'s ratios. Ratios are FLOOR-x100 integer divides
+    * presented as exact 2-decimals: a d4 of small-integer ratios can
+    * land on exact .xxxx5 halves (1/32 = 0.03125) where the engines'
+    * double rounding legitimately disagrees; floor has no boundary.
+    * Pure per-row map — no shuffle at all beyond the ordered dump. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(tokens(col("text")))
+    val sents = size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+    val chars = length(regexp_replace(col("text"), "\\s", ""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        words.cast("long").as("n_words"),
+        greatest(sents, lit(1)).cast("long").as("n_sentences"),
+        chars.cast("long").as("n_nonspace_chars"))
+      .withColumn("words_per_sentence",
+        (expr("(100 * n_words) div n_sentences") / lit(100.0)))
+      .withColumn("chars_per_word",
+        (expr("(100 * n_nonspace_chars) div greatest(n_words, 1)") / lit(100.0)))
+      .orderBy(col("doc_id"))
+  }
+
   def vocab(spark: SparkSession, dir: String): DataFrame = {
     val counts = tokenCounts(spark, dir)
     val total = counts.agg(sum(col("n_occurrences")).as("n_total"))

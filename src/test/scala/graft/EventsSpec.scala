@@ -339,4 +339,95 @@ class EventsSpec extends AnyFunSuite {
     val again = Events.userOverlapSketch(spark, sf, k = 32).collect()
     assert(est.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("heatmap cells tile the corpus: counts sum to the event count") {
+    val rows = Events.heatmap(spark, sf).collect()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === total)
+    rows.foreach { r =>
+      val (d, h) = (r.getAs[Int]("dow"), r.getAs[Int]("hour"))
+      assert(d >= 0 && d <= 6 && h >= 0 && h <= 23, s"bucket out of range: $r")
+    }
+  }
+
+  test("heatmap dow arithmetic lands known dates on the right weekday") {
+    // 2024-01-01 was a Monday; the integer formula (day+3)%7 with
+    // Monday=0 must say 0 for it and 6 for Sunday 2024-01-07.
+    val us0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400000000L
+    assert((us0 / 86400000000L + 3) % 7 === 0L)
+    val us6 = java.time.LocalDate.of(2024, 1, 7).toEpochDay * 86400000000L
+    assert((us6 / 86400000000L + 3) % 7 === 6L)
+  }
+
+  test("interarrival gap census matches the per-series row arithmetic") {
+    val rows = Events.interarrival(spark, sf).collect()
+    // #gaps per type = #events of the type − #distinct (user, type)
+    // series (each series loses exactly its first event).
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = ev.groupBy(_._2)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val expected = byType(t).length - byType(t).distinct.length
+      assert(r.getAs[Long]("n_gaps") === expected.toLong,
+        s"gap count wrong for $t")
+      assert(r.getAs[Double]("min_gap_s") >= 0.0)
+      assert(r.getAs[Double]("min_gap_s") <= r.getAs[Double]("p50_gap_s"))
+      assert(r.getAs[Double]("p50_gap_s") <= r.getAs[Double]("max_gap_s"))
+      assert(r.getAs[Double]("avg_gap_s") >= r.getAs[Double]("min_gap_s"))
+      assert(r.getAs[Double]("avg_gap_s") <= r.getAs[Double]("max_gap_s"))
+    }
+  }
+
+  test("dau_mau: period containment orders the counts, recount-exact") {
+    val rows = Events.dauMau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, mau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+        r.getAs[Long]("mau"))
+      assert(dau >= 1 && dau <= wau && wau <= mau,
+        s"a day's actives are a subset of its week's, of its month's: $r")
+      assert(r.getAs[Double]("dau_mau") <= r.getAs[Double]("dau_wau") + 1e-9)
+    }
+    // Driver recount of one cell: the first day's DAU and its month's MAU.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 86400000000 as day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstDay = ev.map(_._1).min
+    val dauExp = ev.filter(_._1 == firstDay).map(_._2).distinct.length
+    assert(rows.head.getAs[Long]("dau") === dauExp.toLong)
+  }
+
+  test("mad_outliers matches a driver-side exact median/MAD recount") {
+    val rows = Events.madOutliers(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2)
+      else {
+        // lerp at frac 0.5 over integer-valued doubles — exact in any
+        // operand arrangement, same as the engine's contract.
+        val (a, b) = (s(n / 2 - 1), s(n / 2)); a + (b - a) * 0.5
+      }
+    }
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("event_type")).toSet === byType.keySet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cents = byType(t).map { case (_, v) => math.round(v * 100).toDouble }
+      val med = medianOf(cents)
+      val mad = medianOf(cents.map(c => math.abs(c - med)))
+      val nOut = cents.count(c => math.abs(0.6745 * (c - med) / mad) > 3.5)
+      assert(r.getAs[Long]("n_events") === cents.length.toLong)
+      assert(r.getAs[Long]("n_outliers") === nOut.toLong,
+        s"outlier census diverged from the exact recount for $t")
+      assert(r.getAs[Double]("mad_value") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") < cents.length / 10,
+        "a 3.5-sigma robust detector cannot flag 10% of the corpus")
+    }
+  }
 }

@@ -118,4 +118,89 @@ class RelationalSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in plan:\n$plan")
   }
+
+  test("rfm_scores partitions every customer into valid quartile cells") {
+    val rows = graft.operators.Relational.rfmScores(spark, sf).collect()
+    val nCust = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCust,
+      "segment populations must partition the customer base")
+    rows.foreach { r =>
+      Seq("r_q", "f_q", "m_q").foreach { q =>
+        val v = r.getAs[Long](q)
+        assert(v >= 1 && v <= 4, s"$q out of quartile range: $v")
+      }
+      assert(r.getAs[Double]("avg_monetary") <= r.getAs[Double]("total_monetary"))
+    }
+  }
+
+  test("spend_deciles covers the base exactly and shares sum to ~1") {
+    val rows = graft.operators.Relational.spendDeciles(spark, sf).collect()
+    val nCust = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCust)
+    assert(rows.forall { r =>
+      val d = r.getAs[Long]("decile"); d >= 1 && d <= 10 })
+    val share = rows.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(share - 1.0) < 0.001,
+      s"decile revenue shares must partition the revenue: $share")
+    // Value-cut deciles are ordered: decile k's max never exceeds
+    // decile k+1's min.
+    val sorted = rows.sortBy(_.getAs[Long]("decile"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_spend") <= b.getAs[Double]("min_spend"))
+      case _ => ()
+    }
+  }
+
+  test("grouping_sets_agg levels reconcile: finer levels sum to coarser") {
+    val rows = graft.operators.Relational.groupingSetsAgg(spark, sf).collect()
+    def lvl(gf: Int, gs: Int) = rows.filter(r =>
+      r.getAs[Int]("g_flag") == gf && r.getAs[Int]("g_status") == gs)
+    val fine = lvl(0, 0); val mid = lvl(0, 1); val top = lvl(1, 1)
+    assert(top.length === 1 && top.head.getAs[String]("returnflag") === "ALL")
+    assert(top.head.getAs[Long]("n_rows") === fine.map(_.getAs[Long]("n_rows")).sum)
+    mid.foreach { m =>
+      val f = fine.filter(_.getAs[String]("returnflag") == m.getAs[String]("returnflag"))
+      assert(m.getAs[Long]("n_rows") === f.map(_.getAs[Long]("n_rows")).sum)
+      assert(math.abs(m.getAs[Double]("sum_qty") -
+        f.map(_.getAs[Double]("sum_qty")).sum) < 0.01)
+    }
+  }
+
+  test("basket_pairs counts obey set algebra and pair orientation") {
+    val rows = graft.operators.Relational.basketPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"))
+      assert(both >= 1 && both <= math.min(na, nb),
+        s"|A∩B| must be within [1, min(|A|,|B|)]: $r")
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"),
+        "pairs must be unordered (a < b)")
+      assert(r.getAs[Double]("support") > 0 && r.getAs[Double]("support") <= 1)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+  }
+
+  test("cohort_ltv is cumulative and cohort-complete") {
+    val rows = graft.operators.Relational.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cohort")).foreach { case (_, rs) =>
+      val byOff = rs.sortBy(_.getAs[Long]("month_offset"))
+      assert(byOff.head.getAs[Long]("month_offset") === 0L,
+        "a cohort's first order is at offset 0 by construction")
+      byOff.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("cum_revenue") < b.getAs[Double]("cum_revenue") + 0.01,
+            "cumulative revenue can never decrease")
+        case _ => ()
+      }
+      byOff.foreach { r =>
+        assert(r.getAs[Double]("revenue") > 0.0)
+        assert(r.getAs[Double]("ltv_per_customer") <= r.getAs[Double]("cum_revenue") + 0.01)
+      }
+    }
+  }
 }

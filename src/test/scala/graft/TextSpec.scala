@@ -427,4 +427,50 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_._3).sum < got.map(_._4).sum + got.map(_._2).sum,
       "25 merges should compress below the char baseline")
   }
+
+  test("collocations match a driver-side bigram recount") {
+    import SparkTestSession._
+    val rows = graft.text.Text.collocations(spark, sf, k = 20).collect()
+    assert(rows.length === 20)
+    // Exact recount of every bigram in the corpus, same tokenizer.
+    val pat = graft.text.Text.BpePattern.r
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val biCounts = new scala.collection.mutable.HashMap[(String, String), Long]
+    val uniCounts = new scala.collection.mutable.HashMap[String, Long]
+    docs.foreach { t =>
+      val ts = pat.findAllIn(t.toLowerCase).toArray
+      ts.foreach(x => uniCounts.update(x, uniCounts.getOrElse(x, 0L) + 1))
+      ts.sliding(2).foreach {
+        case Array(a, b) => biCounts.update((a, b), biCounts.getOrElse((a, b), 0L) + 1)
+        case _ => ()
+      }
+    }
+    rows.foreach { r =>
+      val key = (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"))
+      assert(r.getAs[Long]("n_ab") === biCounts(key), s"bigram count wrong for $key")
+      assert(r.getAs[Long]("n_a") === uniCounts(key._1))
+      assert(r.getAs[Long]("n_b") === uniCounts(key._2))
+      // Each occurrence of a starts at most one (a, b) bigram.
+      assert(r.getAs[Long]("n_ab") <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+    // The top-20 really is the top: no corpus bigram outcounts rank 1.
+    val maxCount = biCounts.values.max
+    assert(rows.head.getAs[Long]("n_ab") === maxCount)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 20))
+  }
+
+  test("readability ratios are the exact floor-x100 of their counts") {
+    import SparkTestSession._
+    val rows = graft.text.Text.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("n_words"); val s = r.getAs[Long]("n_sentences")
+      val c = r.getAs[Long]("n_nonspace_chars")
+      assert(s >= 1)
+      assert(r.getAs[Double]("words_per_sentence") === (100 * w / s) / 100.0)
+      assert(r.getAs[Double]("chars_per_word") === (100 * c / math.max(w, 1)) / 100.0)
+    }
+  }
 }
