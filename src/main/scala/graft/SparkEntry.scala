@@ -102,6 +102,10 @@ object SparkEntry {
     "events_interarrival"      -> (Events.interarrival _),
     "events_mad_outliers"      -> (Events.madOutliers _),
     "events_dau_mau"           -> (Events.dauMau _),
+    "events_hhi"               -> (Events.hhi _),
+    "events_burstiness"        -> (Events.burstiness _),
+    "orders_seasonality"       -> (Relational.ordersSeasonality _),
+    "text_len_hist"            -> (Text.lenHist _),
     "events_user_overlap"      -> (Events.userOverlap _),
     // rows-only by design: KMV estimates aren't ANSI SQL; the exact
     // baseline events_user_overlap carries the oracle and this output
@@ -1885,6 +1889,73 @@ object SparkEntry {
         | CAST(CAST(ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 4)
         |   AS DECIMAL(10,4)) AS DOUBLE) AS dau_mau
         |FROM d JOIN w USING (wk) JOIN m USING (mon) ORDER BY day""".stripMargin,
+
+    "events_hhi" ->
+      """WITH pu AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, SUM(c)::BIGINT AS n_events,
+        |    COUNT(*)::BIGINT AS n_users, SUM(c * c)::BIGINT AS sum_c2
+        |  FROM pu GROUP BY 1)
+        |SELECT event_type, n_events, n_users,
+        | CAST(CAST(ROUND(CAST(sum_c2 AS DOUBLE) /
+        |   CAST(n_events * n_events AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |   AS hhi,
+        | CAST(CAST(ROUND(CAST(n_events * n_events AS DOUBLE) /
+        |   CAST(sum_c2 AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |   AS effective_users
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "events_burstiness" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |    COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, SUM(c)::BIGINT AS n_events,
+        |    (MAX(hr) - MIN(hr) + 1)::BIGINT AS n_hours,
+        |    COUNT(*)::BIGINT AS n_active_hours,
+        |    SUM(c * c)::BIGINT AS sum_c2
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, n_events, n_hours, n_active_hours,
+        | CAST(CAST(ROUND(CAST(n_hours * sum_c2 - n_events * n_events AS DOUBLE)
+        |   / CAST(n_hours - 1 AS DOUBLE) / CAST(n_events AS DOUBLE), 4)
+        |   AS DECIMAL(28,4)) AS DOUBLE) AS fano,
+        | CAST((10000 * n_events) // n_hours AS BIGINT) / CAST(10000.0 AS DOUBLE)
+        |   AS mean_per_hour
+        |FROM a WHERE n_hours > 1 ORDER BY event_type""".stripMargin,
+
+    "orders_seasonality" ->
+      """WITH o AS (SELECT month(CAST(o_orderdate AS TIMESTAMP)) AS mon,
+        |    year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
+        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |my AS (SELECT mon, yr, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS c
+        |  FROM o GROUP BY 1, 2),
+        |m AS (SELECT mon, SUM(n)::BIGINT AS n_orders,
+        |    SUM(c)::BIGINT AS mon_cents,
+        |    MAX(c * 10000 + yr)::BIGINT AS peak_enc FROM my GROUP BY 1),
+        |g AS (SELECT SUM(mon_cents)::BIGINT AS grand_cents FROM m)
+        |SELECT CAST(mon AS BIGINT) AS month, n_orders,
+        | CAST(ROUND(mon_cents / 100.0, 2) AS DOUBLE) AS revenue,
+        | CAST(CAST(ROUND(CAST(mon_cents AS DOUBLE) / CAST(grand_cents AS DOUBLE),
+        |   4) AS DECIMAL(10,4)) AS DOUBLE) AS revenue_share,
+        | CAST(peak_enc % 10000 AS INT) AS peak_year
+        |FROM m CROSS JOIN g ORDER BY month""".stripMargin,
+
+    "text_len_hist" ->
+      """WITH b AS (SELECT length(text)::BIGINT AS n,
+        |    CASE WHEN length(text) = 0 THEN -1
+        |      ELSE CAST(length(bin(length(text)::BIGINT)) - 1 AS INT) END AS k
+        |  FROM documents),
+        |h AS (SELECT k, COUNT(*)::BIGINT AS n_docs, SUM(n)::BIGINT AS n_chars
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT *, SUM(n_chars) OVER (ORDER BY k) AS cum_chars,
+        |    (SELECT SUM(n_chars) FROM h) AS grand FROM h)
+        |SELECT k AS bucket_exp,
+        | CASE WHEN k < 0 THEN 0 ELSE (1::BIGINT << k) END AS lo,
+        | CASE WHEN k < 0 THEN 0 ELSE (1::BIGINT << (k + 1)) - 1 END AS hi,
+        | n_docs, n_chars,
+        | CAST(CAST(ROUND(CAST(cum_chars AS DOUBLE) / CAST(grand AS DOUBLE), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS cum_char_coverage
+        |FROM c ORDER BY bucket_exp""".stripMargin,
 
     "text_collocations" ->
       """WITH t AS (SELECT doc_id,

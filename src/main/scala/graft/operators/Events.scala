@@ -746,6 +746,75 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** #32v events_hhi: per-type audience concentration via the
+    * Herfindahl-Hirschman index — Σ share², share = a user's fraction
+    * of the type's events — plus its inverse (the "effective user
+    * count"). The concentration report behind "is this event five
+    * whales or a real audience?"; HHI is a pure rational (no log), so
+    * unlike entropy it is engine-exact.
+    *
+    * Scale shape: one (type, user) count shuffle, then a
+    * map-side-combinable rollup to the |types| frame. The share
+    * squares sum as exact DECIMALS: share² = c²/n² with c² summed as
+    * long and ONE final divide per type — bit-stable under any
+    * partitioning (a per-row double share² sum would be
+    * order-dependent). */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    perUser.groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(
+        col("event_type"), col("n_events"), col("n_users"),
+        d4(col("sum_c2").cast("double") /
+          (col("n_events") * col("n_events")).cast("double")).as("hhi"),
+        d4((col("n_events") * col("n_events")).cast("double") /
+          col("sum_c2").cast("double")).as("effective_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** #32w events_burstiness: per-type Fano factor of the hourly count
+    * series (variance-to-mean of events per hour over the type's
+    * active span, empty hours included as zeros) — >1 = bursty,
+    * ~1 = Poisson-like, <1 = regular. The dispersion diagnostic read
+    * next to [[cusum]]/[[ewma]]'s level detectors.
+    *
+    * Exactness: with H total hours and hourly counts c_i (zeros for
+    * silent hours), mean = N/H and the unbiased variance numerator is
+    * H·Σc² − N² — all exact integer moments (silent hours add nothing
+    * to either), so Fano = (H·Σc² − N²)/(H−1)/N needs only pinned
+    * final divides. Scale shape: one (type, hour) count shuffle to the
+    * dimension-sized hourly frame; the span rides min/max hour —
+    * silent hours are arithmetic, never generated rows. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        (max(col("hr")) - min(col("hr")) + 1).as("n_hours"),
+        count(lit(1)).as("n_active_hours"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .filter(col("n_hours") > 1)
+      .select(
+        col("event_type"), col("n_events"), col("n_hours"), col("n_active_hours"),
+        d4w((col("n_hours") * col("sum_c2") - col("n_events") * col("n_events"))
+          .cast("double") /
+          (col("n_hours") - 1).cast("double") / col("n_events").cast("double"))
+          .as("fano"),
+        // Floor-x10000 (N/H with a small H can land on an exact
+        // .xxxx5 where engine rounding differs; floor has no boundary).
+        (expr("(10000 * n_events) div n_hours") / lit(10000.0))
+          .as("mean_per_hour"))
+      .orderBy(col("event_type"))
+  }
+
   /** #32u events_dau_mau: daily active users with the containing
     * week's WAU and month's MAU plus the DAU/WAU and DAU/MAU
     * stickiness ratios — the engagement dashboard staple. Day and week

@@ -864,6 +864,40 @@ object Relational {
       .orderBy(col("cohort"), col("month_offset"))
   }
 
+  /** #29k orders_seasonality: month-of-year revenue profile — order
+    * counts, exact-decimal revenue, and each calendar month's share of
+    * lifetime revenue, with a per-month peak-year column (the year in
+    * which that calendar month earned the most). The seasonality
+    * report behind inventory planning. One month-keyed
+    * map-side-combinable shuffle to a 12-row frame; the peak-year
+    * argmax rides a struct MAX over the (month × year) frame. */
+  def ordersSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(
+        month(col("o_orderdate")).as("mon"),
+        year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val byMonYr = o.groupBy(col("mon"), col("yr"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    // Integer-encoded argmax (cents·10⁴ + year): ties on revenue
+    // resolve to the later year identically in any engine — struct
+    // MAX / arg_max tie rules are engine-specific.
+    val byMon = byMonYr.groupBy(col("mon"))
+      .agg(
+        sum(col("n")).as("n_orders"),
+        sum(col("c")).as("mon_cents"),
+        max(col("c") * 10000L + col("yr")).as("peak_enc"))
+    val grand = byMon.agg(sum(col("mon_cents")).as("grand_cents"))
+    byMon.crossJoin(broadcast(grand))
+      .select(
+        col("mon").cast("long").as("month"), col("n_orders"),
+        pres(col("mon_cents") / lit(100.0)).as("revenue"),
+        d4(col("mon_cents").cast("double") / col("grand_cents").cast("double"))
+          .as("revenue_share"),
+        (col("peak_enc") % 10000L).cast("int").as("peak_year"))
+      .orderBy(col("month"))
+  }
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     // Self-validating sketch output (same pattern as the ANN recall
     // columns): the HLL estimate rides next to the exact count and its

@@ -706,6 +706,43 @@ object Text {
       .orderBy(col("rank"))
   }
 
+  /** #42d text_len_hist: power-of-two document-length histogram (by
+    * character count): bucket [2^k, 2^(k+1)) per doc, with counts,
+    * exact char totals, bucket bounds, and cumulative coverage of the
+    * corpus' characters — the length-distribution report a packing /
+    * truncation policy is sized from. The bucket exponent is
+    * `floor(log2 n)` computed by BIT LENGTH (integer, engine-exact —
+    * no libm log anywhere); the cumulative window rides the ≤ ~40-row
+    * bucket frame. One map-side-combinable shuffle. */
+  def lenHist(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(spark, dir)
+      .select(length(col("text")).cast("long").as("n"))
+      // floor(log2 n) as bit_length(n) - 1 via binary string length:
+      // bit_length of the minimal binary representation. Spark `bin`
+      // prints the minimal binary string; its length - 1 is the
+      // exponent. n = 0 maps to bucket -1 (its own "empty" row).
+      .withColumn("k",
+        when(col("n") === 0, lit(-1))
+          .otherwise(length(expr("bin(n)")) - 1).cast("int"))
+    val hist = b.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"))
+    val grand = hist.agg(sum(col("n_chars")).as("grand"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    hist
+      .withColumn("cum_chars", sum(col("n_chars")).over(wCum))
+      .crossJoin(broadcast(grand))
+      .select(
+        col("k").as("bucket_exp"),
+        when(col("k") < 0, 0L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), k)")).as("lo"),
+        when(col("k") < 0, 0L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), k + 1) - 1")).as("hi"),
+        col("n_docs"), col("n_chars"),
+        d4(col("cum_chars").cast("double") / col("grand").cast("double"))
+          .as("cum_char_coverage"))
+      .orderBy(col("bucket_exp"))
+  }
+
   /** #42b text_readability: per-document readability signals —
     * sentence count (maximal [.!?]+ runs), words per sentence, chars
     * per word — the grade-level proxy a quality gate reads next to

@@ -399,6 +399,46 @@ class EventsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("dau") === dauExp.toLong)
   }
 
+  test("hhi bounds: 1/n_users <= hhi <= 1, effective_users <= n_users") {
+    val rows = Events.hhi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h, nu) = (r.getAs[Double]("hhi"), r.getAs[Long]("n_users"))
+      assert(h >= 1.0 / nu - 1e-9 && h <= 1.0,
+        s"HHI must sit between uniform (1/n) and monopoly (1): $r")
+      val eff = r.getAs[Double]("effective_users")
+      assert(eff >= 1.0 - 1e-9 && eff <= nu + 1e-9,
+        s"effective users must be within [1, n_users]: $r")
+    }
+  }
+
+  test("burstiness matches a driver-side zero-padded Fano recount") {
+    val rows = Events.burstiness(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 as hr")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val hrs = ev.filter(_._1 == t).map(_._2)
+      val span = hrs.max - hrs.min + 1
+      val counts = hrs.groupBy(identity).map(_._2.length.toLong).toArray
+      val n = counts.sum
+      val sumC2 = counts.map(c => c * c).sum
+      assert(r.getAs[Long]("n_hours") === span)
+      assert(r.getAs[Long]("n_active_hours") === counts.length.toLong)
+      // Zero hours contribute to neither moment: the closed form must
+      // equal the literal zero-padded unbiased variance over mean.
+      val mean = n.toDouble / span
+      val varNum = counts.map(c => (c - mean) * (c - mean)).sum +
+        (span - counts.length) * mean * mean
+      val fanoExp = varNum / (span - 1) / mean
+      // The operator presents fano d4w-rounded: within half an ulp of
+      // the 4th decimal of the exact recount.
+      assert(math.abs(r.getAs[Double]("fano") - fanoExp) < 5.1e-5,
+        s"Fano mismatch for $t: got ${r.getAs[Double]("fano")} want $fanoExp")
+    }
+  }
+
   test("mad_outliers matches a driver-side exact median/MAD recount") {
     val rows = Events.madOutliers(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)

@@ -184,6 +184,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("orders_seasonality partitions revenue across 12 months") {
+    val rows = graft.operators.Relational.ordersSeasonality(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("month")).toSeq === (1L to 12L))
+    val share = rows.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(share - 1.0) < 0.001)
+    val nOrders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === nOrders)
+    rows.foreach { r =>
+      val y = r.getAs[Int]("peak_year")
+      assert(y >= 1990 && y <= 2030, s"implausible peak year: $r")
+    }
+  }
+
   test("cohort_ltv is cumulative and cohort-complete") {
     val rows = graft.operators.Relational.cohortLtv(spark, sf).collect()
     assert(rows.nonEmpty)

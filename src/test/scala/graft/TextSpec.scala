@@ -461,6 +461,25 @@ class TextSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 20))
   }
 
+  test("len_hist buckets tile the corpus and bound their members") {
+    import SparkTestSession._
+    val rows = graft.text.Text.lenHist(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("length(text) as n").collect().map(_.getAs[Int]("n").toLong)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_chars")).sum === docs.sum)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      if (r.getAs[Int]("bucket_exp") >= 0) {
+        assert(hi === 2 * lo - 1, "power-of-two bucket bounds")
+        val members = docs.filter(n => n >= lo && n <= hi)
+        assert(members.length.toLong === r.getAs[Long]("n_docs"))
+        assert(members.sum === r.getAs[Long]("n_chars"))
+      }
+    }
+    assert(rows.last.getAs[Double]("cum_char_coverage") === 1.0)
+  }
+
   test("readability ratios are the exact floor-x100 of their counts") {
     import SparkTestSession._
     val rows = graft.text.Text.readability(spark, sf).collect()
