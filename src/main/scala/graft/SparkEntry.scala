@@ -103,6 +103,7 @@ object SparkEntry {
     "events_mad_outliers"      -> (Events.madOutliers _),
     "events_dau_mau"           -> (Events.dauMau _),
     "events_hhi"               -> (Events.hhi _),
+    "events_session_stats"     -> (Events.sessionStats _),
     "events_burstiness"        -> (Events.burstiness _),
     "orders_seasonality"       -> (Relational.ordersSeasonality _),
     "text_len_hist"            -> (Text.lenHist _),
@@ -1889,6 +1890,31 @@ object SparkEntry {
         | CAST(CAST(ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 4)
         |   AS DECIMAL(10,4)) AS DOUBLE) AS dau_mau
         |FROM d JOIN w USING (wk) JOIN m USING (mon) ORDER BY day""".stripMargin,
+
+    "events_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sess AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |s AS (SELECT user_id, session_seq, COUNT(*)::BIGINT AS n_events,
+        |    (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))::BIGINT AS dur_us
+        |  FROM sess GROUP BY 1, 2),
+        |byn AS (SELECT n_events, COUNT(*)::BIGINT AS n_sessions,
+        |    SUM(dur_us)::BIGINT AS sum_us FROM s GROUP BY 1),
+        |t AS (SELECT SUM(n_sessions)::BIGINT AS total_sessions FROM byn)
+        |SELECT n_events, n_sessions,
+        | CAST(CAST(ROUND(CAST(n_sessions AS DOUBLE) /
+        |   CAST(total_sessions AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |   AS session_share,
+        | CAST(sum_us // 1000000 AS BIGINT) AS total_duration_s,
+        | CAST(CAST(sum_us // n_sessions AS BIGINT) AS DOUBLE)
+        |   / CAST(1000000.0 AS DOUBLE) AS avg_duration_s
+        |FROM byn CROSS JOIN t ORDER BY n_events""".stripMargin,
 
     "events_hhi" ->
       """WITH pu AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS c

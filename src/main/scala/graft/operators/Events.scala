@@ -746,6 +746,36 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** #31b events_session_stats: session-size distribution — sessions
+    * from the same 30-min-gap sessionizer as #31, rolled up by event
+    * count: how many sessions have n events, their share, and
+    * duration totals/averages. The engagement-depth histogram read
+    * next to the raw session list.
+    *
+    * Scale shape: rides #31's single user-keyed shuffle (windows +
+    * per-session rollup share the partitioning), then collapses to
+    * the |distinct session sizes| frame — map-side combinable.
+    * Durations are integer micros with floor-average (exact micros
+    * div n, then one exact divide to seconds — no rounding boundary). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionized(Tables.events(spark, dir), gapMinutes = 30)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+    val byN = sess.groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("dur_us")).as("sum_us"))
+    val tot = byN.agg(sum(col("n_sessions")).as("total_sessions"))
+    byN.crossJoin(broadcast(tot))
+      .select(
+        col("n_events"), col("n_sessions"),
+        d4(col("n_sessions").cast("double") / col("total_sessions").cast("double"))
+          .as("session_share"),
+        expr("sum_us div 1000000").as("total_duration_s"),
+        (expr("sum_us div n_sessions").cast("double") / lit(1e6))
+          .as("avg_duration_s"))
+      .orderBy(col("n_events"))
+  }
+
   /** #32v events_hhi: per-type audience concentration via the
     * Herfindahl-Hirschman index — Σ share², share = a user's fraction
     * of the type's events — plus its inverse (the "effective user

@@ -35,6 +35,18 @@ object Streaming {
       user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  /** Exactly-once ingest dedup: drop event_id replays arriving within
+    * the watermark delay — the at-least-once → exactly-once repair
+    * every ingest edge needs (producer retries, replayed partitions).
+    * `dropDuplicatesWithinWatermark` keys the state store by event_id
+    * and EVICTS each key once the watermark passes it, so state is
+    * bounded by the delay window × arrival rate, never by stream
+    * lifetime (plain dropDuplicates on a stream never evicts — the
+    * unbounded-state trap). Caller supplies the watermark (same
+    * convention as [[windowedAgg]]). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** Tumbling 1-hour windowed aggregation; on a stream add a watermark
     * first (`df.withWatermark("ts", "2 hours")`). Mirrors
     * [[graft.operators.Events.windowedAgg]] minus the distinct count

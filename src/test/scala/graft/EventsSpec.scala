@@ -399,6 +399,23 @@ class EventsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("dau") === dauExp.toLong)
   }
 
+  test("session_stats conserves events and sessions") {
+    val rows = Events.sessionStats(spark, sf).collect()
+    val totalEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_events") * r.getAs[Long]("n_sessions")).sum
+      === totalEvents, "every event lives in exactly one session")
+    val share = rows.map(_.getAs[Double]("session_share")).sum
+    assert(math.abs(share - 1.0) < 0.001)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_duration_s") * r.getAs[Long]("n_sessions") <=
+        r.getAs[Long]("total_duration_s") + r.getAs[Long]("n_sessions"),
+        "floor-average consistency")
+      if (r.getAs[Long]("n_events") == 1L)
+        assert(r.getAs[Long]("total_duration_s") === 0L,
+          "single-event sessions have zero span")
+    }
+  }
+
   test("hhi bounds: 1/n_users <= hhi <= 1, effective_users <= n_users") {
     val rows = Events.hhi(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -377,4 +377,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists { case (t, h, x, _, _) =>
       t == "click" && x >= 60L }, s"planted burst hour must alarm: $got")
   }
+
+  test("stream dedup drops watermark-window replays exactly") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val evs = loadEvents().take(500)
+    // At-least-once ingest: every third event delivered twice, some
+    // in the same batch, some replayed a batch later.
+    val (replayNow, replayLater) =
+      evs.zipWithIndex.filter(_._2 % 3 == 0).map(_._1).splitAt(80)
+    input.addData(evs ++ replayNow)
+    val streamDf = Streaming.dedupStream(
+      input.toDF().withWatermark("ts", "2 hours"))
+    val q = streamDf.writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    input.addData(replayLater)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_stream").collect()
+    assert(got.length === evs.length,
+      s"each event_id must survive exactly once: ${got.length} vs ${evs.length}")
+    val gotIds = got.map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(gotIds === evs.map(_.event_id).sorted,
+      "the surviving set must be exactly the distinct ingest set")
+  }
 }
