@@ -106,6 +106,8 @@ object SparkEntry {
     "events_session_stats"     -> (Events.sessionStats _),
     "events_burstiness"        -> (Events.burstiness _),
     "orders_seasonality"       -> (Relational.ordersSeasonality _),
+    "supplier_concentration"   -> (Relational.supplierConcentration _),
+    "brand_cheapest"           -> (Relational.brandCheapest _),
     "text_len_hist"            -> (Text.lenHist _),
     "events_user_overlap"      -> (Events.userOverlap _),
     // rows-only by design: KMV estimates aren't ANSI SQL; the exact
@@ -1948,6 +1950,37 @@ object SparkEntry {
         | CAST((10000 * n_events) // n_hours AS BIGINT) / CAST(10000.0 AS DOUBLE)
         |   AS mean_per_hour
         |FROM a WHERE n_hours > 1 ORDER BY event_type""".stripMargin,
+
+    "supplier_concentration" ->
+      """WITH s AS (SELECT s_nationkey,
+        |    CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |  FROM supplier WHERE CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) > 0),
+        |g AS (SELECT SUM(bal_cents)::BIGINT AS grand_cents FROM s),
+        |byn AS (SELECT s_nationkey, COUNT(*)::BIGINT AS n_suppliers,
+        |    SUM(bal_cents)::BIGINT AS nat_cents FROM s GROUP BY 1)
+        |SELECT n_name AS nation, n_suppliers,
+        | CAST(ROUND(nat_cents / 100.0, 2) AS DOUBLE) AS total_acctbal,
+        | CAST(CAST(ROUND(CAST(nat_cents AS DOUBLE) / CAST(grand_cents AS DOUBLE),
+        |   4) AS DECIMAL(10,4)) AS DOUBLE) AS share
+        |FROM byn CROSS JOIN g
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE nat_cents * 50 > grand_cents
+        |ORDER BY share DESC, nation""".stripMargin,
+
+    "brand_cheapest" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name,
+        |    CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM part),
+        |best AS (SELECT p_brand, COUNT(*)::BIGINT AS n_parts,
+        |    MIN(price_cents * 1000000000 + p_partkey)::BIGINT AS min_enc
+        |  FROM p GROUP BY 1)
+        |SELECT best.p_brand AS brand, n_parts,
+        | CAST(min_enc % 1000000000 AS BIGINT) AS best_partkey,
+        | p.p_name AS part_name,
+        | CAST(ROUND((min_enc // 1000000000) / 100.0, 2) AS DOUBLE)
+        |   AS min_retailprice
+        |FROM best JOIN p ON p.p_partkey = min_enc % 1000000000
+        |ORDER BY brand""".stripMargin,
 
     "orders_seasonality" ->
       """WITH o AS (SELECT month(CAST(o_orderdate AS TIMESTAMP)) AS mon,

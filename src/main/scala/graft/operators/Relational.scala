@@ -864,6 +864,64 @@ object Relational {
       .orderBy(col("cohort"), col("month_offset"))
   }
 
+  /** #29l supplier_concentration: TPC-H Q11's plan shape on the
+    * available schema — per-nation supplier account-balance totals,
+    * kept only where the nation's share exceeds a threshold of the
+    * corpus total (the scalar-subquery-in-HAVING pattern: an
+    * aggregate of the whole relation gates groups of the same
+    * relation). The scalar lands as a 1-row broadcast, so the filter
+    * evaluates group-side with no second scan of the grouped data. */
+  def supplierConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_nationkey"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("bal_cents"))
+      .filter(col("bal_cents") > 0)
+    val grand = s.agg(sum(col("bal_cents")).as("grand_cents"))
+    val nat = Tables.nation(spark, dir)
+    s.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("bal_cents")).as("nat_cents"))
+      .crossJoin(broadcast(grand))
+      // HAVING share > 2%: integer cross-multiplication, no IEEE in
+      // the predicate (50 · nat > grand  ⇔  nat/grand > 0.02).
+      .filter(col("nat_cents") * 50 > col("grand_cents"))
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("nation"), col("n_suppliers"),
+        pres(col("nat_cents") / lit(100.0)).as("total_acctbal"),
+        d4(col("nat_cents").cast("double") / col("grand_cents").cast("double"))
+          .as("share"))
+      .orderBy(col("share").desc, col("nation"))
+  }
+
+  /** #29m brand_cheapest: TPC-H Q2's correlated-min shape on the
+    * available schema — for each brand, the part achieving the
+    * minimum retail price (the "min-cost supplier" pattern: a
+    * correlated aggregate selects the row). The argmin is
+    * INTEGER-ENCODED (price·10⁹ + partkey, MIN) so price ties resolve
+    * to the lowest partkey identically in any engine, and the
+    * per-brand frame never re-joins the corpus by value. */
+  def brandCheapest(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("price_cents"))
+    val best = p.groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("price_cents") * 1000000000L + col("p_partkey")).as("min_enc"))
+      .select(col("p_brand"), col("n_parts"),
+        (col("min_enc") % 1000000000L).as("best_partkey"),
+        expr("min_enc div 1000000000").as("min_cents"))
+    best
+      .join(p.select(col("p_partkey").as("best_partkey"), col("p_name")),
+        Seq("best_partkey"))
+      .select(
+        col("p_brand").as("brand"), col("n_parts"),
+        col("best_partkey"), col("p_name").as("part_name"),
+        pres(col("min_cents") / lit(100.0)).as("min_retailprice"))
+      .orderBy(col("brand"))
+  }
+
   /** #29k orders_seasonality: month-of-year revenue profile — order
     * counts, exact-decimal revenue, and each calendar month's share of
     * lifetime revenue, with a per-month peak-year column (the year in

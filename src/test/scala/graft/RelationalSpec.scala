@@ -197,6 +197,35 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("supplier_concentration keeps only above-threshold nations") {
+    val rows = graft.operators.Relational.supplierConcentration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sh = r.getAs[Double]("share")
+      assert(sh > 0.02 - 1e-9, s"HAVING must gate at 2%: $r")
+      assert(sh <= 1.0)
+    }
+    assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-6)
+  }
+
+  test("brand_cheapest picks the true per-brand min with lowest-key ties") {
+    val rows = graft.operators.Relational.brandCheapest(spark, sf).collect()
+    val parts = graft.sources.Tables.part(spark, sf)
+      .selectExpr("p_partkey", "p_brand",
+        "cast(round(p_retailprice * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byBrand = parts.groupBy(_._2)
+    assert(rows.map(_.getAs[String]("brand")).toSet === byBrand.keySet)
+    rows.foreach { r =>
+      val b = r.getAs[String]("brand")
+      val minC = byBrand(b).map(_._3).min
+      assert(r.getAs[Double]("min_retailprice") === minC / 100.0)
+      val expectKey = byBrand(b).filter(_._3 == minC).map(_._1).min
+      assert(r.getAs[Long]("best_partkey") === expectKey,
+        s"price ties must resolve to the lowest partkey for $b")
+    }
+  }
+
   test("cohort_ltv is cumulative and cohort-complete") {
     val rows = graft.operators.Relational.cohortLtv(spark, sf).collect()
     assert(rows.nonEmpty)
