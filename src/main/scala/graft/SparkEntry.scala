@@ -103,10 +103,12 @@ object SparkEntry {
     "events_mad_outliers"      -> (Events.madOutliers _),
     "events_dau_mau"           -> (Events.dauMau _),
     "events_hhi"               -> (Events.hhi _),
+    "events_winsorized"        -> (Events.winsorized _),
     "events_session_stats"     -> (Events.sessionStats _),
     "events_burstiness"        -> (Events.burstiness _),
     "orders_seasonality"       -> (Relational.ordersSeasonality _),
     "supplier_concentration"   -> (Relational.supplierConcentration _),
+    "balance_matrix"           -> (Relational.balanceMatrix _),
     "brand_cheapest"           -> (Relational.brandCheapest _),
     "text_len_hist"            -> (Text.lenHist _),
     "events_user_overlap"      -> (Events.userOverlap _),
@@ -1918,6 +1920,42 @@ object SparkEntry {
         |   / CAST(1000000.0 AS DOUBLE) AS avg_duration_s
         |FROM byn CROSS JOIN t ORDER BY n_events""".stripMargin,
 
+    "events_winsorized" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT event_type, cents // 1000 AS gb, cents,
+        |    COUNT(*)::BIGINT AS cnt FROM ev GROUP BY 1, 2, 3),
+        |o AS (SELECT event_type, gb, SUM(cnt)::BIGINT AS bc FROM h GROUP BY 1, 2),
+        |o2 AS (SELECT *,
+        |    SUM(bc) OVER (PARTITION BY event_type ORDER BY gb) - bc AS boff,
+        |    SUM(bc) OVER (PARTITION BY event_type) AS n FROM o),
+        |cum AS (SELECT h.event_type, h.cents, boff
+        |    + SUM(cnt) OVER (PARTITION BY h.event_type, h.gb ORDER BY h.cents) AS cum, n
+        |  FROM h JOIN o2 ON h.event_type = o2.event_type AND h.gb = o2.gb),
+        |cuts AS (SELECT event_type,
+        |    MAX(CASE WHEN (20 * cum + n - 1) // n <= 1 THEN cents END) AS c_lo,
+        |    MAX(CASE WHEN (20 * cum + n - 1) // n <= 19 THEN cents END) AS c_hi
+        |  FROM cum GROUP BY 1),
+        |cl AS (SELECT ev.event_type, cents, c_lo, c_hi,
+        |    GREATEST(LEAST(cents, COALESCE(c_hi, 9223372036854775807)),
+        |      COALESCE(c_lo, -9223372036854775808)) AS w
+        |  FROM ev JOIN cuts USING (event_type)),
+        |a AS (SELECT event_type, COUNT(*)::BIGINT AS n_events,
+        |    SUM(cents)::BIGINT AS sum_c, SUM(w)::BIGINT AS sum_w,
+        |    SUM(CASE WHEN w > cents THEN 1 ELSE 0 END)::BIGINT AS n_clamped_low,
+        |    SUM(CASE WHEN w < cents THEN 1 ELSE 0 END)::BIGINT AS n_clamped_high,
+        |    ANY_VALUE(c_lo) AS c_lo, ANY_VALUE(c_hi) AS c_hi
+        |  FROM cl GROUP BY 1)
+        |SELECT event_type, n_events,
+        | CAST(CAST((10000 * sum_c) // n_events AS BIGINT) AS DOUBLE)
+        |   / CAST(1000000.0 AS DOUBLE) AS mean_value,
+        | CAST(CAST((10000 * sum_w) // n_events AS BIGINT) AS DOUBLE)
+        |   / CAST(1000000.0 AS DOUBLE) AS winsorized_mean,
+        | CAST(c_lo AS DOUBLE) / CAST(100.0 AS DOUBLE) AS p5_cut,
+        | CAST(c_hi AS DOUBLE) / CAST(100.0 AS DOUBLE) AS p95_cut,
+        | n_clamped_low, n_clamped_high
+        |FROM a ORDER BY event_type""".stripMargin,
+
     "events_hhi" ->
       """WITH pu AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS c
         |  FROM events GROUP BY 1, 2),
@@ -1950,6 +1988,28 @@ object SparkEntry {
         | CAST((10000 * n_events) // n_hours AS BIGINT) / CAST(10000.0 AS DOUBLE)
         |   AS mean_per_hour
         |FROM a WHERE n_hours > 1 ORDER BY event_type""".stripMargin,
+
+    "balance_matrix" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nationkey,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+        |    COUNT(*)::BIGINT AS n_cust,
+        |    SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))::BIGINT AS cust_cents
+        |  FROM customer GROUP BY 1, 2),
+        |s AS (SELECT CAST(s_nationkey AS INT) AS nationkey,
+        |    CAST(FLOOR(s_acctbal / 1000.0) AS BIGINT) AS band,
+        |    COUNT(*)::BIGINT AS n_supp,
+        |    SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT))::BIGINT AS supp_cents
+        |  FROM supplier GROUP BY 1, 2)
+        |SELECT n_name AS nation, COALESCE(c.band, s.band) AS band,
+        | COALESCE(n_cust, 0) AS n_customers,
+        | CAST(ROUND(COALESCE(cust_cents, 0) / 100.0, 2) AS DOUBLE) AS cust_balance,
+        | COALESCE(n_supp, 0) AS n_suppliers,
+        | CAST(ROUND(COALESCE(supp_cents, 0) / 100.0, 2) AS DOUBLE) AS supp_balance,
+        | CASE WHEN n_cust IS NULL THEN 'supplier_only'
+        |   WHEN n_supp IS NULL THEN 'customer_only' ELSE 'both' END AS presence
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey AND c.band = s.band
+        |JOIN nation ON COALESCE(c.nationkey, s.nationkey) = n_nationkey
+        |ORDER BY nation, band""".stripMargin,
 
     "supplier_concentration" ->
       """WITH s AS (SELECT s_nationkey,

@@ -776,6 +776,67 @@ object Events {
       .orderBy(col("n_events"))
   }
 
+  /** #32x events_winsorized: per-type winsorized mean — values clamped
+    * to the [p5, p95] value-cut boundaries before averaging, with clamp
+    * censuses and the plain mean alongside (how much do the tails move
+    * the needle?). The robust location estimate between [[madOutliers]]
+    * (detection) and plain averages.
+    *
+    * The p5/p95 boundaries are VALUE CUTS by inclusive cumulative
+    * fraction (ceil(20·F(v)) vigintiles over integer cents, the
+    * rfm_scores scheme): two-level prefix sums over the per-type value
+    * histogram — one map-side-combinable shuffle, windows only over
+    * bucket frames — then the |types|-row cut frame broadcasts back
+    * and the clamp+mean pass is map-side before its rollup. All-integer
+    * cuts and sums; floor-x10000 mean presentation (no rounding
+    * boundary). An empty tail vigintile (heavy ties) yields a NULL cut
+    * = no clamping on that side. */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+    val hist = ev
+      .withColumn("gb", expr("cents div 1000"))
+      .groupBy(col("event_type"), col("gb"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("gb"))
+    val off = hist.groupBy(col("event_type"), col("gb"))
+      .agg(sum(col("cnt")).as("bc"))
+      .withColumn("boff", sum(col("bc")).over(wB) - col("bc"))
+      .withColumn("n", sum(col("bc")).over(Window.partitionBy(col("event_type"))))
+    val wIn = Window.partitionBy(col("event_type"), col("gb")).orderBy(col("cents"))
+    val cuts = hist
+      .join(broadcast(off.select(col("event_type"), col("gb"), col("boff"), col("n"))),
+        Seq("event_type", "gb"))
+      .withColumn("cum", col("boff") + sum(col("cnt")).over(wIn))
+      .withColumn("vig", expr("(20 * cum + n - 1) div n"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("vig") <= 1, col("cents"))).as("c_lo"),
+        max(when(col("vig") <= 19, col("cents"))).as("c_hi"))
+    val clamped = ev.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("w", greatest(
+        least(col("cents"), coalesce(col("c_hi"), lit(Long.MaxValue))),
+        coalesce(col("c_lo"), lit(Long.MinValue))))
+    clamped.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_c"),
+        sum(col("w")).as("sum_w"),
+        sum(when(col("w") > col("cents"), 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when(col("w") < col("cents"), 1L).otherwise(0L)).as("n_clamped_high"),
+        first(col("c_lo")).as("c_lo"), first(col("c_hi")).as("c_hi"))
+      .select(
+        col("event_type"), col("n_events"),
+        (expr("(10000 * sum_c) div n_events").cast("double") / lit(1e6))
+          .as("mean_value"),
+        (expr("(10000 * sum_w) div n_events").cast("double") / lit(1e6))
+          .as("winsorized_mean"),
+        (col("c_lo").cast("double") / lit(100.0)).as("p5_cut"),
+        (col("c_hi").cast("double") / lit(100.0)).as("p95_cut"),
+        col("n_clamped_low"), col("n_clamped_high"))
+      .orderBy(col("event_type"))
+  }
+
   /** #32v events_hhi: per-type audience concentration via the
     * Herfindahl-Hirschman index — Σ share², share = a user's fraction
     * of the type's events — plus its inverse (the "effective user

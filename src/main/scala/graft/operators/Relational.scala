@@ -864,6 +864,39 @@ object Relational {
       .orderBy(col("cohort"), col("month_offset"))
   }
 
+  /** #29n balance_matrix: FULL OUTER join coverage — customer vs
+    * supplier account-balance profiles per (nation, $1000 balance
+    * band): cells where only one population exists survive with the
+    * other side's counts at zero and a side indicator. Completes the
+    * join-type inventory (inner/left/semi/anti/set-ops elsewhere);
+    * both sides pre-aggregate to their dimension-sized band frames
+    * BEFORE the full-outer (aggregate-then-join — the corpus never
+    * rides an outer join). */
+  def balanceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    def bands(df: DataFrame, key: String, bal: String, n: String) = df
+      .select(col(key).cast("int").as("nationkey"),
+        floor(col(bal) / 1000.0).cast("long").as("band"),
+        round(col(bal) * 100, 0).cast("long").as("cents"))
+      .groupBy(col("nationkey"), col("band"))
+      .agg(count(lit(1)).as(s"n_$n"), sum(col("cents")).as(s"${n}_cents"))
+    val c = bands(Tables.customer(spark, dir), "c_nationkey", "c_acctbal", "cust")
+    val s = bands(Tables.supplier(spark, dir), "s_nationkey", "s_acctbal", "supp")
+    val nat = Tables.nation(spark, dir)
+    c.join(s, Seq("nationkey", "band"), "full_outer")
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("nation"), col("band"),
+        coalesce(col("n_cust"), lit(0L)).as("n_customers"),
+        pres(coalesce(col("cust_cents"), lit(0L)) / lit(100.0)).as("cust_balance"),
+        coalesce(col("n_supp"), lit(0L)).as("n_suppliers"),
+        pres(coalesce(col("supp_cents"), lit(0L)) / lit(100.0)).as("supp_balance"),
+        when(col("n_cust").isNull, lit("supplier_only"))
+          .when(col("n_supp").isNull, lit("customer_only"))
+          .otherwise(lit("both")).as("presence"))
+      .orderBy(col("nation"), col("band"))
+  }
+
   /** #29l supplier_concentration: TPC-H Q11's plan shape on the
     * available schema — per-nation supplier account-balance totals,
     * kept only where the nation's share exceeds a threshold of the

@@ -416,6 +416,24 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorized mean sits between the cuts and clamps ~10% of rows") {
+    val rows = Events.winsorized(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val wm = r.getAs[Double]("winsorized_mean")
+      val (lo, hi) = (r.getAs[Double]("p5_cut"), r.getAs[Double]("p95_cut"))
+      assert(wm >= lo - 1e-6 && wm <= hi + 1e-6,
+        s"a clamped average must live inside its clamp range: $r")
+      val n = r.getAs[Long]("n_events")
+      val clamped = r.getAs[Long]("n_clamped_low") + r.getAs[Long]("n_clamped_high")
+      assert(clamped <= n / 5,
+        s"a 5%/95% winsorize cannot clamp over 20% of the corpus: $r")
+      // Winsorizing pulls the mean toward the center: it can never
+      // move OUTSIDE the plain mean's clamp of itself.
+      assert(math.abs(wm - r.getAs[Double]("mean_value")) <= hi - lo + 1e-6)
+    }
+  }
+
   test("hhi bounds: 1/n_users <= hhi <= 1, effective_users <= n_users") {
     val rows = Events.hhi(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -197,6 +197,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("balance_matrix full-outer preserves both populations exactly") {
+    val rows = graft.operators.Relational.balanceMatrix(spark, sf).collect()
+    val nCust = graft.sources.Tables.customer(spark, sf).count()
+    val nSupp = graft.sources.Tables.supplier(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCust)
+    assert(rows.map(_.getAs[Long]("n_suppliers")).sum === nSupp)
+    val presences = rows.map(_.getAs[String]("presence")).toSet
+    assert(presences.contains("customer_only"),
+      "sparse supplier side must leave customer-only cells")
+    rows.foreach { r =>
+      r.getAs[String]("presence") match {
+        case "customer_only" => assert(r.getAs[Long]("n_suppliers") === 0L)
+        case "supplier_only" => assert(r.getAs[Long]("n_customers") === 0L)
+        case _ => assert(r.getAs[Long]("n_customers") > 0 &&
+          r.getAs[Long]("n_suppliers") > 0)
+      }
+    }
+  }
+
   test("supplier_concentration keeps only above-threshold nations") {
     val rows = graft.operators.Relational.supplierConcentration(spark, sf).collect()
     assert(rows.nonEmpty)
