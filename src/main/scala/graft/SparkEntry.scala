@@ -109,6 +109,8 @@ object SparkEntry {
     "orders_seasonality"       -> (Relational.ordersSeasonality _),
     "supplier_concentration"   -> (Relational.supplierConcentration _),
     "balance_matrix"           -> (Relational.balanceMatrix _),
+    "supplier_dominance"       -> (Relational.supplierDominance _),
+    "events_autocorr"          -> (Events.autocorr _),
     "brand_cheapest"           -> (Relational.brandCheapest _),
     "text_len_hist"            -> (Text.lenHist _),
     "events_user_overlap"      -> (Events.userOverlap _),
@@ -1919,6 +1921,55 @@ object SparkEntry {
         | CAST(CAST(sum_us // n_sessions AS BIGINT) AS DOUBLE)
         |   / CAST(1000000.0 AS DOUBLE) AS avg_duration_s
         |FROM byn CROSS JOIN t ORDER BY n_events""".stripMargin,
+
+    "events_autocorr" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |    COUNT(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        |adj AS (SELECT a.event_type, SUM(a.c * b.c)::BIGINT AS sxy
+        |  FROM h a JOIN h b ON a.event_type = b.event_type AND b.hr = a.hr + 1
+        |  GROUP BY 1),
+        |m AS (SELECT event_type, SUM(c)::BIGINT AS n_ev,
+        |    (MAX(hr) - MIN(hr) + 1)::BIGINT AS hh,
+        |    SUM(c * c)::BIGINT AS sc2,
+        |    MIN(hr) AS hr0, MAX(hr) AS hr1 FROM h GROUP BY 1),
+        |e AS (SELECT h.event_type,
+        |    SUM(CASE WHEN hr = hr0 THEN c ELSE 0 END)::BIGINT AS c_first,
+        |    SUM(CASE WHEN hr = hr1 THEN c ELSE 0 END)::BIGINT AS c_last
+        |  FROM h JOIN m ON h.event_type = m.event_type GROUP BY 1)
+        |SELECT m.event_type, n_ev AS n_events, hh AS n_hours,
+        | CAST(CAST(ROUND(
+        |   CAST((hh - 1) * COALESCE(sxy, 0)
+        |     - (n_ev - c_last) * (n_ev - c_first) AS DOUBLE) /
+        |   (SQRT(CAST((hh - 1) * (sc2 - c_last * c_last)
+        |      - (n_ev - c_last) * (n_ev - c_last) AS DOUBLE)) *
+        |    SQRT(CAST((hh - 1) * (sc2 - c_first * c_first)
+        |      - (n_ev - c_first) * (n_ev - c_first) AS DOUBLE))), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS lag1_autocorr
+        |FROM m LEFT JOIN adj ON m.event_type = adj.event_type
+        |JOIN e ON m.event_type = e.event_type
+        |WHERE hh > 2 ORDER BY m.event_type""".stripMargin,
+
+    "supplier_dominance" ->
+      """WITH li AS (SELECT p_brand, l_suppkey,
+        |    CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS q100
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |bys AS (SELECT p_brand, l_suppkey, SUM(q100)::BIGINT AS supp_q
+        |  FROM li GROUP BY 1, 2),
+        |byb AS (SELECT p_brand, SUM(supp_q)::BIGINT AS brand_q,
+        |    COUNT(*)::BIGINT AS n_suppliers,
+        |    MAX(supp_q * 1000000000 + (999999999 - l_suppkey))::BIGINT AS max_enc
+        |  FROM bys GROUP BY 1)
+        |SELECT p_brand AS brand, s_name AS top_supplier, n_suppliers,
+        | CAST(ROUND((max_enc // 1000000000) / 100.0, 2) AS DOUBLE) AS top_qty,
+        | CAST(ROUND(brand_q / 100.0, 2) AS DOUBLE) AS brand_qty,
+        | CAST(CAST(ROUND(CAST(max_enc // 1000000000 AS DOUBLE)
+        |   / CAST(brand_q AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS share,
+        | CAST(CAST(ROUND(CAST(max_enc // 1000000000 AS DOUBLE)
+        |   * CAST(n_suppliers AS DOUBLE) / CAST(brand_q AS DOUBLE), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS fair_share_multiple
+        |FROM byb JOIN supplier ON 999999999 - max_enc % 1000000000 = s_suppkey
+        |ORDER BY brand""".stripMargin,
 
     "events_winsorized" ->
       """WITH ev AS (SELECT event_type,

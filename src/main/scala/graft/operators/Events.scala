@@ -868,6 +868,64 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** #32y events_autocorr: lag-1 autocorrelation of each type's hourly
+    * count series (silent hours as zeros) — is load momentum real
+    * (r→1), absent (r→0), or alternating (r→−1)? The temporal-
+    * structure diagnostic beside [[burstiness]]' dispersion.
+    *
+    * Zero-padding stays CLOSED-FORM: over the span H, the x-side is
+    * every hour but the last and the y-side every hour but the first,
+    * so Σx = N − c_last, Σx² = Σc² − c_last², Σxy = Σ over adjacent
+    * PRESENT hour pairs (zeros kill every other product) — that one
+    * term comes from a self-join of the hourly frame on hr+1
+    * (dimension-sized). All moments exact integers; the only floats
+    * are the final Pearson assembly — and IEEE sqrt is a
+    * correctly-rounded operation (not a libm approximation), so the
+    * pinned expression is engine-exact like any divide. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val adj = hourly.as("a")
+      .join(hourly.select(col("event_type"), (col("hr") - 1).as("hr"),
+        col("c").as("c_next")).as("b"), Seq("event_type", "hr"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c") * col("c_next")).as("sxy"))
+    val m = hourly.groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_ev"),
+        (max(col("hr")) - min(col("hr")) + 1).as("h"),
+        sum(col("c") * col("c")).as("sc2"),
+        min(col("hr")).as("hr0"), max(col("hr")).as("hr1"))
+    val ends = hourly
+      .join(m.select(col("event_type"), col("hr0"), col("hr1")), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("hr") === col("hr0"), col("c")).otherwise(0L)).as("c_first"),
+        sum(when(col("hr") === col("hr1"), col("c")).otherwise(0L)).as("c_last"))
+    m.join(broadcast(adj), Seq("event_type"), "left_outer")
+      .join(broadcast(ends), Seq("event_type"))
+      .filter(col("h") > 2)
+      .withColumn("sxy", coalesce(col("sxy"), lit(0L)))
+      // Pearson over the H−1 aligned pairs, exact integer moments:
+      //   n = H−1; Σx = N−c_last; Σy = N−c_first;
+      //   Σx² = Σc²−c_last²; Σy² = Σc²−c_first².
+      .select(
+        col("event_type"), col("n_ev").as("n_events"), col("h").as("n_hours"),
+        d4(((col("h") - 1) * col("sxy") -
+            (col("n_ev") - col("c_last")) * (col("n_ev") - col("c_first")))
+          .cast("double") /
+          (sqrt(((col("h") - 1) * (col("sc2") - col("c_last") * col("c_last")) -
+            (col("n_ev") - col("c_last")) * (col("n_ev") - col("c_last")))
+            .cast("double")) *
+           sqrt(((col("h") - 1) * (col("sc2") - col("c_first") * col("c_first")) -
+            (col("n_ev") - col("c_first")) * (col("n_ev") - col("c_first")))
+            .cast("double"))))
+          .as("lag1_autocorr"))
+      .orderBy(col("event_type"))
+  }
+
   /** #32w events_burstiness: per-type Fano factor of the hourly count
     * series (variance-to-mean of events per hour over the type's
     * active span, empty hours included as zeros) — >1 = bursty,

@@ -864,6 +864,48 @@ object Relational {
       .orderBy(col("cohort"), col("month_offset"))
   }
 
+  /** #29o supplier_dominance: TPC-H Q20's share-of-volume shape on the
+    * available schema — each brand's TOP supplier by shipped quantity,
+    * with its volume share and multiple of fair share (the "excess
+    * stock" signal as a report, not a data-dependent threshold that
+    * empties under uniform synthetics). The argmax is INTEGER-ENCODED
+    * (q·10⁹ + (10⁹−1−suppkey), MAX) so quantity ties resolve to the
+    * LOWEST suppkey identically in any engine. The fact table shuffles
+    * once on its aggregation key; brand totals broadcast back. */
+  def supplierDominance(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_suppkey"),
+        round(col("l_quantity") * 100, 0).cast("long").as("q100"))
+    val bySupp = li.groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum(col("q100")).as("supp_q"))
+    val byBrand = bySupp.groupBy(col("p_brand"))
+      .agg(
+        sum(col("supp_q")).as("brand_q"),
+        count(lit(1)).as("n_suppliers"),
+        max(col("supp_q") * 1000000000L + (lit(999999999L) - col("l_suppkey")))
+          .as("max_enc"))
+      .select(col("p_brand"), col("brand_q"), col("n_suppliers"),
+        (lit(999999999L) - col("max_enc") % 1000000000L).as("top_suppkey"),
+        expr("max_enc div 1000000000").as("top_q"))
+    byBrand
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("top_suppkey") === col("s_suppkey"))
+      .select(
+        col("p_brand").as("brand"), col("s_name").as("top_supplier"),
+        col("n_suppliers"),
+        pres(col("top_q") / lit(100.0)).as("top_qty"),
+        pres(col("brand_q") / lit(100.0)).as("brand_qty"),
+        d4(col("top_q").cast("double") / col("brand_q").cast("double"))
+          .as("share"),
+        d4(col("top_q").cast("double") * col("n_suppliers").cast("double") /
+          col("brand_q").cast("double")).as("fair_share_multiple"))
+      .orderBy(col("brand"))
+  }
+
   /** #29n balance_matrix: FULL OUTER join coverage — customer vs
     * supplier account-balance profiles per (nation, $1000 balance
     * band): cells where only one population exists survive with the

@@ -416,6 +416,29 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("autocorr matches a driver-side zero-padded Pearson recount") {
+    val rows = Events.autocorr(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 as hr")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val hrs = ev.filter(_._1 == t).map(_._2)
+      val (lo, hi) = (hrs.min, hrs.max)
+      val counts = (lo to hi).map(h => hrs.count(_ == h).toDouble).toArray
+      val x = counts.dropRight(1); val y = counts.drop(1)
+      val n = x.length
+      val (mx, my) = (x.sum / n, y.sum / n)
+      val num = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val den = math.sqrt(x.map(a => (a - mx) * (a - mx)).sum) *
+        math.sqrt(y.map(b => (b - my) * (b - my)).sum)
+      val want = num / den
+      assert(math.abs(r.getAs[Double]("lag1_autocorr") - want) < 1e-3,
+        s"autocorr mismatch for $t: got ${r.getAs[Double]("lag1_autocorr")} want $want")
+      assert(r.getAs[Double]("lag1_autocorr").abs <= 1.0 + 1e-9)
+    }
+  }
+
   test("winsorized mean sits between the cuts and clamps ~10% of rows") {
     val rows = Events.winsorized(spark, sf).collect()
     assert(rows.nonEmpty)

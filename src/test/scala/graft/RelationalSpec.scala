@@ -216,6 +216,18 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("supplier_dominance tops match a driver recount with low-key ties") {
+    val rows = graft.operators.Relational.supplierDominance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share")
+      assert(share > 0 && share <= 1.0)
+      assert(r.getAs[Double]("top_qty") <= r.getAs[Double]("brand_qty"))
+      // The top supplier's share is by definition >= fair share.
+      assert(r.getAs[Double]("fair_share_multiple") >= 1.0 - 1e-4, s"$r")
+    }
+  }
+
   test("supplier_concentration keeps only above-threshold nations") {
     val rows = graft.operators.Relational.supplierConcentration(spark, sf).collect()
     assert(rows.nonEmpty)
