@@ -111,6 +111,8 @@ object SparkEntry {
     "balance_matrix"           -> (Relational.balanceMatrix _),
     "supplier_dominance"       -> (Relational.supplierDominance _),
     "events_autocorr"          -> (Events.autocorr _),
+    "events_activity_islands"  -> (Events.activityIslands _),
+    "order_cadence"            -> (Relational.orderCadence _),
     "brand_cheapest"           -> (Relational.brandCheapest _),
     "text_len_hist"            -> (Text.lenHist _),
     "events_user_overlap"      -> (Events.userOverlap _),
@@ -1921,6 +1923,41 @@ object SparkEntry {
         | CAST(CAST(sum_us // n_sessions AS BIGINT) AS DOUBLE)
         |   / CAST(1000000.0 AS DOUBLE) AS avg_duration_s
         |FROM byn CROSS JOIN t ORDER BY n_events""".stripMargin,
+
+    "events_activity_islands" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |    COUNT(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, SUM(c)::BIGINT AS n_ev,
+        |    (MAX(hr) - MIN(hr) + 1)::BIGINT AS hh FROM h GROUP BY 1),
+        |hot AS (SELECT h.event_type, hr, c FROM h JOIN m
+        |  ON h.event_type = m.event_type WHERE c * hh > n_ev),
+        |runs AS (SELECT *, hr - row_number() OVER (
+        |    PARTITION BY event_type ORDER BY hr) AS run_key FROM hot)
+        |SELECT event_type,
+        | make_timestamp(MIN(hr) * 3600000000) AS island_start,
+        | make_timestamp((MAX(hr) + 1) * 3600000000) AS island_end,
+        | COUNT(*)::BIGINT AS n_hours, SUM(c)::BIGINT AS n_events
+        |FROM runs GROUP BY event_type, run_key
+        |ORDER BY event_type, island_start""".stripMargin,
+
+    "order_cadence" ->
+      """WITH g AS (SELECT o_custkey,
+        |    date_diff('day',
+        |      lag(CAST(o_orderdate AS TIMESTAMP)) OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey),
+        |      CAST(o_orderdate AS TIMESTAMP))::BIGINT AS gap_days
+        |  FROM orders),
+        |j AS (SELECT c_mktsegment, gap_days FROM g
+        |  JOIN customer ON o_custkey = c_custkey WHERE gap_days IS NOT NULL)
+        |SELECT c_mktsegment AS segment, COUNT(*)::BIGINT AS n_gaps,
+        | CAST(CAST((100 * SUM(gap_days)) // COUNT(*) AS BIGINT) AS DOUBLE)
+        |   / CAST(100.0 AS DOUBLE) AS avg_gap_days,
+        | MIN(gap_days) AS min_days, MAX(gap_days) AS max_days,
+        | quantile_cont(gap_days, 0.5) AS p50_days,
+        | SUM(CASE WHEN gap_days = 0 THEN 1 ELSE 0 END)::BIGINT AS n_same_day
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_autocorr" ->
       """WITH h AS (SELECT event_type,

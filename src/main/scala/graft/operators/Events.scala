@@ -868,6 +868,45 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** #32z events_activity_islands: gaps-and-islands over the hourly
+    * count series — maximal runs of consecutive ABOVE-AVERAGE hours
+    * per type (count > overall hourly mean, zero-padded: a silent hour
+    * always breaks a run), one row per island with span and volume.
+    * The classic islands pattern (hr − row_number() run key) plus the
+    * burst report [[cusum]] alarms point into.
+    *
+    * Scale shape: everything past the one hourly-count shuffle rides
+    * the dimension-sized (type × hour) frame — the islands window
+    * partitions by type over that frame, never the corpus. The
+    * above-average gate is integer cross-multiplication
+    * (c·H > N ⇔ c > N/H, no IEEE). */
+  def activityIslands(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val m = hourly.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_ev"),
+        (max(col("hr")) - min(col("hr")) + 1).as("h"))
+    val hot = hourly.join(broadcast(m), Seq("event_type"))
+      .filter(col("c") * col("h") > col("n_ev"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    hot
+      .withColumn("run_key", col("hr") - row_number().over(wRun))
+      .groupBy(col("event_type"), col("run_key"))
+      .agg(
+        min(col("hr")).as("start_hr"),
+        max(col("hr")).as("end_hr"),
+        count(lit(1)).as("n_hours"),
+        sum(col("c")).as("n_events"))
+      .select(
+        col("event_type"),
+        timestamp_micros(col("start_hr") * 3600000000L).as("island_start"),
+        timestamp_micros((col("end_hr") + 1) * 3600000000L).as("island_end"),
+        col("n_hours"), col("n_events"))
+      .orderBy(col("event_type"), col("island_start"))
+  }
+
   /** #32y events_autocorr: lag-1 autocorrelation of each type's hourly
     * count series (silent hours as zeros) — is load momentum real
     * (r→1), absent (r→0), or alternating (r→−1)? The temporal-

@@ -864,6 +864,46 @@ object Relational {
       .orderBy(col("cohort"), col("month_offset"))
   }
 
+  /** #29p order_cadence: repeat-purchase latency per market segment —
+    * the gap in days between a customer's consecutive orders (lag over
+    * the per-customer order sequence), rolled up per segment with gap
+    * censuses and exact order statistics. The cross-table sibling of
+    * events_interarrival (orders × customer instead of events).
+    *
+    * Scale shape: one (custkey)-keyed shuffle for the lag window (the
+    * customer dim joins AQE-unhinted — fact-sized customer, the module
+    * convention), then a \|segments\|-sized rollup. Gaps are integer
+    * DAYS; the average is a floor-x100 divide and the p50 lerp runs
+    * over integer-valued doubles — exact under any operand
+    * arrangement. */
+  def orderCadence(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byCust))
+          .cast("long"))
+      .filter(col("gap_days").isNotNull)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    gaps.groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_days")).as("sum_days"),
+        min(col("gap_days")).as("min_days"),
+        max(col("gap_days")).as("max_days"),
+        percentile(col("gap_days"), lit(0.5)).as("p50_days"),
+        sum(when(col("gap_days") === 0, 1L).otherwise(0L)).as("n_same_day"))
+      .select(
+        col("c_mktsegment").as("segment"), col("n_gaps"),
+        (expr("(100 * sum_days) div n_gaps").cast("double") / lit(100.0))
+          .as("avg_gap_days"),
+        col("min_days"), col("max_days"),
+        col("p50_days"), col("n_same_day"))
+      .orderBy(col("segment"))
+  }
+
   /** #29o supplier_dominance: TPC-H Q20's share-of-volume shape on the
     * available schema — each brand's TOP supplier by shipped quantity,
     * with its volume share and multiple of fair share (the "excess

@@ -416,6 +416,31 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("activity islands are maximal above-average runs") {
+    val rows = Events.activityIslands(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("island_start").getTime)
+      sorted.foreach { r =>
+        val span = (r.getAs[java.sql.Timestamp]("island_end").getTime -
+          r.getAs[java.sql.Timestamp]("island_start").getTime) / 3600000L
+        assert(span === r.getAs[Long]("n_hours"),
+          s"an island's span is exactly its hour count: $r")
+        assert(r.getAs[Long]("n_events") >= r.getAs[Long]("n_hours"),
+          "every island hour is above the (>=1) average")
+      }
+      // Maximality: consecutive islands never touch (a shared boundary
+      // hour would have merged them).
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("island_end").getTime <
+            b.getAs[java.sql.Timestamp]("island_start").getTime)
+        case _ => ()
+      }
+    }
+  }
+
   test("autocorr matches a driver-side zero-padded Pearson recount") {
     val rows = Events.autocorr(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)

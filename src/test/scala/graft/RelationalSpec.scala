@@ -216,6 +216,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("order_cadence gap census matches per-customer order counts") {
+    val rows = graft.operators.Relational.orderCadence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ gaps = Σ_cust (orders − 1) = total orders − distinct customers.
+    val o = graft.sources.Tables.orders(spark, sf)
+    val totalGaps = o.count() - o.select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum === totalGaps)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_days") >= 0)
+      assert(r.getAs[Double]("avg_gap_days") >= r.getAs[Long]("min_days").toDouble)
+      assert(r.getAs[Double]("avg_gap_days") <= r.getAs[Long]("max_days").toDouble)
+      assert(r.getAs[Double]("p50_days") <= r.getAs[Long]("max_days").toDouble)
+    }
+  }
+
   test("supplier_dominance tops match a driver recount with low-key ties") {
     val rows = graft.operators.Relational.supplierDominance(spark, sf).collect()
     assert(rows.nonEmpty)
