@@ -113,6 +113,7 @@ object SparkEntry {
     "events_autocorr"          -> (Events.autocorr _),
     "events_activity_islands"  -> (Events.activityIslands _),
     "order_cadence"            -> (Relational.orderCadence _),
+    "emb_similarity_hist"      -> (Similarity.similarityHist _),
     "brand_cheapest"           -> (Relational.brandCheapest _),
     "text_len_hist"            -> (Text.lenHist _),
     "events_user_overlap"      -> (Events.userOverlap _),
@@ -1923,6 +1924,23 @@ object SparkEntry {
         | CAST(CAST(sum_us // n_sessions AS BIGINT) AS DOUBLE)
         |   / CAST(1000000.0 AS DOUBLE) AS avg_duration_s
         |FROM byn CROSS JOIN t ORDER BY n_events""".stripMargin,
+
+    "emb_similarity_hist" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id,
+        |    list_dot_product(a.v, b.v) /
+        |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+        |bands AS (SELECT
+        |    LEAST(CAST(FLOOR(cos * 20) AS BIGINT), 19) AS band,
+        |    CAST(ROUND(cos * 20000, 0) AS BIGINT) AS c20k, cos FROM p)
+        |SELECT CAST(band AS DOUBLE) / CAST(20.0 AS DOUBLE) AS band_lo,
+        | COUNT(*)::BIGINT AS n_pairs,
+        | CAST(CAST(SUM(c20k) // COUNT(*) AS BIGINT) AS DOUBLE)
+        |   / CAST(20000.0 AS DOUBLE) AS avg_cos,
+        | MIN(cos) AS min_cos, MAX(cos) AS max_cos
+        |FROM bands GROUP BY band ORDER BY band_lo""".stripMargin,
 
     "events_activity_islands" ->
       """WITH h AS (SELECT event_type,

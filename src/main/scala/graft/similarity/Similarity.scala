@@ -361,4 +361,43 @@ object Similarity {
       (round(col("sd"), 6).cast("decimal(18,6)") < lit(0.000001)).as("collapsed"))
       .orderBy(col("dim"))
   }
+
+  /** #54 emb_similarity_hist: distribution of pairwise cosine
+    * similarity over the DETERMINISTIC consecutive-id pair sample
+    * (vec_id, vec_id+1) — the cheap corpus-geometry health check ("are
+    * my embeddings collapsing toward a point?") that reads the
+    * distribution where [[dimStats]] reads the axes. A random pair
+    * sample would break the hash gate; the consecutive-id sample is
+    * fixed, unbiased for id-independent geometry, and exactly n−1
+    * pairs at any scale.
+    *
+    * Exactness: cosines come from the index-order [[dot]] fold (same
+    * sequential-sum contract DuckDB's list_dot_product follows);
+    * cross-row aggregation lifts each cosine to an exact integer
+    * (round(cos·2·10⁴)) so the per-band sums are order-free, and the
+    * band key is an integer floor. Self-join on vec_id+1 is a
+    * co-partitioned equi-join — one shuffle, no pair explosion. */
+  def similarityHist(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e
+      .join(e.select((col("vec_id") - 1).as("vec_id"), col("v").as("w")),
+        Seq("vec_id"))
+      .withColumn("cos", dot(col("v"), col("w")) /
+        sqrt(dot(col("v"), col("v")) * dot(col("w"), col("w"))))
+    pairs
+      .withColumn("band", least(floor(col("cos") * 20).cast("long"), lit(19L)))
+      .withColumn("c20k", round(col("cos") * 20000, 0).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c20k")).as("sum_c"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+      .select(
+        (col("band").cast("double") / lit(20.0)).as("band_lo"),
+        col("n_pairs"),
+        (expr("sum_c div n_pairs").cast("double") / lit(20000.0)).as("avg_cos"),
+        col("min_cos"), col("max_cos"))
+      .orderBy(col("band_lo"))
+  }
 }

@@ -434,4 +434,20 @@ class SimilaritySpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Similarity.pqTopK(spark, dir))
     assert(e.getMessage.contains("dim % m == 0"), e.getMessage)
   }
+
+  test("similarity hist covers exactly the consecutive-id pairs") {
+    import SparkTestSession._
+    val rows = Similarity.similarityHist(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === n - 1,
+      "every consecutive-id pair lands in exactly one band")
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("band_lo")
+      assert(r.getAs[Double]("min_cos") >= lo - 1e-9)
+      assert(r.getAs[Double]("min_cos") <= r.getAs[Double]("max_cos"))
+      assert(r.getAs[Double]("max_cos") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("avg_cos") >= r.getAs[Double]("min_cos") - 1e-4)
+      assert(r.getAs[Double]("avg_cos") <= r.getAs[Double]("max_cos") + 1e-4)
+    }
+  }
 }
