@@ -114,6 +114,7 @@ object SparkEntry {
     "events_activity_islands"  -> (Events.activityIslands _),
     "order_cadence"            -> (Relational.orderCadence _),
     "emb_similarity_hist"      -> (Similarity.similarityHist _),
+    "table_profile"            -> (Relational.tableProfile _),
     "brand_cheapest"           -> (Relational.brandCheapest _),
     "text_len_hist"            -> (Text.lenHist _),
     "events_user_overlap"      -> (Events.userOverlap _),
@@ -1924,6 +1925,48 @@ object SparkEntry {
         | CAST(CAST(sum_us // n_sessions AS BIGINT) AS DOUBLE)
         |   / CAST(1000000.0 AS DOUBLE) AS avg_duration_s
         |FROM byn CROSS JOIN t ORDER BY n_events""".stripMargin,
+
+    "table_profile" ->
+      """WITH n AS (SELECT COUNT(*)::BIGINT AS n_rows FROM orders)
+        |SELECT 'o_custkey' AS "column", n_rows,
+        |  (SELECT n_rows - COUNT(o_custkey) FROM orders)::BIGINT AS n_nulls,
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders)::BIGINT AS n_distinct,
+        |  (SELECT CAST(MIN(o_custkey) AS VARCHAR) FROM orders) AS min_value,
+        |  (SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders) AS max_value
+        |FROM n
+        |UNION ALL SELECT 'o_orderdate', n_rows,
+        |  (SELECT n_rows - COUNT(o_orderdate) FROM orders)::BIGINT,
+        |  (SELECT COUNT(DISTINCT o_orderdate) FROM orders)::BIGINT,
+        |  (SELECT strftime(MIN(CAST(o_orderdate AS TIMESTAMP)),
+        |     '%Y-%m-%d %H:%M:%S') FROM orders),
+        |  (SELECT strftime(MAX(CAST(o_orderdate AS TIMESTAMP)),
+        |     '%Y-%m-%d %H:%M:%S') FROM orders)
+        |FROM n
+        |UNION ALL SELECT 'o_orderkey', n_rows,
+        |  (SELECT n_rows - COUNT(o_orderkey) FROM orders)::BIGINT,
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders)::BIGINT,
+        |  (SELECT CAST(MIN(o_orderkey) AS VARCHAR) FROM orders),
+        |  (SELECT CAST(MAX(o_orderkey) AS VARCHAR) FROM orders)
+        |FROM n
+        |UNION ALL SELECT 'o_orderpriority', n_rows,
+        |  (SELECT n_rows - COUNT(o_orderpriority) FROM orders)::BIGINT,
+        |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)::BIGINT,
+        |  (SELECT MIN(o_orderpriority) FROM orders),
+        |  (SELECT MAX(o_orderpriority) FROM orders)
+        |FROM n
+        |UNION ALL SELECT 'o_orderstatus', n_rows,
+        |  (SELECT n_rows - COUNT(o_orderstatus) FROM orders)::BIGINT,
+        |  (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)::BIGINT,
+        |  (SELECT MIN(o_orderstatus) FROM orders),
+        |  (SELECT MAX(o_orderstatus) FROM orders)
+        |FROM n
+        |UNION ALL SELECT 'o_totalprice', n_rows,
+        |  (SELECT n_rows - COUNT(o_totalprice) FROM orders)::BIGINT,
+        |  (SELECT COUNT(DISTINCT o_totalprice) FROM orders)::BIGINT,
+        |  (SELECT printf('%.2f', MIN(o_totalprice)) FROM orders),
+        |  (SELECT printf('%.2f', MAX(o_totalprice)) FROM orders)
+        |FROM n
+        |ORDER BY "column"""".stripMargin,
 
     "emb_similarity_hist" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

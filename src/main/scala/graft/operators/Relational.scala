@@ -864,6 +864,44 @@ object Relational {
       .orderBy(col("cohort"), col("month_offset"))
   }
 
+  /** #29q table_profile: the data-profiling primitive — per-column row
+    * count, null count, exact distinct count, and min/max (rendered
+    * through pinned cross-engine formats: %.2f for doubles, ISO
+    * seconds for timestamps) for the `orders` table, one row per
+    * column. ONE scan: all columns' aggregates ride a single
+    * aggregation (Catalyst plans multi-distinct as one Expand +
+    * aggregate), then the 1-row wide frame unpivots driver-free into
+    * the per-column report. */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def prof(c: String, minMax: Column => Column) = Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      minMax(min(col(c))).as(s"${c}_min"),
+      minMax(max(col(c))).as(s"${c}_max"))
+    val asNum = (c: Column) => format_string("%.2f", c)
+    val asLong = (c: Column) => c.cast("string")
+    val asTs = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    val id = (c: Column) => c
+    val cols = Seq(
+      ("o_orderkey", asLong), ("o_custkey", asLong),
+      ("o_totalprice", asNum), ("o_orderdate", asTs),
+      ("o_orderstatus", id), ("o_orderpriority", id))
+    val wide = o.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap { case (c, f) => prof(c, f) }: _*)
+    wide.select(col("n_rows"), explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("column"),
+          (col("n_rows") - col(s"${c}_nn")).as("n_nulls"),
+          col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_min").as("min_value"),
+          col(s"${c}_max").as("max_value"))
+      }: _*)).as("p"))
+      .select(col("p.column").as("column"), col("n_rows"),
+        col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"),
+        col("p.min_value").as("min_value"), col("p.max_value").as("max_value"))
+      .orderBy(col("column"))
+  }
+
   /** #29p order_cadence: repeat-purchase latency per market segment —
     * the gap in days between a customer's consecutive orders (lag over
     * the per-customer order sequence), rolled up per segment with gap

@@ -216,6 +216,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("table_profile stats agree with direct per-column queries") {
+    val rows = graft.operators.Relational.tableProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val o = graft.sources.Tables.orders(spark, sf)
+    assert(rows.keySet === Set("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderdate", "o_orderstatus", "o_orderpriority"))
+    val n = o.count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_nulls") === 0L, "synthetic orders has no nulls")
+      assert(r.getAs[Long]("n_distinct") <= n)
+      assert(r.getAs[String]("min_value") <= r.getAs[String]("max_value") ||
+        r.getAs[String]("column") == "o_totalprice", // lexicographic vs numeric
+        s"min/max sanity: $r")
+    }
+    assert(rows("o_orderkey").getAs[Long]("n_distinct") === n,
+      "orderkey is the primary key")
+    assert(rows("o_custkey").getAs[Long]("n_distinct") ===
+      o.select("o_custkey").distinct().count())
+  }
+
   test("order_cadence gap census matches per-customer order counts") {
     val rows = graft.operators.Relational.orderCadence(spark, sf).collect()
     assert(rows.nonEmpty)
