@@ -112,6 +112,7 @@ object SparkEntry {
     "supplier_dominance"       -> (Relational.supplierDominance _),
     "events_autocorr"          -> (Events.autocorr _),
     "events_activity_islands"  -> (Events.activityIslands _),
+    "events_growth_curve"      -> (Events.growthCurve _),
     "order_cadence"            -> (Relational.orderCadence _),
     "emb_similarity_hist"      -> (Similarity.similarityHist _),
     "table_profile"            -> (Relational.tableProfile _),
@@ -1984,6 +1985,23 @@ object SparkEntry {
         |   / CAST(20000.0 AS DOUBLE) AS avg_cos,
         | MIN(cos) AS min_cos, MAX(cos) AS max_cos
         |FROM bands GROUP BY band ORDER BY band_lo""".stripMargin,
+
+    "events_growth_curve" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    user_id FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS day FROM e GROUP BY 1),
+        |nb AS (SELECT day, COUNT(*)::BIGINT AS new_users FROM fd GROUP BY 1),
+        |d AS (SELECT day, COUNT(*)::BIGINT AS dau
+        |  FROM (SELECT DISTINCT day, user_id FROM e) GROUP BY 1),
+        |j AS (SELECT d.day, COALESCE(new_users, 0)::BIGINT AS new_users, dau
+        |  FROM d LEFT JOIN nb ON d.day = nb.day),
+        |c AS (SELECT *, CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+        |    AS cum_users FROM j)
+        |SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS DATE) AS day,
+        | new_users, dau - new_users AS returning_users, dau, cum_users,
+        | CAST(CAST(ROUND(CAST(dau AS DOUBLE) / CAST(cum_users AS DOUBLE), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS active_share
+        |FROM c ORDER BY day""".stripMargin,
 
     "events_activity_islands" ->
       """WITH h AS (SELECT event_type,

@@ -868,6 +868,35 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** #32aa events_growth_curve: daily adoption — new users (first-ever
+    * event today), returning actives, and the cumulative user base per
+    * day. The growth dashboard beside [[dauMau]]'s stickiness.
+    *
+    * Cumulative distinct WITHOUT a running distinct: a user is new on
+    * exactly one day (their min-day), so cum_users is a prefix sum of
+    * new-user counts over the ≤ days dimension frame — one user-keyed
+    * shuffle (first day), one day-keyed DAU shuffle, and a window over
+    * days. Integer epoch-day keys. */
+  def growthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    val newByDay = firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val dau = e.distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau.join(broadcast(newByDay), Seq("day"), "left_outer")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("day"),
+        col("new_users"),
+        (col("dau") - col("new_users")).as("returning_users"),
+        col("dau"), col("cum_users"),
+        d4(col("dau").cast("double") / col("cum_users").cast("double"))
+          .as("active_share"))
+      .orderBy(col("day"))
+  }
+
   /** #32z events_activity_islands: gaps-and-islands over the hourly
     * count series — maximal runs of consecutive ABOVE-AVERAGE hours
     * per type (count > overall hourly mean, zero-padded: a silent hour

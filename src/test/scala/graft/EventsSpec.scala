@@ -416,6 +416,23 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("growth curve conserves users: new sums to the base, dau splits") {
+    val rows = Events.growthCurve(spark, sf).collect()
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("new_users")).sum === nUsers,
+      "every user is new exactly once")
+    assert(rows.last.getAs[Long]("cum_users") === nUsers)
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("new_users")
+      assert(r.getAs[Long]("cum_users") === cum, "prefix sum in day order")
+      assert(r.getAs[Long]("new_users") + r.getAs[Long]("returning_users")
+        === r.getAs[Long]("dau"))
+      assert(r.getAs[Long]("returning_users") >= 0)
+    }
+  }
+
   test("activity islands are maximal above-average runs") {
     val rows = Events.activityIslands(spark, sf).collect()
     assert(rows.nonEmpty)
