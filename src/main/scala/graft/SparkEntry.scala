@@ -113,6 +113,8 @@ object SparkEntry {
     "events_autocorr"          -> (Events.autocorr _),
     "events_activity_islands"  -> (Events.activityIslands _),
     "events_growth_curve"      -> (Events.growthCurve _),
+    "events_conversion_lag"    -> (Events.conversionLag _),
+    "events_session_mix"       -> (Events.sessionMix _),
     "order_cadence"            -> (Relational.orderCadence _),
     "emb_similarity_hist"      -> (Similarity.similarityHist _),
     "table_profile"            -> (Relational.tableProfile _),
@@ -1985,6 +1987,52 @@ object SparkEntry {
         |   / CAST(20000.0 AS DOUBLE) AS avg_cos,
         | MIN(cos) AS min_cos, MAX(cos) AS max_cos
         |FROM bands GROUP BY band ORDER BY band_lo""".stripMargin,
+
+    "events_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE event_type IN ('view','click')),
+        |u AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN tus END) AS t1
+        |  FROM e GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(tus) AS t2
+        |  FROM e JOIN u USING (user_id)
+        |  WHERE event_type = 'click' AND tus > u.t1
+        |    AND tus <= u.t1 + 259200000000
+        |  GROUP BY e.user_id),
+        |lags AS (SELECT (t2 - t1) // 3600000000 AS lag_hours
+        |  FROM s2 JOIN u USING (user_id)),
+        |t AS (SELECT COUNT(*)::BIGINT AS n_converters FROM lags)
+        |SELECT CAST(lag_hours AS BIGINT) AS lag_hours,
+        | COUNT(*)::BIGINT AS n_users,
+        | CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+        |   / CAST(ANY_VALUE(n_converters) AS DOUBLE), 4) AS DECIMAL(10,4))
+        |   AS DOUBLE) AS share
+        |FROM lags CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_session_mix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts,
+        |  LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sess AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |s AS (SELECT user_id, session_seq,
+        |    string_agg(DISTINCT event_type, '+' ORDER BY event_type) AS mix,
+        |    COUNT(*)::BIGINT AS n_events
+        |  FROM sess GROUP BY 1, 2),
+        |t AS (SELECT COUNT(*)::BIGINT AS total_sessions FROM s)
+        |SELECT mix, COUNT(*)::BIGINT AS n_sessions,
+        | CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+        |   / CAST(ANY_VALUE(total_sessions) AS DOUBLE), 4) AS DECIMAL(10,4))
+        |   AS DOUBLE) AS session_share,
+        | CAST(CAST((100 * SUM(n_events)) // COUNT(*) AS BIGINT) AS DOUBLE)
+        |   / CAST(100.0 AS DOUBLE) AS avg_events
+        |FROM s CROSS JOIN t GROUP BY mix ORDER BY mix""".stripMargin,
 
     "events_growth_curve" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,

@@ -868,6 +868,64 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** #32bb events_conversion_lag: time-to-convert distribution for the
+    * [[funnel]]'s first hop — for every user who converted view→click
+    * within tolerance, the lag in whole hours, histogrammed. The
+    * latency companion to the funnel's counts ("converters convert,
+    * but how fast?"). Same windowed per-user step times and the same
+    * single user shuffle; the histogram key is integer hours. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 72L * 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val lags = ev
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tus"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("tus") > col("t1") && col("tus") <= col("t1") + tolUs,
+          col("tus"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(expr("(t2 - t1) div 3600000000").as("lag_hours"))
+    val total = lags.agg(count(lit(1)).as("n_converters"))
+    lags.groupBy(col("lag_hours"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("lag_hours"), col("n_users"),
+        d4(col("n_users").cast("double") / col("n_converters").cast("double"))
+          .as("share"))
+      .orderBy(col("lag_hours"))
+  }
+
+  /** #32cc events_session_mix: which event-type COMBINATIONS make a
+    * session — each session's distinct-type set rendered as a sorted
+    * label ("click+purchase+view"), counted across sessions with
+    * per-mix average size. The engagement-shape census beside
+    * [[sessionStats]]' size distribution. Rides the same single
+    * user-keyed shuffle as #31; the label is a bounded sorted set
+    * (≤ |types|), and the rollup lands on ≤ 2^|types| keys. */
+  def sessionMix(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionized(Tables.events(spark, dir), gapMinutes = 30)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), "+").as("mix"),
+        count(lit(1)).as("n_events"))
+    val total = sess.agg(count(lit(1)).as("total_sessions"))
+    sess.groupBy(col("mix"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("sum_events"))
+      .crossJoin(broadcast(total))
+      .select(col("mix"), col("n_sessions"),
+        d4(col("n_sessions").cast("double") / col("total_sessions").cast("double"))
+          .as("session_share"),
+        (expr("(100 * sum_events) div n_sessions").cast("double") / lit(100.0))
+          .as("avg_events"))
+      .orderBy(col("mix"))
+  }
+
   /** #32aa events_growth_curve: daily adoption — new users (first-ever
     * event today), returning actives, and the cumulative user base per
     * day. The growth dashboard beside [[dauMau]]'s stickiness.

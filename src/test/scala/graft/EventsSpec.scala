@@ -416,6 +416,32 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("conversion lag histogram covers exactly the stage-2 converters") {
+    val lag = Events.conversionLag(spark, sf).collect()
+    val funnel = Events.funnel(spark, sf).collect()
+    val n2 = funnel.find(_.getAs[Int]("step") == 2).get.getAs[Long]("n_users")
+    assert(lag.map(_.getAs[Long]("n_users")).sum === n2,
+      "one histogram row per view->click converter")
+    lag.foreach { r =>
+      val h = r.getAs[Long]("lag_hours")
+      assert(h >= 0 && h <= 72, s"lag must sit inside the 72h tolerance: $r")
+    }
+    assert(math.abs(lag.map(_.getAs[Double]("share")).sum - 1.0) < 0.001)
+  }
+
+  test("session mix labels are sorted type sets covering all sessions") {
+    val rows = Events.sessionMix(spark, sf).collect()
+    val nSessions = Events.sessionize(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum === nSessions)
+    rows.foreach { r =>
+      val parts = r.getAs[String]("mix").split('+').toSeq
+      assert(parts === parts.sorted, s"mix label must be sorted: $r")
+      assert(parts.distinct === parts, s"mix label must be a set: $r")
+      assert(r.getAs[Double]("avg_events") >= parts.length.toDouble - 0.01,
+        "a session has at least one event per type in its mix")
+    }
+  }
+
   test("growth curve conserves users: new sums to the base, dau splits") {
     val rows = Events.growthCurve(spark, sf).collect()
     val nUsers = graft.sources.Tables.events(spark, sf)
