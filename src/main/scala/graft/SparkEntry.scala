@@ -118,6 +118,7 @@ object SparkEntry {
     "order_cadence"            -> (Relational.orderCadence _),
     "emb_similarity_hist"      -> (Similarity.similarityHist _),
     "table_profile"            -> (Relational.tableProfile _),
+    "nation_year_growth"       -> (Relational.nationYearGrowth _),
     "brand_cheapest"           -> (Relational.brandCheapest _),
     "text_len_hist"            -> (Text.lenHist _),
     "events_user_overlap"      -> (Events.userOverlap _),
@@ -1928,6 +1929,23 @@ object SparkEntry {
         | CAST(CAST(sum_us // n_sessions AS BIGINT) AS DOUBLE)
         |   / CAST(1000000.0 AS DOUBLE) AS avg_duration_s
         |FROM byn CROSS JOIN t ORDER BY n_events""".stripMargin,
+
+    "nation_year_growth" ->
+      """WITH li AS (SELECT s_nationkey,
+        |    year(CAST(l_shipdate AS TIMESTAMP)) AS yr,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |cell AS (SELECT s_nationkey, yr, COUNT(*)::BIGINT AS n_lines,
+        |    SUM(rev) AS rev_dec FROM li GROUP BY 1, 2),
+        |w AS (SELECT *, LAG(rev_dec) OVER (PARTITION BY s_nationkey
+        |    ORDER BY yr) AS prev_dec FROM cell)
+        |SELECT n_name AS nation, CAST(yr AS INT) AS year, n_lines,
+        | CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+        | CAST(CAST(ROUND(CAST(rev_dec - prev_dec AS DOUBLE)
+        |   / CAST(prev_dec AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE)
+        |   AS yoy_growth
+        |FROM w JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY nation, year""".stripMargin,
 
     "table_profile" ->
       """WITH n AS (SELECT COUNT(*)::BIGINT AS n_rows FROM orders)

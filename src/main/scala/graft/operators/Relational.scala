@@ -864,6 +864,44 @@ object Relational {
       .orderBy(col("cohort"), col("month_offset"))
   }
 
+  /** #29r nation_year_growth: TPC-H Q9's nation×year profit frame on
+    * the available schema (revenue in place of the partsupp-dependent
+    * profit), with the year-over-year growth column — the lag-ratio
+    * report shape (LAG over an ordered dimension, then a ratio) that
+    * completes the window inventory beside running_total's cumulative.
+    * One fact shuffle to the (nation, year) frame; the YoY window and
+    * lag ride the ≤ nations×years dimension frame. Growth presents
+    * d4w over exact-cents operands (messy denominator — no boundary
+    * risk); the first year of each nation is NULL growth (both
+    * engines emit NULL). */
+  def nationYearGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"),
+        year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    // House decimal-exact sums (the q1 convention): the 4-dec revenue
+    // terms sum as DECIMAL, presentation rounds the DECIMAL (both
+    // engines round exact decimals identically — rounding the double
+    // instead would reopen the .xx5 boundary).
+    val cell = li.groupBy(col("s_nationkey"), col("yr"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("rev"), 4).as("rev_dec"))
+    val wYr = Window.partitionBy(col("s_nationkey")).orderBy(col("yr"))
+    cell
+      .withColumn("prev_dec", lag(col("rev_dec"), 1).over(wYr))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("nation"), col("yr").as("year"), col("n_lines"),
+        pres(col("rev_dec")).as("revenue"),
+        d4w((col("rev_dec") - col("prev_dec")).cast("double") /
+          col("prev_dec").cast("double")).as("yoy_growth"))
+      .orderBy(col("nation"), col("year"))
+  }
+
   /** #29q table_profile: the data-profiling primitive — per-column row
     * count, null count, exact distinct count, and min/max (rendered
     * through pinned cross-engine formats: %.2f for doubles, ISO

@@ -216,6 +216,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("nation_year_growth: first year NULL, growth consistent with revenue") {
+    val rows = graft.operators.Relational.nationYearGrowth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("nation")).values.foreach { rs =>
+      val byYear = rs.sortBy(_.getAs[Int]("year"))
+      assert(byYear.head.isNullAt(byYear.head.fieldIndex("yoy_growth")),
+        "a nation's first year has no prior to grow from")
+      byYear.sliding(2).foreach {
+        case Array(a, b) =>
+          val g = b.getAs[Double]("yoy_growth")
+          val implied = (b.getAs[Double]("revenue") - a.getAs[Double]("revenue")) /
+            a.getAs[Double]("revenue")
+          assert(math.abs(g - implied) < 1e-3,
+            s"growth must match the revenue ratio: $g vs $implied")
+        case _ => ()
+      }
+    }
+  }
+
   test("table_profile stats agree with direct per-column queries") {
     val rows = graft.operators.Relational.tableProfile(spark, sf).collect()
       .map(r => r.getAs[String]("column") -> r).toMap
