@@ -1994,8 +1994,10 @@ object SparkEntry {
         |  FROM embeddings),
         |p AS (SELECT a.vec_id,
         |    list_dot_product(a.v, b.v) /
-        |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
-        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+        |      NULLIF(sqrt(list_dot_product(a.v, a.v)
+        |        * list_dot_product(b.v, b.v)), 0.0) AS cos
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |  WHERE list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v) > 0),
         |bands AS (SELECT
         |    LEAST(CAST(FLOOR(cos * 20) AS BIGINT), 19) AS band,
         |    CAST(ROUND(cos * 20000, 0) AS BIGINT) AS c20k, cos FROM p)
@@ -2123,10 +2125,10 @@ object SparkEntry {
         | CAST(CAST(ROUND(
         |   CAST((hh - 1) * COALESCE(sxy, 0)
         |     - (n_ev - c_last) * (n_ev - c_first) AS DOUBLE) /
-        |   (SQRT(CAST((hh - 1) * (sc2 - c_last * c_last)
+        |   NULLIF(SQRT(CAST((hh - 1) * (sc2 - c_last * c_last)
         |      - (n_ev - c_last) * (n_ev - c_last) AS DOUBLE)) *
         |    SQRT(CAST((hh - 1) * (sc2 - c_first * c_first)
-        |      - (n_ev - c_first) * (n_ev - c_first) AS DOUBLE))), 4)
+        |      - (n_ev - c_first) * (n_ev - c_first) AS DOUBLE)), 0.0), 4)
         |   AS DECIMAL(10,4)) AS DOUBLE) AS lag1_autocorr
         |FROM m LEFT JOIN adj ON m.event_type = adj.event_type
         |JOIN e ON m.event_type = e.event_type
@@ -2149,7 +2151,7 @@ object SparkEntry {
         |   / CAST(brand_q AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS share,
         | CAST(CAST(ROUND(CAST(max_enc // 1000000000 AS DOUBLE)
         |   * CAST(n_suppliers AS DOUBLE) / CAST(brand_q AS DOUBLE), 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS fair_share_multiple
+        |   AS DECIMAL(28,4)) AS DOUBLE) AS fair_share_multiple
         |FROM byb JOIN supplier ON 999999999 - max_enc % 1000000000 = s_suppkey
         |ORDER BY brand""".stripMargin,
 
@@ -2180,10 +2182,10 @@ object SparkEntry {
         |    ANY_VALUE(c_lo) AS c_lo, ANY_VALUE(c_hi) AS c_hi
         |  FROM cl GROUP BY 1)
         |SELECT event_type, n_events,
-        | CAST(CAST((10000 * sum_c) // n_events AS BIGINT) AS DOUBLE)
-        |   / CAST(1000000.0 AS DOUBLE) AS mean_value,
-        | CAST(CAST((10000 * sum_w) // n_events AS BIGINT) AS DOUBLE)
-        |   / CAST(1000000.0 AS DOUBLE) AS winsorized_mean,
+        | CAST(CAST((100 * sum_c) // n_events AS BIGINT) AS DOUBLE)
+        |   / CAST(10000.0 AS DOUBLE) AS mean_value,
+        | CAST(CAST((100 * sum_w) // n_events AS BIGINT) AS DOUBLE)
+        |   / CAST(10000.0 AS DOUBLE) AS winsorized_mean,
         | CAST(c_lo AS DOUBLE) / CAST(100.0 AS DOUBLE) AS p5_cut,
         | CAST(c_hi AS DOUBLE) / CAST(100.0 AS DOUBLE) AS p95_cut,
         | n_clamped_low, n_clamped_high

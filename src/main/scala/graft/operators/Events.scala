@@ -78,26 +78,38 @@ object Events {
     * costs rows, never aggregation-buffer memory. The per-user rollup
     * after the windows rides the exchange the windows already made,
     * and the 3-row summary is a global aggregate of counts. */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val tolUs = 72L * 3600L * 1000000L // 72h per step
+  /** Per-step conversion tolerance shared by [[funnel]] and
+    * [[conversionLag]] — one constant so the two can never drift. */
+  private val FunnelTolUs = 72L * 3600L * 1000000L // 72h per step
+
+  /** The funnel's per-user step times (t1 = first view, t2 = earliest
+    * qualifying click after t1, t3 = earliest qualifying purchase
+    * after t2) — ONE definition consumed by both the count rollup
+    * ([[funnel]]) and the latency histogram ([[conversionLag]]), so
+    * the step predicates stay in lock-step by construction. */
+  private def funnelStepTimes(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
     val byUser = Window.partitionBy(col("user_id"))
-    val perUser = ev
+    ev
       .withColumn("t1",
         min(when(col("event_type") === "view", col("tus"))).over(byUser))
       .withColumn("t2",
         min(when(col("event_type") === "click" &&
-          col("tus") > col("t1") && col("tus") <= col("t1") + tolUs,
+          col("tus") > col("t1") && col("tus") <= col("t1") + FunnelTolUs,
           col("tus"))).over(byUser))
       .withColumn("t3",
         min(when(col("event_type") === "purchase" &&
-          col("tus") > col("t2") && col("tus") <= col("t2") + tolUs,
+          col("tus") > col("t2") && col("tus") <= col("t2") + FunnelTolUs,
           col("tus"))).over(byUser))
       .groupBy(col("user_id"))
       .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
         max(col("t3")).as("t3"))
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = funnelStepTimes(spark, dir)
     val counts = perUser.agg(
       count(col("t1")).as("n1"),
       count(col("t2")).as("n2"),
@@ -827,9 +839,12 @@ object Events {
         first(col("c_lo")).as("c_lo"), first(col("c_hi")).as("c_hi"))
       .select(
         col("event_type"), col("n_events"),
-        (expr("(10000 * sum_c) div n_events").cast("double") / lit(1e6))
+        // 100x scale (4-dec dollars), not 10000x: sum_c is corpus-sized
+        // cents and the larger multiplier overflows Long near 10^12
+        // events per type — exactly the scale the module targets.
+        (expr("(100 * sum_c) div n_events").cast("double") / lit(1e4))
           .as("mean_value"),
-        (expr("(10000 * sum_w) div n_events").cast("double") / lit(1e6))
+        (expr("(100 * sum_w) div n_events").cast("double") / lit(1e4))
           .as("winsorized_mean"),
         (col("c_lo").cast("double") / lit(100.0)).as("p5_cut"),
         (col("c_hi").cast("double") / lit(100.0)).as("p95_cut"),
@@ -875,20 +890,7 @@ object Events {
     * but how fast?"). Same windowed per-user step times and the same
     * single user shuffle; the histogram key is integer hours. */
   def conversionLag(spark: SparkSession, dir: String): DataFrame = {
-    val tolUs = 72L * 3600L * 1000000L
-    val ev = Tables.events(spark, dir)
-      .filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
-    val byUser = Window.partitionBy(col("user_id"))
-    val lags = ev
-      .withColumn("t1",
-        min(when(col("event_type") === "view", col("tus"))).over(byUser))
-      .withColumn("t2",
-        min(when(col("event_type") === "click" &&
-          col("tus") > col("t1") && col("tus") <= col("t1") + tolUs,
-          col("tus"))).over(byUser))
-      .groupBy(col("user_id"))
-      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"))
+    val lags = funnelStepTimes(spark, dir)
       .filter(col("t2").isNotNull)
       .select(expr("(t2 - t1) div 3600000000").as("lag_hours"))
     val total = lags.agg(count(lit(1)).as("n_converters"))
@@ -1039,15 +1041,21 @@ object Events {
       //   Σx² = Σc²−c_last²; Σy² = Σc²−c_first².
       .select(
         col("event_type"), col("n_ev").as("n_events"), col("h").as("n_hours"),
+        // NULLIF on the variance product: a constant-side series has
+        // zero variance, where autocorrelation is undefined — under
+        // ANSI a bare divide would ABORT the query; NULL mirrors the
+        // oracle's double/0 semantics exactly.
         d4(((col("h") - 1) * col("sxy") -
             (col("n_ev") - col("c_last")) * (col("n_ev") - col("c_first")))
           .cast("double") /
-          (sqrt(((col("h") - 1) * (col("sc2") - col("c_last") * col("c_last")) -
-            (col("n_ev") - col("c_last")) * (col("n_ev") - col("c_last")))
-            .cast("double")) *
-           sqrt(((col("h") - 1) * (col("sc2") - col("c_first") * col("c_first")) -
-            (col("n_ev") - col("c_first")) * (col("n_ev") - col("c_first")))
-            .cast("double"))))
+          nullif(
+            sqrt(((col("h") - 1) * (col("sc2") - col("c_last") * col("c_last")) -
+              (col("n_ev") - col("c_last")) * (col("n_ev") - col("c_last")))
+              .cast("double")) *
+            sqrt(((col("h") - 1) * (col("sc2") - col("c_first") * col("c_first")) -
+              (col("n_ev") - col("c_first")) * (col("n_ev") - col("c_first")))
+              .cast("double")),
+            lit(0.0)))
           .as("lag1_autocorr"))
       .orderBy(col("event_type"))
   }

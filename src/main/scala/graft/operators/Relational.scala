@@ -997,6 +997,16 @@ object Relational {
         round(col("l_quantity") * 100, 0).cast("long").as("q100"))
     val bySupp = li.groupBy(col("p_brand"), col("l_suppkey"))
       .agg(sum(col("q100")).as("supp_q"))
+      // Loud preconditions on the encoding's headroom (the pqTopK
+      // convention: fail, never silently corrupt): suppkey must fit
+      // the 10⁹ tie-break field and supp_q·10⁹ must fit a Long. Checked
+      // on the AGGREGATED (brand, supplier) frame — dimension-sized.
+      .withColumn("supp_q",
+        when(col("l_suppkey") >= 1000000000L || col("supp_q") > 9000000000L,
+          raise_error(concat(lit("supplier_dominance: argmax encoding "
+            + "overflow (suppkey or per-pair quantity too large): key="),
+            col("l_suppkey"), lit(" q100="), col("supp_q"))))
+          .otherwise(col("supp_q")))
     val byBrand = bySupp.groupBy(col("p_brand"))
       .agg(
         sum(col("supp_q")).as("brand_q"),
@@ -1017,7 +1027,7 @@ object Relational {
         pres(col("brand_q") / lit(100.0)).as("brand_qty"),
         d4(col("top_q").cast("double") / col("brand_q").cast("double"))
           .as("share"),
-        d4(col("top_q").cast("double") * col("n_suppliers").cast("double") /
+        d4w(col("top_q").cast("double") * col("n_suppliers").cast("double") /
           col("brand_q").cast("double")).as("fair_share_multiple"))
       .orderBy(col("brand"))
   }

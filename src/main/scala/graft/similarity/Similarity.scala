@@ -383,8 +383,13 @@ object Similarity {
     val pairs = e
       .join(e.select((col("vec_id") - 1).as("vec_id"), col("v").as("w")),
         Seq("vec_id"))
+      // NULLIF on the norm product: a zero-norm (padded/failed) vector
+      // makes cosine undefined — under ANSI a bare divide ABORTS the
+      // whole histogram; NULL matches the oracle's double/0 and the
+      // guard emb_quantize already established for this module.
       .withColumn("cos", dot(col("v"), col("w")) /
-        sqrt(dot(col("v"), col("v")) * dot(col("w"), col("w"))))
+        nullif(sqrt(dot(col("v"), col("v")) * dot(col("w"), col("w"))), lit(0.0)))
+      .filter(col("cos").isNotNull)
     pairs
       .withColumn("band", least(floor(col("cos") * 20).cast("long"), lit(19L)))
       .withColumn("c20k", round(col("cos") * 20000, 0).cast("long"))
