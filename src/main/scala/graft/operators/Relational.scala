@@ -618,7 +618,7 @@ object Relational {
     * quantile by construction, unlike ntile). No window ever orders
     * the raw row frame. An empty quantile (heavy ties) yields a NULL
     * threshold; [[cutBucket]] treats NULL as −∞. */
-  private def valueCuts(
+  private[graft] def valueCuts(
       melted: DataFrame, metrics: Map[String, Long], k: Int): DataFrame = {
     val width = metrics.foldLeft(lit(1L)) { case (acc, (m, w)) =>
       when(col("metric") === m, lit(w)).otherwise(acc) }
@@ -650,7 +650,7 @@ object Relational {
 
   /** Quantile assignment against [[valueCuts]] thresholds: 1 + the
     * number of cuts strictly below x (NULL cut = empty quantile = −∞). */
-  private def cutBucket(v: Column, cuts: Seq[Column]): Column =
+  private[graft] def cutBucket(v: Column, cuts: Seq[Column]): Column =
     cuts.foldLeft(lit(1L)) { (acc, c) =>
       acc + when(v > coalesce(c, lit(Long.MinValue)), 1L).otherwise(0L) }
 

@@ -236,4 +236,61 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("value-cut quantile assignment equals brute-force ceil(k·F(x)) on random data") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    for (trial <- 0 until 10) {
+      val k = Seq(4, 10)(trial % 2)
+      val n = 50 + rng.nextInt(300)
+      // Heavy-tie regimes included: small value domains force shared
+      // quantiles and (at the extreme) empty ones — the NULL-cut path.
+      val domain = Seq(3L, 20L, 1000000L)(trial % 3)
+      val vals = Seq.fill(n)(rng.nextLong().abs % domain)
+      val melted = vals.toDF("v").select(lit("m").as("metric"), col("v"))
+      val cuts = graft.operators.Relational.valueCuts(
+        melted, Map("m" -> math.max(domain / 7, 1L)), k).collect().head
+      val cutCols = (1 until k).map(i =>
+        if (cuts.isNullAt(cuts.fieldIndex(s"m_c$i"))) None
+        else Some(cuts.getAs[Long](s"m_c$i")))
+      // Brute force: q(x) = ceil(k * |{y <= x}| / n), ties share.
+      val sorted = vals.sorted
+      def brute(x: Long): Long = {
+        val cum = sorted.count(_ <= x).toLong
+        (k * cum + n - 1) / n
+      }
+      vals.distinct.foreach { x =>
+        val assigned = 1L + cutCols.count {
+          case Some(c) => x > c
+          case None    => true // empty quantile = -inf cut
+        }
+        assert(assigned === brute(x),
+          s"trial=$trial k=$k domain=$domain x=$x: cut-assignment $assigned != brute ${brute(x)}")
+      }
+    }
+  }
+
+  test("ArrayPairs kernels equal the naive pair formulations on random arrays") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.col
+    val vocab = Vector("a", "bb", "", "d e", "ZZ", "ß")
+    for (_ <- 0 until 20) {
+      val arr = Seq.fill(rng.nextInt(8))(vocab(rng.nextInt(vocab.length)))
+      val df = Seq(Tuple1(arr)).toDF("xs")
+      val adj = df.select(graft.functions.ArrayPairs.adjacentPairs(col("xs")).as("p"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(adj === arr.sliding(2).filter(_.length == 2)
+        .map(w => (w(0), w(1))).toSeq, s"adjacent mismatch on $arr")
+      val comb = df.select(graft.functions.ArrayPairs.combinations(col("xs")).as("p"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1)))
+      val naive = for {
+        i <- arr.indices; j <- (i + 1) until arr.length
+      } yield (arr(i), arr(j))
+      assert(comb === naive, s"combinations mismatch on $arr")
+    }
+  }
 }
