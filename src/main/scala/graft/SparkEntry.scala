@@ -105,6 +105,7 @@ object SparkEntry {
     "events_hhi"               -> (Events.hhi _),
     "events_winsorized"        -> (Events.winsorized _),
     "events_session_stats"     -> (Events.sessionStats _),
+    "events_sessionize_native" -> (Events.sessionizeNative _),
     "events_burstiness"        -> (Events.burstiness _),
     "orders_seasonality"       -> (Relational.ordersSeasonality _),
     "supplier_concentration"   -> (Relational.supplierConcentration _),
@@ -1904,6 +1905,23 @@ object SparkEntry {
         | CAST(CAST(ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 4)
         |   AS DECIMAL(10,4)) AS DOUBLE) AS dau_mau
         |FROM d JOIN w USING (wk) JOIN m USING (mon) ORDER BY day""".stripMargin,
+
+    "events_sessionize_native" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sess AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "events_session_stats" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

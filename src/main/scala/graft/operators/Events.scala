@@ -647,6 +647,30 @@ object Events {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** #31c events_sessionize_native: the SAME 30-min-gap sessions as
+    * #31, via Spark's built-in `session_window` aggregation instead of
+    * the stacked lag/cumsum windows — the compose-existing-ops
+    * formulation (one groupBy, merging session state in the
+    * aggregation buffer; no sort-based window at all), and the exact
+    * construct the STREAMING form uses with a watermark, so batch and
+    * stream share plan shape natively. Emits (user, start) keyed rows;
+    * #31's session_seq ordinal needs the per-user sort the lag form
+    * pays — the two formulations are otherwise row-identical (the
+    * session_end differs by definition: session_window closes gap
+    * minutes after the last event; we report max(ts) for parity with
+    * #31). */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        pres(dsum(col("value"), 2)).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** #32r events_heatmap: day-of-week × hour-of-day activity matrix per
     * event type — the load-shape report behind capacity planning and
     * anomaly baselining. Day/hour are derived by INTEGER arithmetic on

@@ -399,6 +399,25 @@ class EventsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("dau") === dauExp.toLong)
   }
 
+  test("native session_window sessions reconcile with the lag sessionizer") {
+    val native = Events.sessionizeNative(spark, sf).collect()
+    val lagged = Events.sessionize(spark, sf).collect()
+    // The two differ ONLY at gaps of exactly 30:00 (half-open window
+    // vs strict-greater lag predicate) — the session-count delta must
+    // equal the number of such boundary gaps.
+    val exactBoundary = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id",
+        "unix_micros(ts) - lag(unix_micros(ts)) over " +
+          "(partition by user_id order by ts, event_id) as gap")
+      .where("gap = 1800000000").count()
+    assert(native.length.toLong === lagged.length + exactBoundary,
+      s"native=${native.length} lag=${lagged.length} boundary=$exactBoundary")
+    // Event conservation either way.
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(native.map(_.getAs[Long]("n_events")).sum === total)
+    assert(lagged.map(_.getAs[Long]("n_events")).sum === total)
+  }
+
   test("session_stats conserves events and sessions") {
     val rows = Events.sessionStats(spark, sf).collect()
     val totalEvents = graft.sources.Tables.events(spark, sf).count()
