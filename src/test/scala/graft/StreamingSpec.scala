@@ -378,6 +378,42 @@ class StreamingSpec extends AnyFunSuite {
       t == "click" && x >= 60L }, s"planted burst hour must alarm: $got")
   }
 
+  test("native session_window stream matches the batch native sessionizer") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val evs = loadEvents()
+    input.addData(evs)
+    // A far-future flush event advances the watermark past every real
+    // session so append mode emits them all; its own session is the
+    // one row we exclude from the comparison.
+    val maxTs = evs.map(_.ts.getTime).max
+    val flush = Ev(-1L, -1L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000),
+      "flush", 0.0)
+
+    val streamDf = Streaming.sessionizeNativeStream(
+      input.toDF().withWatermark("ts", "1 hour"))
+    val q = streamDf.writeStream
+      .format("memory").queryName("native_sessions")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    input.addData(Seq(flush))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("native_sessions")
+      .where("user_id >= 0")
+      .orderBy(col("user_id"), col("session_start"))
+      .collect().map(_.toString).toSeq
+    val want = Events.sessionizeNative(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got === want,
+      s"stream emitted ${got.size} sessions, batch ${want.size}")
+  }
+
   test("stream dedup drops watermark-window replays exactly") {
     val sparkS = spark
     import sparkS.implicits._
