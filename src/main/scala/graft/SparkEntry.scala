@@ -106,6 +106,8 @@ object SparkEntry {
     "events_winsorized"        -> (Events.winsorized _),
     "events_session_stats"     -> (Events.sessionStats _),
     "events_sessionize_native" -> (Events.sessionizeNative _),
+    "events_weekend_contrast"  -> (Events.weekendContrast _),
+    "text_lang_mix"            -> (Text.langMix _),
     "events_burstiness"        -> (Events.burstiness _),
     "orders_seasonality"       -> (Relational.ordersSeasonality _),
     "supplier_concentration"   -> (Relational.supplierConcentration _),
@@ -1509,6 +1511,66 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "events_weekend_contrast" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 AS dow
+        |  FROM events),
+        |a AS (SELECT event_type,
+        |    SUM(CASE WHEN dow < 5 THEN 1 ELSE 0 END)::BIGINT AS n_weekday_events,
+        |    SUM(CASE WHEN dow >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_weekend_events,
+        |    COUNT(DISTINCT CASE WHEN dow < 5 THEN day END)::BIGINT AS n_weekday_days,
+        |    COUNT(DISTINCT CASE WHEN dow >= 5 THEN day END)::BIGINT AS n_weekend_days
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT *,
+        |    (100 * n_weekday_events) // GREATEST(n_weekday_days, 1) AS wd100,
+        |    (100 * n_weekend_events) // GREATEST(n_weekend_days, 1) AS we100
+        |  FROM a)
+        |SELECT event_type, n_weekday_events, n_weekend_events,
+        | n_weekday_days, n_weekend_days,
+        | CAST(wd100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekday_rate,
+        | CAST(we100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekend_rate,
+        | CAST(CAST(ROUND(CAST(we100 AS DOUBLE) / CAST(wd100 AS DOUBLE), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS weekend_ratio
+        |FROM r ORDER BY event_type""".stripMargin,
+
+    "text_lang_mix" ->
+      """WITH t AS (SELECT doc_id, text, source,
+        |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, text, source, toks,
+        |    CAST(GREATEST(len(toks), 1) AS DOUBLE) AS n FROM t),
+        |sc AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','is','that','with','for'], x))) AS DOUBLE) / n AS s_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit'], x))) AS DOUBLE) / n AS s_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','est','pas','une','dans'], x))) AS DOUBLE) / n AS s_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['el','los','las','es','y','no','una','por'], x))) AS DOUBLE) / n AS s_es,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+        |      AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE) AS cjk
+        |  FROM s),
+        |lng AS (
+        |  SELECT doc_id, source, cjk, MAX(b) AS best FROM (
+        |    SELECT doc_id, source, cjk, {'score': s_en, 'lang': 'en'} AS b FROM sc
+        |    UNION ALL SELECT doc_id, source, cjk, {'score': s_de, 'lang': 'de'} FROM sc
+        |    UNION ALL SELECT doc_id, source, cjk, {'score': s_fr, 'lang': 'fr'} FROM sc
+        |    UNION ALL SELECT doc_id, source, cjk, {'score': s_es, 'lang': 'es'} FROM sc) u
+        |  GROUP BY doc_id, source, cjk),
+        |pred AS (SELECT source,
+        |    CASE WHEN cjk > 0.3 THEN 'zh' ELSE best.lang END AS pred_lang
+        |  FROM lng),
+        |cell AS (SELECT source, pred_lang, COUNT(*)::BIGINT AS n_docs
+        |  FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(n_docs)::BIGINT AS src_docs
+        |  FROM cell GROUP BY 1)
+        |SELECT source, pred_lang, n_docs,
+        | CAST(CAST(ROUND(CAST(n_docs AS DOUBLE) / CAST(src_docs AS DOUBLE), 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS share
+        |FROM cell JOIN tot USING (source)
+        |ORDER BY source, pred_lang""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, text,

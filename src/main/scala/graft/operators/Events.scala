@@ -671,6 +671,40 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** #32dd events_weekend_contrast: weekday vs weekend load per type —
+    * event counts, ACTIVE-day counts of each kind, per-active-day
+    * rates (floor-x100), and the weekend/weekday rate ratio. The
+    * simplest seasonality split a capacity plan reads before the full
+    * [[heatmap]]. Monday-based integer dow ((day+3) mod 7, weekend =
+    * 5..6); one map-side-combinable shuffle with conditional distincts
+    * sharing it. */
+  def weekendContrast(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("dow", expr("(day + 3) % 7"))
+    e.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("dow") < 5, 1L).otherwise(0L)).as("n_weekday_events"),
+        sum(when(col("dow") >= 5, 1L).otherwise(0L)).as("n_weekend_events"),
+        countDistinct(when(col("dow") < 5, col("day"))).as("n_weekday_days"),
+        countDistinct(when(col("dow") >= 5, col("day"))).as("n_weekend_days"))
+      .withColumn("weekday_rate_x100",
+        expr("(100 * n_weekday_events) div greatest(n_weekday_days, 1)"))
+      .withColumn("weekend_rate_x100",
+        expr("(100 * n_weekend_events) div greatest(n_weekend_days, 1)"))
+      .select(
+        col("event_type"),
+        col("n_weekday_events"), col("n_weekend_events"),
+        col("n_weekday_days"), col("n_weekend_days"),
+        (col("weekday_rate_x100").cast("double") / lit(100.0))
+          .as("weekday_rate"),
+        (col("weekend_rate_x100").cast("double") / lit(100.0))
+          .as("weekend_rate"),
+        d4(col("weekend_rate_x100").cast("double") /
+          col("weekday_rate_x100").cast("double")).as("weekend_ratio"))
+      .orderBy(col("event_type"))
+  }
+
   /** #32r events_heatmap: day-of-week × hour-of-day activity matrix per
     * event type — the load-shape report behind capacity planning and
     * anomaly baselining. Day/hour are derived by INTEGER arithmetic on

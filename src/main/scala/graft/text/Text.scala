@@ -706,6 +706,27 @@ object Text {
       .orderBy(col("rank"))
   }
 
+  /** #43b text_lang_mix: predicted-language composition per source —
+    * [[langid]]'s verdicts rolled up by the corpus' source column with
+    * per-source shares. The "what languages does each crawl slice
+    * actually contain?" report a mixing policy starts from (the `lang`
+    * column in the corpus is synthetic noise; this reads the
+    * detector). Pure map (langid) + one (source, lang) shuffle; source
+    * totals broadcast back. */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langid(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val cell = pred.join(src, Seq("doc_id"))
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cell.groupBy(col("source")).agg(sum(col("n_docs")).as("src_docs"))
+    cell.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("pred_lang"), col("n_docs"),
+        d4(col("n_docs").cast("double") / col("src_docs").cast("double"))
+          .as("share"))
+      .orderBy(col("source"), col("pred_lang"))
+  }
+
   /** #42d text_len_hist: power-of-two document-length histogram (by
     * character count): bucket [2^k, 2^(k+1)) per doc, with counts,
     * exact char totals, bucket bounds, and cumulative coverage of the

@@ -461,6 +461,22 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("weekend contrast conserves events and rates match the floors") {
+    val rows = Events.weekendContrast(spark, sf).collect()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_weekday_events") +
+      r.getAs[Long]("n_weekend_events")).sum === total)
+    rows.foreach { r =>
+      val wd = r.getAs[Long]("n_weekday_events")
+      val wdDays = math.max(r.getAs[Long]("n_weekday_days"), 1L)
+      assert(r.getAs[Double]("weekday_rate") === (100 * wd / wdDays) / 100.0)
+      assert(r.getAs[Long]("n_weekday_days") <= 23,
+        "a one-month corpus has at most 23 weekdays")
+      assert(r.getAs[Long]("n_weekend_days") <= 10)
+      assert(r.getAs[Double]("weekend_ratio") > 0)
+    }
+  }
+
   test("growth curve conserves users: new sums to the base, dau splits") {
     val rows = Events.growthCurve(spark, sf).collect()
     val nUsers = graft.sources.Tables.events(spark, sf)

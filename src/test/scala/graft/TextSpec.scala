@@ -461,6 +461,29 @@ class TextSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 20))
   }
 
+  test("lang_mix rolls up exactly langid's verdicts per source") {
+    import SparkTestSession._
+    val rows = graft.text.Text.langMix(spark, sf).collect()
+    val pred = graft.text.Text.langid(spark, sf)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val src = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = src.groupBy { case (id, s) => (s, pred(id)) }
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(r => (r.getAs[String]("source"), r.getAs[String]("pred_lang")))
+      .toSet === want.keySet)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("pred_lang"))
+      assert(r.getAs[Long]("n_docs") === want(k), s"cell count wrong for $k")
+    }
+    // Shares partition each source.
+    rows.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 0.001)
+    }
+  }
+
   test("len_hist buckets tile the corpus and bound their members") {
     import SparkTestSession._
     val rows = graft.text.Text.lenHist(spark, sf).collect()
