@@ -1531,8 +1531,9 @@ object SparkEntry {
         | n_weekday_days, n_weekend_days,
         | CAST(wd100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekday_rate,
         | CAST(we100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekend_rate,
-        | CAST(CAST(ROUND(CAST(we100 AS DOUBLE) / CAST(wd100 AS DOUBLE), 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS weekend_ratio
+        | CAST(CAST(ROUND(CAST(we100 AS DOUBLE)
+        |   / NULLIF(CAST(wd100 AS DOUBLE), 0.0), 4)
+        |   AS DECIMAL(28,4)) AS DOUBLE) AS weekend_ratio
         |FROM r ORDER BY event_type""".stripMargin,
 
     "text_lang_mix" ->
@@ -1973,7 +1974,7 @@ object SparkEntry {
         |  LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
         |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
-        |    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
         |  FROM e),
         |sess AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq

@@ -653,22 +653,16 @@ object Events {
     * formulation (one groupBy, merging session state in the
     * aggregation buffer; no sort-based window at all), and the exact
     * construct the STREAMING form uses with a watermark, so batch and
-    * stream share plan shape natively. Emits (user, start) keyed rows;
-    * #31's session_seq ordinal needs the per-user sort the lag form
-    * pays — the two formulations are otherwise row-identical (the
-    * session_end differs by definition: session_window closes gap
-    * minutes after the last event; we report max(ts) for parity with
-    * #31). */
+    * stream share plan shape natively (ONE aggregation body, defined
+    * in [[graft.streaming.Streaming.sessionizeNativeStream]] — batch
+    * delegates to it). The gap contract is IDENTICAL to #31's
+    * strict-greater split (an exact 30:00 gap merges — session_window
+    * splits only on strictly-greater gaps; empirically pinned by the
+    * reconciliation spec), so the two formulations are row-identical
+    * modulo #31's session_seq ordinal, which needs the per-user sort
+    * the lag form pays. */
   def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"),
-        pres(dsum(col("value"), 2)).as("sum_value"))
-      .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"), col("sum_value"))
+    graft.streaming.Streaming.sessionizeNativeStream(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("session_start"))
 
   /** #32dd events_weekend_contrast: weekday vs weekend load per type —
@@ -700,8 +694,12 @@ object Events {
           .as("weekday_rate"),
         (col("weekend_rate_x100").cast("double") / lit(100.0))
           .as("weekend_rate"),
-        d4(col("weekend_rate_x100").cast("double") /
-          col("weekday_rate_x100").cast("double")).as("weekend_ratio"))
+        // d4w + NULLIF: the ratio is unbounded (one stray weekday
+        // event under heavy weekend load) and a weekday-silent type
+        // divides by zero — abort classes, not report classes.
+        d4w(col("weekend_rate_x100").cast("double") /
+          nullif(col("weekday_rate_x100").cast("double"), lit(0.0)))
+          .as("weekend_ratio"))
       .orderBy(col("event_type"))
   }
 

@@ -293,26 +293,6 @@ object Streaming {
     * stays in state until a later event (or batch-end flush in tests)
     * closes it. flatMapGroupsWithState = the Spark-native form of a
     * keyed state machine. */
-  /** The NATIVE session aggregation: `session_window` + watermark —
-    * the same construct (and therefore the same plan family) as the
-    * batch [[graft.operators.Events.sessionizeNative]]. Sessions close
-    * and emit once the watermark passes their half-open end; state is
-    * the merging per-session aggregate, no custom state function.
-    * The custom [[sessionize]] stays for the semantics the built-in
-    * can't express (the strict-greater gap contract and ordinal
-    * session numbering). */
-  def sessionizeNativeStream(events: DataFrame): DataFrame =
-    events
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(30,2)")), 2).cast("double")
-          .as("sum_value"))
-      .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"), col("sum_value"))
-
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
@@ -320,6 +300,29 @@ object Streaming {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionizeGroup)
   }
+
+  /** The NATIVE session aggregation: `session_window` + watermark —
+    * the same construct (and therefore the same plan family) as the
+    * batch [[graft.operators.Events.sessionizeNative]], which
+    * delegates here so the two can never drift. Sessions close and
+    * emit once the watermark passes; state is the merging per-session
+    * aggregate, no custom state function. The SAME gap contract as
+    * [[sessionize]] (an exact 30:00 gap MERGES — session_window splits
+    * only on strictly-greater gaps, empirically pinned by the
+    * reconciliation spec); the custom form stays for what the builtin
+    * can't express (ordinal session numbering, emit-on-gap without a
+    * watermark). Exact-decimal sum presentation via the shared
+    * [[graft.functions.Exact]] helpers — one definition on purpose. */
+  def sessionizeNativeStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        graft.functions.Exact.pres(dsum(col("value"), 2)).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
 
   /** Per-key state transition: fold this batch's (sorted) events into
     * the open session, emitting every session that closes. */

@@ -101,6 +101,18 @@ object Text {
     * spec on real multilingual fixtures, since the corpus `lang` column
     * is synthetic noise. */
   def langid(spark: SparkSession, dir: String): DataFrame = {
+    val (lang, score) = predLangCols
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lang.as("pred_lang"), score.as("pred_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The (pred_lang, pred_score) column pair — ONE definition consumed
+    * by [[langid]] (per-doc verdicts) and [[langMix]] (per-source
+    * composition), so the detector can never drift between its
+    * consumers. Pure per-row expressions: any query using these stays
+    * a map over the scan. */
+  private def predLangCols: (Column, Column) = {
     val toks = tokens(col("text"))
     val nToks = greatest(size(toks), lit(1)).cast("double")
     val scores = LangProfiles.map { case (lang, marks) =>
@@ -112,12 +124,8 @@ object Text {
       length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
       greatest(length(col("text")), lit(1)).cast("double")
     val best = greatest(scores: _*)
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        when(cjkRatio > 0.3, lit("zh")).otherwise(best.getField("lang")).as("pred_lang"),
-        d4(when(cjkRatio > 0.3, cjkRatio).otherwise(best.getField("score"))).as("pred_score"))
-      .orderBy(col("doc_id"))
+    (when(cjkRatio > 0.3, lit("zh")).otherwise(best.getField("lang")),
+     d4(when(cjkRatio > 0.3, cjkRatio).otherwise(best.getField("score"))))
   }
 
   /** #44 text_fingerprint: winnowed Rabin-Karp fingerprints (k=8 chars,
@@ -714,9 +722,12 @@ object Text {
     * detector). Pure map (langid) + one (source, lang) shuffle; source
     * totals broadcast back. */
   def langMix(spark: SparkSession, dir: String): DataFrame = {
-    val pred = langid(spark, dir).select(col("doc_id"), col("pred_lang"))
-    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val cell = pred.join(src, Seq("doc_id"))
+    // ONE scan: the detector expressions ride the documents scan next
+    // to `source` (a corpus-wide doc_id join back onto documents would
+    // pay a full extra shuffle for a column the scan already has).
+    val (lang, _) = predLangCols
+    val cell = Tables.documents(spark, dir)
+      .select(col("source"), lang.as("pred_lang"))
       .groupBy(col("source"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
     val totals = cell.groupBy(col("source")).agg(sum(col("n_docs")).as("src_docs"))
