@@ -658,7 +658,7 @@ object SparkEntry {
         | CAST(CAST(ROUND((CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE)) /
         |   ((CAST(ra.n AS DOUBLE) / CAST(n_orders AS DOUBLE)) *
         |    (CAST(rb.n AS DOUBLE) / CAST(n_orders AS DOUBLE))), 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS lift
+        |   AS DECIMAL(28,4)) AS DOUBLE) AS lift
         |FROM pairs
         |JOIN reach ra ON ra.p_brand = brand_a
         |JOIN reach rb ON rb.p_brand = brand_b
@@ -1057,7 +1057,7 @@ object SparkEntry {
         |  FROM dev GROUP BY 1),
         |z AS (SELECT dev.event_type, med_cents, mad_cents,
         |    CAST(0.6745 AS DOUBLE) * (CAST(cents AS DOUBLE) - med_cents)
-        |      / mad_cents AS mz
+        |      / NULLIF(mad_cents, 0) AS mz
         |  FROM dev JOIN mad USING (event_type))
         |SELECT event_type, COUNT(*)::BIGINT AS n_events,
         | CAST(CAST(ROUND(ANY_VALUE(med_cents) / 100.0, 4) AS DECIMAL(10,4))
@@ -2283,7 +2283,7 @@ object SparkEntry {
         |   CAST(n_events * n_events AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
         |   AS hhi,
         | CAST(CAST(ROUND(CAST(n_events * n_events AS DOUBLE) /
-        |   CAST(sum_c2 AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |   CAST(sum_c2 AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE)
         |   AS effective_users
         |FROM a ORDER BY event_type""".stripMargin,
 

@@ -135,34 +135,42 @@ object Events {
     * retention matrix (offset 0 is 1.0 by construction: a user's first
     * event is in their cohort week).
     *
-    * Scale shape: two user-keyed aggregations (first-seen week,
-    * distinct active weeks) — the same single-shuffle user locality as
-    * the rest of the module — then a cohort-keyed rollup whose
-    * cardinality is weeks², trivially small; the cohort-size join is a
-    * dimension join AQE broadcasts unhinted. */
+    * Scale shape: ONE corpus scan and ONE corpus shuffle — the
+    * per-user week SET aggregates in one map-side-combinable pass
+    * (collect_set dedups in the partial buffer; a user's set is
+    * bounded by the corpus SPAN in weeks — a year is ≤ 53 entries —
+    * never by their event count), the cohort week is array_min of
+    * that set (a user's first event week, by definition), and the
+    * (cohort, offset) rollup is dimension-sized (weeks²). The cohort
+    * size needs no second user aggregation at all: offset 0 contains
+    * every cohort member by construction (your first week is an
+    * active week), so retention divides by the offset-0 cell via a
+    * window over the weeks²-row frame. The r6 formulation paid three
+    * corpus-derived shuffles (first-week agg, distinct, cohort join)
+    * and three parquet scans for the same matrix. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val weekUs = 7L * 24 * 3600 * 1000000L
-    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-    val firstWeek = ev.groupBy(col("user_id"))
-      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-    val cohortSizes = firstWeek.groupBy(col("cohort_week"))
-      .agg(count(lit(1)).as("cohort_size"))
-    val activeWeeks = ev
-      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-      .distinct()
-    activeWeeks.join(firstWeek, "user_id")
-      .groupBy(col("cohort_week"),
-        ((unix_micros(col("week")) - unix_micros(col("cohort_week"))) / weekUs)
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_micros(date_trunc("week", col("ts"))).as("week_us"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("week_us")).as("weeks"))
+    val cells = perUser
+      .select(array_min(col("weeks")).as("cohort_us"),
+        explode(col("weeks")).as("week_us"))
+      .groupBy(col("cohort_us"),
+        ((col("week_us") - col("cohort_us")) / weekUs)
           .cast("int").as("week_offset"))
-      // Plain count: activeWeeks is distinct on (user_id, week) and the
-      // cohort join adds one row per user, so a user appears at most
-      // once per cell — a countDistinct would plan a second Exchange
-      // for nothing.
+      // Plain count: the week set is distinct per user, so a user
+      // appears at most once per cell.
       .agg(count(lit(1)).as("n_active"))
-      .join(cohortSizes, "cohort_week")
+    val byCohort = Window.partitionBy(col("cohort_us"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(byCohort))
       // DATE presentation: a cohort week is a calendar date (and the
       // DuckDB oracle's date_trunc yields DATE, so the schemas align).
-      .select(col("cohort_week").cast("date").as("cohort_week"),
+      .select(timestamp_micros(col("cohort_us")).cast("date").as("cohort_week"),
         col("week_offset"), col("n_active"),
         d4(col("n_active").cast("double") / col("cohort_size").cast("double"))
           .as("retention_pct"))
@@ -787,16 +795,27 @@ object Events {
     * per-type frame is |types|-sized. percentile() buffers per GROUP —
     * acceptable while |corpus|/|types| fits an executor; the two-level
     * bucket decomposition (quantile_agg) is the swap-in at 100 TB. */
-  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliersOf(Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents")))
+
+  /** [[madOutliers]]' body over an explicit (event_type, cents) frame, so
+    * the degenerate-input contract (a type where ≥50% of values equal the
+    * median ⇒ MAD = 0) is spec-testable with a planted constant type. */
+  private[graft] def madOutliersOf(ev: DataFrame): DataFrame = {
     val med = ev.groupBy(col("event_type"))
       .agg(percentile(col("cents"), lit(0.5)).as("med_cents"))
     val dev = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("adev", abs(col("cents").cast("double") - col("med_cents")))
     val mad = dev.groupBy(col("event_type"))
       .agg(percentile(col("adev"), lit(0.5)).as("mad_cents"))
-    val z = lit(0.6745) * (col("cents").cast("double") - col("med_cents")) / col("mad_cents")
+    // NULLIF on the MAD: a type where ≥50% of values equal the median has
+    // MAD = 0, where the modified z is undefined — under ANSI a zero
+    // denominator ABORTS the whole query, while the DuckDB oracle NULLs
+    // it. NULL z ⇒ the >3.5 census counts 0 and max_abs_z is NULL on
+    // both engines (the house 'NULLIF every denominator' convention).
+    val z = lit(0.6745) * (col("cents").cast("double") - col("med_cents")) /
+      nullif(col("mad_cents"), lit(0.0))
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(
@@ -934,7 +953,9 @@ object Events {
         col("event_type"), col("n_events"), col("n_users"),
         d4(col("sum_c2").cast("double") /
           (col("n_events") * col("n_events")).cast("double")).as("hhi"),
-        d4((col("n_events") * col("n_events")).cast("double") /
+        // d4w: effective_users is bounded only by the true user count,
+        // which passes d4's 10^6 ANSI-abort ceiling at target scale.
+        d4w((col("n_events") * col("n_events")).cast("double") /
           col("sum_c2").cast("double")).as("effective_users"))
       .orderBy(col("event_type"))
   }

@@ -811,7 +811,11 @@ object Relational {
         col("brand_a"), col("brand_b"), col("n_a"), col("n_b"), col("n_both"),
         d4(col("n_both").cast("double") / col("n_orders").cast("double"))
           .as("support"),
-        d4((col("n_both").cast("double") / col("n_orders").cast("double")) /
+        // d4w, not d4: lift is UNBOUNDED (n_both·n_orders/(n_a·n_b)
+        // approaches n_orders for a rare always-co-bought pair) and an
+        // ANSI cast to (10,4) aborts past 10^6 — the text_collocations
+        // precedent for the same statistic.
+        d4w((col("n_both").cast("double") / col("n_orders").cast("double")) /
           ((col("n_a").cast("double") / col("n_orders").cast("double")) *
            (col("n_b").cast("double") / col("n_orders").cast("double"))))
           .as("lift"))
@@ -1106,6 +1110,17 @@ object Relational {
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"), col("p_name"),
         round(col("p_retailprice") * 100, 0).cast("long").as("price_cents"))
+      // Loud precondition on the argmin encoding's headroom (the
+      // supplierDominance / pqTopK convention: fail, never silently
+      // corrupt): partkey must fit the 10⁹ tie-break field and
+      // price_cents·10⁹ must fit a Long. Per-row on the part DIM frame
+      // (the encoding itself is per-row here), pure codegen.
+      .withColumn("price_cents",
+        when(col("p_partkey") >= 1000000000L || col("price_cents") > 9000000000L,
+          raise_error(concat(lit("brand_cheapest: argmin encoding overflow "
+            + "(partkey or price too large): key="),
+            col("p_partkey"), lit(" cents="), col("price_cents"))))
+          .otherwise(col("price_cents")))
     val best = p.groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_parts"),
@@ -1138,6 +1153,15 @@ object Relational {
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
     val byMonYr = o.groupBy(col("mon"), col("yr"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      // Loud precondition on the peak_enc headroom (supplierDominance
+      // convention), checked on the AGGREGATED months×years frame:
+      // monthly cents·10⁴ + year must fit a Long.
+      .withColumn("c",
+        when(col("c") > 900000000000000000L / 10000L || col("yr") >= 10000,
+          raise_error(concat(lit("orders_seasonality: argmax encoding "
+            + "overflow (monthly cents or year too large): cents="),
+            col("c"), lit(" yr="), col("yr"))))
+          .otherwise(col("c")))
     // Integer-encoded argmax (cents·10⁴ + year): ties on revenue
     // resolve to the later year identically in any engine — struct
     // MAX / arg_max tie rules are engine-specific.

@@ -638,4 +638,28 @@ class EventsSpec extends AnyFunSuite {
         "a 3.5-sigma robust detector cannot flag 10% of the corpus")
     }
   }
+
+  test("mad_outliers: a tied-median (MAD=0) type yields 0 outliers and NULL max_abs_z, not an abort") {
+    // The degenerate-input contract: when >=50% of a type's values equal
+    // the median, MAD = 0 and the modified z is undefined. Under ANSI an
+    // unguarded divide ABORTS the whole query; the NULLIF guard must
+    // instead produce n_outliers = 0 and NULL max_abs_z — the same
+    // semantics the DuckDB oracle's NULLIF yields. The driver corpus has
+    // no tied-median type, so this plants one.
+    val sparkS = spark
+    import sparkS.implicits._
+    val ev = Seq(
+      ("flat", 500L), ("flat", 500L), ("flat", 500L), ("flat", 500L),
+      ("vary", 100L), ("vary", 200L), ("vary", 300L), ("vary", 90000L))
+      .toDF("event_type", "cents")
+    val rows = Events.madOutliersOf(ev).collect()
+    val flat = rows.find(_.getAs[String]("event_type") == "flat").get
+    assert(flat.getAs[Long]("n_outliers") === 0L)
+    assert(flat.isNullAt(flat.fieldIndex("max_abs_z")),
+      "degenerate MAD must surface as NULL max_abs_z")
+    assert(flat.getAs[Double]("mad_value") === 0.0)
+    // The healthy type still detects its planted outlier.
+    val vary = rows.find(_.getAs[String]("event_type") == "vary").get
+    assert(vary.getAs[Long]("n_outliers") === 1L)
+  }
 }

@@ -223,6 +223,28 @@ class PlanSpec extends AnyFunSuite {
       s"events_funnel must not buffer per-user event lists:\n$plan")
   }
 
+  test("retention pays ONE corpus shuffle (user week-set agg) and dimension-sized rest") {
+    // The r6 regression pin: the matrix must derive from a single
+    // user-keyed corpus aggregation. Three hash exchanges total —
+    // corpus→per-user week sets (the only user_id one), the weeks²
+    // (cohort, offset) rollup, and the cohort window — anything more
+    // means a redundant corpus pass returned.
+    val plan = planOf("events_retention")
+    val userShuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userShuffles === 1,
+      s"events_retention must shuffle the corpus exactly once (on user_id), got $userShuffles:\n$plan")
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 3,
+      s"events_retention exchange budget is 3 (user agg + cell rollup + cohort window), got $hashExchanges:\n$plan")
+    // One parquet scan, pruned to the two referenced columns.
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.size === 1, s"events_retention must scan events once, got ${scans.size}:\n$plan")
+    assert(scans.head.contains("user_id") && scans.head.contains("ts") &&
+           !scans.head.contains("event_type"),
+      s"scan should prune to (user_id, ts):\n${scans.head}")
+  }
+
   test("json props parses in the scan's map stage and aggregates on one shuffle") {
     val plan = planOf("events_json_props")
     // No UDF: get_json_object is a codegen'd expression, so the whole

@@ -444,4 +444,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotIds === evs.map(_.event_id).sorted,
       "the surviving set must be exactly the distinct ingest set")
   }
+
+  test("exact 30:00 gap merges, 30:00.000001 splits — in all three sessionizer forms") {
+    // The gap contract all parity specs rest on, pinned with PLANTED
+    // boundary gaps (the real corpus has microsecond-resolution
+    // timestamps that essentially never land exactly on 1800.000000 s,
+    // so the row-for-row parity tests alone would keep passing if a
+    // Spark upgrade flipped session_window's inclusive-merge rule):
+    //  user 1: gap EXACTLY 1800.000000 s  -> one session everywhere
+    //  user 2: gap 1800.000001 s          -> two sessions everywhere
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = Timestamp.valueOf("2026-01-05 00:00:00")
+    val exactEnd = new Timestamp(t0.getTime + 1800L * 1000)
+    val overEnd = new Timestamp(t0.getTime + 1800L * 1000)
+    overEnd.setNanos(1000) // +1 microsecond past the exact gap
+    val evs = Seq(
+      Ev(1L, 10L, t0, "view", 1.0), Ev(1L, 11L, exactEnd, "view", 1.0),
+      Ev(2L, 20L, t0, "view", 1.0), Ev(2L, 21L, overEnd, "view", 1.0))
+    val df = evs.toDF()
+
+    def sessionsPerUser(rows: Array[org.apache.spark.sql.Row]): Map[Long, Int] =
+      rows.groupBy(_.getAs[Long]("user_id")).map { case (u, rs) => u -> rs.length }
+
+    // (1) lag sessionizer
+    val lagged = Events.sessionized(df, gapMinutes = 30)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(sessionsPerUser(lagged) === Map(1L -> 1, 2L -> 2),
+      s"lag sessionizer gap boundary: ${lagged.toSeq}")
+
+    // (2) batch session_window
+    val native = Streaming.sessionizeNativeStream(df).collect()
+    assert(sessionsPerUser(native) === Map(1L -> 1, 2L -> 2),
+      s"batch session_window gap boundary: ${native.toSeq}")
+    // The merged session must span both events; the split ones one each.
+    val merged = native.filter(_.getAs[Long]("user_id") == 1L)
+    assert(merged.head.getAs[Long]("n_events") === 2L)
+
+    // (3) streaming session_window
+    val input = MemoryStream[Ev]
+    input.addData(evs)
+    val flush = Ev(-1L, -1L,
+      new Timestamp(t0.getTime + 30L * 24 * 3600 * 1000), "flush", 0.0)
+    val q = Streaming.sessionizeNativeStream(
+        input.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("gap_boundary_sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(Seq(flush))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gap_boundary_sessions")
+      .where("user_id >= 0").collect()
+    assert(sessionsPerUser(streamed) === Map(1L -> 1, 2L -> 2),
+      s"streaming session_window gap boundary: ${streamed.toSeq}")
+  }
 }
