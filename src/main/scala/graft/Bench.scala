@@ -85,6 +85,44 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
     val total = results.values.collect { case Right(s) => s }.sum
+    // Median-of-attempts next to the min: min-of-3 with no warmup
+    // separation lets a co-tenant spike through unnoticed on the OTHER
+    // attempts; the median makes sustained slowness visible where the
+    // min hides it.
+    val medians: Map[String, Double] = raw.collect {
+      case (name, atts) if atts.forall(_.isRight) =>
+        val ts = atts.collect { case Right(s) => s }.sorted
+        name -> ts(ts.size / 2)
+    }
+    val mediansJson = medians.map { case (k, m) => s""""$k":${num(m, 3)}""" }
+      .mkString("{", ",", "}")
+    // Machine-visible regression check against the previous round's
+    // driver artifact (BENCH_r{N}.json in the repo root, when present):
+    // a query whose new min exceeds 1.5x its prior min is listed with
+    // both numbers, so a regression is caught by the artifact itself
+    // instead of waiting for a judge to diff rounds by hand.
+    val priorFile = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      .lastOption
+    val priorQueries: Map[String, Double] = priorFile.toSeq.flatMap { f =>
+      scala.util.Try {
+        val text = scala.io.Source.fromFile(f, "UTF-8").mkString
+        val start = text.indexOf("\"queries\":{")
+        if (start < 0) Seq.empty
+        else {
+          val body = text.substring(start + 11, text.indexOf('}', start))
+          "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        }
+      }.getOrElse(Seq.empty)
+    }.toMap
+    val regressed = results.collect {
+      case (k, Right(s))
+        if priorQueries.get(k).exists(p => p > 0 && s > 1.5 * p && s > 0.2) =>
+          s""""$k":[${num(priorQueries(k), 3)},${num(s, 3)}]"""
+    }.mkString("{", ",", "}")
+    val priorName = priorFile.map(f => s""""${f.getName}"""").getOrElse("null")
     // ONE JSON object, one line: the driver parses stdout as a single
     // JSON document, so the per-attempt arrays are nested in the summary
     // rather than emitted as a second line (round-4/5 artifacts came out
@@ -92,7 +130,7 @@ object Bench {
     // survive truncation from either end; the defenses are size (the
     // whole line is ~10 KB) and the bench_full.json side-file below.
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","attempts":$attemptsJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","medians":$mediansJson,"regressed":$regressed,"regressed_vs":$priorName,"attempts":$attemptsJson}"""
     // Belt and braces: the artifact also lands in a file next to the
     // build, immune to any stdout truncation.
     scala.util.Try {
