@@ -192,7 +192,8 @@ object SparkEntry {
     // §2.7 multimodal
     "mm_binary_pipeline"       -> (Multimodal.pipeline _),
     "mm_frame_sample"          -> (Multimodal.frameSample _),
-    "mm_corpus_audit"          -> (Multimodal.corpusAudit _)
+    "mm_corpus_audit"          -> (Multimodal.corpusAudit _),
+    "mm_phash_dedup"           -> (Multimodal.phashDedup _)
   )
 
   /** Rabin-Karp winnowing (k=8, w=4) in DuckDB SQL, shared by the
@@ -1798,6 +1799,38 @@ object SparkEntry {
         |  md5(substring(h, frame_idx * 128 + 1, 128)) AS frame_md5
         |FROM f
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // The ORACLE states the naive all-pairs Hamming theta-join; the
+    // engine runs the banded equality join (4×16-bit bands are exact
+    // for Hamming <= 3 by pigeonhole) — the hash gate pins the rewrite.
+    "mm_phash_dedup" ->
+      """WITH m0 AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, h, nb FROM m0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, '4141414141414141' || substr(h, 17), nb
+        |  FROM m0 WHERE doc_id % 10 = 0 AND nb >= 256
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, h, nb FROM m0 WHERE doc_id % 20 = 0),
+        |bits AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(substr(h,
+        |        CAST(((r.i * nb) // 64) * 2 + 1 AS INT),
+        |        CAST((((r.i + 1) * nb) // 64 - (r.i * nb) // 64) * 2 AS INT))),
+        |        1, 1) >= '8'
+        |      THEN CASE WHEN r.i = 63 THEN (-9223372036854775807 - 1)
+        |                ELSE (1::BIGINT << CAST(r.i AS INT)) END
+        |      ELSE 0 END AS contrib
+        |  FROM m, UNNEST(range(0, 64)) AS r(i)),
+        |ph AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS phash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.phash AS phash_a, b.phash AS phash_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_fingerprint" ->
       s"""$winnowSelCtes,

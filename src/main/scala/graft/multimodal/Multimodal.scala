@@ -191,6 +191,112 @@ object Multimodal {
       .orderBy(col("format"))
   }
 
+  /** 64-bit blockhash-style perceptual fingerprint of a binary payload
+    * (pHash family; Yang et al.'s blockhash is the published block-mean
+    * baseline): the payload is split into 64 equal byte regions
+    * (region i covers bytes [i·n div 64, (i+1)·n div 64)) and bit i is
+    * the top bit of the region's md5 — so an in-place edit confined to
+    * k regions flips AT MOST k bits, which is the media-edit model
+    * (pixels change in place; payload length is fixed by the format).
+    * Pure codegen'd column functions over the hex rendition (the
+    * mm_frame_sample trade: the real decode is the stubbed step,
+    * the fingerprint pipeline is the real Spark surface), closed-form
+    * so the DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale shape: one scan-fused 64-way bounded explode + one
+    * map-side-combinable doc_id aggregation — corpus-linear. */
+  private[graft] def phashesOf(media: DataFrame): DataFrame =
+    phashesFromHex(media
+      .select(col("doc_id"), hex(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("nb")))
+
+  /** [[phashesOf]] over an already-hexed (doc_id, h, nb) frame. */
+  private[graft] def phashesFromHex(media: DataFrame): DataFrame = {
+    media
+      .select(col("doc_id"), col("h"), col("nb"),
+        explode(sequence(lit(0), lit(63))).as("i"))
+      // Region substring in HEX chars: byte b = chars [2b+1, 2b+2].
+      .withColumn("startb", expr("(CAST(i AS BIGINT) * nb) div 64"))
+      .withColumn("endb", expr("((CAST(i AS BIGINT) + 1) * nb) div 64"))
+      .withColumn("bit",
+        substring(md5(expr("substring(h, startb * 2 + 1, (endb - startb) * 2)")
+          .cast("binary")), 1, 1) >= "8")
+      // Two's-complement assembly: bit 63 contributes Long.MinValue —
+      // a shiftleft(1L, 63) sum would need the same wrap, this states it.
+      .withColumn("contrib",
+        when(!col("bit"), 0L)
+          .when(col("i") === 63, lit(Long.MinValue))
+          .otherwise(expr("shiftleft(1L, i)")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("phash"))
+  }
+
+  /** Per-payload perceptual hashes of the media corpus. */
+  def phashes(spark: SparkSession, dir: String): DataFrame =
+    phashesOf(mediaTable(spark, dir).toDF())
+
+  /** The [[phashDedup]] input corpus: the media payloads plus
+    * deterministically planted companions — an EXACT copy for every
+    * 20th doc and an 8-byte in-place head edit (≤3 regions at
+    * nb ≥ 256, so Hamming ≤ 3 by construction) for every 10th — the
+    * pii_scrub / c4_filters trade: the corpus's own near-dups are
+    * edit-distance (insert/delete) text pairs, which a fixed-position
+    * media fingerprint rightly does NOT match, so the in-place
+    * media-edit regime the operator exists for is synthesized in-plan,
+    * replayed identically by the oracle. */
+  private[graft] def phashCorpusHex(spark: SparkSession, dir: String): DataFrame = {
+    val base = mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), hex(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("nb"))
+    val near = base
+      .filter(col("doc_id") % 10 === 0 && col("nb") >= 256)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("4141414141414141"), expr("substring(h, 17)")).as("h"),
+        col("nb"))
+    val exactCopy = base
+      .filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("h"), col("nb"))
+    base.unionAll(near).unionAll(exactCopy)
+  }
+
+  /** #45d mm_phash_dedup: perceptual near-duplicate MEDIA pairs — every
+    * payload pair whose [[phashesOf]] fingerprints are within Hamming
+    * distance 3 (identical payloads at 0, in-place edits confined to
+    * ≤3 regions at ≤3 by construction). The image-dedup step of a
+    * training pipeline, closing the multimodal↔dedup seam.
+    *
+    * Candidate generation is the dedup_simhash band trick made EXACT:
+    * 4 bands of 16 bits — any pair within Hamming 3 leaves at least
+    * one band untouched (pigeonhole), so the banded equality join
+    * provably finds every qualifying pair and the DuckDB oracle can
+    * state the NAIVE all-pairs Hamming join while the hash gate pins
+    * this rewrite exact (the events_interval_join pattern). Per-bucket
+    * work is quadratic in bucket size; at larger corpora you widen the
+    * bands (2×32-bit is exact for Hamming ≤ 1) or fall back to the
+    * capped rows-only dedup path — the knob is band count, the plan
+    * shape (shuffle equality join, never a cross join) is fixed. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val banded = phashesFromHex(phashCorpusHex(spark, dir))
+      .select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("phash"),
+        col("pos").as("band"), col("col").as("band_key"))
+    val left = banded.select(col("doc_id").as("doc_a"),
+      col("phash").as("phash_a"), col("band"), col("band_key"))
+    val right = banded.select(col("doc_id").as("doc_b"),
+      col("phash").as("phash_b"), col("band"), col("band_key"))
+    left.join(right, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("phash_a"), col("phash_b"),
+        graft.functions.Sketches.hamming64(col("phash_a"), col("phash_b"))
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      // A pair sharing several clean bands appears once per band.
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** #45 mm_binary_pipeline: media synthesis → batched stub decode →
     * per-doc feature presentation. The normalized float features are
     * de-normalized back to their exact integer histogram counts

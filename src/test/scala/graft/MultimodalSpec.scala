@@ -109,4 +109,52 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_empty") === ms.count(_.payload.isEmpty).toLong)
     }
   }
+
+  test("phash dedup: planted in-place near-duplicates are found with certainty") {
+    // The media-edit model: payload length fixed, bytes change in
+    // place. An edit confined to k regions flips at most k of the 64
+    // fingerprint bits, so with the Hamming<=3 gate and the exact
+    // 4-band candidate join, recall on <=3-region edits is 1.0 BY
+    // CONSTRUCTION — this pins it, plus the non-dup rejection.
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 6400 // 100 bytes per region
+    val base = Array.fill(n)(rnd.nextInt(256).toByte)
+    val exactDup = base.clone()
+    val nearDup = base.clone()
+    // Edits inside regions 2, 17 and 40 only (region r = bytes [100r, 100r+100)).
+    Seq(205, 1717, 4040, 4099).foreach(i => nearDup(i) = (nearDup(i) ^ 0x5a).toByte)
+    val unrelated = Array.fill(n)(rnd.nextInt(256).toByte)
+    val media = Seq(
+      (1L, base), (2L, exactDup), (3L, nearDup), (4L, unrelated))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.phashesOf(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs(1L) === pairs(2L), "identical payloads must collide exactly")
+    assert(java.lang.Long.bitCount(pairs(1L) ^ pairs(3L)) <= 3,
+      "a 3-region edit can flip at most 3 bits")
+    assert(java.lang.Long.bitCount(pairs(1L) ^ pairs(4L)) > 3,
+      "an unrelated payload must not land within the gate (seed-pinned)")
+  }
+
+  test("phash band join equals the naive all-pairs Hamming join on the corpus") {
+    // The exactness claim behind the DuckDB oracle's theta-join: the
+    // 4x16-bit band equality join finds EVERY pair at Hamming <= 3
+    // (pigeonhole) and the verify filter kills everything else.
+    val hashes = Multimodal.phashesFromHex(Multimodal.phashCorpusHex(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val naive = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val banded = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(banded === naive,
+      s"banded=${banded.size} naive=${naive.size} pairs diverge")
+    assert(naive.exists(_._3 == 0), "planted exact copies must pair at hamming 0")
+    assert(naive.exists(p => p._3 > 0 && p._3 <= 3),
+      "planted in-place edits must pair at 0 < hamming <= 3")
+  }
 }
