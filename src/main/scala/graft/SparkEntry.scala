@@ -258,6 +258,52 @@ object SparkEntry {
       |      CAST(concat('0x', substring(md5(key), 17, 16)) AS UBIGINT)::HUGEINT AS lo
       |    FROM (SELECT DISTINCT key FROM cells)))""".stripMargin
 
+  /** Spark's `xxhash64` of ONE long (seed 42) in DuckDB SQL — the
+    * murmur3-chain technique applied to XXH64's hashLong path: all
+    * 64-bit wrapping arithmetic on non-negative HUGEINT bit patterns
+    * (multiply split into 32-bit halves, rotl as scaled add over
+    * disjoint bits), one MATERIALIZED stage per step so DuckDB never
+    * inlines a 4-reference mul64 exponentially. Validated term-for-term
+    * against Spark 4.1.2's XxHash64 on reference values. The chain
+    * reads a relation `$fromSql` with a BIGINT `user_id` column and
+    * yields `<prefix>xx(user_id, h)` where h = hash >>> 1 (the
+    * sign-bit-masked uniform [0, 2^63) value the KMV sketch retains). */
+  private def xxhash64LongSqlChain(prefix: String, fromSql: String): String = {
+    val M = "18446744073709551616::HUGEINT"  // 2^64
+    val B32 = "4294967296::HUGEINT"          // 2^32
+    val P1 = "11400714785074694791::HUGEINT" // XXH64 PRIME64_1
+    val P2 = "14029467366897019727::HUGEINT" // PRIME64_2
+    val P3 = "1609587929392839161::HUGEINT"  // PRIME64_3
+    val P4 = "9650029242287828579::HUGEINT"  // PRIME64_4
+    def m64(x: String) = s"((($x) % $M + $M) % $M)"
+    def mul64(a: String, b: String) = m64(
+      s"(($a) % $B32) * (($b) % $B32)" +
+      s" + ((((($a) // $B32) * (($b) % $B32)" +
+      s" + (($a) % $B32) * (($b) // $B32)) % $B32) * $B32)")
+    def rotl(x: String, n: Int) = m64(
+      s"($x) * ${BigInt(1) << n}::HUGEINT + ($x) // ${BigInt(1) << (64 - n)}::HUGEINT")
+    def xor64(a: String, b: String) = s"xor(($a)::UBIGINT, ($b)::UBIGINT)::HUGEINT"
+    def shr(x: String, n: Int) = s"(($x) // ${BigInt(1) << n}::HUGEINT)"
+    // h0 = seed + PRIME64_5 + 8 = 42 + 2870177450012600261 + 8.
+    val stages = Seq(
+      mul64("h", P2), rotl("h", 31), mul64("h", P1),
+      xor64("2870177450012600311::HUGEINT", "h"),
+      rotl("h", 27), mul64("h", P1), m64(s"h + $P4"),
+      xor64("h", shr("h", 33)), mul64("h", P2),
+      xor64("h", shr("h", 29)), mul64("h", P3),
+      xor64("h", shr("h", 32)))
+    val sb = new StringBuilder(
+      s"${prefix}_s0 AS MATERIALIZED (SELECT user_id, " +
+      s"((user_id::HUGEINT % $M + $M) % $M) AS h FROM $fromSql)")
+    stages.zipWithIndex.foreach { case (st, i0) =>
+      sb.append(s",\n${prefix}_s${i0 + 1} AS MATERIALIZED " +
+        s"(SELECT user_id, $st AS h FROM ${prefix}_s$i0)")
+    }
+    sb.append(s",\n${prefix}xx AS MATERIALIZED (SELECT user_id, " +
+      s"(h // 2)::BIGINT AS h FROM ${prefix}_s${stages.length})")
+    sb.toString
+  }
+
   /** Cassandra's sign-bug Murmur3 token (Partitioners.cpp:80-180)
     * expressed in DuckDB SQL, independently cross-validating the
     * engine's CassandraMurmur3 expression under the hard gate — the
@@ -1083,6 +1129,77 @@ object SparkEntry {
         |JOIN sz sa ON sa.event_type = type_a
         |JOIN sz sb ON sb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // The KMV sketch replayed exactly: Spark's xxhash64-of-long as a
+    // HUGEINT wrap-arithmetic chain, k-smallest-distinct retention as a
+    // row_number window, the theta-sketch pair algebra as windowed
+    // order statistics — every estimate under the hard hash gate.
+    "events_user_overlap_sketch" -> {
+      val K = 256
+      val pow63 = "9.223372036854775807e18"
+      s"""WITH uid AS (SELECT DISTINCT user_id FROM events),
+        |${xxhash64LongSqlChain("ux", "uid")},
+        |dh AS (SELECT DISTINCT e.event_type, x.h
+        |  FROM events e JOIN uxxx x USING (user_id)),
+        |rk AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM dh),
+        |sk AS (SELECT event_type, h, rn FROM rk WHERE rn <= $K),
+        |szs AS (SELECT event_type, COUNT(*)::BIGINT AS nd FROM dh GROUP BY 1),
+        |est AS (SELECT a.event_type, z.nd AS n_exact,
+        |    CASE WHEN a.sz < $K THEN CAST(a.sz AS DOUBLE)
+        |         ELSE CAST(${K - 1} AS DOUBLE) / (CAST(a.hk AS DOUBLE) / $pow63)
+        |    END AS est_n
+        |  FROM (SELECT event_type, COUNT(*)::BIGINT AS sz,
+        |      MAX(CASE WHEN rn = $K THEN h END) AS hk FROM sk GROUP BY 1) a
+        |  JOIN szs z USING (event_type)),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n_exact AS n_a, b.n_exact AS n_b, a.est_n AS est_a, b.est_n AS est_b
+        |  FROM est a JOIN est b ON a.event_type < b.event_type),
+        |u AS (SELECT p.type_a, p.type_b, s.h
+        |  FROM pr p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+        |  GROUP BY 1, 2, 3),
+        |comb AS (SELECT type_a, type_b, h, rn FROM (
+        |    SELECT type_a, type_b, h,
+        |      row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        |    FROM u) WHERE rn <= $K),
+        |eu AS (SELECT c.type_a, c.type_b, g.size_u,
+        |    CASE WHEN g.size_u < $K THEN CAST(g.size_u AS DOUBLE)
+        |         ELSE CAST(${K - 1} AS DOUBLE) / (CAST(g.hmax AS DOUBLE) / $pow63)
+        |    END AS est_union,
+        |    COALESCE(r.rho, 0)::BIGINT AS rho
+        |  FROM (SELECT type_a, type_b, COUNT(*)::BIGINT AS size_u, MAX(h) AS hmax
+        |        FROM comb GROUP BY 1, 2) g
+        |  JOIN (SELECT type_a, type_b FROM pr) c USING (type_a, type_b)
+        |  LEFT JOIN (SELECT c.type_a, c.type_b, COUNT(*)::BIGINT AS rho
+        |      FROM comb c
+        |      JOIN sk sa ON sa.event_type = c.type_a AND sa.h = c.h
+        |      JOIN sk sb ON sb.event_type = c.type_b AND sb.h = c.h
+        |      GROUP BY 1, 2) r USING (type_a, type_b)),
+        |ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*)::BIGINT AS n_both
+        |  FROM ut a JOIN ut b USING (user_id)
+        |  WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+        |  COALESCE(ov.n_both, 0)::BIGINT AS n_both,
+        |  CAST(CAST(ROUND(p.est_a, 4) AS DECIMAL(10,4)) AS DOUBLE) AS est_a,
+        |  CAST(CAST(ROUND(p.est_b, 4) AS DECIMAL(10,4)) AS DOUBLE) AS est_b,
+        |  CAST(CAST(ROUND(e.est_union, 4) AS DECIMAL(10,4)) AS DOUBLE) AS est_union,
+        |  CAST(CAST(ROUND((CAST(e.rho AS DOUBLE) * e.est_union)
+        |    / CAST(e.size_u AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS est_both,
+        |  CAST((10000 * COALESCE(ov.n_both, 0))
+        |    // (p.n_a + p.n_b - COALESCE(ov.n_both, 0)) AS DOUBLE) / 10000.0 AS jaccard,
+        |  CAST((10000 * e.rho) // e.size_u AS DOUBLE) / 10000.0 AS jaccard_est,
+        |  CAST(CAST(ROUND(ABS((CAST(e.rho AS DOUBLE) * e.est_union)
+        |      / CAST(e.size_u AS DOUBLE) - CAST(COALESCE(ov.n_both, 0) AS DOUBLE))
+        |    / GREATEST(CAST(COALESCE(ov.n_both, 0) AS DOUBLE), 1.0), 4)
+        |    AS DECIMAL(10,4)) AS DOUBLE) AS rel_err
+        |FROM pr p
+        |JOIN eu e USING (type_a, type_b)
+        |LEFT JOIN ov USING (type_a, type_b)
+        |ORDER BY type_a, type_b""".stripMargin
+    },
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

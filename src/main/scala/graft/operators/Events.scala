@@ -598,9 +598,13 @@ object Events {
     * k| gives Ĵ = ρ/k and ∩̂ = Ĵ·∪̂ (the theta-sketch composition).
     * Below capacity the sketch IS the distinct hash set and every
     * estimate degrades to exact. KMV retention is an order-independent
-    * fold, so the whole output is repartition-proof (spec-pinned).
-    * Rows-only: the exact baseline #32o carries the oracle; this
-    * output self-audits with exact counts + relative errors. */
+    * fold, so the whole output is repartition-proof (spec-pinned) —
+    * and fully DETERMINISTIC given xxhash64, so unlike HLL this sketch
+    * sits under the HARD hash gate: the DuckDB oracle replays Spark's
+    * xxhash64-of-long in staged HUGEINT wrap arithmetic (the murmur3
+    * chain precedent) and the k-smallest retention as a row_number
+    * window, matching every estimate bit-for-bit. The output still
+    * self-audits with exact counts + relative errors. */
   def userOverlapSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     val pow63 = 9.223372036854775807e18
     val hashed = Tables.events(spark, dir)
@@ -630,9 +634,11 @@ object Events {
             (element_at(col("comb"), col("size_u")).cast("double") / pow63)))
       .withColumn("rho",
         size(array_intersect(array_intersect(col("comb"), col("kh_a")), col("kh_b"))))
-      .withColumn("jaccard_est",
-        col("rho").cast("double") / col("size_u").cast("double"))
-      .withColumn("est_both", col("jaccard_est") * col("est_union"))
+      // Pinned IEEE sequence (rho·û)/|comb|: below capacity û = |comb|
+      // so the divide cancels exactly and est_both degrades to the
+      // exact integer intersection.
+      .withColumn("est_both",
+        (col("rho").cast("double") * col("est_union")) / col("size_u").cast("double"))
     // Exact intersections for the self-audit (the #32o relation).
     val exact = {
       val ut = Tables.events(spark, dir)
@@ -647,9 +653,15 @@ object Events {
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
         d4(col("est_a")).as("est_a"), d4(col("est_b")).as("est_b"),
         d4(col("est_union")).as("est_union"), d4(col("est_both")).as("est_both"),
-        d4(col("n_both").cast("double") /
-          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"),
-        d4(col("jaccard_est")).as("jaccard_est"),
+        // FLOOR-x10000 divides, not d4: both ratios have SMALL-INTEGER
+        // denominators (|union| for jaccard, |comb| ≤ k for
+        // jaccard_est), where an exact ratio can land ON the 4-decimal
+        // rounding boundary (x/256 does for x ≡ 8 mod 16) and the
+        // engines legitimately round apart — the cohort_ltv lesson.
+        (expr("(10000 * n_both) div (n_a + n_b - n_both)").cast("double") /
+          lit(10000.0)).as("jaccard"),
+        (expr("(10000 * rho) div size_u").cast("double") /
+          lit(10000.0)).as("jaccard_est"),
         d4(abs(col("est_both") - col("n_both").cast("double")) /
           greatest(col("n_both").cast("double"), lit(1.0))).as("rel_err"))
       .orderBy(col("type_a"), col("type_b"))
