@@ -67,7 +67,8 @@ object KeyedWriter {
 object KeyedSink {
 
   /** Per-run statistics, matching the reference's end-of-run printf
-    * (Cassandra2Aerospike.cpp do_transfer). */
+    * (Cassandra2Aerospike.cpp do_transfer). Componentwise [[WriteStats.add]]
+    * accumulates per-micro-batch stats in the streaming export. */
   case class WriteStats(
       incoming: Long, written: Long, skippedExisting: Long, expired: Long,
       // Cells whose winning version was a cell-tombstone, dropped before
@@ -83,7 +84,14 @@ object KeyedSink {
       // Spark's committer is transactional — and populated by
       // [[createOnlyForeach]] from the KeyedWriter outcomes.
       failed: Long = 0L,
-      retried: Long = 0L)
+      retried: Long = 0L) {
+    def add(o: WriteStats): WriteStats = WriteStats(
+      incoming + o.incoming, written + o.written,
+      skippedExisting + o.skippedExisting, expired + o.expired,
+      deletedDropped + o.deletedDropped,
+      skippedUnchanged + o.skippedUnchanged,
+      failed + o.failed, retried + o.retried)
+  }
 
   case class TtlPolicy(
       minTtlUs: Long = 0L,
@@ -260,5 +268,33 @@ object KeyedSink {
       incoming = totals.map(_._1).sum, written = totals.map(_._2).sum,
       skippedExisting = totals.map(_._3).sum, expired = totals.map(_._4).sum,
       failed = totals.map(_._5).sum, retried = totals.map(_._6).sum)
+  }
+
+  /** The STREAMING create-only export — the reference's continuous
+    * catch-up analog beside `-W`: attach [[StreamingExport.writeBatch]]
+    * as a `writeStream.foreachBatch` sink and every micro-batch runs
+    * the same [[createOnlyForeach]] pipeline (TTL policy, store-enforced
+    * create-only, bounded retries, per-partition accounting), with the
+    * exported/existing/expired/failed/retried totals ACCUMULATED across
+    * micro-batches. A key that landed in an earlier batch re-offered in
+    * a later one reports AlreadyExists from the store — cross-batch
+    * create-only needs no Spark state, the target IS the state, which
+    * is exactly why the whole-run totals match a one-shot batch export
+    * of the same data (spec-pinned). Driver-side accumulation: the
+    * per-batch stats are a handful of longs and foreachBatch runs on
+    * the driver, so a plain atomic fold is the correct scale shape. */
+  final class StreamingExport(
+      writer: KeyedWriter,
+      policy: Option[TtlPolicy] = None) extends Serializable {
+    private val acc = new java.util.concurrent.atomic.AtomicReference(
+      WriteStats(0L, 0L, 0L, 0L))
+    /** Totals over every micro-batch processed so far. */
+    def stats: WriteStats = acc.get()
+    /** The foreachBatch sink function. */
+    def writeBatch(batch: org.apache.spark.sql.Dataset[Row], batchId: Long): Unit = {
+      val s = createOnlyForeach(batch.sparkSession, batch.toDF(), writer, policy)
+      acc.getAndUpdate(t => t.add(s))
+      ()
+    }
   }
 }

@@ -149,6 +149,47 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(KeyedSinkSpec.store.keySet === Set("a"),
       "expired and pre-flight-existing rows never reach the writer")
   }
+
+  test("streaming export accumulates across micro-batches and matches the batch path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val now = 1000000L
+    val batch1 = Seq(
+      KeyedSinkSpec.Rec("a", 1L, None, 0L),               // clean
+      KeyedSinkSpec.Rec("b", 2L, None, 0L),               // fails once, retried, lands
+      KeyedSinkSpec.Rec("e", 5L, Some(now - 1L), 100L))   // expired
+    val batch2 = Seq(
+      KeyedSinkSpec.Rec("a", 9L, None, 0L),               // cross-batch re-offer -> exists
+      KeyedSinkSpec.Rec("c", 3L, None, 0L),               // clean
+      KeyedSinkSpec.Rec("f", 6L, None, 0L),               // fails forever -> failed
+      KeyedSinkSpec.Rec("g", 7L, Some(now - 5L), 100L))   // expired
+    val inject = Map("b" -> 1, "f" -> Int.MaxValue)
+    val policy = Some(TtlPolicy(nowUs = now))
+    val want = WriteStats(7, 3, 1, 2, failed = 1, retried = 3)
+
+    // Stream: two real micro-batches through foreachBatch.
+    KeyedSinkSpec.store.clear(); KeyedSinkSpec.attempts.clear()
+    val input = MemoryStream[KeyedSinkSpec.Rec]
+    val export = new KeyedSink.StreamingExport(
+      new KeyedSinkSpec.MemoryStoreWriter(failKeysFirstN = inject), policy)
+    val q = input.toDF().writeStream.foreachBatch(export.writeBatch _).start()
+    input.addData(batch1); q.processAllAvailable()
+    input.addData(batch2); q.processAllAvailable()
+    q.stop()
+    assert(export.stats === want, s"streamed totals: ${export.stats}")
+    assert(KeyedSinkSpec.store.get("a").contains(1L),
+      "cross-batch create-only: the batch-1 value survives the batch-2 re-offer")
+    assert(KeyedSinkSpec.store.keySet === Set("a", "b", "c"))
+
+    // Batch path over the SAME data against a fresh store: identical totals.
+    KeyedSinkSpec.store.clear(); KeyedSinkSpec.attempts.clear()
+    val s = KeyedSink.createOnlyForeach(spark, (batch1 ++ batch2).toDF(),
+      new KeyedSinkSpec.MemoryStoreWriter(failKeysFirstN = inject), policy)
+    assert(s === want, s"batch totals: $s")
+    assert(KeyedSinkSpec.store.keySet === Set("a", "b", "c"))
+  }
 }
 
 /** Executor-side state for the pluggable-writer tests. Static (per-JVM)
@@ -156,6 +197,9 @@ class KeyedSinkSpec extends AnyFunSuite {
   * every partition shares the JVM. */
 object KeyedSinkSpec {
   import scala.collection.concurrent.TrieMap
+
+  /** Typed record for the MemoryStream in the streaming-export spec. */
+  case class Rec(key: String, value: Long, expiry_us: Option[Long], ttl_us: Long)
   val store: TrieMap[String, Long] = TrieMap.empty
   val attempts: TrieMap[String, Int] = TrieMap.empty
 
