@@ -437,4 +437,74 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected exactly the cluster-rollup exchange, saw $exchanges:\n$plan")
   }
+
+  test("every query respects its pinned exchange budget (the plan-regression gate)") {
+    // Pinned from graft.ExchangeBudgetMain (same pre-AQE plan string,
+    // same iteration order): the number of `Exchange hashpartitioning`
+    // operators each query is ALLOWED to plan. An edit that adds a
+    // shuffle now fails here instead of waiting for a judge to diff
+    // bench artifacts. Budgets are upper bounds: session-memoized
+    // checkpoints (dedup/text families) can only REMOVE exchanges once
+    // materialized, never add them. After a deliberate plan change,
+    // re-run `sbt "Test/runMain graft.ExchangeBudgetMain"` and update
+    // the row, stating why in the commit.
+    val budgets: Map[String, Int] = Map(
+    "ann_bruteforce_topk" -> 1, "ann_filtered_topk" -> 1, "ann_ivf_topk" -> 6,
+    "ann_lsh_topk" -> 8, "ann_pq_topk" -> 6, "ann_range_search" -> 0,
+    "anti_semi_join" -> 0, "approx_distinct" -> 2, "balance_matrix" -> 2,
+    "basket_pairs" -> 7, "brand_cheapest" -> 1, "cohort_ltv" -> 5,
+    "corpus_mix" -> 2, "cube_agg" -> 1, "curation_report" -> 2,
+    "dedup_clusters" -> 0, "dedup_clusters_star" -> 0, "dedup_embedding" -> 1,
+    "dedup_exact" -> 1, "dedup_minhash_lsh" -> 2, "dedup_ngram_jaccard" -> 0,
+    "dedup_simhash" -> 2, "dedup_substring" -> 0, "dedup_survivors" -> 0,
+    "distinct_agg" -> 2, "emb_dim_stats" -> 1, "emb_kmeans" -> 1,
+    "emb_outliers" -> 2, "emb_pca" -> 0, "emb_pca_project" -> 0,
+    "emb_quantize" -> 0, "emb_similarity_hist" -> 1, "events_activity_islands" -> 4,
+    "events_asof_join" -> 2, "events_asof_next" -> 2, "events_asof_prev" -> 1,
+    "events_autocorr" -> 8, "events_burstiness" -> 2, "events_conversion_lag" -> 3,
+    "events_cusum" -> 4, "events_dau_mau" -> 6, "events_ewma" -> 2,
+    "events_funnel" -> 1, "events_growth_curve" -> 4, "events_heatmap" -> 2,
+    "events_hhi" -> 2, "events_hopping_agg" -> 2, "events_interarrival" -> 2,
+    "events_interval_join" -> 2, "events_json_props" -> 1, "events_mad_outliers" -> 4,
+    "events_moving_avg" -> 1, "events_retention" -> 3, "events_sequences" -> 2,
+    "events_session_mix" -> 3, "events_session_stats" -> 4, "events_sessionize" -> 1,
+    "events_sessionize_native" -> 1, "events_transitions" -> 3, "events_user_overlap" -> 7,
+    "events_user_overlap_sketch" -> 8, "events_value_hist" -> 1, "events_weekend_contrast" -> 2,
+    "events_windowed_agg" -> 2, "events_winsorized" -> 7, "events_zscore_outliers" -> 1,
+    "grouping_sets_agg" -> 1, "kv_byte_ordered_scan" -> 1, "kv_counter_merge" -> 1,
+    "kv_create_only" -> 1, "kv_dry_run_format" -> 1, "kv_export_stats" -> 1,
+    "kv_generations_merge" -> 2, "kv_long_key_tokens" -> 1, "kv_lww_latest" -> 1,
+    "kv_prohibit_eternal" -> 0, "kv_random_resume_scan" -> 1, "kv_random_token_distribution" -> 2,
+    "kv_range_tombstone" -> 2, "kv_record_ttl" -> 1, "kv_resume_scan" -> 1,
+    "kv_token_distribution" -> 2, "kv_token_range_scan" -> 1, "kv_tombstone_merge" -> 2,
+    "kv_ttl_expiry" -> 0, "mm_binary_pipeline" -> 0, "mm_corpus_audit" -> 1,
+    "mm_frame_sample" -> 0, "mm_phash_dedup" -> 2, "nation_year_growth" -> 2,
+    "order_cadence" -> 2, "orders_seasonality" -> 4, "pivot_manual" -> 1,
+    "q10_returned_items" -> 1, "q13_customer_distribution" -> 2, "q14_promo_revenue" -> 0,
+    "q15_top_supplier" -> 2, "q17_small_qty_revenue" -> 1, "q18_large_orders" -> 2,
+    "q19_discounted_revenue" -> 0, "q1_pricing_summary" -> 1, "q21_late_suppliers" -> 3,
+    "q22_no_order_customers" -> 1, "q3_shipping_priority" -> 1, "q4_order_priority" -> 1,
+    "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0, "q7_nation_volume" -> 1,
+    "q8_market_share" -> 1, "quantile_agg" -> 10, "quantile_sketch" -> 11,
+    "rfm_scores" -> 9, "rollup_agg" -> 1, "running_total" -> 1,
+    "sample_stratified" -> 1, "sample_temperature" -> 2, "set_ops" -> 2,
+    "ship_latency" -> 1, "spend_deciles" -> 9, "supplier_concentration" -> 1,
+    "supplier_dominance" -> 2, "table_profile" -> 1, "text_bpe_encode" -> 1,
+    "text_bpe_train" -> 0, "text_c4_filters" -> 0, "text_collocations" -> 2,
+    "text_decontaminate" -> 2, "text_decontaminate_bloom" -> 2, "text_fingerprint" -> 0,
+    "text_lang_mix" -> 3, "text_langid" -> 0, "text_len_hist" -> 2,
+    "text_pii_scrub" -> 0, "text_quality" -> 0, "text_readability" -> 0,
+    "text_repetition" -> 3, "text_seq_packing" -> 2, "text_shard_plan" -> 4,
+    "text_tfidf" -> 4, "text_token_stats" -> 0, "text_vocab" -> 0,
+    "text_vocab_sketch" -> 0, "topk_per_group" -> 1)
+    assert(budgets.keySet === SparkEntry.queries.keySet,
+      s"budget table out of sync with the query surface: " +
+      s"missing=${SparkEntry.queries.keySet -- budgets.keySet} " +
+      s"stale=${budgets.keySet -- SparkEntry.queries.keySet}")
+    val over = SparkEntry.queries.keys.toSeq.flatMap { q =>
+      val n = planOf(q).linesIterator.count(_.contains("Exchange hashpartitioning"))
+      if (n > budgets(q)) Some(s"$q: $n > budget ${budgets(q)}") else None
+    }
+    assert(over.isEmpty, s"exchange budgets exceeded:\n${over.mkString("\n")}")
+  }
 }
