@@ -109,7 +109,10 @@ object Bench {
       scala.util.Try {
         val text = scala.io.Source.fromFile(f, "UTF-8").mkString
         val start = text.indexOf("\"queries\":{")
-        if (start < 0) Seq.empty
+        // Compare only like with like: a prior artifact from a different
+        // scale factor would list every query as regressed (or improved).
+        val priorSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+        if (start < 0 || !priorSf.contains(sfDir)) Seq.empty
         else {
           val body = text.substring(start + 11, text.indexOf('}', start))
           "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)

@@ -604,26 +604,43 @@ object Events {
     * xxhash64-of-long in staged HUGEINT wrap arithmetic (the murmur3
     * chain precedent) and the k-smallest retention as a row_number
     * window, matching every estimate bit-for-bit. The output still
-    * self-audits with exact counts + relative errors. */
-  def userOverlapSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    * self-audits with exact counts + relative errors.
+    *
+    * `audit = false` is the 100 TB default: the driver entry keeps the
+    * always-on exact self-audit (exact countDistinct + the #32o exact
+    * self-join every run — fine at verification scale, wrong as a
+    * production default where the sketch exists precisely to avoid
+    * those passes), the off-switch drops every exact column and the
+    * plan touches the corpus exactly ONCE (PlanSpec-pinned). */
+  def userOverlapSketch(spark: SparkSession, dir: String, k: Int = 256,
+      audit: Boolean = true): DataFrame = {
     val pow63 = 9.223372036854775807e18
     val hashed = Tables.events(spark, dir)
       .select(col("event_type"),
         shiftrightunsigned(xxhash64(col("user_id")), 1).as("h"))
+    val aggs =
+      graft.functions.KmvSketch.kmvSketch(col("h"), k).as("kh") +:
+      // Exact distinct audiences ride along only under the audit; at
+      // real scale this column is the one you drop (or HLL).
+      (if (audit) Seq(countDistinct(col("h")).as("n_exact")) else Seq.empty)
     val sk = hashed.groupBy(col("event_type"))
-      .agg(
-        graft.functions.KmvSketch.kmvSketch(col("h"), k).as("kh"),
-        // Exact distinct audiences ride along as the self-audit; at
-        // real scale this column is the one you'd drop (or HLL).
-        countDistinct(col("h")).as("n_exact"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("est_n",
         when(size(col("kh")) < k, size(col("kh")).cast("double"))
           .otherwise(lit((k - 1).toDouble) /
             (element_at(col("kh"), k).cast("double") / pow63)))
-    val a = sk.select(col("event_type").as("type_a"), col("kh").as("kh_a"),
-      col("n_exact").as("n_a"), col("est_n").as("est_a"))
-    val b = sk.select(col("event_type").as("type_b"), col("kh").as("kh_b"),
-      col("n_exact").as("n_b"), col("est_n").as("est_b"))
+    val a = if (audit)
+      sk.select(col("event_type").as("type_a"), col("kh").as("kh_a"),
+        col("n_exact").as("n_a"), col("est_n").as("est_a"))
+    else
+      sk.select(col("event_type").as("type_a"), col("kh").as("kh_a"),
+        col("est_n").as("est_a"))
+    val b = if (audit)
+      sk.select(col("event_type").as("type_b"), col("kh").as("kh_b"),
+        col("n_exact").as("n_b"), col("est_n").as("est_b"))
+    else
+      sk.select(col("event_type").as("type_b"), col("kh").as("kh_b"),
+        col("est_n").as("est_b"))
     val merged = a.crossJoin(broadcast(b))
       .filter(col("type_a") < col("type_b"))
       .withColumn("comb", slice(array_sort(array_union(col("kh_a"), col("kh_b"))), 1, k))
@@ -639,6 +656,15 @@ object Events {
       // exact integer intersection.
       .withColumn("est_both",
         (col("rho").cast("double") * col("est_union")) / col("size_u").cast("double"))
+    if (!audit) {
+      // Production shape: estimates only, corpus touched exactly once.
+      return merged.select(col("type_a"), col("type_b"),
+        d4(col("est_a")).as("est_a"), d4(col("est_b")).as("est_b"),
+        d4(col("est_union")).as("est_union"), d4(col("est_both")).as("est_both"),
+        (expr("(10000 * rho) div size_u").cast("double") /
+          lit(10000.0)).as("jaccard_est"))
+        .orderBy(col("type_a"), col("type_b"))
+    }
     // Exact intersections for the self-audit (the #32o relation).
     val exact = {
       val ut = Tables.events(spark, dir)

@@ -340,6 +340,40 @@ class EventsSpec extends AnyFunSuite {
     assert(est.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("user overlap sketch no-audit mode: same estimates, corpus touched once") {
+    // The 100 TB off-switch: estimates must be IDENTICAL to the audited
+    // run's estimate columns (the audit only rides alongside, never
+    // feeds the sketch), and the plan must scan the events corpus
+    // exactly once with no multi-distinct Expand.
+    val audited = Events.userOverlapSketch(spark, sf, k = 32).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+         r.getAs[Double]("est_union"), r.getAs[Double]("est_both"),
+         r.getAs[Double]("jaccard_est"))).toMap
+    val df = Events.userOverlapSketch(spark, sf, k = 32, audit = false)
+    val bare = df.collect()
+    assert(bare.map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+      (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+       r.getAs[Double]("est_union"), r.getAs[Double]("est_both"),
+       r.getAs[Double]("jaccard_est"))).toMap === audited)
+    assert(!bare.head.schema.fieldNames.contains("n_both"),
+      "no exact columns in the production shape")
+    // Executed (AQE-final) plan: the a/b sketch sides share one
+    // canonically-equal aggregation exchange, so after exchange reuse
+    // the corpus is scanned exactly once.
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet"))
+    assert(scans === 1, s"no-audit sketch must scan events once, got $scans:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"no multi-distinct Expand without the audit:\n$plan")
+  }
+
   test("heatmap cells tile the corpus: counts sum to the event count") {
     val rows = Events.heatmap(spark, sf).collect()
     val total = graft.sources.Tables.events(spark, sf).count()
