@@ -304,6 +304,49 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The BPE trainer (Bpe.runTraining) replayed token-for-token in
+    * DuckDB SQL: `nMerges` UNROLLED rounds (the loop's argmax feeds the
+    * next round, which no single recursive CTE expresses — aggregation
+    * over the recursive reference is prohibited — but a static chain
+    * states each round explicitly, the murmur3-chain technique applied
+    * to an iterative trainer). Per round: adjacent-pair counts from an
+    * UNNEST over each word's symbol list, the (cnt DESC, a, b) argmax
+    * via ORDER BY ... LIMIT 1 (binary collation = Spark's string
+    * order), and the leftmost-first greedy merge as ONE non-overlapping
+    * string replace over the \\x1F-wrapped symbol string (replace scans
+    * left to right past each substitution — exactly the fold semantics
+    * of Bpe.mergePair: "aaa" + (a,a) → ["aa","a"]). A guard CTE
+    * error()s if any corpus word contains the \\x1F separator, so a
+    * collision fails loudly instead of diverging. Validated against an
+    * independent Python replay before wiring. */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val parts = new StringBuilder(
+      """toks AS (SELECT unnest(regexp_extract_all(lower(text),
+        |  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS word FROM documents),
+        |wf AS (SELECT CASE WHEN strpos(word, chr(31)) > 0
+        |    THEN error('bpe oracle: separator collision') ELSE word END AS word,
+        |  COUNT(*)::BIGINT AS freq FROM toks WHERE length(word) <= 64 GROUP BY 1),
+        |w1 AS MATERIALIZED (SELECT freq,
+        |  list_append(regexp_extract_all(word, '.'), '</w>') AS syms FROM wf)""".stripMargin)
+    (1 to nMerges).foreach { r =>
+      parts.append(s""",
+        |p$r AS (SELECT syms[u.i] AS a, syms[u.i + 1] AS b, SUM(freq)::BIGINT AS cnt
+        |  FROM w$r, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        |w${r + 1} AS MATERIALIZED (SELECT freq,
+        |  CASE WHEN m.a IS NULL THEN syms ELSE
+        |    string_split(trim(replace(
+        |      chr(31) || array_to_string(syms, chr(31) || chr(31)) || chr(31),
+        |      chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+        |      chr(31) || m.a || m.b || chr(31)), chr(31)), chr(31) || chr(31)) END AS syms
+        |  FROM w$r LEFT JOIN m$r m ON TRUE)""".stripMargin)
+    }
+    val union = (1 to nMerges).map(r =>
+      s"""SELECT CAST($r AS INT) AS rank, a AS "left", b AS "right", """ +
+      s"a || b AS merged, cnt AS pair_count FROM m$r").mkString(" UNION ALL ")
+    s"WITH ${parts.toString}\nSELECT * FROM ($union) ORDER BY rank"
+  }
+
   /** Cassandra's sign-bug Murmur3 token (Partitioners.cpp:80-180)
     * expressed in DuckDB SQL, independently cross-validating the
     * engine's CassandraMurmur3 expression under the hard gate — the
@@ -466,7 +509,8 @@ object SparkEntry {
     * text_decontaminate through a bloom prefilter, so it shares that
     * oracle verbatim (appended after the literal below). */
   def oracleSql: Map[String, String] = oracleSqlBase +
-    ("text_decontaminate_bloom" -> oracleSqlBase("text_decontaminate"))
+    ("text_decontaminate_bloom" -> oracleSqlBase("text_decontaminate")) +
+    ("text_bpe_train" -> bpeTrainOracleSql(25))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -10,20 +10,51 @@ while the oracle comes from duckdb .df() (DECIMAL -> float64). So any
 DECIMAL or array/struct column in a query output fails here, as it
 would in the driver.
 
-Usage: check_oracle.py <sfdir> <verify_out_dir>
+Usage: check_oracle.py <sfdir> <verify_out_dir> [--timeout=SECONDS]
+
+--timeout (off by default; the driver never passes it) is the
+scale-evidence mode: several oracles deliberately state the NAIVE
+formulation (all-pairs theta-joins, uncapped inverted-index self-joins)
+that the engine's rewrite replaces — at 10x data those are infeasible
+in DuckDB by construction (that is the point of the rewrite), so each
+oracle gets a watchdog that interrupts it and reports TIMEOUT as a
+separate (non-failing) category, and DuckDB's spill is capped so a
+quadratic plan cannot fill the disk.
 """
-import json, sys, glob
+import json, sys, glob, threading
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+timeout = None
+for a in sys.argv[3:]:
+    if a.startswith("--timeout="):
+        timeout = float(a.split("=", 1)[1])
 con = duckdb.connect()
+if timeout is not None:
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size='20GiB'")
+    con.execute("SET memory_limit='40GiB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
+
+def run_sql(sql):
+    """Run one oracle; under --timeout interrupt it from a watchdog."""
+    if timeout is None:
+        return con.sql(sql).df()
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df()
+    finally:
+        timer.cancel()
+
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
+timeouts = []
 for name in sorted(oracle):
     sql = oracle[name]
     files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -34,8 +65,23 @@ for name in sorted(oracle):
     try:
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)],
                         ignore_index=True)
-        exp = con.sql(sql).df()
+        exp = run_sql(sql)
+    except (duckdb.InterruptException, RuntimeError) as e:
+        if timeout is not None and ("INTERRUPT" in str(e).upper()
+                                    or isinstance(e, duckdb.InterruptException)):
+            print(f"TIMEOUT {name}: naive oracle formulation infeasible "
+                  f"at this scale (> {timeout:.0f}s)")
+            timeouts.append(name)
+            continue
+        print(f"FAIL {name}: {e}")
+        fail += 1
+        continue
     except Exception as e:
+        if timeout is not None and "INTERRUPT" in str(e).upper():
+            print(f"TIMEOUT {name}: naive oracle formulation infeasible "
+                  f"at this scale (> {timeout:.0f}s)")
+            timeouts.append(name)
+            continue
         print(f"FAIL {name}: {e}")
         fail += 1
         continue
@@ -63,10 +109,13 @@ for name in sorted(oracle):
         print("  exp:", es[diff].head(3).to_dict("records"))
         fail += 1
         continue
-    # dtype check (schema-ish)
+    # dtype check (schema-ish; relation types are planned, not executed)
     gt = [str(t) for t in con.sql(f"SELECT * FROM read_parquet({files!r})").types]
     et = [str(t) for t in con.sql(sql).types]
     flag = "" if sorted(gt) == sorted(et) else f"  [type diff: {gt} vs {et}]"
     print(f"OK   {name}: {len(got)} rows{flag}")
-print(f"\n{len(oracle) - fail}/{len(oracle)} oracle queries match")
+checked = len(oracle) - len(timeouts)
+print(f"\n{checked - fail}/{checked} oracle queries match"
+      + (f" ({len(timeouts)} naive oracles timed out: {timeouts})"
+         if timeouts else ""))
 sys.exit(1 if fail else 0)
