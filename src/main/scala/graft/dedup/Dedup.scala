@@ -248,14 +248,20 @@ object Dedup {
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
 
-    // No forced broadcast on the size frame: it carries one row per doc
-    // with any retained shingle — corpus-cardinality at 100 TB, exactly
-    // the shape a hardcoded hint drives into the broadcast wall. The
-    // pair side is capped and tiny, so AQE picks the broadcast (of
-    // whichever side fits) on its own at any SF.
+    // SORT-MERGE, pinned: BOTH sides of this join grow with the corpus
+    // — sizes is one row per doc, and the co-pair frame is Σ df·(df−1)/2
+    // over the capped shingles, which scales QUADRATICALLY in df until
+    // the cap bites (measured: 1.5M rows at sf0.1 → 125M at sf1 on a
+    // saturated shingle space). Leaving the choice to stats/AQE planned
+    // a broadcast of the pair side from a pre-explode underestimate and
+    // OOM'd the 10× run (the r7 sf1 finding); a broadcast of sizes
+    // instead would hit the wall at corpus cardinality. Big-big ⇒ SMJ
+    // is the only strategy that holds at every scale.
     coCounts
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+        .hint("merge"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+        .hint("merge"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
