@@ -319,7 +319,7 @@ object SparkEntry {
     * error()s if any corpus word contains the \\x1F separator, so a
     * collision fails loudly instead of diverging. Validated against an
     * independent Python replay before wiring. */
-  private def bpeTrainOracleSql(nMerges: Int): String = {
+  private def bpeChainCtes(nMerges: Int): String = {
     val parts = new StringBuilder(
       """toks AS (SELECT unnest(regexp_extract_all(lower(text),
         |  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS word FROM documents),
@@ -341,10 +341,57 @@ object SparkEntry {
         |      chr(31) || m.a || m.b || chr(31)), chr(31)), chr(31) || chr(31)) END AS syms
         |  FROM w$r LEFT JOIN m$r m ON TRUE)""".stripMargin)
     }
+    parts.toString
+  }
+
+  private def bpeTrainOracleSql(nMerges: Int): String = {
     val union = (1 to nMerges).map(r =>
       s"""SELECT CAST($r AS INT) AS rank, a AS "left", b AS "right", """ +
       s"a || b AS merged, cnt AS pair_count FROM m$r").mkString(" UNION ALL ")
-    s"WITH ${parts.toString}\nSELECT * FROM ($union) ORDER BY rank"
+    s"WITH ${bpeChainCtes(nMerges)}\nSELECT * FROM ($union) ORDER BY rank"
+  }
+
+  /** The APPLY side under the same gate: rank-greedy encode ==
+    * applying the learned merges in RANK ORDER, one non-overlapping
+    * left-to-right replace per rank (the standard BPE equivalence — a
+    * pair learned at rank r is built from tokens that exist before any
+    * later merge, so finishing rank r's pass makes its pair
+    * unrecreatable by rank r' > r, and within one pass the replacement
+    * token sits between the joined neighbors so the pair cannot bridge
+    * its own edit). Encodes the DISTINCT word table (every word — the
+    * encode side has no 64-char training cap) and joins the per-word
+    * token counts back onto each doc's pre-token explode. */
+  private def bpeEncodeOracleSql(nMerges: Int): String = {
+    val parts = new StringBuilder(bpeChainCtes(nMerges))
+    parts.append(s""",
+      |docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+      |  '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents),
+      |enc0 AS MATERIALIZED (SELECT word,
+      |  chr(31) || array_to_string(list_append(regexp_extract_all(
+      |    CASE WHEN strpos(word, chr(31)) > 0
+      |      THEN error('bpe oracle: separator collision') ELSE word END,
+      |    '.'), '</w>'), chr(31) || chr(31)) || chr(31) AS s
+      |  FROM (SELECT DISTINCT word FROM docw))""".stripMargin)
+    (1 to nMerges).foreach { r =>
+      parts.append(s""",
+        |enc$r AS MATERIALIZED (SELECT word,
+        |  CASE WHEN m.a IS NULL THEN s ELSE replace(s,
+        |    chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+        |    chr(31) || m.a || m.b || chr(31)) END AS s
+        |  FROM enc${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin)
+    }
+    parts.append(s""",
+      |encf AS (SELECT word,
+      |  string_split(trim(s, chr(31)), chr(31) || chr(31)) AS bpe_toks
+      |  FROM enc$nMerges)
+      |SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+      |  SUM(len(bpe_toks))::BIGINT AS n_bpe_tokens,
+      |  SUM(length(word))::BIGINT AS n_chars,
+      |  MIN(CASE WHEN array_to_string(bpe_toks, '') = word || '</w>'
+      |      THEN 1 ELSE 0 END) AS lossless
+      |FROM docw JOIN encf USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    s"WITH ${parts.toString}"
   }
 
   /** Cassandra's sign-bug Murmur3 token (Partitioners.cpp:80-180)
@@ -510,7 +557,8 @@ object SparkEntry {
     * oracle verbatim (appended after the literal below). */
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("text_decontaminate_bloom" -> oracleSqlBase("text_decontaminate")) +
-    ("text_bpe_train" -> bpeTrainOracleSql(25))
+    ("text_bpe_train" -> bpeTrainOracleSql(25)) +
+    ("text_bpe_encode" -> bpeEncodeOracleSql(25))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
