@@ -193,7 +193,9 @@ object SparkEntry {
     "mm_binary_pipeline"       -> (Multimodal.pipeline _),
     "mm_frame_sample"          -> (Multimodal.frameSample _),
     "mm_corpus_audit"          -> (Multimodal.corpusAudit _),
-    "mm_phash_dedup"           -> (Multimodal.phashDedup _)
+    "mm_phash_dedup"           -> (Multimodal.phashDedup _),
+    "mm_phash_clusters"        -> (Multimodal.phashClusters _),
+    "mm_phash_survivors"       -> (Multimodal.phashSurvivors _)
   )
 
   /** Rabin-Karp winnowing (k=8, w=4) in DuckDB SQL, shared by the
@@ -393,6 +395,41 @@ object SparkEntry {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     s"WITH ${parts.toString}"
   }
+
+  /** The phash media-dedup pair CTEs (companion-augmented corpus →
+    * 64-bit blockhash → naive all-pairs Hamming ≤ 3), shared by the
+    * mm_phash_dedup / mm_phash_clusters / mm_phash_survivors oracles —
+    * one definition so the three stages can never drift. */
+  private val PhashPairCtes: String =
+    """m0 AS (SELECT CASE WHEN doc_id >= 10000000
+      |    THEN error('mm_phash_dedup: doc_id collides with the companion id space')
+      |    ELSE doc_id END AS doc_id,
+      |    hex(encode(text)) AS h,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, h, nb FROM m0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, '4141414141414141' || substr(h, 17), nb
+      |  FROM m0 WHERE doc_id % 10 = 0 AND nb >= 256
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, h, nb FROM m0 WHERE doc_id % 20 = 0),
+      |bits AS (SELECT doc_id,
+      |    CASE WHEN substr(md5(substr(h,
+      |        CAST(((r.i * nb) // 64) * 2 + 1 AS INT),
+      |        CAST((((r.i + 1) * nb) // 64 - (r.i * nb) // 64) * 2 AS INT))),
+      |        1, 1) >= '8'
+      |      THEN CASE WHEN r.i = 63 THEN (-9223372036854775807 - 1)
+      |                ELSE (1::BIGINT << CAST(r.i AS INT)) END
+      |      ELSE 0 END AS contrib
+      |  FROM m, UNNEST(range(0, 64)) AS r(i)),
+      |ph AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS phash
+      |  FROM bits GROUP BY 1),
+      |ppairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.phash AS phash_a, b.phash AS phash_b,
+      |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= 3)""".stripMargin
 
   /** Cassandra's sign-bug Murmur3 token (Partitioners.cpp:80-180)
     * expressed in DuckDB SQL, independently cross-validating the
@@ -2013,33 +2050,39 @@ object SparkEntry {
     // engine runs the banded equality join (4×16-bit bands are exact
     // for Hamming <= 3 by pigeonhole) — the hash gate pins the rewrite.
     "mm_phash_dedup" ->
-      """WITH m0 AS (SELECT doc_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS nb
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, h, nb FROM m0
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, '4141414141414141' || substr(h, 17), nb
-        |  FROM m0 WHERE doc_id % 10 = 0 AND nb >= 256
-        |  UNION ALL
-        |  SELECT doc_id + 20000000, h, nb FROM m0 WHERE doc_id % 20 = 0),
-        |bits AS (SELECT doc_id,
-        |    CASE WHEN substr(md5(substr(h,
-        |        CAST(((r.i * nb) // 64) * 2 + 1 AS INT),
-        |        CAST((((r.i + 1) * nb) // 64 - (r.i * nb) // 64) * 2 AS INT))),
-        |        1, 1) >= '8'
-        |      THEN CASE WHEN r.i = 63 THEN (-9223372036854775807 - 1)
-        |                ELSE (1::BIGINT << CAST(r.i AS INT)) END
-        |      ELSE 0 END AS contrib
-        |  FROM m, UNNEST(range(0, 64)) AS r(i)),
-        |ph AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS phash
-        |  FROM bits GROUP BY 1)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  a.phash AS phash_a, b.phash AS phash_b,
-        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $PhashPairCtes
+        |SELECT * FROM ppairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    // CC over the phash pair graph: oracle by recursive-CTE min-label
+    // propagation (the dedup_clusters pattern); the engine runs the
+    // shared large-star/small-star kernel.
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $PhashPairCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM ppairs
+        |          UNION ALL SELECT doc_b, doc_a FROM ppairs),
+        |reach AS (
+        |  SELECT a AS v, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a AS v, w.r FROM edges e JOIN reach w ON e.b = w.v),
+        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cl ORDER BY doc_id""".stripMargin,
+
+    "mm_phash_survivors" ->
+      s"""WITH RECURSIVE $PhashPairCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM ppairs
+        |          UNION ALL SELECT doc_b, doc_a FROM ppairs),
+        |reach AS (
+        |  SELECT a AS v, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a AS v, w.r FROM edges e JOIN reach w ON e.b = w.v),
+        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+        |SELECT m.doc_id, m.nb AS n_bytes,
+        |  COALESCE(cl.cluster_id = m.doc_id, FALSE) AS cluster_survivor
+        |FROM m LEFT JOIN cl ON cl.doc_id = m.doc_id
+        |WHERE cl.doc_id IS NULL OR cl.cluster_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""$winnowSelCtes,

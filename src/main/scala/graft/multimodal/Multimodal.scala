@@ -248,6 +248,16 @@ object Multimodal {
     val base = mediaTable(spark, dir).toDF()
       .select(col("doc_id"), hex(col("payload")).as("h"),
         length(col("payload")).cast("long").as("nb"))
+      // Loud precondition (the brand_cheapest/raise_error convention):
+      // the planted companions live at doc_id + 10^7 / + 2·10^7, so a
+      // corpus id at or past 10^7 would silently collide with them —
+      // fail instead. The oracle carries the same error() guard, so
+      // both engines abort identically rather than diverge.
+      .withColumn("doc_id",
+        when(col("doc_id") >= 10000000L,
+          raise_error(concat(lit("mm_phash_dedup: doc_id collides with "
+            + "the companion id space (>= 10^7): "), col("doc_id"))))
+          .otherwise(col("doc_id")))
     val near = base
       .filter(col("doc_id") % 10 === 0 && col("nb") >= 256)
       .select((col("doc_id") + 10000000L).as("doc_id"),
@@ -275,7 +285,12 @@ object Multimodal {
     * bands (2×32-bit is exact for Hamming ≤ 1) or fall back to the
     * capped rows-only dedup path — the knob is band count, the plan
     * shape (shuffle equality join, never a cross join) is fixed. */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    // Re-sorted after the checkpoint: materialization does not promise
+    // to preserve the pipeline's output order.
+    phashPairsM(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  private def phashDedupUncached(spark: SparkSession, dir: String): DataFrame = {
     val banded = phashesFromHex(phashCorpusHex(spark, dir))
       .select(col("doc_id"), col("phash"),
         posexplode(array((0 until 4).map(b =>
@@ -295,6 +310,51 @@ object Multimodal {
       // A pair sharing several clean bands appears once per band.
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Session-memoized phash pair frame and cluster assignment — the
+    * same shared-pipeline-artifact discipline as the text dedup family:
+    * the banded pair join and the CC loop each run once per
+    * (session, dir) and every consumer (clusters, survivors, repeat
+    * calls) re-reads the materialized checkpoint. */
+  private val phashCache = new graft.functions.SessionScopedCache
+
+  private def phashPairsM(spark: SparkSession, dir: String): DataFrame =
+    phashCache.getOrCompute(spark, s"$dir#phash_pairs")(
+      phashDedupUncached(spark, dir).localCheckpoint())
+
+  /** #45e mm_phash_clusters: connected components over the perceptual
+    * near-dup pair graph — one row per clustered media item with its
+    * cluster id (min doc_id) and size. The media analog of
+    * dedup_clusters, computed by the SAME large-star/small-star
+    * machinery ([[graft.dedup.Dedup.ccStar]] — O(log² n) rounds
+    * regardless of component diameter), so the media and text dedup
+    * pipelines share one scale-proven CC kernel. Oracle: the
+    * recursive-CTE min-label propagation over the same pair CTEs. */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame =
+    phashCache.getOrCompute(spark, s"$dir#phash_clusters")(
+      graft.dedup.Dedup.ccStar(spark,
+        phashPairsM(spark, dir).select(col("doc_a"), col("doc_b"))))
+
+  /** #45f mm_phash_survivors: the media dedup pipeline's final step —
+    * the companion-augmented media corpus minus every clustered item
+    * except its cluster's min-id winner, with byte counts and a
+    * winner flag (the dedup_survivors contract on media). Anti-join
+    * unhinted: AQE broadcasts the dropped set only while it really is
+    * small — a heavily-duplicated media corpus must not force it. */
+  def phashSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val cl = phashClusters(spark, dir)
+    val dropped = cl.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val winners = cl.filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("_won"))
+    phashCorpusHex(spark, dir)
+      .select(col("doc_id"), col("nb").as("n_bytes"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(winners, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(col("_won"), lit(false)).as("cluster_survivor"))
+      .orderBy(col("doc_id"))
   }
 
   /** #45 mm_binary_pipeline: media synthesis → batched stub decode →

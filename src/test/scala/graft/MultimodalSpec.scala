@@ -157,4 +157,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(naive.exists(p => p._3 > 0 && p._3 <= 3),
       "planted in-place edits must pair at 0 < hamming <= 3")
   }
+
+  test("phash pipeline conserves the corpus: clusters partition pairs, survivors = corpus - losers") {
+    val corpus = Multimodal.phashCorpusHex(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val pairs = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val cl = Multimodal.phashClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // Every pair endpoint is clustered, both endpoints share a label,
+    // and the label is the component's min id.
+    assert(cl.keySet === clustered)
+    pairs.foreach { case (a, b) => assert(cl(a) === cl(b), s"split pair ($a,$b)") }
+    cl.foreach { case (v, lab) => assert(lab <= v && cl(lab) === lab) }
+    // Survivors = whole corpus minus every clustered non-winner; the
+    // winner flag marks exactly the cluster minima.
+    val surv = Multimodal.phashSurvivors(spark, sf).collect()
+    val losers = cl.filter { case (v, lab) => v != lab }.keySet
+    assert(surv.map(_.getAs[Long]("doc_id")).toSet === corpus -- losers)
+    assert(surv.filter(_.getAs[Boolean]("cluster_survivor"))
+      .map(_.getAs[Long]("doc_id")).toSet === cl.values.toSet)
+  }
 }

@@ -478,7 +478,8 @@ class PlanSpec extends AnyFunSuite {
     "kv_range_tombstone" -> 2, "kv_record_ttl" -> 1, "kv_resume_scan" -> 1,
     "kv_token_distribution" -> 2, "kv_token_range_scan" -> 1, "kv_tombstone_merge" -> 2,
     "kv_ttl_expiry" -> 0, "mm_binary_pipeline" -> 0, "mm_corpus_audit" -> 1,
-    "mm_frame_sample" -> 0, "mm_phash_dedup" -> 2, "nation_year_growth" -> 2,
+    "mm_frame_sample" -> 0, "mm_phash_dedup" -> 2, "mm_phash_clusters" -> 0,
+    "mm_phash_survivors" -> 7, "nation_year_growth" -> 2,
     "order_cadence" -> 2, "orders_seasonality" -> 4, "pivot_manual" -> 1,
     "q10_returned_items" -> 1, "q13_customer_distribution" -> 2, "q14_promo_revenue" -> 0,
     "q15_top_supplier" -> 2, "q17_small_qty_revenue" -> 1, "q18_large_orders" -> 2,
