@@ -98,6 +98,7 @@ object SparkEntry {
     "events_cusum"             -> (Events.cusum _),
     "events_hopping_agg"       -> (Events.hoppingAgg _),
     "events_ewma"              -> ((s, d) => Events.ewma(s, d)),
+    "events_holt"              -> ((s, d) => Events.holt(s, d)),
     "events_heatmap"           -> (Events.heatmap _),
     "events_interarrival"      -> (Events.interarrival _),
     "events_mad_outliers"      -> (Events.madOutliers _),
@@ -1176,6 +1177,42 @@ object SparkEntry {
         |  FROM rec JOIN idx ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
         |SELECT event_type, h AS hour, x AS n_events,
         |  CAST(CAST(ROUND(s, 4) AS DECIMAL(28,4)) AS DOUBLE) AS ewma,
+        |  CAST(CAST(ROUND(err, 4) AS DECIMAL(28,4)) AS DOUBLE) AS forecast_err
+        |FROM rec
+        |ORDER BY event_type, hour""".stripMargin,
+
+    // Holt's error-correction recurrence replayed token-for-token: the
+    // recursive step carries BOTH states (level, trend) and every
+    // update reads the one shared err = x - (l + b) term, exactly the
+    // engine's holt_seq IEEE sequence.
+    "events_holt" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+        |b AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |dense AS (SELECT t.event_type, r.h
+        |  FROM types t, b, UNNEST(range(b.hmin, b.hmax + 1)) AS r(h)),
+        |cnt AS (SELECT event_type, h, COUNT(*) AS x FROM ev GROUP BY 1, 2),
+        |d AS (SELECT dense.event_type, dense.h, COALESCE(cnt.x, 0) AS x
+        |  FROM dense LEFT JOIN cnt USING (event_type, h)),
+        |idx AS (SELECT d.event_type, d.h, d.x,
+        |    ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.h) AS i
+        |  FROM d),
+        |rec AS (
+        |  SELECT event_type, h, x, i,
+        |    CAST(x AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS bt,
+        |    CAST(0.0 AS DOUBLE) AS err
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.h, idx.x, idx.i,
+        |    (rec.l + rec.bt) + 0.25 * (CAST(idx.x AS DOUBLE) - (rec.l + rec.bt)),
+        |    rec.bt + 0.25 * 0.3 * (CAST(idx.x AS DOUBLE) - (rec.l + rec.bt)),
+        |    CAST(idx.x AS DOUBLE) - (rec.l + rec.bt)
+        |  FROM rec JOIN idx ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
+        |SELECT event_type, h AS hour, x AS n_events,
+        |  CAST(CAST(ROUND(l, 4) AS DECIMAL(28,4)) AS DOUBLE) AS level,
+        |  CAST(CAST(ROUND(bt, 4) AS DECIMAL(28,4)) AS DOUBLE) AS trend,
         |  CAST(CAST(ROUND(err, 4) AS DECIMAL(28,4)) AS DOUBLE) AS forecast_err
         |FROM rec
         |ORDER BY event_type, hour""".stripMargin,

@@ -518,6 +518,56 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** #32ee events_holt: Holt's double-exponential (linear-trend)
+    * smoothing of the per-type hourly rate — level, trend, and the
+    * one-step-ahead forecast error, per hour. The trend-aware member
+    * of the smoother family: [[ewma]] lags a steady ramp forever
+    * (constant nonzero residual — exactly the regime [[cusum]] then
+    * alarms on), while Holt's trend state converges to the slope and
+    * the residual to zero, so its alerts fire on trend CHANGES, not
+    * on trends.
+    *
+    * Same scale shape as [[ewma]]: the corpus collapses FIRST to the
+    * dimension-sized (type × hour) frame (one map-side-combinable
+    * shuffle), gap-densified via a `sequence` explode off the 1-row
+    * min/max scalar, and the coupled recurrence runs as ONE codegen'd
+    * `holt_seq` pass over each type's sorted hour array — the
+    * feedback-recurrence frame class neither windows nor `aggregate`
+    * HOFs emit per-step. Fixed IEEE sequence (every update reads one
+    * shared err term), replayed token-for-token by the DuckDB
+    * recursive-CTE oracle; driver-replay spec. */
+  def holt(spark: SparkSession, dir: String,
+      alpha: Double = 0.25, beta: Double = 0.3): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      .withColumn("h", expr(s"tus div ${hourUs}L"))
+    val cnt = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+    val dense = cnt.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds)) // 1-row scalar
+      .select(col("event_type"),
+        explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val d = dense.join(cnt, Seq("event_type", "h"), "left_outer")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    d.groupBy(col("event_type"))
+      // struct sorts by its first field, so this is the hour order.
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("hs"))
+      .withColumn("es", graft.functions.HoltSeq.holtSeq(
+        transform(col("hs"), e => e.getField("x").cast("double")),
+        lit(alpha), lit(beta)))
+      .select(col("event_type"), posexplode(arrays_zip(col("hs"), col("es"))))
+      .select(
+        col("event_type"),
+        col("col.hs.h").as("hour"),
+        col("col.hs.x").as("n_events"),
+        d4w(col("col.es.l")).as("level"),
+        d4w(col("col.es.b")).as("trend"),
+        d4w(col("col.es.err")).as("forecast_err"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** #32n events_hopping_agg: SLIDING (hopping) 1-hour windows every
     * 15 minutes per event type — the overlapping-window class #30's
     * tumbling windows can't express (a tumbling hour reports each

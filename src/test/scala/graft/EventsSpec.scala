@@ -296,6 +296,48 @@ class EventsSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(v === want(k), s"ewma at $k") }
   }
 
+  test("holt path matches a driver-side replay; a planted ramp's trend converges to its slope") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant))
+    val hours = ev.map { case (t, i) =>
+      (t, Math.floorDiv(i.getEpochSecond * 1000000L + i.getNano / 1000L, 3600000000L))
+    }
+    val hmin = hours.map(_._2).min
+    val hmax = hours.map(_._2).max
+    val byType = hours.groupBy(_._1)
+    val (alpha, beta) = (0.25, 0.3)
+    val want = byType.flatMap { case (t, hs) =>
+      val counts = hs.groupBy(_._2).map { case (h, g) => h -> g.size.toLong }
+      var l = 0.0; var b = 0.0
+      (hmin to hmax).zipWithIndex.map { case (h, i) =>
+        val x = counts.getOrElse(h, 0L).toDouble
+        val e = if (i == 0) { l = x; b = 0.0; 0.0 }
+                else { val f = l + b; val d = x - f; l = f + alpha * d; b = b + alpha * beta * d; d }
+        def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, h) -> ((counts.getOrElse(h, 0L), r4(l), r4(b), r4(e)))
+      }
+    }
+    val got = Events.holt(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(v === want(k), s"holt at $k") }
+    // The structural claim vs EWMA: on a pure ramp x_t = 5t the trend
+    // state must converge to the slope and the residual to ~0 (EWMA's
+    // residual on the same ramp stays permanently nonzero).
+    val ramp = (1 to 200).map(t => 5.0 * t).toArray
+    var l = 0.0; var b = 0.0
+    var lastErr = Double.NaN
+    ramp.zipWithIndex.foreach { case (x, i) =>
+      if (i == 0) { l = x; b = 0.0 }
+      else { val f = l + b; val d = x - f; l = f + alpha * d; b = b + alpha * beta * d; lastErr = d }
+    }
+    assert(math.abs(b - 5.0) < 0.05, s"trend must converge to the slope, got $b")
+    assert(math.abs(lastErr) < 0.05, s"ramp residual must vanish, got $lastErr")
+  }
+
   test("kmv_sketch keeps exactly the k smallest distinct hashes, any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, xxhash64, shiftrightunsigned}
