@@ -277,6 +277,79 @@ object Streaming {
     out.result().iterator
   }
 
+  /** Running Holt state per event type: the (level, trend) pair, the
+    * open hour's partial count, and whether the series has started.
+    * O(1) per type at any stream length — the deployable form of
+    * [[graft.operators.Events.holt]]. */
+  case class HoltState(
+      started: Boolean, l: Double, b: Double, curHour: Long, curCount: Long)
+
+  /** One closed hour of the causal Holt path. */
+  case class HoltPoint(event_type: String, hour: Long, n_events: Long,
+      level: Double, trend: Double, forecast_err: Double)
+
+  /** #32ee's streaming form: the CAUSAL trend-aware smoother. Each
+    * closed hour (gap hours close at zero, as the batch operator's
+    * densification does) folds into the error-correction recurrence
+    * the moment it closes — level, trend, and the one-step forecast
+    * residual are known per hour AS THE STREAM RUNS, which is what a
+    * residual-thresholding alert consumes. Exactly [[cusumAlarms]]'
+    * state discipline (O(1) per type, open-hour partial count only,
+    * late data dropped as the documented watermark-free trade) with
+    * Holt's two-state recurrence in place of the CUSUM path; the spec
+    * pins a driver-side causal fold row-for-row across micro-batch
+    * splits. */
+  def holtPoints(events: Dataset[Ev],
+      alpha: Double = 0.25, beta: Double = 0.3): Dataset[HoltPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        holtGroup(alpha, beta))
+  }
+
+  /** Per-type transition: close every hour the batch's events step
+    * past, folding each into the (level, trend) recurrence. */
+  def holtGroup(alpha: Double, beta: Double)(
+      eventType: String, batch: Iterator[Ev],
+      state: GroupState[HoltState]): Iterator[HoltPoint] = {
+    val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+    var st = state.getOption.getOrElse(
+      HoltState(started = false, 0.0, 0.0, Long.MinValue, 0L))
+    val out = Seq.newBuilder[HoltPoint]
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def closeHour(h: Long, x: Long): Unit = {
+      if (!st.started) {
+        st = st.copy(started = true, l = x.toDouble, b = 0.0)
+        out += HoltPoint(eventType, h, x, r4(st.l), r4(st.b), 0.0)
+      } else {
+        val f = st.l + st.b
+        val e = x.toDouble - f
+        st = st.copy(l = f + alpha * e, b = st.b + alpha * beta * e)
+        out += HoltPoint(eventType, h, x, r4(st.l), r4(st.b), r4(e))
+      }
+    }
+    sorted.foreach { e =>
+      val h = tsUs(e.ts) / HourUs
+      if (st.curHour == Long.MinValue)
+        st = st.copy(curHour = h, curCount = 1L)
+      else if (h == st.curHour)
+        st = st.copy(curCount = st.curCount + 1L)
+      else if (h > st.curHour) {
+        closeHour(st.curHour, st.curCount)
+        var g = st.curHour + 1
+        while (g < h) { closeHour(g, 0L); g += 1 }
+        st = st.copy(curHour = h, curCount = 1L)
+      }
+      // h < curHour (late data): dropped — a causal monitor cannot
+      // rewrite a closed hour.
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   private val GapUs: Long = 30L * 60L * 1000000L
 
   private def tsUs(t: java.sql.Timestamp): Long =

@@ -445,6 +445,89 @@ class StreamingSpec extends AnyFunSuite {
       "the surviving set must be exactly the distinct ingest set")
   }
 
+  test("causal Holt stream matches a driver fold across micro-batch splits; ramp residual vanishes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Time-ordered feed + a planted 48-hour RAMP (5·k events in hour k)
+    // for the 'click' type past the corpus, then closers so every hour
+    // closes. A trend-aware smoother must ride the ramp: its residual
+    // on the LAST ramp hours must be far below the per-hour increment.
+    val base = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxTs = base.map(_.ts.getTime).max
+    val rampStart = (maxTs / 3600000L + 3) * 3600000L
+    val ramp = (1 to 48).flatMap { k =>
+      (0 until 5 * k).map(i =>
+        Ev(990000L + k * 1000L + i, 9900000L + k * 1000L + i,
+          new Timestamp(rampStart + (k - 1) * 3600000L + i * 10L), "click", 1.0))
+    }
+    val closers = (base.map(_.event_type).distinct :+ "click").distinct.map(t =>
+      Ev(999999L, 9999999L, new Timestamp(rampStart + 96L * 3600 * 1000), t, 0.0))
+    val all = (base ++ ramp) ++ closers
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    val input = MemoryStream[Ev]
+    val q = Streaming.holtPoints(input.toDS()).writeStream
+      .format("memory").queryName("holt_points")
+      .outputMode("append")
+      .start()
+    all.grouped(math.max(1, all.length / 3 + 1)).foreach { c =>
+      input.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+
+    // Driver fold of the same causal semantics over the same feed.
+    val (alpha, beta) = (0.25, 0.3)
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = all.groupBy(_.event_type).toSeq.flatMap { case (tpe, evs) =>
+      val sorted = evs.sortBy(e => (us(e.ts), e.event_id))
+      var started = false; var l = 0.0; var b = 0.0
+      var curHour = Long.MinValue; var curCount = 0L
+      val pts = Seq.newBuilder[(String, Long, Long, Double, Double, Double)]
+      def close(h: Long, x: Long): Unit = {
+        if (!started) { started = true; l = x.toDouble; b = 0.0
+          pts += ((tpe, h, x, r4(l), r4(b), 0.0))
+        } else {
+          val f = l + b; val e = x.toDouble - f
+          l = f + alpha * e; b = b + alpha * beta * e
+          pts += ((tpe, h, x, r4(l), r4(b), r4(e)))
+        }
+      }
+      sorted.foreach { e =>
+        val h = us(e.ts) / (3600L * 1000000L)
+        if (curHour == Long.MinValue) { curHour = h; curCount = 1L }
+        else if (h == curHour) curCount += 1L
+        else if (h > curHour) {
+          close(curHour, curCount)
+          var g = curHour + 1
+          while (g < h) { close(g, 0L); g += 1 }
+          curHour = h; curCount = 1L
+        }
+      }
+      pts.result()
+    }.sortBy(t => (t._1, t._2))
+
+    val got = spark.table("holt_points")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === want, s"stream must equal the causal fold row-for-row")
+    // Trend-awareness on the planted ramp: by its tail the trend has
+    // converged near the +5/hour slope and the residual is small
+    // relative to the increment (EWMA's residual would sit near +5·lag).
+    val tail = got.filter { case (t, h, _, _, _, _) =>
+      t == "click" && h >= rampStart / 3600000L + 40 &&
+        h < rampStart / 3600000L + 48 }
+    assert(tail.nonEmpty)
+    tail.foreach { case (_, h, _, _, trend, err) =>
+      assert(math.abs(trend - 5.0) < 1.0, s"trend off the ramp slope at $h: $trend")
+      assert(math.abs(err) < 2.0, s"ramp residual must be small at $h: $err")
+    }
+  }
+
   test("exact 30:00 gap merges, 30:00.000001 splits — in all three sessionizer forms") {
     // The gap contract all parity specs rest on, pinned with PLANTED
     // boundary gaps (the real corpus has microsecond-resolution
