@@ -99,6 +99,7 @@ object SparkEntry {
     "events_hopping_agg"       -> (Events.hoppingAgg _),
     "events_ewma"              -> ((s, d) => Events.ewma(s, d)),
     "events_holt"              -> ((s, d) => Events.holt(s, d)),
+    "events_forecast_backtest" -> ((s, d) => Events.forecastBacktest(s, d)),
     "events_heatmap"           -> (Events.heatmap _),
     "events_interarrival"      -> (Events.interarrival _),
     "events_mad_outliers"      -> (Events.madOutliers _),
@@ -1216,6 +1217,65 @@ object SparkEntry {
         |  CAST(CAST(ROUND(err, 4) AS DECIMAL(28,4)) AS DOUBLE) AS forecast_err
         |FROM rec
         |ORDER BY event_type, hour""".stripMargin,
+
+    // Both smoother recurrences replayed over the shared densified
+    // series, then the per-type error census as x10000 INTEGERS of the
+    // 4-rounded errs (order-free sums); biases floor-divide (DuckDB //
+    // floors, the engine states the same floor via the pmod identity).
+    "events_forecast_backtest" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+        |b AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |dense AS (SELECT t.event_type, r.h
+        |  FROM types t, b, UNNEST(range(b.hmin, b.hmax + 1)) AS r(h)),
+        |cnt AS (SELECT event_type, h, COUNT(*) AS x FROM ev GROUP BY 1, 2),
+        |d AS (SELECT dense.event_type, dense.h, COALESCE(cnt.x, 0) AS x
+        |  FROM dense LEFT JOIN cnt USING (event_type, h)),
+        |idx AS (SELECT d.event_type, d.h, d.x,
+        |    ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.h) AS i
+        |  FROM d),
+        |recew AS (
+        |  SELECT event_type, x, i, CAST(x AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS err
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.x, idx.i,
+        |    recew.s + 0.25 * (CAST(idx.x AS DOUBLE) - recew.s),
+        |    CAST(idx.x AS DOUBLE) - recew.s
+        |  FROM recew JOIN idx ON idx.event_type = recew.event_type AND idx.i = recew.i + 1),
+        |recho AS (
+        |  SELECT event_type, x, i,
+        |    CAST(x AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS bt,
+        |    CAST(0.0 AS DOUBLE) AS err
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.x, idx.i,
+        |    (recho.l + recho.bt) + 0.25 * (CAST(idx.x AS DOUBLE) - (recho.l + recho.bt)),
+        |    recho.bt + 0.25 * 0.3 * (CAST(idx.x AS DOUBLE) - (recho.l + recho.bt)),
+        |    CAST(idx.x AS DOUBLE) - (recho.l + recho.bt)
+        |  FROM recho JOIN idx ON idx.event_type = recho.event_type AND idx.i = recho.i + 1),
+        |aew AS (SELECT event_type, COUNT(*)::BIGINT AS n_hours,
+        |    SUM(CASE WHEN i > 1 THEN CAST(CAST(ROUND(ABS(err), 4)
+        |      AS DECIMAL(28,4)) * 10000 AS BIGINT) ELSE 0 END)::BIGINT AS abs_ew,
+        |    SUM(CASE WHEN i > 1 THEN CAST(CAST(ROUND(err, 4)
+        |      AS DECIMAL(28,4)) * 10000 AS BIGINT) ELSE 0 END)::BIGINT AS bias_ew
+        |  FROM recew GROUP BY 1),
+        |aho AS (SELECT event_type,
+        |    SUM(CASE WHEN i > 1 THEN CAST(CAST(ROUND(ABS(err), 4)
+        |      AS DECIMAL(28,4)) * 10000 AS BIGINT) ELSE 0 END)::BIGINT AS abs_ho,
+        |    SUM(CASE WHEN i > 1 THEN CAST(CAST(ROUND(err, 4)
+        |      AS DECIMAL(28,4)) * 10000 AS BIGINT) ELSE 0 END)::BIGINT AS bias_ho
+        |  FROM recho GROUP BY 1)
+        |SELECT event_type, CAST(n_hours AS INT) AS n_hours,
+        |  CAST(abs_ew // GREATEST(n_hours - 1, 1) AS DOUBLE) / 10000.0 AS mae_ewma,
+        |  CAST(abs_ho // GREATEST(n_hours - 1, 1) AS DOUBLE) / 10000.0 AS mae_holt,
+        |  CAST(bias_ew // GREATEST(n_hours - 1, 1) AS DOUBLE) / 10000.0 AS bias_ewma,
+        |  CAST(bias_ho // GREATEST(n_hours - 1, 1) AS DOUBLE) / 10000.0 AS bias_holt,
+        |  CASE WHEN abs_ho < abs_ew THEN 'holt'
+        |       WHEN abs_ew < abs_ho THEN 'ewma' ELSE 'tie' END AS winner
+        |FROM aew JOIN aho USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // Each event lies in EXACTLY the 4 hopping windows whose start is
     // ⌊ts⌋₁₅ − k·15min for k = 0..3 (epoch alignment makes the covering

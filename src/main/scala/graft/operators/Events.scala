@@ -568,6 +568,85 @@ object Events {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** #32ff events_forecast_backtest: the model-selection report the
+    * smoother family feeds — per event type, the one-step-ahead
+    * forecast quality of [[ewma]] vs [[holt]] over the SAME densified
+    * hourly series: mean absolute error, mean (signed) bias, and the
+    * winner. This is the rolling-origin backtest a monitoring rollout
+    * reads before choosing which residual stream to alert on (a
+    * trending type wants Holt — EWMA's bias column shows exactly the
+    * lag a trend inflicts; a mean-reverting one wants EWMA's fewer
+    * states).
+    *
+    * Exactness: each path's per-hour err is a pinned IEEE double;
+    * summing them as doubles would be order-dependent, so each |err|
+    * (and err) is first rounded to 4 decimals — an exact DECIMAL(28,4)
+    * value — and summed as x10000 INTEGERS: the totals are exact under
+    * any partitioning, the means present as floor-x10000 divides (the
+    * small-integer-denominator convention), and the winner is an
+    * integer comparison. Scale shape: rides the same ONE corpus
+    * shuffle + dimension-sized recurrence passes as [[ewma]]/[[holt]],
+    * then collapses to the |types| frame. */
+  def forecastBacktest(spark: SparkSession, dir: String,
+      alpha: Double = 0.25, beta: Double = 0.3): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      .withColumn("h", expr(s"tus div ${hourUs}L"))
+    val cnt = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+    val dense = cnt.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds)) // 1-row scalar
+      .select(col("event_type"),
+        explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val d = dense.join(cnt, Seq("event_type", "h"), "left_outer")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    // x10000 integer of a 4-rounded double err — exact because the
+    // rounded value is an exact DECIMAL(28,4).
+    def e4(c: org.apache.spark.sql.Column) = round(c, 4).cast("decimal(28,4)")
+    d.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("hs"))
+      .withColumn("xs",
+        transform(col("hs"), e => e.getField("x").cast("double")))
+      .withColumn("ew", graft.functions.EwmaSeq.ewmaSeq(col("xs"), lit(alpha)))
+      .withColumn("ho",
+        graft.functions.HoltSeq.holtSeq(col("xs"), lit(alpha), lit(beta)))
+      .select(col("event_type"),
+        size(col("hs")).as("n_hours"),
+        // Hour 1 has no forecast on either path (err fixed at 0) —
+        // slice it off so the census covers real forecasts only.
+        aggregate(slice(col("ew"), lit(2), size(col("ew"))), lit(0L),
+          (acc, e) => acc + (e4(abs(e.getField("err"))) * 10000).cast("long"))
+          .as("abs_ew"),
+        aggregate(slice(col("ho"), lit(2), size(col("ho"))), lit(0L),
+          (acc, e) => acc + (e4(abs(e.getField("err"))) * 10000).cast("long"))
+          .as("abs_ho"),
+        aggregate(slice(col("ew"), lit(2), size(col("ew"))), lit(0L),
+          (acc, e) => acc + (e4(e.getField("err")) * 10000).cast("long"))
+          .as("bias_ew"),
+        aggregate(slice(col("ho"), lit(2), size(col("ho"))), lit(0L),
+          (acc, e) => acc + (e4(e.getField("err")) * 10000).cast("long"))
+          .as("bias_ho"))
+      .select(col("event_type"), col("n_hours"),
+        (expr("abs_ew div greatest(n_hours - 1, 1)").cast("double") / 10000.0)
+          .as("mae_ewma"),
+        (expr("abs_ho div greatest(n_hours - 1, 1)").cast("double") / 10000.0)
+          .as("mae_holt"),
+        // Plain integer division on the (possibly NEGATIVE) bias sums:
+        // Spark's `div` and DuckDB's `//` both truncate toward zero
+        // (verified: -7//2 = -3 in DuckDB), so the two engines agree
+        // without a floor identity.
+        (expr("bias_ew div greatest(n_hours - 1, 1)")
+          .cast("double") / 10000.0).as("bias_ewma"),
+        (expr("bias_ho div greatest(n_hours - 1, 1)")
+          .cast("double") / 10000.0).as("bias_holt"),
+        when(col("abs_ho") < col("abs_ew"), "holt")
+          .when(col("abs_ew") < col("abs_ho"), "ewma")
+          .otherwise("tie").as("winner"))
+      .orderBy(col("event_type"))
+  }
+
   /** #32n events_hopping_agg: SLIDING (hopping) 1-hour windows every
     * 15 minutes per event type — the overlapping-window class #30's
     * tumbling windows can't express (a tumbling hour reports each

@@ -338,6 +338,44 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(lastErr) < 0.05, s"ramp residual must vanish, got $lastErr")
   }
 
+  test("forecast backtest equals a driver recount over both replayed paths") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant))
+    val hours = ev.map { case (t, i) =>
+      (t, Math.floorDiv(i.getEpochSecond * 1000000L + i.getNano / 1000L, 3600000000L))
+    }
+    val hmin = hours.map(_._2).min
+    val hmax = hours.map(_._2).max
+    val (alpha, beta) = (0.25, 0.3)
+    def x10000(v: Double): Long =
+      (BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+    val want = hours.groupBy(_._1).map { case (t, hs) =>
+      val counts = hs.groupBy(_._2).map { case (h, g) => h -> g.size.toLong }
+      val xs = (hmin to hmax).map(h => counts.getOrElse(h, 0L).toDouble)
+      var s = 0.0
+      val ewErr = xs.zipWithIndex.map { case (x, i) =>
+        if (i == 0) { s = x; 0.0 } else { val d = x - s; s = s + alpha * d; d } }
+      var l = 0.0; var b = 0.0
+      val hoErr = xs.zipWithIndex.map { case (x, i) =>
+        if (i == 0) { l = x; b = 0.0; 0.0 }
+        else { val f = l + b; val d = x - f; l = f + alpha * d; b = b + alpha * beta * d; d } }
+      val n = xs.size
+      def fin(sum: Long) = sum / math.max(n - 1, 1) / 10000.0
+      val (ae, ah) = (ewErr.drop(1).map(e => x10000(math.abs(e))).sum,
+        hoErr.drop(1).map(e => x10000(math.abs(e))).sum)
+      t -> ((n, fin(ae), fin(ah),
+        fin(ewErr.drop(1).map(x10000).sum), fin(hoErr.drop(1).map(x10000).sum),
+        if (ah < ae) "holt" else if (ae < ah) "ewma" else "tie"))
+    }
+    val got = Events.forecastBacktest(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6)))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(v === want(k), s"backtest at $k") }
+  }
+
   test("kmv_sketch keeps exactly the k smallest distinct hashes, any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, xxhash64, shiftrightunsigned}

@@ -463,7 +463,7 @@ class PlanSpec extends AnyFunSuite {
     "events_asof_join" -> 2, "events_asof_next" -> 2, "events_asof_prev" -> 1,
     "events_autocorr" -> 8, "events_burstiness" -> 2, "events_conversion_lag" -> 3,
     "events_cusum" -> 4, "events_dau_mau" -> 6, "events_ewma" -> 2,
-    "events_holt" -> 2,
+    "events_holt" -> 2, "events_forecast_backtest" -> 2,
     "events_funnel" -> 1, "events_growth_curve" -> 4, "events_heatmap" -> 2,
     "events_hhi" -> 2, "events_hopping_agg" -> 2, "events_interarrival" -> 2,
     "events_interval_join" -> 2, "events_json_props" -> 1, "events_mad_outliers" -> 4,
