@@ -1220,8 +1220,10 @@ object SparkEntry {
 
     // Both smoother recurrences replayed over the shared densified
     // series, then the per-type error census as x10000 INTEGERS of the
-    // 4-rounded errs (order-free sums); biases floor-divide (DuckDB //
-    // floors, the engine states the same floor via the pmod identity).
+    // 4-rounded errs (order-free sums); the bias divides agree because
+    // Spark's `div` and DuckDB's integer `//` BOTH truncate toward zero
+    // (verified: -7 // 2 = -3 in DuckDB) — no floor identity exists or
+    // is needed, so don't "fix" either side to one.
     "events_forecast_backtest" ->
       """WITH RECURSIVE
         |ev AS (SELECT event_type,
@@ -1409,18 +1411,18 @@ object SparkEntry {
         |  WHERE a.event_type < b.event_type GROUP BY 1, 2)
         |SELECT p.type_a, p.type_b, p.n_a, p.n_b,
         |  COALESCE(ov.n_both, 0)::BIGINT AS n_both,
-        |  CAST(CAST(ROUND(p.est_a, 4) AS DECIMAL(10,4)) AS DOUBLE) AS est_a,
-        |  CAST(CAST(ROUND(p.est_b, 4) AS DECIMAL(10,4)) AS DOUBLE) AS est_b,
-        |  CAST(CAST(ROUND(e.est_union, 4) AS DECIMAL(10,4)) AS DOUBLE) AS est_union,
+        |  CAST(CAST(ROUND(p.est_a, 4) AS DECIMAL(28,4)) AS DOUBLE) AS est_a,
+        |  CAST(CAST(ROUND(p.est_b, 4) AS DECIMAL(28,4)) AS DOUBLE) AS est_b,
+        |  CAST(CAST(ROUND(e.est_union, 4) AS DECIMAL(28,4)) AS DOUBLE) AS est_union,
         |  CAST(CAST(ROUND((CAST(e.rho AS DOUBLE) * e.est_union)
-        |    / CAST(e.size_u AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS est_both,
+        |    / CAST(e.size_u AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE) AS est_both,
         |  CAST((10000 * COALESCE(ov.n_both, 0))
         |    // (p.n_a + p.n_b - COALESCE(ov.n_both, 0)) AS DOUBLE) / 10000.0 AS jaccard,
         |  CAST((10000 * e.rho) // e.size_u AS DOUBLE) / 10000.0 AS jaccard_est,
         |  CAST(CAST(ROUND(ABS((CAST(e.rho AS DOUBLE) * e.est_union)
         |      / CAST(e.size_u AS DOUBLE) - CAST(COALESCE(ov.n_both, 0) AS DOUBLE))
         |    / GREATEST(CAST(COALESCE(ov.n_both, 0) AS DOUBLE), 1.0), 4)
-        |    AS DECIMAL(10,4)) AS DOUBLE) AS rel_err
+        |    AS DECIMAL(28,4)) AS DOUBLE) AS rel_err
         |FROM pr p
         |JOIN eu e USING (type_a, type_b)
         |LEFT JOIN ov USING (type_a, type_b)

@@ -41,8 +41,12 @@ case class CusumSeq(xs: Expression, mean: Expression, std: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (xs.dataType, mean.dataType, std.dataType) match {
-      case (ArrayType(DoubleType, _), DoubleType, DoubleType) =>
+      case (ArrayType(DoubleType, false), DoubleType, DoubleType) =>
         TypeCheckResult.TypeCheckSuccess
+      // getDouble cannot represent a null slot (the holt_seq rule).
+      case (ArrayType(DoubleType, true), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "cusum_seq requires array<double> with non-nullable elements")
       case other => TypeCheckResult.TypeCheckFailure(
         s"cusum_seq requires (array<double>, double, double), got $other")
     }

@@ -40,8 +40,12 @@ case class EwmaSeq(xs: Expression, alpha: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (xs.dataType, alpha.dataType) match {
-      case (ArrayType(DoubleType, _), DoubleType) =>
+      case (ArrayType(DoubleType, false), DoubleType) =>
         TypeCheckResult.TypeCheckSuccess
+      // getDouble cannot represent a null slot (the holt_seq rule).
+      case (ArrayType(DoubleType, true), DoubleType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "ewma_seq requires array<double> with non-nullable elements")
       case other => TypeCheckResult.TypeCheckFailure(
         s"ewma_seq requires (array<double>, double), got $other")
     }

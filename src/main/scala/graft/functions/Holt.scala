@@ -46,8 +46,16 @@ case class HoltSeq(xs: Expression, alpha: Expression, beta: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (xs.dataType, alpha.dataType, beta.dataType) match {
-      case (ArrayType(DoubleType, _), DoubleType, DoubleType) =>
+      case (ArrayType(DoubleType, false), DoubleType, DoubleType) =>
         TypeCheckResult.TypeCheckSuccess
+      // run() reads elements via getDouble, which cannot represent a
+      // null slot — a nullable-element array would be read as undefined
+      // values instead of failing. Reject it at analysis (the
+      // sorted_pairs convention): the fixed-IEEE-sequence contract has
+      // no null semantics to offer anyway.
+      case (ArrayType(DoubleType, true), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "holt_seq requires array<double> with non-nullable elements")
       case other => TypeCheckResult.TypeCheckFailure(
         s"holt_seq requires (array<double>, double, double), got $other")
     }

@@ -787,9 +787,13 @@ object Events {
         (col("rho").cast("double") * col("est_union")) / col("size_u").cast("double"))
     if (!audit) {
       // Production shape: estimates only, corpus touched exactly once.
+      // d4w, not d4: the est_* columns are distinct-USER-count
+      // estimates bounded only by user cardinality — at target scale an
+      // ANSI cast to DECIMAL(10,4) aborts past 10^6, exactly where the
+      // production path runs (the effective_users/lift lesson).
       return merged.select(col("type_a"), col("type_b"),
-        d4(col("est_a")).as("est_a"), d4(col("est_b")).as("est_b"),
-        d4(col("est_union")).as("est_union"), d4(col("est_both")).as("est_both"),
+        d4w(col("est_a")).as("est_a"), d4w(col("est_b")).as("est_b"),
+        d4w(col("est_union")).as("est_union"), d4w(col("est_both")).as("est_both"),
         (expr("(10000 * rho) div size_u").cast("double") /
           lit(10000.0)).as("jaccard_est"))
         .orderBy(col("type_a"), col("type_b"))
@@ -806,8 +810,9 @@ object Events {
     merged.join(exact, Seq("type_a", "type_b"), "left_outer")
       .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
-        d4(col("est_a")).as("est_a"), d4(col("est_b")).as("est_b"),
-        d4(col("est_union")).as("est_union"), d4(col("est_both")).as("est_both"),
+        // d4w (see the production branch): unbounded-magnitude counts.
+        d4w(col("est_a")).as("est_a"), d4w(col("est_b")).as("est_b"),
+        d4w(col("est_union")).as("est_union"), d4w(col("est_both")).as("est_both"),
         // FLOOR-x10000 divides, not d4: both ratios have SMALL-INTEGER
         // denominators (|union| for jaccard, |comb| ≤ k for
         // jaccard_est), where an exact ratio can land ON the 4-decimal
@@ -817,7 +822,9 @@ object Events {
           lit(10000.0)).as("jaccard"),
         (expr("(10000 * rho) div size_u").cast("double") /
           lit(10000.0)).as("jaccard_est"),
-        d4(abs(col("est_both") - col("n_both").cast("double")) /
+        // d4w: with a tiny exact intersection under a large estimate the
+        // relative error itself is unbounded — same abort class.
+        d4w(abs(col("est_both") - col("n_both").cast("double")) /
           greatest(col("n_both").cast("double"), lit(1.0))).as("rel_err"))
       .orderBy(col("type_a"), col("type_b"))
   }

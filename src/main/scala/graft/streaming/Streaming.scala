@@ -289,8 +289,12 @@ object Streaming {
       level: Double, trend: Double, forecast_err: Double)
 
   /** #32ee's streaming form: the CAUSAL trend-aware smoother. Each
-    * closed hour (gap hours close at zero, as the batch operator's
-    * densification does) folds into the error-correction recurrence
+    * closed hour (gap hours AFTER a type's first observed activity
+    * close at zero; unlike the batch operator, which densifies every
+    * type from the GLOBAL corpus-min hour, each type's series here
+    * starts at its own first event — so batch-vs-stream row parity
+    * holds only from a type's first activity on, not before it)
+    * folds into the error-correction recurrence
     * the moment it closes — level, trend, and the one-step forecast
     * residual are known per hour AS THE STREAM RUNS, which is what a
     * residual-thresholding alert consumes. Exactly [[cusumAlarms]]'
