@@ -198,38 +198,27 @@ object Multimodal {
     * the top bit of the region's md5 — so an in-place edit confined to
     * k regions flips AT MOST k bits, which is the media-edit model
     * (pixels change in place; payload length is fixed by the format).
-    * Pure codegen'd column functions over the hex rendition (the
-    * mm_frame_sample trade: the real decode is the stubbed step,
-    * the fingerprint pipeline is the real Spark surface), closed-form
-    * so the DuckDB oracle replays it bit-for-bit.
+    * One codegen'd [[graft.functions.Blockhash64]] expression over the
+    * hex rendition (the mm_frame_sample trade: the real decode is the
+    * stubbed step, the fingerprint pipeline is the real Spark
+    * surface), closed-form so the DuckDB oracle replays it
+    * bit-for-bit.
     *
-    * Scale shape: one scan-fused 64-way bounded explode + one
-    * map-side-combinable doc_id aggregation — corpus-linear. */
+    * Scale shape: a pure map scan — each payload byte read ONCE, no
+    * Generate, no shuffle. (The first cut was
+    * `explode(sequence(0,63))` + substring + doc_id re-aggregation,
+    * which replicated the whole hex payload into all 64 region rows —
+    * a 64x payload amplification the r7-r9 verdicts flagged as the
+    * scale-killer; the expression form is the fix.) */
   private[graft] def phashesOf(media: DataFrame): DataFrame =
     phashesFromHex(media
       .select(col("doc_id"), hex(col("payload")).as("h"),
         length(col("payload")).cast("long").as("nb")))
 
   /** [[phashesOf]] over an already-hexed (doc_id, h, nb) frame. */
-  private[graft] def phashesFromHex(media: DataFrame): DataFrame = {
-    media
-      .select(col("doc_id"), col("h"), col("nb"),
-        explode(sequence(lit(0), lit(63))).as("i"))
-      // Region substring in HEX chars: byte b = chars [2b+1, 2b+2].
-      .withColumn("startb", expr("(CAST(i AS BIGINT) * nb) div 64"))
-      .withColumn("endb", expr("((CAST(i AS BIGINT) + 1) * nb) div 64"))
-      .withColumn("bit",
-        substring(md5(expr("substring(h, startb * 2 + 1, (endb - startb) * 2)")
-          .cast("binary")), 1, 1) >= "8")
-      // Two's-complement assembly: bit 63 contributes Long.MinValue —
-      // a shiftleft(1L, 63) sum would need the same wrap, this states it.
-      .withColumn("contrib",
-        when(!col("bit"), 0L)
-          .when(col("i") === 63, lit(Long.MinValue))
-          .otherwise(expr("shiftleft(1L, i)")))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("contrib")).as("phash"))
-  }
+  private[graft] def phashesFromHex(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      graft.functions.Blockhash.blockhash64(col("h"), col("nb")).as("phash"))
 
   /** Per-payload perceptual hashes of the media corpus. */
   def phashes(spark: SparkSession, dir: String): DataFrame =
@@ -317,7 +306,7 @@ object Multimodal {
     * the banded pair join and the CC loop each run once per
     * (session, dir) and every consumer (clusters, survivors, repeat
     * calls) re-reads the materialized checkpoint. */
-  private val phashCache = new graft.functions.SessionScopedCache
+  private val phashCache = new graft.functions.SessionScopedCache("mm.phash")
 
   private def phashPairsM(spark: SparkSession, dir: String): DataFrame =
     phashCache.getOrCompute(spark, s"$dir#phash_pairs")(

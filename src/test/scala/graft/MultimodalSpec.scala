@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
@@ -136,6 +137,45 @@ class MultimodalSpec extends AnyFunSuite {
       "a 3-region edit can flip at most 3 bits")
     assert(java.lang.Long.bitCount(pairs(1L) ^ pairs(4L)) > 3,
       "an unrelated payload must not land within the gate (seed-pinned)")
+  }
+
+  test("blockhash64 expression bit-matches the composed md5-substring form (the oracle's closed form)") {
+    // The DuckDB oracle states the fingerprint as 64 independent
+    // md5-over-hex-substring terms; the engine computes all 64 bits in
+    // one codegen'd pass. This pins the expression to the composed
+    // Spark form (same operators the oracle replays) across the edge
+    // regimes: empty payload (64 md5('') regions), nb < 64 (empty
+    // regions interleaved), region-boundary lengths, and bit 63's
+    // two's-complement contribution.
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = Seq(0, 1, 7, 63, 64, 65, 100, 129, 4096).zipWithIndex.map {
+      case (n, id) => (id.toLong, Array.fill(n)(rnd.nextInt(256).toByte))
+    }
+    val hexed = docs.toDF("doc_id", "payload")
+      .select(col("doc_id"), hex(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("nb"))
+    val composed = hexed
+      .select(col("doc_id"), col("h"), col("nb"),
+        explode(sequence(lit(0), lit(63))).as("i"))
+      .withColumn("startb", expr("(CAST(i AS BIGINT) * nb) div 64"))
+      .withColumn("endb", expr("((CAST(i AS BIGINT) + 1) * nb) div 64"))
+      .withColumn("bit",
+        substring(md5(expr("substring(h, startb * 2 + 1, (endb - startb) * 2)")
+          .cast("binary")), 1, 1) >= "8")
+      .withColumn("contrib",
+        when(!col("bit"), 0L)
+          .when(col("i") === 63, lit(Long.MinValue))
+          .otherwise(expr("shiftleft(1L, i)")))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expr64 = Multimodal.phashesFromHex(hexed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr64 === composed)
+    // Empty payload: every region is md5('') whose top hex digit is
+    // 'd' -> all 64 bits set -> -1, on both forms.
+    assert(expr64(0L) === -1L)
   }
 
   test("phash band join equals the naive all-pairs Hamming join on the corpus") {

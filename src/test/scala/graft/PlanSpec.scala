@@ -438,6 +438,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the cluster-rollup exchange, saw $exchanges:\n$plan")
   }
 
+  test("phash fingerprinting never replicates the payload through a Generate") {
+    // The r7-r9 scale-killer: explode(sequence(0,63)) carried each
+    // doc's ENTIRE hex payload into all 64 region rows (64x payload
+    // amplification) before the substring. The blockhash64 expression
+    // computes all 64 bits in one pass; the only Generate left in the
+    // pipeline is the 4-band posexplode over the 8-byte fingerprint.
+    // Pinned: no Generate's output may carry the hex column `h` (the
+    // payload rendition) — matched with a left-delimiter guard so
+    // `phash#n` never false-positives.
+    val hexAttr = java.util.regex.Pattern.compile("[\\[,\\s]h#\\d+")
+    Seq("mm_phash_dedup", "mm_phash_clusters", "mm_phash_survivors").foreach { q =>
+      val plan = planOf(q)
+      val offending = plan.linesIterator.filter(l =>
+        l.contains("Generate") && hexAttr.matcher(l).find()).toSeq
+      assert(offending.isEmpty,
+        s"$q: a Generate carries the hex payload column:\n${offending.mkString("\n")}")
+    }
+  }
+
   test("every query respects its pinned exchange budget (the plan-regression gate)") {
     // Pinned from graft.ExchangeBudgetMain (same pre-AQE plan string,
     // same iteration order): the number of `Exchange hashpartitioning`
@@ -479,7 +498,10 @@ class PlanSpec extends AnyFunSuite {
     "kv_range_tombstone" -> 2, "kv_record_ttl" -> 1, "kv_resume_scan" -> 1,
     "kv_token_distribution" -> 2, "kv_token_range_scan" -> 1, "kv_tombstone_merge" -> 2,
     "kv_ttl_expiry" -> 0, "mm_binary_pipeline" -> 0, "mm_corpus_audit" -> 1,
-    "mm_frame_sample" -> 0, "mm_phash_dedup" -> 2, "mm_phash_clusters" -> 0,
+    // mm_phash_dedup 2 -> 0: the blockhash64 expression rewrite removed
+    // the fingerprint's doc_id re-aggregation; the banded pair join is
+    // behind the session-memoized checkpoint planOf reads.
+    "mm_frame_sample" -> 0, "mm_phash_dedup" -> 0, "mm_phash_clusters" -> 0,
     "mm_phash_survivors" -> 7, "nation_year_growth" -> 2,
     "order_cadence" -> 2, "orders_seasonality" -> 4, "pivot_manual" -> 1,
     "q10_returned_items" -> 1, "q13_customer_distribution" -> 2, "q14_promo_revenue" -> 0,
