@@ -210,6 +210,58 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("seq recurrences reject nullable-element arrays at analysis (the r8 getDouble fix)") {
+    // run() reads slots via getDouble, which cannot represent null — a
+    // containsNull=true array must fail at ANALYSIS with the typed
+    // message, never be read as undefined values. array(x, NULL)
+    // naturally types as array<double> with nullable elements.
+    val df = spark.range(1).select(
+      array(lit(1.0), lit(null).cast("double")).as("xs"))
+    def rejects(c: org.apache.spark.sql.Column, name: String): Unit = {
+      val msg = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(c).collect()
+      }.getMessage
+      assert(msg.contains(s"$name requires array<double> with non-nullable elements"),
+        s"$name: wrong analysis error:\n$msg")
+    }
+    rejects(graft.functions.HoltSeq.holtSeq(col("xs"), lit(0.5), lit(0.3)), "holt_seq")
+    rejects(graft.functions.EwmaSeq.ewmaSeq(col("xs"), lit(0.5)), "ewma_seq")
+    rejects(graft.functions.CusumSeq.cusumSeq(col("xs"), lit(0.0), lit(1.0)), "cusum_seq")
+    // Happy path unharmed: a non-nullable array still runs.
+    val ok = spark.range(1)
+      .select(graft.functions.EwmaSeq.ewmaSeq(
+        array(lit(1.0), lit(3.0)), lit(0.5)).as("p"))
+      .selectExpr("p[1].s").head().getDouble(0)
+    assert(ok === 2.0)
+  }
+
+  test("d4w keeps >10^6 magnitudes that d4's DECIMAL(10,4) ANSI cast aborts on (the r8 KMV fix)") {
+    // The planted regime the r8 diff exists for: a KMV distinct-user
+    // estimate past 10^6 — d4's DECIMAL(10,4) has only 6 integer
+    // digits, so under ANSI the cast ABORTS exactly on strong-signal
+    // inputs; d4w's DECIMAL(28,4) carries it. 0.890625 = 57/64 is
+    // binary-exact, so both engines' ROUND(x, 4) sees the same digits
+    // and the expected value is closed-form.
+    val big = 1234567.890625
+    val viaD4w = spark.range(1)
+      .select(graft.functions.Exact.d4w(lit(big)).as("v")).head().getDouble(0)
+    // The oracle side of the same value: DuckDB's
+    // CAST(CAST(ROUND(x,4) AS DECIMAL(28,4)) AS DOUBLE) — half-up at
+    // the 4th place, then exact decimal->double.
+    val oracle = BigDecimal(big)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(viaD4w === oracle && viaD4w === 1234567.8906)
+    val err = intercept[Throwable] {
+      spark.range(1).select(graft.functions.Exact.d4(lit(big))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(err).exists(m => m != null &&
+      (m.contains("NUMERIC_VALUE_OUT_OF_RANGE") || m.contains("CAST_OVERFLOW")
+        || m.contains("cannot be represented"))),
+      s"d4 must abort past 10^6 under ANSI; got: ${chain(err).mkString(" | ")}")
+  }
+
   test("jacobi eigen: orthonormal basis reconstructing random symmetric matrices") {
     (1 to 50).foreach { trial =>
       val d = 2 + rng.nextInt(12)
