@@ -28,7 +28,7 @@ object Text {
     * pattern the dedup audits established; eviction semantics in
     * [[graft.functions.SessionScopedCache]]) so one driver session
     * never recounts it across its consumers. */
-  private val tokenCountCache = new graft.functions.SessionScopedCache
+  private val tokenCountCache = new graft.functions.SessionScopedCache("text.token_counts")
   private[graft] def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     tokenCountCache.getOrCompute(spark, dir) {
       Tables.documents(spark, dir)
