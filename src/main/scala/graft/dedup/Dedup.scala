@@ -75,7 +75,7 @@ object Dedup {
   // Session-scoped with explicit application-end eviction (see
   // SessionScopedCache: the cached frames strongly reference their
   // session, so weak keying alone could never free an entry).
-  private val exactPairCache = new graft.functions.SessionScopedCache
+  private val exactPairCache = new graft.functions.SessionScopedCache("dedup.exact_pairs")
   private def exactPairSet(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardM(spark, dir).select(col("doc_a"), col("doc_b"))
 
@@ -113,7 +113,7 @@ object Dedup {
     * a pair list is the frame a pipeline's downstream stages (and
     * repeated calls) consume, and it is capped-tiny, so it
     * materializes once per (session, dir, family). */
-  private val approxPairCache = new graft.functions.SessionScopedCache
+  private val approxPairCache = new graft.functions.SessionScopedCache("dedup.approx")
 
   private def withPairRecall(approx: => DataFrame, memoKey: String,
       spark: SparkSession, dir: String,
@@ -454,20 +454,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Edge count at or below which [[ccStar]] solves the component
+    * problem on the driver instead of looping distributed rounds. The
+    * r7 profile: each star round costs 3 shuffles + a signature action
+    * + persist churn — ~10 s of fixed driver-round overhead on a
+    * 1-2k-edge graph where the answer is microseconds of union-find.
+    * 200k edges collect to ~3 MB (two longs each) — dimension-sized by
+    * the cap itself, the same bounded-collect convention as the k×d
+    * moment frames; anything larger takes the distributed rounds whose
+    * O(log² n) convergence is the 100 TB story. */
+  private[graft] val CcSmallGraphEdgeCap = 200000L
+
+  /** Exact min-label connected components on the driver for graphs
+    * under the cap: union-find with min-id roots — the union always
+    * keeps the smaller root, so a component's root IS its min id,
+    * matching the distributed contract bit-for-bit. */
+  private def ccLocal(spark: SparkSession, pairs: DataFrame, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+      .distinct().collect().map(_.getLong(0))
+    val parent = new java.util.HashMap[Long, java.lang.Long]()
+    nodes.foreach(v => parent.put(v, v))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val label = nodes.map(v => v -> find(v)).toMap
+    val sizes = label.values.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    nodes.sorted.toSeq.map(v => (v, label(v), sizes(label(v))))
+      .toDF("doc_id", "cluster_id", "cluster_size")
+  }
+
   /** Connected components by alternating large-star/small-star rounds
     * over a (doc_a, doc_b) pair frame — O(log² n) rounds regardless of
     * component DIAMETER (min-label propagation needs diameter-many
     * rounds, its one structural limit). Convergence is edge-set
     * stability, checked with a (count, hash-sum) signature so each
     * round costs one tiny action. Same output contract and cache
-    * hygiene as [[clusters]]. */
-  private[graft] def ccStar(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    * hygiene as [[clusters]]. Graphs at or under `smallGraphEdgeCap`
+    * edges short-circuit to [[ccLocal]] (identical output) — the round
+    * loop's fixed overhead dwarfs the work there, and the cap bounds
+    * the collect by construction. */
+  private[graft] def ccStar(
+      spark: SparkSession, pairs: DataFrame,
+      smallGraphEdgeCap: Long = CcSmallGraphEdgeCap): DataFrame = {
     val edgeParts = math.max(2, spark.conf.get("spark.sql.shuffle.partitions").toInt / 8)
     var cached = pairs
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .repartition(edgeParts).persist()
     try {
+      if (cached.count() <= smallGraphEdgeCap)
+        return ccLocal(spark, pairs, cached)
       var prevSig: Option[(Long, String)] = None
       var converged = false
       var round = 0
@@ -549,7 +597,7 @@ object Dedup {
     * dups, so a thresholded pair list would be empty; the per-vector
     * nearest-candidate form is also what a dedup pipeline consumes). */
   /** Memoized per-vector LSH-best frame — see the bestM comment below. */
-  private val bestCache = new graft.functions.SessionScopedCache
+  private val bestCache = new graft.functions.SessionScopedCache("dedup.emb_best")
 
   def embedding(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))

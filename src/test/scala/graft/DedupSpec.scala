@@ -186,7 +186,9 @@ class DedupSpec extends AnyFunSuite {
     val sparkS = spark
     import sparkS.implicits._
     val path = (0L until 119L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.ccStar(spark, path).collect()
+    // cap = 0 forces the distributed star rounds — the small-graph
+    // short-circuit must not be what passes this test.
+    val got = Dedup.ccStar(spark, path, smallGraphEdgeCap = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.length === 120)
     assert(got.forall { case (_, cid, sz) => cid == 0L && sz == 120L },
@@ -194,10 +196,35 @@ class DedupSpec extends AnyFunSuite {
     // Two disjoint components stay separate.
     val two = ((0L until 10L).map(i => (i, i + 1)) ++
       (100L until 110L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
-    val comps = Dedup.ccStar(spark, two).collect()
+    val comps = Dedup.ccStar(spark, two, smallGraphEdgeCap = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 10L).forall(comps(_) == 0L))
     assert((100L to 110L).forall(comps(_) == 100L))
+  }
+
+  test("small-graph union-find short-circuit equals the distributed star rounds") {
+    // The r10 constant fix: under CcSmallGraphEdgeCap the component
+    // problem is solved on the driver (bounded by the cap itself).
+    // Both paths must agree row-for-row on a random multi-shape graph:
+    // chains, stars, triangles, isolated self-identified docs absent.
+    val sparkS = spark
+    import sparkS.implicits._
+    val rng = new scala.util.Random(2026)
+    val edges = (
+      (0L until 40L).map(i => (i, i + 1)) ++                    // one chain
+      (100L to 120L).map(i => (100L, i)).filter(p => p._1 != p._2) ++ // a star
+      Seq((200L, 201L), (201L, 202L), (200L, 202L)) ++          // a triangle
+      (0 until 300).map { _ =>                                  // random noise
+        val a = rng.nextInt(1000).toLong; val b = rng.nextInt(1000).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+    ).toDF("doc_a", "doc_b")
+    val viaLocal = Dedup.ccStar(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaStar = Dedup.ccStar(spark, edges, smallGraphEdgeCap = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaLocal === viaStar)
+    assert(viaLocal.nonEmpty)
   }
 
   test("approximate variants self-report recall against the exact pair set") {
