@@ -51,9 +51,30 @@ object Bench {
       }
     }
     // Local-iteration filter — the one definition shared with Verify.
-    val raw: Map[String, Seq[Either[String, Double]]] = SparkEntry.selectedQueries.map {
+    val rawQueries: Map[String, Seq[Either[String, Double]]] = SparkEntry.selectedQueries.map {
       case (name, fn) => name -> (1 to 3).map(_ => once(fn))
     }
+    // Reference-workload throughput (VERDICT r8/r9 #6): the SSTable
+    // decode + full-migrate timings ride the same min-of-3 / regression
+    // machinery as the queries (fixed cell count, so a time regression
+    // IS a throughput regression), and the artifact publishes cells/s
+    // so every round carries the matches-the-reference number instead
+    // of a one-off SCALE.md table. SPARK_GRAFT_SSTABLE_PARTS=0 skips.
+    val ssParts = sys.env.getOrElse("SPARK_GRAFT_SSTABLE_PARTS", "250000").toInt
+    val ssGens = 4
+    val ssCells = ssParts.toLong * 2 * ssGens
+    val ssAttempts: Seq[(Double, Double, Long, Long)] =
+      if (ssParts <= 0) Seq.empty
+      else scala.util.Try {
+        val dir = graft.tools.SSTableThroughput.synthesize(ssParts, ssGens).toString
+        graft.tools.SSTableThroughput.warm(spark, dir)
+        (1 to 3).map(_ => graft.tools.SSTableThroughput.measureOnce(spark, dir))
+      }.getOrElse(Seq.empty)
+    val raw: Map[String, Seq[Either[String, Double]]] = rawQueries ++ (
+      if (ssAttempts.isEmpty) Map.empty
+      else Map(
+        "sstable_decode" -> ssAttempts.map(a => Right(a._1): Either[String, Double]),
+        "sstable_migrate" -> ssAttempts.map(a => Right(a._2): Either[String, Double])))
     val results: Map[String, Either[String, Double]] = raw.map {
       case (name, attempts) =>
         val times = attempts.collect { case Right(s) => s }
@@ -84,7 +105,11 @@ object Bench {
     val errors = results.collect { case (k, Left(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
-    val total = results.values.collect { case Right(s) => s }.sum
+    // Headline total stays query-only (comparable across rounds that
+    // predate the sstable rows).
+    val total = results.collect {
+      case (k, Right(s)) if !k.startsWith("sstable_") => s
+    }.sum
     // Median-of-attempts next to the min: min-of-3 with no warmup
     // separation lets a co-tenant spike through unnoticed on the OTHER
     // attempts; the median makes sustained slowness visible where the
@@ -96,49 +121,71 @@ object Bench {
     }
     val mediansJson = medians.map { case (k, m) => s""""$k":${num(m, 3)}""" }
       .mkString("{", ",", "}")
-    // Machine-visible regression check against the previous round's
-    // driver artifact (BENCH_r{N}.json in the repo root, when present):
-    // a query whose new min exceeds 1.5x its prior min is listed with
-    // both numbers, so a regression is caught by the artifact itself
-    // instead of waiting for a judge to diff rounds by hand.
-    val priorFile = Option(new java.io.File(".").listFiles()).toSeq.flatten
+    // Machine-visible regression check (logic in graft.BenchGate, spec'd
+    // on a planted slowdown): a query whose new min exceeds 1.5x its
+    // prior min is listed with both numbers. The baseline is the
+    // COMMITTED full summary of the previous run (bench_prev.json —
+    // this run rewrites it below, the round-close commit keeps it);
+    // the driver's BENCH_r{N}.json is only a fallback, because its
+    // tail capture truncates the summary line and through round 9 the
+    // gate silently parsed zero prior queries from it while sustained
+    // 5x skews sat in its own attempts array. When NO source parses,
+    // the artifact now says "regressed_vs": null instead of naming a
+    // file it never actually read.
+    def readText(f: java.io.File): String =
+      scala.util.Try(scala.io.Source.fromFile(f, "UTF-8").mkString).getOrElse("")
+    val prevFile = new java.io.File("bench_prev.json")
+    val driverFile = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
       .lastOption
-    val priorQueries: Map[String, Double] = priorFile.toSeq.flatMap { f =>
-      scala.util.Try {
-        val text = scala.io.Source.fromFile(f, "UTF-8").mkString
-        val start = text.indexOf("\"queries\":{")
-        // Compare only like with like: a prior artifact from a different
-        // scale factor would list every query as regressed (or improved).
-        val priorSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
-        if (start < 0 || !priorSf.contains(sfDir)) Seq.empty
-        else {
-          val body = text.substring(start + 11, text.indexOf('}', start))
-          "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-        }
-      }.getOrElse(Seq.empty)
-    }.toMap
-    val regressed = results.collect {
-      case (k, Right(s))
-        if priorQueries.get(k).exists(p => p > 0 && s > 1.5 * p && s > 0.2) =>
-          s""""$k":[${num(priorQueries(k), 3)},${num(s, 3)}]"""
+    val candidates: Seq[(String, Map[String, Double])] =
+      (if (prevFile.isFile) Seq(prevFile) else Seq.empty) ++ driverFile.toSeq map { f =>
+        f.getName -> BenchGate.parsePrior(readText(f), sfDir)
+      }
+    val (priorName, priorQueries) = candidates.find(_._2.nonEmpty) match {
+      case Some((name, qs)) => (BenchGate.priorLabel(Some(name), qs.size), qs)
+      case None => ("null", Map.empty[String, Double])
+    }
+    val currentMins = results.collect { case (k, Right(s)) => k -> s }.toMap
+    val regressed = BenchGate.regressions(currentMins, priorQueries).map {
+      case (k, (p, s)) => s""""$k":[${num(p, 3)},${num(s, 3)}]"""
     }.mkString("{", ",", "}")
-    val priorName = priorFile.map(f => s""""${f.getName}"""").getOrElse("null")
     // ONE JSON object, one line: the driver parses stdout as a single
     // JSON document, so the per-attempt arrays are nested in the summary
     // rather than emitted as a second line (round-4/5 artifacts came out
     // unparseable from the two-line format). A single JSON line cannot
     // survive truncation from either end; the defenses are size (the
     // whole line is ~10 KB) and the bench_full.json side-file below.
+    // Published throughput rows (min-of-3): cells/s and per-core
+    // cells/s for decode and the full migrate pipeline — the numbers
+    // SCALE.md's reference comparison (447k / 120k per core on
+    // local[1]) is tracked against, now re-measured every round.
+    val sstableJson =
+      if (ssAttempts.isEmpty) "null"
+      else {
+        val dMin = ssAttempts.map(_._1).min
+        val mMin = ssAttempts.map(_._2).min
+        val decoded = ssAttempts.head._3
+        s"""{"cells":$ssCells,"gens":$ssGens,"threads":$cpus,"decoded":$decoded,""" +
+        s""""decode_cells_per_sec":${num(decoded / dMin, 0)},""" +
+        s""""decode_cells_per_sec_per_core":${num(decoded / dMin / cpus.toDouble, 0)},""" +
+        s""""migrate_cells_per_sec":${num(ssCells / mMin, 0)},""" +
+        s""""migrate_cells_per_sec_per_core":${num(ssCells / mMin / cpus.toDouble, 0)}}"""
+      }
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","medians":$mediansJson,"regressed":$regressed,"regressed_vs":$priorName,"attempts":$attemptsJson}"""
-    // Belt and braces: the artifact also lands in a file next to the
-    // build, immune to any stdout truncation.
-    scala.util.Try {
-      val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
-      try w.println(summaryLine) finally w.close()
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","medians":$mediansJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"attempts":$attemptsJson}"""
+    // Belt and braces: the artifact also lands in files next to the
+    // build, immune to any stdout truncation. bench_full.json is the
+    // gitignored scratch copy; bench_prev.json is COMMITTED at round
+    // close and is what the next run's regression gate diffs against
+    // (written after the comparison above, so a run never diffs
+    // against itself).
+    Seq("bench_full.json", "bench_prev.json").foreach { name =>
+      scala.util.Try {
+        val w = new java.io.PrintWriter(name, "UTF-8")
+        try w.println(summaryLine) finally w.close()
+      }
     }
     println(summaryLine)
     spark.stop()

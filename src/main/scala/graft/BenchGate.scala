@@ -1,0 +1,58 @@
+package graft
+
+/** The bench regression gate, factored out of [[Bench]] so a spec can
+  * drive it with planted inputs.
+  *
+  * History that shaped this design: through round 9 the gate diffed
+  * against the newest driver artifact `BENCH_r{N}.json`, whose tail
+  * capture truncates the summary line to ~2000 chars — `"queries":{`
+  * and the string `"sf"` never survive, so zero prior queries parsed
+  * and the artifact printed `"regressed": {}` while its own attempts
+  * array held sustained 5x slowdowns. Two fixes, both here:
+  *
+  *  - the diff baseline is a COMMITTED full summary (`bench_prev.json`,
+  *    rewritten by every bench run and committed at round close), with
+  *    the driver artifact only as a fallback;
+  *  - when zero prior queries parse the artifact now says so
+  *    (`"regressed_vs": null`) instead of naming a file it never read.
+  */
+object BenchGate {
+
+  /** Parse the `"queries":{...}` map out of a bench summary line,
+    * returning empty unless the artifact's `"sf"` matches `sfDir`
+    * (a prior run at a different scale factor would flag every query).
+    * Tolerates truncated text — a tail-captured artifact that lost its
+    * queries map or sf field parses to empty rather than garbage. */
+  def parsePrior(text: String, sfDir: String): Map[String, Double] = {
+    val start = text.indexOf("\"queries\":{")
+    val priorSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+    if (start < 0 || !priorSf.contains(sfDir)) Map.empty
+    else {
+      val body = text.substring(start + 11, text.indexOf('}', start))
+      "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Queries whose new time exceeds `factor` x their prior time, with
+    * an absolute floor so a 30 ms -> 50 ms jitter never fires. Returns
+    * (prior, current) pairs keyed by query. */
+  def regressions(
+      current: Map[String, Double],
+      prior: Map[String, Double],
+      factor: Double = 1.5,
+      floorSec: Double = 0.2): Map[String, (Double, Double)] =
+    current.collect {
+      case (k, s) if prior.get(k).exists(p => p > 0 && s > factor * p && s > floorSec) =>
+        k -> (prior(k), s)
+    }
+
+  /** The `"regressed_vs"` value: the prior file's name ONLY when it
+    * actually contributed queries to the comparison — a gate that
+    * parsed nothing must say null, not claim a diff it never made. */
+  def priorLabel(fileName: Option[String], parsedQueries: Int): String =
+    fileName match {
+      case Some(n) if parsedQueries > 0 => s""""$n""""
+      case _ => "null"
+    }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate, driven with planted inputs — the spec
+  * VERDICT r7-r9 asked for after the gate printed `"regressed": {}`
+  * three rounds running while parsing zero prior queries from the
+  * truncated driver artifact. */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+  private def summary(qs: String, sfDir: String = sf): String =
+    s"""{"metric":"total","value":9.9,"unit":"sec","queries":{$qs},"failed":0,"errors":{},"sf":"$sfDir","medians":{}}"""
+
+  test("a planted 2x slowdown over the floor is flagged with both numbers") {
+    val prior = BenchGate.parsePrior(
+      summary(""""q_fast":0.050,"q_slow":0.400,"q_same":1.000"""), sf)
+    assert(prior === Map("q_fast" -> 0.05, "q_slow" -> 0.4, "q_same" -> 1.0))
+    val current = Map("q_fast" -> 0.10, "q_slow" -> 0.80, "q_same" -> 1.05)
+    val reg = BenchGate.regressions(current, prior)
+    // q_slow doubled above the 0.2 s floor -> flagged with (prior, new);
+    // q_fast also doubled but sits under the floor -> jitter, not flagged.
+    assert(reg === Map("q_slow" -> (0.4, 0.8)))
+  }
+
+  test("the exact r9 failure shape: events_ewma-class sustained slowdowns fire") {
+    // The r8->r9 deltas the old gate missed, verbatim from the artifacts.
+    val prior = Map("events_ewma" -> 0.348, "kv_counter_merge" -> 0.223,
+      "curation_report" -> 0.597, "noise" -> 1.0)
+    val current = Map("events_ewma" -> 1.730, "kv_counter_merge" -> 1.014,
+      "curation_report" -> 2.391, "noise" -> 1.08)
+    assert(BenchGate.regressions(current, prior).keySet ===
+      Set("events_ewma", "kv_counter_merge", "curation_report"))
+  }
+
+  test("a prior artifact from a different scale factor parses to empty") {
+    val text = summary(""""q1":0.5""", "/root/testdata/sf0.01")
+    assert(BenchGate.parsePrior(text, sf).isEmpty)
+  }
+
+  test("a tail-truncated driver artifact parses to empty, not garbage") {
+    // The r9 regime: BENCH_r09.json held only the LAST ~2000 chars of
+    // the line — no "queries":{ prefix, no "sf" field.
+    val truncated = summary(""""q1":0.5,"q2":1.25""").takeRight(15)
+    assert(BenchGate.parsePrior(truncated, sf).isEmpty)
+    // And a head-truncation that keeps queries but loses sf also
+    // refuses to compare (sf unverifiable).
+    val headOnly = summary(""""q1":0.5""").take(60)
+    assert(BenchGate.parsePrior(headOnly, sf).isEmpty)
+  }
+
+  test("regressed_vs is null exactly when zero prior queries parsed") {
+    assert(BenchGate.priorLabel(Some("BENCH_r09.json"), 0) === "null")
+    assert(BenchGate.priorLabel(None, 0) === "null")
+    assert(BenchGate.priorLabel(Some("bench_prev.json"), 147) === "\"bench_prev.json\"")
+  }
+
+  test("queries that error (-1) in the prior never flag as improvements or anchors") {
+    val prior = BenchGate.parsePrior(summary(""""q_err":-1,"q_ok":0.300"""), sf)
+    assert(prior("q_err") === -1.0)
+    // p > 0 guard: a prior error row cannot anchor a regression.
+    assert(BenchGate.regressions(Map("q_err" -> 0.5, "q_ok" -> 0.31), prior).isEmpty)
+  }
+}
