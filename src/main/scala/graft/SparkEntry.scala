@@ -555,6 +555,260 @@ object SparkEntry {
   private val murmurTokenSqlCte: String =
     murmurTokenSqlChain("m", "(SELECT DISTINCT key FROM cells)")
 
+  /** STANDARD MurmurHash3 x64_128 (the [[graft.functions.Sketches]]
+    * kernel: zero-extended tail bytes, no Cassandra sign quirk) as a
+    * DuckDB MATERIALIZED-CTE chain — the [[murmurTokenSqlChain]]
+    * technique, but emitting BOTH halves as unsigned HUGEINT bit
+    * patterns (`<prefix>tok(key, h1u, h2u)`): the minhash replay needs
+    * h2 for Kirsch-Mitzenmacher double hashing and the simhash replay
+    * reads h1's raw bits. Keys longer than 16·maxBlocks+15 bytes yield
+    * NULL so a corpus change fails the gate loudly (shingles measure
+    * ≤ 26 ASCII bytes at every driver scale). */
+  private def murmur128SqlChain(
+      prefix: String, fromSql: String, maxBlocks: Int = 2): String = {
+    val M = "18446744073709551616::HUGEINT"  // 2^64
+    val B32 = "4294967296::HUGEINT"          // 2^32
+    val C1 = "9782798678568883157::HUGEINT"  // 0x87c37b91114253d5
+    val C2 = "5545529020109919103::HUGEINT"  // 0x4cf5ad432745937f
+    val F1 = "18397679294719823053::HUGEINT" // 0xff51afd7ed558ccd fmix
+    val F2 = "14181476777654086739::HUGEINT" // 0xc4ceb9fe1a85ec53 fmix
+
+    def m64(x: String) = s"((($x) % $M + $M) % $M)"
+    def mul64(a: String, b: String) = m64(
+      s"(($a) % $B32) * (($b) % $B32)" +
+      s" + ((((($a) // $B32) * (($b) % $B32)" +
+      s" + (($a) % $B32) * (($b) // $B32)) % $B32) * $B32)")
+    def rotl(x: String, n: Int) = m64(
+      s"($x) * ${BigInt(1) << n}::HUGEINT + ($x) // ${BigInt(1) << (64 - n)}::HUGEINT")
+    def xor64(a: String, b: String) = s"xor(($a)::UBIGINT, ($b)::UBIGINT)::HUGEINT"
+    def shr33(x: String) = s"(($x) // 8589934592::HUGEINT)"
+    def add64(a: String, b: String) = m64(s"($a) + ($b)")
+    // UNSIGNED tail byte j (1-based within the tail) — the one line
+    // that differs from the Cassandra chain's sign extension.
+    def tailByteTerm(j: Int, shift: Int) = {
+      val pos = s"((len // 16) * 16 + $j)::BIGINT"
+      val b = s"ascii(substring(key, $pos, 1))::HUGEINT"
+      s"CASE WHEN (len % 16) >= $j THEN ${m64(s"$b * ${BigInt(1) << shift}::HUGEINT")} ELSE 0::HUGEINT END"
+    }
+    def bodyHalf(block: Int, off: Int) = {
+      val terms = (1 to 8).map { j =>
+        val pos = 16 * block + off + j
+        s"ascii(substring(key, $pos, 1))::HUGEINT * ${BigInt(1) << (8 * (j - 1))}::HUGEINT"
+      }.mkString(" + ")
+      s"(CASE WHEN len >= ${16 * (block + 1)} THEN $terms ELSE 0::HUGEINT END)"
+    }
+    def fmixStages(c: String): Seq[Map[String, String]] = Seq(
+      Map(c -> xor64(c, shr33(c))), Map(c -> mul64(c, F1)),
+      Map(c -> xor64(c, shr33(c))), Map(c -> mul64(c, F2)),
+      Map(c -> xor64(c, shr33(c))))
+
+    val blockStages: Seq[Map[String, String]] = (0 until maxBlocks).flatMap { b =>
+      def cond(e: String, keep: String) =
+        s"CASE WHEN len >= ${16 * (b + 1)} THEN $e ELSE $keep END"
+      Seq(
+        Map("bk1" -> bodyHalf(b, 0), "bk2" -> bodyHalf(b, 8)),
+        Map("bk1" -> mul64("bk1", C1), "bk2" -> mul64("bk2", C2)),
+        Map("bk1" -> rotl("bk1", 31), "bk2" -> rotl("bk2", 33)),
+        Map("bk1" -> mul64("bk1", C2), "bk2" -> mul64("bk2", C1)),
+        Map("h1" -> xor64("h1", "bk1")),
+        Map("h1" -> cond(rotl("h1", 27), "h1")),
+        Map("h1" -> cond(add64("h1", "h2"), "h1")),
+        Map("h1" -> cond(add64(mul64("h1", "5::HUGEINT"), "1390208809::HUGEINT"), "h1")),
+        Map("h2" -> xor64("h2", "bk2")),
+        Map("h2" -> cond(rotl("h2", 31), "h2")),
+        Map("h2" -> cond(add64("h2", "h1"), "h2")),
+        Map("h2" -> cond(add64(mul64("h2", "5::HUGEINT"), "944331445::HUGEINT"), "h2")))
+    }
+
+    val k1 = (1 to 8).map(j => tailByteTerm(j, 8 * (j - 1))).mkString(" + ")
+    val k2 = (9 to 15).map(j => tailByteTerm(j, 8 * (j - 9))).mkString(" + ")
+    val tailStages: Seq[Map[String, String]] = Seq(
+      Map("k1" -> s"($k1)", "k2" -> s"($k2)"),
+      Map("k1" -> mul64("k1", C1), "k2" -> mul64("k2", C2)),
+      Map("k1" -> rotl("k1", 31), "k2" -> rotl("k2", 33)),
+      Map("k1" -> mul64("k1", C2), "k2" -> mul64("k2", C1)),
+      Map("h1" -> xor64("h1", "k1"), "h2" -> xor64("h2", "k2")),
+      Map("h1" -> xor64("h1", "len::HUGEINT"), "h2" -> xor64("h2", "len::HUGEINT")),
+      Map("h1" -> add64("h1", "h2")),
+      Map("h2" -> add64("h2", "h1"))) ++
+      fmixStages("h1") ++ fmixStages("h2") ++
+      // Standard x64_128 finisher keeps BOTH halves (the Cassandra
+      // token chain only needed h1).
+      Seq(Map("h1" -> add64("h1", "h2")), Map("h2" -> add64("h2", "h1")))
+    val stages = blockStages ++ tailStages
+
+    val cols = Seq("key", "len", "bk1", "bk2", "k1", "k2", "h1", "h2")
+    val sb = new StringBuilder(
+      s"${prefix}_s0 AS MATERIALIZED (SELECT key, length(key)::HUGEINT AS len, " +
+      "0::HUGEINT AS bk1, 0::HUGEINT AS bk2, " +
+      "0::HUGEINT AS k1, 0::HUGEINT AS k2, 0::HUGEINT AS h1, 0::HUGEINT AS h2 " +
+      s"FROM $fromSql)")
+    stages.zipWithIndex.foreach { case (st, i0) =>
+      val i = i0 + 1
+      val sel = cols
+        .map(c => st.get(c).map(e => s"$e AS $c").getOrElse(c)).mkString(", ")
+      sb.append(s",\n${prefix}_s$i AS MATERIALIZED (SELECT $sel FROM ${prefix}_s${i0})")
+    }
+    sb.append(
+      s",\n${prefix}tok AS MATERIALIZED (SELECT key, " +
+      s"CASE WHEN len > ${16 * maxBlocks + 15} THEN NULL ELSE h1 END AS h1u, " +
+      s"CASE WHEN len > ${16 * maxBlocks + 15} THEN NULL ELSE h2 END AS h2u " +
+      s"FROM ${prefix}_s${stages.length})")
+    sb.toString
+  }
+
+  /** The [[graft.functions.Sketches.bandHashes]] fold as unrolled
+    * MATERIALIZED stages: per (doc, band), h starts at r and absorbs
+    * the band's r signature values through fmix — `h = fmix(h + v_j)`
+    * — exactly the kernel's wrapping arithmetic. Emits
+    * `<prefix>bh(doc_id, band, band_key)` with the key as a signed
+    * BIGINT (the engine's LongType band key). `sigjRel` must expose
+    * (doc_id, j, v) with v the signed 64-bit signature value. */
+  private def bandFoldSqlChain(
+      prefix: String, sigjRel: String, nBands: Int, r: Int): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val B32 = "4294967296::HUGEINT"
+    val F1 = "18397679294719823053::HUGEINT"
+    val F2 = "14181476777654086739::HUGEINT"
+    def m64(x: String) = s"((($x) % $M + $M) % $M)"
+    def mul64(a: String, b: String) = m64(
+      s"(($a) % $B32) * (($b) % $B32)" +
+      s" + ((((($a) // $B32) * (($b) % $B32)" +
+      s" + (($a) % $B32) * (($b) // $B32)) % $B32) * $B32)")
+    def xor64(a: String, b: String) = s"xor(($a)::UBIGINT, ($b)::UBIGINT)::HUGEINT"
+    def shr33(x: String) = s"(($x) // 8589934592::HUGEINT)"
+    val toSigned = (x: String) =>
+      s"(($x) - CASE WHEN ($x) >= 9223372036854775808::HUGEINT THEN $M ELSE 0::HUGEINT END)::BIGINT"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"${prefix}_b0 AS MATERIALIZED (SELECT doc_id, band.band::BIGINT AS band, " +
+      s"$r::HUGEINT AS h FROM (SELECT DISTINCT doc_id FROM $sigjRel), " +
+      s"UNNEST(range(0, $nBands)) AS band(band))")
+    var i = 0
+    (0 until r).foreach { step =>
+      i += 1
+      val sv = m64("(s.v)::HUGEINT")
+      parts += (s"${prefix}_b$i AS MATERIALIZED (SELECT t.doc_id, t.band, " +
+        s"${m64(s"t.h + ($sv)")} AS h " +
+        s"FROM ${prefix}_b${i - 1} t JOIN $sigjRel s ON s.doc_id = t.doc_id " +
+        s"AND s.j = t.band * $r + $step)")
+      Seq(xor64("h", shr33("h")), mul64("h", F1),
+          xor64("h", shr33("h")), mul64("h", F2),
+          xor64("h", shr33("h"))).foreach { e =>
+        i += 1
+        parts += s"${prefix}_b$i AS MATERIALIZED (SELECT doc_id, band, $e AS h FROM ${prefix}_b${i - 1})"
+      }
+    }
+    parts += (s"${prefix}bh AS MATERIALIZED (SELECT doc_id, band, " +
+      s"${toSigned("h")} AS band_key FROM ${prefix}_b$i)")
+    parts.mkString(",\n")
+  }
+
+  /** The 3-word-shingle CTEs shared by the sketch-dedup replays:
+    * (doc_id, shingle) pairs `sh` and the distinct shingle universe
+    * `shd(key)` the murmur chain hashes once. Same formulation as the
+    * ngram/clusters oracles (DISTINCT == the kernel's
+    * first-occurrence dedup). */
+  private val ShingleCtesSql: String =
+    """toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN t[r.i] || ' ' || t[r.i+1] || ' ' || t[r.i+2]
+      |         ELSE array_to_string(t, ' ') END AS shingle
+      |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) ELSE [1] END) AS r(i)
+      |  WHERE len(t) >= 1),
+      |shd AS (SELECT DISTINCT shingle AS key FROM sh)""".stripMargin
+
+  /** The df-capped exact pair set + recall scalar appended to both
+    * sketch replays — the engine's recall_vs_exact audit (matched
+    * exact pairs / all exact pairs), stated over the apx CTE. */
+  private val SketchRecallCtesSql: String =
+    """capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200),
+      |uni AS (SELECT s.doc_id, s.shingle FROM sh s JOIN capped USING (shingle)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM uni GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |       FROM uni a JOIN uni b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |exact AS (SELECT doc_a, doc_b
+      |  FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+      |rec AS (SELECT
+      |    CAST((SELECT COUNT(*) FROM apx JOIN exact USING (doc_a, doc_b)) AS DOUBLE)
+      |    / GREATEST(CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 1.0) AS recall_vs_exact)""".stripMargin
+
+  /** dedup_simhash under the hard gate: per-shingle standard murmur
+    * h1 bits → per-doc 64-bit majority signature → 8×8-bit band
+    * equality buckets (≤ 200 members, ≥ 2) → Hamming ≤ 7 verify →
+    * the recall audit — every step the engine's banded plan computes,
+    * restated naively over the hashed shingle universe. */
+  private def simhashOracleSql: String =
+    s"""WITH ${ShingleCtesSql},
+      |${murmur128SqlChain("mh", "shd")},
+      |bits AS MATERIALIZED (
+      |  SELECT s.doc_id, b.b,
+      |    SUM(CASE WHEN (t.h1u // (1::HUGEINT << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+      |  FROM sh s JOIN mhtok t ON t.key = s.shingle, UNNEST(range(0, 64)) AS b(b)
+      |  GROUP BY 1, 2),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)::HUGEINT AS sigu
+      |  FROM bits GROUP BY 1),
+      |bands AS (SELECT doc_id, band.band,
+      |    ((sigu // (1::HUGEINT << (8 * band.band))) % 256)::BIGINT AS band_key
+      |  FROM sig, UNNEST(range(0, 8)) AS band(band)),
+      |buck AS (SELECT band, band_key FROM bands GROUP BY 1, 2
+      |         HAVING COUNT(*) BETWEEN 2 AND 200),
+      |mem AS (SELECT b.band, b.band_key, b.doc_id FROM bands b JOIN buck USING (band, band_key)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM mem a JOIN mem b ON a.band = b.band AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id),
+      |ham AS (SELECT doc_a, doc_b,
+      |    bit_count(xor(sa.sigu::UBIGINT, sb.sigu::UBIGINT))::INT AS hamming
+      |  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+      |            JOIN sig sb ON sb.doc_id = cand.doc_b),
+      |apx AS (SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 7),
+      |${SketchRecallCtesSql}
+      |SELECT doc_a, doc_b, hamming, (SELECT recall_vs_exact FROM rec) AS recall_vs_exact
+      |FROM apx ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dedup_minhash_lsh under the hard gate: per-shingle (h1, h2) →
+    * 128 Kirsch-Mitzenmacher minima (signed-compare, the kernel's
+    * Long order) → 32 bands × 4 rows folded through the bandHashes
+    * fmix chain → bucket join (≤ 200, ≥ 2) → exact full-set Jaccard
+    * ≥ 0.5 verify → the recall audit. */
+  private def minhashOracleSql: String =
+    s"""WITH ${ShingleCtesSql},
+      |${murmur128SqlChain("mh", "shd")},
+      |sigj AS MATERIALIZED (
+      |  SELECT s.doc_id, j.j,
+      |    MIN((((t.h1u + j.j * t.h2u) % 18446744073709551616::HUGEINT)
+      |      - CASE WHEN ((t.h1u + j.j * t.h2u) % 18446744073709551616::HUGEINT)
+      |             >= 9223372036854775808::HUGEINT
+      |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT) AS v
+      |  FROM sh s JOIN mhtok t ON t.key = s.shingle, UNNEST(range(0, 128)) AS j(j)
+      |  GROUP BY 1, 2),
+      |${bandFoldSqlChain("mb", "sigj", nBands = 32, r = 4)},
+      |buck AS (SELECT band, band_key FROM mbbh GROUP BY 1, 2
+      |         HAVING COUNT(*) BETWEEN 2 AND 200),
+      |mem AS (SELECT b.band, b.band_key, b.doc_id FROM mbbh b JOIN buck USING (band, band_key)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM mem a JOIN mem b ON a.band = b.band AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id),
+      |szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |coc AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+      |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+      |              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2),
+      |apx AS (SELECT c.doc_a, c.doc_b,
+      |    CAST(coc.nc AS DOUBLE) / CAST(sa.n + sb.n - coc.nc AS DOUBLE) AS jaccard
+      |  FROM cand c JOIN coc ON coc.doc_a = c.doc_a AND coc.doc_b = c.doc_b
+      |       JOIN szs sa ON sa.doc_id = c.doc_a JOIN szs sb ON sb.doc_id = c.doc_b
+      |  WHERE CAST(coc.nc AS DOUBLE) / CAST(sa.n + sb.n - coc.nc AS DOUBLE) >= 0.5),
+      |${SketchRecallCtesSql}
+      |SELECT doc_a, doc_b, jaccard, (SELECT recall_vs_exact FROM rec) AS recall_vs_exact
+      |FROM apx ORDER BY doc_a, doc_b""".stripMargin
+
   /** Connected components over the exact ngram pair graph as a DuckDB
     * recursive CTE — shared verbatim by dedup_clusters (label
     * propagation) and dedup_clusters_star (large-star/small-star):
@@ -597,7 +851,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("text_decontaminate_bloom" -> oracleSqlBase("text_decontaminate")) +
     ("text_bpe_train" -> bpeTrainOracleSql(25)) +
-    ("text_bpe_encode" -> bpeEncodeOracleSql(25))
+    ("text_bpe_encode" -> bpeEncodeOracleSql(25)) +
+    // r10 promotions: both sketch-dedup pair lists are deterministic
+    // given their murmur128 hashes, so they graduate from rows-only
+    // recall floors to the full hash gate via the standard-murmur
+    // HUGEINT chain (the Cassandra-token / xxhash64 technique).
+    ("dedup_simhash" -> simhashOracleSql) +
+    ("dedup_minhash_lsh" -> minhashOracleSql)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
