@@ -180,8 +180,17 @@ object Bench {
     // gitignored scratch copy; bench_prev.json is COMMITTED at round
     // close and is what the next run's regression gate diffs against
     // (written after the comparison above, so a run never diffs
-    // against itself).
-    Seq("bench_full.json", "bench_prev.json").foreach { name =>
+    // against itself). A SPARK_GRAFT_ONLY-filtered debug run or a
+    // full run at a different scale factor must NOT rewrite the
+    // committed baseline (decision + rationale in
+    // BenchGate.shouldPersistBaseline, spec'd on both clobber paths).
+    val fullRun = sys.env.get("SPARK_GRAFT_ONLY").isEmpty
+    val prevText = if (prevFile.isFile) Some(readText(prevFile)) else None
+    val outFiles =
+      if (BenchGate.shouldPersistBaseline(fullRun, prevText, sfDir))
+        Seq("bench_full.json", "bench_prev.json")
+      else Seq("bench_full.json")
+    outFiles.foreach { name =>
       scala.util.Try {
         val w = new java.io.PrintWriter(name, "UTF-8")
         try w.println(summaryLine) finally w.close()

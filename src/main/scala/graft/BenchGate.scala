@@ -55,4 +55,22 @@ object BenchGate {
       case Some(n) if parsedQueries > 0 => s""""$n""""
       case _ => "null"
     }
+
+  /** Whether this run may rewrite the committed baseline
+    * (`bench_prev.json`). Two clobber paths are closed, both hit in
+    * round 10: a SPARK_GRAFT_ONLY-filtered debug run would shrink the
+    * 147-query baseline to the handful under iteration, and a full run
+    * at a DIFFERENT scale factor (the local sf1 scale-evidence pass)
+    * would leave a baseline the next sf0.1 gate rejects on its sf
+    * field — both silently reproduce the vacuous `"regressed": {}`
+    * this file exists to prevent. A missing or sf-less prior always
+    * yields to the current run. */
+  def shouldPersistBaseline(
+      fullRun: Boolean,
+      prevText: Option[String],
+      sfDir: String): Boolean =
+    fullRun && prevText.forall { text =>
+      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(text)
+        .map(_.group(1)).forall(_ == sfDir)
+    }
 }

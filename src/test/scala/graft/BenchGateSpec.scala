@@ -55,6 +55,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.priorLabel(Some("bench_prev.json"), 147) === "\"bench_prev.json\"")
   }
 
+  test("filtered and cross-sf runs never clobber the committed baseline") {
+    val prev = Some(summary(""""q1":0.5"""))  // sf0.1 baseline on disk
+    // The round-10 incident, both halves: a SPARK_GRAFT_ONLY debug run
+    // (fullRun=false) and a full local sf1 scale pass must leave the
+    // sf0.1 baseline alone...
+    assert(!BenchGate.shouldPersistBaseline(fullRun = false, prev, sf))
+    assert(!BenchGate.shouldPersistBaseline(fullRun = true, prev, "/root/repo/testdata/sf1"))
+    // ...while the driver's same-sf full run keeps updating it, and a
+    // missing or sf-less prior yields to the current run.
+    assert(BenchGate.shouldPersistBaseline(fullRun = true, prev, sf))
+    assert(BenchGate.shouldPersistBaseline(fullRun = true, None, sf))
+    assert(BenchGate.shouldPersistBaseline(fullRun = true, Some("{}"), sf))
+  }
+
   test("queries that error (-1) in the prior never flag as improvements or anchors") {
     val prior = BenchGate.parsePrior(summary(""""q_err":-1,"q_ok":0.300"""), sf)
     assert(prior("q_err") === -1.0)
