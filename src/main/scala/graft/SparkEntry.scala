@@ -737,6 +737,123 @@ object SparkEntry {
       |    CAST((SELECT COUNT(*) FROM apx JOIN exact USING (doc_a, doc_b)) AS DOUBLE)
       |    / GREATEST(CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 1.0) AS recall_vs_exact)""".stripMargin
 
+  /** Hyperplane VALUES rows shared by the embedding-LSH replays:
+    * the engine's Gaussian planes (seed-derived constants of the
+    * algorithm, like hash constants — graft.functions.HyperplaneBits
+    * regenerates them identically on every executor) inlined as
+    * DOUBLE[] literals via shortest-round-trip rendering, so DuckDB's
+    * correctly-rounded literal parse reconstructs the identical binary
+    * doubles and every `list_dot_product` sequential fold matches the
+    * kernel's accumulation bit-for-bit. */
+  private def hyperplaneValuesSql(seeds: Seq[Long], nbits: Int, dim: Int): String =
+    seeds.zipWithIndex.flatMap { case (seed, t) =>
+      graft.functions.HyperplaneBits.planesFor(seed, nbits, dim).zipWithIndex.map {
+        case (pl, b) =>
+          s"  ($t, $b, [${pl.map(java.lang.Double.toString).mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n")
+
+  /** Per-id LSH bucket CTE over the `pl(table_id, bit, pv)` plane rows:
+    * sign-bit of the plane dot, OR-folded as a sum of disjoint powers —
+    * exactly [[graft.functions.HyperplaneBits]]. SUM goes through
+    * HUGEINT, so the bucket is cast back to BIGINT (the engine's Long). */
+  private def hyperplaneBucketsSql(name: String, src: String, idCol: String,
+      vCol: String): String =
+    s"""$name AS MATERIALIZED (
+      |  SELECT e.$idCol, p.table_id,
+      |    CAST(SUM(CASE WHEN list_dot_product(e.$vCol, p.pv) >= 0
+      |      THEN (1::BIGINT << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM $src e CROSS JOIN pl p GROUP BY 1, 2)""".stripMargin
+
+  /** dedup_embedding under the hard gate: the L=4 × 8-bit hyperplane
+    * bucketing (planes inlined as literals), the [2, 500] bucket-size
+    * cap, the bucket self-join, exact cosine, and the per-vector
+    * argmax by (cos, cand_id) — plus the two sampled audit scalars,
+    * both stated in their exact forms (0/1 mean; floored-ppm integer
+    * mean) so no order-dependent double sum enters the hash. */
+  private def embeddingDedupOracleSql: String =
+    s"""WITH pl(table_id, bit, pv) AS (VALUES
+      |${hyperplaneValuesSql(seeds = (1L to 4L), nbits = 8, dim = 64)}),
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${hyperplaneBucketsSql("bits", "emb", "vec_id", "v")},
+      |ok AS (SELECT table_id, bucket FROM bits GROUP BY 1, 2
+      |       HAVING COUNT(*) BETWEEN 2 AND 500),
+      |pm AS (SELECT b.vec_id, b.table_id, b.bucket
+      |       FROM bits b JOIN ok USING (table_id, bucket)),
+      |prs AS (SELECT DISTINCT a.vec_id, b.vec_id AS cand_id
+      |  FROM pm a JOIN pm b ON a.table_id = b.table_id AND a.bucket = b.bucket
+      |    AND a.vec_id <> b.vec_id),
+      |sc AS MATERIALIZED (SELECT p.vec_id, p.cand_id,
+      |    list_dot_product(ea.v, eb.v)
+      |      / sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)) AS cos
+      |  FROM prs p JOIN emb ea ON ea.vec_id = p.vec_id
+      |             JOIN emb eb ON eb.vec_id = p.cand_id),
+      |best AS MATERIALIZED (SELECT vec_id, cand_id AS best_match,
+      |    cos AS best_cos, n_candidates
+      |  FROM (SELECT vec_id, cand_id, cos,
+      |      COUNT(*) OVER (PARTITION BY vec_id) AS n_candidates,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id
+      |        ORDER BY cos DESC, cand_id DESC) AS rnk
+      |    FROM sc) WHERE rnk = 1),
+      |tsc AS (SELECT q.vec_id AS q_id, c.vec_id AS cand,
+      |    list_dot_product(q.v, c.v)
+      |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos
+      |  FROM emb q JOIN emb c ON c.vec_id <> q.vec_id WHERE q.vec_id < 100),
+      |tn AS (SELECT q_id, cand AS true_nn, cos AS true_cos FROM (
+      |    SELECT q_id, cand, cos,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY cos DESC, cand DESC) AS rnk
+      |    FROM tsc) WHERE rnk = 1),
+      |st AS (SELECT
+      |    AVG(CASE WHEN b.best_match = t.true_nn THEN CAST(1 AS DOUBLE)
+      |             ELSE CAST(0 AS DOUBLE) END) AS nn_recall_sampled,
+      |    (CAST(SUM(CAST(FLOOR(1e6 * (b.best_cos / t.true_cos)) AS BIGINT)) AS BIGINT)
+      |      // NULLIF(COUNT(*), 0)) / 1e6 AS nn_cos_ratio_sampled
+      |  FROM best b JOIN tn t ON b.vec_id = t.q_id)
+      |SELECT b.vec_id, b.best_match, b.best_cos, b.n_candidates,
+      |  st.nn_recall_sampled, st.nn_cos_ratio_sampled
+      |FROM best b CROSS JOIN st ORDER BY b.vec_id""".stripMargin
+
+  /** ann_lsh_topk under the hard gate: L=8 × 6-bit hyperplane tables
+    * (query side AND corpus side), bucket-equality candidates, exact
+    * cosine re-rank to top-10 with the (cos DESC, vec_id ASC) tie rule
+    * the bounded-heap aggregate uses, and the per-query recall@10
+    * against the brute-force answer — the same exact-cosine fold the
+    * ann_bruteforce_topk oracle already pins. */
+  private def annLshOracleSql: String =
+    s"""WITH pl(table_id, bit, pv) AS (VALUES
+      |${hyperplaneValuesSql(seeds = (100L to 107L), nbits = 6, dim = 64)}),
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+      |${hyperplaneBucketsSql("cb", "emb", "vec_id", "v")},
+      |${hyperplaneBucketsSql("qb", "q", "query_id", "qv")},
+      |cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+      |  FROM cb JOIN qb ON cb.table_id = qb.table_id AND cb.bucket = qb.bucket
+      |  WHERE cb.vec_id <> qb.query_id),
+      |sc AS (SELECT c.query_id, c.vec_id,
+      |    list_dot_product(qq.qv, ee.v)
+      |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM cand c JOIN q qq ON qq.query_id = c.query_id
+      |              JOIN emb ee ON ee.vec_id = c.vec_id),
+      |apx AS MATERIALIZED (SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rank
+      |  FROM (SELECT query_id, vec_id, cos, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)
+      |  WHERE rnk <= 10),
+      |esc AS (SELECT qq.query_id, ee.vec_id,
+      |    list_dot_product(qq.qv, ee.v)
+      |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM q qq JOIN emb ee ON ee.vec_id <> qq.query_id),
+      |exact AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS rnk FROM esc) WHERE rnk <= 10),
+      |rc AS (SELECT a.query_id, COUNT(*) AS n
+      |  FROM apx a JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      |  GROUP BY 1)
+      |SELECT a.query_id, a.vec_id, a.cos, a.rank,
+      |  COALESCE(CAST(rc.n AS DOUBLE) / 10, CAST(0 AS DOUBLE)) AS recall_at_k
+      |FROM apx a LEFT JOIN rc USING (query_id)
+      |ORDER BY a.query_id, a.rank""".stripMargin
+
   /** dedup_simhash under the hard gate: per-shingle standard murmur
     * h1 bits → per-doc 64-bit majority signature → 8×8-bit band
     * equality buckets (≤ 200 members, ≥ 2) → Hamming ≤ 7 verify →
@@ -857,7 +974,12 @@ object SparkEntry {
     // recall floors to the full hash gate via the standard-murmur
     // HUGEINT chain (the Cassandra-token / xxhash64 technique).
     ("dedup_simhash" -> simhashOracleSql) +
-    ("dedup_minhash_lsh" -> minhashOracleSql)
+    ("dedup_minhash_lsh" -> minhashOracleSql) +
+    // r10 promotions, part 2: the embedding-LSH pair is deterministic
+    // given its seed-derived Gaussian planes, so both graduate via
+    // plane-literal inlining + the proven list_dot_product cosine fold.
+    ("dedup_embedding" -> embeddingDedupOracleSql) +
+    ("ann_lsh_topk" -> annLshOracleSql)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

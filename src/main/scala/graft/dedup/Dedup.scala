@@ -595,7 +595,10 @@ object Dedup {
     * L=4 tables of 8-bit buckets; per vector, the best bucket-mate by
     * exact cosine. Per-vector output (this corpus has no true embedding
     * dups, so a thresholded pair list would be empty; the per-vector
-    * nearest-candidate form is also what a dedup pipeline consumes). */
+    * nearest-candidate form is also what a dedup pipeline consumes).
+    * Under the full hash gate: the seed-derived planes are inlined as
+    * literals in the DuckDB replay, and both audit scalars use exact
+    * (order-proof) aggregations — see SparkEntry.embeddingDedupOracleSql. */
   /** Memoized per-vector LSH-best frame — see the bestM comment below. */
   private val bestCache = new graft.functions.SessionScopedCache("dedup.emb_best")
 
@@ -669,12 +672,23 @@ object Dedup {
     // pipeline itself at sf0.1). The cached frame is output-sized
     // (4 narrow columns per vector), not corpus-sized.
     val bestM = bestCache.getOrCompute(spark, dir)(best.localCheckpoint())
+    // Both audit scalars are hash-gate exact: the recall mean sums 0/1
+    // doubles (integer-valued partials — order-proof), and the cos
+    // ratio is floored to integer ppm per row BEFORE the sum so the
+    // aggregation is an exact long sum followed by one floor divide and
+    // one correctly-rounded double divide — a double sum of arbitrary
+    // ratios would be partial-aggregation-order dependent and
+    // unreplayable cross-engine.
     val stats = bestM
       .join(broadcast(trueNn), col("vec_id") === col("q_id"))
       .agg(
         avg((col("best_match") === col("_true_nn")).cast("double"))
           .as("nn_recall_sampled"),
-        avg(col("best_cos") / col("_true_cos")).as("nn_cos_ratio_sampled"))
+        sum(floor(lit(1e6) * (col("best_cos") / col("_true_cos"))))
+          .as("_ppm"),
+        count(lit(1)).as("_n"))
+      .select(col("nn_recall_sampled"),
+        (expr("_ppm div nullif(_n, 0)") / lit(1e6)).as("nn_cos_ratio_sampled"))
     bestM.crossJoin(broadcast(stats))
       .orderBy(col("vec_id"))
   }

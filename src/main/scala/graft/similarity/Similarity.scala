@@ -41,9 +41,12 @@ object Similarity {
 
   /** Annotate an approximate top-k result with its per-query
     * recall@k against the exact brute-force answer, so the dumped
-    * result carries its own checkable quality number (the approx
-    * variants have no SQL oracle — sketch semantics — but recall is
-    * objective). Costs one extra brute-force pass over the corpus;
+    * result carries its own checkable quality number. The LSH variant
+    * is additionally under the full hash gate (its planes are
+    * seed-derived constants — SparkEntry.annLshOracleSql inlines
+    * them); IVF/PQ stay rows-only (their codebooks come from trained
+    * k-means, not replayable constants) with recall as the objective
+    * check. Costs one extra brute-force pass over the corpus;
     * at real scale this is the standard offline recall audit and
     * would run on a sampled query set. */
   private def withRecall(spark: SparkSession, dir: String, approx: DataFrame): DataFrame = {
