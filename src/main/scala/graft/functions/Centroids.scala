@@ -16,31 +16,43 @@ import org.apache.spark.sql.types._
   */
 object Centroids {
 
+  /** Spark's `round(double)` exactly (Round for DoubleType goes through
+    * BigDecimal.valueOf, i.e. the shortest-round-trip DECIMAL view,
+    * HALF_UP) — the same function DuckDB's ROUND computes on these
+    * inputs (hash-proven by emb_quantize at sf0.01 and sf1), so a
+    * driver-side fold that quantizes through this is replayable. */
+  def sparkRound(d: Double): Long =
+    java.math.BigDecimal.valueOf(d).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
   /** Driver-side spherical k-means on a (small) sample: deterministic
-    * (fixed seed / fixed iterations), standard practice for fitting a
-    * coarse quantizer — at 100 TB you fit on a 1e5 sample and assign
-    * the corpus with the fitted centroids. */
-  def fit(sample: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    * BY CONSTRUCTION — seeds are the k evenly-spaced sample ranks
+    * (floor(j·n/k), j = 0..k−1; the sample arrives vec_id-ordered), and
+    * per-round component sums are 2^-20-quantized integers (the corpus
+    * rounds' DECIMAL convention), so the fit is independent of both RNG
+    * implementation and accumulation order — at 100 TB you fit on a 1e5
+    * sample and assign the corpus with the fitted centroids, and an
+    * external oracle can replay every round from the sample alone. */
+  def fit(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty)
     val dim = sample.head.length
-    val rng = new java.util.Random(seed)
+    val q20 = (1L << 20).toDouble
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    var cents = Array.fill(k)(
-      normalize(sample(rng.nextInt(sample.length)).map(_.toDouble)))
+    var cents = Array.tabulate(k)(j =>
+      normalize(sample(((j.toLong * sample.length) / k).toInt).map(_.toDouble)))
     (1 to iters).foreach { _ =>
-      val sums = Array.fill(k)(new Array[Double](dim))
+      val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Int](k)
       sample.foreach { v =>
         val c = nearestOf(v, cents)
         counts(c) += 1
         var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        while (i < dim) { sums(c)(i) += sparkRound(v(i).toDouble * q20); i += 1 }
       }
       cents = sums.zipWithIndex.map { case (s, c) =>
-        if (counts(c) == 0) cents(c) else normalize(s)
+        if (counts(c) == 0) cents(c) else normalize(s.map(_.toDouble / q20))
       }
     }
     cents
@@ -84,24 +96,27 @@ object Centroids {
     * PQ reconstructs each block's magnitude from its codeword, so
     * unlike the spherical [[fit]] the centroids must keep their norms —
     * normalizing would collapse every block onto the unit sphere and
-    * lose the length information ADC scoring depends on. Deterministic
-    * (fixed seed / iterations), driver-side on a bounded sample. */
-  def fitL2(sample: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    * lose the length information ADC scoring depends on. Same
+    * deterministic-by-construction discipline as [[fit]]: evenly-spaced
+    * seed ranks, quantized-integer round sums. */
+  def fitL2(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty)
     val dim = sample.head.length
-    val rng = new java.util.Random(seed)
-    var cents = Array.fill(k)(sample(rng.nextInt(sample.length)).map(_.toDouble))
+    val q20 = (1L << 20).toDouble
+    var cents = Array.tabulate(k)(j =>
+      sample(((j.toLong * sample.length) / k).toInt).map(_.toDouble))
     (1 to iters).foreach { _ =>
-      val sums = Array.fill(k)(new Array[Double](dim))
+      val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Int](k)
       sample.foreach { v =>
         val c = nearestL2(v, 0, dim, cents)
         counts(c) += 1
         var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        while (i < dim) { sums(c)(i) += sparkRound(v(i).toDouble * q20); i += 1 }
       }
       cents = sums.zipWithIndex.map { case (s, c) =>
-        if (counts(c) == 0) cents(c) else s.map(_ / counts(c))
+        if (counts(c) == 0) cents(c)
+        else s.map(_.toDouble / q20 / counts(c))
       }
     }
     cents

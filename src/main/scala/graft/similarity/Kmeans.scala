@@ -43,7 +43,7 @@ object Kmeans {
     // rounds below do the real work.
     val sample = emb.filter(col("vec_id") < sampleCap).orderBy(col("vec_id"))
       .collect().map(_.getSeq[Float](1).toArray)
-    var cents = Centroids.fit(sample, k, iters = 10, seed = 42)
+    var cents = Centroids.fit(sample, k, iters = 10)
     val dim = sample.head.length
 
     def assigned(c: Array[Array[Double]]): DataFrame =

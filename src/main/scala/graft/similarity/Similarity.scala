@@ -175,7 +175,7 @@ object Similarity {
     val sample = corpus.filter(pmod(col("vec_id"), lit(3)) === 0)
       .orderBy(col("vec_id")).limit(1024)
       .collect().map(_.getSeq[Float](1).toArray)
-    val cents = Centroids.fit(sample, nLists, iters = 5, seed = 42L)
+    val cents = Centroids.fit(sample, nLists, iters = 5)
 
     val corpusAssigned = corpus.withColumn("centroid",
       element_at(Centroids.nearestCentroids(col("embedding"), cents, 1), 1))
@@ -222,7 +222,7 @@ object Similarity {
     val sub = sample.head.length / m
     val books = Array.tabulate(m)(j =>
       Centroids.fitL2(sample.map(_.slice(j * sub, (j + 1) * sub)),
-        kCodes, iters = 5, seed = 40L + j))
+        kCodes, iters = 5))
 
     val codes = corpus.select(col("vec_id"),
       Centroids.pqEncode(col("embedding"), books).as("codes"))
