@@ -1,7 +1,9 @@
 package graft
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark main: times every SparkEntry query at the
-  * SPARK_GRAFT_SF_DIR scale factor and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR scale factor and prints the artifact JSON.
   *
   * Harness rules: each query is run three times and the minimum kept
   * (steady-state cost — codegen compiled, footers cached — with load
@@ -9,12 +11,23 @@ import org.apache.spark.sql.SparkSession
   * `errors` field rather than benching the elapsed time of the failed
   * attempt as a fast success.
   *
-  * Reading the numbers for session-memoized queries (the dedup pair
-  * lists / cluster assignments): the min reflects the steady-state
-  * cached read — the cost every consumer after the first pays — while
-  * the FIRST entry of the published per-attempt array carries the full
-  * pipeline materialization. Both are real costs; regressions in the
-  * pipeline itself show in attempt 1, not the min.
+  * ATTRIBUTION (VERDICT r10 #1): every attempt also records its JVM
+  * GC-time delta and its session-memo growth
+  * ([[graft.functions.SessionScopedCache.retainedBytes]] delta), and
+  * queries run in published name-ascending order — so a reader of a
+  * skewed attempt can tell a memo first-materialization (memo_bytes
+  * spike on attempt 1) from GC pressure (gc_ms ≈ wall) from co-tenant
+  * noise (neither). Queries whose first attempt exceeds 4× their
+  * median are summarized in `spikes` with the inferred cause named.
+  *
+  * STDOUT CONTRACT: the full summary (attempts, attribution, spikes)
+  * is one ~15 KB JSON line, which no tail-bounded log capture survives
+  * — ten rounds of driver artifacts carried `parsed: null` because the
+  * line's head never fit the 2000-char tail window. The full line
+  * therefore goes to bench_full.json / first on stdout, and the LAST
+  * stdout line is a compact (<1.8 KB) summary — total, failures, the
+  * slowest queries, regression count — small enough to survive the
+  * tail window and parse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,19 +54,49 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }.take(160)
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcNowMs(): Long = gcBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    def retainedNow(): Long =
+      scala.util.Try(graft.functions.SessionScopedCache.retainedBytes(spark)).getOrElse(0L)
+    def entriesNow(): Int =
+      scala.util.Try(graft.functions.SessionScopedCache.retainedEntries(spark)).getOrElse(0)
+    /** One timed attempt with its GC-time and session-memo deltas
+      * (bytes AND entry count — a small memo with an expensive
+      * pipeline shows up in entries, not bytes). */
+    case class Attempt(
+        res: Either[String, Double], gcMs: Long, memoBytes: Long, memoEntries: Int)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Attempt = {
+      val gc0 = gcNowMs(); val mem0 = retainedNow(); val ent0 = entriesNow()
       val t0 = System.nanoTime()
-      try {
+      val res = try {
         fn(spark, sfDir).count()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case t: Throwable =>
         Left(jsonSafe(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"))
       }
+      Attempt(res, gcNowMs() - gc0, retainedNow() - mem0, entriesNow() - ent0)
     }
-    // Local-iteration filter — the one definition shared with Verify.
-    val rawQueries: Map[String, Seq[Either[String, Double]]] = SparkEntry.selectedQueries.map {
-      case (name, fn) => name -> (1 to 3).map(_ => once(fn))
-    }
+    // Session-memo footprint policy (VERDICT r10 #8): the memoized
+    // checkpoint frames are accounted per query boundary; past the cap
+    // they are dropped (the next consumer rebuilds). The default cap is
+    // high — eviction mid-bench makes the NEXT sharer's time a rebuild,
+    // so it only fires when the footprint is a real problem.
+    val memoCap = sys.env.getOrElse("SPARK_GRAFT_MEMO_CAP_BYTES", s"${8L << 30}").toLong
+    var retainedHw = 0L; var retainedHwQuery = ""; var memoEvictions = 0
+    // Queries execute in name-ascending order (published below):
+    // deterministic order is what makes the per-attempt memo deltas
+    // attributable — the alphabetically-first sharer of a memoized
+    // subtree is always the one that pays (and logs) its build.
+    val rawQueries: Seq[(String, Seq[Attempt])] =
+      SparkEntry.selectedQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val atts = (1 to 3).map(_ => once(fn))
+        val retained = retainedNow()
+        if (retained > retainedHw) { retainedHw = retained; retainedHwQuery = name }
+        if (retained > memoCap) {
+          memoEvictions += graft.functions.SessionScopedCache.unpersistAll(spark)
+        }
+        name -> atts
+      }
     // Reference-workload throughput (VERDICT r8/r9 #6): the SSTable
     // decode + full-migrate timings ride the same min-of-3 / regression
     // machinery as the queries (fixed cell count, so a time regression
@@ -70,16 +113,16 @@ object Bench {
         graft.tools.SSTableThroughput.warm(spark, dir)
         (1 to 3).map(_ => graft.tools.SSTableThroughput.measureOnce(spark, dir))
       }.getOrElse(Seq.empty)
-    val raw: Map[String, Seq[Either[String, Double]]] = rawQueries ++ (
-      if (ssAttempts.isEmpty) Map.empty
-      else Map(
-        "sstable_decode" -> ssAttempts.map(a => Right(a._1): Either[String, Double]),
-        "sstable_migrate" -> ssAttempts.map(a => Right(a._2): Either[String, Double])))
-    val results: Map[String, Either[String, Double]] = raw.map {
+    val raw: Seq[(String, Seq[Attempt])] = rawQueries ++ (
+      if (ssAttempts.isEmpty) Seq.empty
+      else Seq(
+        "sstable_decode" -> ssAttempts.map(a => Attempt(Right(a._1), 0L, 0L, 0)),
+        "sstable_migrate" -> ssAttempts.map(a => Attempt(Right(a._2), 0L, 0L, 0))))
+    val results: Seq[(String, Either[String, Double])] = raw.map {
       case (name, attempts) =>
-        val times = attempts.collect { case Right(s) => s }
+        val times = attempts.collect { case Attempt(Right(s), _, _, _) => s }
         name -> (if (times.size == attempts.size) Right(times.min)
-                 else Left(attempts.collectFirst { case Left(e) => e }.get))
+                 else Left(attempts.collectFirst { case Attempt(Left(e), _, _, _) => e }.get))
     }
     // Compact per-query times (ms precision) keep the summary line
     // small enough to survive a tail-bounded log capture.
@@ -98,9 +141,19 @@ object Bench {
     // a single loaded snapshot.
     val attemptsJson = raw.map { case (k, atts) =>
       s"\"$k\":" + atts.map {
-        case Right(s) => num(s, 6)
-        case Left(_) => "-1"
+        case Attempt(Right(s), _, _, _) => num(s, 6)
+        case Attempt(Left(_), _, _, _) => "-1"
       }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Per-attempt attribution (queries only — the sstable rows measure
+    // a synthesized fixture, not session state): GC-time deltas in ms
+    // and session-memo growth in bytes. A skewed attempt now carries
+    // its own explanation in the artifact.
+    val gcJson = rawQueries.map { case (k, atts) =>
+      s"\"$k\":" + atts.map(_.gcMs.toString).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val memoJson = rawQueries.map { case (k, atts) =>
+      s"\"$k\":" + atts.map(_.memoBytes.toString).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
@@ -114,24 +167,46 @@ object Bench {
     // separation lets a co-tenant spike through unnoticed on the OTHER
     // attempts; the median makes sustained slowness visible where the
     // min hides it.
-    val medians: Map[String, Double] = raw.collect {
-      case (name, atts) if atts.forall(_.isRight) =>
-        val ts = atts.collect { case Right(s) => s }.sorted
+    val medians: Seq[(String, Double)] = raw.collect {
+      case (name, atts) if atts.forall(_.res.isRight) =>
+        val ts = atts.collect { case Attempt(Right(s), _, _, _) => s }.sorted
         name -> ts(ts.size / 2)
     }
     val mediansJson = medians.map { case (k, m) => s""""$k":${num(m, 3)}""" }
       .mkString("{", ",", "}")
+    val medianOf = medians.toMap
+    // First-materialization spikes (VERDICT r10 #5): a first attempt
+    // over 4x the query's own median AND over an absolute floor gets a
+    // named cause — memo-build when the memo grew, gc when GC dominated
+    // the wall time, otherwise explicitly unattributed (co-tenant /
+    // warmup). mm_phash_survivors' 8 s first attempt in the r10 driver
+    // session is exactly the shape this row exists to explain.
+    val spikesJson = rawQueries.collect {
+      case (k, atts) if atts.forall(_.res.isRight) =>
+        val first = atts.head
+        val firstSec = first.res.toOption.get
+        val med = medianOf.getOrElse(k, firstSec)
+        (k, atts, first, firstSec, med)
+    }.collect {
+      case (k, _, first, firstSec, med) if firstSec > 4 * med && firstSec > 0.5 =>
+        val cause =
+          if (first.memoEntries > 0) "memo-build"
+          else if (first.gcMs > 0.3 * firstSec * 1000) "gc"
+          else "unattributed"
+        s""""$k":{"first":${num(firstSec, 3)},"median":${num(med, 3)},""" +
+          s""""gc_ms":${first.gcMs},"memo_entries":${first.memoEntries},""" +
+          s""""memo_bytes":${first.memoBytes},"cause":"$cause"}"""
+    }.mkString("{", ",", "}")
     // Machine-visible regression check (logic in graft.BenchGate, spec'd
     // on a planted slowdown): a query whose new min exceeds 1.5x its
     // prior min is listed with both numbers. The baseline is the
-    // COMMITTED full summary of the previous run (bench_prev.json —
-    // this run rewrites it below, the round-close commit keeps it);
-    // the driver's BENCH_r{N}.json is only a fallback, because its
-    // tail capture truncates the summary line and through round 9 the
-    // gate silently parsed zero prior queries from it while sustained
-    // 5x skews sat in its own attempts array. When NO source parses,
-    // the artifact now says "regressed_vs": null instead of naming a
-    // file it never actually read.
+    // COMMITTED per-query-min file (bench_prev.json — merged and
+    // rewritten below, the round-close commit keeps it); the driver's
+    // BENCH_r{N}.json is only a fallback, because its tail capture
+    // truncates the summary line and through round 9 the gate silently
+    // parsed zero prior queries from it while sustained 5x skews sat
+    // in its own attempts array. When NO source parses, the artifact
+    // says "regressed_vs": null instead of naming a file it never read.
     def readText(f: java.io.File): String =
       scala.util.Try(scala.io.Source.fromFile(f, "UTF-8").mkString).getOrElse("")
     val prevFile = new java.io.File("bench_prev.json")
@@ -144,19 +219,14 @@ object Bench {
         f.getName -> BenchGate.parsePrior(readText(f), sfDir)
       }
     val (priorName, priorQueries) = candidates.find(_._2.nonEmpty) match {
-      case Some((name, qs)) => (BenchGate.priorLabel(Some(name), qs.size), qs)
+      case Some((name, pq)) => (BenchGate.priorLabel(Some(name), pq.size), pq)
       case None => ("null", Map.empty[String, Double])
     }
     val currentMins = results.collect { case (k, Right(s)) => k -> s }.toMap
-    val regressed = BenchGate.regressions(currentMins, priorQueries).map {
+    val regressed = BenchGate.regressions(currentMins, priorQueries).toSeq.sortBy(_._1).map {
       case (k, (p, s)) => s""""$k":[${num(p, 3)},${num(s, 3)}]"""
     }.mkString("{", ",", "}")
-    // ONE JSON object, one line: the driver parses stdout as a single
-    // JSON document, so the per-attempt arrays are nested in the summary
-    // rather than emitted as a second line (round-4/5 artifacts came out
-    // unparseable from the two-line format). A single JSON line cannot
-    // survive truncation from either end; the defenses are size (the
-    // whole line is ~10 KB) and the bench_full.json side-file below.
+    val nRegressed = BenchGate.regressions(currentMins, priorQueries).size
     // Published throughput rows (min-of-3): cells/s and per-core
     // cells/s for decode and the full migrate pipeline — the numbers
     // SCALE.md's reference comparison (447k / 120k per core on
@@ -174,29 +244,51 @@ object Bench {
         s""""migrate_cells_per_sec_per_core":${num(ssCells / mMin / cpus.toDouble, 0)}}"""
       }
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","medians":$mediansJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"attempts":$attemptsJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
     // Belt and braces: the artifact also lands in files next to the
     // build, immune to any stdout truncation. bench_full.json is the
-    // gitignored scratch copy; bench_prev.json is COMMITTED at round
-    // close and is what the next run's regression gate diffs against
-    // (written after the comparison above, so a run never diffs
-    // against itself). A SPARK_GRAFT_ONLY-filtered debug run or a
-    // full run at a different scale factor must NOT rewrite the
-    // committed baseline (decision + rationale in
+    // committed full artifact (attempts + attribution); bench_prev.json
+    // is the committed BASELINE the next run's regression gate diffs
+    // against — per-query MIN over this run and the prior baseline
+    // (BenchGate.mergedBaseline), so one degraded session can never
+    // inflate the bar (the r10 failure: a 66 s session's totals became
+    // the baseline and under-reported r11's regressions before it
+    // ran). SPARK_GRAFT_BENCH_REBASE=1 resets the baseline to this
+    // run (for deliberate slowdowns). A SPARK_GRAFT_ONLY-filtered
+    // debug run or a full run at a different scale factor must NOT
+    // rewrite the committed baseline (decision + rationale in
     // BenchGate.shouldPersistBaseline, spec'd on both clobber paths).
     val fullRun = sys.env.get("SPARK_GRAFT_ONLY").isEmpty
+    val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE").exists(_ == "1")
     val prevText = if (prevFile.isFile) Some(readText(prevFile)) else None
-    val outFiles =
-      if (BenchGate.shouldPersistBaseline(fullRun, prevText, sfDir))
-        Seq("bench_full.json", "bench_prev.json")
-      else Seq("bench_full.json")
-    outFiles.foreach { name =>
+    def writeFile(name: String, content: String): Unit =
       scala.util.Try {
         val w = new java.io.PrintWriter(name, "UTF-8")
-        try w.println(summaryLine) finally w.close()
+        try w.println(content) finally w.close()
       }
+    writeFile("bench_full.json", summaryLine)
+    if (BenchGate.shouldPersistBaseline(fullRun, prevText, sfDir)) {
+      val merged = BenchGate.mergedBaseline(
+        currentMins, prevText.map(BenchGate.parsePrior(_, sfDir)).getOrElse(Map.empty),
+        rebase)
+      val mergedQs = merged.toSeq.sortBy(_._1)
+        .map { case (k, s) => s""""$k":${num(s, 3)}""" }.mkString("{", ",", "}")
+      val mergedTotal = merged.collect {
+        case (k, s) if !k.startsWith("sstable_") => s
+      }.sum
+      writeFile("bench_prev.json",
+        s"""{"metric":"baseline","value":${num(mergedTotal, 3)},"unit":"sec","queries":$mergedQs,"sf":"$sfDir","baseline_kind":"per_query_min","n":${merged.size},"rebased":$rebase}""")
     }
     println(summaryLine)
+    // The LAST stdout line: compact enough (<1.8 KB) for a tail-bounded
+    // capture to keep its head, so it parses where the full line above
+    // cannot. Carries the totals plus the slowest queries by min —
+    // the full per-query detail is in bench_full.json (committed).
+    val slowest = results.collect { case (k, Right(s)) => k -> s }
+      .sortBy(-_._2).take(25)
+      .map { case (k, s) => s""""$k":${num(s, 3)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$slowest,"queries_shown":"slowest 25 of ${results.size} by min; full set in bench_full.json","queries_total":${results.size},"failed":$nFailed,"sf":"$sfDir","regressed_n":$nRegressed,"regressed_vs":$priorName,"retained_hw_bytes":$retainedHw,"sstable":$sstableJson}""")
     spark.stop()
   }
 }

@@ -73,4 +73,33 @@ object BenchGate {
       "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(text)
         .map(_.group(1)).forall(_ == sfDir)
     }
+
+  /** The baseline to PERSIST: per-query minimum of this run and the
+    * committed prior — the third clobber path (VERDICT r10 #2). A
+    * last-write baseline lets one degraded session (round 10's
+    * committed 66 s run, 55 self-reported regressions) inflate every
+    * query's bar at once, under-reporting real regressions for a full
+    * round. Taking the per-query min means a slow session's numbers
+    * simply never enter the baseline — min(prior_fast, current_slow)
+    * keeps the prior — while genuine improvements still lower the bar
+    * immediately. The cost is that a DELIBERATE slowdown (a query made
+    * to do more work) flags until rebased; `rebase = true`
+    * (SPARK_GRAFT_BENCH_REBASE=1) resets those queries to the current
+    * run. Bookkeeping rules:
+    *  - a query only in the current run (new operator) enters at its
+    *    current time;
+    *  - a query only in the prior (renamed/removed) is dropped, so
+    *    stale entries don't linger;
+    *  - a current error (-1) keeps the prior time — an errored attempt
+    *    must not erase the query's known cost. */
+  def mergedBaseline(
+      current: Map[String, Double],
+      prior: Map[String, Double],
+      rebase: Boolean = false): Map[String, Double] =
+    current.flatMap { case (k, s) =>
+      val p = prior.get(k).filter(_ > 0)
+      if (s <= 0) p.map(k -> _)                    // current errored
+      else if (rebase) Some(k -> s)
+      else Some(k -> p.fold(s)(math.min(s, _)))
+    }
 }

@@ -116,6 +116,14 @@ private[graft] object SessionScopedCache {
   def retainedBytes(spark: SparkSession): Long =
     retainedInfo(spark).values.sum
 
+  /** Live memo entry count for `spark` across all caches — the signal
+    * a bench attempt uses to attribute a first-materialization spike:
+    * bytes can be tiny for a small pair list whose PIPELINE was
+    * expensive, but the entry-count delta is 1 the attempt that built
+    * it and 0 every attempt after. */
+  def retainedEntries(spark: SparkSession): Int =
+    instances.asScala.map(_.entries(spark).size).sum
+
   /** Drop one entry by its `instance#key` name (as printed by
     * [[retainedInfo]]), unpersisting its blocks. */
   def unpersist(spark: SparkSession, qualifiedKey: String): Boolean =

@@ -69,6 +69,31 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.shouldPersistBaseline(fullRun = true, Some("{}"), sf))
   }
 
+  test("a slow session never inflates the merged baseline (the r10 clobber)") {
+    // Round 10's incident: a degraded 66 s session overwrote the
+    // committed baseline wholesale, raising every query's bar. Under
+    // per-query-min merging the slow values simply never enter.
+    val prior = Map("q_a" -> 0.157, "q_b" -> 0.259, "q_c" -> 1.0)
+    val slowSession = Map("q_a" -> 2.955, "q_b" -> 3.234, "q_c" -> 1.2)
+    assert(BenchGate.mergedBaseline(slowSession, prior) === prior)
+  }
+
+  test("merged baseline: improvements lower the bar, new queries enter, stale drop") {
+    val prior = Map("q_improved" -> 1.0, "q_removed" -> 0.4, "q_err" -> 0.3)
+    val current = Map("q_improved" -> 0.6, "q_new" -> 0.2, "q_err" -> -1.0)
+    assert(BenchGate.mergedBaseline(current, prior) ===
+      Map("q_improved" -> 0.6, "q_new" -> 0.2, "q_err" -> 0.3))
+    // An errored query with no prior history contributes nothing.
+    assert(BenchGate.mergedBaseline(Map("q_err" -> -1.0), Map.empty) === Map.empty)
+  }
+
+  test("rebase resets deliberate slowdowns to the current run") {
+    val prior = Map("q_more_work" -> 0.2, "q_gone" -> 0.1)
+    val current = Map("q_more_work" -> 0.9)
+    assert(BenchGate.mergedBaseline(current, prior, rebase = true) ===
+      Map("q_more_work" -> 0.9))
+  }
+
   test("queries that error (-1) in the prior never flag as improvements or anchors") {
     val prior = BenchGate.parsePrior(summary(""""q_err":-1,"q_ok":0.300"""), sf)
     assert(prior("q_err") === -1.0)
