@@ -854,6 +854,267 @@ object SparkEntry {
       |FROM apx a LEFT JOIN rc USING (query_id)
       |ORDER BY a.query_id, a.rank""".stripMargin
 
+  /** ann_ivf_topk under the hard gate (VERDICT r10 #4): the ENTIRE
+    * spherical k-means fit is replayed as an unrolled 5-round Lloyd
+    * chain over the deterministic sample — seeds at evenly-spaced
+    * sample ranks floor(c·n/16), per-round assignment by raw dot
+    * (ties to the lower centroid id, the kernel's strict-greater
+    * rule), component sums as ROUND(x·2²⁰) BIGINTs (the
+    * Centroids.sparkRound convention emb_quantize hash-proved), and
+    * unit-norm renormalization via the same left-to-right
+    * list_dot_product fold the cosine oracles pin. Corpus/query
+    * assignment then replays NearestCentroids' (dot/‖v‖ DESC, c ASC)
+    * order, and the tail (exact cosine re-rank to top-10 + recall@10)
+    * is the ann_lsh oracle's verbatim. */
+  // ---- shared fragments for the Lloyd-chain replays -------------------
+
+  /** Unit-norm renormalization of a DOUBLE[] expression — the fit's
+    * `normalize` (left-to-right sum of squares via list_dot_product,
+    * zero-norm vectors pass through). */
+  private def normCvSql(src: String) =
+    s"CASE WHEN list_dot_product($src, $src) = 0 THEN $src " +
+    s"ELSE list_transform($src, x -> x / sqrt(list_dot_product($src, $src))) END"
+
+  /** NearestCentroids' per-candidate score for vector `v` against the
+    * centroid alias `c.cv` — dot/‖v‖ with the zero-norm guard. */
+  private def nearestCentroidScoreSql(v: String) =
+    s"CASE WHEN sqrt(list_dot_product($v, $v)) = 0 THEN CAST(0 AS DOUBLE) " +
+    s"ELSE list_dot_product($v, c.cv) / sqrt(list_dot_product($v, $v)) END"
+
+  /** The [[graft.functions.Centroids.fit]] spherical k-means replayed
+    * as unrolled CTE stages: seeds `c0` at evenly-spaced ranks of the
+    * `samp` CTE (which the caller must have emitted, with columns
+    * (v DOUBLE[], rnk)), then `iters` Lloyd rounds of raw-dot
+    * assignment (strict-greater tie rule → (dot DESC, c ASC)),
+    * ROUND(x·2²⁰) BIGINT component sums, and renormalization. Leaves
+    * the fitted centroids in `c<iters>`(c INT, cv DOUBLE[]). */
+  private def sphericalFitSqlParts(k: Int, iters: Int, dim: Int): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "nn AS (SELECT COUNT(*) AS n FROM samp)",
+      s"""c0 AS MATERIALIZED (
+        |  SELECT k.c, ${normCvSql("s.v")} AS cv
+        |  FROM (SELECT UNNEST(range(0, $k))::INT AS c) k
+        |  CROSS JOIN nn
+        |  JOIN samp s ON s.rnk = (k.c * nn.n) // $k)""".stripMargin)
+    (1 to iters).foreach { i =>
+      val prev = s"c${i - 1}"
+      parts += s"""a$i AS MATERIALIZED (
+        |  SELECT rnk, v, c FROM (
+        |    SELECT s.rnk, s.v, c.c,
+        |      ROW_NUMBER() OVER (PARTITION BY s.rnk
+        |        ORDER BY list_dot_product(s.v, c.cv) DESC, c.c) AS rn
+        |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+      parts += s"""m$i AS MATERIALIZED (
+        |  SELECT c, list(sm / 1048576.0 ORDER BY i) AS mv FROM (
+        |    SELECT a.c, d.i, SUM(CAST(ROUND(a.v[d.i] * 1048576.0, 0) AS BIGINT)) AS sm
+        |    FROM a$i a, UNNEST(range(1, ${dim + 1})) AS d(i) GROUP BY 1, 2) GROUP BY c)""".stripMargin
+      parts += s"""c$i AS MATERIALIZED (
+        |  SELECT p.c, CASE WHEN m.mv IS NULL THEN p.cv
+        |    ELSE ${normCvSql("m.mv")} END AS cv
+        |  FROM $prev p LEFT JOIN m$i m ON m.c = p.c)""".stripMargin
+    }
+    parts.toSeq
+  }
+
+  private def annIvfOracleSql: String = {
+    val (k, iters, nProbe, dim) = (16, 5, 4, 64)
+    def assignScore(v: String) = nearestCentroidScoreSql(v)
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM emb WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
+    parts ++= sphericalFitSqlParts(k, iters, dim)
+    val fin = s"c$iters"
+    parts += s"""casn AS MATERIALIZED (
+      |  SELECT vec_id, c AS centroid FROM (
+      |    SELECT e.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${assignScore("e.v")} DESC, c.c) AS rn
+      |    FROM emb e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+    parts += "q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10)"
+    parts += s"""qprobe AS (
+      |  SELECT query_id, c AS centroid FROM (
+      |    SELECT qq.query_id, c.c, ROW_NUMBER() OVER (PARTITION BY qq.query_id
+      |      ORDER BY ${assignScore("qq.qv")} DESC, c.c) AS rn
+      |    FROM q qq CROSS JOIN $fin c) WHERE rn <= $nProbe)""".stripMargin
+    parts += """cand AS (SELECT qp.query_id, ca.vec_id
+      |  FROM casn ca JOIN qprobe qp USING (centroid)
+      |  WHERE ca.vec_id <> qp.query_id)""".stripMargin
+    parts += """sc AS (SELECT c.query_id, c.vec_id,
+      |    list_dot_product(qq.qv, ee.v)
+      |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM cand c JOIN q qq ON qq.query_id = c.query_id
+      |              JOIN emb ee ON ee.vec_id = c.vec_id)""".stripMargin
+    s"WITH ${parts.mkString(",\n")},\n$annRerankTailSql"
+  }
+
+  /** ann_pq_topk under the hard gate (VERDICT r10 #4): all 8 per-block
+    * L2 codebooks replayed as one unrolled 5-round Lloyd chain keyed by
+    * block id — UN-normalized evenly-spaced seeds, squared-L2
+    * assignment via the elementwise-difference list folded through
+    * list_dot_product (the kernel's sequential `d += t·t`), quantized
+    * integer sums divided (/2²⁰ then /count, the fitL2 order). Corpus
+    * codes re-derive per (vector, block); ADC is replayed on the
+    * RECONSTRUCTED vector (codewords concatenated in block order —
+    * bit-identical to pqAdcScore's j-outer/i-inner accumulation), the
+    * top-50 shortlist uses the bounded-heap (adc DESC, vec_id) order,
+    * and the exact-cosine top-10 + recall tail is shared with LSH/IVF. */
+  private def annPqOracleSql: String = {
+    val (m, kc, iters, short, dim) = (8, 16, 5, 50, 64)
+    val sub = dim / m
+    def l2(a: String, b: String) = {
+      val d = s"list_transform(range(1, ${sub + 1}), i -> $a[i] - $b[i])"
+      s"list_dot_product($d, $d)"
+    }
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM emb WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin,
+      "nn AS (SELECT COUNT(*) AS n FROM samp)",
+      s"""ss AS MATERIALIZED (
+        |  SELECT s.rnk, j.j::INT AS j, s.v[j.j*$sub+1 : j.j*$sub+$sub] AS sv
+        |  FROM samp s, UNNEST(range(0, $m)) AS j(j))""".stripMargin,
+      s"""b0 AS MATERIALIZED (
+        |  SELECT s.j, k.c, s.sv AS cv
+        |  FROM (SELECT UNNEST(range(0, $kc))::INT AS c) k
+        |  CROSS JOIN nn
+        |  JOIN ss s ON s.rnk = (k.c * nn.n) // $kc)""".stripMargin)
+    (1 to iters).foreach { it =>
+      val prev = s"b${it - 1}"
+      parts += s"""pa$it AS MATERIALIZED (
+        |  SELECT j, rnk, sv, c FROM (
+        |    SELECT s.j, s.rnk, s.sv, c.c,
+        |      ROW_NUMBER() OVER (PARTITION BY s.j, s.rnk
+        |        ORDER BY ${l2("s.sv", "c.cv")} ASC, c.c) AS rn
+        |    FROM ss s JOIN $prev c ON c.j = s.j) WHERE rn = 1)""".stripMargin
+      parts += s"""pm$it AS MATERIALIZED (
+        |  SELECT j, c, cnt, list(sm / 1048576.0 / cnt ORDER BY i) AS mv FROM (
+        |    SELECT a.j, a.c, d.i, SUM(CAST(ROUND(a.sv[d.i] * 1048576.0, 0) AS BIGINT)) AS sm,
+        |      COUNT(*) AS cnt
+        |    FROM pa$it a, UNNEST(range(1, ${sub + 1})) AS d(i) GROUP BY 1, 2, 3) GROUP BY j, c, cnt)""".stripMargin
+      parts += s"""b$it AS MATERIALIZED (
+        |  SELECT p.j, p.c, CASE WHEN m.mv IS NULL THEN p.cv ELSE m.mv END AS cv
+        |  FROM $prev p LEFT JOIN pm$it m ON m.j = p.j AND m.c = p.c)""".stripMargin
+    }
+    val fin = s"b$iters"
+    parts += s"""enc AS MATERIALIZED (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT e.vec_id, c.j, c.c,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
+      |        ORDER BY ${l2(s"e.v[c.j*$sub+1 : c.j*$sub+$sub]", "c.cv")} ASC, c.c) AS rn
+      |    FROM emb e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+    parts += s"""recon AS MATERIALIZED (
+      |  SELECT e.vec_id, flatten(list(c.cv ORDER BY e.j)) AS rv
+      |  FROM enc e JOIN $fin c ON c.j = e.j AND c.c = e.code
+      |  GROUP BY e.vec_id)""".stripMargin
+    parts += "q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10)"
+    parts += s"""adc AS MATERIALIZED (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT qq.query_id, r.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qq.query_id ORDER BY
+      |        CASE WHEN sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(r.rv, r.rv)) = 0
+      |             THEN CAST(0 AS DOUBLE)
+      |             ELSE list_dot_product(qq.qv, r.rv)
+      |               / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(r.rv, r.rv)) END
+      |        DESC, r.vec_id) AS rn
+      |    FROM q qq JOIN recon r ON r.vec_id <> qq.query_id) WHERE rn <= $short)""".stripMargin
+    parts += """sc AS (SELECT a.query_id, a.vec_id,
+      |    list_dot_product(qq.qv, ee.v)
+      |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM adc a JOIN q qq ON qq.query_id = a.query_id
+      |             JOIN emb ee ON ee.vec_id = a.vec_id)""".stripMargin
+    s"WITH ${parts.mkString(",\n")},\n$annRerankTailSql"
+  }
+
+  /** emb_kmeans under the hard gate (VERDICT r10 #7 stretch): the full
+    * two-stage trainer replayed — the 10-round sample fit
+    * ([[sphericalFitSqlParts]] over the vec_id < 1024 head sample),
+    * then the 5 CORPUS Lloyd rounds: assignment via NearestCentroids'
+    * (dot/‖v‖ DESC, c ASC) order, per-(cluster, dim) component sums as
+    * ROUND(x·2²⁰) HUGEINTs (the engine's DECIMAL(38,0) convention —
+    * order-free by construction), centroids renormalized from the
+    * double view of those sums. The audit columns replay the
+    * Exact.d4 / dsum(…,6) decimal arithmetic the events oracles pin.
+    * Kmeans.kmeansOn keeps empty clusters' previous centroids; the
+    * missing-moments LEFT JOIN reproduces that. */
+  private def embKmeansOracleSql: String = {
+    val (k, fitIters, rounds, dim, sampleCap) = (8, 10, 5, 64, 1024)
+    val assignScore =
+      "CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) END"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      s"""samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM emb WHERE vec_id < $sampleCap)""".stripMargin)
+    parts ++= sphericalFitSqlParts(k, fitIters, dim)
+    var prev = s"c$fitIters"
+    (1 to rounds).foreach { r =>
+      parts += s"""ka$r AS MATERIALIZED (
+        |  SELECT vec_id, v, c AS cluster FROM (
+        |    SELECT e.vec_id, e.v, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY $assignScore DESC, c.c) AS rn
+        |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+      parts += s"""km$r AS MATERIALIZED (
+        |  SELECT cluster, list(CAST(sm AS DOUBLE) / 1048576.0 ORDER BY i) AS mv FROM (
+        |    SELECT a.cluster, d.i, SUM(CAST(ROUND(a.v[d.i] * 1048576.0, 0) AS HUGEINT)) AS sm
+        |    FROM ka$r a, UNNEST(range(1, ${dim + 1})) AS d(i) GROUP BY 1, 2) GROUP BY cluster)""".stripMargin
+      parts += s"""kc$r AS MATERIALIZED (
+        |  SELECT p.c, CASE WHEN m.mv IS NULL OR list_dot_product(m.mv, m.mv) = 0 THEN p.cv
+        |    ELSE list_transform(m.mv, x -> x / sqrt(list_dot_product(m.mv, m.mv))) END AS cv
+        |  FROM $prev p LEFT JOIN km$r m ON m.cluster = p.c)""".stripMargin
+      prev = s"kc$r"
+    }
+    parts += s"""fasn AS MATERIALIZED (
+      |  SELECT vec_id, v, c AS cluster FROM (
+      |    SELECT e.vec_id, e.v, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY $assignScore DESC, c.c) AS rn
+      |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    parts += s"""mcos AS (
+      |  SELECT f.cluster,
+      |    CAST(CAST(ROUND(list_dot_product(f.v, c.cv)
+      |      / sqrt(list_dot_product(f.v, f.v) * list_dot_product(c.cv, c.cv)), 6)
+      |      AS DECIMAL(12,6)) AS DOUBLE) AS cos
+      |  FROM fasn f JOIN $prev c ON c.c = f.cluster)""".stripMargin
+    parts += "tot AS (SELECT COUNT(*) AS t FROM emb)"
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT cluster, COUNT(*) AS n_points,
+      |  CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(t AS DOUBLE) FROM tot), 4)
+      |    AS DECIMAL(10,4)) AS DOUBLE) AS share,
+      |  CAST(CAST(ROUND(CAST(SUM(CAST(cos AS DECIMAL(30,6))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS mean_cos,
+      |  CAST(CAST(ROUND(MIN(cos), 4) AS DECIMAL(10,4)) AS DOUBLE) AS min_cos
+      |FROM mcos
+      |GROUP BY cluster
+      |ORDER BY cluster""".stripMargin
+  }
+
+  /** The shared ANN oracle tail over a scored candidate CTE `sc`
+    * (query_id, vec_id, cos) plus `q`/`emb`: exact-cosine top-10 with
+    * the bounded-heap (cos DESC, vec_id ASC) tie rule, brute-force
+    * truth, and per-query recall@10 — the LSH oracle's ending, now
+    * shared verbatim by the IVF and PQ replays. */
+  private val annRerankTailSql: String =
+    """apx AS MATERIALIZED (SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rank
+      |  FROM (SELECT query_id, vec_id, cos, ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)
+      |  WHERE rnk <= 10),
+      |esc AS (SELECT qq.query_id, ee.vec_id,
+      |    list_dot_product(qq.qv, ee.v)
+      |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM q qq JOIN emb ee ON ee.vec_id <> qq.query_id),
+      |exact AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS rnk FROM esc) WHERE rnk <= 10),
+      |rc AS (SELECT a.query_id, COUNT(*) AS n
+      |  FROM apx a JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      |  GROUP BY 1)
+      |SELECT a.query_id, a.vec_id, a.cos, a.rank,
+      |  COALESCE(CAST(rc.n AS DOUBLE) / 10, CAST(0 AS DOUBLE)) AS recall_at_k
+      |FROM apx a LEFT JOIN rc USING (query_id)
+      |ORDER BY a.query_id, a.rank""".stripMargin
+
   /** dedup_simhash under the hard gate: per-shingle standard murmur
     * h1 bits → per-doc 64-bit majority signature → 8×8-bit band
     * equality buckets (≤ 200 members, ≥ 2) → Hamming ≤ 7 verify →
@@ -979,7 +1240,15 @@ object SparkEntry {
     // given its seed-derived Gaussian planes, so both graduate via
     // plane-literal inlining + the proven list_dot_product cosine fold.
     ("dedup_embedding" -> embeddingDedupOracleSql) +
-    ("ann_lsh_topk" -> annLshOracleSql)
+    ("ann_lsh_topk" -> annLshOracleSql) +
+    // r11 promotions: the Centroids fits are deterministic by
+    // construction since r10 (evenly-spaced seed ranks, 2^-20-quantized
+    // integer round sums), so the IVF and PQ trainers replay as
+    // unrolled 5-round Lloyd chains — the bpe_train precedent applied
+    // to k-means — and both queries graduate to the full hash gate.
+    ("ann_ivf_topk" -> annIvfOracleSql) +
+    ("ann_pq_topk" -> annPqOracleSql) +
+    ("emb_kmeans" -> embKmeansOracleSql)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -20,9 +20,17 @@ object Centroids {
     * BigDecimal.valueOf, i.e. the shortest-round-trip DECIMAL view,
     * HALF_UP) — the same function DuckDB's ROUND computes on these
     * inputs (hash-proven by emb_quantize at sf0.01 and sf1), so a
-    * driver-side fold that quantizes through this is replayable. */
-  def sparkRound(d: Double): Long =
-    java.math.BigDecimal.valueOf(d).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    * driver-side fold that quantizes through this is replayable.
+    * Non-finite input fails loudly with the offending value
+    * (BigDecimal.valueOf would throw a bare NumberFormatException and
+    * abort the whole fit without naming the component), and overflow
+    * past Long range is an error, never a silent truncation. */
+  def sparkRound(d: Double): Long = {
+    require(java.lang.Double.isFinite(d),
+      s"sparkRound: non-finite input $d (a NaN/Inf embedding component reached the fit)")
+    java.math.BigDecimal.valueOf(d).setScale(0, java.math.RoundingMode.HALF_UP)
+      .longValueExact()
+  }
 
   /** Driver-side spherical k-means on a (small) sample: deterministic
     * BY CONSTRUCTION — seeds are the k evenly-spaced sample ranks
@@ -34,22 +42,30 @@ object Centroids {
     * external oracle can replay every round from the sample alone. */
   def fit(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty)
+    // k > n would seed duplicate centroids from repeated ranks; with
+    // ties breaking to the lower index the duplicates never receive
+    // members and silently shrink effective k — fail loudly instead.
+    require(k <= sample.length, s"fit: k=$k exceeds sample size ${sample.length}")
     val dim = sample.head.length
     val q20 = (1L << 20).toDouble
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
+    // The quantization is iteration-invariant: pre-quantize the sample
+    // once instead of one BigDecimal per component per Lloyd round
+    // (tens of millions of driver allocations at the 1e5-sample scale).
+    val quant = sample.map(v => v.map(x => sparkRound(x.toDouble * q20)))
     var cents = Array.tabulate(k)(j =>
       normalize(sample(((j.toLong * sample.length) / k).toInt).map(_.toDouble)))
     (1 to iters).foreach { _ =>
       val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Int](k)
-      sample.foreach { v =>
-        val c = nearestOf(v, cents)
+      sample.indices.foreach { s =>
+        val c = nearestOf(sample(s), cents)
         counts(c) += 1
         var i = 0
-        while (i < dim) { sums(c)(i) += sparkRound(v(i).toDouble * q20); i += 1 }
+        while (i < dim) { sums(c)(i) += quant(s)(i); i += 1 }
       }
       cents = sums.zipWithIndex.map { case (s, c) =>
         if (counts(c) == 0) cents(c) else normalize(s.map(_.toDouble / q20))
@@ -101,18 +117,21 @@ object Centroids {
     * seed ranks, quantized-integer round sums. */
   def fitL2(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty)
+    require(k <= sample.length, s"fitL2: k=$k exceeds sample size ${sample.length}")
     val dim = sample.head.length
     val q20 = (1L << 20).toDouble
+    // Pre-quantized once — see [[fit]].
+    val quant = sample.map(v => v.map(x => sparkRound(x.toDouble * q20)))
     var cents = Array.tabulate(k)(j =>
       sample(((j.toLong * sample.length) / k).toInt).map(_.toDouble))
     (1 to iters).foreach { _ =>
       val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Int](k)
-      sample.foreach { v =>
-        val c = nearestL2(v, 0, dim, cents)
+      sample.indices.foreach { s =>
+        val c = nearestL2(sample(s), 0, dim, cents)
         counts(c) += 1
         var i = 0
-        while (i < dim) { sums(c)(i) += sparkRound(v(i).toDouble * q20); i += 1 }
+        while (i < dim) { sums(c)(i) += quant(s)(i); i += 1 }
       }
       cents = sums.zipWithIndex.map { case (s, c) =>
         if (counts(c) == 0) cents(c)

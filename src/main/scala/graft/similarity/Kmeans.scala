@@ -26,9 +26,10 @@ import graft.sources.Tables
   * pins repartition-proofness. Empty clusters keep their previous
   * centroid (standard Lloyd's).
   *
-  * Rows-only: an iterative eigenless fit isn't ANSI SQL; the spec
-  * recovers planted clusters exactly and re-derives the audit columns
-  * driver-side.
+  * Under the full hash gate since r11: both stages replay in DuckDB
+  * as unrolled Lloyd chains (SparkEntry.embKmeansOracleSql — the
+  * bpe_train unroll precedent), on top of the spec that recovers
+  * planted clusters exactly and pins repartition-proofness.
   */
 object Kmeans {
 

@@ -41,14 +41,16 @@ object Similarity {
 
   /** Annotate an approximate top-k result with its per-query
     * recall@k against the exact brute-force answer, so the dumped
-    * result carries its own checkable quality number. The LSH variant
-    * is additionally under the full hash gate (its planes are
-    * seed-derived constants — SparkEntry.annLshOracleSql inlines
-    * them); IVF/PQ stay rows-only (their codebooks come from trained
-    * k-means, not replayable constants) with recall as the objective
-    * check. Costs one extra brute-force pass over the corpus;
-    * at real scale this is the standard offline recall audit and
-    * would run on a sampled query set. */
+    * result carries its own checkable quality number. All three
+    * approximate variants are additionally under the full hash gate:
+    * LSH's planes are seed-derived constants
+    * (SparkEntry.annLshOracleSql inlines them), and the IVF/PQ
+    * codebook fits are deterministic by construction since the
+    * Centroids rewrite, so their trainers replay as unrolled Lloyd
+    * chains (SparkEntry.annIvfOracleSql / annPqOracleSql). Costs one
+    * extra brute-force pass over the corpus; at real scale this is
+    * the standard offline recall audit and would run on a sampled
+    * query set. */
   private def withRecall(spark: SparkSession, dir: String, approx: DataFrame): DataFrame = {
     val exact = bruteForceTopK(spark, dir).select(col("query_id"), col("vec_id"))
     val recall = approx.select(col("query_id"), col("vec_id"))
