@@ -188,11 +188,8 @@ object Bench {
         val med = medianOf.getOrElse(k, firstSec)
         (k, atts, first, firstSec, med)
     }.collect {
-      case (k, _, first, firstSec, med) if firstSec > 4 * med && firstSec > 0.5 =>
-        val cause =
-          if (first.memoEntries > 0) "memo-build"
-          else if (first.gcMs > 0.3 * firstSec * 1000) "gc"
-          else "unattributed"
+      case (k, _, first, firstSec, med) if BenchGate.isSpike(firstSec, med) =>
+        val cause = BenchGate.spikeCause(first.memoEntries, first.gcMs, firstSec)
         s""""$k":{"first":${num(firstSec, 3)},"median":${num(med, 3)},""" +
           s""""gc_ms":${first.gcMs},"memo_entries":${first.memoEntries},""" +
           s""""memo_bytes":${first.memoBytes},"cause":"$cause"}"""

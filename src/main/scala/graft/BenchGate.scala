@@ -102,4 +102,27 @@ object BenchGate {
       else if (rebase) Some(k -> s)
       else Some(k -> p.fold(s)(math.min(s, _)))
     }
+
+  /** Whether a query's first attempt is a SPIKE worth explaining:
+    * over `factor`× its own median AND over an absolute floor (a
+    * 40 ms → 200 ms first attempt is codegen warmup, not a finding). */
+  def isSpike(
+      firstSec: Double,
+      medianSec: Double,
+      factor: Double = 4.0,
+      floorSec: Double = 0.5): Boolean =
+    firstSec > factor * medianSec && firstSec > floorSec
+
+  /** Attribute a first-attempt spike (VERDICT r10 #1/#5). Priority:
+    * a session-memo entry materialized during the attempt explains it
+    * outright (the pair-list / token-table pipelines pay their whole
+    * cost on first touch — entry count, not bytes, because a tiny
+    * memoized frame can have an expensive pipeline); else GC
+    * dominating ≥30% of the wall clock names memory pressure; else
+    * the artifact says "unattributed" — co-tenant or OS noise, which
+    * a reader must NOT mistake for a plan regression. */
+  def spikeCause(memoEntriesDelta: Int, gcMs: Long, firstSec: Double): String =
+    if (memoEntriesDelta > 0) "memo-build"
+    else if (gcMs > 0.3 * firstSec * 1000) "gc"
+    else "unattributed"
 }

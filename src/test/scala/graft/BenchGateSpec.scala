@@ -94,6 +94,20 @@ class BenchGateSpec extends AnyFunSuite {
       Map("q_more_work" -> 0.9))
   }
 
+  test("spike detection: 4x-over-median above the floor, warmup jitter exempt") {
+    assert(BenchGate.isSpike(firstSec = 8.14, medianSec = 0.42))   // the r10 shape
+    assert(!BenchGate.isSpike(firstSec = 0.2, medianSec = 0.04))   // under the floor
+    assert(!BenchGate.isSpike(firstSec = 1.2, medianSec = 0.4))    // 3x: not a spike
+  }
+
+  test("spike causes: memo build wins over gc, gc needs 30% of wall, else unattributed") {
+    // A memoized pipeline's first touch explains the spike even when
+    // GC was also busy — entry count, not bytes, is the signal.
+    assert(BenchGate.spikeCause(memoEntriesDelta = 2, gcMs = 900, firstSec = 2.0) === "memo-build")
+    assert(BenchGate.spikeCause(memoEntriesDelta = 0, gcMs = 700, firstSec = 2.0) === "gc")
+    assert(BenchGate.spikeCause(memoEntriesDelta = 0, gcMs = 100, firstSec = 2.0) === "unattributed")
+  }
+
   test("queries that error (-1) in the prior never flag as improvements or anchors") {
     val prior = BenchGate.parsePrior(summary(""""q_err":-1,"q_ok":0.300"""), sf)
     assert(prior("q_err") === -1.0)
