@@ -782,30 +782,47 @@ object Relational {
     * orders — and the rollup lands on the ≤ |brands|² key space. Lift
     * is a pinned-order IEEE expression over exact counts. */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    // ONE shuffle total: the per-order sorted brand set (collect_set
-    // dedups in the aggregation buffer; set size is bounded by order
-    // size, so the buffer never grows with the corpus), from which
-    // pairs, per-brand reach and the order total all derive — the
-    // first cut self-joined a distinct (order, brand) frame and paid
-    // four shuffles recomputing it. Pair generation is an IN-ARRAY
-    // combination explode (≤ |order|² structs per row, codegen'd), so
-    // no join ever multiplies corpus rows.
+    // ONE corpus aggregation total: the per-order sorted brand set
+    // (collect_set dedups in the aggregation buffer; set size is
+    // bounded by order size, so the buffer never grows with the
+    // corpus). Pair generation is an IN-ARRAY combination explode
+    // (≤ |order|² structs per row, codegen'd), so no join ever
+    // multiplies corpus rows — and the per-brand reach and the order
+    // total ride the SAME explode as marker structs ((brand, null)
+    // per member brand, (null, null) per order), so pairs/reach/total
+    // come out of one (a, b) aggregation instead of three separate
+    // consumers of `sets`. Before the markers, the three branches
+    // re-ran the collect_set aggregation each (exchange reuse dedups
+    // the shuffle WRITE, not the post-shuffle agg): 3 corpus-shaped
+    // passes where one suffices — the dominant cost at sf1
+    // (15.5 s → one pass).
     val sets = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-    val total = sets.agg(count(lit(1)).as("n_orders"))
-    val reach = sets.select(explode(col("bs")).as("p_brand"))
-      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
-    val pairs = sets
-      .select(explode(graft.functions.ArrayPairs.combinations(col("bs"))).as("p"))
-      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
-      .agg(count(lit(1)).as("n_both"))
+    val nullStr = lit(null).cast("string")
+    // Brand²-bounded (≤ |brands|²+|brands|+1 rows — schema-, not
+    // corpus-shaped), materialized ONCE via localCheckpoint so the
+    // reshaping self-joins below read a tiny local frame instead of
+    // re-running the corpus pipeline per branch (predicate pushdown
+    // through the agg would otherwise defeat exchange reuse).
+    val markers = sets
+      .select(explode(concat(
+        graft.functions.ArrayPairs.combinations(col("bs")),
+        transform(col("bs"), b => struct(b.as("a"), nullStr.as("b"))),
+        array(struct(nullStr.as("a"), nullStr.as("b"))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pairs = markers.filter(col("a").isNotNull && col("b").isNotNull)
+      .select(col("a").as("brand_a"), col("b").as("brand_b"), col("n").as("n_both"))
+    val reach = markers.filter(col("a").isNotNull && col("b").isNull)
+    val total = markers.filter(col("a").isNull).select(col("n").as("n_orders"))
     pairs
-      .join(broadcast(reach.select(col("p_brand").as("brand_a"), col("n").as("n_a"))), Seq("brand_a"))
-      .join(broadcast(reach.select(col("p_brand").as("brand_b"), col("n").as("n_b"))), Seq("brand_b"))
+      .join(broadcast(reach.select(col("a").as("brand_a"), col("n").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(reach.select(col("a").as("brand_b"), col("n").as("n_b"))), Seq("brand_b"))
       .crossJoin(broadcast(total))
       .select(
         col("brand_a"), col("brand_b"), col("n_a"), col("n_b"), col("n_both"),
