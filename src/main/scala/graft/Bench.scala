@@ -211,19 +211,28 @@ object Bench {
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
       .lastOption
+    val prevText = if (prevFile.isFile) Some(readText(prevFile)) else None
     val candidates: Seq[(String, Map[String, Double])] =
-      (if (prevFile.isFile) Seq(prevFile) else Seq.empty) ++ driverFile.toSeq map { f =>
-        f.getName -> BenchGate.parsePrior(readText(f), sfDir)
-      }
+      prevText.map(t => prevFile.getName -> BenchGate.parsePrior(t, sfDir)).toSeq ++
+        driverFile.map(f => f.getName -> BenchGate.parsePrior(readText(f), sfDir))
     val (priorName, priorQueries) = candidates.find(_._2.nonEmpty) match {
       case Some((name, pq)) => (BenchGate.priorLabel(Some(name), pq.size), pq)
       case None => ("null", Map.empty[String, Double])
     }
     val currentMins = results.collect { case (k, Right(s)) => k -> s }.toMap
-    val regressed = BenchGate.regressions(currentMins, priorQueries).toSeq.sortBy(_._1).map {
+    // ALL queries including errors as -1: mergedBaseline's keep-prior
+    // rule for an errored query only fires if the error is visible to
+    // it — a Right-only map would silently DROP a transiently-failing
+    // query from the baseline and unmoor the next round's gate.
+    val currentAll = results.map {
+      case (k, Right(s)) => k -> s
+      case (k, Left(_))  => k -> -1.0
+    }.toMap
+    val regressions = BenchGate.regressions(currentMins, priorQueries)
+    val regressed = regressions.toSeq.sortBy(_._1).map {
       case (k, (p, s)) => s""""$k":[${num(p, 3)},${num(s, 3)}]"""
     }.mkString("{", ",", "}")
-    val nRegressed = BenchGate.regressions(currentMins, priorQueries).size
+    val nRegressed = regressions.size
     // Published throughput rows (min-of-3): cells/s and per-core
     // cells/s for decode and the full migrate pipeline — the numbers
     // SCALE.md's reference comparison (447k / 120k per core on
@@ -257,7 +266,6 @@ object Bench {
     // BenchGate.shouldPersistBaseline, spec'd on both clobber paths).
     val fullRun = sys.env.get("SPARK_GRAFT_ONLY").isEmpty
     val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE").exists(_ == "1")
-    val prevText = if (prevFile.isFile) Some(readText(prevFile)) else None
     def writeFile(name: String, content: String): Unit =
       scala.util.Try {
         val w = new java.io.PrintWriter(name, "UTF-8")
@@ -266,7 +274,7 @@ object Bench {
     writeFile("bench_full.json", summaryLine)
     if (BenchGate.shouldPersistBaseline(fullRun, prevText, sfDir)) {
       val merged = BenchGate.mergedBaseline(
-        currentMins, prevText.map(BenchGate.parsePrior(_, sfDir)).getOrElse(Map.empty),
+        currentAll, prevText.map(BenchGate.parsePrior(_, sfDir)).getOrElse(Map.empty),
         rebase)
       val mergedQs = merged.toSeq.sortBy(_._1)
         .map { case (k, s) => s""""$k":${num(s, 3)}""" }.mkString("{", ",", "}")

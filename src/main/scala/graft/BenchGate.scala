@@ -22,15 +22,25 @@ object BenchGate {
     * returning empty unless the artifact's `"sf"` matches `sfDir`
     * (a prior run at a different scale factor would flag every query).
     * Tolerates truncated text — a tail-captured artifact that lost its
-    * queries map or sf field parses to empty rather than garbage. */
+    * queries map or sf field parses to empty rather than garbage.
+    *
+    * A COMPACT summary (the tail-window line Bench prints last, whose
+    * queries map is only the slowest subset) declares its full size in
+    * `"queries_total"`; when that field is present and disagrees with
+    * the parsed count, the text is a partial listing and must not
+    * anchor a regression diff — 25 slowest-of-149 as a baseline would
+    * silently un-gate the other 124 queries. */
   def parsePrior(text: String, sfDir: String): Map[String, Double] = {
     val start = text.indexOf("\"queries\":{")
     val priorSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
     if (start < 0 || !priorSf.contains(sfDir)) Map.empty
     else {
       val body = text.substring(start + 11, text.indexOf('}', start))
-      "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+      val parsed = "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val declaredTotal = "\"queries_total\":(\\d+)".r
+        .findFirstMatchIn(text).map(_.group(1).toInt)
+      if (declaredTotal.exists(_ != parsed.size)) Map.empty else parsed
     }
   }
 

@@ -835,24 +835,7 @@ object SparkEntry {
       |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
       |  FROM cand c JOIN q qq ON qq.query_id = c.query_id
       |              JOIN emb ee ON ee.vec_id = c.vec_id),
-      |apx AS MATERIALIZED (SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rank
-      |  FROM (SELECT query_id, vec_id, cos, ROW_NUMBER() OVER (
-      |      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk FROM sc)
-      |  WHERE rnk <= 10),
-      |esc AS (SELECT qq.query_id, ee.vec_id,
-      |    list_dot_product(qq.qv, ee.v)
-      |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
-      |  FROM q qq JOIN emb ee ON ee.vec_id <> qq.query_id),
-      |exact AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
-      |    ROW_NUMBER() OVER (PARTITION BY query_id
-      |      ORDER BY cos DESC, vec_id) AS rnk FROM esc) WHERE rnk <= 10),
-      |rc AS (SELECT a.query_id, COUNT(*) AS n
-      |  FROM apx a JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
-      |  GROUP BY 1)
-      |SELECT a.query_id, a.vec_id, a.cos, a.rank,
-      |  COALESCE(CAST(rc.n AS DOUBLE) / 10, CAST(0 AS DOUBLE)) AS recall_at_k
-      |FROM apx a LEFT JOIN rc USING (query_id)
-      |ORDER BY a.query_id, a.rank""".stripMargin
+      |""".stripMargin + annRerankTailSql
 
   /** ann_ivf_topk under the hard gate (VERDICT r10 #4): the ENTIRE
     * spherical k-means fit is replayed as an unrolled 5-round Lloyd

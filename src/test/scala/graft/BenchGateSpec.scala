@@ -94,6 +94,17 @@ class BenchGateSpec extends AnyFunSuite {
       Map("q_more_work" -> 0.9))
   }
 
+  test("a compact (slowest-N) summary never anchors a diff; a complete one does") {
+    // The tail-window line declares its full size; a 2-of-3 listing is
+    // partial and must parse to empty, not masquerade as a baseline.
+    val compact =
+      s"""{"metric":"total","value":9.9,"unit":"sec","queries":{"q_a":1.5,"q_b":1.0},"queries_shown":"slowest 2 of 3 by min","queries_total":3,"failed":0,"sf":"$sf"}"""
+    assert(BenchGate.parsePrior(compact, sf).isEmpty)
+    // A filtered debug run's compact line IS complete (2 of 2) — usable.
+    val complete = compact.replace("\"queries_total\":3", "\"queries_total\":2")
+    assert(BenchGate.parsePrior(complete, sf) === Map("q_a" -> 1.5, "q_b" -> 1.0))
+  }
+
   test("spike detection: 4x-over-median above the floor, warmup jitter exempt") {
     assert(BenchGate.isSpike(firstSec = 8.14, medianSec = 0.42))   // the r10 shape
     assert(!BenchGate.isSpike(firstSec = 0.2, medianSec = 0.04))   // under the floor
