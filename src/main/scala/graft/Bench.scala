@@ -42,12 +42,37 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, shuffle machinery) and parquet footers so
     // per-query timings measure the query, not session initialization.
+    // The representative-kernel jobs below exist because queries now
+    // run in FIXED name-ascending order: whoever runs first would
+    // otherwise absorb the session's C2-compilation of the shared
+    // runtime paths (sorters, UnsafeRow, aggregation buffers) — the
+    // r11 artifact showed the alphabetically-first ann_* block
+    // sustained ~2x over its ran-late historical best for exactly this
+    // reason. Each query still pays JIT for its OWN generated class.
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.names.foreach { t =>
       try {
         if (t == "events") graft.sources.Tables.events(spark, sfDir).count()
         else graft.sources.Tables(spark, sfDir, t).count()
       } catch { case _: Throwable => () }
+    }
+    scala.util.Try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).limit(256)
+      // cosine + bounded-heap top-k (the ANN kernel family)
+      e.crossJoin(e.select(col("vec_id").as("q"), col("embedding").as("qe")).limit(8))
+        .select(col("q"), graft.functions.Sketches.cosineSim(col("qe"), col("embedding")).as("cos"),
+          col("vec_id"))
+        .groupBy(col("q"))
+        .agg(graft.functions.TopKByScore.topkByScore(col("cos"), col("vec_id"), 5))
+        .collect()
+      // window + struct-max + shuffle aggregation (the analytics family)
+      e.withColumn("r", row_number().over(Window.orderBy(col("vec_id"))))
+        .groupBy(pmod(col("vec_id"), lit(7)))
+        .agg(max(struct(col("r"), col("vec_id"))), count(lit(1)))
+        .collect()
     }
     def jsonSafe(s: String): String = s.flatMap {
       case '"' => "'"; case '\\' => "/"

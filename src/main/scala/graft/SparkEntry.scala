@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_clusters_star"      -> (Dedup.clustersStar _),
     "dedup_survivors"          -> (Dedup.survivors _),
     "dedup_embedding"          -> (Dedup.embedding _),
+    "dedup_semantic"           -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     // §2.5 similarity search
     "ann_bruteforce_topk"      -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk"             -> (Similarity.lshTopK _),
@@ -1021,8 +1022,19 @@ object SparkEntry {
     * Exact.d4 / dsum(…,6) decimal arithmetic the events oracles pin.
     * Kmeans.kmeansOn keeps empty clusters' previous centroids; the
     * missing-moments LEFT JOIN reproduces that. */
-  private def embKmeansOracleSql: String = {
-    val (k, fitIters, rounds, dim, sampleCap) = (8, 10, 5, 64, 1024)
+  /** The [[graft.similarity.Kmeans.fittedCentroids]] trainer replayed
+    * end to end: the sample fit ([[sphericalFitSqlParts]] over the
+    * vec_id < sampleCap head sample) plus `rounds` CORPUS Lloyd rounds
+    * — assignment via NearestCentroids' (dot/‖v‖ DESC, c ASC) order,
+    * per-(cluster, dim) component sums as ROUND(x·2²⁰) HUGEINTs (the
+    * engine's DECIMAL(38,0) convention — order-free by construction),
+    * centroids renormalized from the double view of those sums, empty
+    * clusters keeping their previous centroid via the LEFT JOIN.
+    * Leaves the final centroids in `kc<rounds>` and the corpus
+    * assignment in `fasn`(vec_id, v, cluster). Shared by the
+    * emb_kmeans and dedup_semantic oracles. */
+  private def corpusKmeansCtes(
+      k: Int, fitIters: Int, rounds: Int, dim: Int, sampleCap: Int): Seq[String] = {
     val assignScore =
       "CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0 THEN CAST(0 AS DOUBLE) " +
       "ELSE list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)) END"
@@ -1054,12 +1066,20 @@ object SparkEntry {
       |    SELECT e.vec_id, e.v, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
       |      ORDER BY $assignScore DESC, c.c) AS rn
       |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    parts.toSeq
+  }
+
+  private def embKmeansOracleSql: String = {
+    val (k, fitIters, rounds, dim, sampleCap) = (8, 10, 5, 64, 1024)
+    val fin = s"kc$rounds"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      corpusKmeansCtes(k, fitIters, rounds, dim, sampleCap): _*)
     parts += s"""mcos AS (
       |  SELECT f.cluster,
       |    CAST(CAST(ROUND(list_dot_product(f.v, c.cv)
       |      / sqrt(list_dot_product(f.v, f.v) * list_dot_product(c.cv, c.cv)), 6)
       |      AS DECIMAL(12,6)) AS DOUBLE) AS cos
-      |  FROM fasn f JOIN $prev c ON c.c = f.cluster)""".stripMargin
+      |  FROM fasn f JOIN $fin c ON c.c = f.cluster)""".stripMargin
     parts += "tot AS (SELECT COUNT(*) AS t FROM emb)"
     s"""WITH ${parts.mkString(",\n")}
       |SELECT cluster, COUNT(*) AS n_points,
@@ -1071,6 +1091,33 @@ object SparkEntry {
       |FROM mcos
       |GROUP BY cluster
       |ORDER BY cluster""".stripMargin
+  }
+
+  /** dedup_semantic under the hard gate: the [[corpusKmeansCtes]]
+    * trainer replay at k=16, then within-cluster pairs only (the
+    * equality self-join on the cluster id), the exact-cosine
+    * per-vector argmax with the `max(struct(cos, cand_id))` tie rule
+    * (cos DESC, cand_id DESC), cluster sizes, and the SemDeDup
+    * keep-lowest-id `is_dup` decision (false for singletons). */
+  private def dedupSemanticOracleSql: String = {
+    val (k, fitIters, rounds, dim, sampleCap, tau) = (16, 10, 5, 64, 1024, 0.9)
+    val parts = scala.collection.mutable.ArrayBuffer(
+      corpusKmeansCtes(k, fitIters, rounds, dim, sampleCap): _*)
+    parts += """sizes AS (SELECT cluster, COUNT(*) AS n_cluster FROM fasn GROUP BY 1)"""
+    parts += """pr AS (SELECT a.vec_id, b.vec_id AS cand_id,
+      |    list_dot_product(a.v, b.v)
+      |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+      |  FROM fasn a JOIN fasn b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id)""".stripMargin
+    parts += """best AS (SELECT vec_id, cand_id, cos FROM (
+      |    SELECT vec_id, cand_id, cos, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cand_id DESC) AS rn FROM pr) WHERE rn = 1)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT f.vec_id, f.cluster, s.n_cluster,
+      |  b.cand_id AS best_match, b.cos AS best_cos,
+      |  COALESCE(b.cos >= $tau AND b.cand_id < f.vec_id, FALSE) AS is_dup
+      |FROM fasn f JOIN sizes s USING (cluster)
+      |LEFT JOIN best b ON b.vec_id = f.vec_id
+      |ORDER BY f.vec_id""".stripMargin
   }
 
   /** The shared ANN oracle tail over a scored candidate CTE `sc`
@@ -1231,7 +1278,8 @@ object SparkEntry {
     // to k-means — and both queries graduate to the full hash gate.
     ("ann_ivf_topk" -> annIvfOracleSql) +
     ("ann_pq_topk" -> annPqOracleSql) +
-    ("emb_kmeans" -> embKmeansOracleSql)
+    ("emb_kmeans" -> embKmeansOracleSql) +
+    ("dedup_semantic" -> dedupSemanticOracleSql)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -692,4 +692,62 @@ object Dedup {
     bestM.crossJoin(broadcast(stats))
       .orderBy(col("vec_id"))
   }
+
+  /** #38b dedup_semantic: SemDeDup-style cluster-partitioned semantic
+    * dedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") — the OTHER standard
+    * candidate-generation geometry next to [[embedding]]'s hyperplane
+    * buckets: a deterministic spherical k-means
+    * ([[graft.similarity.Kmeans.fittedCentroids]] — the hash-gated
+    * emb_kmeans trainer) partitions the corpus into k clusters, and
+    * near-dups are sought ONLY within a cluster: per vector, its
+    * exact-cosine nearest in-cluster neighbor, with the SemDeDup
+    * keep-lowest-id rule marking the higher id of a ≥ τ pair `is_dup`.
+    *
+    * Scale shape: assignment is a narrow codegen'd pass (centroids in
+    * the plan); candidate generation is ONE shuffle on the cluster id
+    * and a within-cluster equality self-join whose cost is Σ|cluster|²
+    * — bounded because k grows with the corpus (SemDeDup runs k≈10⁵ on
+    * web scale; τ and the keep rule are unchanged by k). This corpus
+    * has no true embedding dups (the [[embedding]] precedent), so the
+    * per-vector nearest-neighbor form — what a dedup pipeline consumes
+    * — is the output, and is_dup is the decision column.
+    *
+    * Under the full hash gate: the fit replays as the emb_kmeans
+    * unrolled Lloyd chain at k=16 and everything after it is
+    * per-cluster joins + the proven list_dot_product cosine fold
+    * (SparkEntry.dedupSemanticOracleSql). */
+  def semantic(
+      spark: SparkSession, dir: String, k: Int = 16, tau: Double = 0.9): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = graft.similarity.Kmeans.fittedCentroids(emb, k, rounds = 5)
+    val assigned = graft.similarity.Kmeans.assignedTo(emb, cents)
+
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_cluster"))
+    // Within-cluster pairs only: the equality self-join on the cluster
+    // id IS the candidate pruning (never a corpus cross-join), and the
+    // per-vector argmax keeps the output one row per vector.
+    val best = assigned
+      .join(assigned.select(col("cluster"),
+        col("vec_id").as("cand_id"), col("embedding").as("cand_emb")),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .select(col("vec_id"),
+        col("cand_id"), Sketches.cosineSim(col("embedding"), col("cand_emb")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), col("cand_id"))).as("best"))
+      .select(col("vec_id"), col("best.cand_id").as("best_match"),
+        col("best.cos").as("best_cos"))
+
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(broadcast(sizes), Seq("cluster"))
+      .join(best, Seq("vec_id"), "left_outer")
+      .select(
+        col("vec_id"), col("cluster"), col("n_cluster"),
+        col("best_match"), col("best_cos"),
+        coalesce(col("best_cos") >= tau && col("best_match") < col("vec_id"),
+          lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
 }

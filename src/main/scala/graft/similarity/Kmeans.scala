@@ -33,10 +33,12 @@ import graft.sources.Tables
   */
 object Kmeans {
 
-  /** One row per cluster over an arbitrary (vec_id, embedding) frame:
-    * size, corpus share, mean/min cosine of members to their final
-    * centroid. */
-  def kmeansOn(emb: DataFrame, k: Int, rounds: Int, sampleCap: Int = 1024): DataFrame = {
+  /** The fitted k×d centroid matrix over an arbitrary (vec_id,
+    * embedding) frame — the trainer behind [[kmeansOn]], exposed so
+    * other operators (dedup_semantic's cluster partitioner) can share
+    * the exact deterministic fit the oracle replays. */
+  def fittedCentroids(
+      emb: DataFrame, k: Int, rounds: Int, sampleCap: Int = 1024): Array[Array[Double]] = {
     val q20 = (1L << 20).toDouble
 
     // Deterministic init: spherical k-means on the bounded head sample
@@ -47,15 +49,11 @@ object Kmeans {
     var cents = Centroids.fit(sample, k, iters = 10)
     val dim = sample.head.length
 
-    def assigned(c: Array[Array[Double]]): DataFrame =
-      emb.withColumn("cluster",
-        element_at(Centroids.nearestCentroids(col("embedding"), c, 1), 1))
-
     (1 to rounds).foreach { _ =>
       // (cluster, dim) -> exact quantized component sum. Spherical
       // re-estimation normalizes the sum, so the member count divides
       // out and only the k×d sums come back to the driver.
-      val moments = assigned(cents)
+      val moments = assignedTo(emb, cents)
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(round(col("col").cast("double") * q20).cast("decimal(38,0)")).as("s"))
@@ -70,6 +68,22 @@ object Kmeans {
         if (n == 0.0) cents(c) else s.map(_ / n)
       }
     }
+    cents
+  }
+
+  /** `emb` plus its nearest-centroid `cluster` column (codegen'd, the
+    * centroids embedded in the plan). */
+  def assignedTo(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    emb.withColumn("cluster",
+      element_at(Centroids.nearestCentroids(col("embedding"), cents, 1), 1))
+
+  /** One row per cluster over an arbitrary (vec_id, embedding) frame:
+    * size, corpus share, mean/min cosine of members to their final
+    * centroid. */
+  def kmeansOn(emb: DataFrame, k: Int, rounds: Int, sampleCap: Int = 1024): DataFrame = {
+    val cents = fittedCentroids(emb, k, rounds, sampleCap)
+
+    def assigned(c: Array[Array[Double]]): DataFrame = assignedTo(emb, c)
 
     // Final audit pass: cosine of each member to its centroid, with
     // the fitted k×d centroids riding in as LITERAL arrays (the

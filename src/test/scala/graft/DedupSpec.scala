@@ -290,4 +290,49 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "clusters/survivors stranded cached frames")
   }
+
+  test("dedup_semantic: within-cluster argmax, keep-lowest-id rule, full coverage") {
+    val out = Dedup.semantic(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5))
+    }
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+    // Every corpus vector appears exactly once; cluster sizes are
+    // consistent with the output's own partition.
+    assert(out.map(_._1).toSet === emb.keySet)
+    assert(out.map(_._1).length === emb.size)
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (v, c, n, _, _, _) =>
+      assert(n === byCluster(c).length.toLong, s"n_cluster mismatch for $v")
+    }
+
+    // Independent ground truth for the pair stage GIVEN the clustering
+    // (the trainer itself is pinned by the emb_kmeans spec + oracle):
+    // the same sequential-fold cosine in plain Scala, argmax with the
+    // max(struct) tie rule (cos, then cand_id).
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    out.foreach { case (v, c, _, bm, bc, dup) =>
+      val peers = byCluster(c).map(_._1).filter(_ != v)
+      if (peers.isEmpty) {
+        assert(bm.isEmpty && bc.isEmpty && !dup, s"singleton $v must have null best")
+      } else {
+        val want = peers.map(p => (cos(emb(v), emb(p)), p)).max
+        assert(bm.contains(want._2) && bc.contains(want._1),
+          s"best mismatch for $v: got ($bm, $bc), want $want")
+        assert(dup === (want._1 >= 0.9 && want._2 < v),
+          s"is_dup rule broken for $v")
+      }
+    }
+  }
 }
