@@ -471,10 +471,14 @@ class PlanSpec extends AnyFunSuite {
     "ann_bruteforce_topk" -> 1, "ann_filtered_topk" -> 1, "ann_ivf_topk" -> 6,
     "ann_lsh_topk" -> 8, "ann_pq_topk" -> 6, "ann_range_search" -> 0,
     "anti_semi_join" -> 0, "approx_distinct" -> 2, "balance_matrix" -> 2,
-    "basket_pairs" -> 7, "brand_cheapest" -> 1, "cohort_ltv" -> 5,
+    // basket_pairs 7 -> 0: the marker rewrite collapsed pairs/reach/
+    // total into one aggregation whose brand^2-bounded result is a
+    // session-memoized checkpoint; planOf reads the checkpoint.
+    "basket_pairs" -> 0, "brand_cheapest" -> 1, "cohort_ltv" -> 5,
     "corpus_mix" -> 2, "cube_agg" -> 1, "curation_report" -> 2,
     "dedup_clusters" -> 0, "dedup_clusters_star" -> 0, "dedup_embedding" -> 1,
     "dedup_exact" -> 1, "dedup_minhash_lsh" -> 2, "dedup_ngram_jaccard" -> 0,
+    "dedup_semantic" -> 3,
     "dedup_simhash" -> 2, "dedup_substring" -> 0, "dedup_survivors" -> 0,
     "distinct_agg" -> 2, "emb_dim_stats" -> 1, "emb_kmeans" -> 1,
     "emb_outliers" -> 2, "emb_pca" -> 0, "emb_pca_project" -> 0,
