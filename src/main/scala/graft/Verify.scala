@@ -16,6 +16,13 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Session-memo footprint policy at the stage boundary (same knob
+    // as Bench): a 151-query dump session accumulates checkpointed
+    // memo frames; past the cap they are dropped and the next
+    // consumer rebuilds. High-water mark goes to stderr so a degraded
+    // run carries its own attribution.
+    val memoCap = sys.env.getOrElse("SPARK_GRAFT_MEMO_CAP_BYTES", s"${8L << 30}").toLong
+    var retainedHw = 0L
     // Local-iteration filter — the one definition shared with Bench.
     SparkEntry.selectedQueries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -23,7 +30,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val retained = scala.util.Try(
+        graft.functions.SessionScopedCache.retainedBytes(spark)).getOrElse(0L)
+      retainedHw = math.max(retainedHw, retained)
+      if (retained > memoCap) {
+        val n = graft.functions.SessionScopedCache.unpersistAll(spark)
+        System.err.println(s"[verify] memo cap: evicted $n entries at $retained bytes")
+      }
     }
+    System.err.println(s"[verify] retained high-water: $retainedHw bytes")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
