@@ -73,6 +73,10 @@ object Bench {
         .groupBy(pmod(col("vec_id"), lit(7)))
         .agg(max(struct(col("r"), col("vec_id"))), count(lit(1)))
         .collect()
+    }.failed.foreach { t =>
+      // Best-effort, but never silently: a broken warmup re-introduces
+      // the first-slot C2 spike this block exists to prevent.
+      System.err.println(s"[bench] warmup kernels failed: ${t.getMessage}")
     }
     def jsonSafe(s: String): String = s.flatMap {
       case '"' => "'"; case '\\' => "/"

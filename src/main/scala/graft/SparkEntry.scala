@@ -1104,9 +1104,14 @@ object SparkEntry {
     val parts = scala.collection.mutable.ArrayBuffer(
       corpusKmeansCtes(k, fitIters, rounds, dim, sampleCap): _*)
     parts += """sizes AS (SELECT cluster, COUNT(*) AS n_cluster FROM fasn GROUP BY 1)"""
+    // Zero-norm guard: Sketches.cosineF returns 0.0 when either norm
+    // is zero; an unguarded divide would yield NaN here and silently
+    // diverge from the engine on any all-zero embedding.
     parts += """pr AS (SELECT a.vec_id, b.vec_id AS cand_id,
-      |    list_dot_product(a.v, b.v)
-      |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+      |    CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0
+      |         THEN CAST(0 AS DOUBLE)
+      |         ELSE list_dot_product(a.v, b.v)
+      |           / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) END AS cos
       |  FROM fasn a JOIN fasn b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id)""".stripMargin
     parts += """best AS (SELECT vec_id, cand_id, cos FROM (
       |    SELECT vec_id, cand_id, cos, ROW_NUMBER() OVER (PARTITION BY vec_id

@@ -705,23 +705,39 @@ object Dedup {
     * keep-lowest-id rule marking the higher id of a ≥ τ pair `is_dup`.
     *
     * Scale shape: assignment is a narrow codegen'd pass (centroids in
-    * the plan); candidate generation is ONE shuffle on the cluster id
-    * and a within-cluster equality self-join whose cost is Σ|cluster|²
-    * — bounded because k grows with the corpus (SemDeDup runs k≈10⁵ on
-    * web scale; τ and the keep rule are unchanged by k). This corpus
-    * has no true embedding dups (the [[embedding]] precedent), so the
-    * per-vector nearest-neighbor form — what a dedup pipeline consumes
-    * — is the output, and is_dup is the decision column.
+    * the plan), session-memoized so the trainer and the corpus
+    * assignment run once, not once per consumer; candidate generation
+    * shuffles the assigned corpus on the cluster id for the
+    * within-cluster equality self-join (both sides corpus-shaped —
+    * two exchanges) and the pair stream once more on vec_id for the
+    * per-vector argmax — the Σ|cluster|² pair stream is the dominant
+    * wire cost, bounded because k grows with the corpus (SemDeDup
+    * runs k≈10⁵ on web scale; τ and the keep rule are unchanged by
+    * k). This corpus has no true embedding dups (the [[embedding]]
+    * precedent), so the per-vector nearest-neighbor form — what a
+    * dedup pipeline consumes — is the output, and is_dup is the
+    * decision column.
     *
     * Under the full hash gate: the fit replays as the emb_kmeans
     * unrolled Lloyd chain at k=16 and everything after it is
     * per-cluster joins + the proven list_dot_product cosine fold
     * (SparkEntry.dedupSemanticOracleSql). */
+  /** Accounted session memo for [[semantic]]'s assigned-corpus frame. */
+  private val semanticAssignCache =
+    new graft.functions.SessionScopedCache("dedup.semantic_assign")
+
   def semantic(
       spark: SparkSession, dir: String, k: Int = 16, tau: Double = 0.9): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val cents = graft.similarity.Kmeans.fittedCentroids(emb, k, rounds = 5)
-    val assigned = graft.similarity.Kmeans.assignedTo(emb, cents)
+    // The k-means fit (5 corpus Lloyd rounds) and the assignment pass
+    // run ONCE per session: the frame below has four consumers (both
+    // self-join sides, the sizes aggregation, the final projection),
+    // each of which would otherwise re-run the scan + k×d assignment
+    // expression — and re-fit, since the fit happens at construction.
+    val assigned = semanticAssignCache.getOrCompute(spark, s"$dir#$k") {
+      val cents = graft.similarity.Kmeans.fittedCentroids(emb, k, rounds = 5)
+      graft.similarity.Kmeans.assignedTo(emb, cents).localCheckpoint()
+    }
 
     val sizes = assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_cluster"))

@@ -83,8 +83,6 @@ object Kmeans {
   def kmeansOn(emb: DataFrame, k: Int, rounds: Int, sampleCap: Int = 1024): DataFrame = {
     val cents = fittedCentroids(emb, k, rounds, sampleCap)
 
-    def assigned(c: Array[Array[Double]]): DataFrame = assignedTo(emb, c)
-
     // Final audit pass: cosine of each member to its centroid, with
     // the fitted k×d centroids riding in as LITERAL arrays (the
     // fitted-codebook pattern — no join; clusters index the literal).
@@ -93,7 +91,7 @@ object Kmeans {
     val cent = element_at(centLit, col("cluster") + 1)
     val v = col("embedding").cast("array<double>")
     val cos = dot(v, cent) / sqrt(dot(v, v) * dot(cent, cent))
-    assigned(cents)
+    assignedTo(emb, cents)
       .select(col("cluster"),
         round(cos, 6).cast("decimal(12,6)").cast("double").as("cos"))
       .groupBy(col("cluster"))
