@@ -78,6 +78,25 @@ object Bench {
       // the first-slot C2 spike this block exists to prevent.
       System.err.println(s"[bench] warmup kernels failed: ${t.getMessage}")
     }
+    // Ambient-load calibration (VERDICT r11 #1): a FIXED deterministic
+    // Spark job — same row count, same expression, every session —
+    // timed min-of-3 right after warmup and again after the sweep, so
+    // the two measurements bracket the run. Its min-merged baseline
+    // rides bench_prev.json under the reserved "_ambient_kernel" key
+    // (underscore keys are instrument rows: excluded from totals and
+    // from the regression gate by BenchGate.regressions), which makes
+    // the session's load factor = kernel-now / quietest-kernel-ever a
+    // number the artifact can print next to each regressed entry —
+    // r11's 7-entry sub-second cluster (gc=0, memo=0, sustained) was
+    // almost certainly box load, and the artifact could not prove it.
+    def calibKernelOnce(): Double = {
+      val t0 = System.nanoTime()
+      // pmod bounds the terms: a raw sum of 2^25 full-range hashes
+      // overflows Long under the session's ANSI mode.
+      spark.range(1L << 25).selectExpr("sum(pmod(xxhash64(id), 1048576)) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val kernelStart = (1 to 3).map(_ => calibKernelOnce()).min
     def jsonSafe(s: String): String = s.flatMap {
       case '"' => "'"; case '\\' => "/"
       case c if c < ' ' => " "
@@ -91,11 +110,15 @@ object Bench {
       scala.util.Try(graft.functions.SessionScopedCache.retainedEntries(spark)).getOrElse(0)
     /** One timed attempt with its GC-time and session-memo deltas
       * (bytes AND entry count — a small memo with an expensive
-      * pipeline shows up in entries, not bytes). */
+      * pipeline shows up in entries, not bytes — AND the process-wide
+      * [[graft.functions.DriverMemo]] build delta, which also sees
+      * the memos outside SessionScopedCache: BPE merges, PCA model). */
     case class Attempt(
-        res: Either[String, Double], gcMs: Long, memoBytes: Long, memoEntries: Int)
+        res: Either[String, Double], gcMs: Long, memoBytes: Long, memoEntries: Int,
+        memoBuilds: Long)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Attempt = {
       val gc0 = gcNowMs(); val mem0 = retainedNow(); val ent0 = entriesNow()
+      val bld0 = graft.functions.DriverMemo.buildCount()
       val t0 = System.nanoTime()
       val res = try {
         fn(spark, sfDir).count()
@@ -103,7 +126,8 @@ object Bench {
       } catch { case t: Throwable =>
         Left(jsonSafe(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}"))
       }
-      Attempt(res, gcNowMs() - gc0, retainedNow() - mem0, entriesNow() - ent0)
+      Attempt(res, gcNowMs() - gc0, retainedNow() - mem0, entriesNow() - ent0,
+        graft.functions.DriverMemo.buildCount() - bld0)
     }
     // Session-memo footprint policy (VERDICT r10 #8): the memoized
     // checkpoint frames are accounted per query boundary; past the cap
@@ -122,7 +146,10 @@ object Bench {
         val retained = retainedNow()
         if (retained > retainedHw) { retainedHw = retained; retainedHwQuery = name }
         if (retained > memoCap) {
-          memoEvictions += graft.functions.SessionScopedCache.unpersistAll(spark)
+          // Largest-first down to the cap (ADVICE r11): a full drop
+          // would force every later sharer to rebuild pipelines the
+          // cap never required them to lose.
+          memoEvictions += graft.functions.SessionScopedCache.evictToCap(spark, memoCap)
         }
         name -> atts
       }
@@ -145,13 +172,13 @@ object Bench {
     val raw: Seq[(String, Seq[Attempt])] = rawQueries ++ (
       if (ssAttempts.isEmpty) Seq.empty
       else Seq(
-        "sstable_decode" -> ssAttempts.map(a => Attempt(Right(a._1), 0L, 0L, 0)),
-        "sstable_migrate" -> ssAttempts.map(a => Attempt(Right(a._2), 0L, 0L, 0))))
+        "sstable_decode" -> ssAttempts.map(a => Attempt(Right(a._1), 0L, 0L, 0, 0L)),
+        "sstable_migrate" -> ssAttempts.map(a => Attempt(Right(a._2), 0L, 0L, 0, 0L))))
     val results: Seq[(String, Either[String, Double])] = raw.map {
       case (name, attempts) =>
-        val times = attempts.collect { case Attempt(Right(s), _, _, _) => s }
+        val times = attempts.collect { case Attempt(Right(s), _, _, _, _) => s }
         name -> (if (times.size == attempts.size) Right(times.min)
-                 else Left(attempts.collectFirst { case Attempt(Left(e), _, _, _) => e }.get))
+                 else Left(attempts.collectFirst { case Attempt(Left(e), _, _, _, _) => e }.get))
     }
     // Compact per-query times (ms precision) keep the summary line
     // small enough to survive a tail-bounded log capture.
@@ -170,8 +197,8 @@ object Bench {
     // a single loaded snapshot.
     val attemptsJson = raw.map { case (k, atts) =>
       s"\"$k\":" + atts.map {
-        case Attempt(Right(s), _, _, _) => num(s, 6)
-        case Attempt(Left(_), _, _, _) => "-1"
+        case Attempt(Right(s), _, _, _, _) => num(s, 6)
+        case Attempt(Left(_), _, _, _, _) => "-1"
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Per-attempt attribution (queries only — the sstable rows measure
@@ -198,7 +225,7 @@ object Bench {
     // min hides it.
     val medians: Seq[(String, Double)] = raw.collect {
       case (name, atts) if atts.forall(_.res.isRight) =>
-        val ts = atts.collect { case Attempt(Right(s), _, _, _) => s }.sorted
+        val ts = atts.collect { case Attempt(Right(s), _, _, _, _) => s }.sorted
         name -> ts(ts.size / 2)
     }
     val mediansJson = medians.map { case (k, m) => s""""$k":${num(m, 3)}""" }
@@ -218,10 +245,12 @@ object Bench {
         (k, atts, first, firstSec, med)
     }.collect {
       case (k, _, first, firstSec, med) if BenchGate.isSpike(firstSec, med) =>
-        val cause = BenchGate.spikeCause(first.memoEntries, first.gcMs, firstSec)
+        val cause = BenchGate.spikeCause(
+          first.memoEntries, first.memoBuilds, first.gcMs, firstSec)
         s""""$k":{"first":${num(firstSec, 3)},"median":${num(med, 3)},""" +
           s""""gc_ms":${first.gcMs},"memo_entries":${first.memoEntries},""" +
-          s""""memo_bytes":${first.memoBytes},"cause":"$cause"}"""
+          s""""memo_bytes":${first.memoBytes},"memo_builds":${first.memoBuilds},""" +
+          s""""cause":"$cause"}"""
     }.mkString("{", ",", "}")
     // Machine-visible regression check (logic in graft.BenchGate, spec'd
     // on a planted slowdown): a query whose new min exceeds 1.5x its
@@ -258,10 +287,36 @@ object Bench {
       case (k, Left(_))  => k -> -1.0
     }.toMap
     val regressions = BenchGate.regressions(currentMins, priorQueries)
-    val regressed = regressions.toSeq.sortBy(_._1).map {
-      case (k, (p, s)) => s""""$k":[${num(p, 3)},${num(s, 3)}]"""
+    // The closing calibration measurement, then one end-of-run RETRY
+    // per regressed query (name-asc, capped — a degraded session can
+    // flag dozens and must not double its own runtime chasing them).
+    // Each regressed entry is published as an object carrying its
+    // prior, this run's min, the retry, and a named cause from
+    // BenchGate.regressionCause: "transient-retry-ok" (the retry
+    // landed back inside the gate), "ambient-load" (the calibration
+    // kernel proves the box was loaded and the load covers the
+    // ratio), or "unexplained" (treat as a potential plan
+    // regression). Retries that beat the min also feed the persisted
+    // baseline below — an end-of-run recovery is a real measurement.
+    val kernelEnd = (1 to 3).map(_ => calibKernelOnce()).min
+    val kernelBaseline = priorQueries.get(BenchGate.AmbientKey).filter(_ > 0)
+    val ambientFactor = kernelBaseline.map(b => math.max(kernelStart, kernelEnd) / b)
+    val queryFns = SparkEntry.selectedQueries
+    val retryOf: Map[String, Double] = regressions.keys.toSeq.sorted.take(32)
+      .flatMap { k =>
+        queryFns.get(k).flatMap(fn => once(fn).res.toOption).map(k -> _)
+      }.toMap
+    val regressed = regressions.toSeq.sortBy(_._1).map { case (k, (p, s)) =>
+      val cause = BenchGate.regressionCause(p, s, retryOf.get(k), ambientFactor)
+      val retryStr = retryOf.get(k).map(num(_, 3)).getOrElse("null")
+      s""""$k":{"prior":${num(p, 3)},"min":${num(s, 3)},"retry":$retryStr,""" +
+        s""""cause":"$cause"}"""
     }.mkString("{", ",", "}")
     val nRegressed = regressions.size
+    val ambientJson =
+      s"""{"kernel_start":${num(kernelStart, 3)},"kernel_end":${num(kernelEnd, 3)},""" +
+        s""""kernel_baseline":${kernelBaseline.map(num(_, 3)).getOrElse("null")},""" +
+        s""""factor":${ambientFactor.map(num(_, 2)).getOrElse("null")}}"""
     // Published throughput rows (min-of-3): cells/s and per-core
     // cells/s for decode and the full migrate pipeline — the numbers
     // SCALE.md's reference comparison (447k / 120k per core on
@@ -279,7 +334,7 @@ object Bench {
         s""""migrate_cells_per_sec_per_core":${num(ssCells / mMin / cpus.toDouble, 0)}}"""
       }
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
     // Belt and braces: the artifact also lands in files next to the
     // build, immune to any stdout truncation. bench_full.json is the
     // committed full artifact (attempts + attribution); bench_prev.json
@@ -288,30 +343,47 @@ object Bench {
     // (BenchGate.mergedBaseline), so one degraded session can never
     // inflate the bar (the r10 failure: a 66 s session's totals became
     // the baseline and under-reported r11's regressions before it
-    // ran). SPARK_GRAFT_BENCH_REBASE=1 resets the baseline to this
-    // run (for deliberate slowdowns). A SPARK_GRAFT_ONLY-filtered
-    // debug run or a full run at a different scale factor must NOT
-    // rewrite the committed baseline (decision + rationale in
-    // BenchGate.shouldPersistBaseline, spec'd on both clobber paths).
+    // ran). SPARK_GRAFT_BENCH_REBASE names the queries to reset to
+    // this run (comma list for deliberate slowdowns or a falsely
+    // pinned min; `1`/`all` for a global quiet-box reset — see
+    // BenchGate.parseRebase). A SPARK_GRAFT_ONLY-filtered debug run
+    // or a full run at a different scale factor must NOT rewrite
+    // EITHER committed artifact (decision + rationale in
+    // BenchGate.shouldPersistBaseline, spec'd on both clobber paths) —
+    // such runs land the full line in bench_scratch.json
+    // (git-ignored) instead of clobbering the committed bench_full.
     val fullRun = sys.env.get("SPARK_GRAFT_ONLY").isEmpty
-    val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE").exists(_ == "1")
+    val (rebaseFn, rebaseAny) =
+      BenchGate.parseRebase(sys.env.get("SPARK_GRAFT_BENCH_REBASE"))
     def writeFile(name: String, content: String): Unit =
       scala.util.Try {
         val w = new java.io.PrintWriter(name, "UTF-8")
         try w.println(content) finally w.close()
       }
-    writeFile("bench_full.json", summaryLine)
-    if (BenchGate.shouldPersistBaseline(fullRun, prevText, sfDir)) {
+    val persistOk = BenchGate.shouldPersistBaseline(fullRun, prevText, sfDir)
+    writeFile(if (persistOk) "bench_full.json" else "bench_scratch.json", summaryLine)
+    if (persistOk) {
+      // End-of-run retries that beat the sweep's min are real
+      // measurements and may lower the bar; the calibration kernel
+      // min-merges under its reserved instrument key so the load
+      // factor always compares against the quietest box ever seen.
+      val currentWithRetry = currentAll.map { case (k, s) =>
+        k -> retryOf.get(k).filter(_ > 0)
+          .fold(s)(r => if (s > 0) math.min(s, r) else s)
+      }
+      val baselineCurrent =
+        currentWithRetry + (BenchGate.AmbientKey -> math.min(kernelStart, kernelEnd))
       val merged = BenchGate.mergedBaseline(
-        currentAll, prevText.map(BenchGate.parsePrior(_, sfDir)).getOrElse(Map.empty),
-        rebase)
+        baselineCurrent,
+        prevText.map(BenchGate.parsePrior(_, sfDir)).getOrElse(Map.empty),
+        rebaseFn)
       val mergedQs = merged.toSeq.sortBy(_._1)
         .map { case (k, s) => s""""$k":${num(s, 3)}""" }.mkString("{", ",", "}")
       val mergedTotal = merged.collect {
-        case (k, s) if !k.startsWith("sstable_") => s
+        case (k, s) if !k.startsWith("sstable_") && !k.startsWith("_") => s
       }.sum
       writeFile("bench_prev.json",
-        s"""{"metric":"baseline","value":${num(mergedTotal, 3)},"unit":"sec","queries":$mergedQs,"sf":"$sfDir","baseline_kind":"per_query_min","n":${merged.size},"rebased":$rebase}""")
+        s"""{"metric":"baseline","value":${num(mergedTotal, 3)},"unit":"sec","queries":$mergedQs,"sf":"$sfDir","baseline_kind":"per_query_min","n":${merged.size},"rebased":$rebaseAny}""")
     }
     println(summaryLine)
     // The LAST stdout line: compact enough (<1.8 KB) for a tail-bounded

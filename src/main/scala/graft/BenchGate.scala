@@ -18,6 +18,13 @@ package graft
   */
 object BenchGate {
 
+  /** Reserved baseline key for the ambient-load calibration kernel's
+    * min-merged time. Underscore prefix = instrument row: carried in
+    * bench_prev.json's queries map (so it min-merges like everything
+    * else and remembers the quietest box ever seen) but excluded from
+    * totals and never itself flagged by [[regressions]]. */
+  val AmbientKey = "_ambient_kernel"
+
   /** Parse the `"queries":{...}` map out of a bench summary line,
     * returning empty unless the artifact's `"sf"` matches `sfDir`
     * (a prior run at a different scale factor would flag every query).
@@ -46,14 +53,18 @@ object BenchGate {
 
   /** Queries whose new time exceeds `factor` x their prior time, with
     * an absolute floor so a 30 ms -> 50 ms jitter never fires. Returns
-    * (prior, current) pairs keyed by query. */
+    * (prior, current) pairs keyed by query. Keys starting with `_` are
+    * instrument rows (the ambient calibration kernel), carried in the
+    * baseline for the load factor but never flagged as regressions
+    * themselves. */
   def regressions(
       current: Map[String, Double],
       prior: Map[String, Double],
       factor: Double = 1.5,
       floorSec: Double = 0.2): Map[String, (Double, Double)] =
     current.collect {
-      case (k, s) if prior.get(k).exists(p => p > 0 && s > factor * p && s > floorSec) =>
+      case (k, s) if !k.startsWith("_") &&
+          prior.get(k).exists(p => p > 0 && s > factor * p && s > floorSec) =>
         k -> (prior(k), s)
     }
 
@@ -92,10 +103,19 @@ object BenchGate {
     * round. Taking the per-query min means a slow session's numbers
     * simply never enter the baseline — min(prior_fast, current_slow)
     * keeps the prior — while genuine improvements still lower the bar
-    * immediately. The cost is that a DELIBERATE slowdown (a query made
-    * to do more work) flags until rebased; `rebase = true`
-    * (SPARK_GRAFT_BENCH_REBASE=1) resets those queries to the current
-    * run. Bookkeeping rules:
+    * immediately. Two costs, both answered by TARGETED rebase
+    * (ADVICE r11): a DELIBERATE slowdown (a query made to do more
+    * work) flags until rebased, and the min is a one-way ratchet — a
+    * single anomalously fast measurement (a memo-cached read under
+    * unusual eviction ordering) pins that query's bar until rebased.
+    * `rebase` is therefore a per-query predicate parsed from
+    * SPARK_GRAFT_BENCH_REBASE by [[parseRebase]]: a comma-separated
+    * query list resets ONLY those queries to the current run while
+    * every other query keeps its min-merge; the literal `1`/`all`
+    * resets the whole baseline (the documented global form — only for
+    * a quiet box, since a global rebase during a degraded session
+    * recreates the r10 baseline-inflation incident). Bookkeeping
+    * rules:
     *  - a query only in the current run (new operator) enters at its
     *    current time;
     *  - a query only in the prior (renamed/removed) is dropped, so
@@ -105,13 +125,60 @@ object BenchGate {
   def mergedBaseline(
       current: Map[String, Double],
       prior: Map[String, Double],
-      rebase: Boolean = false): Map[String, Double] =
+      rebase: String => Boolean = _ => false): Map[String, Double] =
     current.flatMap { case (k, s) =>
       val p = prior.get(k).filter(_ > 0)
       if (s <= 0) p.map(k -> _)                    // current errored
-      else if (rebase) Some(k -> s)
+      else if (rebase(k)) Some(k -> s)
       else Some(k -> p.fold(s)(math.min(s, _)))
     }
+
+  /** Parse SPARK_GRAFT_BENCH_REBASE into a per-query predicate:
+    * unset/empty → rebase nothing; `1` or `all` → rebase everything
+    * (global reset, quiet-box only); otherwise a comma-separated list
+    * of query names → rebase exactly those (min-merge for the rest).
+    * Also returns whether ANY rebase was requested, for the artifact's
+    * `rebased` field. */
+  def parseRebase(env: Option[String]): (String => Boolean, Boolean) =
+    env.map(_.trim).filter(_.nonEmpty) match {
+      case None => (_ => false, false)
+      case Some("1") | Some("all") => (_ => true, true)
+      case Some(list) =>
+        val names = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        (names.contains _, names.nonEmpty)
+    }
+
+  /** Name the best available cause for a sustained regression
+    * (VERDICT r11 #1 — the 7-entry sub-second cluster with gc=0 and
+    * memo=0 that the artifact could see but not explain). Inputs per
+    * regressed query: its baseline `prior` and this run's `minSec`
+    * (both from [[regressions]]), an optional end-of-run `retry`
+    * (one more attempt after the full sweep), and the session's
+    * `ambientFactor` — the calibration kernel's min-of-3 wall time
+    * this session divided by the kernel's own min-merged baseline
+    * (the quietest box this repo has seen), bracketing the run
+    * (measured at start AND end; the max of the two is passed here).
+    * Priority:
+    *  - the retry landing back inside the gate (≤ `factor` × prior)
+    *    names a transient: the slowdown did not survive the session;
+    *  - a demonstrably loaded box (kernel ≥ `ambientMin`× its
+    *    baseline) whose load covers the regression ratio (within
+    *    `ambientSlack`) names ambient load — same-session evidence,
+    *    not a guess;
+    *  - otherwise "unexplained": a real finding the next round must
+    *    treat as a potential plan regression. */
+  def regressionCause(
+      prior: Double,
+      minSec: Double,
+      retry: Option[Double],
+      ambientFactor: Option[Double],
+      factor: Double = 1.5,
+      ambientMin: Double = 1.2,
+      ambientSlack: Double = 1.3): String =
+    if (retry.exists(r => r > 0 && r <= factor * prior)) "transient-retry-ok"
+    else if (ambientFactor.exists(a =>
+        a >= ambientMin && minSec / prior <= a * ambientSlack)) "ambient-load"
+    else "unexplained"
 
   /** Whether a query's first attempt is a SPIKE worth explaining:
     * over `factor`× its own median AND over an absolute floor (a
@@ -124,15 +191,23 @@ object BenchGate {
     firstSec > factor * medianSec && firstSec > floorSec
 
   /** Attribute a first-attempt spike (VERDICT r10 #1/#5). Priority:
-    * a session-memo entry materialized during the attempt explains it
-    * outright (the pair-list / token-table pipelines pay their whole
-    * cost on first touch — entry count, not bytes, because a tiny
-    * memoized frame can have an expensive pipeline); else GC
+    * a driver memo materialized during the attempt explains it
+    * outright — EITHER a [[graft.functions.SessionScopedCache]] entry
+    * (entry count, not bytes, because a tiny memoized frame can have
+    * an expensive pipeline) OR any build recorded by the process-wide
+    * [[graft.functions.DriverMemo]] counter, which also covers the
+    * memos that deliberately live outside SessionScopedCache (the BPE
+    * merge table, the PCA model — the r11 blind spot that left
+    * text_bpe_encode's 15× first attempt "unattributed"); else GC
     * dominating ≥30% of the wall clock names memory pressure; else
     * the artifact says "unattributed" — co-tenant or OS noise, which
     * a reader must NOT mistake for a plan regression. */
-  def spikeCause(memoEntriesDelta: Int, gcMs: Long, firstSec: Double): String =
-    if (memoEntriesDelta > 0) "memo-build"
+  def spikeCause(
+      memoEntriesDelta: Int,
+      memoBuildsDelta: Long,
+      gcMs: Long,
+      firstSec: Double): String =
+    if (memoEntriesDelta > 0 || memoBuildsDelta > 0) "memo-build"
     else if (gcMs > 0.3 * firstSec * 1000) "gc"
     else "unattributed"
 }

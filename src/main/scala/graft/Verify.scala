@@ -34,7 +34,9 @@ object Verify {
         graft.functions.SessionScopedCache.retainedBytes(spark)).getOrElse(0L)
       retainedHw = math.max(retainedHw, retained)
       if (retained > memoCap) {
-        val n = graft.functions.SessionScopedCache.unpersistAll(spark)
+        // Largest-first down to the cap (ADVICE r11): remaining dumps
+        // keep every memo the cap allows instead of rebuilding all.
+        val n = graft.functions.SessionScopedCache.evictToCap(spark, memoCap)
         System.err.println(s"[verify] memo cap: evicted $n entries at $retained bytes")
       }
     }

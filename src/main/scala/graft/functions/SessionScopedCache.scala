@@ -60,7 +60,10 @@ private[graft] final class SessionScopedCache(val name: String = "cache") {
       }
       m
     }
-    perSession.computeIfAbsent(key, _ => build)
+    perSession.computeIfAbsent(key, { _ =>
+      DriverMemo.recordBuild()
+      build
+    })
   }
 
   /** This instance's live entries for `spark`, as `name#key` → frame. */
@@ -132,6 +135,30 @@ private[graft] object SessionScopedCache {
         instances.asScala.filter(_.name == inst).exists(_.drop(spark, key))
       case _ => false
     }
+
+  /** Evict LARGEST-first until the session's retained checkpoint
+    * bytes fit under `cap`; returns how many entries were dropped.
+    * The cap-breach policy (ADVICE r11): dropping the WHOLE memo on a
+    * breach forces every later sharer — the remaining bench queries,
+    * or Verify's remaining dumps — to rebuild pipelines the cap never
+    * required them to lose; shrinking below the cap evicts only what
+    * the accounting says is oversized, and [[retainedInfo]]'s
+    * per-entry bytes make largest-first the minimal-eviction order.
+    * Entries whose accounted bytes are zero (blocks already gone, or
+    * a frame checkpointed to nothing) cannot reduce the footprint and
+    * are left alone — if the remaining nonzero entries cannot reach
+    * the cap the method evicts them all and returns; it never spins. */
+  def evictToCap(spark: SparkSession, cap: Long): Int = {
+    val info = retainedInfo(spark).toSeq.filter(_._2 > 0).sortBy(-_._2)
+    var retained = retainedBytes(spark)
+    var dropped = 0
+    val it = info.iterator
+    while (retained > cap && it.hasNext) {
+      val (key, bytes) = it.next()
+      if (unpersist(spark, key)) { dropped += 1; retained -= bytes }
+    }
+    dropped
+  }
 
   /** Drop every memoized entry for `spark`; returns how many. */
   def unpersistAll(spark: SparkSession): Int =

@@ -63,7 +63,10 @@ object Pca {
       }
       m
     }
-    perSession.computeIfAbsent(dir, _ => fitUncached(spark, dir))
+    perSession.computeIfAbsent(dir, { _ =>
+      graft.functions.DriverMemo.recordBuild()
+      fitUncached(spark, dir)
+    })
   }
 
   private def fitUncached(spark: SparkSession, dir: String): Model = {

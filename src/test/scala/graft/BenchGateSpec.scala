@@ -90,8 +90,39 @@ class BenchGateSpec extends AnyFunSuite {
   test("rebase resets deliberate slowdowns to the current run") {
     val prior = Map("q_more_work" -> 0.2, "q_gone" -> 0.1)
     val current = Map("q_more_work" -> 0.9)
-    assert(BenchGate.mergedBaseline(current, prior, rebase = true) ===
+    assert(BenchGate.mergedBaseline(current, prior, rebase = _ => true) ===
       Map("q_more_work" -> 0.9))
+  }
+
+  test("targeted rebase resets only the named queries; the rest keep their min") {
+    // The ADVICE r11 incident shape: a rebase during a degraded
+    // session must not reset queries it was never aimed at.
+    val prior = Map("q_slowed_on_purpose" -> 0.2, "q_innocent" -> 0.3)
+    val current = Map("q_slowed_on_purpose" -> 0.9, "q_innocent" -> 1.5) // degraded box
+    val (rebase, any) = BenchGate.parseRebase(Some("q_slowed_on_purpose"))
+    assert(any)
+    assert(BenchGate.mergedBaseline(current, prior, rebase) ===
+      Map("q_slowed_on_purpose" -> 0.9, "q_innocent" -> 0.3))
+    // And the one-way min ratchet: a falsely pinned min is released by
+    // naming just that query, without a global reset.
+    val pinned = Map("q_pinned" -> 0.01, "q_other" -> 0.5)
+    val honest = Map("q_pinned" -> 0.25, "q_other" -> 0.48)
+    val (unpin, _) = BenchGate.parseRebase(Some("q_pinned"))
+    assert(BenchGate.mergedBaseline(honest, pinned, unpin) ===
+      Map("q_pinned" -> 0.25, "q_other" -> 0.48))
+  }
+
+  test("parseRebase: unset rebases nothing, 1/all everything, lists exactly themselves") {
+    val (none, anyNone) = BenchGate.parseRebase(None)
+    assert(!anyNone && !none("q"))
+    val (blank, anyBlank) = BenchGate.parseRebase(Some("  "))
+    assert(!anyBlank && !blank("q"))
+    val (all, anyAll) = BenchGate.parseRebase(Some("1"))
+    assert(anyAll && all("anything"))
+    val (all2, _) = BenchGate.parseRebase(Some("all"))
+    assert(all2("anything"))
+    val (some, anySome) = BenchGate.parseRebase(Some("q_a, q_b"))
+    assert(anySome && some("q_a") && some("q_b") && !some("q_c"))
   }
 
   test("a compact (slowest-N) summary never anchors a diff; a complete one does") {
@@ -114,9 +145,53 @@ class BenchGateSpec extends AnyFunSuite {
   test("spike causes: memo build wins over gc, gc needs 30% of wall, else unattributed") {
     // A memoized pipeline's first touch explains the spike even when
     // GC was also busy — entry count, not bytes, is the signal.
-    assert(BenchGate.spikeCause(memoEntriesDelta = 2, gcMs = 900, firstSec = 2.0) === "memo-build")
-    assert(BenchGate.spikeCause(memoEntriesDelta = 0, gcMs = 700, firstSec = 2.0) === "gc")
-    assert(BenchGate.spikeCause(memoEntriesDelta = 0, gcMs = 100, firstSec = 2.0) === "unattributed")
+    assert(BenchGate.spikeCause(memoEntriesDelta = 2, memoBuildsDelta = 2,
+      gcMs = 900, firstSec = 2.0) === "memo-build")
+    assert(BenchGate.spikeCause(memoEntriesDelta = 0, memoBuildsDelta = 0,
+      gcMs = 700, firstSec = 2.0) === "gc")
+    assert(BenchGate.spikeCause(memoEntriesDelta = 0, memoBuildsDelta = 0,
+      gcMs = 100, firstSec = 2.0) === "unattributed")
+  }
+
+  test("the r11 blind spot: a driver-memo build outside SessionScopedCache attributes") {
+    // text_bpe_encode's 15x first attempt paid Bpe's WeakHashMap
+    // training memo: zero SessionScopedCache entries, but the
+    // process-wide DriverMemo counter ticked — that must read
+    // memo-build, not unattributed.
+    assert(BenchGate.spikeCause(memoEntriesDelta = 0, memoBuildsDelta = 1,
+      gcMs = 0, firstSec = 3.75) === "memo-build")
+  }
+
+  test("DriverMemo counter ticks once per build across both cache shapes") {
+    val before = graft.functions.DriverMemo.buildCount()
+    graft.functions.DriverMemo.recordBuild()
+    assert(graft.functions.DriverMemo.buildCount() === before + 1)
+  }
+
+  test("instrument keys (_ambient_kernel) never flag as regressions") {
+    val prior = Map(BenchGate.AmbientKey -> 0.1, "q" -> 0.3)
+    val current = Map(BenchGate.AmbientKey -> 0.4, "q" -> 0.31)
+    assert(BenchGate.regressions(current, prior).isEmpty)
+  }
+
+  test("regression causes: retry clears, kernel-proven load names ambient, else unexplained") {
+    // The r11 7-entry cluster shape: a 0.15 s query at 2.5x its
+    // baseline, gc=0, memo=0. With the calibration kernel ALSO at
+    // ~2.4x its quietest baseline the cause is ambient load...
+    assert(BenchGate.regressionCause(prior = 0.15, minSec = 0.375,
+      retry = Some(0.36), ambientFactor = Some(2.4)) === "ambient-load")
+    // ...an end-of-run retry landing back inside the 1.5x gate names
+    // a transient regardless of the kernel...
+    assert(BenchGate.regressionCause(prior = 0.15, minSec = 0.375,
+      retry = Some(0.18), ambientFactor = None) === "transient-retry-ok")
+    // ...and a sustained slowdown on a demonstrably QUIET box is a
+    // real finding: unexplained.
+    assert(BenchGate.regressionCause(prior = 0.15, minSec = 0.375,
+      retry = Some(0.37), ambientFactor = Some(1.02)) === "unexplained")
+    // A loaded box does not excuse a regression far beyond the load:
+    // kernel at 1.3x cannot cover a 4x query slowdown.
+    assert(BenchGate.regressionCause(prior = 0.15, minSec = 0.6,
+      retry = None, ambientFactor = Some(1.3)) === "unexplained")
   }
 
   test("queries that error (-1) in the prior never flag as improvements or anchors") {

@@ -47,6 +47,37 @@ class SessionScopedCacheSpec extends AnyFunSuite {
     SessionScopedCache.unpersist(spark, "spec.cache#k1")
   }
 
+  test("evictToCap drops largest-first and stops at the cap (ADVICE r11)") {
+    // Other suites share this session and may have left memo entries;
+    // start from a clean slate so the largest-first order is exactly
+    // the two planted entries (evicted suites simply rebuild).
+    SessionScopedCache.unpersistAll(spark)
+    val cache = new SessionScopedCache("spec.cap")
+    def frame(rows: Int) =
+      spark.range(rows).select(col("id"), md5(col("id").cast("string")).as("pad"))
+        .localCheckpoint()
+    cache.getOrCompute(spark, "small")(frame(5000))
+    cache.getOrCompute(spark, "big")(frame(200000))
+    val info = SessionScopedCache.retainedInfo(spark)
+      .filter(_._1.startsWith("spec.cap#"))
+    assert(info("spec.cap#small") > 0L)
+    assert(info("spec.cap#big") > info("spec.cap#small"))
+    val total = SessionScopedCache.retainedBytes(spark)
+    // A cap that only the big entry breaches: exactly one eviction,
+    // the small entry survives — the whole point vs unpersistAll.
+    val cap = total - info("spec.cap#big") + info("spec.cap#small")
+    assert(SessionScopedCache.evictToCap(spark, cap) === 1)
+    val after = SessionScopedCache.retainedInfo(spark)
+    assert(!after.contains("spec.cap#big"))
+    assert(after.contains("spec.cap#small"))
+    assert(SessionScopedCache.retainedBytes(spark) <= cap)
+    // A generous cap evicts nothing; an unreachable cap of 0 clears
+    // every nonzero entry and terminates.
+    assert(SessionScopedCache.evictToCap(spark, Long.MaxValue) === 0)
+    assert(SessionScopedCache.evictToCap(spark, 0L) >= 1)
+    assert(!SessionScopedCache.retainedInfo(spark).contains("spec.cap#small"))
+  }
+
   test("keys with '#' in the cached key round-trip through the qualified name") {
     val cache = new SessionScopedCache("spec.hashkey")
     cache.getOrCompute(spark, "/some/dir#phash_pairs")(
