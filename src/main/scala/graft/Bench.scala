@@ -169,11 +169,29 @@ object Bench {
         graft.tools.SSTableThroughput.warm(spark, dir)
         (1 to 3).map(_ => graft.tools.SSTableThroughput.measureOnce(spark, dir))
       }.getOrElse(Seq.empty)
+    // Streaming-pipeline throughput (VERDICT r11 #5): a fixed synthetic
+    // event set drained through the chained dedup → session_window
+    // ingest pipeline AND the causal z-score monitor (details in
+    // graft.tools.StreamingThroughput). Same contract as the sstable
+    // rows: fixed work, min-of-3, so a time regression IS a state-store
+    // throughput regression (first-attempt streaming-runtime JIT is
+    // absorbed by the min like every query's codegen warmup).
+    // SPARK_GRAFT_STREAM_EVENTS=0 skips.
+    val stEvents = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "400000").toInt
+    val stAttempts: Seq[Double] =
+      if (stEvents <= 0) Seq.empty
+      else scala.util.Try {
+        val evs = graft.tools.StreamingThroughput.synthEvents(stEvents)
+        (1 to 3).map(_ => graft.tools.StreamingThroughput.measureOnce(spark, evs))
+      }.getOrElse(Seq.empty)
     val raw: Seq[(String, Seq[Attempt])] = rawQueries ++ (
       if (ssAttempts.isEmpty) Seq.empty
       else Seq(
         "sstable_decode" -> ssAttempts.map(a => Attempt(Right(a._1), 0L, 0L, 0, 0L)),
-        "sstable_migrate" -> ssAttempts.map(a => Attempt(Right(a._2), 0L, 0L, 0, 0L))))
+        "sstable_migrate" -> ssAttempts.map(a => Attempt(Right(a._2), 0L, 0L, 0, 0L)))) ++ (
+      if (stAttempts.isEmpty) Seq.empty
+      else Seq(
+        "streaming_throughput" -> stAttempts.map(s => Attempt(Right(s), 0L, 0L, 0, 0L))))
     val results: Seq[(String, Either[String, Double])] = raw.map {
       case (name, attempts) =>
         val times = attempts.collect { case Attempt(Right(s), _, _, _, _) => s }
@@ -217,7 +235,7 @@ object Bench {
     // Headline total stays query-only (comparable across rounds that
     // predate the sstable rows).
     val total = results.collect {
-      case (k, Right(s)) if !k.startsWith("sstable_") => s
+      case (k, Right(s)) if !k.startsWith("sstable_") && !k.startsWith("streaming_") => s
     }.sum
     // Median-of-attempts next to the min: min-of-3 with no warmup
     // separation lets a co-tenant spike through unnoticed on the OTHER
@@ -333,8 +351,17 @@ object Bench {
         s""""migrate_cells_per_sec":${num(ssCells / mMin, 0)},""" +
         s""""migrate_cells_per_sec_per_core":${num(ssCells / mMin / cpus.toDouble, 0)}}"""
       }
+    // Published streaming throughput (min-of-3): events/s through the
+    // dedup + session_window + causal-monitor drain at the fixed event
+    // count — the causal monitors' regression surface.
+    val streamingJson =
+      if (stAttempts.isEmpty) "null"
+      else {
+        val sMin = stAttempts.min
+        s"""{"events":$stEvents,"threads":$cpus,"events_per_sec":${num(stEvents / sMin, 0)}}"""
+      }
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
     // Belt and braces: the artifact also lands in files next to the
     // build, immune to any stdout truncation. bench_full.json is the
     // committed full artifact (attempts + attribution); bench_prev.json
@@ -380,7 +407,8 @@ object Bench {
       val mergedQs = merged.toSeq.sortBy(_._1)
         .map { case (k, s) => s""""$k":${num(s, 3)}""" }.mkString("{", ",", "}")
       val mergedTotal = merged.collect {
-        case (k, s) if !k.startsWith("sstable_") && !k.startsWith("_") => s
+        case (k, s) if !k.startsWith("sstable_") && !k.startsWith("streaming_") &&
+          !k.startsWith("_") => s
       }.sum
       writeFile("bench_prev.json",
         s"""{"metric":"baseline","value":${num(mergedTotal, 3)},"unit":"sec","queries":$mergedQs,"sf":"$sfDir","baseline_kind":"per_query_min","n":${merged.size},"rebased":$rebaseAny}""")
