@@ -744,6 +744,16 @@ object Dedup {
     // Within-cluster pairs only: the equality self-join on the cluster
     // id IS the candidate pruning (never a corpus cross-join), and the
     // per-vector argmax keeps the output one row per vector.
+    // Tie rule (deliberate departure from the house lowest-key argmax
+    // encoding): max(struct(cos, cand_id)) resolves equal-cosine
+    // candidates to the HIGHER cand_id. The winner can matter — tied
+    // candidates straddling vec_id flip the best_match < vec_id test
+    // — but the choice is safe because the oracle's SQL states the
+    // identical struct-max rule (the two sides cannot disagree, at
+    // any scale), and float-cosine ties are measure-zero on real
+    // embeddings: they arise only between bit-identical vectors,
+    // which the upstream exact dedup stages remove first in the
+    // published SemDeDup recipe.
     val best = assigned
       .join(assigned.select(col("cluster"),
         col("vec_id").as("cand_id"), col("embedding").as("cand_emb")),
