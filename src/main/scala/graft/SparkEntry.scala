@@ -163,6 +163,8 @@ object SparkEntry {
     "text_tfidf"               -> (Text.tfidf _),
     "text_vocab"               -> (Text.vocab _),
     "text_collocations"        -> ((s, d) => Text.collocations(s, d)),
+    "text_bigram_lm"           -> ((s, d) => Text.bigramLmTop(s, d)),
+    "text_lm_score"            -> ((s, d) => Text.lmScore(s, d)),
     "text_readability"         -> (Text.readability _),
     // rows-only by design: the merge loop's argmax feeds the next
     // round, which no single SQL statement expresses; exact-parity
@@ -3484,6 +3486,59 @@ object SparkEntry {
         |   AS DECIMAL(28,4)) AS DOUBLE) AS lift
         |FROM r JOIN uni ua ON ua.token = tok_a JOIN uni ub ON ub.token = tok_b
         |CROSS JOIN nu CROSS JOIN nb ORDER BY rank""".stripMargin,
+
+    // The bigram LM pair: probabilities quantized ONCE per bigram type
+    // to integer parts-per-billion ((n_ab+1)*1e9 exact in a double, one
+    // correctly-rounded division, hash-proven HALF_UP round) — so the
+    // scoring CTE is pure BIGINT arithmetic, order-free like Spark's.
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS ts
+        |  FROM documents),
+        |uni AS (SELECT r.t AS token, COUNT(*)::BIGINT AS n
+        |  FROM t, UNNEST(ts) AS r(t) GROUP BY 1),
+        |v AS (SELECT COUNT(*)::BIGINT AS v FROM uni),
+        |bi AS (SELECT ts[i] AS tok_a, ts[i + 1] AS tok_b
+        |  FROM t, UNNEST(range(1, len(ts))) AS r(i)),
+        |bc AS (SELECT tok_a, tok_b, COUNT(*)::BIGINT AS n_ab FROM bi GROUP BY 1, 2),
+        |m AS (SELECT tok_a, tok_b, n_ab, u.n AS n_a,
+        |    CAST(ROUND(CAST(n_ab + 1 AS DOUBLE) * 1000000000.0 /
+        |      CAST(u.n + v.v AS DOUBLE), 0) AS BIGINT) AS p_ppb
+        |  FROM bc JOIN uni u ON u.token = tok_a CROSS JOIN v),
+        |top AS (SELECT * FROM m ORDER BY n_ab DESC, tok_a, tok_b LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY n_ab DESC, tok_a, tok_b)::INT AS rank,
+        |  tok_a, tok_b, n_ab, n_a, p_ppb
+        |FROM top ORDER BY rank""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS ts
+        |  FROM documents),
+        |uni AS (SELECT r.t AS token, COUNT(*)::BIGINT AS n
+        |  FROM t, UNNEST(ts) AS r(t) GROUP BY 1),
+        |v AS (SELECT COUNT(*)::BIGINT AS v FROM uni),
+        |bi AS (SELECT doc_id, ts[i] AS tok_a, ts[i + 1] AS tok_b
+        |  FROM t, UNNEST(range(1, len(ts))) AS r(i)),
+        |bc AS (SELECT tok_a, tok_b, COUNT(*)::BIGINT AS n_ab FROM bi GROUP BY 1, 2),
+        |m AS (SELECT tok_a, tok_b,
+        |    CAST(ROUND(CAST(n_ab + 1 AS DOUBLE) * 1000000000.0 /
+        |      CAST(u.n + v.v AS DOUBLE), 0) AS BIGINT) AS p_ppb
+        |  FROM bc JOIN uni u ON u.token = tok_a CROSS JOIN v),
+        |sc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+        |    SUM(p_ppb)::BIGINT AS sum_ppb
+        |  FROM bi JOIN m USING (tok_a, tok_b) GROUP BY 1),
+        |s AS (SELECT d.doc_id,
+        |    COALESCE(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |    COALESCE(CAST(CAST(ROUND(CAST(sc.sum_ppb AS DOUBLE) /
+        |        CAST(sc.n_bigrams AS DOUBLE) / 1000.0, 4)
+        |      AS DECIMAL(28,4)) AS DOUBLE), 0.0) AS score_ppm
+        |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+        |SELECT doc_id, n_bigrams, score_ppm,
+        |  CASE WHEN n_bigrams = 0 THEN 'empty'
+        |    WHEN score_ppm >= 20000.0 THEN 'head'
+        |    WHEN score_ppm >= 5000.0 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_readability" ->
       """SELECT doc_id,

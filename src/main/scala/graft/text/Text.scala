@@ -714,6 +714,120 @@ object Text {
       .orderBy(col("rank"))
   }
 
+  // ---- bigram language model (CCNet-style fluency filter) ----------
+
+  /** The session-memoized corpus bigram LM: one row per bigram TYPE —
+    * (tok_a, tok_b, n_ab, n_a, p_ppb) — where p_ppb is the add-one
+    * smoothed conditional P(b|a) = (n_ab + 1) / (n_a + V) quantized
+    * ONCE per type to integer parts-per-billion. The quantization is
+    * the whole determinism story: (n_ab+1)·10⁹ is an exact integer in
+    * a double (≤ ~10¹⁵ < 2⁵³), the single division is one correctly
+    * rounded IEEE op both engines agree on, and round-to-integer is
+    * the hash-proven HALF_UP replay — so every DOWNSTREAM consumer
+    * works in exact BIGINT arithmetic (order-free sums), never
+    * accumulating floats. Trained on the same one-pass bigram
+    * explode as [[collocations]] (compiled adjacent-pair expression,
+    * no positional self-join); unigram counts and V ride the shared
+    * [[tokenCounts]] memo. Model size is bigram-vocabulary-shaped —
+    * far sublinear in the corpus (Heaps' law), same class as the
+    * token-count memo. */
+  private val bigramLmCache =
+    new graft.functions.SessionScopedCache("text.bigram_lm")
+  private def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmCache.getOrCompute(spark, dir) {
+      val toks = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
+      val bi = Tables.documents(spark, dir).select(toks.as("ts"))
+        .select(explode(graft.functions.ArrayPairs.adjacentPairs(col("ts"))).as("p"))
+        .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      val biCnt = bi.groupBy(col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val uni = tokenCounts(spark, dir)
+        .select(col("token").as("tok_a"), col("n_occurrences").as("n_a"))
+      val v = tokenCounts(spark, dir).agg(count(lit(1)).as("v"))
+      // Bigram-vocab × token-vocab equality join on tok_a: both sides
+      // grow with the vocabulary (neither broadcastable at corpus
+      // scale) — a plain shuffle join on the token key. V is 1 row.
+      biCnt.join(uni, Seq("tok_a"))
+        .crossJoin(broadcast(v))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"),
+          round((col("n_ab") + lit(1)).cast("double") * lit(1e9) /
+            (col("n_a") + col("v")).cast("double"), 0).cast("long").as("p_ppb"))
+        .localCheckpoint()
+    }
+
+  /** #44r text_bigram_lm: the trained model's head — top-k bigrams by
+    * count with their smoothed conditional probabilities, the
+    * inspection surface of the LM (deterministic ties: count desc,
+    * then lexicographic, the [[collocations]] rule). TakeOrdered over
+    * the memoized model frame; only the k survivors ride the rank
+    * window. */
+  def bigramLmTop(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val top = bigramLm(spark, dir)
+      .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b")).limit(k)
+    val ranked = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+    top.withColumn("rank", row_number().over(ranked))
+      .select(col("rank"), col("tok_a"), col("tok_b"),
+        col("n_ab"), col("n_a"), col("p_ppb"))
+      .orderBy(col("rank"))
+  }
+
+  /** #44s text_lm_score: per-document fluency scoring against the
+    * corpus bigram LM — the CCNet-style head/middle/tail quality
+    * bucketing (Wenzek et al. 2020), which scores each document with
+    * a corpus LM and buckets on FIXED cutoffs (CCNet computes its
+    * cutoffs once offline, then applies them as constants — exactly
+    * the scale-correct form: no global sort or percentile pass over
+    * the corpus at scoring time).
+    *
+    * The score is the mean smoothed bigram conditional probability in
+    * parts-per-million: sum of the model's integer p_ppb over the
+    * doc's bigram OCCURRENCES (exact BIGINT, order-free) divided by
+    * the bigram count. Deliberately log-free — CCNet's mean log-prob
+    * needs libm `log`, whose last ulp differs across engines; the
+    * mean probability is a pure rational over already-quantized
+    * integers, ranks gibberish below fluent text the same way (junk
+    * bigrams are smoothing-floor rows in BOTH scores), and hash
+    * -replays bit-exactly. Docs with < 2 tokens score 0 in bucket
+    * "empty" rather than vanishing.
+    *
+    * Scale shape: one bigram explode (in the scan's codegen stage) →
+    * join to the model on the bigram key — the memoized checkpoint
+    * carries REAL size stats, so the planner broadcasts only while
+    * the model genuinely fits and flips to a shuffle join as the
+    * vocabulary grows (accurate stats, unlike the estimate-blinded
+    * ngram pair join that had to be pinned sort-merge) → one
+    * map-side-combinable per-doc aggregation → left join back onto
+    * the doc_id spine. */
+  def lmScore(
+      spark: SparkSession, dir: String,
+      headPpm: Double = 20000.0, tailPpm: Double = 5000.0): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
+    val bi = Tables.documents(spark, dir).select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"),
+        explode(graft.functions.ArrayPairs.adjacentPairs(col("ts"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+    val perDoc = bi
+      .join(bigramLm(spark, dir).select(col("tok_a"), col("tok_b"), col("p_ppb")),
+        Seq("tok_a", "tok_b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppb")).as("sum_ppb"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(
+          d4w(col("sum_ppb").cast("double") / col("n_bigrams").cast("double") /
+            lit(1000.0)),
+          lit(0.0)).as("score_ppm"))
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0, lit("empty"))
+          .when(col("score_ppm") >= headPpm, lit("head"))
+          .when(col("score_ppm") >= tailPpm, lit("middle"))
+          .otherwise(lit("tail")))
+      .orderBy(col("doc_id"))
+  }
+
   /** #43b text_lang_mix: predicted-language composition per source —
     * [[langid]]'s verdicts rolled up by the corpus' source column with
     * per-source shares. The "what languages does each crawl slice

@@ -517,7 +517,11 @@ class PlanSpec extends AnyFunSuite {
     "rfm_scores" -> 9, "rollup_agg" -> 1, "running_total" -> 1,
     "sample_stratified" -> 1, "sample_temperature" -> 2, "set_ops" -> 2,
     "ship_latency" -> 1, "spend_deciles" -> 9, "supplier_concentration" -> 1,
-    "supplier_dominance" -> 2, "table_profile" -> 1, "text_bpe_encode" -> 1,
+    "supplier_dominance" -> 2, "table_profile" -> 1,
+    // text_bigram_lm 0: the model's training exchanges are behind the
+    // session-memoized checkpoint planOf reads (the dedup_substring
+    // pattern); text_lm_score 2: bigram-key model join + per-doc agg.
+    "text_bigram_lm" -> 0, "text_lm_score" -> 2, "text_bpe_encode" -> 1,
     "text_bpe_train" -> 0, "text_c4_filters" -> 0, "text_collocations" -> 2,
     "text_decontaminate" -> 2, "text_decontaminate_bloom" -> 2, "text_fingerprint" -> 0,
     "text_lang_mix" -> 3, "text_langid" -> 0, "text_len_hist" -> 2,

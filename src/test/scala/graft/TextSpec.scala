@@ -143,6 +143,42 @@ class TextSpec extends AnyFunSuite {
     tmp
   }
 
+  test("bigram LM: fluent text scores head, gibberish tail, singletons empty") {
+    // The sf0.01 synthetic corpus is fluency-homogeneous (every doc
+    // lands in head at the CCNet-style fixed cutoffs), so the
+    // bucketing's DISCRIMINATION is proven here on a planted corpus:
+    // a doc of one repeated bigram (every step maximally predictable),
+    // a doc of 500 once-only tokens (every bigram at the smoothing
+    // floor), and a single-token doc (no bigrams at all).
+    val fluent = Seq.fill(300)("a b").mkString(" ")
+    val gibberish = (0 until 500)
+      .map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .mkString(" ")
+    val dir = docsFixture(Seq(0L -> fluent, 1L -> gibberish, 2L -> "a"))
+
+    // Model head: (a,b) dominates with hand-checkable smoothing.
+    // V = 2 + 500 = 502 distinct tokens; c(a,b) = 300; c(a) = 301
+    // (300 in the fluent doc + the singleton doc).
+    val top = Text.bigramLmTop(spark, dir, k = 5).collect().head
+    assert(top.getAs[Int]("rank") === 1)
+    assert(top.getAs[String]("tok_a") === "a" && top.getAs[String]("tok_b") === "b")
+    assert(top.getAs[Long]("n_ab") === 300L)
+    assert(top.getAs[Long]("n_a") === 301L)
+    assert(top.getAs[Long]("p_ppb") === math.round(301.0 * 1e9 / 803.0),
+      "add-one smoothing: (n_ab+1)*1e9 / (n_a+V), HALF_UP to integer ppb")
+
+    val got = Text.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Long]("n_bigrams") === 599L)
+    assert(got(0L).getAs[String]("bucket") === "head")
+    assert(got(1L).getAs[String]("bucket") === "tail",
+      s"smoothing-floor doc must land in tail: ${got(1L)}")
+    assert(got(2L).getAs[String]("bucket") === "empty")
+    assert(got(2L).getAs[Long]("n_bigrams") === 0L)
+    assert(got(2L).getAs[Double]("score_ppm") === 0.0)
+    assert(got(0L).getAs[Double]("score_ppm") > got(1L).getAs[Double]("score_ppm"))
+  }
+
   test("decontaminate flags train docs sharing an 8-gram with the eval slice") {
     // doc 0 is eval (0 % 20 == 0); doc 1 shares its first 8 tokens,
     // doc 3 shares nothing.
