@@ -3529,9 +3529,9 @@ object SparkEntry {
         |  FROM bi JOIN m USING (tok_a, tok_b) GROUP BY 1),
         |s AS (SELECT d.doc_id,
         |    COALESCE(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
-        |    COALESCE(CAST(CAST(ROUND(CAST(sc.sum_ppb AS DOUBLE) /
-        |        CAST(sc.n_bigrams AS DOUBLE) / 1000.0, 4)
-        |      AS DECIMAL(28,4)) AS DOUBLE), 0.0) AS score_ppm
+        |    COALESCE(CAST(ROUND(CAST(sc.sum_ppb * 10 AS DOUBLE) /
+        |        CAST(sc.n_bigrams AS DOUBLE), 0) AS BIGINT)
+        |      / 10000.0, 0.0) AS score_ppm
         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
         |SELECT doc_id, n_bigrams, score_ppm,
         |  CASE WHEN n_bigrams = 0 THEN 'empty'

@@ -783,7 +783,14 @@ object Text {
     * The score is the mean smoothed bigram conditional probability in
     * parts-per-million: sum of the model's integer p_ppb over the
     * doc's bigram OCCURRENCES (exact BIGINT, order-free) divided by
-    * the bigram count. Deliberately log-free — CCNet's mean log-prob
+    * the bigram count. The 4-decimal presentation is quantized the
+    * same way as p_ppb itself — ONE division (sum_ppb·10 / n, both
+    * exact BIGINTs cast to double) then ROUND(x, 0), then a final
+    * exact /10⁴ — never ROUND(a/b/c, 4): with small per-doc bigram
+    * counts the chained form lands exactly on .xxxx5 decimal ties,
+    * where Spark's BigDecimal HALF_UP and an oracle's scaled C round
+    * disagree by one ulp (caught at sf1). Deliberately log-free —
+    * CCNet's mean log-prob
     * needs libm `log`, whose last ulp differs across engines; the
     * mean probability is a pure rational over already-quantized
     * integers, ranks gibberish below fluent text the same way (junk
@@ -817,8 +824,9 @@ object Text {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(
-          d4w(col("sum_ppb").cast("double") / col("n_bigrams").cast("double") /
-            lit(1000.0)),
+          round((col("sum_ppb") * lit(10L)).cast("double") /
+              col("n_bigrams").cast("double"), 0).cast("long")
+            .cast("double") / lit(10000.0),
           lit(0.0)).as("score_ppm"))
       .withColumn("bucket",
         when(col("n_bigrams") === 0, lit("empty"))
