@@ -2927,8 +2927,8 @@ object SparkEntry {
         |n AS (SELECT doc_id, COUNT(*)::INT AS n_ngrams FROM tr GROUP BY doc_id),
         |h AS (SELECT doc_id, COUNT(*) AS n_hits FROM tr JOIN ev USING (ngram) GROUP BY doc_id)
         |SELECT n.doc_id, n.n_ngrams, COALESCE(h.n_hits, 0) AS n_hits,
-        |  CAST(CAST(ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
-        |    / CAST(GREATEST(n.n_ngrams, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS contamination,
+        |  (CAST(ROUND(CAST(COALESCE(h.n_hits, 0) * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n.n_ngrams, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS contamination,
         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
         |FROM n LEFT JOIN h USING (doc_id)
         |ORDER BY n.doc_id""".stripMargin,
@@ -2945,29 +2945,36 @@ object SparkEntry {
         |  SELECT doc_id, 3 AS gn, t[r.i]||' '||t[r.i+1]||' '||t[r.i+2] AS gram
         |  FROM t, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
         |c AS (SELECT doc_id, gn, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
-        |p AS (SELECT doc_id, gn,
-        |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac,
-        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
-        |      / CAST(SUM(c) AS DOUBLE) AS dup_frac
+        |p AS (SELECT doc_id, gn, MAX(c) AS max_c,
+        |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c, SUM(c) AS sum_c
         |  FROM c GROUP BY 1, 2),
         |piv AS (SELECT doc_id,
-        |    MAX(CASE WHEN gn = 2 THEN top_frac END) AS top2,
-        |    MAX(CASE WHEN gn = 2 THEN dup_frac END) AS dup2,
-        |    MAX(CASE WHEN gn = 3 THEN top_frac END) AS top3,
-        |    MAX(CASE WHEN gn = 3 THEN dup_frac END) AS dup3
+        |    MAX(CASE WHEN gn = 2 THEN max_c END) AS max2,
+        |    MAX(CASE WHEN gn = 2 THEN dup_c END) AS dup2,
+        |    MAX(CASE WHEN gn = 2 THEN sum_c END) AS sum2,
+        |    MAX(CASE WHEN gn = 3 THEN max_c END) AS max3,
+        |    MAX(CASE WHEN gn = 3 THEN dup_c END) AS dup3,
+        |    MAX(CASE WHEN gn = 3 THEN sum_c END) AS sum3
         |  FROM p GROUP BY doc_id),
-        |d4 AS (SELECT b.doc_id, b.n_tokens, b.n_distinct,
-        |    CAST(b.n_distinct AS DOUBLE) / CAST(GREATEST(b.n_tokens, 1) AS DOUBLE) AS dr,
-        |    COALESCE(piv.top2, 0) AS top2, COALESCE(piv.dup2, 0) AS dup2,
-        |    COALESCE(piv.top3, 0) AS top3, COALESCE(piv.dup3, 0) AS dup3
+        |r AS (SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |    COALESCE(piv.max2, 0) AS max2, COALESCE(piv.dup2, 0) AS dup2,
+        |    GREATEST(COALESCE(piv.sum2, 0), 1) AS sum2,
+        |    COALESCE(piv.max3, 0) AS max3, COALESCE(piv.dup3, 0) AS dup3,
+        |    GREATEST(COALESCE(piv.sum3, 0), 1) AS sum3
         |  FROM base b LEFT JOIN piv USING (doc_id))
         |SELECT doc_id, n_tokens, n_distinct,
-        |  CAST(CAST(ROUND(dr, 4) AS DECIMAL(10,4)) AS DOUBLE) AS distinct_ratio,
-        |  CAST(CAST(ROUND(top2, 4) AS DECIMAL(10,4)) AS DOUBLE) AS top_2gram_frac,
-        |  CAST(CAST(ROUND(dup2, 4) AS DECIMAL(10,4)) AS DOUBLE) AS dup_2gram_frac,
-        |  CAST(CAST(ROUND(top3, 4) AS DECIMAL(10,4)) AS DOUBLE) AS top_3gram_frac,
-        |  CAST(CAST(ROUND(dup3, 4) AS DECIMAL(10,4)) AS DOUBLE) AS dup_3gram_frac
-        |FROM d4
+        |  (CAST(ROUND(CAST(n_distinct * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    AS distinct_ratio,
+        |  (CAST(ROUND(CAST(max2 * 10000 AS DOUBLE) / CAST(sum2 AS DOUBLE), 0)
+        |    AS BIGINT) / 10000.0) AS top_2gram_frac,
+        |  (CAST(ROUND(CAST(dup2 * 10000 AS DOUBLE) / CAST(sum2 AS DOUBLE), 0)
+        |    AS BIGINT) / 10000.0) AS dup_2gram_frac,
+        |  (CAST(ROUND(CAST(max3 * 10000 AS DOUBLE) / CAST(sum3 AS DOUBLE), 0)
+        |    AS BIGINT) / 10000.0) AS top_3gram_frac,
+        |  (CAST(ROUND(CAST(dup3 * 10000 AS DOUBLE) / CAST(sum3 AS DOUBLE), 0)
+        |    AS BIGINT) / 10000.0) AS dup_3gram_frac
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
 
     "text_pii_scrub" ->
@@ -3817,9 +3824,12 @@ object SparkEntry {
         |SELECT doc_id,
         | CAST(n_chars AS INT) AS n_chars,
         | CAST(n_toks AS INT) AS n_tokens,
-        | CAST(CAST(ROUND(punct / n_chars, 4) AS DECIMAL(10,4)) AS DOUBLE) AS punct_ratio,
-        | CAST(CAST(ROUND(digits / n_chars, 4) AS DECIMAL(10,4)) AS DOUBLE) AS digit_ratio,
-        | CAST(CAST(ROUND(stops / n_toks, 4) AS DECIMAL(10,4)) AS DOUBLE) AS stopword_ratio,
+        | (CAST(ROUND(punct * 10000 / GREATEST(n_chars, 1), 0) AS BIGINT)
+        |   / 10000.0) AS punct_ratio,
+        | (CAST(ROUND(digits * 10000 / GREATEST(n_chars, 1), 0) AS BIGINT)
+        |   / 10000.0) AS digit_ratio,
+        | (CAST(ROUND(stops * 10000 / GREATEST(n_toks, 1), 0) AS BIGINT)
+        |   / 10000.0) AS stopword_ratio,
         | CAST(CAST(ROUND(
         |   LEAST(n_chars / 500.0, 1.0) * 0.4
         |   + LEAST(stops / GREATEST(n_toks * 0.05, 1.0), 1.0) * 0.4

@@ -39,6 +39,31 @@ object Exact {
   def d4wSql(expr: String): String =
     s"CAST(CAST(ROUND($expr, 4) AS DECIMAL(28,4)) AS DOUBLE)"
 
+  /** 4-place presentation of an INTEGER ratio num/den — the tie-free
+    * form of [[d4]] for the one input class where d4 is not
+    * engine-exact. ROUND(num/den, 4) on a double can land exactly on
+    * a .xxxx5 decimal tie whenever den (in lowest terms) is 32·5^t,
+    * t ≥ 1 — a terminating decimal the binary double cannot represent
+    * — and there Spark's BigDecimal HALF_UP (which reads the double's
+    * exact binary expansion) and an oracle's scaled C round (which
+    * re-rounds x·10⁴, often onto exactly k+0.5) disagree by one ulp.
+    * The sf1 replay caught the first live instance (text_lm_score,
+    * sum/40000). This form has no tie to disagree on: num·10⁴ is an
+    * exact BIGINT, the single division is one correctly-rounded IEEE
+    * op both engines agree on bit-for-bit, ROUND(x, 0) is the
+    * hash-proven HALF_UP integer replay, and the final /10⁴ of an
+    * integer-valued double is again one exact-input correctly-rounded
+    * op. Callers guard den > 0 (the d4 sites already do). */
+  def ratio4(num: Column, den: Column): Column =
+    round((num.cast("long") * lit(10000L)).cast("double") /
+        den.cast("long").cast("double"), 0)
+      .cast("long").cast("double") / lit(10000.0)
+
+  /** SQL fragment mirroring [[ratio4]] for the DuckDB oracle. */
+  def ratio4Sql(num: String, den: String): String =
+    s"(CAST(ROUND(CAST(($num) * 10000 AS DOUBLE) / " +
+    s"CAST(($den) AS DOUBLE), 0) AS BIGINT) / 10000.0)"
+
   /** Cast a double term to an exact decimal at the given scale. */
   def dec(c: Column, scale: Int): Column = c.cast(DecimalType(30, scale))
 

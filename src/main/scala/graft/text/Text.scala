@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{d4, d4w}
+import graft.functions.Exact.{d4, d4w, ratio4}
 import graft.functions.Sketches
 import graft.sources.Tables
 
@@ -74,9 +74,12 @@ object Text {
         col("doc_id"),
         length(col("text")).as("n_chars"),
         size(toks).as("n_tokens"),
-        d4(punct / nChars).as("punct_ratio"),
-        d4(digits / nChars).as("digit_ratio"),
-        d4(stops / nToks).as("stopword_ratio"),
+        ratio4(punct.cast("long"), greatest(nChars.cast("long"), lit(1L)))
+          .as("punct_ratio"),
+        ratio4(digits.cast("long"), greatest(nChars.cast("long"), lit(1L)))
+          .as("digit_ratio"),
+        ratio4(stops.cast("long"), greatest(nToks.cast("long"), lit(1L)))
+          .as("stopword_ratio"),
         // docs in [50, 2000] chars with some stopwords and little
         // punctuation score high — a typical pretrain quality gate.
         d4(least(nChars / 500.0, lit(1.0)) * 0.4
@@ -218,8 +221,8 @@ object Text {
         col("doc_id"),
         col("n_ngrams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        d4(coalesce(col("n_hits"), lit(0L)).cast("double") /
-          greatest(col("n_ngrams"), lit(1)).cast("double")).as("contamination"),
+        ratio4(coalesce(col("n_hits"), lit(0L)),
+          greatest(col("n_ngrams"), lit(1))).as("contamination"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
   }
@@ -254,28 +257,38 @@ object Text {
         transform(grams(col("t"), 2), x => struct(lit(2).as("gn"), x.as("gram"))),
         transform(grams(col("t"), 3), x => struct(lit(3).as("gn"), x.as("gram"))))).as("g"))
       .select(col("doc_id"), col("g.gn").as("gn"), col("g.gram").as("gram"))
+    // Integer components (max/dup/total gram counts) ride the pivot;
+    // the ratios are presented via Exact.ratio4 at the very end — the
+    // tie-free form (per-doc gram totals are exactly the small
+    // arbitrary denominators where ROUND(a/b, 4) can hit a cross-
+    // engine decimal tie).
     val per = gramRows
       .groupBy(col("doc_id"), col("gn"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("gn"))
       .agg(
-        (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"),
-        (sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).cast("double") /
-          sum(col("c")).cast("double")).as("dup_frac"))
+        max(col("c")).as("max_c"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_c"),
+        sum(col("c")).as("sum_c"))
     val piv = per.groupBy(col("doc_id")).agg(
-      max(when(col("gn") === 2, col("top_frac"))).as("top2"),
-      max(when(col("gn") === 2, col("dup_frac"))).as("dup2"),
-      max(when(col("gn") === 3, col("top_frac"))).as("top3"),
-      max(when(col("gn") === 3, col("dup_frac"))).as("dup3"))
+      max(when(col("gn") === 2, col("max_c"))).as("max2"),
+      max(when(col("gn") === 2, col("dup_c"))).as("dup2"),
+      max(when(col("gn") === 2, col("sum_c"))).as("sum2"),
+      max(when(col("gn") === 3, col("max_c"))).as("max3"),
+      max(when(col("gn") === 3, col("dup_c"))).as("dup3"),
+      max(when(col("gn") === 3, col("sum_c"))).as("sum3"))
+    def frac(num: String, den: String) =
+      ratio4(coalesce(col(num), lit(0L)),
+        greatest(coalesce(col(den), lit(0L)), lit(1L)))
     base.join(piv, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"),
-        d4(col("n_distinct").cast("double") /
-          greatest(col("n_tokens"), lit(1)).cast("double")).as("distinct_ratio"),
-        d4(coalesce(col("top2"), lit(0.0))).as("top_2gram_frac"),
-        d4(coalesce(col("dup2"), lit(0.0))).as("dup_2gram_frac"),
-        d4(coalesce(col("top3"), lit(0.0))).as("top_3gram_frac"),
-        d4(coalesce(col("dup3"), lit(0.0))).as("dup_3gram_frac"))
+        ratio4(col("n_distinct"), greatest(col("n_tokens"), lit(1)))
+          .as("distinct_ratio"),
+        frac("max2", "sum2").as("top_2gram_frac"),
+        frac("dup2", "sum2").as("dup_2gram_frac"),
+        frac("max3", "sum3").as("top_3gram_frac"),
+        frac("dup3", "sum3").as("dup_3gram_frac"))
       .orderBy(col("doc_id"))
   }
 
