@@ -2603,8 +2603,8 @@ object SparkEntry {
         |tot AS (SELECT source, SUM(n_docs)::BIGINT AS src_docs
         |  FROM cell GROUP BY 1)
         |SELECT source, pred_lang, n_docs,
-        | CAST(CAST(ROUND(CAST(n_docs AS DOUBLE) / CAST(src_docs AS DOUBLE), 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS share
+        | (CAST(ROUND(CAST(n_docs * 10000 AS DOUBLE) / CAST(src_docs AS DOUBLE), 0)
+        |   AS BIGINT) / 10000.0) AS share
         |FROM cell JOIN tot USING (source)
         |ORDER BY source, pred_lang""".stripMargin,
 
@@ -3468,8 +3468,8 @@ object SparkEntry {
         | CASE WHEN k < 0 THEN 0 ELSE (1::BIGINT << k) END AS lo,
         | CASE WHEN k < 0 THEN 0 ELSE (1::BIGINT << (k + 1)) - 1 END AS hi,
         | n_docs, n_chars,
-        | CAST(CAST(ROUND(CAST(cum_chars AS DOUBLE) / CAST(grand AS DOUBLE), 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS cum_char_coverage
+        | (CAST(ROUND(CAST(cum_chars * 10000 AS DOUBLE) / CAST(grand AS DOUBLE), 0)
+        |   AS BIGINT) / 10000.0) AS cum_char_coverage
         |FROM c ORDER BY bucket_exp""".stripMargin,
 
     "text_collocations" ->
@@ -3576,7 +3576,7 @@ object SparkEntry {
         |    SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token) AS cum
         |  FROM top)
         |SELECT rank::INT AS rank, token, n_occurrences, n_docs,
-        |  CAST(CAST(ROUND(cum::DOUBLE / n_total::DOUBLE, 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |  (CAST(ROUND((cum * 10000)::DOUBLE / n_total::DOUBLE, 0) AS BIGINT) / 10000.0)
         |    AS cum_coverage
         |FROM r CROSS JOIN total ORDER BY rank""".stripMargin,
 
@@ -3605,8 +3605,8 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN b.bucket_ppm < r2.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |  FROM b JOIN r2 USING (source) GROUP BY b.source)
         |SELECT r2.source, r2.n_docs, r2.target_docs, r2.rate_ppm, s.n_sampled,
-        |  CAST(CAST(ROUND(CAST(s.n_sampled AS DOUBLE)
-        |    / CAST(GREATEST(r2.n_docs, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |  (CAST(ROUND(CAST(s.n_sampled * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(r2.n_docs, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |    AS realized_rate
         |FROM r2 JOIN s USING (source)
         |ORDER BY r2.source""".stripMargin,
@@ -3619,9 +3619,9 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, rate_pct, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-        |  CAST(CAST(ROUND(
-        |    CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
-        |      / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS realized_pct
+        |  (CAST(ROUND(
+        |    CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) * 1000000 AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS realized_pct
         |FROM d
         |GROUP BY source, rate_pct
         |ORDER BY source""".stripMargin,
@@ -3704,10 +3704,10 @@ object SparkEntry {
         |  FROM documents GROUP BY source, lang),
         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM a)
         |SELECT source, lang, n_docs, n_tokens, n_chars,
-        |  CAST(CAST(ROUND(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4)
-        |    AS DECIMAL(10,4)) AS DOUBLE) AS token_share,
-        |  CAST(CAST(ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
-        |    AS DECIMAL(10,4)) AS DOUBLE) AS avg_doc_tokens
+        |  (CAST(ROUND(CAST(n_tokens * 10000 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 0)
+        |    AS BIGINT) / 10000.0) AS token_share,
+        |  (CAST(ROUND(CAST(n_tokens * 10000 AS DOUBLE) / CAST(n_docs AS DOUBLE), 0)
+        |    AS BIGINT) / 10000.0) AS avg_doc_tokens
         |FROM a CROSS JOIN t
         |ORDER BY source, lang""".stripMargin,
 
@@ -3721,6 +3721,7 @@ object SparkEntry {
         |  FROM documents),
         |s AS (SELECT doc_id,
         |    CAST(len(string_split_regex(t, '\s+')) AS INT) AS n_words,
+        |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
         |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE)
         |      / CAST(len(string_split_regex(t, '\s+')) AS DOUBLE) AS mean_len,
         |    regexp_matches(t, '[.!?"]$') AS ends_punct,
@@ -3738,7 +3739,9 @@ object SparkEntry {
         |         ELSE 'kept' END AS drop_reason
         |  FROM s)
         |SELECT doc_id, n_words,
-        |  CAST(CAST(ROUND(mean_len, 4) AS DECIMAL(10,4)) AS DOUBLE) AS mean_word_len,
+        |  (CAST(ROUND(CAST(n_nonspace * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n_words, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    AS mean_word_len,
         |  ends_punct, has_curly, has_lorem, has_js AS has_javascript,
         |  drop_reason, drop_reason = 'kept' AS kept
         |FROM r

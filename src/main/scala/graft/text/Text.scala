@@ -366,8 +366,7 @@ object Text {
         sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L)).as("n_sampled"))
       .select(
         col("source"), col("rate_pct"), col("n_docs"), col("n_sampled"),
-        d4(col("n_sampled").cast("double") * 100.0 /
-          col("n_docs").cast("double")).as("realized_pct"))
+        ratio4(col("n_sampled") * lit(100L), col("n_docs")).as("realized_pct"))
       .orderBy(col("source"))
   }
 
@@ -427,8 +426,8 @@ object Text {
         .as("n_sampled"))
       .select(col("source"), col("n_docs"), col("target_docs"),
         col("rate_ppm"), col("n_sampled"),
-        d4(col("n_sampled").cast("double") /
-          greatest(col("n_docs"), lit(1L)).cast("double")).as("realized_rate"))
+        ratio4(col("n_sampled"), greatest(col("n_docs"), lit(1L)))
+          .as("realized_rate"))
       .orderBy(col("source"))
   }
 
@@ -496,10 +495,8 @@ object Text {
     agg.crossJoin(broadcast(total))
       .select(
         col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
-        d4(col("n_tokens").cast("double") / col("total_tokens").cast("double"))
-          .as("token_share"),
-        d4(col("n_tokens").cast("double") / col("n_docs").cast("double"))
-          .as("avg_doc_tokens"))
+        ratio4(col("n_tokens"), col("total_tokens")).as("token_share"),
+        ratio4(col("n_tokens"), col("n_docs")).as("avg_doc_tokens"))
       .orderBy(col("source"), col("lang"))
   }
 
@@ -542,7 +539,8 @@ object Text {
       .select(
         col("doc_id"),
         nWords.as("n_words"),
-        d4(meanLen).as("mean_word_len"),
+        ratio4(length(regexp_replace(full, "\\s", "")),
+          greatest(nWords, lit(1))).as("mean_word_len"),
         endsPunct.as("ends_punct"),
         hasCurly.as("has_curly"),
         hasLorem.as("has_lorem"),
@@ -868,8 +866,7 @@ object Text {
     val totals = cell.groupBy(col("source")).agg(sum(col("n_docs")).as("src_docs"))
     cell.join(broadcast(totals), Seq("source"))
       .select(col("source"), col("pred_lang"), col("n_docs"),
-        d4(col("n_docs").cast("double") / col("src_docs").cast("double"))
-          .as("share"))
+        ratio4(col("n_docs"), col("src_docs")).as("share"))
       .orderBy(col("source"), col("pred_lang"))
   }
 
@@ -905,8 +902,7 @@ object Text {
         when(col("k") < 0, 0L)
           .otherwise(expr("shiftleft(CAST(1 AS BIGINT), k + 1) - 1")).as("hi"),
         col("n_docs"), col("n_chars"),
-        d4(col("cum_chars").cast("double") / col("grand").cast("double"))
-          .as("cum_char_coverage"))
+        ratio4(col("cum_chars"), col("grand")).as("cum_char_coverage"))
       .orderBy(col("bucket_exp"))
   }
 
@@ -946,8 +942,7 @@ object Text {
       .withColumn("cum_occurrences", sum(col("n_occurrences")).over(ranked))
       .crossJoin(broadcast(total))
       .select(col("rank"), col("token"), col("n_occurrences"), col("n_docs"),
-        d4(col("cum_occurrences").cast("double") / col("n_total").cast("double"))
-          .as("cum_coverage"))
+        ratio4(col("cum_occurrences"), col("n_total")).as("cum_coverage"))
       .orderBy(col("rank"))
   }
 
