@@ -2040,8 +2040,8 @@ object SparkEntry {
         |  FROM ut a JOIN ut b USING (user_id)
         |  WHERE a.event_type < b.event_type GROUP BY 1, 2)
         |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
-        | CAST(CAST(ROUND(n_both::DOUBLE / (sa.n + sb.n - n_both)::DOUBLE, 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS jaccard
+        | (CAST(ROUND((n_both * 10000)::DOUBLE / (sa.n + sb.n - n_both)::DOUBLE, 0)
+        |   AS BIGINT) / 10000.0) AS jaccard
         |FROM ov
         |JOIN sz sa ON sa.event_type = type_a
         |JOIN sz sb ON sb.event_type = type_b
@@ -2144,9 +2144,9 @@ object SparkEntry {
         |    COUNT(*)::BIGINT AS n_transitions
         |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n_transitions,
-        |  CAST(CAST(ROUND(n_transitions::DOUBLE /
-        |    (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE, 4)
-        |    AS DECIMAL(10,4)) AS DOUBLE) AS prob
+        |  (CAST(ROUND((n_transitions * 10000)::DOUBLE /
+        |    (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE, 0)
+        |    AS BIGINT) / 10000.0) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "events_sequences" ->
@@ -2159,8 +2159,8 @@ object SparkEntry {
         |  FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
         |t AS (SELECT SUM(n_seq)::DOUBLE AS total FROM g)
         |SELECT e1, e2, e3, n_seq,
-        |  CAST(CAST(ROUND(n_seq::DOUBLE / total, 4) AS DECIMAL(10,4))
-        |    AS DOUBLE) AS share
+        |  (CAST(ROUND((n_seq * 10000)::DOUBLE / total, 0) AS BIGINT)
+        |    / 10000.0) AS share
         |FROM g, t
         |ORDER BY n_seq DESC, e1, e2, e3 LIMIT 20""".stripMargin,
     "events_json_props" ->
@@ -2185,9 +2185,9 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_id, ts,
         | COUNT(*) OVER w AS n_1h,
-        | CAST(CAST(ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
-        |   / (CAST(COUNT(*) OVER w AS DOUBLE) * 100.0), 4)
-        |   AS DECIMAL(14,4)) AS DOUBLE) AS avg_1h
+        | (CAST(ROUND(CAST((SUM(cents) OVER w) * 10000 AS DOUBLE)
+        |   / CAST((COUNT(*) OVER w) * 100 AS DOUBLE), 0)
+        |   AS BIGINT) / 10000.0) AS avg_1h
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -2308,18 +2308,18 @@ object SparkEntry {
         |             (SELECT COUNT(*) FROM s2) AS n2,
         |             (SELECT COUNT(*) FROM s3) AS n3)
         |SELECT CAST(1 AS INT) AS step, 'view' AS step_name, n1 AS n_users,
-        |  CAST(CAST(ROUND(CAST(n1 AS DOUBLE)
-        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |  (CAST(ROUND(CAST(n1 * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |    AS conversion FROM n
         |UNION ALL
         |SELECT CAST(2 AS INT), 'view>click', n2,
-        |  CAST(CAST(ROUND(CAST(n2 AS DOUBLE)
-        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |  (CAST(ROUND(CAST(n2 * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |  FROM n
         |UNION ALL
         |SELECT CAST(3 AS INT), 'view>click>purchase', n3,
-        |  CAST(CAST(ROUND(CAST(n3 AS DOUBLE)
-        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |  (CAST(ROUND(CAST(n3 * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |  FROM n
         |ORDER BY step""".stripMargin,
 
@@ -2336,8 +2336,8 @@ object SparkEntry {
         |    COUNT(DISTINCT a.user_id) AS n_active
         |  FROM aw a JOIN fw f USING (user_id) GROUP BY 1, 2)
         |SELECT m.cohort_week, m.week_offset, m.n_active,
-        |  CAST(CAST(ROUND(CAST(m.n_active AS DOUBLE)
-        |    / CAST(c.cohort_size AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |  (CAST(ROUND(CAST(m.n_active * 10000 AS DOUBLE)
+        |    / CAST(c.cohort_size AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |    AS retention_pct
         |FROM m JOIN cs c USING (cohort_week)
         |ORDER BY m.cohort_week, m.week_offset""".stripMargin,
@@ -2566,9 +2566,9 @@ object SparkEntry {
         | n_weekday_days, n_weekend_days,
         | CAST(wd100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekday_rate,
         | CAST(we100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekend_rate,
-        | CAST(CAST(ROUND(CAST(we100 AS DOUBLE)
-        |   / NULLIF(CAST(wd100 AS DOUBLE), 0.0), 4)
-        |   AS DECIMAL(28,4)) AS DOUBLE) AS weekend_ratio
+        | (CAST(ROUND(CAST(we100 * 10000 AS DOUBLE)
+        |   / CAST(NULLIF(wd100, 0) AS DOUBLE), 0)
+        |   AS BIGINT) / 10000.0) AS weekend_ratio
         |FROM r ORDER BY event_type""".stripMargin,
 
     "text_lang_mix" ->
@@ -3043,10 +3043,10 @@ object SparkEntry {
         |m AS (SELECT mon, COUNT(DISTINCT user_id)::BIGINT AS mau FROM e GROUP BY 1)
         |SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS DATE) AS day,
         | dau, wau, mau,
-        | CAST(CAST(ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS dau_wau,
-        | CAST(CAST(ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS dau_mau
+        | (CAST(ROUND(CAST(dau * 10000 AS DOUBLE) / CAST(wau AS DOUBLE), 0)
+        |   AS BIGINT) / 10000.0) AS dau_wau,
+        | (CAST(ROUND(CAST(dau * 10000 AS DOUBLE) / CAST(mau AS DOUBLE), 0)
+        |   AS BIGINT) / 10000.0) AS dau_mau
         |FROM d JOIN w USING (wk) JOIN m USING (mon) ORDER BY day""".stripMargin,
 
     "events_sessionize_native" ->
@@ -3083,8 +3083,8 @@ object SparkEntry {
         |    SUM(dur_us)::BIGINT AS sum_us FROM s GROUP BY 1),
         |t AS (SELECT SUM(n_sessions)::BIGINT AS total_sessions FROM byn)
         |SELECT n_events, n_sessions,
-        | CAST(CAST(ROUND(CAST(n_sessions AS DOUBLE) /
-        |   CAST(total_sessions AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        | (CAST(ROUND(CAST(n_sessions * 10000 AS DOUBLE) /
+        |   CAST(total_sessions AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |   AS session_share,
         | CAST(sum_us // 1000000 AS BIGINT) AS total_duration_s,
         | CAST(CAST(sum_us // n_sessions AS BIGINT) AS DOUBLE)
@@ -3186,9 +3186,9 @@ object SparkEntry {
         |t AS (SELECT COUNT(*)::BIGINT AS n_converters FROM lags)
         |SELECT CAST(lag_hours AS BIGINT) AS lag_hours,
         | COUNT(*)::BIGINT AS n_users,
-        | CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
-        |   / CAST(ANY_VALUE(n_converters) AS DOUBLE), 4) AS DECIMAL(10,4))
-        |   AS DOUBLE) AS share
+        | (CAST(ROUND(CAST(COUNT(*) * 10000 AS DOUBLE)
+        |   / CAST(ANY_VALUE(n_converters) AS DOUBLE), 0) AS BIGINT)
+        |   / 10000.0) AS share
         |FROM lags CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_session_mix" ->
@@ -3208,9 +3208,9 @@ object SparkEntry {
         |  FROM sess GROUP BY 1, 2),
         |t AS (SELECT COUNT(*)::BIGINT AS total_sessions FROM s)
         |SELECT mix, COUNT(*)::BIGINT AS n_sessions,
-        | CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
-        |   / CAST(ANY_VALUE(total_sessions) AS DOUBLE), 4) AS DECIMAL(10,4))
-        |   AS DOUBLE) AS session_share,
+        | (CAST(ROUND(CAST(COUNT(*) * 10000 AS DOUBLE)
+        |   / CAST(ANY_VALUE(total_sessions) AS DOUBLE), 0) AS BIGINT)
+        |   / 10000.0) AS session_share,
         | CAST(CAST((100 * SUM(n_events)) // COUNT(*) AS BIGINT) AS DOUBLE)
         |   / CAST(100.0 AS DOUBLE) AS avg_events
         |FROM s CROSS JOIN t GROUP BY mix ORDER BY mix""".stripMargin,
@@ -3228,8 +3228,8 @@ object SparkEntry {
         |    AS cum_users FROM j)
         |SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS DATE) AS day,
         | new_users, dau - new_users AS returning_users, dau, cum_users,
-        | CAST(CAST(ROUND(CAST(dau AS DOUBLE) / CAST(cum_users AS DOUBLE), 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS active_share
+        | (CAST(ROUND(CAST(dau * 10000 AS DOUBLE) / CAST(cum_users AS DOUBLE), 0)
+        |   AS BIGINT) / 10000.0) AS active_share
         |FROM c ORDER BY day""".stripMargin,
 
     "events_activity_islands" ->
@@ -3359,11 +3359,11 @@ object SparkEntry {
         |    COUNT(*)::BIGINT AS n_users, SUM(c * c)::BIGINT AS sum_c2
         |  FROM pu GROUP BY 1)
         |SELECT event_type, n_events, n_users,
-        | CAST(CAST(ROUND(CAST(sum_c2 AS DOUBLE) /
-        |   CAST(n_events * n_events AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        | (CAST(ROUND(CAST(sum_c2 * 10000 AS DOUBLE) /
+        |   CAST(n_events * n_events AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |   AS hhi,
-        | CAST(CAST(ROUND(CAST(n_events * n_events AS DOUBLE) /
-        |   CAST(sum_c2 AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE)
+        | (CAST(ROUND(CAST(n_events * n_events * 10000 AS DOUBLE) /
+        |   CAST(sum_c2 AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |   AS effective_users
         |FROM a ORDER BY event_type""".stripMargin,
 
@@ -3378,9 +3378,9 @@ object SparkEntry {
         |    SUM(c * c)::BIGINT AS sum_c2
         |  FROM h GROUP BY 1)
         |SELECT event_type, n_events, n_hours, n_active_hours,
-        | CAST(CAST(ROUND(CAST(n_hours * sum_c2 - n_events * n_events AS DOUBLE)
-        |   / CAST(n_hours - 1 AS DOUBLE) / CAST(n_events AS DOUBLE), 4)
-        |   AS DECIMAL(28,4)) AS DOUBLE) AS fano,
+        | (CAST(ROUND(CAST((n_hours * sum_c2 - n_events * n_events) * 10000 AS DOUBLE)
+        |   / CAST((n_hours - 1) * n_events AS DOUBLE), 0)
+        |   AS BIGINT) / 10000.0) AS fano,
         | CAST((10000 * n_events) // n_hours AS BIGINT) / CAST(10000.0 AS DOUBLE)
         |   AS mean_per_hour
         |FROM a WHERE n_hours > 1 ORDER BY event_type""".stripMargin,

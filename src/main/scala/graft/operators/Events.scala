@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{d4, d4w, dsum, pres}
+import graft.functions.Exact.{d4, d4w, dsum, pres, ratio4}
 import graft.sources.Tables
 
 /** Event-stream analytics (SURVEY.md §2.3) over the `events` table.
@@ -124,8 +124,7 @@ object Events {
           col("n3").as("n_users")))).as("s"))
       .select(col("s.step").as("step"), col("s.step_name").as("step_name"),
         col("s.n_users").as("n_users"),
-        d4(col("s.n_users").cast("double") /
-          greatest(col("n1"), lit(1L)).cast("double")).as("conversion"))
+        ratio4(col("s.n_users"), greatest(col("n1"), lit(1L))).as("conversion"))
       .orderBy(col("step"))
   }
 
@@ -172,8 +171,7 @@ object Events {
       // DuckDB oracle's date_trunc yields DATE, so the schemas align).
       .select(timestamp_micros(col("cohort_us")).cast("date").as("cohort_week"),
         col("week_offset"), col("n_active"),
-        d4(col("n_active").cast("double") / col("cohort_size").cast("double"))
-          .as("retention_pct"))
+        ratio4(col("n_active"), col("cohort_size")).as("retention_pct"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
@@ -200,8 +198,7 @@ object Events {
     val byFrom = Window.partitionBy(col("from_type"))
     counts
       .withColumn("prob",
-        d4(col("n_transitions").cast("double") /
-          sum(col("n_transitions")).over(byFrom).cast("double")))
+        ratio4(col("n_transitions"), sum(col("n_transitions")).over(byFrom)))
       .orderBy(col("from_type"), col("to_type"))
   }
 
@@ -236,8 +233,7 @@ object Events {
       .groupBy(col("e1"), col("e2"), col("e3"))
       .agg(count(lit(1)).as("n_seq"))
       .withColumn("share",
-        d4(col("n_seq").cast("double") /
-          sum(col("n_seq")).over(Window.partitionBy()).cast("double")))
+        ratio4(col("n_seq"), sum(col("n_seq")).over(Window.partitionBy())))
       .orderBy(col("n_seq").desc, col("e1"), col("e2"), col("e3"))
       .limit(20)
   }
@@ -303,8 +299,7 @@ object Events {
         round(col("value") * 100).cast("long").as("cents"))
       .withColumn("n_1h", count(lit(1)).over(byUserRange))
       .withColumn("avg_1h",
-        d4(sum(col("cents")).over(byUserRange).cast("double") /
-          (col("n_1h").cast("double") * 100.0)))
+        ratio4(sum(col("cents")).over(byUserRange), col("n_1h") * lit(100L)))
       .select(col("user_id"), col("event_id"), col("ts"), col("n_1h"), col("avg_1h"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -701,8 +696,8 @@ object Events {
       .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
       .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
-        d4(col("n_both").cast("double") /
-          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+        ratio4(col("n_both"), col("n_a") + col("n_b") - col("n_both"))
+          .as("jaccard"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -876,12 +871,11 @@ object Events {
           .as("weekday_rate"),
         (col("weekend_rate_x100").cast("double") / lit(100.0))
           .as("weekend_rate"),
-        // d4w + NULLIF: the ratio is unbounded (one stray weekday
+        // ratio4 + NULLIF: the ratio is unbounded (one stray weekday
         // event under heavy weekend load) and a weekday-silent type
-        // divides by zero — abort classes, not report classes.
-        d4w(col("weekend_rate_x100").cast("double") /
-          nullif(col("weekday_rate_x100").cast("double"), lit(0.0)))
-          .as("weekend_ratio"))
+        // divides by zero — NULL, not a report class.
+        ratio4(col("weekend_rate_x100"),
+          nullif(col("weekday_rate_x100"), lit(0L))).as("weekend_ratio"))
       .orderBy(col("event_type"))
   }
 
@@ -1029,8 +1023,7 @@ object Events {
     byN.crossJoin(broadcast(tot))
       .select(
         col("n_events"), col("n_sessions"),
-        d4(col("n_sessions").cast("double") / col("total_sessions").cast("double"))
-          .as("session_share"),
+        ratio4(col("n_sessions"), col("total_sessions")).as("session_share"),
         expr("sum_us div 1000000").as("total_duration_s"),
         (expr("sum_us div n_sessions").cast("double") / lit(1e6))
           .as("avg_duration_s"))
@@ -1125,12 +1118,12 @@ object Events {
         sum(col("c") * col("c")).as("sum_c2"))
       .select(
         col("event_type"), col("n_events"), col("n_users"),
-        d4(col("sum_c2").cast("double") /
-          (col("n_events") * col("n_events")).cast("double")).as("hhi"),
-        // d4w: effective_users is bounded only by the true user count,
-        // which passes d4's 10^6 ANSI-abort ceiling at target scale.
-        d4w((col("n_events") * col("n_events")).cast("double") /
-          col("sum_c2").cast("double")).as("effective_users"))
+        ratio4(col("sum_c2"), col("n_events") * col("n_events")).as("hhi"),
+        // ratio4 (not d4w): effective_users is an integer ratio, and
+        // its magnitude is bounded only by the true user count — the
+        // x10^4 long scaling holds to ~9e14 events per type.
+        ratio4(col("n_events") * col("n_events"), col("sum_c2"))
+          .as("effective_users"))
       .orderBy(col("event_type"))
   }
 
@@ -1149,8 +1142,7 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .crossJoin(broadcast(total))
       .select(col("lag_hours"), col("n_users"),
-        d4(col("n_users").cast("double") / col("n_converters").cast("double"))
-          .as("share"))
+        ratio4(col("n_users"), col("n_converters")).as("share"))
       .orderBy(col("lag_hours"))
   }
 
@@ -1172,8 +1164,7 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("sum_events"))
       .crossJoin(broadcast(total))
       .select(col("mix"), col("n_sessions"),
-        d4(col("n_sessions").cast("double") / col("total_sessions").cast("double"))
-          .as("session_share"),
+        ratio4(col("n_sessions"), col("total_sessions")).as("session_share"),
         (expr("(100 * sum_events) div n_sessions").cast("double") / lit(100.0))
           .as("avg_events"))
       .orderBy(col("mix"))
@@ -1203,8 +1194,7 @@ object Events {
         col("new_users"),
         (col("dau") - col("new_users")).as("returning_users"),
         col("dau"), col("cum_users"),
-        d4(col("dau").cast("double") / col("cum_users").cast("double"))
-          .as("active_share"))
+        ratio4(col("dau"), col("cum_users")).as("active_share"))
       .orderBy(col("day"))
   }
 
@@ -1338,10 +1328,8 @@ object Events {
       .filter(col("n_hours") > 1)
       .select(
         col("event_type"), col("n_events"), col("n_hours"), col("n_active_hours"),
-        d4w((col("n_hours") * col("sum_c2") - col("n_events") * col("n_events"))
-          .cast("double") /
-          (col("n_hours") - 1).cast("double") / col("n_events").cast("double"))
-          .as("fano"),
+        ratio4(col("n_hours") * col("sum_c2") - col("n_events") * col("n_events"),
+          (col("n_hours") - 1) * col("n_events")).as("fano"),
         // Floor-x10000 (N/H with a small H can land on an exact
         // .xxxx5 where engine rounding differs; floor has no boundary).
         (expr("(10000 * n_events) div n_hours") / lit(10000.0))
@@ -1378,8 +1366,8 @@ object Events {
       .select(
         date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("day"),
         col("dau"), col("wau"), col("mau"),
-        d4(col("dau").cast("double") / col("wau").cast("double")).as("dau_wau"),
-        d4(col("dau").cast("double") / col("mau").cast("double")).as("dau_mau"))
+        ratio4(col("dau"), col("wau")).as("dau_wau"),
+        ratio4(col("dau"), col("mau")).as("dau_mau"))
       .orderBy(col("day"))
   }
 
