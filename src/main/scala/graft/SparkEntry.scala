@@ -150,6 +150,7 @@ object SparkEntry {
     "ann_lsh_topk"             -> (Similarity.lshTopK _),
     "ann_ivf_topk"             -> (Similarity.ivfTopK _),
     "ann_pq_topk"              -> (Similarity.pqTopK _),
+    "ann_ivf_pq_topk"          -> (Similarity.ivfPqTopK _),
     // §2.6 text analysis
     "text_token_stats"         -> (Text.tokenStats _),
     "text_quality"             -> (Text.quality _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "text_collocations"        -> ((s, d) => Text.collocations(s, d)),
     "text_bigram_lm"           -> ((s, d) => Text.bigramLmTop(s, d)),
     "text_lm_score"            -> ((s, d) => Text.lmScore(s, d)),
+    "text_novelty"             -> (Text.novelty _),
     "text_readability"         -> (Text.readability _),
     // rows-only by design: the merge loop's argmax feeds the next
     // round, which no single SQL statement expresses; exact-parity
@@ -945,19 +947,52 @@ object SparkEntry {
     * bit-identical to pqAdcScore's j-outer/i-inner accumulation), the
     * top-50 shortlist uses the bounded-heap (adc DESC, vec_id) order,
     * and the exact-cosine top-10 + recall tail is shared with LSH/IVF. */
-  private def annPqOracleSql: String = {
-    val (m, kc, iters, short, dim) = (8, 16, 5, 50, 64)
-    val sub = dim / m
-    def l2(a: String, b: String) = {
-      val d = s"list_transform(range(1, ${sub + 1}), i -> $a[i] - $b[i])"
-      s"list_dot_product($d, $d)"
-    }
+  /** The squared-L2 distance between two `sub`-dim list slices — the
+    * per-block assignment metric, folded left-to-right like the
+    * kernel's sequential `d += t·t`. */
+  private def pqL2Sql(sub: Int, a: String, b: String): String = {
+    val d = s"list_transform(range(1, ${sub + 1}), i -> $a[i] - $b[i])"
+    s"list_dot_product($d, $d)"
+  }
+
+  /** The ADC score expression — cosine of the query against the
+    * reconstructed vector, with pqAdcScore's zero-norm guard. */
+  private def adcCosSql(q: String, rv: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($q, $q) * list_dot_product($rv, $rv)) = 0
+      |             THEN CAST(0 AS DOUBLE)
+      |             ELSE list_dot_product($q, $rv)
+      |               / sqrt(list_dot_product($q, $q) * list_dot_product($rv, $rv)) END""".stripMargin
+
+  /** Corpus PQ encode + reconstruct CTEs — `enc` re-derives every
+    * vector's per-block code against `b<iters>`, `recon` concatenates
+    * the codewords in block order (bit-identical to pqAdcScore's
+    * j-outer/i-inner accumulation). Requires `emb` and `b<iters>`.
+    * Shared by the ann_pq and ann_ivf_pq oracles. */
+  private def pqEncodeSqlParts(iters: Int, sub: Int): Seq[String] = {
+    val fin = s"b$iters"
+    Seq(
+      s"""enc AS MATERIALIZED (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT e.vec_id, c.j, c.c,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
+        |        ORDER BY ${pqL2Sql(sub, s"e.v[c.j*$sub+1 : c.j*$sub+$sub]", "c.cv")} ASC, c.c) AS rn
+        |    FROM emb e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin,
+      s"""recon AS MATERIALIZED (
+        |  SELECT e.vec_id, flatten(list(c.cv ORDER BY e.j)) AS rv
+        |  FROM enc e JOIN $fin c ON c.j = e.j AND c.c = e.code
+        |  GROUP BY e.vec_id)""".stripMargin)
+  }
+
+  /** The PQ per-block L2 codebook trainer ([[graft.functions.Centroids
+    * .fitL2]] per block) replayed as one unrolled Lloyd chain keyed by
+    * block id — emits `ss` (sample sub-blocks), `b0` (evenly-spaced
+    * UN-normalized seeds) and the pa/pm/b round CTEs; requires `samp`
+    * (v, rnk) and `nn` to exist. Leaves the fitted codebooks in
+    * `b<iters>`(j, c, cv). Shared by the ann_pq and ann_ivf_pq
+    * oracles. */
+  private def pqCodebookSqlParts(m: Int, kc: Int, iters: Int, sub: Int): Seq[String] = {
+    def l2(a: String, b: String) = pqL2Sql(sub, a, b)
     val parts = scala.collection.mutable.ArrayBuffer(
-      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-      """samp AS MATERIALIZED (
-        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
-        |  FROM (SELECT vec_id, v FROM emb WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin,
-      "nn AS (SELECT COUNT(*) AS n FROM samp)",
       s"""ss AS MATERIALIZED (
         |  SELECT s.rnk, j.j::INT AS j, s.v[j.j*$sub+1 : j.j*$sub+$sub] AS sv
         |  FROM samp s, UNNEST(range(0, $m)) AS j(j))""".stripMargin,
@@ -983,28 +1018,79 @@ object SparkEntry {
         |  SELECT p.j, p.c, CASE WHEN m.mv IS NULL THEN p.cv ELSE m.mv END AS cv
         |  FROM $prev p LEFT JOIN pm$it m ON m.j = p.j AND m.c = p.c)""".stripMargin
     }
-    val fin = s"b$iters"
-    parts += s"""enc AS MATERIALIZED (
-      |  SELECT vec_id, j, c AS code FROM (
-      |    SELECT e.vec_id, c.j, c.c,
-      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
-      |        ORDER BY ${l2(s"e.v[c.j*$sub+1 : c.j*$sub+$sub]", "c.cv")} ASC, c.c) AS rn
-      |    FROM emb e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
-    parts += s"""recon AS MATERIALIZED (
-      |  SELECT e.vec_id, flatten(list(c.cv ORDER BY e.j)) AS rv
-      |  FROM enc e JOIN $fin c ON c.j = e.j AND c.c = e.code
-      |  GROUP BY e.vec_id)""".stripMargin
+    parts.toSeq
+  }
+
+  private def annPqOracleSql: String = {
+    val (m, kc, iters, short, dim) = (8, 16, 5, 50, 64)
+    val sub = dim / m
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM emb WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin,
+      "nn AS (SELECT COUNT(*) AS n FROM samp)")
+    parts ++= pqCodebookSqlParts(m, kc, iters, sub)
+    parts ++= pqEncodeSqlParts(iters, sub)
     parts += "q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10)"
     parts += s"""adc AS MATERIALIZED (
       |  SELECT query_id, vec_id FROM (
       |    SELECT qq.query_id, r.vec_id,
       |      ROW_NUMBER() OVER (PARTITION BY qq.query_id ORDER BY
-      |        CASE WHEN sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(r.rv, r.rv)) = 0
-      |             THEN CAST(0 AS DOUBLE)
-      |             ELSE list_dot_product(qq.qv, r.rv)
-      |               / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(r.rv, r.rv)) END
+      |        ${adcCosSql("qq.qv", "r.rv")}
       |        DESC, r.vec_id) AS rn
       |    FROM q qq JOIN recon r ON r.vec_id <> qq.query_id) WHERE rn <= $short)""".stripMargin
+    parts += """sc AS (SELECT a.query_id, a.vec_id,
+      |    list_dot_product(qq.qv, ee.v)
+      |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM adc a JOIN q qq ON qq.query_id = a.query_id
+      |             JOIN emb ee ON ee.vec_id = a.vec_id)""".stripMargin
+    s"WITH ${parts.mkString(",\n")},\n$annRerankTailSql"
+  }
+
+  /** ann_ivf_pq_topk under the hard gate: BOTH trainers replay — the
+    * spherical coarse quantizer via [[sphericalFitSqlParts]] and the
+    * per-block codebooks via [[pqCodebookSqlParts]] — over the SAME
+    * deterministic pmod-3 sample the standalone IVF/PQ oracles pin.
+    * Candidates come only from the probed inverted lists (casn ⋈
+    * qprobe, the IVF oracle's verbatim), the ADC shortlist ranks
+    * WITHIN those candidates, and the exact-cosine top-10 + recall
+    * tail is shared with LSH/IVF/PQ. */
+  private def annIvfPqOracleSql: String = {
+    val (k, fitIters, nProbe) = (16, 5, 4)
+    val (m, kc, iters, short, dim) = (8, 16, 5, 50, 64)
+    val sub = dim / m
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM emb WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
+    parts ++= sphericalFitSqlParts(k, fitIters, dim)
+    parts ++= pqCodebookSqlParts(m, kc, iters, sub)
+    parts ++= pqEncodeSqlParts(iters, sub)
+    val finIvf = s"c$fitIters"
+    parts += s"""casn AS MATERIALIZED (
+      |  SELECT vec_id, c AS centroid FROM (
+      |    SELECT e.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${nearestCentroidScoreSql("e.v")} DESC, c.c) AS rn
+      |    FROM emb e CROSS JOIN $finIvf c) WHERE rn = 1)""".stripMargin
+    parts += "q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10)"
+    parts += s"""qprobe AS (
+      |  SELECT query_id, c AS centroid FROM (
+      |    SELECT qq.query_id, c.c, ROW_NUMBER() OVER (PARTITION BY qq.query_id
+      |      ORDER BY ${nearestCentroidScoreSql("qq.qv")} DESC, c.c) AS rn
+      |    FROM q qq CROSS JOIN $finIvf c) WHERE rn <= $nProbe)""".stripMargin
+    parts += """cand AS (SELECT qp.query_id, ca.vec_id
+      |  FROM casn ca JOIN qprobe qp USING (centroid)
+      |  WHERE ca.vec_id <> qp.query_id)""".stripMargin
+    parts += s"""adc AS MATERIALIZED (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT c.query_id, c.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+      |        ${adcCosSql("qq.qv", "r.rv")}
+      |        DESC, c.vec_id) AS rn
+      |    FROM cand c JOIN q qq ON qq.query_id = c.query_id
+      |                JOIN recon r ON r.vec_id = c.vec_id) WHERE rn <= $short)""".stripMargin
     parts += """sc AS (SELECT a.query_id, a.vec_id,
       |    list_dot_product(qq.qv, ee.v)
       |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
@@ -1085,11 +1171,14 @@ object SparkEntry {
     parts += "tot AS (SELECT COUNT(*) AS t FROM emb)"
     s"""WITH ${parts.mkString(",\n")}
       |SELECT cluster, COUNT(*) AS n_points,
-      |  CAST(CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(t AS DOUBLE) FROM tot), 4)
-      |    AS DECIMAL(10,4)) AS DOUBLE) AS share,
-      |  CAST(CAST(ROUND(CAST(SUM(CAST(cos AS DECIMAL(30,6))) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS mean_cos,
-      |  CAST(CAST(ROUND(MIN(cos), 4) AS DECIMAL(10,4)) AS DOUBLE) AS min_cos
+      |  (CAST(ROUND(CAST(COUNT(*) * 10000 AS DOUBLE)
+      |    / (SELECT CAST(t AS DOUBLE) FROM tot), 0) AS BIGINT) / 10000.0) AS share,
+      |  (CAST(ROUND(CAST(CAST(SUM(CAST(cos AS DECIMAL(30,6))) * 1000000 AS BIGINT)
+      |      * 10000 AS DOUBLE)
+      |    / CAST(COUNT(*) * 1000000 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS mean_cos,
+      |  (CAST(ROUND(CAST(CAST(ROUND(MIN(cos) * 1000000.0, 0) AS BIGINT)
+      |      * 10000 AS DOUBLE)
+      |    / CAST(1000000 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS min_cos
       |FROM mcos
       |GROUP BY cluster
       |ORDER BY cluster""".stripMargin
@@ -1285,6 +1374,7 @@ object SparkEntry {
     // to k-means — and both queries graduate to the full hash gate.
     ("ann_ivf_topk" -> annIvfOracleSql) +
     ("ann_pq_topk" -> annPqOracleSql) +
+    ("ann_ivf_pq_topk" -> annIvfPqOracleSql) +
     ("emb_kmeans" -> embKmeansOracleSql) +
     ("dedup_semantic" -> dedupSemanticOracleSql)
 
@@ -1505,8 +1595,8 @@ object SparkEntry {
         | CAST(ROUND(SUM(spend_cents) / 100.0, 2) AS DOUBLE) AS total_spend,
         | CAST(ROUND(MIN(spend_cents) / 100.0, 2) AS DOUBLE) AS min_spend,
         | CAST(ROUND(MAX(spend_cents) / 100.0, 2) AS DOUBLE) AS max_spend,
-        | CAST(CAST(ROUND(CAST(SUM(spend_cents) AS DOUBLE)
-        |   / CAST(ANY_VALUE(grand_cents) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        | (CAST(ROUND(CAST(SUM(spend_cents) * 10000 AS DOUBLE)
+        |   / CAST(ANY_VALUE(grand_cents) AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |   AS revenue_share
         |FROM scored GROUP BY decile ORDER BY decile""".stripMargin,
 
@@ -1520,8 +1610,8 @@ object SparkEntry {
         |  FROM ob a JOIN ob b USING (l_orderkey)
         |  WHERE a.p_brand < b.p_brand GROUP BY 1, 2)
         |SELECT brand_a, brand_b, ra.n AS n_a, rb.n AS n_b, n_both,
-        | CAST(CAST(ROUND(CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE), 4)
-        |   AS DECIMAL(10,4)) AS DOUBLE) AS support,
+        | (CAST(ROUND(CAST(n_both * 10000 AS DOUBLE) / CAST(n_orders AS DOUBLE), 0)
+        |   AS BIGINT) / 10000.0) AS support,
         | CAST(CAST(ROUND((CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE)) /
         |   ((CAST(ra.n AS DOUBLE) / CAST(n_orders AS DOUBLE)) *
         |    (CAST(rb.n AS DOUBLE) / CAST(n_orders AS DOUBLE))), 4)
@@ -2612,30 +2702,35 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, text,
         |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, text, toks,
-        |    CAST(GREATEST(len(toks), 1) AS DOUBLE) AS n FROM t),
-        |sc AS (SELECT doc_id,
+        |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n FROM t),
+        |sc AS (SELECT doc_id, n,
         |    CAST(len(list_filter(toks, x -> list_contains(
-        |      ['the','and','of','to','is','that','with','for'], x))) AS DOUBLE) / n AS s_en,
+        |      ['the','and','of','to','is','that','with','for'], x))) AS BIGINT) AS c_en,
         |    CAST(len(list_filter(toks, x -> list_contains(
-        |      ['der','die','das','und','ist','nicht','ein','mit'], x))) AS DOUBLE) / n AS s_de,
+        |      ['der','die','das','und','ist','nicht','ein','mit'], x))) AS BIGINT) AS c_de,
         |    CAST(len(list_filter(toks, x -> list_contains(
-        |      ['le','la','les','et','est','pas','une','dans'], x))) AS DOUBLE) / n AS s_fr,
+        |      ['le','la','les','et','est','pas','une','dans'], x))) AS BIGINT) AS c_fr,
         |    CAST(len(list_filter(toks, x -> list_contains(
-        |      ['el','los','las','es','y','no','una','por'], x))) AS DOUBLE) / n AS s_es,
+        |      ['el','los','las','es','y','no','una','por'], x))) AS BIGINT) AS c_es,
         |    CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
-        |      AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE) AS cjk
+        |      AS BIGINT) AS cjk_c,
+        |    CAST(GREATEST(length(text), 1) AS BIGINT) AS n_chars
         |  FROM s),
         |lng AS (
-        |  SELECT doc_id, cjk, MAX(b) AS best FROM (
-        |    SELECT doc_id, cjk, {'score': s_en, 'lang': 'en'} AS b FROM sc
-        |    UNION ALL SELECT doc_id, cjk, {'score': s_de, 'lang': 'de'} FROM sc
-        |    UNION ALL SELECT doc_id, cjk, {'score': s_fr, 'lang': 'fr'} FROM sc
-        |    UNION ALL SELECT doc_id, cjk, {'score': s_es, 'lang': 'es'} FROM sc) u
-        |  GROUP BY doc_id, cjk)
+        |  SELECT doc_id, cjk_c, n_chars, n, MAX(b) AS best FROM (
+        |    SELECT doc_id, cjk_c, n_chars, n, {'n': c_en, 'lang': 'en'} AS b FROM sc
+        |    UNION ALL SELECT doc_id, cjk_c, n_chars, n, {'n': c_de, 'lang': 'de'} FROM sc
+        |    UNION ALL SELECT doc_id, cjk_c, n_chars, n, {'n': c_fr, 'lang': 'fr'} FROM sc
+        |    UNION ALL SELECT doc_id, cjk_c, n_chars, n, {'n': c_es, 'lang': 'es'} FROM sc) u
+        |  GROUP BY doc_id, cjk_c, n_chars, n)
         |SELECT doc_id,
-        |  CASE WHEN cjk > 0.3 THEN 'zh' ELSE best.lang END AS pred_lang,
-        |  CAST(CAST(ROUND(CASE WHEN cjk > 0.3 THEN cjk ELSE best.score END, 4)
-        |    AS DECIMAL(10,4)) AS DOUBLE) AS pred_score
+        |  CASE WHEN CAST(cjk_c AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.3
+        |    THEN 'zh' ELSE best.lang END AS pred_lang,
+        |  CASE WHEN CAST(cjk_c AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.3
+        |    THEN (CAST(ROUND(CAST(cjk_c * 10000 AS DOUBLE)
+        |      / CAST(n_chars AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    ELSE (CAST(ROUND(CAST(best.n * 10000 AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 0) AS BIGINT) / 10000.0) END AS pred_score
         |FROM lng ORDER BY doc_id""".stripMargin,
 
     "mm_corpus_audit" ->
@@ -2652,10 +2747,10 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN n_bytes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(SUM(CASE WHEN width * height > 16384 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_oversize,
-        |  CAST(CAST(ROUND(CAST(SUM(n_bytes) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS mean_bytes,
-        |  CAST(CAST(ROUND(CAST(SUM((10000 * width) // height) AS DOUBLE)
-        |    / (CAST(COUNT(*) AS DOUBLE) * 10000.0), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |  (CAST(ROUND(CAST(SUM(n_bytes) * 10000 AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS mean_bytes,
+        |  (CAST(ROUND(CAST(SUM((10000 * width) // height) * 10000 AS DOUBLE)
+        |    / CAST(COUNT(*) * 10000 AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |    AS mean_aspect
         |FROM m
         |GROUP BY format
@@ -2815,8 +2910,8 @@ object SparkEntry {
         |    CAST(COALESCE(SUM(CASE WHEN s5x THEN n_toks ELSE 0 END), 0) AS BIGINT) FROM flags),
         |tot AS (SELECT n_docs AS n0 FROM rep WHERE stage = 0)
         |SELECT stage, stage_name, n_docs, n_tokens,
-        |  CAST(CAST(ROUND(CAST(n_docs AS DOUBLE)
-        |    / CAST(GREATEST(n0, 1) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS pct_of_raw
+        |  (CAST(ROUND(CAST(n_docs * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n0, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS pct_of_raw
         |FROM rep CROSS JOIN tot
         |ORDER BY stage""".stripMargin,
 
@@ -2899,8 +2994,8 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |scored AS (
         |  SELECT p.doc_a, p.doc_b, p.n_shared,
-        |    CAST(CAST(ROUND(CAST(p.n_shared AS DOUBLE)
-        |      / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE)
+        |    (CAST(ROUND(CAST(p.n_shared * 10000 AS DOUBLE)
+        |      / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |      AS containment
         |  FROM pairs p
         |  JOIN szs na ON na.doc_id = p.doc_a
@@ -2932,6 +3027,32 @@ object SparkEntry {
         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
         |FROM n LEFT JOIN h USING (doc_id)
         |ORDER BY n.doc_id""".stripMargin,
+
+    "text_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 8
+        |      THEN t[r.i]||' '||t[r.i+1]||' '||t[r.i+2]||' '||t[r.i+3]||' '
+        |           ||t[r.i+4]||' '||t[r.i+5]||' '||t[r.i+6]||' '||t[r.i+7]
+        |      ELSE array_to_string(t, ' ') END AS ngram
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 8 THEN range(1, len(t)-6) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |df AS (SELECT ngram, COUNT(*) AS df FROM sh GROUP BY 1),
+        |per AS (SELECT s.doc_id, COUNT(*)::BIGINT AS n_shingles,
+        |    SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        |  FROM sh s JOIN df USING (ngram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(per.n_shingles, 0) AS n_shingles,
+        |  COALESCE(per.n_shared, 0) AS n_shared,
+        |  (CAST(ROUND(CAST(COALESCE(per.n_shared, 0) * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 0)
+        |    AS BIGINT) / 10000.0) AS shared_frac,
+        |  COALESCE(per.n_shared, 0) * 2 > COALESCE(per.n_shingles, 0) AS mostly_dup
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
@@ -3102,8 +3223,8 @@ object SparkEntry {
         |    ORDER BY yr) AS prev_dec FROM cell)
         |SELECT n_name AS nation, CAST(yr AS INT) AS year, n_lines,
         | CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
-        | CAST(CAST(ROUND(CAST(rev_dec - prev_dec AS DOUBLE)
-        |   / CAST(prev_dec AS DOUBLE), 4) AS DECIMAL(28,4)) AS DOUBLE)
+        | (CAST(ROUND(CAST((rev_dec - prev_dec) * 10000 * 10000 AS DOUBLE)
+        |   / CAST(prev_dec * 10000 AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |   AS yoy_growth
         |FROM w JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY nation, year""".stripMargin,
@@ -3308,11 +3429,11 @@ object SparkEntry {
         |SELECT p_brand AS brand, s_name AS top_supplier, n_suppliers,
         | CAST(ROUND((max_enc // 1000000000) / 100.0, 2) AS DOUBLE) AS top_qty,
         | CAST(ROUND(brand_q / 100.0, 2) AS DOUBLE) AS brand_qty,
-        | CAST(CAST(ROUND(CAST(max_enc // 1000000000 AS DOUBLE)
-        |   / CAST(brand_q AS DOUBLE), 4) AS DECIMAL(10,4)) AS DOUBLE) AS share,
-        | CAST(CAST(ROUND(CAST(max_enc // 1000000000 AS DOUBLE)
-        |   * CAST(n_suppliers AS DOUBLE) / CAST(brand_q AS DOUBLE), 4)
-        |   AS DECIMAL(28,4)) AS DOUBLE) AS fair_share_multiple
+        | (CAST(ROUND(CAST((max_enc // 1000000000) * 10000 AS DOUBLE)
+        |   / CAST(brand_q AS DOUBLE), 0) AS BIGINT) / 10000.0) AS share,
+        | (CAST(ROUND(CAST((max_enc // 1000000000) * n_suppliers * 10000 AS DOUBLE)
+        |   / CAST(brand_q AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |   AS fair_share_multiple
         |FROM byb JOIN supplier ON 999999999 - max_enc % 1000000000 = s_suppkey
         |ORDER BY brand""".stripMargin,
 
@@ -3416,8 +3537,8 @@ object SparkEntry {
         |    SUM(bal_cents)::BIGINT AS nat_cents FROM s GROUP BY 1)
         |SELECT n_name AS nation, n_suppliers,
         | CAST(ROUND(nat_cents / 100.0, 2) AS DOUBLE) AS total_acctbal,
-        | CAST(CAST(ROUND(CAST(nat_cents AS DOUBLE) / CAST(grand_cents AS DOUBLE),
-        |   4) AS DECIMAL(10,4)) AS DOUBLE) AS share
+        | (CAST(ROUND(CAST(nat_cents * 10000 AS DOUBLE) / CAST(grand_cents AS DOUBLE),
+        |   0) AS BIGINT) / 10000.0) AS share
         |FROM byn CROSS JOIN g
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE nat_cents * 50 > grand_cents
@@ -3450,8 +3571,8 @@ object SparkEntry {
         |g AS (SELECT SUM(mon_cents)::BIGINT AS grand_cents FROM m)
         |SELECT CAST(mon AS BIGINT) AS month, n_orders,
         | CAST(ROUND(mon_cents / 100.0, 2) AS DOUBLE) AS revenue,
-        | CAST(CAST(ROUND(CAST(mon_cents AS DOUBLE) / CAST(grand_cents AS DOUBLE),
-        |   4) AS DECIMAL(10,4)) AS DOUBLE) AS revenue_share,
+        | (CAST(ROUND(CAST(mon_cents * 10000 AS DOUBLE) / CAST(grand_cents AS DOUBLE),
+        |   0) AS BIGINT) / 10000.0) AS revenue_share,
         | CAST(peak_enc % 10000 AS INT) AS peak_year
         |FROM m CROSS JOIN g ORDER BY month""".stripMargin,
 

@@ -327,8 +327,8 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        graft.functions.Exact.d4(col("n_shared").cast("double") /
-          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+        graft.functions.Exact.ratio4(col("n_shared"),
+          least(col("n_a"), col("n_b"))).as("containment"))
       // Cut on the ROUNDED value so the threshold bites identically in
       // the DuckDB oracle (both engines compare the same d4 double).
       .filter(col("containment") >= 0.5)

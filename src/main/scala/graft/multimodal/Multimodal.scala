@@ -168,7 +168,7 @@ object Multimodal {
     * aggregation onto the |formats|-sized key, the same economics as
     * corpus_mix. */
   def corpusAudit(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Exact.d4
+    import graft.functions.Exact.ratio4
     mediaTable(spark, dir).toDF()
       .select(col("format"), length(col("payload")).cast("long").as("n_bytes"),
         col("width"), col("height"))
@@ -184,10 +184,8 @@ object Multimodal {
       .select(
         col("format"), col("n_items"), col("total_bytes"), col("max_bytes"),
         col("n_empty"), col("n_oversize"),
-        d4(col("total_bytes").cast("double") / col("n_items").cast("double"))
-          .as("mean_bytes"),
-        d4(col("aspect_bp").cast("double") /
-          (col("n_items").cast("double") * 10000.0)).as("mean_aspect"))
+        ratio4(col("total_bytes"), col("n_items")).as("mean_bytes"),
+        ratio4(col("aspect_bp"), col("n_items") * lit(10000L)).as("mean_aspect"))
       .orderBy(col("format"))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{d4, d4w, dec, dsum, pres}
+import graft.functions.Exact.{d4, d4w, dec, dsum, pres, ratio4}
 import graft.sources.Tables
 
 /** Relational/OLAP operator coverage (SURVEY.md §2.2) on the TPC-H-ish
@@ -736,7 +736,7 @@ object Relational {
         pres(col("dec_cents") / lit(100.0)).as("total_spend"),
         pres(col("min_cents") / lit(100.0)).as("min_spend"),
         pres(col("max_cents") / lit(100.0)).as("max_spend"),
-        d4(col("dec_cents").cast("double") / col("grand_cents").cast("double"))
+        ratio4(col("dec_cents"), col("grand_cents"))
           .as("revenue_share"))
       .orderBy(col("decile"))
   }
@@ -838,8 +838,7 @@ object Relational {
       .crossJoin(broadcast(total))
       .select(
         col("brand_a"), col("brand_b"), col("n_a"), col("n_b"), col("n_both"),
-        d4(col("n_both").cast("double") / col("n_orders").cast("double"))
-          .as("support"),
+        ratio4(col("n_both"), col("n_orders")).as("support"),
         // d4w, not d4: lift is UNBOUNDED (n_both·n_orders/(n_a·n_b)
         // approaches n_orders for a rare always-co-bought pair) and an
         // ANSI cast to (10,4) aborts past 10^6 — the text_collocations
@@ -930,8 +929,8 @@ object Relational {
       .select(
         col("n_name").as("nation"), col("yr").as("year"), col("n_lines"),
         pres(col("rev_dec")).as("revenue"),
-        d4w((col("rev_dec") - col("prev_dec")).cast("double") /
-          col("prev_dec").cast("double")).as("yoy_growth"))
+        ratio4((col("rev_dec") - col("prev_dec")) * lit(10000),
+          col("prev_dec") * lit(10000)).as("yoy_growth"))
       .orderBy(col("nation"), col("year"))
   }
 
@@ -1058,10 +1057,9 @@ object Relational {
         col("n_suppliers"),
         pres(col("top_q") / lit(100.0)).as("top_qty"),
         pres(col("brand_q") / lit(100.0)).as("brand_qty"),
-        d4(col("top_q").cast("double") / col("brand_q").cast("double"))
-          .as("share"),
-        d4w(col("top_q").cast("double") * col("n_suppliers").cast("double") /
-          col("brand_q").cast("double")).as("fair_share_multiple"))
+        ratio4(col("top_q"), col("brand_q")).as("share"),
+        ratio4(col("top_q") * col("n_suppliers"), col("brand_q"))
+          .as("fair_share_multiple"))
       .orderBy(col("brand"))
   }
 
@@ -1123,8 +1121,7 @@ object Relational {
       .select(
         col("n_name").as("nation"), col("n_suppliers"),
         pres(col("nat_cents") / lit(100.0)).as("total_acctbal"),
-        d4(col("nat_cents").cast("double") / col("grand_cents").cast("double"))
-          .as("share"))
+        ratio4(col("nat_cents"), col("grand_cents")).as("share"))
       .orderBy(col("share").desc, col("nation"))
   }
 
@@ -1204,8 +1201,7 @@ object Relational {
       .select(
         col("mon").cast("long").as("month"), col("n_orders"),
         pres(col("mon_cents") / lit(100.0)).as("revenue"),
-        d4(col("mon_cents").cast("double") / col("grand_cents").cast("double"))
-          .as("revenue_share"),
+        ratio4(col("mon_cents"), col("grand_cents")).as("revenue_share"),
         (col("peak_enc") % 10000L).cast("int").as("peak_year"))
       .orderBy(col("month"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.functions.Exact.d4
+import graft.functions.Exact.ratio4
 import graft.sources.Tables
 import graft.text.Text
 
@@ -80,8 +80,7 @@ object Curation {
         .as("s"))
       .select(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
         col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"),
-        d4(col("s.n_docs").cast("double") /
-          greatest(col("n0"), lit(1L)).cast("double")).as("pct_of_raw"))
+        ratio4(col("s.n_docs"), greatest(col("n0"), lit(1L))).as("pct_of_raw"))
       .orderBy(col("stage"))
   }
 }

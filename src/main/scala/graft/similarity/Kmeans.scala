@@ -97,10 +97,16 @@ object Kmeans {
       .groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n_points"),
-        Exact.d4(Exact.dsum(col("cos"), 6).cast("double") /
-          count(lit(1)).cast("double")).as("mean_cos"),
-        Exact.d4(min(col("cos"))).as("min_cos"))
-      .withColumn("share", Exact.d4(col("n_points").cast("double") / total))
+        // ratio4 over micro-unit integers (the 6-dec cos quantum):
+        // re-rounding an already-6-dec-rounded double to 4 places
+        // lands on an exact .xxxx50 decimal tie for ~1% of values,
+        // where the engines' double rounding legitimately differs.
+        Exact.ratio4((Exact.dsum(col("cos"), 6) * lit(1000000)),
+          count(lit(1)) * lit(1000000L)).as("mean_cos"),
+        Exact.ratio4(round(min(col("cos")) * lit(1000000.0), 0),
+          lit(1000000L)).as("min_cos"))
+      .withColumn("share",
+        Exact.ratio4(col("n_points"), lit(total.toLong)))
       .select(col("cluster"), col("n_points"), col("share"),
         col("mean_cos"), col("min_cos"))
       .orderBy(col("cluster"))

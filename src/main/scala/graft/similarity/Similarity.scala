@@ -244,6 +244,70 @@ object Similarity {
         Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))))
   }
 
+  /** #40l ann_ivf_pq_topk: the composed production ANN shape — IVF
+    * coarse routing over PQ-compressed scoring (Jégou et al. 2011's
+    * IVFADC): the spherical coarse quantizer partitions the corpus
+    * into inverted lists, per-block L2 codebooks compress every vector
+    * to m=8 codes, queries probe their nProbe nearest lists, ADC-scan
+    * ONLY the probed lists' codes for a shortlist, and exact cosine
+    * re-ranks the shortlist. Both trainers are the already-hash-gated
+    * deterministic fits the standalone IVF and PQ operators use, so
+    * the composition replays under the same unrolled-Lloyd oracle.
+    *
+    * Scale shape: the index builds in ONE narrow corpus pass emitting
+    * (vec_id, list, codes) — exactly the physical layout an IVF-PQ
+    * index persists (codes partitioned by list, ~3% of raw embedding
+    * bytes) — and serving touches ~nProbe/nLists of the CODES, never
+    * the raw corpus, until the ≤ shortlist·|queries| re-rank join.
+    * Each corpus vector lives in exactly one list, so a (query, vec)
+    * candidate pair is generated at most once — no dedup pass. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val nLists = 16
+    val nProbe = 4
+    val m = 8
+    val kCodes = 16
+    val shortlist = 50
+
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // The shared deterministic sample discipline (orderBy before limit).
+    val sample = corpus.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .orderBy(col("vec_id")).limit(1024)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val cents = Centroids.fit(sample, nLists, iters = 5)
+    require(sample.head.length % m == 0,
+      s"PQ requires dim % m == 0, got dim=${sample.head.length}, m=$m")
+    val sub = sample.head.length / m
+    val books = Array.tabulate(m)(j =>
+      Centroids.fitL2(sample.map(_.slice(j * sub, (j + 1) * sub)),
+        kCodes, iters = 5))
+
+    // ONE index-build pass: list assignment and codes ride the same
+    // narrow projection of the scan.
+    val indexed = corpus.select(col("vec_id"),
+      element_at(Centroids.nearestCentroids(col("embedding"), cents, 1), 1)
+        .as("centroid"),
+      Centroids.pqEncode(col("embedding"), books).as("codes"))
+    val queriesProbed = queries(spark, dir).select(
+      col("query_id"), col("q_emb"),
+      explode(Centroids.nearestCentroids(col("q_emb"), cents, nProbe)).as("centroid"))
+
+    val adcShort = indexed
+      .join(broadcast(queriesProbed), Seq("centroid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Centroids.pqAdcScore(col("q_emb"), col("codes"), books).as("adc"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topkByScore(col("adc"), col("vec_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("vec_id"))
+
+    withRecall(spark, dir, topK(adcShort
+      .join(corpus, "vec_id")
+      .join(broadcast(queries(spark, dir)), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))))
+  }
+
   /** Sequential dot product over two double arrays — index order, so
     * the per-row float arithmetic is bit-identical to the oracle's
     * `list_dot_product` (both accumulate left to right). */

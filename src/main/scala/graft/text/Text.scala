@@ -117,18 +117,24 @@ object Text {
     * a map over the scan. */
   private def predLangCols: (Column, Column) = {
     val toks = tokens(col("text"))
-    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val nToks = greatest(size(toks), lit(1))
+    // Integer marker counts ride the argmax struct: every language
+    // shares the per-doc denominator, so argmax-by-count IS argmax-by-
+    // density (same lexicographic tie rule), and the presentation can
+    // use the tie-free ratio4 instead of rounding a double ratio.
     val scores = LangProfiles.map { case (lang, marks) =>
       struct(
-        (size(filter(toks, t => t.isInCollection(marks))).cast("double") / nToks).as("score"),
+        size(filter(toks, t => t.isInCollection(marks))).as("n"),
         lit(lang).as("lang"))
     }
-    val cjkRatio = (length(col("text")) -
-      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
-      greatest(length(col("text")), lit(1)).cast("double")
+    val cjkChars = length(col("text")) -
+      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))
+    val nChars = greatest(length(col("text")), lit(1))
+    val cjkRatio = cjkChars.cast("double") / nChars.cast("double")
     val best = greatest(scores: _*)
     (when(cjkRatio > 0.3, lit("zh")).otherwise(best.getField("lang")),
-     d4(when(cjkRatio > 0.3, cjkRatio).otherwise(best.getField("score"))))
+     when(cjkRatio > 0.3, ratio4(cjkChars, nChars))
+       .otherwise(ratio4(best.getField("n"), nToks)))
   }
 
   /** #44 text_fingerprint: winnowed Rabin-Karp fingerprints (k=8 chars,
@@ -224,6 +230,53 @@ object Text {
         ratio4(coalesce(col("n_hits"), lit(0L)),
           greatest(col("n_ngrams"), lit(1))).as("contamination"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #44t text_novelty: per-document duplicate-text fraction — for
+    * each doc, the share of its distinct 8-gram shingles that also
+    * appear in at least one OTHER document (the RefinedWeb-style
+    * "duplicated text" curation signal: a doc can survive exact and
+    * near dedup yet still be mostly boilerplate assembled from
+    * corpus-common passages; this measures exactly that). Shares the
+    * 8-gram shingle definition with [[decontaminate]] (k = 8: overlap
+    * is evidence of duplication, not phrase coincidence; short docs
+    * fall back to one whole-text gram).
+    *
+    * The verdict gate is integer cross-multiplication
+    * (2·n_shared > n_shingles ⇔ shared_frac > 0.5, no IEEE anywhere);
+    * the presentation ratio is [[ratio4]].
+    *
+    * Scale shape: one distinct-shingle explode (distinct is per-doc,
+    * inside the shingle array — map-side), one shingle-keyed count
+    * shuffle to the vocabulary-shaped document-frequency table, one
+    * equality join back (never doc×doc), and one per-doc count
+    * shuffle onto the doc_id spine. The df table is Heaps-sublinear
+    * in the corpus; at 100 TB the shingle key would ship as a 64-bit
+    * hash (the [[decontaminateBloom]] economics) — kept as the raw
+    * string here for oracle-exactness, the same trade decontaminate
+    * documents. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), Sketches.wordShingles(col("text"), 8).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("ngram"))
+    val df = grams.groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+    val per = grams.join(df, Seq("ngram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        ratio4(coalesce(col("n_shared"), lit(0L)),
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)))
+          .as("shared_frac"),
+        (coalesce(col("n_shared"), lit(0L)) * 2 >
+          coalesce(col("n_shingles"), lit(0L))).as("mostly_dup"))
       .orderBy(col("doc_id"))
   }
 

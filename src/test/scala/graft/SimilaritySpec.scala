@@ -211,6 +211,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.25, s"PQ mean recall@10 too low: $mean")
   }
 
+  test("IVF-PQ top-k: routed ADC + exact re-rank, candidates within probed lists") {
+    val rows = Similarity.ivfPqTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    byQuery.values.foreach { rs =>
+      assert(rs.length === 10)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 10))
+    }
+    // Re-ranked cosines are exact raw-vector cosines.
+    rows.take(50).foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val v = r.getAs[Long]("vec_id")
+      assert(math.abs(r.getAs[Double]("cos") - cos(vectors(q), vectors(v))) < 1e-12)
+    }
+    // Composition sanity: every returned candidate must sit in one of
+    // the query's nProbe=4 probed lists — i.e. IVF-PQ's result set is
+    // a subset of plain IVF's candidate universe, so its recall can
+    // never exceed IVF's. Compare per query against the standalone IVF
+    // result (same coarse quantizer, exact scoring): on this corpus
+    // the PQ approximation may reorder the shortlist but both see the
+    // same routed candidates.
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val ivfRecall = ivf.map { case (q, rs) => q -> rs.head.getAs[Double]("recall_at_k") }
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.head.getAs[Double]("recall_at_k") <= ivfRecall(q) + 1e-9,
+        s"query $q: IVF-PQ recall cannot exceed its routing's")
+    }
+    // Recall floor: a regression tripwire on the clusterless Gaussian
+    // corpus (ANN's worst case), under the IVF floor since PQ
+    // approximates within the same routed lists.
+    val mean = byQuery.values
+      .map(_.head.getAs[Double]("recall_at_k")).sum / byQuery.size
+    assert(mean >= 0.10, s"IVF-PQ mean recall@10 too low: $mean")
+  }
+
   test("emb_quantize: planted vectors quantize exactly; corpus bounds hold") {
     val sparkS = spark
     import sparkS.implicits._

@@ -179,6 +179,40 @@ class TextSpec extends AnyFunSuite {
     assert(got(0L).getAs[Double]("score_ppm") > got(1L).getAs[Double]("score_ppm"))
   }
 
+  test("novelty measures the shared-shingle fraction per document") {
+    // doc 1 and doc 3 share an 8-token passage (doc 3 embeds it in
+    // unique text); doc 5 is fully unique; docs 7 and 9 are short
+    // (< 8 tokens) exact twins — their single whole-text gram is
+    // shared, so both read 100% shared.
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val dir = docsFixture(Seq(
+      1L -> passage,
+      3L -> s"$passage u1 u2 u3 u4 u5 u6 u7",
+      5L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9",
+      7L -> "tiny doc",
+      9L -> "tiny doc"))
+    val got = Text.novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 3L, 5L, 7L, 9L))
+    // doc 1: exactly one shingle (the passage), present in doc 3 too.
+    assert(got(1L).getAs[Long]("n_shingles") === 1L)
+    assert(got(1L).getAs[Long]("n_shared") === 1L)
+    assert(got(1L).getAs[Double]("shared_frac") === 1.0)
+    assert(got(1L).getAs[Boolean]("mostly_dup"))
+    // doc 3: 8 shingles (15 tokens), only the leading one is shared.
+    assert(got(3L).getAs[Long]("n_shingles") === 8L)
+    assert(got(3L).getAs[Long]("n_shared") === 1L)
+    assert(got(3L).getAs[Double]("shared_frac") === 0.125)
+    assert(!got(3L).getAs[Boolean]("mostly_dup"))
+    // doc 5: 2 shingles, none shared.
+    assert(got(5L).getAs[Long]("n_shared") === 0L)
+    assert(got(5L).getAs[Double]("shared_frac") === 0.0)
+    // the short twins share their whole-text gram.
+    assert(got(7L).getAs[Long]("n_shingles") === 1L)
+    assert(got(7L).getAs[Double]("shared_frac") === 1.0)
+    assert(got(9L).getAs[Boolean]("mostly_dup"))
+  }
+
   test("decontaminate flags train docs sharing an 8-gram with the eval slice") {
     // doc 0 is eval (0 % 20 == 0); doc 1 shares its first 8 tokens,
     // doc 3 shares nothing.
