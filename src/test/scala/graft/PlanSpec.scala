@@ -469,6 +469,10 @@ class PlanSpec extends AnyFunSuite {
     // the row, stating why in the commit.
     val budgets: Map[String, Int] = Map(
     "ann_bruteforce_topk" -> 1, "ann_filtered_topk" -> 1, "ann_ivf_topk" -> 6,
+    // ann_ivf_pq_topk 6: index build (list + codes in one pass) keeps
+    // the standalone PQ shape; routing adds no exchange (broadcast
+    // probe join on the list key).
+    "ann_ivf_pq_topk" -> 6,
     "ann_lsh_topk" -> 8, "ann_pq_topk" -> 6, "ann_range_search" -> 0,
     "anti_semi_join" -> 0, "approx_distinct" -> 2, "balance_matrix" -> 2,
     // basket_pairs 7 -> 0: the marker rewrite collapsed pairs/reach/
@@ -525,6 +529,9 @@ class PlanSpec extends AnyFunSuite {
     "text_bpe_train" -> 0, "text_c4_filters" -> 0, "text_collocations" -> 2,
     "text_decontaminate" -> 2, "text_decontaminate_bloom" -> 2, "text_fingerprint" -> 0,
     "text_lang_mix" -> 3, "text_langid" -> 0, "text_len_hist" -> 2,
+    // text_novelty 2: shingle-keyed df count + per-doc count; the df
+    // join and the doc_id spine join reuse those partitionings.
+    "text_novelty" -> 2,
     "text_pii_scrub" -> 0, "text_quality" -> 0, "text_readability" -> 0,
     "text_repetition" -> 3, "text_seq_packing" -> 2, "text_shard_plan" -> 4,
     "text_tfidf" -> 4, "text_token_stats" -> 0, "text_vocab" -> 0,
