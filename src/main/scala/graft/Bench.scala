@@ -249,27 +249,6 @@ object Bench {
     val mediansJson = medians.map { case (k, m) => s""""$k":${num(m, 3)}""" }
       .mkString("{", ",", "}")
     val medianOf = medians.toMap
-    // First-materialization spikes (VERDICT r10 #5): a first attempt
-    // over 4x the query's own median AND over an absolute floor gets a
-    // named cause — memo-build when the memo grew, gc when GC dominated
-    // the wall time, otherwise explicitly unattributed (co-tenant /
-    // warmup). mm_phash_survivors' 8 s first attempt in the r10 driver
-    // session is exactly the shape this row exists to explain.
-    val spikesJson = rawQueries.collect {
-      case (k, atts) if atts.forall(_.res.isRight) =>
-        val first = atts.head
-        val firstSec = first.res.toOption.get
-        val med = medianOf.getOrElse(k, firstSec)
-        (k, atts, first, firstSec, med)
-    }.collect {
-      case (k, _, first, firstSec, med) if BenchGate.isSpike(firstSec, med) =>
-        val cause = BenchGate.spikeCause(
-          first.memoEntries, first.memoBuilds, first.gcMs, firstSec)
-        s""""$k":{"first":${num(firstSec, 3)},"median":${num(med, 3)},""" +
-          s""""gc_ms":${first.gcMs},"memo_entries":${first.memoEntries},""" +
-          s""""memo_bytes":${first.memoBytes},"memo_builds":${first.memoBuilds},""" +
-          s""""cause":"$cause"}"""
-    }.mkString("{", ",", "}")
     // Machine-visible regression check (logic in graft.BenchGate, spec'd
     // on a planted slowdown): a query whose new min exceeds 1.5x its
     // prior min is listed with both numbers. The baseline is the
@@ -331,6 +310,33 @@ object Bench {
         s""""cause":"$cause"}"""
     }.mkString("{", ",", "}")
     val nRegressed = regressions.size
+    // First-materialization spikes (VERDICT r10 #5): a first attempt
+    // over 4x the query's own median AND over an absolute floor gets a
+    // named cause — memo-build when the memo grew, gc when GC dominated
+    // the wall time, ambient-load when the session-START kernel read a
+    // demonstrably loaded box and the spike sits within its compounded
+    // bound (first attempts pay codegen/classloading, every cycle of
+    // it slowed by the same load — BenchGate.spikeCause), otherwise
+    // explicitly unattributed (co-tenant / warmup). mm_phash_survivors'
+    // 8 s first attempt in the r10 driver session is exactly the shape
+    // this row exists to explain.
+    val ambientStartFactor = kernelBaseline.map(kernelStart / _)
+    val spikesJson = rawQueries.collect {
+      case (k, atts) if atts.forall(_.res.isRight) =>
+        val first = atts.head
+        val firstSec = first.res.toOption.get
+        val med = medianOf.getOrElse(k, firstSec)
+        (k, atts, first, firstSec, med)
+    }.collect {
+      case (k, _, first, firstSec, med) if BenchGate.isSpike(firstSec, med) =>
+        val cause = BenchGate.spikeCause(
+          first.memoEntries, first.memoBuilds, first.gcMs, firstSec,
+          med, ambientStartFactor)
+        s""""$k":{"first":${num(firstSec, 3)},"median":${num(med, 3)},""" +
+          s""""gc_ms":${first.gcMs},"memo_entries":${first.memoEntries},""" +
+          s""""memo_bytes":${first.memoBytes},"memo_builds":${first.memoBuilds},""" +
+          s""""cause":"$cause"}"""
+    }.mkString("{", ",", "}")
     val ambientJson =
       s"""{"kernel_start":${num(kernelStart, 3)},"kernel_end":${num(kernelEnd, 3)},""" +
         s""""kernel_baseline":${kernelBaseline.map(num(_, 3)).getOrElse("null")},""" +

@@ -199,15 +199,28 @@ object BenchGate {
     * memos that deliberately live outside SessionScopedCache (the BPE
     * merge table, the PCA model — the r11 blind spot that left
     * text_bpe_encode's 15× first attempt "unattributed"); else GC
-    * dominating ≥30% of the wall clock names memory pressure; else
-    * the artifact says "unattributed" — co-tenant or OS noise, which
-    * a reader must NOT mistake for a plan regression. */
+    * dominating ≥30% of the wall clock names memory pressure; else a
+    * demonstrably loaded box names ambient load, bounded: the
+    * session-start calibration kernel must read ≥ `ambientMin`× its
+    * committed baseline AND the spike ratio must sit within
+    * ambientStart² — first attempts do strictly MORE work (codegen,
+    * classloading, scan-cache misses), every microsecond of it slowed
+    * by the same load factor, so cold-path inflation compounds to
+    * roughly load × cold-work ≤ ambient² on a box whose point-sampled
+    * kernel already reads `ambient`; else the artifact says
+    * "unattributed" — which a reader must NOT mistake for a plan
+    * regression. */
   def spikeCause(
       memoEntriesDelta: Int,
       memoBuildsDelta: Long,
       gcMs: Long,
-      firstSec: Double): String =
+      firstSec: Double,
+      medianSec: Double = 0.0,
+      ambientStart: Option[Double] = None,
+      ambientMin: Double = 1.5): String =
     if (memoEntriesDelta > 0 || memoBuildsDelta > 0) "memo-build"
     else if (gcMs > 0.3 * firstSec * 1000) "gc"
+    else if (medianSec > 0 && ambientStart.exists(a =>
+        a >= ambientMin && firstSec / medianSec <= a * a)) "ambient-load"
     else "unattributed"
 }

@@ -151,6 +151,7 @@ object SparkEntry {
     "ann_ivf_topk"             -> (Similarity.ivfTopK _),
     "ann_pq_topk"              -> (Similarity.pqTopK _),
     "ann_ivf_pq_topk"          -> (Similarity.ivfPqTopK _),
+    "ann_tuning_curve"         -> (Similarity.ivfTuningCurve _),
     // §2.6 text analysis
     "text_token_stats"         -> (Text.tokenStats _),
     "text_quality"             -> (Text.quality _),
@@ -1099,6 +1100,67 @@ object SparkEntry {
     s"WITH ${parts.mkString(",\n")},\n$annRerankTailSql"
   }
 
+  /** ann_tuning_curve under the hard gate: the spherical fit replays
+    * via [[sphericalFitSqlParts]], the 8-deep probe ranking keeps its
+    * rank `r`, per-level availability is the pure filter r ≤ p, the
+    * per-(query, level) top-10 uses the (cos DESC, vec_id) order every
+    * ANN oracle pins, truth is the brute-force tail's `exact` CTE, and
+    * every output is an integer count or a ratio4 of integer counts. */
+  private def annTuningCurveOracleSql: String = {
+    val (k, fitIters, maxProbe, dim) = (16, 5, 8, 64)
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM emb WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
+    parts ++= sphericalFitSqlParts(k, fitIters, dim)
+    val fin = s"c$fitIters"
+    parts += s"""casn AS MATERIALIZED (
+      |  SELECT vec_id, c AS centroid FROM (
+      |    SELECT e.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${nearestCentroidScoreSql("e.v")} DESC, c.c) AS rn
+      |    FROM emb e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+    parts += "q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10)"
+    parts += s"""qprobe AS (
+      |  SELECT query_id, c AS centroid, CAST(rn AS INT) AS r FROM (
+      |    SELECT qq.query_id, c.c, ROW_NUMBER() OVER (PARTITION BY qq.query_id
+      |      ORDER BY ${nearestCentroidScoreSql("qq.qv")} DESC, c.c) AS rn
+      |    FROM q qq CROSS JOIN $fin c) WHERE rn <= $maxProbe)""".stripMargin
+    parts += """cand AS MATERIALIZED (SELECT qp.query_id, ca.vec_id, qp.r,
+      |    list_dot_product(qq.qv, ee.v)
+      |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM casn ca JOIN qprobe qp USING (centroid)
+      |  JOIN q qq ON qq.query_id = qp.query_id
+      |  JOIN emb ee ON ee.vec_id = ca.vec_id
+      |  WHERE ca.vec_id <> qp.query_id)""".stripMargin
+    parts += """lv AS (SELECT c.query_id, c.vec_id, c.cos, p.p
+      |  FROM cand c, (VALUES (1), (2), (4), (8)) AS p(p) WHERE c.r <= p.p)""".stripMargin
+    parts += """rk AS (SELECT query_id, p, vec_id FROM (
+      |  SELECT query_id, p, vec_id, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id, p ORDER BY cos DESC, vec_id) AS rn FROM lv)
+      |  WHERE rn <= 10)""".stripMargin
+    parts += """esc AS (SELECT qq.query_id, ee.vec_id,
+      |    list_dot_product(qq.qv, ee.v)
+      |      / sqrt(list_dot_product(qq.qv, qq.qv) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM q qq JOIN emb ee ON ee.vec_id <> qq.query_id)""".stripMargin
+    parts += """exact AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS rnk FROM esc) WHERE rnk <= 10)""".stripMargin
+    parts += """ncand AS (SELECT p, COUNT(*)::BIGINT AS n_candidates FROM lv GROUP BY 1)"""
+    parts += """hits AS (SELECT p, COUNT(*)::BIGINT AS n_hits
+      |  FROM rk JOIN exact USING (query_id, vec_id) GROUP BY 1)""".stripMargin
+    parts += "tot AS (SELECT COUNT(*)::BIGINT AS n_corpus FROM emb)"
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT nc.p AS n_probe, nc.n_candidates,
+      |  (CAST(ROUND(CAST(nc.n_candidates * 10000 AS DOUBLE)
+      |    / CAST(t.n_corpus * 10 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS cand_frac,
+      |  COALESCE(h.n_hits, 0) AS n_hits,
+      |  (CAST(ROUND(CAST(COALESCE(h.n_hits, 0) * 10000 AS DOUBLE)
+      |    / CAST(100 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS recall_at_10
+      |FROM ncand nc LEFT JOIN hits h USING (p) CROSS JOIN tot t
+      |ORDER BY n_probe""".stripMargin
+  }
+
   /** emb_kmeans under the hard gate (VERDICT r10 #7 stretch): the full
     * two-stage trainer replayed — the 10-round sample fit
     * ([[sphericalFitSqlParts]] over the vec_id < 1024 head sample),
@@ -1375,6 +1437,7 @@ object SparkEntry {
     ("ann_ivf_topk" -> annIvfOracleSql) +
     ("ann_pq_topk" -> annPqOracleSql) +
     ("ann_ivf_pq_topk" -> annIvfPqOracleSql) +
+    ("ann_tuning_curve" -> annTuningCurveOracleSql) +
     ("emb_kmeans" -> embKmeansOracleSql) +
     ("dedup_semantic" -> dedupSemanticOracleSql)
 

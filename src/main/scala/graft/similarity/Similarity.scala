@@ -308,6 +308,77 @@ object Similarity {
         Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))))
   }
 
+  /** #40m ann_tuning_curve: the IVF index-tuning report — recall@10
+    * and scanned-candidate fraction as a function of nProbe (1, 2, 4,
+    * 8), the speed/recall trade-off curve an index rollout is tuned
+    * from. One coarse-quantizer fit and ONE corpus assignment pass
+    * serve every probe level: each candidate carries the rank r of
+    * the probed list that produced it (a vector lives in exactly one
+    * list, so (query, vec) appears once), and "available at probe
+    * level p" is just r ≤ p — the per-level frames are filters over
+    * one scored candidate set, never re-scans. Truth is the exact
+    * brute-force top-10; every output column is an integer count or a
+    * [[graft.functions.Exact.ratio4]] of integer counts, so the whole
+    * curve sits under the hash gate.
+    *
+    * Scale shape: the corpus is touched twice (assignment+cosine on
+    * the probed slice, brute-force truth); at 100 TB the truth pass
+    * runs on a sampled query set exactly like the per-query recall
+    * audit the other ANN operators carry. */
+  def ivfTuningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val nLists = 16
+    val maxProbe = 8
+    val probes = Seq(1, 2, 4, 8)
+
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val sample = corpus.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .orderBy(col("vec_id")).limit(1024)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val cents = Centroids.fit(sample, nLists, iters = 5)
+
+    val corpusAssigned = corpus.withColumn("centroid",
+      element_at(Centroids.nearestCentroids(col("embedding"), cents, 1), 1))
+    val qprobe = queries(spark, dir).select(
+      col("query_id"), col("q_emb"),
+      posexplode(Centroids.nearestCentroids(col("q_emb"), cents, maxProbe)))
+      .select(col("query_id"), col("q_emb"),
+        (col("pos") + 1).cast("int").as("r"), col("col").as("centroid"))
+    val cand = corpusAssigned
+      .join(broadcast(qprobe), Seq("centroid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("r"),
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+
+    val lv = cand
+      .select(col("*"), explode(array(probes.map(lit): _*)).as("p"))
+      .filter(col("r") <= col("p"))
+    val ranked = lv.groupBy(col("query_id"), col("p"))
+      .agg(count(lit(1)).as("n_cand"),
+        TopKByScore.topkByScore(col("cos"), col("vec_id"), K).as("top"))
+    val truth = bruteForceTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    val hits = ranked
+      .select(col("query_id"), col("p"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("p"), col("c.id").as("vec_id"))
+      .join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("p")).agg(count(lit(1)).as("n_hits"))
+    val nCand = ranked.groupBy(col("p")).agg(sum(col("n_cand")).as("n_candidates"))
+    val tot = corpus.agg(count(lit(1)).as("n_corpus"))
+
+    import graft.functions.Exact.ratio4
+    nCand
+      .join(hits, Seq("p"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("p").as("n_probe"),
+        col("n_candidates"),
+        ratio4(col("n_candidates"), col("n_corpus") * lit(NumQueries.toLong))
+          .as("cand_frac"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        ratio4(coalesce(col("n_hits"), lit(0L)),
+          lit((NumQueries * K).toLong)).as("recall_at_10"))
+      .orderBy(col("n_probe"))
+  }
+
   /** Sequential dot product over two double arrays — index order, so
     * the per-row float arithmetic is bit-identical to the oracle's
     * `list_dot_product` (both accumulate left to right). */

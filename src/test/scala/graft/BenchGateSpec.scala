@@ -153,6 +153,28 @@ class BenchGateSpec extends AnyFunSuite {
       gcMs = 100, firstSec = 2.0) === "unattributed")
   }
 
+  test("spike causes: a loaded start kernel attributes within its compounded bound") {
+    // The r12 shape: events_hopping_agg 1.43 s first vs 0.35 s median
+    // (4.1x) with gc=0 and no memo, on a box whose start kernel read
+    // 2.72x its baseline — within 2.72^2, so ambient-load.
+    assert(BenchGate.spikeCause(memoEntriesDelta = 0, memoBuildsDelta = 0,
+      gcMs = 0, firstSec = 1.43, medianSec = 0.35,
+      ambientStart = Some(2.72)) === "ambient-load")
+    // A quiet box (kernel ~1x) never claims ambient for a 4x spike.
+    assert(BenchGate.spikeCause(memoEntriesDelta = 0, memoBuildsDelta = 0,
+      gcMs = 0, firstSec = 1.43, medianSec = 0.35,
+      ambientStart = Some(1.1)) === "unattributed")
+    // A loaded box still cannot explain a spike past its squared
+    // bound: 10x on a 2x-loaded box stays unattributed.
+    assert(BenchGate.spikeCause(memoEntriesDelta = 0, memoBuildsDelta = 0,
+      gcMs = 0, firstSec = 3.5, medianSec = 0.35,
+      ambientStart = Some(2.0)) === "unattributed")
+    // Memo evidence still wins over ambient.
+    assert(BenchGate.spikeCause(memoEntriesDelta = 1, memoBuildsDelta = 1,
+      gcMs = 0, firstSec = 1.43, medianSec = 0.35,
+      ambientStart = Some(2.72)) === "memo-build")
+  }
+
   test("the r11 blind spot: a driver-memo build outside SessionScopedCache attributes") {
     // text_bpe_encode's 15x first attempt paid Bpe's WeakHashMap
     // training memo: zero SessionScopedCache entries, but the

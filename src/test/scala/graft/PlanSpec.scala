@@ -473,6 +473,10 @@ class PlanSpec extends AnyFunSuite {
     // the standalone PQ shape; routing adds no exchange (broadcast
     // probe join on the list key).
     "ann_ivf_pq_topk" -> 6,
+    // ann_tuning_curve 7: one candidate-scoring pass serves all four
+    // probe levels (per-(query, level) top-k agg, per-level counts,
+    // brute-force truth) — the levels are filters, not re-scans.
+    "ann_tuning_curve" -> 7,
     "ann_lsh_topk" -> 8, "ann_pq_topk" -> 6, "ann_range_search" -> 0,
     "anti_semi_join" -> 0, "approx_distinct" -> 2, "balance_matrix" -> 2,
     // basket_pairs 7 -> 0: the marker rewrite collapsed pairs/reach/

@@ -247,6 +247,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.10, s"IVF-PQ mean recall@10 too low: $mean")
   }
 
+  test("ann_tuning_curve: recall and candidate volume grow monotonically in nProbe") {
+    val rows = Similarity.ivfTuningCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("n_probe")).toSeq === Seq(1, 2, 4, 8))
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    val fracs = rows.map(_.getAs[Double]("cand_frac"))
+    // More probed lists can only add candidates — both axes of the
+    // trade-off curve are monotone.
+    assert(cands.sliding(2).forall(w => w(0) <= w(1)), cands.mkString(","))
+    assert(recalls.sliding(2).forall(w => w(0) <= w(1) + 1e-9), recalls.mkString(","))
+    assert(fracs.forall(f => f > 0.0 && f < 1.0))
+    // The p=4 point IS ivf_topk's operating point: its recall must
+    // equal the mean of the standalone operator's per-query recalls
+    // (same fit, same probes, same truth) up to the two presentations'
+    // rounding (per-query /10 averaged vs pooled ratio4 over 100).
+    val ivfMean = Similarity.ivfTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map(_._2.head.getAs[Double]("recall_at_k")).sum / 10.0
+    val p4 = rows.find(_.getAs[Int]("n_probe") === 4).get.getAs[Double]("recall_at_10")
+    assert(math.abs(p4 - ivfMean) < 1e-9, s"p=4 recall $p4 != ivf mean $ivfMean")
+    // Tripwire floor at full probe depth.
+    assert(recalls.last >= 0.2, s"recall@10 at nProbe=8 too low: ${recalls.last}")
+  }
+
   test("emb_quantize: planted vectors quantize exactly; corpus bounds hold") {
     val sparkS = spark
     import sparkS.implicits._
