@@ -145,6 +145,7 @@ object SparkEntry {
     "dedup_survivors"          -> (Dedup.survivors _),
     "dedup_embedding"          -> (Dedup.embedding _),
     "dedup_semantic"           -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
+    "dedup_lsh_curve"          -> (Dedup.lshCurve _),
     // §2.5 similarity search
     "ann_bruteforce_topk"      -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk"             -> (Similarity.lshTopK _),
@@ -1375,6 +1376,68 @@ object SparkEntry {
       |SELECT doc_a, doc_b, jaccard, (SELECT recall_vs_exact FROM rec) AS recall_vs_exact
       |FROM apx ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dedup_lsh_curve under the hard gate: ONE murmur chain + minhash
+    * signature replay (the dedup_minhash_lsh oracle's verbatim) feeds
+    * THREE [[bandFoldSqlChain]] replays (8/16/32 bands — the fold
+    * seeds h with rows-per-band, so each banding's chain is distinct
+    * by construction), each with the pipeline's capped-bucket
+    * candidate CTEs; truth is the df-capped exact pair set the recall
+    * audits pin; ratios are the ratio4 integer form. */
+  private def lshCurveOracleSql: String = {
+    val bandCounts = Seq(8, 16, 32)
+    val perBand = bandCounts.map { b =>
+      val r = 128 / b
+      val p = s"c$b"
+      s"""${bandFoldSqlChain(p, "sigj", nBands = b, r = r)},
+        |${p}buck AS (SELECT band, band_key FROM ${p}bh GROUP BY 1, 2
+        |         HAVING COUNT(*) BETWEEN 2 AND 200),
+        |${p}mem AS (SELECT b.band, b.band_key, b.doc_id
+        |  FROM ${p}bh b JOIN ${p}buck USING (band, band_key)),
+        |${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ${p}mem a JOIN ${p}mem b ON a.band = b.band
+        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |${p}n AS (SELECT COUNT(*)::BIGINT AS n_candidates FROM ${p}cand),
+        |${p}f AS (SELECT COUNT(*)::BIGINT AS n_found
+        |  FROM ${p}cand JOIN exact USING (doc_a, doc_b))""".stripMargin
+    }
+    val selects = bandCounts.map { b =>
+      val r = 128 / b
+      val p = s"c$b"
+      s"""SELECT $b AS n_bands, $r AS rows_per_band,
+        |  n.n_candidates, t.n_true_pairs, f.n_found,
+        |  (CAST(ROUND(CAST(f.n_found * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(t.n_true_pairs, 1) AS DOUBLE), 0) AS BIGINT)
+        |    / 10000.0) AS recall,
+        |  (CAST(ROUND(CAST(f.n_found * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n.n_candidates, 1) AS DOUBLE), 0) AS BIGINT)
+        |    / 10000.0) AS "precision"
+        |FROM ${p}n n CROSS JOIN ${p}f f CROSS JOIN tc t""".stripMargin
+    }
+    s"""WITH ${ShingleCtesSql},
+      |${murmur128SqlChain("mh", "shd")},
+      |sigj AS MATERIALIZED (
+      |  SELECT s.doc_id, j.j,
+      |    MIN((((t.h1u + j.j * t.h2u) % 18446744073709551616::HUGEINT)
+      |      - CASE WHEN ((t.h1u + j.j * t.h2u) % 18446744073709551616::HUGEINT)
+      |             >= 9223372036854775808::HUGEINT
+      |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT) AS v
+      |  FROM sh s JOIN mhtok t ON t.key = s.shingle, UNNEST(range(0, 128)) AS j(j)
+      |  GROUP BY 1, 2),
+      |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200),
+      |uni AS (SELECT s.doc_id, s.shingle FROM sh s JOIN capped USING (shingle)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM uni GROUP BY doc_id),
+      |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |       FROM uni a JOIN uni b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |exact AS (SELECT doc_a, doc_b
+      |  FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+      |tc AS (SELECT COUNT(*)::BIGINT AS n_true_pairs FROM exact),
+      |${perBand.mkString(",\n")}
+      |${selects.mkString("\nUNION ALL\n")}
+      |ORDER BY n_bands""".stripMargin
+  }
+
   /** Connected components over the exact ngram pair graph as a DuckDB
     * recursive CTE — shared verbatim by dedup_clusters (label
     * propagation) and dedup_clusters_star (large-star/small-star):
@@ -1424,6 +1487,7 @@ object SparkEntry {
     // HUGEINT chain (the Cassandra-token / xxhash64 technique).
     ("dedup_simhash" -> simhashOracleSql) +
     ("dedup_minhash_lsh" -> minhashOracleSql) +
+    ("dedup_lsh_curve" -> lshCurveOracleSql) +
     // r10 promotions, part 2: the embedding-LSH pair is deterministic
     // given its seed-derived Gaussian planes, so both graduate via
     // plane-literal inlining + the proven list_dot_product cosine fold.

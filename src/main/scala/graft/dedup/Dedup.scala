@@ -176,6 +176,52 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** #37f dedup_lsh_curve: the MinHash-LSH banding trade-off curve —
+    * candidate volume, recall and precision of the bucket-collision
+    * stage against the exact df-capped Jaccard pair set, for band
+    * counts 8/16/32 over ONE shared 128-hash signature (rows per band
+    * 16/8/4). This is the dedup family's tuning report: band count is
+    * THE scale knob (the S-curve threshold sits near (1/b)^(1/r)), and
+    * a banding rollout is chosen from exactly this curve. One
+    * signature pass (localCheckpoint'd inside the call so the three
+    * bandings share it — the signature matrix is corpus-sized, so it
+    * is NOT session-memoized; at real scale it persists as an index
+    * table, which this materialization stands in for); each banding is
+    * the pipeline's own capped-bucket candidate stage; truth is the
+    * memoized [[exactPairSet]]. Counts are integers and the ratios are
+    * [[graft.functions.Exact.ratio4]], so the curve sits under the
+    * hash gate next to the ann_tuning_curve. */
+  def lshCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.ratio4
+    val numHashes = 128
+    val bandCounts = Seq(8, 16, 32)
+    val sigs = shingledDocs(spark, dir)
+      .select(col("doc_id"), Sketches.minhashSigs(col("sh"), numHashes).as("sig"))
+      .localCheckpoint()
+    val truth = exactPairSet(spark, dir)
+    val truthCount = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val rows = bandCounts.map { b =>
+      val banded = sigs.select(col("doc_id"),
+        posexplode(Sketches.bandHashes(col("sig"), b)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+      val cand = candidatesFromBands(banded, maxBucket = 200)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_found")))
+        .select(lit(b).as("n_bands"),
+          lit(numHashes / b).as("rows_per_band"),
+          col("n_candidates"), col("n_found"))
+    }.reduce(_ union _)
+    rows.crossJoin(broadcast(truthCount))
+      .select(col("n_bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_true_pairs"), col("n_found"),
+        ratio4(col("n_found"), greatest(col("n_true_pairs"), lit(1L)))
+          .as("recall"),
+        ratio4(col("n_found"), greatest(col("n_candidates"), lit(1L)))
+          .as("precision"))
+      .orderBy(col("n_bands"))
+  }
+
   /** #36 dedup_simhash: 64-bit SimHash over 3-word shingles; candidates
     * share one of 8 8-bit bands (pigeonhole: any pair with Hamming ≤ 7
     * is guaranteed a clean band), verified at Hamming ≤ 7. */

@@ -251,6 +251,29 @@ class DedupSpec extends AnyFunSuite {
       s"embedding nn_cos_ratio_sampled: ${cosRatio.head}")
   }
 
+  test("lsh_curve: recall rises and precision falls with band count") {
+    val rows = Dedup.lshCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("n_bands")).toSeq === Seq(8, 16, 32))
+    assert(rows.map(_.getAs[Int]("rows_per_band")).toSeq === Seq(16, 8, 4))
+    val nTrue = rows.map(_.getAs[Long]("n_true_pairs")).distinct
+    assert(nTrue.length === 1 && nTrue.head > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_found") <= nTrue.head)
+    }
+    // More bands with fewer rows each = a looser S-curve threshold:
+    // candidates and recall are monotone up, precision monotone down.
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    val precs = rows.map(_.getAs[Double]("precision"))
+    assert(cands.sliding(2).forall(w => w(0) <= w(1)), cands.mkString(","))
+    assert(recalls.sliding(2).forall(w => w(0) <= w(1) + 1e-9), recalls.mkString(","))
+    assert(precs.sliding(2).forall(w => w(0) + 1e-9 >= w(1)), precs.mkString(","))
+    // The production banding (32x4, the dedup_minhash_lsh operating
+    // point) must sit on the curve's high-recall end.
+    assert(recalls.last >= 0.7, s"32-band recall: ${recalls.last}")
+  }
+
   test("recall floors hold at the driver-gate scale (sf0.01)") {
     // The driver's rows-only gate records the self-reported recall but
     // asserts nothing about it — these floors make a kernel regression
