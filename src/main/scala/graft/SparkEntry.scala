@@ -169,6 +169,7 @@ object SparkEntry {
     "text_bigram_lm"           -> ((s, d) => Text.bigramLmTop(s, d)),
     "text_lm_score"            -> ((s, d) => Text.lmScore(s, d)),
     "text_novelty"             -> (Text.novelty _),
+    "text_quality_curve"       -> (Text.qualityCurve _),
     "text_readability"         -> (Text.readability _),
     // rows-only by design: the merge loop's argmax feeds the next
     // round, which no single SQL statement expresses; exact-parity
@@ -3180,6 +3181,45 @@ object SparkEntry {
         |  COALESCE(per.n_shared, 0) * 2 > COALESCE(per.n_shingles, 0) AS mostly_dup
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_quality_curve" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(text), '\s+') AS toks,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits
+        |  FROM documents),
+        |s AS (SELECT *,
+        |  CAST(len(toks) AS DOUBLE) AS n_toks,
+        |  CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','on','for'], x))) AS DOUBLE) AS stops
+        |  FROM t),
+        |sc AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+        | CAST(CAST(ROUND(
+        |   LEAST(n_chars / 500.0, 1.0) * 0.4
+        |   + LEAST(stops / GREATEST(n_toks * 0.05, 1.0), 1.0) * 0.4
+        |   + GREATEST(1.0 - punct / GREATEST(n_chars * 0.1, 1.0), 0.0) * 0.2, 4)
+        |   AS DECIMAL(10,4)) AS DOUBLE) AS score
+        | FROM s),
+        |tot AS (SELECT COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_tokens)::BIGINT AS n_tokens_all FROM sc),
+        |lv AS (SELECT sc.n_tokens, sc.score, th.threshold
+        |  FROM sc, (SELECT UNNEST([0.3, 0.4, 0.5, 0.6, 0.7]::DOUBLE[]) AS threshold) th),
+        |a AS (SELECT threshold,
+        |    SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |    SUM(CASE WHEN score >= threshold THEN n_tokens ELSE 0 END)::BIGINT
+        |      AS tokens_kept
+        |  FROM lv GROUP BY 1)
+        |SELECT threshold, n_kept,
+        |  (CAST(ROUND(CAST(n_kept * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(t.n_docs, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    AS kept_frac,
+        |  tokens_kept,
+        |  (CAST(ROUND(CAST(tokens_kept * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(t.n_tokens_all, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    AS token_frac
+        |FROM a CROSS JOIN tot t
+        |ORDER BY threshold""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t

@@ -89,6 +89,45 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** #42e text_quality_curve: the quality-gate threshold sweep — docs
+    * and tokens kept at each candidate cutoff over [[quality]]'s
+    * score, the decision surface a curation rollout picks its
+    * threshold from (the third tuning report, next to ann_tuning_curve
+    * and dedup_lsh_curve: every gate in the pipeline should publish
+    * its own keep-rate curve before anyone hard-codes a constant).
+    * Gates compare the ROUNDED score (the curation_report precedent),
+    * so the cut bites identically in the oracle; counts are integers
+    * and the fractions [[ratio4]].
+    *
+    * Scale shape: ONE corpus scan (score + token count ride the same
+    * projection), a 5-way threshold explode of the per-doc row — a
+    * constant fan-out, not a per-threshold re-scan — and one
+    * map-side-combinable aggregation on the 5-row threshold key. */
+  def qualityCurve(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+    val scored = quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val total = scored.agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_all"))
+    scored
+      .select(col("n_tokens"), col("quality_score"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("quality_score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("quality_score") >= col("threshold"), col("n_tokens"))
+          .otherwise(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold"), col("n_kept"),
+        ratio4(col("n_kept"), greatest(col("n_docs"), lit(1L)))
+          .as("kept_frac"),
+        col("tokens_kept"),
+        ratio4(col("tokens_kept"), greatest(col("n_tokens_all"), lit(1L)))
+          .as("token_frac"))
+      .orderBy(col("threshold"))
+  }
+
   /** Per-language marker-word profiles for the n-gram/stopword language
     * ID heuristic. Tiny on purpose: the point is the plan shape (pure
     * codegen'd map over 100 TB), not linguistic accuracy. */

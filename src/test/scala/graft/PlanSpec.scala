@@ -540,6 +540,9 @@ class PlanSpec extends AnyFunSuite {
     // text_novelty 2: shingle-keyed df count + per-doc count; the df
     // join and the doc_id spine join reuse those partitionings.
     "text_novelty" -> 2,
+    // text_quality_curve 1: one scan + constant 5-way threshold
+    // explode into a single map-side-combinable aggregation.
+    "text_quality_curve" -> 1,
     "text_pii_scrub" -> 0, "text_quality" -> 0, "text_readability" -> 0,
     "text_repetition" -> 3, "text_seq_packing" -> 2, "text_shard_plan" -> 4,
     "text_tfidf" -> 4, "text_token_stats" -> 0, "text_vocab" -> 0,

@@ -179,6 +179,22 @@ class TextSpec extends AnyFunSuite {
     assert(got(0L).getAs[Double]("score_ppm") > got(1L).getAs[Double]("score_ppm"))
   }
 
+  test("quality_curve: keep rates fall monotonically as the threshold rises") {
+    val rows = Text.qualityCurve(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ===
+      Seq(0.3, 0.4, 0.5, 0.6, 0.7))
+    val kept = rows.map(_.getAs[Long]("n_kept"))
+    val fracs = rows.map(_.getAs[Double]("kept_frac"))
+    val tokFracs = rows.map(_.getAs[Double]("token_frac"))
+    assert(kept.sliding(2).forall(w => w(0) >= w(1)), kept.mkString(","))
+    assert(fracs.forall(f => f >= 0.0 && f <= 1.0))
+    assert(tokFracs.forall(f => f >= 0.0 && f <= 1.0))
+    // The curve must actually discriminate on this corpus — a flat
+    // curve means the score or the explode is broken.
+    assert(kept.head > kept.last,
+      s"flat curve: ${kept.mkString(",")}")
+  }
+
   test("novelty measures the shared-shingle fraction per document") {
     // doc 1 and doc 3 share an 8-token passage (doc 3 embeds it in
     // unique text); doc 5 is fully unique; docs 7 and 9 are short
