@@ -3309,13 +3309,14 @@ object SparkEntry {
         |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
         |df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
-        |s AS (SELECT doc_id, term, tf, df,
+        |s AS (SELECT doc_id, term, tf, df, n_docs,
         |    tf::DOUBLE * (n_docs + 1)::DOUBLE / (df + 1)::DOUBLE AS raw
         |  FROM tf JOIN df USING (term) CROSS JOIN n),
         |r AS (SELECT *, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY raw DESC, term) AS rank FROM s)
         |SELECT doc_id, rank::INT AS rank, term, tf, df,
-        |  CAST(CAST(ROUND(raw, 4) AS DECIMAL(10,4)) AS DOUBLE) AS tfidf
+        |  (CAST(ROUND(CAST(tf * (n_docs + 1) * 10000 AS DOUBLE)
+        |    / CAST(df + 1 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS tfidf
         |FROM r WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
 

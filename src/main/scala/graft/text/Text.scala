@@ -558,7 +558,11 @@ object Text {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
-        d4(col("tfidf_raw")).as("tfidf"))
+        // ratio4, not d4-of-the-double: the score is a pure integer
+        // ratio, exactly the input class where ROUND(x, 4) can land on
+        // a cross-engine decimal tie. The RANKING stays on the raw
+        // double (same correctly-rounded division in both engines).
+        ratio4(col("tf") * (col("n_docs") + 1), col("df") + 1).as("tfidf"))
       .orderBy(col("doc_id"), col("rank"))
   }
 
