@@ -203,6 +203,7 @@ object SparkEntry {
     "mm_binary_pipeline"       -> (Multimodal.pipeline _),
     "mm_frame_sample"          -> (Multimodal.frameSample _),
     "mm_corpus_audit"          -> (Multimodal.corpusAudit _),
+    "mm_sample_balanced"       -> (Multimodal.sampleBalanced _),
     "mm_phash_dedup"           -> (Multimodal.phashDedup _),
     "mm_phash_clusters"        -> (Multimodal.phashClusters _),
     "mm_phash_survivors"       -> (Multimodal.phashSurvivors _)
@@ -2860,6 +2861,43 @@ object SparkEntry {
         |    ELSE (CAST(ROUND(CAST(best.n * 10000 AS DOUBLE)
         |      / CAST(n AS DOUBLE), 0) AS BIGINT) / 10000.0) END AS pred_score
         |FROM lng ORDER BY doc_id""".stripMargin,
+
+    "mm_sample_balanced" ->
+      """WITH med AS (SELECT doc_id,
+        |    (['jpeg','png','webp'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |b AS (SELECT doc_id, format, n_bytes,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || '#' || format), 1, 12)) AS UBIGINT)
+        |      % 1000000 AS BIGINT) AS bucket_ppm
+        |  FROM med),
+        |c AS (SELECT format, COUNT(*)::BIGINT AS n_items,
+        |    SUM(n_bytes)::BIGINT AS total_bytes,
+        |    CAST(FLOOR(sqrt(CAST(SUM(n_bytes) AS DOUBLE)) * 1048576.0) AS BIGINT) AS w_q
+        |  FROM b GROUP BY format),
+        |t AS (SELECT SUM(w_q) AS w_total, SUM(total_bytes) AS corpus_bytes FROM c),
+        |r AS (SELECT c.format, c.n_items, c.total_bytes,
+        |    CAST(((CAST(corpus_bytes AS HUGEINT) // 2) * CAST(w_q AS HUGEINT))
+        |      // CAST(w_total AS HUGEINT) AS BIGINT) AS target_bytes
+        |  FROM c, t),
+        |r2 AS (SELECT format, n_items, total_bytes, target_bytes,
+        |    LEAST(1000000, CAST((CAST(target_bytes AS HUGEINT) * 1000000)
+        |      // CAST(total_bytes AS HUGEINT) AS BIGINT)) AS rate_ppm
+        |  FROM r),
+        |s AS (SELECT b.format,
+        |    CAST(SUM(CASE WHEN b.bucket_ppm < r2.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sampled,
+        |    CAST(SUM(CASE WHEN b.bucket_ppm < r2.rate_ppm THEN b.n_bytes ELSE 0 END)
+        |      AS BIGINT) AS bytes_sampled
+        |  FROM b JOIN r2 USING (format) GROUP BY b.format)
+        |SELECT r2.format, r2.n_items, r2.total_bytes, r2.target_bytes, r2.rate_ppm,
+        |  s.n_sampled, s.bytes_sampled,
+        |  (CAST(ROUND(CAST(s.bytes_sampled * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(r2.total_bytes, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    AS realized_byte_rate
+        |FROM r2 JOIN s USING (format)
+        |ORDER BY r2.format""".stripMargin,
 
     "mm_corpus_audit" ->
       """WITH m AS (SELECT doc_id,

@@ -189,6 +189,63 @@ object Multimodal {
       .orderBy(col("format"))
   }
 
+  /** #45g mm_sample_balanced: temperature-flattened per-FORMAT media
+    * sampling by BYTES (α = 0.5) — the multimodal training-mix step: a
+    * media budget is a byte budget, not an item budget (one webp can
+    * cost 100 jpegs), so a format's share of the half-corpus byte
+    * budget is ∝ √(its total bytes), applied as the deterministic
+    * md5-ppm per-item predicate the text samplers pin. Same integer
+    * discipline as sample_temperature (√ quantized to 2⁻²⁰ BIGINT,
+    * DECIMAL(38,0) budget products, `div` floors), so rates and every
+    * keep/drop decision are bit-identical cross-engine — a sampler
+    * under the HASH gate. Emits the per-format audit (items, bytes,
+    * byte target, rate, realized items/bytes).
+    *
+    * Scale shape: one metadata pass (payload LENGTH only — the scan
+    * prunes the blob column), a |formats|-row rate dimension joined
+    * back, one map-side-combinable rollup. The corpus never
+    * reshuffles. */
+  def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.ratio4
+    val m = mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("format"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("bucket_ppm",
+        (conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("format")).cast("binary")), 1, 12), 16, 10)
+          .cast("long") % 1000000L))
+    val counts = m.groupBy(col("format"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("total_bytes"))
+      .withColumn("w_q",
+        floor(sqrt(col("total_bytes").cast("double")) * 1048576.0).cast("long"))
+    val totals = counts.agg(
+      sum(col("w_q")).as("w_total"), sum(col("total_bytes")).as("corpus_bytes"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("target_bytes",
+        expr("""cast(cast(corpus_bytes div 2 as decimal(38,0)) * cast(w_q as decimal(38,0))
+               |  div cast(w_total as decimal(38,0)) as bigint)""".stripMargin))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("""cast(cast(target_bytes as decimal(38,0)) * 1000000
+                 |  div cast(total_bytes as decimal(38,0)) as bigint)""".stripMargin)))
+      .select(col("format"), col("n_items"), col("total_bytes"),
+        col("target_bytes"), col("rate_ppm"))
+    m.join(rates, Seq("format"))
+      .groupBy(col("format"), col("n_items"), col("total_bytes"),
+        col("target_bytes"), col("rate_ppm"))
+      .agg(
+        sum(when(col("bucket_ppm") < col("rate_ppm"), 1L).otherwise(0L))
+          .as("n_sampled"),
+        sum(when(col("bucket_ppm") < col("rate_ppm"), col("n_bytes"))
+          .otherwise(0L)).as("bytes_sampled"))
+      .select(col("format"), col("n_items"), col("total_bytes"),
+        col("target_bytes"), col("rate_ppm"), col("n_sampled"),
+        col("bytes_sampled"),
+        ratio4(col("bytes_sampled"), greatest(col("total_bytes"), lit(1L)))
+          .as("realized_byte_rate"))
+      .orderBy(col("format"))
+  }
+
   /** 64-bit blockhash-style perceptual fingerprint of a binary payload
     * (pHash family; Yang et al.'s blockhash is the published block-mean
     * baseline): the payload is split into 64 equal byte regions

@@ -111,6 +111,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_balanced: byte budgets, bounded rates, recounted decisions") {
+    val rows = Multimodal.sampleBalanced(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val media = Multimodal.mediaTable(spark, sf).collect()
+    assert(rows.keySet === media.map(_.format).toSet)
+    // Budget accounting: per-format byte targets never exceed the
+    // half-corpus budget in total, rates are valid ppm, and the
+    // sampled bytes respect the format's own supply.
+    val corpusBytes = media.map(_.payload.length.toLong).sum
+    assert(rows.values.map(_.getAs[Long]("target_bytes")).sum <= corpusBytes / 2)
+    rows.values.foreach { r =>
+      val rate = r.getAs[Long]("rate_ppm")
+      assert(rate >= 0L && rate <= 1000000L)
+      assert(r.getAs[Long]("bytes_sampled") <= r.getAs[Long]("total_bytes"))
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_items"))
+    }
+    // The keep/drop decision is the deterministic md5-ppm predicate:
+    // recount one format driver-side.
+    val fmt = rows.keySet.head
+    val expected = media.filter(_.format == fmt).count { m =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${m.doc_id}#$fmt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 1000000L <
+        rows(fmt).getAs[Long]("rate_ppm")
+    }
+    assert(rows(fmt).getAs[Long]("n_sampled") === expected.toLong)
+  }
+
   test("phash dedup: planted in-place near-duplicates are found with certainty") {
     // The media-edit model: payload length fixed, bytes change in
     // place. An edit confined to k regions flips at most k of the 64

@@ -517,6 +517,9 @@ class PlanSpec extends AnyFunSuite {
     // mm_phash_dedup 2 -> 0: the blockhash64 expression rewrite removed
     // the fingerprint's doc_id re-aggregation; the banded pair join is
     // behind the session-memoized checkpoint planOf reads.
+    // mm_sample_balanced 2: per-format byte rollup + the final
+    // format-keyed sampled rollup; the rate dimension joins broadcast.
+    "mm_sample_balanced" -> 2,
     "mm_frame_sample" -> 0, "mm_phash_dedup" -> 0, "mm_phash_clusters" -> 0,
     "mm_phash_survivors" -> 7, "nation_year_growth" -> 2,
     "order_cadence" -> 2, "orders_seasonality" -> 4, "pivot_manual" -> 1,
