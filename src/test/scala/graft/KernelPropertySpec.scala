@@ -262,6 +262,41 @@ class KernelPropertySpec extends AnyFunSuite {
       s"d4 must abort past 10^6 under ANSI; got: ${chain(err).mkString(" | ")}")
   }
 
+  test("ratio4 resolves the decimal ties where ROUND(a/b, 4) is engine-dependent (the r12 sf1 catch)") {
+    // The live instance: text_lm_score's sum_ppb=1304827578 over
+    // n=40 bigrams, mean ppm = sum/n/1000 — EXACTLY 32620.68945, a
+    // 5th-decimal tie no binary double represents. The ORIGINAL
+    // chained-division form lands on a double just below the tie, so
+    // Spark's BigDecimal HALF_UP printed .6894 while DuckDB's scaled
+    // C round (which re-rounds x·10⁴ onto exactly the tie) printed
+    // .6895 — the sf1 hash mismatch. ratio4's single x10⁴-scaled
+    // division produces the exact decimal HALF_UP answer.
+    val viaRatio4 = spark.range(1)
+      .select(graft.functions.Exact.ratio4(lit(1304827578L) * 10, lit(40000L) * 10))
+      .head().getDouble(0)
+    assert(viaRatio4 === 32620.6895, "single-division integer HALF_UP")
+    val viaChained = spark.range(1)
+      .select(graft.functions.Exact.d4w(
+        lit(1304827578L).cast("double") / lit(40.0) / lit(1000.0)))
+      .head().getDouble(0)
+    assert(viaChained === 32620.6894,
+      "the chained-division form loses the tie — the defect ratio4 exists to fix")
+    // Tie class membership: denominators 32·5^t (t >= 1) in lowest
+    // terms; a few more planted members round correctly through ratio4.
+    Seq((1L, 160L, 0.0063), (3L, 160L, 0.0188), (7L, 800L, 0.0088))
+      .foreach { case (n, d, want) =>
+        val got = spark.range(1)
+          .select(graft.functions.Exact.ratio4(lit(n), lit(d)))
+          .head().getDouble(0)
+        assert(got === want, s"$n/$d")
+      }
+    // Negative ratios round away from zero on both engines.
+    val neg = spark.range(1)
+      .select(graft.functions.Exact.ratio4(lit(-1304827578L), lit(40000L)))
+      .head().getDouble(0)
+    assert(neg === -32620.6895)
+  }
+
   test("jacobi eigen: orthonormal basis reconstructing random symmetric matrices") {
     (1 to 50).foreach { trial =>
       val d = 2 + rng.nextInt(12)
