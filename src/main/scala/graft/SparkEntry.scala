@@ -170,6 +170,7 @@ object SparkEntry {
     "text_lm_score"            -> ((s, d) => Text.lmScore(s, d)),
     "text_novelty"             -> (Text.novelty _),
     "text_quality_curve"       -> (Text.qualityCurve _),
+    "text_contamination_matrix" -> (Text.contaminationMatrix _),
     "text_readability"         -> (Text.readability _),
     // rows-only by design: the merge loop's argmax feeds the next
     // round, which no single SQL statement expresses; exact-parity
@@ -3193,6 +3194,37 @@ object SparkEntry {
         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
         |FROM n LEFT JOIN h USING (doc_id)
         |ORDER BY n.doc_id""".stripMargin,
+
+    "text_contamination_matrix" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |src AS (SELECT doc_id, source FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 8
+        |      THEN t[r.i]||' '||t[r.i+1]||' '||t[r.i+2]||' '||t[r.i+3]||' '
+        |           ||t[r.i+4]||' '||t[r.i+5]||' '||t[r.i+6]||' '||t[r.i+7]
+        |      ELSE array_to_string(t, ' ') END AS ngram
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 8 THEN range(1, len(t)-6) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |ev AS (SELECT DISTINCT CAST((doc_id // 20) % 4 AS INT) AS benchmark, ngram
+        |  FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (SELECT DISTINCT s.doc_id, ev.benchmark
+        |  FROM sh s JOIN ev USING (ngram) WHERE s.doc_id % 20 <> 0),
+        |bysrc AS (SELECT source, COUNT(*)::BIGINT AS n_train_docs
+        |  FROM src WHERE doc_id % 20 <> 0 GROUP BY 1),
+        |cell AS (SELECT sr.source, h.benchmark, COUNT(*)::BIGINT AS n_contaminated
+        |  FROM hits h JOIN src sr USING (doc_id) GROUP BY 1, 2),
+        |dense AS (SELECT b.source, b.n_train_docs, m.benchmark
+        |  FROM bysrc b CROSS JOIN (SELECT UNNEST([0, 1, 2, 3])::INT AS benchmark) m)
+        |SELECT d.source, d.benchmark, d.n_train_docs,
+        |  COALESCE(c.n_contaminated, 0) AS n_contaminated,
+        |  (CAST(ROUND(CAST(COALESCE(c.n_contaminated, 0) * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(d.n_train_docs, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    AS contaminated_frac
+        |FROM dense d LEFT JOIN cell c USING (source, benchmark)
+        |ORDER BY d.source, d.benchmark""".stripMargin,
 
     "text_novelty" ->
       """WITH toks AS (SELECT doc_id,

@@ -319,6 +319,56 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** #46c text_contamination_matrix: WHICH sources leak into WHICH
+    * benchmarks — the (train source × benchmark) contamination matrix
+    * behind [[decontaminate]]'s per-doc verdicts: eval docs (the
+    * doc_id % 20 == 0 slice) split into 4 pseudo-benchmark suites by
+    * (doc_id div 20) mod 4, and a train doc counts against a
+    * benchmark iff it shares ≥ 1 8-gram with ANY doc of that suite.
+    * The report a curation run reads to decide which SOURCE needs
+    * re-crawling or exclusion, not just which documents to drop.
+    *
+    * Scale shape: the decontaminate economics per benchmark — the
+    * eval side stays benchmark-sized, its distinct (ngram, benchmark)
+    * set semi-joins the corpus gram stream, and only matching rows
+    * reach the distinct (doc, benchmark) reduction; per-source totals
+    * broadcast back onto the |sources|×|benchmarks| cell frame. */
+  def contaminationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Sketches.wordShingles(col("text"), k).as("sh"))
+    val isEval = col("doc_id") % 20 === 0
+    val evalGrams = docs.filter(isEval)
+      .select((expr("doc_id div 20") % 4).cast("int").as("benchmark"),
+        explode(col("sh")).as("ngram"))
+      .distinct()
+    val train = docs.filter(!isEval)
+    val hitDocs = train
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("ngram"))
+      .join(evalGrams, Seq("ngram"))
+      .select(col("doc_id"), col("source"), col("benchmark"))
+      .distinct()
+    val bySource = train.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_docs"))
+    // DENSE matrix: every (source, benchmark) cell, zeros included — a
+    // leak report's clean cells are its evidence of cleanliness. The
+    // benchmark universe is fixed by construction (0..3), so the dense
+    // frame is a constant fan-out of the |sources|-row dimension.
+    val cells = bySource.select(col("source"), col("n_train_docs"),
+      explode(array((0 until 4).map(b => lit(b)): _*)).as("benchmark"))
+    cells
+      .join(hitDocs.groupBy(col("source"), col("benchmark"))
+          .agg(count(lit(1)).as("n_contaminated")),
+        Seq("source", "benchmark"), "left_outer")
+      .select(col("source"), col("benchmark"), col("n_train_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        ratio4(coalesce(col("n_contaminated"), lit(0L)),
+          greatest(col("n_train_docs"), lit(1L)))
+          .as("contaminated_frac"))
+      .orderBy(col("source"), col("benchmark"))
+  }
+
   /** All n-token grams of a token array WITH duplicates, in order (the
     * repetition signals need multiplicity, unlike the dedup shingles). */
   private def grams(t: Column, n: Int): Column =

@@ -538,6 +538,9 @@ class PlanSpec extends AnyFunSuite {
     // pattern); text_lm_score 2: bigram-key model join + per-doc agg.
     "text_bigram_lm" -> 0, "text_lm_score" -> 2, "text_bpe_encode" -> 1,
     "text_bpe_train" -> 0, "text_c4_filters" -> 0, "text_collocations" -> 2,
+    // text_contamination_matrix 5: eval-gram distinct, hit-doc
+    // distinct, per-source totals, the dense-cell join, final rollup.
+    "text_contamination_matrix" -> 5,
     "text_decontaminate" -> 2, "text_decontaminate_bloom" -> 2, "text_fingerprint" -> 0,
     "text_lang_mix" -> 3, "text_langid" -> 0, "text_len_hist" -> 2,
     // text_novelty 2: shingle-keyed df count + per-doc count; the df

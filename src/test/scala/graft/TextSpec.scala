@@ -229,6 +229,32 @@ class TextSpec extends AnyFunSuite {
     assert(got(9L).getAs[Boolean]("mostly_dup"))
   }
 
+  test("contamination matrix localizes leaks to the right (source, benchmark) cell") {
+    // Eval docs: 0 (benchmark (0 div 20) % 4 = 0) and 20 (benchmark 1),
+    // with distinct 8-token passages. Train doc 1 (source src1) leaks
+    // passage A; train doc 7 (also src1) leaks passage B; train doc 3
+    // (src0) is clean.
+    val pa = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val pb = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val dir = docsFixture(Seq(
+      0L -> pa, 20L -> pb,
+      1L -> s"$pa t1 t2 t3",
+      7L -> s"u1 u2 $pb",
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+    val got = Text.contaminationMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    // Dense: 2 train sources x 4 benchmarks.
+    assert(got.size === 8)
+    assert(got(("src1", 0)).getAs[Long]("n_contaminated") === 1L)
+    assert(got(("src1", 1)).getAs[Long]("n_contaminated") === 1L)
+    assert(got(("src1", 0)).getAs[Double]("contaminated_frac") === 0.5)
+    (0 until 4).foreach { b =>
+      assert(got(("src0", b)).getAs[Long]("n_contaminated") === 0L)
+    }
+    assert(got(("src1", 2)).getAs[Long]("n_contaminated") === 0L)
+    assert(got(("src1", 3)).getAs[Long]("n_contaminated") === 0L)
+  }
+
   test("decontaminate flags train docs sharing an 8-gram with the eval slice") {
     // doc 0 is eval (0 % 20 == 0); doc 1 shares its first 8 tokens,
     // doc 3 shares nothing.
