@@ -265,6 +265,25 @@ object Dedup {
     // to preserve the pipeline's output order.
     ngramJaccardM(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Largest LSH bucket produced by one banding over the corpus — the
+    * cap-audit seam for [[lshCurve]]'s spec. The curve's monotonicity
+    * in band count is only GUARANTEED while no bucket crosses the
+    * candidate stage's maxBucket cap: a capped bucket is dropped
+    * wholesale (null from CollectSetLimit), and since fewer rows per
+    * band make buckets coarser, a higher band count can legally LOSE
+    * the dropped bucket's candidates on a denser corpus (ADVICE r12).
+    * The spec asserts this profile stays well under the cap before
+    * asserting monotonicity, so a fixture change fails with a named
+    * precondition instead of a mysterious ordering violation. */
+  private[graft] def maxBandBucket(
+      spark: SparkSession, dir: String, bands: Int): Long =
+    shingledDocs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(Sketches.bandHashes(
+          Sketches.minhashSigs(col("sh"), 128), bands)))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+
   /** The corpus as (doc_id, 3-word shingle set) — the shared input of
     * the exact pipeline and its sampled-audit variant. */
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame =

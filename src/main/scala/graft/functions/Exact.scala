@@ -41,23 +41,34 @@ object Exact {
 
   /** 4-place presentation of an INTEGER ratio num/den — the tie-free
     * form of [[d4]] for the one input class where d4 is not
-    * engine-exact. ROUND(num/den, 4) on a double can land exactly on
-    * a .xxxx5 decimal tie whenever den (in lowest terms) is 32·5^t,
-    * t ≥ 1 — a terminating decimal the binary double cannot represent
-    * — and there Spark's BigDecimal HALF_UP (which reads the double's
-    * exact binary expansion) and an oracle's scaled C round (which
-    * re-rounds x·10⁴, often onto exactly k+0.5) disagree by one ulp.
-    * The sf1 replay caught the first live instance (text_lm_score,
-    * sum/40000). This form has no tie to disagree on: num·10⁴ is an
-    * exact BIGINT, the single division is one correctly-rounded IEEE
-    * op both engines agree on bit-for-bit, ROUND(x, 0) is the
-    * hash-proven HALF_UP integer replay, and the final /10⁴ of an
-    * integer-valued double is again one exact-input correctly-rounded
-    * op. Callers guard den > 0 (the d4 sites already do). */
+    * engine-exact. INPUTS MUST BE INTEGER-VALUED (any numeric type is
+    * accepted; operands are ROUND(x, 0)-normalized first, so an
+    * accidental fractional input rounds half-up identically in both
+    * engines instead of Spark truncating toward zero where an oracle
+    * that multiplies before casting would round).
+    *
+    * ROUND(num/den, 4) on a double can land exactly on a .xxxx5
+    * decimal tie whenever den (in lowest terms) is 32·5^t, t ≥ 1 — a
+    * terminating decimal the binary double cannot represent — and
+    * there Spark's BigDecimal HALF_UP (which reads the double's exact
+    * binary expansion) and an oracle's scaled C round (which re-rounds
+    * x·10⁴, often onto exactly k+0.5) disagree by one ulp. The sf1
+    * replay caught the first live instance (text_lm_score, sum/40000).
+    * This form has no tie to disagree on: num·10⁴ is an exact
+    * DECIMAL(38,0) — headroom to num < 10³⁴, where the pre-r13 LONG
+    * scaling ANSI-aborted at num ≈ 9.2e14, within reach of corpus
+    * char/byte totals and of quadratic numerators like n_events² —
+    * the single division is one correctly-rounded IEEE op both
+    * engines agree on bit-for-bit (decimal→double and the oracle's
+    * BIGINT→double are both round-to-nearest of the same integer),
+    * ROUND(x, 0) is the hash-proven HALF_UP integer replay, and the
+    * final snap of the integer-valued double through DECIMAL(38,0)
+    * (not LONG: a ratio itself past 9.2e14 must present, not abort)
+    * is exact. Callers guard den > 0 (the d4 sites already do). */
   def ratio4(num: Column, den: Column): Column =
-    round((num.cast("long") * lit(10000L)).cast("double") /
-        den.cast("long").cast("double"), 0)
-      .cast("long").cast("double") / lit(10000.0)
+    round((round(num, 0).cast("decimal(38,0)") * lit(10000L)).cast("double") /
+        round(den, 0).cast("decimal(38,0)").cast("double"), 0)
+      .cast("decimal(38,0)").cast("double") / lit(10000.0)
 
   /** SQL fragment mirroring [[ratio4]] for the DuckDB oracle. */
   def ratio4Sql(num: String, den: String): String =

@@ -1119,9 +1119,13 @@ object Events {
       .select(
         col("event_type"), col("n_events"), col("n_users"),
         ratio4(col("sum_c2"), col("n_events") * col("n_events")).as("hhi"),
-        // ratio4 (not d4w): effective_users is an integer ratio, and
-        // its magnitude is bounded only by the true user count — the
-        // x10^4 long scaling holds to ~9e14 events per type.
+        // ratio4 (not d4w): effective_users is an integer ratio whose
+        // NUMERATOR is quadratic — n_events² itself is the binding
+        // term. The LONG product n_events*n_events ANSI-aborts at
+        // n_events ≈ 3.0e9 per type; ratio4's internal x10^4 scaling
+        // runs through DECIMAL(38,0) and is not the binding bound.
+        // At 3e9 single-type events, pre-aggregate or widen the
+        // product to decimal here — the ratio kernel already carries.
         ratio4(col("n_events") * col("n_events"), col("sum_c2"))
           .as("effective_users"))
       .orderBy(col("event_type"))

@@ -890,7 +890,7 @@ object Text {
     * token-count memo. */
   private val bigramLmCache =
     new graft.functions.SessionScopedCache("text.bigram_lm")
-  private def bigramLm(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def bigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLmCache.getOrCompute(spark, dir) {
       val toks = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
       val bi = Tables.documents(spark, dir).select(toks.as("ts"))
@@ -971,12 +971,69 @@ object Text {
       .select(col("doc_id"),
         explode(graft.functions.ArrayPairs.adjacentPairs(col("ts"))).as("p"))
       .select(col("doc_id"), col("p.a").as("tok_a"), col("p.b").as("tok_b"))
-    val perDoc = bi
+    // INNER join, and that is a same-corpus precondition, not an
+    // oversight: the model is trained on the very corpus being
+    // scored, so every observed bigram has a model row and the join
+    // drops nothing (the oracle states the same inner join). A
+    // train/apply reuse on a FOREIGN corpus must NOT copy this plan —
+    // unseen bigrams would be silently dropped, inflating exactly the
+    // junk documents the filter exists to catch. Cross-corpus scoring
+    // goes through [[lmScoreAgainst]], which left-joins and gives
+    // unseen bigrams their add-one smoothing floor.
+    val scored = bi
       .join(bigramLm(spark, dir).select(col("tok_a"), col("tok_b"), col("p_ppb")),
         Seq("tok_a", "tok_b"))
+      .select(col("doc_id"), col("p_ppb"))
+    scoreAndBucket(Tables.documents(spark, dir).select(col("doc_id")),
+      scored, headPpm, tailPpm)
+  }
+
+  /** Train/apply form of [[lmScore]] for CROSS-CORPUS reuse: score
+    * `docs` (doc_id, text) against a bigram LM trained on a DIFFERENT
+    * corpus. A foreign corpus contains bigrams the model never saw,
+    * so the model join is a LEFT join and an unseen bigram gets its
+    * add-one smoothing floor — p_ppb = round(10⁹ / (n_a + V)), with
+    * n_a = 0 when the left token itself is unseen (→ 10⁹/V) — the
+    * CCNet semantics (Wenzek et al. 2020 §4.3: the LM always assigns
+    * smoothed mass, it never skips). On a same-corpus input the floor
+    * branch is never taken and this agrees bit-for-bit with
+    * [[lmScore]] (spec'd); the extra unigram join is why the
+    * same-corpus operator keeps its leaner inner-join plan.
+    *
+    * `model` is (tok_a, tok_b, p_ppb) as trained by the bigram-LM
+    * pass; `unigrams` is (tok_a, n_a); `vocabV` is the training
+    * vocabulary size used in the smoothing denominator. */
+  def lmScoreAgainst(
+      docs: DataFrame, model: DataFrame, unigrams: DataFrame, vocabV: Long,
+      headPpm: Double = 20000.0, tailPpm: Double = 5000.0): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
+    val bi = docs.select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"),
+        explode(graft.functions.ArrayPairs.adjacentPairs(col("ts"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+    val scored = bi
+      .join(model.select(col("tok_a"), col("tok_b"), col("p_ppb")),
+        Seq("tok_a", "tok_b"), "left_outer")
+      .join(unigrams.select(col("tok_a"), col("n_a")), Seq("tok_a"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("p_ppb"),
+          round(lit(1e9) /
+              (coalesce(col("n_a"), lit(0L)) + lit(vocabV)).cast("double"), 0)
+            .cast("long")).as("p_ppb"))
+    scoreAndBucket(docs.select(col("doc_id")), scored, headPpm, tailPpm)
+  }
+
+  /** Shared tail of the two LM scorers: per-doc mean p_ppb (exact
+    * BIGINT sum, the tie-free single-division ppm presentation) over
+    * a (doc_id, p_ppb) bigram-occurrence frame, left-joined back onto
+    * the doc spine so bigram-less docs score 0 in bucket "empty". */
+  private def scoreAndBucket(
+      spine: DataFrame, perBigram: DataFrame,
+      headPpm: Double, tailPpm: Double): DataFrame = {
+    val perDoc = perBigram
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppb")).as("sum_ppb"))
-    Tables.documents(spark, dir).select(col("doc_id"))
+    spine
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

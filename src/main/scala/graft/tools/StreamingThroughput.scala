@@ -82,23 +82,33 @@ object StreamingThroughput {
     spark.conf.set(shuffleKey, partitions.toString)
     try {
       val input = MemoryStream[Ev]
-      val ingest = Streaming.sessionizeNativeStream(
-        Streaming.dedupStream(input.toDF().withWatermark("ts", "1 hour")))
-      val qIngest = ingest.writeStream.format("noop").outputMode("append").start()
-      val qMonitor = Streaming.zscoreAnomalies(input.toDS())
-        .writeStream.format("noop").outputMode("append").start()
-      val per = math.max(1, (evs.size + chunks - 1) / chunks)
-      val t0 = System.nanoTime()
+      // Both starts INSIDE the try that stops them: if the second
+      // start throws, the first query (and its state stores) must not
+      // leak into the bench session (ADVICE r12).
+      var qIngest: org.apache.spark.sql.streaming.StreamingQuery = null
+      var qMonitor: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
+        val ingest = Streaming.sessionizeNativeStream(
+          Streaming.dedupStream(input.toDF().withWatermark("ts", "1 hour")))
+        qIngest = ingest.writeStream.format("noop").outputMode("append").start()
+        qMonitor = Streaming.zscoreAnomalies(input.toDS())
+          .writeStream.format("noop").outputMode("append").start()
+        val per = math.max(1, (evs.size + chunks - 1) / chunks)
+        val t0 = System.nanoTime()
         evs.grouped(per).foreach { c =>
           input.addData(c)
           qIngest.processAllAvailable()
           qMonitor.processAllAvailable()
         }
-      } finally {
+        // The timed window includes the stops (unchanged from the
+        // pre-r13 measurement, so the committed baseline still
+        // compares); the outer finally's re-stop is then a no-op.
         qIngest.stop(); qMonitor.stop()
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        if (qIngest != null) qIngest.stop()
+        if (qMonitor != null) qMonitor.stop()
       }
-      (System.nanoTime() - t0) / 1e9
     } finally spark.conf.set(shuffleKey, priorParts)
   }
 }

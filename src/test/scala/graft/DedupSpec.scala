@@ -261,6 +261,20 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_candidates"))
       assert(r.getAs[Long]("n_found") <= nTrue.head)
     }
+    // Cap precondition (ADVICE r12): monotonicity below is only
+    // guaranteed while every bucket stays under the candidate stage's
+    // maxBucket=200 cap — a capped bucket is dropped wholesale, which
+    // can legally reduce candidates/recall at HIGHER band counts on a
+    // denser corpus. Verify the fixture sits well inside the cap so a
+    // future testdata change fails here, by name, not in the ordering
+    // assertions below.
+    Seq(8, 16, 32).foreach { b =>
+      val maxBucket = Dedup.maxBandBucket(spark, sf, b)
+      assert(maxBucket < 150,
+        s"$b-band max bucket $maxBucket approaches the 200 cap; the " +
+        "monotonicity assertions below are no longer implied — rebuild " +
+        "the fixture sparser or drop to uncapped counts")
+    }
     // More bands with fewer rows each = a looser S-curve threshold:
     // candidates and recall are monotone up, precision monotone down.
     val cands = rows.map(_.getAs[Long]("n_candidates"))

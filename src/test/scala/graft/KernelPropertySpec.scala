@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
@@ -295,6 +296,46 @@ class KernelPropertySpec extends AnyFunSuite {
       .select(graft.functions.Exact.ratio4(lit(-1304827578L), lit(40000L)))
       .head().getDouble(0)
     assert(neg === -32620.6895)
+  }
+
+  test("ratio4 headroom: DECIMAL(38,0) scaling carries past the old LONG x10^4 abort (r13)") {
+    import graft.functions.Exact
+    // Boundary 1 — num = 9e11, the last decade where num·10⁴ is still
+    // an exact double (9e15 < 2⁵³): the decimal path must be
+    // bit-identical to the pre-r13 LONG scaling, asserted by running
+    // the retired formula inline beside the kernel.
+    val numA = 900000000000L
+    val oldForm = round((lit(numA) * lit(10000L)).cast("double") /
+        lit(160L).cast("double"), 0)
+      .cast("long").cast("double") / lit(10000.0)
+    val Row(nu: Double, ol: Double) = spark.range(1)
+      .select(Exact.ratio4(lit(numA), lit(160L)), oldForm).head()
+    assert(nu === ol && nu === 5.625e9, "in-range parity with the LONG path")
+    // Boundary 2 — num = 9.3e14: num·10⁴ = 9.3e18 > 2⁶³−1, where the
+    // LONG scaling ANSI-aborted (the corpus char/byte-total class from
+    // VERDICT r12 #3). The decimal path presents the correctly-rounded
+    // value: decimal→double is BigDecimal.doubleValue round-to-nearest,
+    // replayed here exactly.
+    val numB = 930000000000000L
+    val gotB = spark.range(1)
+      .select(Exact.ratio4(lit(numB), lit(1L))).head().getDouble(0)
+    val expB = (BigDecimal(numB) * 10000).toDouble / 10000.0
+    assert(gotB === expB, "past-2^63 scaled numerator presents instead of aborting")
+    val errB = intercept[Throwable] {
+      spark.range(1)
+        .select((lit(numB) * lit(10000L)).cast("double")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(errB).exists(m => m != null &&
+      (m.contains("ARITHMETIC_OVERFLOW") || m.contains("overflow"))),
+      s"the retired LONG scaling aborts here; got: ${chain(errB).mkString(" | ")}")
+    // Fractional-input guard (ADVICE r12): operands ROUND before the
+    // decimal cast, so an accidental 3.7 numerator rounds half-up to 4
+    // (both engines) instead of Spark truncating to 3 alone.
+    val frac = spark.range(1)
+      .select(Exact.ratio4(lit(3.7), lit(1L))).head().getDouble(0)
+    assert(frac === 4.0, "fractional inputs round half-up, never truncate")
   }
 
   test("jacobi eigen: orthonormal basis reconstructing random symmetric matrices") {

@@ -179,6 +179,52 @@ class TextSpec extends AnyFunSuite {
     assert(got(0L).getAs[Double]("score_ppm") > got(1L).getAs[Double]("score_ppm"))
   }
 
+  test("lmScoreAgainst: unseen bigrams get the smoothing floor, never dropped (r13)") {
+    // Train on corpus A (the bigram-LM fixture), score corpus B.
+    val fluent = Seq.fill(300)("a b").mkString(" ")
+    val gibberish = (0 until 500)
+      .map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .mkString(" ")
+    val trainDir = docsFixture(Seq(0L -> fluent, 1L -> gibberish, 2L -> "a"))
+    val model = Text.bigramLm(spark, trainDir)
+      .select(col("tok_a"), col("tok_b"), col("p_ppb"))
+    val uni = Text.tokenCounts(spark, trainDir)
+      .select(col("token").as("tok_a"), col("n_occurrences").as("n_a"))
+    val v = Text.tokenCounts(spark, trainDir).count() // 502 distinct tokens
+
+    // Same-corpus parity: the floor branch never fires, so the
+    // train/apply form agrees bit-for-bit with the inner-join operator.
+    val trainDocs = spark.read.parquet(s"$trainDir/documents.parquet")
+    val viaAgainst = Text.lmScoreAgainst(trainDocs, model, uni, v)
+      .collect().map(_.toString).sorted
+    val viaSame = Text.lmScore(spark, trainDir)
+      .collect().map(_.toString).sorted
+    assert(viaAgainst.sameElements(viaSame), "same-corpus parity")
+
+    // Cross-corpus: "a zz" has bigram (a, zz) — left token seen, the
+    // bigram and zz unseen (gibberish first letters stop at 't') —
+    // and "zz zq" is unseen on both sides. The inner-join plan would
+    // drop both (n_bigrams = 0 → "empty"); the apply form must count
+    // them at their smoothing floors.
+    val applyDir = docsFixture(Seq(10L -> "a zz", 11L -> "zz zq"))
+    val applyDocs = spark.read.parquet(s"$applyDir/documents.parquet")
+    val got = Text.lmScoreAgainst(applyDocs, model, uni, v)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // n_a("a") = 301 in corpus A; floor(a, zz) = round(1e9/(301+502)).
+    val floorSeenLeft = math.round(1e9 / 803.0)
+    // zz unseen → n_a = 0; floor(zz, zq) = round(1e9/502).
+    val floorUnseenLeft = math.round(1e9 / 502.0)
+    assert(got(10L).getAs[Long]("n_bigrams") === 1L, "unseen bigram is scored, not dropped")
+    assert(got(10L).getAs[Double]("score_ppm") ===
+      math.round(floorSeenLeft * 10.0) / 10000.0)
+    assert(got(11L).getAs[Long]("n_bigrams") === 1L)
+    assert(got(11L).getAs[Double]("score_ppm") ===
+      math.round(floorUnseenLeft * 10.0) / 10000.0)
+    // Both land in a real bucket — never "empty" (they have bigrams).
+    assert(got(10L).getAs[String]("bucket") !== "empty")
+    assert(got(11L).getAs[String]("bucket") !== "empty")
+  }
+
   test("quality_curve: keep rates fall monotonically as the threshold rises") {
     val rows = Text.qualityCurve(spark, "/root/testdata/sf0.001").collect()
     assert(rows.map(_.getAs[Double]("threshold")).toSeq ===
