@@ -563,4 +563,44 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(over.isEmpty, s"exchange budgets exceeded:\n${over.mkString("\n")}")
   }
+
+  test("ExplainDump.normalize: global ids become per-plan sequences, equality preserved") {
+    val raw =
+      """Project [l_qty#401L, p_name#733] [codegen id : 8]
+        |Filter (l_qty#401L > nearestcentroids(e#12, [[D@7abeaed0)) [codegen id : 8]
+        |Scan ExistingRDD[kv#90] MapPartitionsRDD[451] [codegen id : 9]
+        |BroadcastExchange [plan_id=104] pq([[D@7abeaed0, [[D@3272c5b3)
+        |ReusedExchange [plan_id=104]""".stripMargin
+    val got = graft.tools.ExplainDump.normalize(raw)
+    assert(got ===
+      """Project [l_qty#x1L, p_name#x2] [codegen id : x1]
+        |Filter (l_qty#x1L > nearestcentroids(e#x3, [[D@x1)) [codegen id : x1]
+        |Scan ExistingRDD[kv#x4] MapPartitionsRDD[x1] [codegen id : x2]
+        |BroadcastExchange [plan_id=x1] pq([[D@x1, [[D@x2)
+        |ReusedExchange [plan_id=x1]""".stripMargin)
+    // QueryStage detail blocks: the session-global stage id in the
+    // bare `Arguments:` line is renumbered; a bare-int Arguments on
+    // any OTHER node (e.g. a limit) is query content and survives.
+    val stages =
+      """(16) ShuffleQueryStage
+        |Output [2]: [a#3L, b#4]
+        |Arguments: 10
+        |
+        |(20) BroadcastQueryStage
+        |Output [1]: [c#5]
+        |Arguments: 12
+        |
+        |(21) TakeOrderedAndProject
+        |Input [1]: [c#5]
+        |Arguments: 10
+        |""".stripMargin
+    val gotStages = graft.tools.ExplainDump.normalize(stages)
+    assert(gotStages.contains("Output [2]: [a#x1L, b#x2]\nArguments: x1"))
+    assert(gotStages.contains("Output [1]: [c#x3]\nArguments: x2"))
+    assert(gotStages.contains("TakeOrderedAndProject\nInput [1]: [c#x3]\nArguments: 10"),
+      s"non-stage Arguments must survive:\n$gotStages")
+    // Idempotence on an id-free plan: nothing else is rewritten.
+    val plain = "HashAggregate(keys=[a], functions=[sum(b)])"
+    assert(graft.tools.ExplainDump.normalize(plain) === plain)
+  }
 }
