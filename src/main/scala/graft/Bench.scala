@@ -184,6 +184,20 @@ object Bench {
         val evs = graft.tools.StreamingThroughput.synthEvents(stEvents)
         (1 to 3).map(_ => graft.tools.StreamingThroughput.measureOnce(spark, evs))
       }.getOrElse(Seq.empty)
+    // Attribution pass (VERDICT r12 #1): one per-stage drain each
+    // (machinery / dedup / ingest / monitor) plus a second chunk-count
+    // point so the per-micro-batch fixed cost is a measured slope.
+    // Published in bench_full.json's streaming object, not a gated row.
+    val stStages: Seq[(String, graft.tools.StreamingThroughput.DrainStats)] =
+      if (stAttempts.isEmpty) Seq.empty
+      else scala.util.Try {
+        val evs = graft.tools.StreamingThroughput.synthEvents(stEvents)
+        graft.tools.StreamingThroughput.measureStages(spark, evs)
+      }.getOrElse(Seq.empty)
+    val stSweep2: Option[Double] =
+      if (stAttempts.isEmpty) None
+      else scala.util.Try(graft.tools.StreamingThroughput.sweepPoint(
+        spark, graft.tools.StreamingThroughput.synthEvents(stEvents), chunks = 2)).toOption
     val raw: Seq[(String, Seq[Attempt])] = rawQueries ++ (
       if (ssAttempts.isEmpty) Seq.empty
       else Seq(
@@ -364,7 +378,27 @@ object Bench {
       if (stAttempts.isEmpty) "null"
       else {
         val sMin = stAttempts.min
-        s"""{"events":$stEvents,"threads":$cpus,"events_per_sec":${num(stEvents / sMin, 0)}}"""
+        // Per-stage attribution: secs, batches, events/s, and the
+        // progress-metric split (addBatch ≈ planning+job launch; state
+        // commit/update summed over operators×partitions). The slope
+        // fit against the chunks=2 point makes the fixed-vs-per-event
+        // split a measured number: secs ≈ event_work + per_batch_fixed
+        // × chunks (chunks=8 headline).
+        val stagesJson = stStages.map { case (name, d) =>
+          s""""$name":{"secs":${num(d.secs, 3)},"batches":${d.batches},""" +
+          s""""events_per_sec":${num(stEvents / d.secs, 0)},""" +
+          s""""add_batch_ms":${d.addBatchMs},"wal_commit_ms":${d.walCommitMs},""" +
+          s""""state_commit_ms":${d.stateCommitMs},"state_update_ms":${d.stateUpdateMs}}"""
+        }.mkString("{", ",", "}")
+        val sweepJson = stSweep2.map { t2 =>
+          val perChunk = (sMin - t2) / 6.0 // (t8 - t2) / (8 - 2)
+          val eventWork = t2 - 2.0 * perChunk
+          s"""{"secs_chunks2":${num(t2, 3)},"secs_chunks8":${num(sMin, 3)},""" +
+          s""""per_batch_fixed_s":${num(perChunk, 3)},"event_work_s":${num(eventWork, 3)}}"""
+        }.getOrElse("null")
+        s"""{"events":$stEvents,"threads":$cpus,"events_per_sec":${num(stEvents / sMin, 0)},""" +
+        s""""chunks":8,"config":{"checkpoint":"tmpfs","no_data_batches":false,"partitions":8},""" +
+        s""""stages":$stagesJson,"sweep":$sweepJson}"""
       }
     val summaryLine =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""

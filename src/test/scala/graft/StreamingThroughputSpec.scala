@@ -39,4 +39,29 @@ class StreamingThroughputSpec extends AnyFunSuite {
     val sec2 = StreamingThroughput.measureOnce(spark, evs, chunks = 4)
     assert(sec2 > 0.0)
   }
+
+  test("stage decomposition: stateless control has no state cost, stateful stages do") {
+    val evs = StreamingThroughput.synthEvents(4000)
+    val stages = StreamingThroughput.measureStages(spark, evs, chunks = 4).toMap
+    assert(stages.keySet === Set("machinery", "dedup", "ingest", "monitor"))
+    stages.foreach { case (name, d) =>
+      assert(d.secs > 0.0 && d.batches > 0, s"$name: $d")
+    }
+    // The control pipeline is stateless by construction — if it ever
+    // grows a state operator, the fixed-cost attribution is wrong.
+    assert(stages("machinery").stateCommitMs === 0L,
+      s"machinery stage must not touch a state store: ${stages("machinery")}")
+    // Every stateful stage commits state each batch.
+    Seq("dedup", "ingest", "monitor").foreach { n =>
+      assert(stages(n).stateCommitMs > 0L, s"$n drained without state commits")
+    }
+    // The drain restores the session confs it tunes.
+    assert(spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      === "true")
+  }
+
+  test("sweepPoint: a second chunk count drains the same events end-to-end") {
+    val evs = StreamingThroughput.synthEvents(4000)
+    assert(StreamingThroughput.sweepPoint(spark, evs, chunks = 2) > 0.0)
+  }
 }
