@@ -198,6 +198,22 @@ object Bench {
       if (stAttempts.isEmpty) None
       else scala.util.Try(graft.tools.StreamingThroughput.sweepPoint(
         spark, graft.tools.StreamingThroughput.synthEvents(stEvents), chunks = 2)).toOption
+    // Write-side export throughput (VERDICT r12 stretch #8): the
+    // create-only KeyedWriter loop (the reference's AerospikeWriter
+    // seam) measured end-to-end — TTL policy + exists anti-join + the
+    // per-partition writer/retry loop. SPARK_GRAFT_EXPORT_ROWS=0 skips.
+    val keRows = sys.env.getOrElse("SPARK_GRAFT_EXPORT_ROWS", "2000000").toInt
+    val keAttempts: Seq[(Double, graft.sinks.KeyedSink.WriteStats)] =
+      if (keRows <= 0) Seq.empty
+      else scala.util.Try {
+        val recs = graft.tools.KeyedExportThroughput.synthRecords(spark, keRows)
+        val ex = graft.tools.KeyedExportThroughput.existingKeys(spark, keRows)
+        // Warm the plan (codegen + join build) outside the attempts.
+        graft.tools.KeyedExportThroughput.measureOnce(
+          spark, recs.limit(10000), ex.limit(1000))
+        (1 to 3).map(_ =>
+          graft.tools.KeyedExportThroughput.measureOnce(spark, recs, ex))
+      }.getOrElse(Seq.empty)
     val raw: Seq[(String, Seq[Attempt])] = rawQueries ++ (
       if (ssAttempts.isEmpty) Seq.empty
       else Seq(
@@ -205,7 +221,10 @@ object Bench {
         "sstable_migrate" -> ssAttempts.map(a => Attempt(Right(a._2), 0L, 0L, 0, 0L)))) ++ (
       if (stAttempts.isEmpty) Seq.empty
       else Seq(
-        "streaming_throughput" -> stAttempts.map(s => Attempt(Right(s), 0L, 0L, 0, 0L))))
+        "streaming_throughput" -> stAttempts.map(s => Attempt(Right(s), 0L, 0L, 0, 0L)))) ++ (
+      if (keAttempts.isEmpty) Seq.empty
+      else Seq(
+        "keyed_export" -> keAttempts.map(a => Attempt(Right(a._1), 0L, 0L, 0, 0L))))
     val results: Seq[(String, Either[String, Double])] = raw.map {
       case (name, attempts) =>
         val times = attempts.collect { case Attempt(Right(s), _, _, _, _) => s }
@@ -400,8 +419,24 @@ object Bench {
         s""""chunks":8,"config":{"checkpoint":"tmpfs","no_data_batches":false,"partitions":8},""" +
         s""""stages":$stagesJson,"sweep":$sweepJson}"""
       }
+    // Published write-side export throughput (min-of-3): rows/s
+    // through the TTL + exists-annotation + writer/retry loop, with
+    // the planted accounting so the number is checkable against the
+    // fixture's construction (5% expired + eternal drops, 10%-of-live
+    // existing keys, 1-in-5000 transient retries).
+    val keyedJson =
+      if (keAttempts.isEmpty) "null"
+      else {
+        val kMin = keAttempts.map(_._1).min
+        val st = keAttempts.head._2
+        s"""{"rows":$keRows,"threads":$cpus,""" +
+        s""""rows_per_sec":${num(keRows / kMin, 0)},""" +
+        s""""rows_per_sec_per_core":${num(keRows / kMin / cpus.toDouble, 0)},""" +
+        s""""written":${st.written},"skipped_existing":${st.skippedExisting},""" +
+        s""""expired":${st.expired},"failed":${st.failed},"retried":${st.retried}}"""
+      }
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"keyed_export":$keyedJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
     // Belt and braces: the artifact also lands in files next to the
     // build, immune to any stdout truncation. bench_full.json is the
     // committed full artifact (attempts + attribution); bench_prev.json
@@ -448,7 +483,7 @@ object Bench {
         .map { case (k, s) => s""""$k":${num(s, 3)}""" }.mkString("{", ",", "}")
       val mergedTotal = merged.collect {
         case (k, s) if !k.startsWith("sstable_") && !k.startsWith("streaming_") &&
-          !k.startsWith("_") => s
+          !k.startsWith("keyed_") && !k.startsWith("_") => s
       }.sum
       writeFile("bench_prev.json",
         s"""{"metric":"baseline","value":${num(mergedTotal, 3)},"unit":"sec","queries":$mergedQs,"sf":"$sfDir","baseline_kind":"per_query_min","n":${merged.size},"rebased":$rebaseAny}""")

@@ -190,6 +190,7 @@ object SparkEntry {
     "sample_stratified"        -> (Text.sampleStratified _),
     "sample_temperature"       -> (Text.sampleTemperature _),
     "curation_report"          -> (graft.pipeline.Curation.report _),
+    "dedup_quality_audit"      -> (graft.pipeline.Curation.dedupQualityAudit _),
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
     "emb_dim_stats"            -> (Similarity.embDimStats _),
@@ -198,6 +199,7 @@ object SparkEntry {
     // rows-only by design: an iterative Lloyd fit isn't ANSI SQL;
     // planted-cluster recovery + repartition-proof ScalaTest oracle.
     "emb_kmeans"               -> ((s, d) => Kmeans.embKmeans(s, d)),
+    "emb_label_purity"         -> ((s, d) => Kmeans.labelPurity(s, d)),
     "emb_pca"                  -> ((s, d) => Pca.embPca(s, d)),
     "emb_pca_project"          -> ((s, d) => Pca.embPcaProject(s, d)),
     // §2.7 multimodal
@@ -1250,6 +1252,35 @@ object SparkEntry {
       |ORDER BY cluster""".stripMargin
   }
 
+  /** emb_label_purity under the hard gate: the same [[corpusKmeansCtes]]
+    * trainer replay as emb_kmeans (k=8, the shared fit), then the
+    * (cluster, label) cell counts off the final corpus assignment, the
+    * majority label per cluster via ROW_NUMBER ordered (n DESC, label)
+    * — the engine's deterministic tie rule — and the tie-free ratio4
+    * purity presentation. */
+  private def embLabelPurityOracleSql: String = {
+    val (k, fitIters, rounds, dim, sampleCap) = (8, 10, 5, 64, 1024)
+    val parts = scala.collection.mutable.ArrayBuffer(
+      corpusKmeansCtes(k, fitIters, rounds, dim, sampleCap): _*)
+    parts += """cell AS (
+      |  SELECT f.cluster, e.label, COUNT(*) AS n
+      |  FROM fasn f JOIN embeddings e ON e.vec_id = f.vec_id
+      |  GROUP BY 1, 2)""".stripMargin
+    parts += """rk AS (
+      |  SELECT cluster, label, n,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+      |  FROM cell)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT cluster, SUM(n)::BIGINT AS n_points, COUNT(*) AS n_labels,
+      |  MAX(CASE WHEN rn = 1 THEN label END) AS top_label,
+      |  MAX(CASE WHEN rn = 1 THEN n END) AS n_top,
+      |  ${graft.functions.Exact.ratio4Sql(
+             "MAX(CASE WHEN rn = 1 THEN n END)", "SUM(n)")} AS purity
+      |FROM rk
+      |GROUP BY cluster
+      |ORDER BY cluster""".stripMargin
+  }
+
   /** dedup_semantic under the hard gate: the [[corpusKmeansCtes]]
     * trainer replay at k=16, then within-cluster pairs only (the
     * equality self-join on the cluster id), the exact-cosine
@@ -1445,7 +1476,11 @@ object SparkEntry {
     * recursive CTE — shared verbatim by dedup_clusters (label
     * propagation) and dedup_clusters_star (large-star/small-star):
     * both must produce this exact relation. */
-  private val ClustersOracleSql: String =
+  /** The near-dup cluster verdict chain (shingles -> df cap -> exact
+    * Jaccard pairs -> CC) shared by the clusters, survivors and
+    * dedup_quality_audit oracles; leaves `cl`(doc_id, cluster_id)
+    * as the last CTE. */
+  private val ClustersCtePrefix: String =
     """WITH RECURSIVE toks AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
       |  FROM documents),
@@ -1470,10 +1505,50 @@ object SparkEntry {
       |  SELECT a AS v, a AS r FROM edges
       |  UNION
       |  SELECT e.a AS v, w.r FROM edges e JOIN reach w ON e.b = w.v),
-      |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+      |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
+  private val ClustersOracleSql: String = ClustersCtePrefix +
+    """
       |SELECT doc_id, cluster_id,
       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** dedup_quality_audit: the [[ClustersCtePrefix]] verdict chain
+    * joined to text_quality's proven score fragments — per dedup
+    * verdict, exact integer token/q4 sums and tie-free ratio4
+    * presentations (mean_q4 = mean score in 1e-4 units; low_frac
+    * gates on the ROUNDED score at 0.5, the curve's middle
+    * threshold). */
+  private val DedupQualityAuditOracleSql: String = ClustersCtePrefix +
+    """,
+      |qt AS (SELECT doc_id,
+      |  string_split_regex(lower(text), '\s+') AS toks,
+      |  CAST(length(text) AS DOUBLE) AS n_chars,
+      |  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct
+      |  FROM documents),
+      |qs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |  CAST(ROUND(CAST(CAST(ROUND(
+      |    LEAST(n_chars / 500.0, 1.0) * 0.4
+      |    + LEAST(CAST(len(list_filter(toks, x -> list_contains(
+      |        ['the','a','an','and','or','of','to','in','is','it','on','for'], x))) AS DOUBLE)
+      |        / GREATEST(CAST(len(toks) AS DOUBLE) * 0.05, 1.0), 1.0) * 0.4
+      |    + GREATEST(1.0 - punct / GREATEST(n_chars * 0.1, 1.0), 0.0) * 0.2, 4)
+      |    AS DECIMAL(10,4)) AS DOUBLE) * 10000.0, 0) AS BIGINT) AS q4
+      |  FROM qt),
+      |vq AS (SELECT
+      |    CASE WHEN c.cluster_id IS NULL THEN 'unique'
+      |         WHEN q.doc_id = c.cluster_id THEN 'winner'
+      |         ELSE 'dropped' END AS verdict,
+      |    q.n_toks, q.q4
+      |  FROM qs q LEFT JOIN cl c ON c.doc_id = q.doc_id)
+      |SELECT verdict, COUNT(*) AS n_docs, SUM(n_toks)::BIGINT AS n_tokens,
+      |  (CAST(ROUND(CAST(SUM(q4) * 10000 AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS mean_q4,
+      |  (CAST(ROUND(CAST(SUM(CASE WHEN q4 < 5000 THEN 1 ELSE 0 END) * 10000 AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS low_frac
+      |FROM vq
+      |GROUP BY verdict
+      |ORDER BY verdict""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -1506,6 +1581,8 @@ object SparkEntry {
     ("ann_ivf_pq_topk" -> annIvfPqOracleSql) +
     ("ann_tuning_curve" -> annTuningCurveOracleSql) +
     ("emb_kmeans" -> embKmeansOracleSql) +
+    ("emb_label_purity" -> embLabelPurityOracleSql) +
+    ("dedup_quality_audit" -> DedupQualityAuditOracleSql) +
     ("dedup_semantic" -> dedupSemanticOracleSql)
 
   private def oracleSqlBase: Map[String, String] = Map(

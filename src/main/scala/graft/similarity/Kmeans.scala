@@ -120,4 +120,46 @@ object Kmeans {
   def embKmeans(spark: SparkSession, dir: String, k: Int = 8, rounds: Int = 5): DataFrame =
     kmeansOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       k, rounds)
+
+  /** #40n emb_label_purity: per-cluster LABEL composition of the
+    * corpus k-means fit against the embeddings' ground-truth `label`
+    * column — the external-validity audit beside [[kmeansOn]]'s
+    * internal one (mean/min cosine says the clusters are TIGHT; this
+    * says whether they mean anything: a cluster whose members share a
+    * label is recovering real structure, a uniform mix is geometry
+    * without semantics). One row per cluster: size, distinct labels,
+    * the majority label with its count (ties break label ASC — the
+    * deterministic-ties convention), and purity = n_top/n_points as
+    * the tie-free [[Exact.ratio4]].
+    *
+    * Scale shape: the same codegen'd literal-centroid assignment scan
+    * as the audit pass (no join — clusters index the embedded
+    * codebook), then ONE (cluster, label) shuffle whose output is
+    * k × |labels| rows — dimension-sized, so the majority window and
+    * the final rollup run on a frame that fits anywhere. The trainer
+    * cost is the documented 5 corpus passes ([[fittedCentroids]]),
+    * identical to emb_kmeans. */
+  def labelPurity(
+      spark: SparkSession, dir: String, k: Int = 8, rounds: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val cents = fittedCentroids(
+      emb.select(col("vec_id"), col("embedding")), k, rounds)
+    val cell = assignedTo(emb, cents)
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("n").desc, col("label"))
+    cell.withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(
+        sum(col("n")).as("n_points"),
+        count(lit(1)).as("n_labels"),
+        max(when(col("rn") === 1, col("label"))).as("top_label"),
+        max(when(col("rn") === 1, col("n"))).as("n_top"))
+      .select(col("cluster"), col("n_points"), col("n_labels"),
+        col("top_label"), col("n_top"),
+        Exact.ratio4(col("n_top"), col("n_points")).as("purity"))
+      .orderBy(col("cluster"))
+  }
 }

@@ -31,4 +31,31 @@ class CurationSpec extends AnyFunSuite {
       assert(pct >= 0.0 && pct <= 1.0, s"pct out of range: $pct")
     }
   }
+
+  test("dedup_quality_audit partitions the corpus and agrees with its stage operators (r13)") {
+    val rows = Curation.dedupQualityAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("verdict") -> r).toMap
+    // The three verdict classes tile the corpus exactly.
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum ===
+      graft.sources.Tables.documents(spark, sf).count())
+    // Winners + uniques = the survivor pick; dropped = the rest.
+    val survivors = graft.dedup.Dedup.survivors(spark, sf).count()
+    val kept = rows.get("winner").map(_.getAs[Long]("n_docs")).getOrElse(0L) +
+      rows.get("unique").map(_.getAs[Long]("n_docs")).getOrElse(0L)
+    assert(kept === survivors, s"verdicts disagree with dedup_survivors: $kept vs $survivors")
+    // Winners and dropped both exist on this corpus (it has real
+    // near-dup clusters), and every cluster has exactly one winner,
+    // so winner count = cluster count.
+    val cl = graft.dedup.Dedup.clusters(spark, sf)
+    assert(rows("winner").getAs[Long]("n_docs") ===
+      cl.select("cluster_id").distinct().count())
+    assert(rows("dropped").getAs[Long]("n_docs") ===
+      cl.count() - cl.select("cluster_id").distinct().count())
+    rows.values.foreach { r =>
+      val mean = r.getAs[Double]("mean_q4")
+      val low = r.getAs[Double]("low_frac")
+      assert(mean >= 0.0 && mean <= 10000.0, s"mean_q4 out of range: $r")
+      assert(low >= 0.0 && low <= 1.0, s"low_frac out of range: $r")
+    }
+  }
 }

@@ -150,6 +150,31 @@ class KeyedSinkSpec extends AnyFunSuite {
       "expired and pre-flight-existing rows never reach the writer")
   }
 
+  test("keyed_export bench fixture: planted accounting lands exactly where constructed") {
+    // The bench row's synthetic export (tools/KeyedExportThroughput)
+    // must route every planted class to the right counter, or the
+    // published rows/s measures a different pipeline than claimed.
+    val n = 100000
+    val recs = graft.tools.KeyedExportThroughput.synthRecords(spark, n)
+    val ex = graft.tools.KeyedExportThroughput.existingKeys(spark, n)
+    val (secs, stats) = graft.tools.KeyedExportThroughput.measureOnce(spark, recs, ex)
+    assert(secs > 0.0)
+    assert(stats.incoming === n.toLong)
+    // Expired: ids %20==0 (already past now) plus %50==0-not-%20
+    // (eternal under prohibitEternal): n/20 + (n/50 - n/100).
+    assert(stats.expired === (n / 20 + n / 50 - n / 100).toLong)
+    // Existing: every 10th key, minus those already dropped by policy
+    // (%20 and %50 are both subsets of %10 here).
+    assert(stats.skippedExisting ===
+      (n / 10 - (n / 20 + n / 50 - n / 100)).toLong)
+    assert(stats.written ===
+      n.toLong - stats.expired - stats.skippedExisting)
+    // Planted transient failures: ids ≡ 1 (mod 5000), each retried
+    // exactly once, none exhausted.
+    assert(stats.retried === (n / 5000).toLong)
+    assert(stats.failed === 0L)
+  }
+
   test("streaming export accumulates across micro-batches and matches the batch path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val sparkS = spark

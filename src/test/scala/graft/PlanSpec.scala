@@ -484,6 +484,10 @@ class PlanSpec extends AnyFunSuite {
     // session-memoized checkpoint; planOf reads the checkpoint.
     "basket_pairs" -> 0, "brand_cheapest" -> 1, "cohort_ltv" -> 5,
     "corpus_mix" -> 2, "cube_agg" -> 1, "curation_report" -> 2,
+    // dedup_quality_audit 1: the cluster verdict frame broadcasts onto
+    // the quality scan; the only hash shuffle is the 3-row verdict
+    // rollup's partial->final exchange.
+    "dedup_quality_audit" -> 1,
     "dedup_clusters" -> 0, "dedup_clusters_star" -> 0, "dedup_embedding" -> 1,
     "dedup_exact" -> 1, "dedup_minhash_lsh" -> 2, "dedup_ngram_jaccard" -> 0,
     "dedup_semantic" -> 3,
@@ -493,6 +497,10 @@ class PlanSpec extends AnyFunSuite {
     "dedup_lsh_curve" -> 12,
     "dedup_simhash" -> 2, "dedup_substring" -> 0, "dedup_survivors" -> 0,
     "distinct_agg" -> 2, "emb_dim_stats" -> 1, "emb_kmeans" -> 1,
+    // emb_label_purity 2: the (cluster, label) cell shuffle, then the
+    // majority window's cluster repartition (the final cluster rollup
+    // rides the window's partitioning).
+    "emb_label_purity" -> 2,
     "emb_outliers" -> 2, "emb_pca" -> 0, "emb_pca_project" -> 0,
     "emb_quantize" -> 0, "emb_similarity_hist" -> 1, "events_activity_islands" -> 4,
     "events_asof_join" -> 2, "events_asof_next" -> 2, "events_asof_prev" -> 1,

@@ -99,6 +99,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("emb_label_purity: planted label mixes give exact majority, tie label ASC (r13)") {
+    import spark.implicits._
+    import graft.similarity.Kmeans
+    // Same separable geometry as the kmeans spec, but with planted
+    // labels per cluster: pure / 80-20 majority / exact 50-50 tie.
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    val dirs = Seq(0, 5, 11).map { axis =>
+      val v = new Array[Float](dim); v(axis) = 1.0f; v
+    }
+    val rows = (0 until 150).map { i =>
+      val base = dirs(i % 3)
+      val noisy = base.indices.map(j => base(j) + (rng.nextFloat() - 0.5f) * 0.1f)
+      val label = (i % 3, (i / 3) % 50) match {
+        case (0, _)           => "A"            // pure cluster
+        case (1, r) if r < 40 => "B"            // 40 B + 10 C
+        case (1, _)           => "C"
+        case (2, r) if r < 25 => "C"            // exact 25/25 tie
+        case (2, _)           => "B"
+      }
+      (i.toLong, noisy.toArray, label)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("purityfix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val out = Kmeans.labelPurity(spark, tmp, k = 3, rounds = 4).collect()
+      .map(r => r.getAs[String]("top_label") -> r)
+    assert(out.length === 3)
+    assert(out.map(_._2.getAs[Long]("n_points")).sum === 150L)
+    val byShape = out.map { case (top, r) =>
+      (r.getAs[Long]("n_labels"), top, r.getAs[Long]("n_top"),
+        r.getAs[Double]("purity"))
+    }.toSet
+    assert(byShape === Set(
+      (1L, "A", 50L, 1.0),   // pure
+      (2L, "B", 40L, 0.8),   // majority
+      (2L, "B", 25L, 0.5)),  // 50-50 tie -> label ASC picks B over C
+      s"planted purities not recovered: ${byShape.mkString("; ")}")
+  }
+
   test("emb_kmeans on the corpus: total coverage, valid audit columns") {
     val out = graft.similarity.Kmeans.embKmeans(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()

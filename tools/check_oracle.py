@@ -11,6 +11,12 @@ DECIMAL or array/struct column in a query output fails here, as it
 would in the driver.
 
 Usage: check_oracle.py <sfdir> <verify_out_dir> [--timeout=SECONDS]
+                                                 [--json=FILE]
+
+--json writes the per-query verdicts as a committed artifact (the
+CORRECTNESS_sf1_r* scale-correctness record, VERDICT r12 stretch #7):
+{"sf": dir, "n_ok": .., "n_fail": .., "timeouts": [...], "queries":
+{name: "ok"|"fail"|"timeout"}}.
 
 --timeout (off by default; the driver never passes it) is the
 scale-evidence mode: several oracles deliberately state the NAIVE
@@ -27,9 +33,12 @@ import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 timeout = None
+json_out = None
 for a in sys.argv[3:]:
     if a.startswith("--timeout="):
         timeout = float(a.split("=", 1)[1])
+    if a.startswith("--json="):
+        json_out = a.split("=", 1)[1]
 con = duckdb.connect()
 if timeout is not None:
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
@@ -55,11 +64,13 @@ def run_sql(sql):
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
 timeouts = []
+verdicts = {}
 for name in sorted(oracle):
     sql = oracle[name]
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output")
+        verdicts[name] = "fail"
         fail += 1
         continue
     try:
@@ -72,8 +83,10 @@ for name in sorted(oracle):
             print(f"TIMEOUT {name}: naive oracle formulation infeasible "
                   f"at this scale (> {timeout:.0f}s)")
             timeouts.append(name)
+            verdicts[name] = "timeout"
             continue
         print(f"FAIL {name}: {e}")
+        verdicts[name] = "fail"
         fail += 1
         continue
     except Exception as e:
@@ -81,18 +94,22 @@ for name in sorted(oracle):
             print(f"TIMEOUT {name}: naive oracle formulation infeasible "
                   f"at this scale (> {timeout:.0f}s)")
             timeouts.append(name)
+            verdicts[name] = "timeout"
             continue
         print(f"FAIL {name}: {e}")
+        verdicts[name] = "fail"
         fail += 1
         continue
     got = got[sorted(got.columns)]
     exp = exp[sorted(exp.columns)]
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        verdicts[name] = "fail"
         fail += 1
         continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+        verdicts[name] = "fail"
         fail += 1
         continue
     try:
@@ -100,6 +117,7 @@ for name in sorted(oracle):
         es = exp.sort_values(by=list(exp.columns), ignore_index=True).astype(str)
     except Exception as e:
         print(f"FAIL {name}: sort/stringify crashed (array column?): {e}")
+        verdicts[name] = "fail"
         fail += 1
         continue
     if not gs.equals(es):
@@ -107,6 +125,7 @@ for name in sorted(oracle):
         print(f"FAIL {name}: value mismatch, first diffs:")
         print("  got:", gs[diff].head(3).to_dict("records"))
         print("  exp:", es[diff].head(3).to_dict("records"))
+        verdicts[name] = "fail"
         fail += 1
         continue
     # dtype check (schema-ish; relation types are planned, not executed)
@@ -114,8 +133,16 @@ for name in sorted(oracle):
     et = [str(t) for t in con.sql(sql).types]
     flag = "" if sorted(gt) == sorted(et) else f"  [type diff: {gt} vs {et}]"
     print(f"OK   {name}: {len(got)} rows{flag}")
+    verdicts[name] = "ok"
 checked = len(oracle) - len(timeouts)
 print(f"\n{checked - fail}/{checked} oracle queries match"
       + (f" ({len(timeouts)} naive oracles timed out: {timeouts})"
          if timeouts else ""))
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf": sfdir, "n_ok": checked - fail, "n_fail": fail,
+                   "n_checked": checked, "timeout_s": timeout,
+                   "timeouts": timeouts, "queries": verdicts}, f, indent=1,
+                  sort_keys=True)
+    print(f"wrote {json_out}")
 sys.exit(1 if fail else 0)
