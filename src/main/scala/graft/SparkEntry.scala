@@ -103,6 +103,8 @@ object SparkEntry {
     "events_heatmap"           -> (Events.heatmap _),
     "events_interarrival"      -> (Events.interarrival _),
     "events_mad_outliers"      -> (Events.madOutliers _),
+    "events_attribution"       -> (Events.attribution _),
+    "events_pagerank"          -> (Events.pagerank _),
     "events_dau_mau"           -> (Events.dauMau _),
     "events_hhi"               -> (Events.hhi _),
     "events_winsorized"        -> (Events.winsorized _),
@@ -186,9 +188,11 @@ object SparkEntry {
     "text_vocab_sketch"        -> ((s: SparkSession, d: String) => Text.vocabSketch(s, d)),
     "corpus_mix"               -> (Text.corpusMix _),
     "text_c4_filters"          -> (Text.c4Filters _),
+    "text_gopher_filters"      -> (Text.gopherFilters _),
     "text_seq_packing"         -> (Text.seqPacking _),
     "sample_stratified"        -> (Text.sampleStratified _),
     "sample_temperature"       -> (Text.sampleTemperature _),
+    "sample_split"             -> (Text.sampleSplit _),
     "curation_report"          -> (graft.pipeline.Curation.report _),
     "dedup_quality_audit"      -> (graft.pipeline.Curation.dedupQualityAudit _),
     "emb_outliers"             -> (Similarity.embOutliers _),
@@ -2446,6 +2450,76 @@ object SparkEntry {
         |    AS BIGINT) / 10000.0) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
+    "events_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER w AS t_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+        |      IGNORE NULLS) OVER w AS t_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT CASE WHEN t_type IS NULL OR t_ts < ts - INTERVAL 7 DAY
+        |      THEN 'direct' ELSE t_type END AS channel, value
+        |  FROM t WHERE event_type = 'purchase'),
+        |a AS (SELECT channel, COUNT(*)::BIGINT AS n_conversions,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE)
+        |      AS attributed_revenue
+        |  FROM p GROUP BY channel)
+        |SELECT channel, n_conversions, attributed_revenue,
+        |  (CAST(ROUND(CAST(n_conversions * 10000 AS DOUBLE)
+        |    / CAST(SUM(n_conversions) OVER () AS DOUBLE), 0) AS BIGINT)
+        |    / 10000.0) AS conversion_share
+        |FROM a ORDER BY channel""".stripMargin,
+
+    "events_pagerank" ->
+      """WITH sq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |e AS (SELECT from_type, event_type AS to_type, COUNT(*)::BIGINT AS n
+        |  FROM sq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT from_type, SUM(n)::BIGINT AS out_n FROM e GROUP BY 1),
+        |ew AS (SELECT e.from_type, e.to_type, e.n, o.out_n
+        |  FROM e JOIN o USING (from_type)),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT from_type AS node FROM ew UNION ALL SELECT to_type FROM ew)),
+        |nn AS (SELECT COUNT(*)::BIGINT AS n_nodes FROM nodes),
+        |r0 AS (SELECT node, CAST(1000000000 // n_nodes AS BIGINT) AS rank_ppb
+        |  FROM nodes, nn),
+        |m1 AS (SELECT ew.to_type AS node,
+        |    SUM(CAST(r.rank_ppb AS HUGEINT) * ew.n // ew.out_n) AS in_mass
+        |  FROM ew JOIN r0 r ON r.node = ew.from_type GROUP BY 1),
+        |r1 AS (SELECT nd.node, CAST(150000000 // nn.n_nodes
+        |    + (85 * COALESCE(m1.in_mass, 0)) // 100 AS BIGINT) AS rank_ppb
+        |  FROM nodes nd CROSS JOIN nn LEFT JOIN m1 ON m1.node = nd.node),
+        |m2 AS (SELECT ew.to_type AS node,
+        |    SUM(CAST(r.rank_ppb AS HUGEINT) * ew.n // ew.out_n) AS in_mass
+        |  FROM ew JOIN r1 r ON r.node = ew.from_type GROUP BY 1),
+        |r2 AS (SELECT nd.node, CAST(150000000 // nn.n_nodes
+        |    + (85 * COALESCE(m2.in_mass, 0)) // 100 AS BIGINT) AS rank_ppb
+        |  FROM nodes nd CROSS JOIN nn LEFT JOIN m2 ON m2.node = nd.node),
+        |m3 AS (SELECT ew.to_type AS node,
+        |    SUM(CAST(r.rank_ppb AS HUGEINT) * ew.n // ew.out_n) AS in_mass
+        |  FROM ew JOIN r2 r ON r.node = ew.from_type GROUP BY 1),
+        |r3 AS (SELECT nd.node, CAST(150000000 // nn.n_nodes
+        |    + (85 * COALESCE(m3.in_mass, 0)) // 100 AS BIGINT) AS rank_ppb
+        |  FROM nodes nd CROSS JOIN nn LEFT JOIN m3 ON m3.node = nd.node),
+        |m4 AS (SELECT ew.to_type AS node,
+        |    SUM(CAST(r.rank_ppb AS HUGEINT) * ew.n // ew.out_n) AS in_mass
+        |  FROM ew JOIN r3 r ON r.node = ew.from_type GROUP BY 1),
+        |r4 AS (SELECT nd.node, CAST(150000000 // nn.n_nodes
+        |    + (85 * COALESCE(m4.in_mass, 0)) // 100 AS BIGINT) AS rank_ppb
+        |  FROM nodes nd CROSS JOIN nn LEFT JOIN m4 ON m4.node = nd.node),
+        |m5 AS (SELECT ew.to_type AS node,
+        |    SUM(CAST(r.rank_ppb AS HUGEINT) * ew.n // ew.out_n) AS in_mass
+        |  FROM ew JOIN r4 r ON r.node = ew.from_type GROUP BY 1),
+        |r5 AS (SELECT nd.node, CAST(150000000 // nn.n_nodes
+        |    + (85 * COALESCE(m5.in_mass, 0)) // 100 AS BIGINT) AS rank_ppb
+        |  FROM nodes nd CROSS JOIN nn LEFT JOIN m5 ON m5.node = nd.node)
+        |SELECT node AS event_type, rank_ppb FROM r5
+        |ORDER BY event_type""".stripMargin,
+
     "events_sequences" ->
       """WITH s AS (SELECT user_id, event_type AS e1,
         |    lead(event_type, 1) OVER w AS e2,
@@ -4182,6 +4256,90 @@ object SparkEntry {
         |  drop_reason, drop_reason = 'kept' AS kept
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_filters" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n0
+        |  FROM documents),
+        |d4 AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 23 = 0
+        |      THEN text || ' ' || repeat('# ', CAST((n0 + 5) // 6 AS INT))
+        |    WHEN doc_id % 23 = 1
+        |      THEN text || ' ' || repeat('12345 ', CAST((n0 + 2) // 3 AS INT))
+        |    WHEN doc_id % 23 = 2
+        |      THEN '- ' || regexp_replace(text, ' +', chr(10) || '- ', 'g')
+        |    WHEN doc_id % 23 = 3 THEN text || '...'
+        |    ELSE text END AS t FROM f),
+        |s AS (SELECT doc_id,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS words,
+        |    list_filter(string_split_regex(t, chr(10)), x -> x <> '') AS lines,
+        |    CAST(length(t) - length(regexp_replace(t, '#', '', 'g')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3
+        |      AS BIGINT) AS n_ell,
+        |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS n_wchars
+        |  FROM d4),
+        |g AS (SELECT doc_id,
+        |    CAST(len(words) AS INT) AS n_words,
+        |    CAST(len(lines) AS INT) AS n_lines,
+        |    (CAST(ROUND(CAST((n_hash + n_ell) * 10000 AS DOUBLE)
+        |      / CAST(GREATEST(len(words), 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |      AS symbol_ratio,
+        |    (CAST(ROUND(CAST(len(list_filter(lines, l -> l LIKE '- %')) * 10000
+        |      AS DOUBLE) / CAST(GREATEST(len(lines), 1) AS DOUBLE), 0) AS BIGINT)
+        |      / 10000.0) AS bullet_ratio,
+        |    (CAST(ROUND(CAST(len(list_filter(lines, l -> l LIKE '%...')) * 10000
+        |      AS DOUBLE) / CAST(GREATEST(len(lines), 1) AS DOUBLE), 0) AS BIGINT)
+        |      / 10000.0) AS ellipsis_ratio,
+        |    (CAST(ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+        |      * 10000 AS DOUBLE) / CAST(GREATEST(len(words), 1) AS DOUBLE), 0)
+        |      AS BIGINT) / 10000.0) AS alpha_ratio,
+        |    CAST(CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END
+        |      AS BIGINT) AS n_stop_hits,
+        |    (CAST(ROUND(CAST(n_wchars * 10000 AS DOUBLE)
+        |      / CAST(GREATEST(len(words), 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |      AS mean_word_len
+        |  FROM s)
+        |SELECT *, drop_reason = 'kept' AS kept FROM (SELECT *,
+        |    CASE WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+        |         WHEN bullet_ratio > 0.9 THEN 'bullet_lines'
+        |         WHEN ellipsis_ratio > 0.3 THEN 'ellipsis_lines'
+        |         WHEN alpha_ratio < 0.8 THEN 'alpha_words'
+        |         WHEN n_stop_hits < 2 THEN 'stopwords'
+        |         WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_length'
+        |         WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+        |         ELSE 'kept' END AS drop_reason
+        |  FROM g)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS n_toks,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 12)) AS UBIGINT)
+        |      % 1000000 AS BIGINT) AS bucket_ppm
+        |  FROM documents),
+        |s AS (SELECT CASE WHEN bucket_ppm < 980000 THEN 'train'
+        |             WHEN bucket_ppm < 990000 THEN 'val'
+        |             ELSE 'test' END AS split, doc_id, n_chars, n_toks
+        |  FROM b),
+        |a AS (SELECT split, COUNT(*)::BIGINT AS n_docs,
+        |    SUM(n_chars)::BIGINT AS n_chars, SUM(n_toks)::BIGINT AS n_tokens,
+        |    SUM(doc_id)::BIGINT AS id_checksum
+        |  FROM s GROUP BY split)
+        |SELECT split, n_docs, n_chars, n_tokens, id_checksum,
+        |  (CAST(ROUND(CAST(n_docs * 10000 AS DOUBLE)
+        |    / CAST(SUM(n_docs) OVER () AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    AS share
+        |FROM a ORDER BY split""".stripMargin,
 
     // The oracle is the NAIVE corpus-wide prefix sum (one global
     // window — fine at DuckDB scale); the Spark side computes the same

@@ -1389,4 +1389,97 @@ object Events {
         col("prev_type"), col("prev_ts"), col("gap_us"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** #32gg events_attribution: last-touch conversion attribution — for
+    * every `purchase`, the most recent PRIOR non-purchase event by the
+    * same user within a 7-day lookback is the credited channel
+    * (`direct` when none exists or the touch is stale); emits the
+    * per-channel conversion count, attributed revenue, and conversion
+    * share — the marketing-analytics staple sitting between
+    * [[asofPrev]] (which pairs adjacent events regardless of type) and
+    * [[funnel]] (which measures one chosen path). The (touch ts, touch
+    * type) pair rides ONE ignore-nulls `last` over a struct, so both
+    * fields provably come from the same touching row.
+    *
+    * Scale shape: one shuffle on user_id for the window (the module's
+    * locality unit), then a map-side-combinable |types|-key rollup;
+    * the share window rides the ≤|types|+1-row channel dimension,
+    * never the corpus. Revenue sums ride DECIMAL(30,2)
+    * ([[graft.functions.Exact.dsum]]) and the share is [[ratio4]], so
+    * the result is hash-exact cross-engine at any partitioning. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUserPrior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = Tables.events(spark, dir)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("ts").as("t_ts"), col("event_type").as("t_type"))),
+          ignoreNulls = true).over(byUserPrior))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch").isNull ||
+          col("touch.t_ts") < col("ts") - expr("INTERVAL 7 DAY"), lit("direct"))
+          .otherwise(col("touch.t_type")))
+    touched.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        pres(dsum(col("value"), 2)).as("attributed_revenue"))
+      .withColumn("conversion_share",
+        ratio4(col("n_conversions"),
+          sum(col("n_conversions")).over(Window.partitionBy())))
+      .orderBy(col("channel"))
+  }
+
+  /** #32hh events_pagerank: PageRank over the event-type transition
+    * graph (Page et al. 1999; damping 0.85, 5 unrolled power
+    * iterations) — which event types are central to user journeys,
+    * the global-importance view on top of [[transitions]]' local
+    * conditional matrix. All rank arithmetic is INTEGER in parts-per-
+    * billion units: init 10⁹ div N; each edge forwards
+    * (rank·n div out_n) of its source's mass; the damped update is
+    * 0.15·10⁹ div N + (85·in_mass) div 100. Floor-division everywhere
+    * makes every
+    * iteration a pure integer function of the transition counts —
+    * hash-exact cross-engine with no float accumulation anywhere.
+    * Dangling mass (a type with no outgoing transitions) is dropped,
+    * not redistributed, so ranks need not sum to 10⁹ — documented
+    * convention, mirrored in the oracle.
+    *
+    * Scale shape: ONE corpus pass (the lag window on the user_id
+    * exchange [[transitions]] already rides) down to the ≤|types|²
+    * edge matrix, which is COLLECTED and iterated on the driver — the
+    * emb_kmeans Lloyd discipline (only the dimension-sized moment
+    * frame ever comes back; an in-plan formulation was measured at 46
+    * nested exchanges because each iteration's lineage embeds every
+    * previous one). Driver products ride BigInt, so an edge count at
+    * any corpus size times a ppb rank cannot overflow. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(spark, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nN = nodes.length.toLong
+    var rank = nodes.map(_ -> 1000000000L / nN).toMap
+    for (_ <- 1 to 5) {
+      // Per-edge floor BEFORE the sum — the exact shape the oracle's
+      // SUM(rank * n // out) states.
+      val inMass = edges.groupBy(_._2).view.mapValues(_.map { case (f, _, n) =>
+        BigInt(rank(f)) * n / out(f)
+      }.sum).toMap
+      rank = nodes.map { v =>
+        v -> (150000000L / nN +
+          ((BigInt(85) * inMass.getOrElse(v, BigInt(0))) / 100).toLong)
+      }.toMap
+    }
+    val sparkS = spark
+    import sparkS.implicits._
+    nodes.map(v => (v, rank(v))).toSeq.toDF("event_type", "rank_ppb")
+      .orderBy(col("event_type"))
+  }
 }

@@ -1195,4 +1195,128 @@ object Text {
           .cast("long").as("err_bound"))
       .orderBy(col("rank"))
   }
+
+  /** The Gopher rule battery's stopword-presence list (Rae et al. 2021
+    * §A1.1: "contains at least 2 of ..."), fixed by the paper. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** #44u text_gopher_filters: the Gopher-style quality rule battery
+    * (Rae et al. 2021 §A1.1) — the rules [[c4Filters]] and [[quality]]
+    * do NOT cover: symbol-to-word ratio (`#` and `...`), bullet-line
+    * and ellipsis-line fractions, fraction of words containing an
+    * alphabetic character, stopword presence (≥2 distinct of the
+    * paper's 8), plus the paper's word-count and mean-word-length
+    * bounds. The corpus is single-line word salad with none of these
+    * artifacts, so (the [[c4Filters]] trade) a deterministic per-doc_id
+    * decoration injects them in-plan — MUTUALLY EXCLUSIVE on id%23
+    * (remainder 0: symbol padding, 1: numeric-word padding,
+    * 2: bulletization, 3: ellipsis line endings; one modulus so no doc
+    * composes two decorations and every planted verdict is provable
+    * from its id alone) — sized in proportion to the doc's own word
+    * count via integer arithmetic, so every rule fires on a
+    * driver-checkable subset and the firing margin clears the threshold
+    * at any doc length (no boundary ties). Each doc gets its signal
+    * columns, the
+    * FIRST failing rule as `drop_reason`, and the keep verdict; gates
+    * compare the ROUNDED [[ratio4]] presentations (the curation_report
+    * precedent) so the cut bites identically in the oracle.
+    *
+    * Scale shape: pure per-row string/regex map, zero shuffle — the
+    * same whole-stage-codegen-over-100 TB class as [[c4Filters]]. */
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    // Base word count drives decoration sizes (integer ceil-division,
+    // exact in both engines).
+    val n0 = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+    val decorated = when(id % 23 === 0,
+      concat(col("text"), lit(" "),
+        expr("repeat('# ', cast((n0 + 5) div 6 as int))")))
+      .when(id % 23 === 1,
+        concat(col("text"), lit(" "),
+          expr("repeat('12345 ', cast((n0 + 2) div 3 as int))")))
+      .when(id % 23 === 2,
+        concat(lit("- "), regexp_replace(col("text"), " +", "\n- ")))
+      .when(id % 23 === 3, concat(col("text"), lit("...")))
+      .otherwise(col("text"))
+    val sig = Tables.documents(spark, dir)
+      .withColumn("n0", n0)
+      .select(col("doc_id"), decorated.as("ftxt"))
+      .select(
+        col("doc_id"),
+        filter(split(col("ftxt"), "\\s+"), t => t =!= "").as("words"),
+        filter(split(col("ftxt"), "\n"), l => l =!= "").as("lines"),
+        (length(col("ftxt")) - length(regexp_replace(col("ftxt"), "#", "")))
+          .as("n_hash"),
+        ((length(col("ftxt")) -
+          length(regexp_replace(col("ftxt"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("n_ell"),
+        length(regexp_replace(col("ftxt"), "\\s", "")).as("n_wchars"))
+      .select(
+        col("doc_id"),
+        size(col("words")).as("n_words"),
+        size(col("lines")).as("n_lines"),
+        ratio4(col("n_hash") + col("n_ell"),
+          greatest(size(col("words")), lit(1))).as("symbol_ratio"),
+        ratio4(size(filter(col("lines"), l => l.startsWith("- "))),
+          greatest(size(col("lines")), lit(1))).as("bullet_ratio"),
+        ratio4(size(filter(col("lines"), l => l.endsWith("..."))),
+          greatest(size(col("lines")), lit(1))).as("ellipsis_ratio"),
+        ratio4(size(filter(col("words"), w => w.rlike("[a-z]"))),
+          greatest(size(col("words")), lit(1))).as("alpha_ratio"),
+        GopherStops.map(w =>
+          when(array_contains(col("words"), w), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_stop_hits"),
+        ratio4(col("n_wchars"), greatest(size(col("words")), lit(1)))
+          .as("mean_word_len"))
+    val reason = when(col("symbol_ratio") > 0.1, "symbol_ratio")
+      .when(col("bullet_ratio") > 0.9, "bullet_lines")
+      .when(col("ellipsis_ratio") > 0.3, "ellipsis_lines")
+      .when(col("alpha_ratio") < 0.8, "alpha_words")
+      .when(col("n_stop_hits") < 2, "stopwords")
+      .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0,
+        "word_length")
+      .when(col("n_words") < 50 || col("n_words") > 100000, "word_count")
+      .otherwise("kept")
+    sig.withColumn("drop_reason", reason)
+      .withColumn("kept", col("drop_reason") === "kept")
+      .orderBy(col("doc_id"))
+  }
+
+  /** #44v sample_split: the deterministic train/val/test corpus split —
+    * every pretrain pipeline's first irreversible decision. Assignment
+    * is the pinned md5-ppm bucket on doc_id (the [[sampleTemperature]]
+    * / mm_sample_balanced discipline: one integer in [0, 10⁶) per doc,
+    * bit-identical cross-engine, stable under re-runs and data
+    * relocation because it depends on the KEY, not on position or RNG
+    * state), cut at 98% / 1% / 1%. Emits the per-split audit a split
+    * manifest records: docs, chars, tokens, an order-free doc_id
+    * checksum (the re-assembly guard: any membership change moves it),
+    * and the realized share.
+    *
+    * Scale shape: one metadata-narrow corpus scan, one map-side-
+    * combinable 3-key rollup; the share window rides the 3-row split
+    * dimension, never the corpus. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#split")).cast("binary")), 1, 12), 16, 10).cast("long") % 1000000L
+    val split3 = when(col("bucket_ppm") < 980000L, "train")
+      .when(col("bucket_ppm") < 990000L, "val")
+      .otherwise("test")
+    val perSplit = Tables.documents(spark, dir)
+      .withColumn("bucket_ppm", bucket)
+      .select(split3.as("split"), col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+    perSplit
+      .withColumn("share", ratio4(col("n_docs"),
+        sum(col("n_docs"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy())))
+      .orderBy(col("split"))
+  }
 }

@@ -776,4 +776,74 @@ class EventsSpec extends AnyFunSuite {
     val vary = rows.find(_.getAs[String]("event_type") == "vary").get
     assert(vary.getAs[Long]("n_outliers") === 1L)
   }
+
+  test("attribution: planted last-touch / direct / stale-touch journeys") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    // user 1: view -> purchase(10)            => view
+    // user 2: purchase(20) only               => direct (no prior touch)
+    // user 3: click -> [8 days] purchase(30)  => direct (stale touch)
+    // user 4: view -> click -> purchase(40)   => click (LAST touch wins)
+    // user 5: purchase(5) -> purchase(6)      => both direct (a purchase
+    //                                            never credits a purchase)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(1), 1L, "purchase", 10.0),
+      (3L, ts(0), 2L, "purchase", 20.0),
+      (4L, ts(0), 3L, "click", 0.0), (5L, ts(8 * 24), 3L, "purchase", 30.0),
+      (6L, ts(0), 4L, "view", 0.0), (7L, ts(1), 4L, "click", 0.0),
+      (8L, ts(2), 4L, "purchase", 40.0),
+      (9L, ts(0), 5L, "purchase", 5.0), (10L, ts(1), 5L, "purchase", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("attr").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Events.attribution(spark, tmp).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Double]("attributed_revenue")))
+      .toMap
+    assert(got("view") === (1L, 10.0))
+    assert(got("click") === (1L, 40.0))
+    assert(got("direct") === (4L, 61.0))
+    assert(got.keySet === Set("view", "click", "direct"))
+    // Shares are exact integer ratios over the 6 conversions.
+    val shares = Events.attribution(spark, tmp).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Double]("conversion_share"))
+      .toMap
+    assert(shares("direct") === 0.6667)
+    assert(shares("view") === 0.1667)
+  }
+
+  test("pagerank: planted one-way graph ranks the sink above the source") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    // 10 users, each a -> b: the only edge is a->b, so b accumulates
+    // a's forwarded mass and a keeps only the teleport base.
+    val ev = (1L to 10L).flatMap { u =>
+      Seq((u * 2 - 1, ts(0), u, "a", 0.0), (u * 2, ts(1), u, "b", 0.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("pr").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Events.pagerank(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("rank_ppb"))
+      .toMap
+    assert(got.keySet === Set("a", "b"))
+    // Exact integer replay: N=2, r0 = 5e8 each. a has no in-edges:
+    // every round r_a = 150e6 div 2 = 75e6. b: 75e6 + 85*r_a div 100.
+    assert(got("a") === 75000000L)
+    var ra = 500000000L; var rb = 0L
+    (1 to 5).foreach { _ =>
+      rb = 75000000L + (85L * ra) / 100L
+      ra = 75000000L
+    }
+    assert(got("b") === rb)
+    // Corpus run: total rank mass is conserved up to dangling loss and
+    // floor residue (<= 1e9), every type present, all ranks positive.
+    val corpus = Events.pagerank(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(_.getAs[Long]("rank_ppb") > 0))
+    assert(corpus.map(_.getAs[Long]("rank_ppb")).sum <= 1000000000L)
+  }
 }

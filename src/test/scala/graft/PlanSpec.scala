@@ -510,6 +510,13 @@ class PlanSpec extends AnyFunSuite {
     "events_funnel" -> 1, "events_growth_curve" -> 4, "events_heatmap" -> 2,
     "events_hhi" -> 2, "events_hopping_agg" -> 2, "events_interarrival" -> 2,
     "events_interval_join" -> 2, "events_json_props" -> 1, "events_mad_outliers" -> 4,
+    // events_attribution 2: the user_id window exchange + the channel
+    // rollup; the share window rides the dimension-sized channel frame.
+    "events_attribution" -> 2,
+    // events_pagerank 0: the corpus pass collects the ≤|types|² edge
+    // matrix at construction (the emb_kmeans moments discipline); the
+    // returned frame is the driver-iterated rank table.
+    "events_pagerank" -> 0,
     "events_moving_avg" -> 1, "events_retention" -> 3, "events_sequences" -> 2,
     "events_session_mix" -> 3, "events_session_stats" -> 4, "events_sessionize" -> 1,
     "events_sessionize_native" -> 1, "events_transitions" -> 3, "events_user_overlap" -> 7,
@@ -538,7 +545,13 @@ class PlanSpec extends AnyFunSuite {
     "q5_local_supplier" -> 1, "q6_forecast_revenue" -> 0, "q7_nation_volume" -> 1,
     "q8_market_share" -> 1, "quantile_agg" -> 10, "quantile_sketch" -> 11,
     "rfm_scores" -> 9, "rollup_agg" -> 1, "running_total" -> 1,
-    "sample_stratified" -> 1, "sample_temperature" -> 2, "set_ops" -> 2,
+    "sample_stratified" -> 1, "sample_temperature" -> 2,
+    // sample_split 1: the 3-key split rollup; the share window rides
+    // the 3-row dimension (SinglePartition, not a hash exchange).
+    "sample_split" -> 1,
+    // text_gopher_filters 0: pure per-row decoration + signal map.
+    "text_gopher_filters" -> 0,
+    "set_ops" -> 2,
     "ship_latency" -> 1, "spend_deciles" -> 9, "supplier_concentration" -> 1,
     "supplier_dominance" -> 2, "table_profile" -> 1,
     // text_bigram_lm 0: the model's training exchanges are behind the

@@ -673,4 +673,72 @@ class TextSpec extends AnyFunSuite {
       assert(r.getAs[Double]("chars_per_word") === (100 * c / math.max(w, 1)) / 100.0)
     }
   }
+
+  test("gopher_filters: every decorated rule fires on its planted subset") {
+    import SparkTestSession._
+    val rows = Text.gopherFilters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    byId.foreach { case (id, r) =>
+      val reason = r.getAs[String]("drop_reason")
+      ((id % 23).toInt) match {
+        case 0 =>
+          // Symbol padding: ceil(n0/6) '#' words over ~7n0/6 total
+          // words is >= 1/7 > 0.1 at any n0.
+          assert(r.getAs[Double]("symbol_ratio") > 0.1, s"doc $id: $r")
+          assert(reason === "symbol_ratio", s"doc $id: $reason")
+        case 1 =>
+          // Numeric padding: ceil(n0/3) digit words push alpha share
+          // to <= 3/4 < 0.8 at any n0.
+          assert(r.getAs[Double]("alpha_ratio") < 0.8, s"doc $id: $r")
+          assert(reason === "alpha_words", s"doc $id: $reason")
+        case 2 =>
+          // Fully bulletized: every line starts with '- '.
+          assert(r.getAs[Double]("bullet_ratio") === 1.0, s"doc $id: $r")
+          assert(reason === "bullet_lines", s"doc $id: $reason")
+        case 3 =>
+          // The single line ends '...'; a very short doc can trip the
+          // (earlier-in-chain) symbol rule on that same ellipsis —
+          // faithful to Gopher, which counts '...' as a symbol.
+          assert(r.getAs[Double]("ellipsis_ratio") === 1.0, s"doc $id: $r")
+          val want = if (r.getAs[Double]("symbol_ratio") > 0.1)
+            "symbol_ratio" else "ellipsis_lines"
+          assert(reason === want, s"doc $id: $reason != $want")
+        case _ =>
+          // Undecorated docs can only fail the natural Gopher rules.
+          assert(Set("stopwords", "word_length", "word_count", "kept")(reason),
+            s"doc $id: unexpected reason $reason")
+      }
+      // Ratio sanity on every row.
+      Seq("symbol_ratio", "bullet_ratio", "ellipsis_ratio", "alpha_ratio")
+        .foreach { c => val v = r.getAs[Double](c)
+          assert(v >= 0.0 && (c == "symbol_ratio" || v <= 1.0), s"$c=$v: $r") }
+    }
+    // The stopword-presence rule must fire somewhere naturally: the
+    // word-salad corpus has docs with fewer than 2 of the Gopher 8.
+    assert(rows.exists(_.getAs[String]("drop_reason") == "stopwords"))
+  }
+
+  test("sample_split: splits partition the corpus and shares are exact") {
+    import SparkTestSession._
+    val rows = Text.sampleSplit(spark, sf).collect()
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(splits.contains("train"))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    // Membership checksum: id sums per split must partition the corpus
+    // id sum (any reassignment of one doc moves two split checksums).
+    val idTotal = graft.sources.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("doc_id")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("id_checksum")).sum === idTotal)
+    val trainShare = rows.find(_.getAs[String]("split") == "train")
+      .get.getAs[Double]("share")
+    assert(trainShare > 0.9, s"train share $trainShare")
+    // Assignment is by key, not position: re-running over a
+    // repartitioned corpus is bit-identical.
+    val a = rows.map(_.toString).sorted
+    val b = Text.sampleSplit(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
