@@ -105,6 +105,7 @@ object SparkEntry {
     "events_mad_outliers"      -> (Events.madOutliers _),
     "events_attribution"       -> (Events.attribution _),
     "events_pagerank"          -> (Events.pagerank _),
+    "events_user_features"     -> (Events.userFeatures _),
     "events_dau_mau"           -> (Events.dauMau _),
     "events_hhi"               -> (Events.hhi _),
     "events_winsorized"        -> (Events.winsorized _),
@@ -200,6 +201,7 @@ object SparkEntry {
     "emb_dim_stats"            -> (Similarity.embDimStats _),
     "ann_range_search"         -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_filtered_topk"        -> (Similarity.filteredTopK _),
+    "emb_knn_graph"            -> (Similarity.knnGraph _),
     // rows-only by design: an iterative Lloyd fit isn't ANSI SQL;
     // planted-cluster recovery + repartition-proof ScalaTest oracle.
     "emb_kmeans"               -> ((s, d) => Kmeans.embKmeans(s, d)),
@@ -887,14 +889,21 @@ object SparkEntry {
     * assignment (strict-greater tie rule → (dot DESC, c ASC)),
     * ROUND(x·2²⁰) BIGINT component sums, and renormalization. Leaves
     * the fitted centroids in `c<iters>`(c INT, cv DOUBLE[]). */
-  private def sphericalFitSqlParts(k: Int, iters: Int, dim: Int): Seq[String] = {
+  private def sphericalFitSqlParts(k: Int, iters: Int, dim: Int): Seq[String] =
+    sphericalFitSqlPartsK(k.toString, iters, dim)
+
+  /** [[sphericalFitSqlParts]] with the centroid count as a SQL
+    * EXPRESSION (e.g. a scalar subquery over a `kdef` CTE) — for
+    * operators whose list count adapts to the corpus size
+    * (emb_knn_graph's k² ≥ n rule). */
+  private def sphericalFitSqlPartsK(k: String, iters: Int, dim: Int): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer(
       "nn AS (SELECT COUNT(*) AS n FROM samp)",
       s"""c0 AS MATERIALIZED (
         |  SELECT k.c, ${normCvSql("s.v")} AS cv
         |  FROM (SELECT UNNEST(range(0, $k))::INT AS c) k
         |  CROSS JOIN nn
-        |  JOIN samp s ON s.rnk = (k.c * nn.n) // $k)""".stripMargin)
+        |  JOIN samp s ON s.rnk = (k.c * nn.n) // ($k))""".stripMargin)
     (1 to iters).foreach { i =>
       val prev = s"c${i - 1}"
       parts += s"""a$i AS MATERIALIZED (
@@ -945,6 +954,53 @@ object SparkEntry {
       |  FROM cand c JOIN q qq ON qq.query_id = c.query_id
       |              JOIN emb ee ON ee.vec_id = c.vec_id)""".stripMargin
     s"WITH ${parts.mkString(",\n")},\n$annRerankTailSql"
+  }
+
+  /** emb_knn_graph under the hard gate: the same unrolled spherical-fit
+    * chain as [[annIvfOracleSql]] (identical sample, seeds, 5 Lloyd
+    * rounds, assignment tie rule), then the same-list corpus self-join,
+    * per-source top-5 under the bounded-heap's (cos DESC, id ASC)
+    * order, and the mutual flag as a left self-join of the edge list on
+    * the reversed key. */
+  private def embKnnGraphOracleSql: String = {
+    val (iters, kG, dim) = (5, 5, 64)
+    // The adaptive list count: smallest power of 2 (from 16, capped at
+    // the 1024-vector sample size) with k² ≥ corpus size — mirrored
+    // exactly by Similarity.knnGraph's doubling rule.
+    val kExpr = "(SELECT kk FROM kdef)"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """kdef AS (SELECT MIN(k)::INT AS kk
+        |  FROM (SELECT UNNEST([16, 32, 64, 128, 256, 512, 1024]) AS k)
+        |  WHERE k * k >= (SELECT COUNT(*) FROM emb) OR k = 1024)""".stripMargin,
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM emb WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
+    parts ++= sphericalFitSqlPartsK(kExpr, iters, dim)
+    val fin = s"c$iters"
+    parts += s"""casn AS MATERIALIZED (
+      |  SELECT vec_id, c AS centroid FROM (
+      |    SELECT e.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${nearestCentroidScoreSql("e.v")} DESC, c.c) AS rn
+      |    FROM emb e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+    parts += """cand AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+      |    list_dot_product(ea.v, eb.v)
+      |      / sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)) AS cos
+      |  FROM casn a JOIN casn b USING (centroid)
+      |  JOIN emb ea ON ea.vec_id = a.vec_id
+      |  JOIN emb eb ON eb.vec_id = b.vec_id
+      |  WHERE a.vec_id <> b.vec_id)""".stripMargin
+    parts += s"""top AS MATERIALIZED (
+      |  SELECT src_id, CAST(rnk AS INT) AS rank, dst_id, cos FROM (
+      |    SELECT src_id, dst_id, cos, ROW_NUMBER() OVER (
+      |      PARTITION BY src_id ORDER BY cos DESC, dst_id) AS rnk FROM cand)
+      |  WHERE rnk <= $kG)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT t.src_id, t.rank, t.dst_id, t.cos,
+      |  (r.src_id IS NOT NULL) AS mutual
+      |FROM top t LEFT JOIN top r
+      |  ON r.src_id = t.dst_id AND r.dst_id = t.src_id
+      |ORDER BY t.src_id, t.rank""".stripMargin
   }
 
   /** ann_pq_topk under the hard gate (VERDICT r10 #4): all 8 per-block
@@ -1586,6 +1642,7 @@ object SparkEntry {
     ("ann_tuning_curve" -> annTuningCurveOracleSql) +
     ("emb_kmeans" -> embKmeansOracleSql) +
     ("emb_label_purity" -> embLabelPurityOracleSql) +
+    ("emb_knn_graph" -> embKnnGraphOracleSql) +
     ("dedup_quality_audit" -> DedupQualityAuditOracleSql) +
     ("dedup_semantic" -> dedupSemanticOracleSql)
 
@@ -2471,6 +2528,27 @@ object SparkEntry {
         |    / CAST(SUM(n_conversions) OVER () AS DOUBLE), 0) AS BIGINT)
         |    / 10000.0) AS conversion_share
         |FROM a ORDER BY channel""".stripMargin,
+
+    "events_user_features" ->
+      """WITH a AS (SELECT user_id,
+        |    COUNT(*)::BIGINT AS n_events,
+        |    COUNT(DISTINCT event_type)::BIGINT AS n_types,
+        |    COUNT(DISTINCT epoch_us(ts) // 86400000000)::BIGINT
+        |      AS n_active_days,
+        |    MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE)
+        |      AS total_value,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchases
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, n_types, n_active_days, first_ts, last_ts,
+        |  total_value, n_purchases,
+        |  (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
+        |    AS lifespan_days,
+        |  (CAST(ROUND(CAST(n_events * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n_active_days, 1) AS DOUBLE), 0) AS BIGINT)
+        |    / 10000.0) AS events_per_active_day
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "events_pagerank" ->
       """WITH sq AS (SELECT user_id, event_type,

@@ -1482,4 +1482,37 @@ object Events {
     nodes.map(v => (v, rank(v))).toSeq.toDF("event_type", "rank_ppb")
       .orderBy(col("event_type"))
   }
+
+  /** #32ii events_user_features: the per-user FEATURE-STORE row — the
+    * aggregation every churn/LTV/propensity model starts from: event
+    * volume, type diversity, active-day count, first/last timestamps,
+    * integer lifespan, exact total value, purchase count, and
+    * events-per-active-day intensity. One row per user (corpus-keyed
+    * output — this IS the feature table a training pipeline joins).
+    *
+    * Scale shape: ONE user_id aggregation; the two distinct counts
+    * (types, days) ride Spark's Expand-based multi-distinct within the
+    * same exchange, day keys are integer epoch arithmetic
+    * (us div 86400e6, the dau_mau convention), value sums DECIMAL(30,2)
+    * ([[graft.functions.Exact.dsum]]), intensity the tie-free
+    * [[ratio4]] — hash-exact at any partitioning. */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("day")).as("n_active_days"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        pres(dsum(col("value"), 2)).as("total_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .withColumn("lifespan_days",
+        expr("(unix_micros(last_ts) - unix_micros(first_ts)) div 86400000000"))
+      .withColumn("events_per_active_day",
+        ratio4(col("n_events"), greatest(col("n_active_days"), lit(1L))))
+      .orderBy(col("user_id"))
+  }
 }

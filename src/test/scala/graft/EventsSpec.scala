@@ -846,4 +846,29 @@ class EventsSpec extends AnyFunSuite {
     assert(corpus.forall(_.getAs[Long]("rank_ppb") > 0))
     assert(corpus.map(_.getAs[Long]("rank_ppb")).sum <= 1000000000L)
   }
+
+  test("user_features: one row per user, recounted against raw events") {
+    val rows = Events.userFeatures(spark, sf).collect()
+    val raw = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts)", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(rows.length === raw.map(_._1).distinct.length)
+    val byUser = raw.groupBy(_._1)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val evs = byUser(u)
+      assert(r.getAs[Long]("n_events") === evs.length.toLong)
+      assert(r.getAs[Long]("n_types") === evs.map(_._3).distinct.length.toLong)
+      val days = evs.map(_._2 / 86400000000L).distinct
+      assert(r.getAs[Long]("n_active_days") === days.length.toLong)
+      assert(r.getAs[Long]("n_purchases") ===
+        evs.count(_._3 == "purchase").toLong)
+      val firstUs = evs.map(_._2).min
+      val lastUs = evs.map(_._2).max
+      assert(r.getAs[Long]("lifespan_days") === (lastUs - firstUs) / 86400000000L)
+      // Intensity is the exact 4-place integer ratio.
+      val want = math.round(evs.length * 10000.0 / math.max(days.length, 1)) / 10000.0
+      assert(r.getAs[Double]("events_per_active_day") === want)
+    }
+  }
 }

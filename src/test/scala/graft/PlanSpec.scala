@@ -501,6 +501,10 @@ class PlanSpec extends AnyFunSuite {
     // majority window's cluster repartition (the final cluster rollup
     // rides the window's partitioning).
     "emb_label_purity" -> 2,
+    // emb_knn_graph 4: corpus assignment agg-join for the same-list
+    // candidates, the per-source bounded-heap top-k partial->final,
+    // and the reversed-key mutual self-join's two sides.
+    "emb_knn_graph" -> 4,
     "emb_outliers" -> 2, "emb_pca" -> 0, "emb_pca_project" -> 0,
     "emb_quantize" -> 0, "emb_similarity_hist" -> 1, "events_activity_islands" -> 4,
     "events_asof_join" -> 2, "events_asof_next" -> 2, "events_asof_prev" -> 1,
@@ -517,6 +521,9 @@ class PlanSpec extends AnyFunSuite {
     // matrix at construction (the emb_kmeans moments discipline); the
     // returned frame is the driver-iterated rank table.
     "events_pagerank" -> 0,
+    // events_user_features 2: the user rollup's Expand multi-distinct
+    // (partial + final over the expanded frame).
+    "events_user_features" -> 2,
     "events_moving_avg" -> 1, "events_retention" -> 3, "events_sequences" -> 2,
     "events_session_mix" -> 3, "events_session_stats" -> 4, "events_sessionize" -> 1,
     "events_sessionize_native" -> 1, "events_transitions" -> 3, "events_user_overlap" -> 7,

@@ -553,4 +553,36 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Double]("avg_cos") <= r.getAs[Double]("max_cos") + 1e-4)
     }
   }
+
+  test("knn_graph: ranked edges, ordered cosines, mutual flag is exact") {
+    val rows = Similarity.knnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[Long]("src_id"))
+    bySrc.foreach { case (s, es) =>
+      val ranked = es.sortBy(_.getAs[Int]("rank"))
+      // Ranks are 1..|edges| contiguous, at most k=5.
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq === (1 to ranked.length))
+      assert(ranked.length <= 5)
+      // Cosine non-increasing in rank (the bounded-heap order).
+      ranked.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("cos") >= b.getAs[Double]("cos") - 1e-12)
+        case _ => ()
+      }
+      // No self-loops, no duplicate endpoints per source.
+      assert(!es.exists(_.getAs[Long]("dst_id") == s))
+      assert(es.map(_.getAs[Long]("dst_id")).distinct.length === es.length)
+    }
+    // The mutual flag is exactly "the reversed edge exists in the list".
+    val edgeSet = rows.map(r =>
+      (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"))).toSet
+    rows.foreach { r =>
+      val want = edgeSet((r.getAs[Long]("dst_id"), r.getAs[Long]("src_id")))
+      assert(r.getAs[Boolean]("mutual") === want, s"mutual mismatch: $r")
+    }
+    // On a real corpus some neighborhoods agree and some don't — both
+    // flag values must occur or the column is degenerate.
+    assert(rows.exists(_.getAs[Boolean]("mutual")))
+    assert(rows.exists(!_.getAs[Boolean]("mutual")))
+  }
 }
