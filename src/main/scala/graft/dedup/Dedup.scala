@@ -205,9 +205,14 @@ object Dedup {
         posexplode(Sketches.bandHashes(col("sig"), b)))
         .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
       val cand = candidatesFromBands(banded, maxBucket = 200)
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("n_found")))
+      // ONE evaluation of the bucket-pair pipeline per banding: the
+      // candidate count and the truth-hit count ride the same LEFT
+      // join aggregate (truth pairs are unique, so the join cannot
+      // duplicate a candidate), where the previous two-aggregate
+      // crossJoin shape evaluated `cand` twice per banding.
+      cand.join(truth.withColumn("_t", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          count(col("_t")).as("n_found"))
         .select(lit(b).as("n_bands"),
           lit(numHashes / b).as("rows_per_band"),
           col("n_candidates"), col("n_found"))

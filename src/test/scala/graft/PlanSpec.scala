@@ -491,10 +491,12 @@ class PlanSpec extends AnyFunSuite {
     "dedup_clusters" -> 0, "dedup_clusters_star" -> 0, "dedup_embedding" -> 1,
     "dedup_exact" -> 1, "dedup_minhash_lsh" -> 2, "dedup_ngram_jaccard" -> 0,
     "dedup_semantic" -> 3,
-    // dedup_lsh_curve 12: three bandings x (bucket agg + pair
-    // distinct + found count) over ONE checkpointed signature pass;
-    // the exact truth set is behind the session memo.
-    "dedup_lsh_curve" -> 12,
+    // dedup_lsh_curve 12 -> 6 (r13): the candidate count and the
+    // truth-hit count now ride ONE left-join aggregate per banding
+    // (was a crossJoin of two aggregates, each evaluating the
+    // bucket-pair pipeline); three bandings x (bucket agg + pair
+    // distinct) over ONE checkpointed signature pass remain.
+    "dedup_lsh_curve" -> 6,
     "dedup_simhash" -> 2, "dedup_substring" -> 0, "dedup_survivors" -> 0,
     "distinct_agg" -> 2, "emb_dim_stats" -> 1, "emb_kmeans" -> 1,
     // emb_label_purity 2: the (cluster, label) cell shuffle, then the
