@@ -149,6 +149,7 @@ object SparkEntry {
     "dedup_embedding"          -> (Dedup.embedding _),
     "dedup_semantic"           -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "dedup_lsh_curve"          -> (Dedup.lshCurve _),
+    "dedup_threshold_curve"    -> (Dedup.thresholdCurve _),
     // §2.5 similarity search
     "ann_bruteforce_topk"      -> (Similarity.bruteForceTopK _),
     "ann_lsh_topk"             -> (Similarity.lshTopK _),
@@ -2995,6 +2996,45 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_threshold_curve" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[r.i] || ' ' || t[r.i+1] || ' ' || t[r.i+2]
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200),
+        |uni AS (SELECT s.doc_id, s.shingle FROM sh s JOIN capped USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM uni GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |       FROM uni a JOIN uni b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pj AS (SELECT doc_a, doc_b,
+        |    CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+        |      AS jaccard
+        |  FROM co JOIN sizes sa ON sa.doc_id = doc_a
+        |          JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE)
+        |    / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+        |lv AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+        |    CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE)]) AS threshold),
+        |ep AS (SELECT p.jaccard, u.d
+        |  FROM pj p, UNNEST([p.doc_a, p.doc_b]) AS u(d)),
+        |a1 AS (SELECT l.threshold, COUNT(p.doc_a)::BIGINT AS n_pairs
+        |  FROM lv l LEFT JOIN pj p ON p.jaccard >= l.threshold GROUP BY 1),
+        |a2 AS (SELECT l.threshold, COUNT(DISTINCT e.d)::BIGINT AS n_docs_in_pairs
+        |  FROM lv l LEFT JOIN ep e ON e.jaccard >= l.threshold GROUP BY 1),
+        |nd AS (SELECT COUNT(*)::BIGINT AS n_docs_corpus FROM documents)
+        |SELECT a1.threshold, a1.n_pairs, a2.n_docs_in_pairs, nd.n_docs_corpus,
+        |  (CAST(ROUND(CAST(a2.n_docs_in_pairs * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(nd.n_docs_corpus, 1) AS DOUBLE), 0) AS BIGINT)
+        |    / 10000.0) AS doc_share
+        |FROM a1 JOIN a2 USING (threshold) CROSS JOIN nd
+        |ORDER BY a1.threshold""".stripMargin,
 
     "events_weekend_contrast" ->
       """WITH e AS (SELECT event_type,

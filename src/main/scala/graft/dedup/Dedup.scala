@@ -227,6 +227,44 @@ object Dedup {
       .orderBy(col("n_bands"))
   }
 
+  /** #37i dedup_threshold_curve: the VERIFY-threshold keep-rate curve —
+    * for each candidate Jaccard cutoff (0.5 / 0.6 / 0.7 / 0.8), how
+    * many pairs survive, how many distinct docs are implicated, and
+    * what share of the corpus that is — the decision surface a dedup
+    * rollout picks its threshold from, completing the tuning-report
+    * family (quality_curve sweeps the quality gate, lsh_curve the
+    * banding, ann_tuning_curve the probe count; this sweeps the one
+    * constant dedup still hard-codes). 0.5 is the family's pinned
+    * candidate floor, so every level is a filter over ONE shared frame.
+    *
+    * Scale shape: all four levels are filters over the SAME memoized
+    * duplication-bounded exact pair frame ([[ngramJaccardM]] — built
+    * once per session, kilobytes resident); each level is a
+    * dimension-sized aggregate plus a distinct over the pair
+    * endpoints, never a corpus pass. The corpus-size denominator is a
+    * 1-row broadcast. */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.ratio4
+    val pairs = ngramJaccardM(spark, dir)
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs_corpus"))
+    val levels = Seq(0.5, 0.6, 0.7, 0.8)
+    val rows = levels.map { t =>
+      val surv = pairs.filter(col("jaccard") >= t)
+      surv.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(
+          surv.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+            .agg(countDistinct(col("d")).as("n_docs_in_pairs")))
+        .select(lit(t).as("threshold"), col("n_pairs"), col("n_docs_in_pairs"))
+    }.reduce(_ union _)
+    rows.crossJoin(broadcast(nDocs))
+      .select(col("threshold"), col("n_pairs"), col("n_docs_in_pairs"),
+        col("n_docs_corpus"),
+        ratio4(col("n_docs_in_pairs"), greatest(col("n_docs_corpus"), lit(1L)))
+          .as("doc_share"))
+      .orderBy(col("threshold"))
+  }
+
   /** #36 dedup_simhash: 64-bit SimHash over 3-word shingles; candidates
     * share one of 8 8-bit bands (pigeonhole: any pair with Hamming ≤ 7
     * is guaranteed a clean band), verified at Hamming ≤ 7. */

@@ -372,4 +372,29 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("threshold_curve: monotone keep-rate levels anchored at the 0.5 floor") {
+    import SparkTestSession._
+    import graft.dedup.Dedup
+    val rows = Dedup.thresholdCurve(spark, sf).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ===
+      Seq(0.5, 0.6, 0.7, 0.8))
+    // Raising the cut can only shed pairs and docs.
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"))
+        assert(lo.getAs[Long]("n_docs_in_pairs") >=
+          hi.getAs[Long]("n_docs_in_pairs"))
+      case _ => ()
+    }
+    // The 0.5 level IS the dedup_ngram_jaccard pair set.
+    val base = Dedup.ngramJaccard(spark, sf).count()
+    assert(rows.head.getAs[Long]("n_pairs") === base)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("doc_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("n_docs_in_pairs") <= 2 * r.getAs[Long]("n_pairs"))
+    }
+  }
 }

@@ -497,6 +497,10 @@ class PlanSpec extends AnyFunSuite {
     // bucket-pair pipeline); three bandings x (bucket agg + pair
     // distinct) over ONE checkpointed signature pass remain.
     "dedup_lsh_curve" -> 6,
+    // dedup_threshold_curve 4: per level one endpoint-distinct agg
+    // over the memoized pair checkpoint (the pair build is behind the
+    // session memo planOf reads).
+    "dedup_threshold_curve" -> 4,
     "dedup_simhash" -> 2, "dedup_substring" -> 0, "dedup_survivors" -> 0,
     "distinct_agg" -> 2, "emb_dim_stats" -> 1, "emb_kmeans" -> 1,
     // emb_label_purity 2: the (cluster, label) cell shuffle, then the
