@@ -266,9 +266,12 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
     // Headline total stays query-only (comparable across rounds that
-    // predate the sstable rows).
+    // predate the sstable/streaming/export rows) — the same exclusion
+    // set the baseline's mergedTotal applies, or the headline-vs-
+    // baseline comparison silently absorbs the export bench's wall.
     val total = results.collect {
-      case (k, Right(s)) if !k.startsWith("sstable_") && !k.startsWith("streaming_") => s
+      case (k, Right(s)) if !k.startsWith("sstable_") &&
+        !k.startsWith("streaming_") && !k.startsWith("keyed_") => s
     }.sum
     // Median-of-attempts next to the min: min-of-3 with no warmup
     // separation lets a co-tenant spike through unnoticed on the OTHER

@@ -250,11 +250,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs_corpus"))
     val levels = Seq(0.5, 0.6, 0.7, 0.8)
     val rows = levels.map { t =>
-      val surv = pairs.filter(col("jaccard") >= t)
-      surv.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(
-          surv.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
-            .agg(countDistinct(col("d")).as("n_docs_in_pairs")))
+      // ONE pass per level (the lshCurve single-aggregate discipline):
+      // both counts ride the exploded-endpoint frame — a pair emits
+      // exactly 2 endpoint rows, so n_pairs is the integer half.
+      pairs.filter(col("jaccard") >= t)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .agg(expr("count(1) div 2").as("n_pairs"),
+          countDistinct(col("d")).as("n_docs_in_pairs"))
         .select(lit(t).as("threshold"), col("n_pairs"), col("n_docs_in_pairs"))
     }.reduce(_ union _)
     rows.crossJoin(broadcast(nDocs))

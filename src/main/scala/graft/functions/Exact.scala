@@ -70,10 +70,25 @@ object Exact {
         round(den, 0).cast("decimal(38,0)").cast("double"), 0)
       .cast("decimal(38,0)").cast("double") / lit(10000.0)
 
-  /** SQL fragment mirroring [[ratio4]] for the DuckDB oracle. */
+  /** SQL fragment mirroring [[ratio4]] for the DuckDB oracle —
+    * shape-for-shape the Spark side: the same ROUND(x, 0) operand
+    * normalization, routed through DECIMAL(38,4) because DuckDB's
+    * bare ROUND(BIGINT) detours through DOUBLE and corrupts integers
+    * past 2⁵³ (measured: 9007199254740993 → ...992), while the
+    * decimal round is exact and half-away-from-zero == Spark's
+    * HALF_UP for the non-negative inputs the convention serves; the
+    * ×10⁴ scaling rides HUGEINT (the DECIMAL(38,0) stand-in), so a
+    * fractional operand rounds identically in both engines and a
+    * numerator past 9.2e14 presents instead of aborting the old
+    * form's BIGINT cast. Hand-inlined oracle fragments across
+    * SparkEntry keep the older BIGINT multiply-first form —
+    * value-identical for the in-range integer operands those queries
+    * pass — but NEW call sites must use this helper. */
   def ratio4Sql(num: String, den: String): String =
-    s"(CAST(ROUND(CAST(($num) * 10000 AS DOUBLE) / " +
-    s"CAST(($den) AS DOUBLE), 0) AS BIGINT) / 10000.0)"
+    s"(CAST(ROUND(CAST(CAST(ROUND(CAST(($num) AS DECIMAL(38,4)), 0) AS HUGEINT)" +
+    s" * 10000 AS DOUBLE) / " +
+    s"CAST(CAST(ROUND(CAST(($den) AS DECIMAL(38,4)), 0) AS HUGEINT) AS DOUBLE)," +
+    s" 0) AS HUGEINT) / 10000.0)"
 
   /** Cast a double term to an exact decimal at the given scale. */
   def dec(c: Column, scale: Int): Column = c.cast(DecimalType(30, scale))

@@ -1212,12 +1212,15 @@ object Text {
     * decoration injects them in-plan — MUTUALLY EXCLUSIVE on id%23
     * (remainder 0: symbol padding, 1: numeric-word padding,
     * 2: bulletization, 3: ellipsis line endings; one modulus so no doc
-    * composes two decorations and every planted verdict is provable
-    * from its id alone) — sized in proportion to the doc's own word
-    * count via integer arithmetic, so every rule fires on a
-    * driver-checkable subset and the firing margin clears the threshold
-    * at any doc length (no boundary ties). Each doc gets its signal
-    * columns, the
+    * composes two decorations). The sized decorations (0, 1) scale
+    * with the doc's own word count via integer arithmetic, so their
+    * rule fires with margin at any doc length; remainders 2 and 3
+    * fire their line rules at ratio 1.0, with ONE documented
+    * interaction: a very short remainder-3 doc can trip the
+    * earlier-in-chain symbol rule on its own ellipsis (faithful to
+    * Gopher, which counts `...` as a symbol) — the spec asserts
+    * whichever of the two the row's own rounded ratios select. Each
+    * doc gets its signal columns, the
     * FIRST failing rule as `drop_reason`, and the keep verdict; gates
     * compare the ROUNDED [[ratio4]] presentations (the curation_report
     * precedent) so the cut bites identically in the oracle.
