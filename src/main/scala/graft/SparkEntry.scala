@@ -126,6 +126,7 @@ object SparkEntry {
     "order_cadence"            -> (Relational.orderCadence _),
     "emb_similarity_hist"      -> (Similarity.similarityHist _),
     "table_profile"            -> (Relational.tableProfile _),
+    "fk_integrity"             -> (Relational.fkIntegrity _),
     "nation_year_growth"       -> (Relational.nationYearGrowth _),
     "brand_cheapest"           -> (Relational.brandCheapest _),
     "text_len_hist"            -> (Text.lenHist _),
@@ -3735,6 +3736,46 @@ object SparkEntry {
         |   AS yoy_growth
         |FROM w JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY nation, year""".stripMargin,
+
+    "fk_integrity" ->
+      """WITH e1 AS (SELECT 'customer.c_nationkey -> nation' AS relationship,
+        |    COUNT(*)::BIGINT AS n_child,
+        |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        |    ON n.n_nationkey = c.c_nationkey),
+        |e2 AS (SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+        |    COUNT(*)::BIGINT AS n_child,
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON o.o_orderkey = l.l_orderkey),
+        |e3 AS (SELECT 'nation.n_regionkey -> region' AS relationship,
+        |    COUNT(*)::BIGINT AS n_child,
+        |    CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+        |    ON r.r_regionkey = n.n_regionkey),
+        |e4 AS (SELECT 'orders.o_custkey -> customer' AS relationship,
+        |    COUNT(*)::BIGINT AS n_child,
+        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON c.c_custkey = o.o_custkey),
+        |e5 AS (SELECT 'supplier.s_nationkey -> nation' AS relationship,
+        |    COUNT(*)::BIGINT AS n_child,
+        |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        |    ON n.n_nationkey = s.s_nationkey),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |  UNION ALL SELECT * FROM e5)
+        |SELECT relationship, n_child, n_orphans,
+        |  (CAST(ROUND(CAST(n_orphans * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(n_child, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    AS orphan_share
+        |FROM u ORDER BY relationship""".stripMargin,
 
     "table_profile" ->
       """WITH n AS (SELECT COUNT(*)::BIGINT AS n_rows FROM orders)

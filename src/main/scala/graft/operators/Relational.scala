@@ -1227,4 +1227,49 @@ object Relational {
           col("exact_orders").cast("double"), 4))
       .orderBy(col("l_returnflag"))
   }
+
+  /** #25n fk_integrity: the referential-integrity audit over the star
+    * schema's five foreign-key edges — per relationship, the child
+    * row count, the orphan count (child keys with no parent row) and
+    * the orphan share: the warehouse data-quality gate a pipeline
+    * runs BEFORE trusting any join's completeness ([[tableProfile]]'s
+    * cross-table companion). A healthy corpus reports zeros; the
+    * value is the mechanism — after a partial load or a botched
+    * key-remap, the row that breaks names the edge.
+    *
+    * Scale shape: one pass per edge — the child streams once through
+    * a LEFT join against the parent's DISTINCT key projection
+    * (dimension parents broadcast; the fact-fact edge shuffles on the
+    * join key like every fact-fact join here), and both counts ride
+    * ONE aggregate (orphan = null parent marker). Output is
+    * |edges|-sized. */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String, bcast: Boolean): DataFrame = {
+      val p0 = parent.select(col(parentKey).as(childKey)).distinct()
+        .withColumn("_p", lit(1))
+      val p = if (bcast) broadcast(p0) else p0
+      child.select(col(childKey)).join(p, Seq(childKey), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("_p").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"),
+          ratio4(col("n_orphans"), greatest(col("n_child"), lit(1L)))
+            .as("orphan_share"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    Seq(
+      edge("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey", bcast = true),
+      edge("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey", bcast = false),
+      edge("nation.n_regionkey -> region", n, "n_regionkey", r, "r_regionkey", bcast = true),
+      edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey", bcast = false),
+      edge("supplier.s_nationkey -> nation", s, "s_nationkey", n, "n_nationkey", bcast = true))
+      .reduce(_ union _)
+      .orderBy(col("relationship"))
+  }
 }

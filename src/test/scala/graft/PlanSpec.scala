@@ -530,6 +530,11 @@ class PlanSpec extends AnyFunSuite {
     // events_user_features 2: the user rollup's Expand multi-distinct
     // (partial + final over the expanded frame).
     "events_user_features" -> 2,
+    // fk_integrity 5: one partial->final count aggregate per edge;
+    // every parent join plans broadcast at the gate's sf0.001 stats
+    // (the un-hinted fact-fact orderkey edge shuffles at scale, by
+    // design — AQE's choice, not a pin).
+    "fk_integrity" -> 5,
     "events_moving_avg" -> 1, "events_retention" -> 3, "events_sequences" -> 2,
     "events_session_mix" -> 3, "events_session_stats" -> 4, "events_sessionize" -> 1,
     "events_sessionize_native" -> 1, "events_transitions" -> 3, "events_user_overlap" -> 7,

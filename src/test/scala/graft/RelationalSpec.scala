@@ -331,4 +331,34 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fk_integrity: clean corpus reports zeros; a planted orphan is named") {
+    import graft.operators.Relational
+    val rows = Relational.fkIntegrity(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_child") > 0L)
+      assert(r.getAs[Long]("n_orphans") === 0L, s"unexpected orphans: $r")
+      assert(r.getAs[Double]("orphan_share") === 0.0)
+    }
+    // Plant one broken edge: a customer pointing at a nation that does
+    // not exist. All six referenced tables are copied so the operator
+    // reads a complete schema from the fixture dir.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("fk").toString
+    Seq("lineitem", "orders", "supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("c_nationkey",
+        when(col("c_custkey") === 1L, lit(424242L)).otherwise(col("c_nationkey")))
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val planted = Relational.fkIntegrity(spark, tmp).collect()
+      .map(r => r.getAs[String]("relationship") -> r.getAs[Long]("n_orphans"))
+      .toMap
+    assert(planted("customer.c_nationkey -> nation") === 1L)
+    // The break names ONLY its edge: the other four stay clean.
+    assert(planted.filterNot(_._1.startsWith("customer.")).values.forall(_ == 0L))
+  }
 }
