@@ -198,6 +198,7 @@ object SparkEntry {
     "sample_split"             -> (Text.sampleSplit _),
     "curation_report"          -> (graft.pipeline.Curation.report _),
     "dedup_quality_audit"      -> (graft.pipeline.Curation.dedupQualityAudit _),
+    "split_leakage"            -> (graft.pipeline.Curation.splitLeakage _),
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
     "emb_dim_stats"            -> (Similarity.embDimStats _),
@@ -4499,6 +4500,54 @@ object SparkEntry {
         |    / CAST(SUM(n_docs) OVER () AS DOUBLE), 0) AS BIGINT) / 10000.0)
         |    AS share
         |FROM a ORDER BY split""".stripMargin,
+
+    "split_leakage" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[r.i] || ' ' || t[r.i+1] || ' ' || t[r.i+2]
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200),
+        |uni AS (SELECT s.doc_id, s.shingle FROM sh s JOIN capped USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM uni GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |       FROM uni a JOIN uni b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pj AS (SELECT doc_a, doc_b
+        |  FROM co JOIN sizes sa ON sa.doc_id = doc_a
+        |          JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE)
+        |    / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN bucket < 980000 THEN 'train'
+        |         WHEN bucket < 990000 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      CAST(CAST(concat('0x', substring(
+        |        md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 12)) AS UBIGINT)
+        |        % 1000000 AS BIGINT) AS bucket
+        |    FROM documents)),
+        |t AS (SELECT LEAST(ba.split, bb.split) AS split_a,
+        |    GREATEST(ba.split, bb.split) AS split_b
+        |  FROM pj JOIN b ba ON ba.doc_id = pj.doc_a
+        |          JOIN b bb ON bb.doc_id = pj.doc_b),
+        |cells AS (SELECT * FROM (VALUES ('test','test'), ('test','train'),
+        |  ('test','val'), ('train','train'), ('train','val'), ('val','val'))
+        |  AS v(split_a, split_b)),
+        |cnt AS (SELECT split_a, split_b, COUNT(*)::BIGINT AS n
+        |  FROM t GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*)::BIGINT AS total_pairs FROM t)
+        |SELECT c.split_a, c.split_b,
+        |  COALESCE(cnt.n, 0)::BIGINT AS n_pairs,
+        |  (c.split_a <> c.split_b) AS is_leak,
+        |  (CAST(ROUND(CAST(COALESCE(cnt.n, 0) * 10000 AS DOUBLE)
+        |    / CAST(GREATEST(tot.total_pairs, 1) AS DOUBLE), 0) AS BIGINT)
+        |    / 10000.0) AS pair_share
+        |FROM cells c LEFT JOIN cnt USING (split_a, split_b) CROSS JOIN tot
+        |ORDER BY c.split_a, c.split_b""".stripMargin,
 
     // The oracle is the NAIVE corpus-wide prefix sum (one global
     // window — fine at DuckDB scale); the Spark side computes the same

@@ -110,6 +110,53 @@ object Curation {
     * its join onto the quality scan broadcasts; the rollup is
     * map-side-combinable onto a ≤3-row frame. Nothing corpus-sized
     * shuffles. */
+  /** #44w split_leakage: the near-duplicate TRAIN/TEST contamination
+    * audit over the split manifest — for every unordered split pair
+    * (dense 6-cell matrix, zeros included: the contamination_matrix
+    * convention), how many of the corpus's exact near-dup pairs have
+    * one endpoint in each, with the cross-split cells flagged as
+    * leaks. Exact-match decontamination misses this class entirely: a
+    * near-duplicate of a test doc sitting in train leaks the
+    * evaluation just as surely as a verbatim copy, which is why a
+    * split ships with this audit next to sample_split's manifest.
+    * Reuses the EXACT pieces it audits — [[Text.splitAssign]]'s
+    * md5-ppm assignment (one shared definition with sample_split) and
+    * the session-memoized exact pair frame ([[Dedup.ngramJaccard]]).
+    *
+    * Scale shape: the duplication-bounded pair frame joins the
+    * corpus-keyed assignment twice on doc_id (the small side
+    * broadcasts; at corpus scale this is the standard fact-dimension
+    * shape with the PAIRS as the small side), then a ≤6-cell rollup;
+    * the share denominator is a 1-row broadcast. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val asn = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.splitAssign(col("doc_id")).as("split"))
+    val pairs = Dedup.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val tagged = pairs
+      .join(asn.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(asn.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+    val counts = tagged.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n"))
+    val total = tagged.agg(count(lit(1)).as("total_pairs"))
+    val names = Seq("test", "train", "val")
+    val cells = (for {
+      i <- names.indices; j <- i until names.size
+    } yield (names(i), names(j)))
+    val sparkS = spark
+    import sparkS.implicits._
+    cells.toDF("split_a", "split_b")
+      .join(counts, Seq("split_a", "split_b"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n"), lit(0L)).as("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("is_leak"),
+        ratio4(coalesce(col("n"), lit(0L)),
+          greatest(col("total_pairs"), lit(1L))).as("pair_share"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   def dedupQualityAudit(spark: SparkSession, dir: String): DataFrame = {
     val cl = Dedup.clusters(spark, dir).select(col("doc_id"), col("cluster_id"))
     val verdict = when(col("cluster_id").isNull, lit("unique"))

@@ -1300,15 +1300,21 @@ object Text {
     * Scale shape: one metadata-narrow corpus scan, one map-side-
     * combinable 3-key rollup; the share window rides the 3-row split
     * dimension, never the corpus. */
-  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+  /** The 98/1/1 split assignment of a doc_id — ONE definition shared
+    * by [[sampleSplit]] and the split-leakage audit
+    * (graft.pipeline.Curation.splitLeakage), so "which split is this
+    * doc in" can never drift between the manifest and its audits. */
+  def splitAssign(docId: Column): Column = {
+    val bucket = conv(substring(md5(concat(docId.cast("string"),
       lit("#split")).cast("binary")), 1, 12), 16, 10).cast("long") % 1000000L
-    val split3 = when(col("bucket_ppm") < 980000L, "train")
-      .when(col("bucket_ppm") < 990000L, "val")
+    when(bucket < 980000L, "train")
+      .when(bucket < 990000L, "val")
       .otherwise("test")
+  }
+
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
     val perSplit = Tables.documents(spark, dir)
-      .withColumn("bucket_ppm", bucket)
-      .select(split3.as("split"), col("doc_id"), col("n_chars"),
+      .select(splitAssign(col("doc_id")).as("split"), col("doc_id"), col("n_chars"),
         size(filter(split(col("text"), "\\s+"), t => t =!= ""))
           .as("n_tokens"))
       .groupBy(col("split"))

@@ -58,4 +58,33 @@ class CurationSpec extends AnyFunSuite {
       assert(low >= 0.0 && low <= 1.0, s"low_frac out of range: $r")
     }
   }
+
+  test("split_leakage: dense 6-cell matrix tiles the exact pair set") {
+    val rows = Curation.splitLeakage(spark, sf).collect()
+    assert(rows.length === 6, "one cell per unordered split pair")
+    // Cells tile the pair set: counts sum to the near-dup pair count.
+    val nPairs = graft.dedup.Dedup.ngramJaccard(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nPairs)
+    // is_leak is exactly the off-diagonal.
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_leak") ===
+        (r.getAs[String]("split_a") != r.getAs[String]("split_b")))
+      assert(r.getAs[String]("split_a") <= r.getAs[String]("split_b"),
+        s"cell not normalized: $r")
+    }
+    // Recount one cell independently from the shared building blocks.
+    import org.apache.spark.sql.functions._
+    val asn = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.Text.splitAssign(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.dedup.Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (asn(r.getLong(0)), asn(r.getLong(1))))
+      .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(r.getAs[Long]("n_pairs") === want.getOrElse(k, 0L), s"cell $k")
+    }
+  }
 }

@@ -567,6 +567,9 @@ class PlanSpec extends AnyFunSuite {
     // sample_split 1: the 3-key split rollup; the share window rides
     // the 3-row dimension (SinglePartition, not a hash exchange).
     "sample_split" -> 1,
+    // split_leakage 2: the ≤6-cell rollup + the assignment joins'
+    // exchange; the pair frame rides the session memo.
+    "split_leakage" -> 2,
     // text_gopher_filters 0: pure per-row decoration + signal map.
     "text_gopher_filters" -> 0,
     "set_ops" -> 2,
