@@ -266,12 +266,12 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
     // Headline total stays query-only (comparable across rounds that
-    // predate the sstable/streaming/export rows) — the same exclusion
-    // set the baseline's mergedTotal applies, or the headline-vs-
-    // baseline comparison silently absorbs the export bench's wall.
+    // predate the sstable/streaming/export rows) — the SAME shared
+    // predicate the baseline's mergedTotal applies
+    // (BenchGate.isHeadlineQuery), or the two exclusion lists drift
+    // as non-query rows are added (ADVICE r13).
     val total = results.collect {
-      case (k, Right(s)) if !k.startsWith("sstable_") &&
-        !k.startsWith("streaming_") && !k.startsWith("keyed_") => s
+      case (k, Right(s)) if BenchGate.isHeadlineQuery(k) => s
     }.sum
     // Median-of-attempts next to the min: min-of-3 with no warmup
     // separation lets a co-tenant spike through unnoticed on the OTHER
@@ -373,10 +373,34 @@ object Bench {
           s""""memo_bytes":${first.memoBytes},"memo_builds":${first.memoBuilds},""" +
           s""""cause":"$cause"}"""
     }.mkString("{", ",", "}")
+    // The quiet-box gate (VERDICT r13 #1): committed evidence — the
+    // bench_full.json artifact, the min-merged baseline, and any
+    // requested rebase — requires the calibration kernel (max of
+    // start/end vs the quietest box ever seen) at or under the pinned
+    // factor. A noisy run still prints its full summary (and the
+    // driver still captures it), but it lands in bench_scratch.json
+    // with the refusal recorded in the artifact itself, so a loaded
+    // box can never fake 13 regressions into the committed record
+    // (the r13 incident) OR hide a real one behind a rebase.
+    val quiet = BenchGate.quietBox(ambientFactor)
+    val fullRun = sys.env.get("SPARK_GRAFT_ONLY").isEmpty
+    val (rebaseRequested, rebaseAny) =
+      BenchGate.parseRebase(sys.env.get("SPARK_GRAFT_BENCH_REBASE"))
+    val rebaseFn: String => Boolean =
+      if (quiet) rebaseRequested else (_ => false)
+    val rebaseRefused = rebaseAny && !quiet
+    val persistSfOk = BenchGate.shouldPersistBaseline(fullRun, prevText, sfDir)
+    val persistOk = persistSfOk && quiet
+    val persistRefusal =
+      if (persistSfOk && !quiet)
+        s""""ambient-factor ${ambientFactor.map(num(_, 2)).getOrElse("?")}""" +
+          s""" > ${BenchGate.QuietBoxMaxFactor}""""
+      else "null"
     val ambientJson =
       s"""{"kernel_start":${num(kernelStart, 3)},"kernel_end":${num(kernelEnd, 3)},""" +
         s""""kernel_baseline":${kernelBaseline.map(num(_, 3)).getOrElse("null")},""" +
-        s""""factor":${ambientFactor.map(num(_, 2)).getOrElse("null")}}"""
+        s""""factor":${ambientFactor.map(num(_, 2)).getOrElse("null")},""" +
+        s""""quiet":$quiet,"max_factor":${BenchGate.QuietBoxMaxFactor}}"""
     // Published throughput rows (min-of-3): cells/s and per-core
     // cells/s for decode and the full migrate pipeline — the numbers
     // SCALE.md's reference comparison (447k / 120k per core on
@@ -439,7 +463,7 @@ object Bench {
         s""""expired":${st.expired},"failed":${st.failed},"retried":${st.retried}}"""
       }
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"keyed_export":$keyedJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"quiet_box":$quiet,"baseline_persisted":$persistOk,"persist_refusal":$persistRefusal,"rebase_refused":$rebaseRefused,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"keyed_export":$keyedJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
     // Belt and braces: the artifact also lands in files next to the
     // build, immune to any stdout truncation. bench_full.json is the
     // committed full artifact (attempts + attribution); bench_prev.json
@@ -457,15 +481,14 @@ object Bench {
     // BenchGate.shouldPersistBaseline, spec'd on both clobber paths) —
     // such runs land the full line in bench_scratch.json
     // (git-ignored) instead of clobbering the committed bench_full.
-    val fullRun = sys.env.get("SPARK_GRAFT_ONLY").isEmpty
-    val (rebaseFn, rebaseAny) =
-      BenchGate.parseRebase(sys.env.get("SPARK_GRAFT_BENCH_REBASE"))
+    // Since r14 a NOISY box (quiet_box=false above) is routed the
+    // same way: full summary to scratch, committed artifact and
+    // baseline untouched, refusal recorded in the artifact.
     def writeFile(name: String, content: String): Unit =
       scala.util.Try {
         val w = new java.io.PrintWriter(name, "UTF-8")
         try w.println(content) finally w.close()
       }
-    val persistOk = BenchGate.shouldPersistBaseline(fullRun, prevText, sfDir)
     writeFile(if (persistOk) "bench_full.json" else "bench_scratch.json", summaryLine)
     if (persistOk) {
       // End-of-run retries that beat the sweep's min are real
@@ -485,8 +508,7 @@ object Bench {
       val mergedQs = merged.toSeq.sortBy(_._1)
         .map { case (k, s) => s""""$k":${num(s, 3)}""" }.mkString("{", ",", "}")
       val mergedTotal = merged.collect {
-        case (k, s) if !k.startsWith("sstable_") && !k.startsWith("streaming_") &&
-          !k.startsWith("keyed_") && !k.startsWith("_") => s
+        case (k, s) if BenchGate.isHeadlineQuery(k) => s
       }.sum
       writeFile("bench_prev.json",
         s"""{"metric":"baseline","value":${num(mergedTotal, 3)},"unit":"sec","queries":$mergedQs,"sf":"$sfDir","baseline_kind":"per_query_min","n":${merged.size},"rebased":$rebaseAny}""")
@@ -500,7 +522,7 @@ object Bench {
       .sortBy(-_._2).take(25)
       .map { case (k, s) => s""""$k":${num(s, 3)}""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$slowest,"queries_shown":"slowest 25 of ${results.size} by min; full set in bench_full.json","queries_total":${results.size},"failed":$nFailed,"sf":"$sfDir","regressed_n":$nRegressed,"regressed_vs":$priorName,"retained_hw_bytes":$retainedHw,"sstable":$sstableJson}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$slowest,"queries_shown":"slowest 25 of ${results.size} by min; full set in bench_full.json","queries_total":${results.size},"failed":$nFailed,"sf":"$sfDir","quiet_box":$quiet,"baseline_persisted":$persistOk,"regressed_n":$nRegressed,"regressed_vs":$priorName,"retained_hw_bytes":$retainedHw,"sstable":$sstableJson}""")
     spark.stop()
   }
 }

@@ -25,6 +25,38 @@ object BenchGate {
     * totals and never itself flagged by [[regressions]]. */
   val AmbientKey = "_ambient_kernel"
 
+  /** The ONE exclusion list for headline totals (ADVICE r13: the
+    * query-only `total` and the baseline's `mergedTotal` each carried
+    * their own prefix list, which can drift as non-query rows are
+    * added). Prefixes name the non-query instrument/throughput rows:
+    * the sstable fixture benches, the streaming drain, the keyed
+    * export, and `_`-prefixed instrument keys (the ambient kernel). */
+  private val NonQueryPrefixes =
+    Seq("sstable_", "streaming_", "keyed_", "_")
+
+  /** Whether a bench row participates in headline totals. */
+  def isHeadlineQuery(name: String): Boolean =
+    !NonQueryPrefixes.exists(name.startsWith)
+
+  /** Pinned ambient ceiling for committing bench evidence: a run whose
+    * calibration kernel (max of start/end, vs the quietest box this
+    * repo has seen) exceeds this factor must not rewrite the committed
+    * artifact or baseline — VERDICT r13 #1: the official r13 artifact
+    * carried 13 regressions that were plausibly-but-unprovably ambient
+    * load, because the gate had no notion of a box too noisy to
+    * measure on. 1.25 sits above same-session jitter (quiet runs
+    * measure 1.0–1.15) and below the 1.5× regression gate, so a box
+    * loaded enough to fake a regression can never anchor evidence. */
+  val QuietBoxMaxFactor = 1.25
+
+  /** Whether the box is quiet enough for this run to persist committed
+    * bench evidence. No kernel baseline (first ever run) counts as
+    * quiet — the bootstrap run defines the baseline. */
+  def quietBox(
+      ambientFactor: Option[Double],
+      maxFactor: Double = QuietBoxMaxFactor): Boolean =
+    ambientFactor.forall(_ <= maxFactor)
+
   /** Parse the `"queries":{...}` map out of a bench summary line,
     * returning empty unless the artifact's `"sf"` matches `sfDir`
     * (a prior run at a different scale factor would flag every query).

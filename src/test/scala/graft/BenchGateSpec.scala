@@ -216,6 +216,30 @@ class BenchGateSpec extends AnyFunSuite {
       retry = None, ambientFactor = Some(1.3)) === "unexplained")
   }
 
+  test("a noisy box refuses to anchor committed evidence; a quiet or unbaselined one does not") {
+    // The r13 incident shape: kernel at 1.56x its quietest baseline.
+    assert(!BenchGate.quietBox(Some(1.56)))
+    // The builder's own "committed" r13 run started at 2.03x.
+    assert(!BenchGate.quietBox(Some(2.03)))
+    // Quiet runs measure 1.0-1.15; both sides of the pinned ceiling.
+    assert(BenchGate.quietBox(Some(1.05)))
+    assert(BenchGate.quietBox(Some(BenchGate.QuietBoxMaxFactor)))
+    assert(!BenchGate.quietBox(Some(BenchGate.QuietBoxMaxFactor + 0.01)))
+    // Bootstrap: no kernel baseline yet -> the first run may define it.
+    assert(BenchGate.quietBox(None))
+  }
+
+  test("ONE shared headline predicate excludes every non-query row class") {
+    // The two hand-kept prefix lists (total vs mergedTotal) drifted
+    // risk (ADVICE r13); the single predicate is the fix.
+    assert(BenchGate.isHeadlineQuery("q1_pricing_summary"))
+    assert(BenchGate.isHeadlineQuery("dedup_minhash_lsh"))
+    assert(!BenchGate.isHeadlineQuery("sstable_migrate"))
+    assert(!BenchGate.isHeadlineQuery("streaming_throughput"))
+    assert(!BenchGate.isHeadlineQuery("keyed_export"))
+    assert(!BenchGate.isHeadlineQuery(BenchGate.AmbientKey))
+  }
+
   test("queries that error (-1) in the prior never flag as improvements or anchors") {
     val prior = BenchGate.parsePrior(summary(""""q_err":-1,"q_ok":0.300"""), sf)
     assert(prior("q_err") === -1.0)
