@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
+import graft.functions.Exact.ratio4Sql
 import graft.kv.Kv
 import graft.multimodal.Multimodal
 import graft.operators.{Events, Relational}
@@ -149,6 +150,8 @@ object SparkEntry {
     "dedup_survivors"          -> (Dedup.survivors _),
     "dedup_embedding"          -> (Dedup.embedding _),
     "dedup_semantic"           -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
+    "dedup_knn_cc"             -> ((s: SparkSession, d: String) => Dedup.knnCc(s, d)),
+    "dedup_incremental"        -> (Dedup.incremental _),
     "dedup_lsh_curve"          -> (Dedup.lshCurve _),
     "dedup_threshold_curve"    -> (Dedup.thresholdCurve _),
     // §2.5 similarity search
@@ -898,31 +901,36 @@ object SparkEntry {
   /** [[sphericalFitSqlParts]] with the centroid count as a SQL
     * EXPRESSION (e.g. a scalar subquery over a `kdef` CTE) — for
     * operators whose list count adapts to the corpus size
-    * (emb_knn_graph's k² ≥ n rule). */
-  private def sphericalFitSqlPartsK(k: String, iters: Int, dim: Int): Seq[String] = {
+    * (emb_knn_graph's k² ≥ n rule) — and an optional CTE-name PREFIX
+    * so two independent fit chains (e.g. dedup_knn_cc's adaptive knn
+    * quantizer next to the k=16 semantic trainer) can coexist in one
+    * WITH clause; the default "" emits the historical names
+    * byte-for-byte. The chain reads its sample from `<p>samp`. */
+  private def sphericalFitSqlPartsK(
+      k: String, iters: Int, dim: Int, p: String = ""): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer(
-      "nn AS (SELECT COUNT(*) AS n FROM samp)",
-      s"""c0 AS MATERIALIZED (
+      s"${p}nn AS (SELECT COUNT(*) AS n FROM ${p}samp)",
+      s"""${p}c0 AS MATERIALIZED (
         |  SELECT k.c, ${normCvSql("s.v")} AS cv
         |  FROM (SELECT UNNEST(range(0, $k))::INT AS c) k
-        |  CROSS JOIN nn
-        |  JOIN samp s ON s.rnk = (k.c * nn.n) // ($k))""".stripMargin)
+        |  CROSS JOIN ${p}nn nn
+        |  JOIN ${p}samp s ON s.rnk = (k.c * nn.n) // ($k))""".stripMargin)
     (1 to iters).foreach { i =>
-      val prev = s"c${i - 1}"
-      parts += s"""a$i AS MATERIALIZED (
+      val prev = s"${p}c${i - 1}"
+      parts += s"""${p}a$i AS MATERIALIZED (
         |  SELECT rnk, v, c FROM (
         |    SELECT s.rnk, s.v, c.c,
         |      ROW_NUMBER() OVER (PARTITION BY s.rnk
         |        ORDER BY list_dot_product(s.v, c.cv) DESC, c.c) AS rn
-        |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
-      parts += s"""m$i AS MATERIALIZED (
+        |    FROM ${p}samp s CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+      parts += s"""${p}m$i AS MATERIALIZED (
         |  SELECT c, list(sm / 1048576.0 ORDER BY i) AS mv FROM (
         |    SELECT a.c, d.i, SUM(CAST(ROUND(a.v[d.i] * 1048576.0, 0) AS BIGINT)) AS sm
-        |    FROM a$i a, UNNEST(range(1, ${dim + 1})) AS d(i) GROUP BY 1, 2) GROUP BY c)""".stripMargin
-      parts += s"""c$i AS MATERIALIZED (
+        |    FROM ${p}a$i a, UNNEST(range(1, ${dim + 1})) AS d(i) GROUP BY 1, 2) GROUP BY c)""".stripMargin
+      parts += s"""${p}c$i AS MATERIALIZED (
         |  SELECT p.c, CASE WHEN m.mv IS NULL THEN p.cv
         |    ELSE ${normCvSql("m.mv")} END AS cv
-        |  FROM $prev p LEFT JOIN m$i m ON m.c = p.c)""".stripMargin
+        |  FROM $prev p LEFT JOIN ${p}m$i m ON m.c = p.c)""".stripMargin
     }
     parts.toSeq
   }
@@ -965,45 +973,118 @@ object SparkEntry {
     * per-source top-5 under the bounded-heap's (cos DESC, id ASC)
     * order, and the mutual flag as a left self-join of the edge list on
     * the reversed key. */
-  private def embKnnGraphOracleSql: String = {
-    val (iters, kG, dim) = (5, 5, 64)
-    // The adaptive list count: smallest power of 2 (from 16, capped at
-    // the 1024-vector sample size) with k² ≥ corpus size — mirrored
-    // exactly by Similarity.knnGraph's doubling rule.
-    val kExpr = "(SELECT kk FROM kdef)"
+  /** The kNN-graph CTE chain (requires `emb`): the adaptive list
+    * count — smallest power of 2 (from 16, capped at 1024 AND at the
+    * REALIZED fit-sample size — ADVICE r13: below ~48 vectors the
+    * 16-list floor exceeded the ~n/3 sample and the fit seeded
+    * duplicate centroids) with k² ≥ corpus size, mirroring
+    * Similarity.knnPrep's doubling-then-cap rule — then the unrolled
+    * spherical fit, corpus assignment, same-list self-join, and
+    * per-source top-`kG` under the bounded-heap (cos DESC, id ASC)
+    * order, left in `<p>top`. Prefixed so it can coexist with the
+    * k-means trainer chain (dedup_knn_cc). */
+  private def knnGraphCtes(p: String, iters: Int = 5, kG: Int = 5,
+      dim: Int = 64): Seq[String] = {
+    val kExpr = s"(SELECT kk FROM ${p}kdef)"
     val parts = scala.collection.mutable.ArrayBuffer(
-      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-      """kdef AS (SELECT MIN(k)::INT AS kk
+      s"""${p}kdef AS (SELECT GREATEST(1, LEAST(MIN(k),
+        |    (SELECT LEAST(COUNT(*), 1024) FROM emb WHERE vec_id % 3 = 0)))::INT AS kk
         |  FROM (SELECT UNNEST([16, 32, 64, 128, 256, 512, 1024]) AS k)
         |  WHERE k * k >= (SELECT COUNT(*) FROM emb) OR k = 1024)""".stripMargin,
-      """samp AS MATERIALIZED (
+      s"""${p}samp AS MATERIALIZED (
         |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
         |  FROM (SELECT vec_id, v FROM emb WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
-    parts ++= sphericalFitSqlPartsK(kExpr, iters, dim)
-    val fin = s"c$iters"
-    parts += s"""casn AS MATERIALIZED (
+    parts ++= sphericalFitSqlPartsK(kExpr, iters, dim, p)
+    val fin = s"${p}c$iters"
+    parts += s"""${p}casn AS MATERIALIZED (
       |  SELECT vec_id, c AS centroid FROM (
       |    SELECT e.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
       |      ORDER BY ${nearestCentroidScoreSql("e.v")} DESC, c.c) AS rn
       |    FROM emb e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
-    parts += """cand AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+    parts += s"""${p}cand AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
       |    list_dot_product(ea.v, eb.v)
       |      / sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)) AS cos
-      |  FROM casn a JOIN casn b USING (centroid)
+      |  FROM ${p}casn a JOIN ${p}casn b USING (centroid)
       |  JOIN emb ea ON ea.vec_id = a.vec_id
       |  JOIN emb eb ON eb.vec_id = b.vec_id
       |  WHERE a.vec_id <> b.vec_id)""".stripMargin
-    parts += s"""top AS MATERIALIZED (
+    parts += s"""${p}top AS MATERIALIZED (
       |  SELECT src_id, CAST(rnk AS INT) AS rank, dst_id, cos FROM (
       |    SELECT src_id, dst_id, cos, ROW_NUMBER() OVER (
-      |      PARTITION BY src_id ORDER BY cos DESC, dst_id) AS rnk FROM cand)
+      |      PARTITION BY src_id ORDER BY cos DESC, dst_id) AS rnk FROM ${p}cand)
       |  WHERE rnk <= $kG)""".stripMargin
+    parts.toSeq
+  }
+
+  private def embKnnGraphOracleSql: String = {
+    val parts =
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)" +:
+        knnGraphCtes("")
     s"""WITH ${parts.mkString(",\n")}
       |SELECT t.src_id, t.rank, t.dst_id, t.cos,
       |  (r.src_id IS NOT NULL) AS mutual
       |FROM top t LEFT JOIN top r
       |  ON r.src_id = t.dst_id AND r.dst_id = t.src_id
       |ORDER BY t.src_id, t.rank""".stripMargin
+  }
+
+  /** dedup_knn_cc under the hard gate: the [[knnGraphCtes]] replay
+    * (prefix `g`, so its fit chain coexists with the k=16 semantic
+    * trainer), mutual edges at τ=0.35 via the reversed-key self-join,
+    * transitive closure as the recursive-CTE min-label CC (the
+    * dedup_clusters oracle's shape over the mutual pair graph), the
+    * min-id survivor rule, the [[dedupSemanticOracleSql]] argmax at
+    * the SAME τ for the `sem_dup` column, and the dup-set Jaccard as
+    * an integer-ratio4 scalar. */
+  private def dedupKnnCcOracleSql: String = {
+    val (k, fitIters, rounds, dim, sampleCap, tau) = (16, 10, 5, 64, 1024, 0.35)
+    val parts = scala.collection.mutable.ArrayBuffer(
+      corpusKmeansCtes(k, fitIters, rounds, dim, sampleCap): _*)
+    parts ++= knnGraphCtes("g")
+    parts += s"""mp AS (SELECT t.src_id AS a, t.dst_id AS b
+      |  FROM gtop t JOIN gtop r
+      |    ON r.src_id = t.dst_id AND r.dst_id = t.src_id
+      |  WHERE t.cos >= $tau AND t.src_id < t.dst_id)""".stripMargin
+    parts += """edges AS (SELECT a, b FROM mp UNION ALL SELECT b, a FROM mp)"""
+    parts += """reach AS (
+      |  SELECT a AS v, a AS r FROM edges
+      |  UNION
+      |  SELECT e.a AS v, w.r FROM edges e JOIN reach w ON e.b = w.v)""".stripMargin
+    parts += """cl AS (SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY v)"""
+    parts += """csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1)"""
+    // Per-vector assignment: clustered vectors take their component's
+    // min id; singletons label themselves.
+    parts += """asn AS (SELECT e.vec_id,
+      |    COALESCE(cl.cluster_id, e.vec_id) AS cluster_id,
+      |    COALESCE(csz.cluster_size, 1)::BIGINT AS cluster_size,
+      |    COALESCE(cl.cluster_id, e.vec_id) <> e.vec_id AS is_dup
+      |  FROM emb e LEFT JOIN cl ON cl.vec_id = e.vec_id
+      |  LEFT JOIN csz ON csz.cluster_id = cl.cluster_id)""".stripMargin
+    // The semantic verdict at the SAME tau (the dedup_semantic oracle's
+    // pr/best CTEs verbatim).
+    parts += """spr AS (SELECT a.vec_id, b.vec_id AS cand_id,
+      |    CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0
+      |         THEN CAST(0 AS DOUBLE)
+      |         ELSE list_dot_product(a.v, b.v)
+      |           / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) END AS cos
+      |  FROM fasn a JOIN fasn b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id)""".stripMargin
+    parts += """sbest AS (SELECT vec_id, cand_id, cos FROM (
+      |    SELECT vec_id, cand_id, cos, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cand_id DESC) AS rn FROM spr) WHERE rn = 1)""".stripMargin
+    parts += s"""sem AS (SELECT f.vec_id,
+      |    COALESCE(b.cos >= $tau AND b.cand_id < f.vec_id, FALSE) AS sem_dup
+      |  FROM fasn f LEFT JOIN sbest b ON b.vec_id = f.vec_id)""".stripMargin
+    parts += s"""ovl AS (SELECT
+      |    ${ratio4Sql(
+             "SUM(CASE WHEN a.is_dup AND s.sem_dup THEN 1 ELSE 0 END)",
+             "GREATEST(SUM(CASE WHEN a.is_dup OR s.sem_dup THEN 1 ELSE 0 END), 1)")}
+      |      AS dup_jaccard_vs_semantic
+      |  FROM asn a JOIN sem s ON s.vec_id = a.vec_id)""".stripMargin
+    s"""WITH RECURSIVE ${parts.mkString(",\n")}
+      |SELECT a.vec_id, a.cluster_id, a.cluster_size, a.is_dup, s.sem_dup,
+      |  (SELECT dup_jaccard_vs_semantic FROM ovl) AS dup_jaccard_vs_semantic
+      |FROM asn a JOIN sem s ON s.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
   }
 
   /** ann_pq_topk under the hard gate (VERDICT r10 #4): all 8 per-block
@@ -1221,11 +1302,9 @@ object SparkEntry {
     parts += "tot AS (SELECT COUNT(*)::BIGINT AS n_corpus FROM emb)"
     s"""WITH ${parts.mkString(",\n")}
       |SELECT nc.p AS n_probe, nc.n_candidates,
-      |  (CAST(ROUND(CAST(nc.n_candidates * 10000 AS DOUBLE)
-      |    / CAST(t.n_corpus * 10 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS cand_frac,
+      |  ${ratio4Sql("nc.n_candidates", "t.n_corpus * 10")} AS cand_frac,
       |  COALESCE(h.n_hits, 0) AS n_hits,
-      |  (CAST(ROUND(CAST(COALESCE(h.n_hits, 0) * 10000 AS DOUBLE)
-      |    / CAST(100 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS recall_at_10
+      |  ${ratio4Sql("COALESCE(h.n_hits, 0)", "100")} AS recall_at_10
       |FROM ncand nc LEFT JOIN hits h USING (p) CROSS JOIN tot t
       |ORDER BY n_probe""".stripMargin
   }
@@ -1302,14 +1381,9 @@ object SparkEntry {
     parts += "tot AS (SELECT COUNT(*) AS t FROM emb)"
     s"""WITH ${parts.mkString(",\n")}
       |SELECT cluster, COUNT(*) AS n_points,
-      |  (CAST(ROUND(CAST(COUNT(*) * 10000 AS DOUBLE)
-      |    / (SELECT CAST(t AS DOUBLE) FROM tot), 0) AS BIGINT) / 10000.0) AS share,
-      |  (CAST(ROUND(CAST(CAST(SUM(CAST(cos AS DECIMAL(30,6))) * 1000000 AS BIGINT)
-      |      * 10000 AS DOUBLE)
-      |    / CAST(COUNT(*) * 1000000 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS mean_cos,
-      |  (CAST(ROUND(CAST(CAST(ROUND(MIN(cos) * 1000000.0, 0) AS BIGINT)
-      |      * 10000 AS DOUBLE)
-      |    / CAST(1000000 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS min_cos
+      |  ${ratio4Sql("COUNT(*)", "(SELECT t FROM tot)")} AS share,
+      |  ${ratio4Sql("CAST(SUM(CAST(cos AS DECIMAL(30,6))) * 1000000 AS BIGINT)", "COUNT(*) * 1000000")} AS mean_cos,
+      |  ${ratio4Sql("CAST(ROUND(MIN(cos) * 1000000.0, 0) AS BIGINT)", "1000000")} AS min_cos
       |FROM mcos
       |GROUP BY cluster
       |ORDER BY cluster""".stripMargin
@@ -1441,6 +1515,64 @@ object SparkEntry {
     * Long order) → 32 bands × 4 rows folded through the bandHashes
     * fmix chain → bucket join (≤ 200, ≥ 2) → exact full-set Jaccard
     * ≥ 0.5 verify → the recall audit. */
+  /** dedup_incremental under the hard gate: the [[minhashOracleSql]]
+    * murmur + signature + band-fold replay over ALL docs (signatures
+    * are doc-local, so computing them corpus-wide then splitting is
+    * bit-identical to the engine's per-side computation), the md5-ppm
+    * `#inc` split, the corpus-side index with its build-time ≤ 200
+    * bucket cap, the inc-vs-corpus bucket join, LEFT-join exact
+    * Jaccard over shared shingles (a candidate pair that shares a
+    * band hash but no shingle verifies at 0), and the per-increment-
+    * doc rollup under the (jaccard DESC, corpus_id ASC) tie rule. */
+  private def dedupIncrementalOracleSql: String =
+    s"""WITH ${ShingleCtesSql},
+      |${murmur128SqlChain("mh", "shd")},
+      |sigj AS MATERIALIZED (
+      |  SELECT s.doc_id, j.j,
+      |    MIN((((t.h1u + j.j * t.h2u) % 18446744073709551616::HUGEINT)
+      |      - CASE WHEN ((t.h1u + j.j * t.h2u) % 18446744073709551616::HUGEINT)
+      |             >= 9223372036854775808::HUGEINT
+      |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT) AS v
+      |  FROM sh s JOIN mhtok t ON t.key = s.shingle, UNNEST(range(0, 128)) AS j(j)
+      |  GROUP BY 1, 2),
+      |${bandFoldSqlChain("mb", "sigj", nBands = 32, r = 4)},
+      |spl AS (SELECT doc_id,
+      |    CAST(CAST(concat('0x', substring(
+      |      md5(CAST(doc_id AS VARCHAR) || '#inc'), 1, 12)) AS UBIGINT)
+      |      % 1000000 AS BIGINT) AS b
+      |  FROM documents),
+      |inc AS (SELECT doc_id FROM spl WHERE b >= 900000),
+      |corp AS (SELECT doc_id FROM spl WHERE b < 900000),
+      |idx0 AS (SELECT m.* FROM mbbh m JOIN corp USING (doc_id)),
+      |okb AS (SELECT band, band_key FROM idx0 GROUP BY 1, 2
+      |        HAVING COUNT(*) <= 200),
+      |idx AS (SELECT i.* FROM idx0 i JOIN okb USING (band, band_key)),
+      |incb AS (SELECT m.* FROM mbbh m JOIN inc USING (doc_id)),
+      |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      |  FROM incb n JOIN idx c ON c.band = n.band AND c.band_key = n.band_key),
+      |szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |coc AS (SELECT c.new_id, c.corpus_id, COUNT(*) AS nc
+      |  FROM cand c JOIN sh a ON a.doc_id = c.new_id
+      |              JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+      |  GROUP BY 1, 2),
+      |ver AS (SELECT c.new_id, c.corpus_id,
+      |    CAST(COALESCE(coc.nc, 0) AS DOUBLE)
+      |      / CAST(sa.n + sb.n - COALESCE(coc.nc, 0) AS DOUBLE) AS jaccard
+      |  FROM cand c LEFT JOIN coc ON coc.new_id = c.new_id
+      |    AND coc.corpus_id = c.corpus_id
+      |  JOIN szs sa ON sa.doc_id = c.new_id
+      |  JOIN szs sb ON sb.doc_id = c.corpus_id),
+      |roll AS (SELECT new_id, corpus_id, jaccard, n_candidates FROM (
+      |    SELECT new_id, corpus_id, jaccard,
+      |      COUNT(*) OVER (PARTITION BY new_id) AS n_candidates,
+      |      ROW_NUMBER() OVER (PARTITION BY new_id
+      |        ORDER BY jaccard DESC, corpus_id) AS rn FROM ver) WHERE rn = 1)
+      |SELECT i.doc_id, COALESCE(r.n_candidates, 0)::BIGINT AS n_candidates,
+      |  r.corpus_id AS best_match, r.jaccard AS best_jaccard,
+      |  COALESCE(r.jaccard >= 0.5, FALSE) AS is_dup
+      |FROM inc i LEFT JOIN roll r ON r.new_id = i.doc_id
+      |ORDER BY i.doc_id""".stripMargin
+
   private def minhashOracleSql: String =
     s"""WITH ${ShingleCtesSql},
       |${murmur128SqlChain("mh", "shd")},
@@ -1502,12 +1634,8 @@ object SparkEntry {
       val p = s"c$b"
       s"""SELECT $b AS n_bands, $r AS rows_per_band,
         |  n.n_candidates, t.n_true_pairs, f.n_found,
-        |  (CAST(ROUND(CAST(f.n_found * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(t.n_true_pairs, 1) AS DOUBLE), 0) AS BIGINT)
-        |    / 10000.0) AS recall,
-        |  (CAST(ROUND(CAST(f.n_found * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n.n_candidates, 1) AS DOUBLE), 0) AS BIGINT)
-        |    / 10000.0) AS "precision"
+        |  ${ratio4Sql("f.n_found", "GREATEST(t.n_true_pairs, 1)")} AS recall,
+        |  ${ratio4Sql("f.n_found", "GREATEST(n.n_candidates, 1)")} AS "precision"
         |FROM ${p}n n CROSS JOIN ${p}f f CROSS JOIN tc t""".stripMargin
     }
     s"""WITH ${ShingleCtesSql},
@@ -1583,7 +1711,7 @@ object SparkEntry {
     * gates on the ROUNDED score at 0.5, the curve's middle
     * threshold). */
   private val DedupQualityAuditOracleSql: String = ClustersCtePrefix +
-    """,
+    raw""",
       |qt AS (SELECT doc_id,
       |  string_split_regex(lower(text), '\s+') AS toks,
       |  CAST(length(text) AS DOUBLE) AS n_chars,
@@ -1605,10 +1733,8 @@ object SparkEntry {
       |    q.n_toks, q.q4
       |  FROM qs q LEFT JOIN cl c ON c.doc_id = q.doc_id)
       |SELECT verdict, COUNT(*) AS n_docs, SUM(n_toks)::BIGINT AS n_tokens,
-      |  (CAST(ROUND(CAST(SUM(q4) * 10000 AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS mean_q4,
-      |  (CAST(ROUND(CAST(SUM(CASE WHEN q4 < 5000 THEN 1 ELSE 0 END) * 10000 AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS low_frac
+      |  ${ratio4Sql("SUM(q4)", "COUNT(*)")} AS mean_q4,
+      |  ${ratio4Sql("SUM(CASE WHEN q4 < 5000 THEN 1 ELSE 0 END)", "COUNT(*)")} AS low_frac
       |FROM vq
       |GROUP BY verdict
       |ORDER BY verdict""".stripMargin
@@ -1647,7 +1773,9 @@ object SparkEntry {
     ("emb_label_purity" -> embLabelPurityOracleSql) +
     ("emb_knn_graph" -> embKnnGraphOracleSql) +
     ("dedup_quality_audit" -> DedupQualityAuditOracleSql) +
-    ("dedup_semantic" -> dedupSemanticOracleSql)
+    ("dedup_semantic" -> dedupSemanticOracleSql) +
+    ("dedup_knn_cc" -> dedupKnnCcOracleSql) +
+    ("dedup_incremental" -> dedupIncrementalOracleSql)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1852,7 +1980,7 @@ object SparkEntry {
         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "spend_deciles" ->
-      """WITH per AS (SELECT o_custkey,
+      raw"""WITH per AS (SELECT o_custkey,
         |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS spend_cents
         |  FROM orders GROUP BY o_custkey),
         |n AS (SELECT COUNT(*)::BIGINT AS n_cust,
@@ -1866,13 +1994,12 @@ object SparkEntry {
         | CAST(ROUND(SUM(spend_cents) / 100.0, 2) AS DOUBLE) AS total_spend,
         | CAST(ROUND(MIN(spend_cents) / 100.0, 2) AS DOUBLE) AS min_spend,
         | CAST(ROUND(MAX(spend_cents) / 100.0, 2) AS DOUBLE) AS max_spend,
-        | (CAST(ROUND(CAST(SUM(spend_cents) * 10000 AS DOUBLE)
-        |   / CAST(ANY_VALUE(grand_cents) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        | ${ratio4Sql("SUM(spend_cents)", "ANY_VALUE(grand_cents)")}
         |   AS revenue_share
         |FROM scored GROUP BY decile ORDER BY decile""".stripMargin,
 
     "basket_pairs" ->
-      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+      raw"""WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
         |total AS (SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders FROM ob),
         |reach AS (SELECT p_brand, COUNT(*)::BIGINT AS n FROM ob GROUP BY 1),
@@ -1881,8 +2008,7 @@ object SparkEntry {
         |  FROM ob a JOIN ob b USING (l_orderkey)
         |  WHERE a.p_brand < b.p_brand GROUP BY 1, 2)
         |SELECT brand_a, brand_b, ra.n AS n_a, rb.n AS n_b, n_both,
-        | (CAST(ROUND(CAST(n_both * 10000 AS DOUBLE) / CAST(n_orders AS DOUBLE), 0)
-        |   AS BIGINT) / 10000.0) AS support,
+        | ${ratio4Sql("n_both", "n_orders")} AS support,
         | CAST(CAST(ROUND((CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE)) /
         |   ((CAST(ra.n AS DOUBLE) / CAST(n_orders AS DOUBLE)) *
         |    (CAST(rb.n AS DOUBLE) / CAST(n_orders AS DOUBLE))), 4)
@@ -2394,15 +2520,14 @@ object SparkEntry {
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_user_overlap" ->
-      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      raw"""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
         |sz AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM ut GROUP BY 1),
         |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
         |    COUNT(*)::BIGINT AS n_both
         |  FROM ut a JOIN ut b USING (user_id)
         |  WHERE a.event_type < b.event_type GROUP BY 1, 2)
         |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
-        | (CAST(ROUND((n_both * 10000)::DOUBLE / (sa.n + sb.n - n_both)::DOUBLE, 0)
-        |   AS BIGINT) / 10000.0) AS jaccard
+        | ${ratio4Sql("n_both", "(sa.n + sb.n - n_both)")} AS jaccard
         |FROM ov
         |JOIN sz sa ON sa.event_type = type_a
         |JOIN sz sb ON sb.event_type = type_b
@@ -2497,7 +2622,7 @@ object SparkEntry {
         |ORDER BY user_id, session_seq""".stripMargin,
 
     "events_transitions" ->
-      """WITH s AS (SELECT user_id, event_type,
+      raw"""WITH s AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS from_type
         |  FROM events),
@@ -2505,13 +2630,11 @@ object SparkEntry {
         |    COUNT(*)::BIGINT AS n_transitions
         |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n_transitions,
-        |  (CAST(ROUND((n_transitions * 10000)::DOUBLE /
-        |    (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE, 0)
-        |    AS BIGINT) / 10000.0) AS prob
+        |  ${ratio4Sql("n_transitions", "(SUM(n_transitions) OVER (PARTITION BY from_type))")} AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "events_attribution" ->
-      """WITH t AS (SELECT user_id, ts, event_type, value,
+      raw"""WITH t AS (SELECT user_id, ts, event_type, value,
         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
         |      IGNORE NULLS) OVER w AS t_type,
         |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
@@ -2527,13 +2650,11 @@ object SparkEntry {
         |      AS attributed_revenue
         |  FROM p GROUP BY channel)
         |SELECT channel, n_conversions, attributed_revenue,
-        |  (CAST(ROUND(CAST(n_conversions * 10000 AS DOUBLE)
-        |    / CAST(SUM(n_conversions) OVER () AS DOUBLE), 0) AS BIGINT)
-        |    / 10000.0) AS conversion_share
+        |  ${ratio4Sql("n_conversions", "SUM(n_conversions) OVER ()")} AS conversion_share
         |FROM a ORDER BY channel""".stripMargin,
 
     "events_user_features" ->
-      """WITH a AS (SELECT user_id,
+      raw"""WITH a AS (SELECT user_id,
         |    COUNT(*)::BIGINT AS n_events,
         |    COUNT(DISTINCT event_type)::BIGINT AS n_types,
         |    COUNT(DISTINCT epoch_us(ts) // 86400000000)::BIGINT
@@ -2548,9 +2669,7 @@ object SparkEntry {
         |  total_value, n_purchases,
         |  (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000
         |    AS lifespan_days,
-        |  (CAST(ROUND(CAST(n_events * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n_active_days, 1) AS DOUBLE), 0) AS BIGINT)
-        |    / 10000.0) AS events_per_active_day
+        |  ${ratio4Sql("n_events", "GREATEST(n_active_days, 1)")} AS events_per_active_day
         |FROM a ORDER BY user_id""".stripMargin,
 
     "events_pagerank" ->
@@ -2602,7 +2721,7 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
 
     "events_sequences" ->
-      """WITH s AS (SELECT user_id, event_type AS e1,
+      raw"""WITH s AS (SELECT user_id, event_type AS e1,
         |    lead(event_type, 1) OVER w AS e2,
         |    lead(event_type, 2) OVER w AS e3
         |  FROM events
@@ -2611,8 +2730,7 @@ object SparkEntry {
         |  FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
         |t AS (SELECT SUM(n_seq)::DOUBLE AS total FROM g)
         |SELECT e1, e2, e3, n_seq,
-        |  (CAST(ROUND((n_seq * 10000)::DOUBLE / total, 0) AS BIGINT)
-        |    / 10000.0) AS share
+        |  ${ratio4Sql("n_seq", "total")} AS share
         |FROM g, t
         |ORDER BY n_seq DESC, e1, e2, e3 LIMIT 20""".stripMargin,
     "events_json_props" ->
@@ -2631,15 +2749,13 @@ object SparkEntry {
         |ORDER BY event_type, bucket_start""".stripMargin,
 
     "events_moving_avg" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      raw"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
         |    CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events)
         |SELECT user_id, event_id, ts,
         | COUNT(*) OVER w AS n_1h,
-        | (CAST(ROUND(CAST((SUM(cents) OVER w) * 10000 AS DOUBLE)
-        |   / CAST((COUNT(*) OVER w) * 100 AS DOUBLE), 0)
-        |   AS BIGINT) / 10000.0) AS avg_1h
+        | ${ratio4Sql("(SUM(cents) OVER w)", "(COUNT(*) OVER w) * 100")} AS avg_1h
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -2740,7 +2856,7 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "events_funnel" ->
-      """WITH e AS (SELECT user_id, event_type,
+      raw"""WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
         |  FROM events WHERE event_type IN ('view','click','purchase')),
         |u AS (SELECT user_id,
@@ -2760,23 +2876,20 @@ object SparkEntry {
         |             (SELECT COUNT(*) FROM s2) AS n2,
         |             (SELECT COUNT(*) FROM s3) AS n3)
         |SELECT CAST(1 AS INT) AS step, 'view' AS step_name, n1 AS n_users,
-        |  (CAST(ROUND(CAST(n1 * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("n1", "GREATEST(n1, 1)")}
         |    AS conversion FROM n
         |UNION ALL
         |SELECT CAST(2 AS INT), 'view>click', n2,
-        |  (CAST(ROUND(CAST(n2 * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("n2", "GREATEST(n1, 1)")}
         |  FROM n
         |UNION ALL
         |SELECT CAST(3 AS INT), 'view>click>purchase', n3,
-        |  (CAST(ROUND(CAST(n3 * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n1, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("n3", "GREATEST(n1, 1)")}
         |  FROM n
         |ORDER BY step""".stripMargin,
 
     "events_retention" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      raw"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |fw AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
         |  FROM e GROUP BY user_id),
         |cs AS (SELECT cohort_week, COUNT(*) AS cohort_size
@@ -2788,8 +2901,7 @@ object SparkEntry {
         |    COUNT(DISTINCT a.user_id) AS n_active
         |  FROM aw a JOIN fw f USING (user_id) GROUP BY 1, 2)
         |SELECT m.cohort_week, m.week_offset, m.n_active,
-        |  (CAST(ROUND(CAST(m.n_active * 10000 AS DOUBLE)
-        |    / CAST(c.cohort_size AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("m.n_active", "c.cohort_size")}
         |    AS retention_pct
         |FROM m JOIN cs c USING (cohort_week)
         |ORDER BY m.cohort_week, m.week_offset""".stripMargin,
@@ -3000,7 +3112,7 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_threshold_curve" ->
-      """WITH toks AS (SELECT doc_id,
+      raw"""WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
@@ -3032,14 +3144,12 @@ object SparkEntry {
         |  FROM lv l LEFT JOIN ep e ON e.jaccard >= l.threshold GROUP BY 1),
         |nd AS (SELECT COUNT(*)::BIGINT AS n_docs_corpus FROM documents)
         |SELECT a1.threshold, a1.n_pairs, a2.n_docs_in_pairs, nd.n_docs_corpus,
-        |  (CAST(ROUND(CAST(a2.n_docs_in_pairs * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(nd.n_docs_corpus, 1) AS DOUBLE), 0) AS BIGINT)
-        |    / 10000.0) AS doc_share
+        |  ${ratio4Sql("a2.n_docs_in_pairs", "GREATEST(nd.n_docs_corpus, 1)")} AS doc_share
         |FROM a1 JOIN a2 USING (threshold) CROSS JOIN nd
         |ORDER BY a1.threshold""".stripMargin,
 
     "events_weekend_contrast" ->
-      """WITH e AS (SELECT event_type,
+      raw"""WITH e AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 AS dow
         |  FROM events),
@@ -3057,13 +3167,11 @@ object SparkEntry {
         | n_weekday_days, n_weekend_days,
         | CAST(wd100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekday_rate,
         | CAST(we100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekend_rate,
-        | (CAST(ROUND(CAST(we100 * 10000 AS DOUBLE)
-        |   / CAST(NULLIF(wd100, 0) AS DOUBLE), 0)
-        |   AS BIGINT) / 10000.0) AS weekend_ratio
+        | ${ratio4Sql("we100", "NULLIF(wd100, 0)")} AS weekend_ratio
         |FROM r ORDER BY event_type""".stripMargin,
 
     "text_lang_mix" ->
-      """WITH t AS (SELECT doc_id, text, source,
+      raw"""WITH t AS (SELECT doc_id, text, source,
         |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, text, source, toks,
         |    CAST(GREATEST(len(toks), 1) AS DOUBLE) AS n FROM t),
@@ -3094,13 +3202,12 @@ object SparkEntry {
         |tot AS (SELECT source, SUM(n_docs)::BIGINT AS src_docs
         |  FROM cell GROUP BY 1)
         |SELECT source, pred_lang, n_docs,
-        | (CAST(ROUND(CAST(n_docs * 10000 AS DOUBLE) / CAST(src_docs AS DOUBLE), 0)
-        |   AS BIGINT) / 10000.0) AS share
+        | ${ratio4Sql("n_docs", "src_docs")} AS share
         |FROM cell JOIN tot USING (source)
         |ORDER BY source, pred_lang""".stripMargin,
 
     "text_langid" ->
-      """WITH t AS (SELECT doc_id, text,
+      raw"""WITH t AS (SELECT doc_id, text,
         |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id, text, toks,
         |    CAST(GREATEST(len(toks), 1) AS BIGINT) AS n FROM t),
@@ -3128,14 +3235,12 @@ object SparkEntry {
         |  CASE WHEN CAST(cjk_c AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.3
         |    THEN 'zh' ELSE best.lang END AS pred_lang,
         |  CASE WHEN CAST(cjk_c AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.3
-        |    THEN (CAST(ROUND(CAST(cjk_c * 10000 AS DOUBLE)
-        |      / CAST(n_chars AS DOUBLE), 0) AS BIGINT) / 10000.0)
-        |    ELSE (CAST(ROUND(CAST(best.n * 10000 AS DOUBLE)
-        |      / CAST(n AS DOUBLE), 0) AS BIGINT) / 10000.0) END AS pred_score
+        |    THEN ${ratio4Sql("cjk_c", "n_chars")}
+        |    ELSE ${ratio4Sql("best.n", "n")} END AS pred_score
         |FROM lng ORDER BY doc_id""".stripMargin,
 
     "mm_sample_balanced" ->
-      """WITH med AS (SELECT doc_id,
+      raw"""WITH med AS (SELECT doc_id,
         |    (['jpeg','png','webp'])[CAST(doc_id % 3 AS INT) + 1] AS format,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |  FROM documents),
@@ -3165,14 +3270,13 @@ object SparkEntry {
         |  FROM b JOIN r2 USING (format) GROUP BY b.format)
         |SELECT r2.format, r2.n_items, r2.total_bytes, r2.target_bytes, r2.rate_ppm,
         |  s.n_sampled, s.bytes_sampled,
-        |  (CAST(ROUND(CAST(s.bytes_sampled * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(r2.total_bytes, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("s.bytes_sampled", "GREATEST(r2.total_bytes, 1)")}
         |    AS realized_byte_rate
         |FROM r2 JOIN s USING (format)
         |ORDER BY r2.format""".stripMargin,
 
     "mm_corpus_audit" ->
-      """WITH m AS (SELECT doc_id,
+      raw"""WITH m AS (SELECT doc_id,
         |    (['jpeg','png','webp'])[CAST(doc_id % 3 AS INT) + 1] AS format,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |    CAST((doc_id % 8) * 64 + 64 AS BIGINT) AS width,
@@ -3185,10 +3289,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN n_bytes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(SUM(CASE WHEN width * height > 16384 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_oversize,
-        |  (CAST(ROUND(CAST(SUM(n_bytes) * 10000 AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS mean_bytes,
-        |  (CAST(ROUND(CAST(SUM((10000 * width) // height) * 10000 AS DOUBLE)
-        |    / CAST(COUNT(*) * 10000 AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("SUM(n_bytes)", "COUNT(*)")} AS mean_bytes,
+        |  ${ratio4Sql("SUM((10000 * width) // height)", "COUNT(*) * 10000")}
         |    AS mean_aspect
         |FROM m
         |GROUP BY format
@@ -3220,7 +3322,7 @@ object SparkEntry {
     // the 8-gram hit flag (text_decontaminate), and the md5-bucket
     // sampler (sample_stratified), each verbatim.
     "curation_report" ->
-      """WITH RECURSIVE toks3 AS (SELECT doc_id,
+      raw"""WITH RECURSIVE toks3 AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |sh3 AS (
@@ -3348,8 +3450,7 @@ object SparkEntry {
         |    CAST(COALESCE(SUM(CASE WHEN s5x THEN n_toks ELSE 0 END), 0) AS BIGINT) FROM flags),
         |tot AS (SELECT n_docs AS n0 FROM rep WHERE stage = 0)
         |SELECT stage, stage_name, n_docs, n_tokens,
-        |  (CAST(ROUND(CAST(n_docs * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n0, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS pct_of_raw
+        |  ${ratio4Sql("n_docs", "GREATEST(n0, 1)")} AS pct_of_raw
         |FROM rep CROSS JOIN tot
         |ORDER BY stage""".stripMargin,
 
@@ -3432,8 +3533,7 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |scored AS (
         |  SELECT p.doc_a, p.doc_b, p.n_shared,
-        |    (CAST(ROUND(CAST(p.n_shared * 10000 AS DOUBLE)
-        |      / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    ${ratio4Sql("p.n_shared", "LEAST(na.n_fp, nb.n_fp)")}
         |      AS containment
         |  FROM pairs p
         |  JOIN szs na ON na.doc_id = p.doc_a
@@ -3444,7 +3544,7 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_decontaminate" ->
-      """WITH toks AS (SELECT doc_id,
+      raw"""WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
@@ -3460,14 +3560,13 @@ object SparkEntry {
         |n AS (SELECT doc_id, COUNT(*)::INT AS n_ngrams FROM tr GROUP BY doc_id),
         |h AS (SELECT doc_id, COUNT(*) AS n_hits FROM tr JOIN ev USING (ngram) GROUP BY doc_id)
         |SELECT n.doc_id, n.n_ngrams, COALESCE(h.n_hits, 0) AS n_hits,
-        |  (CAST(ROUND(CAST(COALESCE(h.n_hits, 0) * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n.n_ngrams, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0) AS contamination,
+        |  ${ratio4Sql("COALESCE(h.n_hits, 0)", "GREATEST(n.n_ngrams, 1)")} AS contamination,
         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
         |FROM n LEFT JOIN h USING (doc_id)
         |ORDER BY n.doc_id""".stripMargin,
 
     "text_contamination_matrix" ->
-      """WITH toks AS (SELECT doc_id,
+      raw"""WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |src AS (SELECT doc_id, source FROM documents),
@@ -3491,14 +3590,13 @@ object SparkEntry {
         |  FROM bysrc b CROSS JOIN (SELECT UNNEST([0, 1, 2, 3])::INT AS benchmark) m)
         |SELECT d.source, d.benchmark, d.n_train_docs,
         |  COALESCE(c.n_contaminated, 0) AS n_contaminated,
-        |  (CAST(ROUND(CAST(COALESCE(c.n_contaminated, 0) * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(d.n_train_docs, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("COALESCE(c.n_contaminated, 0)", "GREATEST(d.n_train_docs, 1)")}
         |    AS contaminated_frac
         |FROM dense d LEFT JOIN cell c USING (source, benchmark)
         |ORDER BY d.source, d.benchmark""".stripMargin,
 
     "text_novelty" ->
-      """WITH toks AS (SELECT doc_id,
+      raw"""WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
@@ -3516,15 +3614,13 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  COALESCE(per.n_shingles, 0) AS n_shingles,
         |  COALESCE(per.n_shared, 0) AS n_shared,
-        |  (CAST(ROUND(CAST(COALESCE(per.n_shared, 0) * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(COALESCE(per.n_shingles, 0), 1) AS DOUBLE), 0)
-        |    AS BIGINT) / 10000.0) AS shared_frac,
+        |  ${ratio4Sql("COALESCE(per.n_shared, 0)", "GREATEST(COALESCE(per.n_shingles, 0), 1)")} AS shared_frac,
         |  COALESCE(per.n_shared, 0) * 2 > COALESCE(per.n_shingles, 0) AS mostly_dup
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     "text_quality_curve" ->
-      """WITH t AS (SELECT doc_id, text,
+      raw"""WITH t AS (SELECT doc_id, text,
         |  string_split_regex(lower(text), '\s+') AS toks,
         |  CAST(length(text) AS DOUBLE) AS n_chars,
         |  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
@@ -3552,18 +3648,16 @@ object SparkEntry {
         |      AS tokens_kept
         |  FROM lv GROUP BY 1)
         |SELECT threshold, n_kept,
-        |  (CAST(ROUND(CAST(n_kept * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(t.n_docs, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("n_kept", "GREATEST(t.n_docs, 1)")}
         |    AS kept_frac,
         |  tokens_kept,
-        |  (CAST(ROUND(CAST(tokens_kept * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(t.n_tokens_all, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("tokens_kept", "GREATEST(t.n_tokens_all, 1)")}
         |    AS token_frac
         |FROM a CROSS JOIN tot t
         |ORDER BY threshold""".stripMargin,
 
     "text_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
         |  FROM documents),
         |base AS (SELECT doc_id, len(t)::INT AS n_tokens,
         |    len(list_distinct(t))::INT AS n_distinct, t FROM t),
@@ -3592,17 +3686,12 @@ object SparkEntry {
         |    GREATEST(COALESCE(piv.sum3, 0), 1) AS sum3
         |  FROM base b LEFT JOIN piv USING (doc_id))
         |SELECT doc_id, n_tokens, n_distinct,
-        |  (CAST(ROUND(CAST(n_distinct * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("n_distinct", "GREATEST(n_tokens, 1)")}
         |    AS distinct_ratio,
-        |  (CAST(ROUND(CAST(max2 * 10000 AS DOUBLE) / CAST(sum2 AS DOUBLE), 0)
-        |    AS BIGINT) / 10000.0) AS top_2gram_frac,
-        |  (CAST(ROUND(CAST(dup2 * 10000 AS DOUBLE) / CAST(sum2 AS DOUBLE), 0)
-        |    AS BIGINT) / 10000.0) AS dup_2gram_frac,
-        |  (CAST(ROUND(CAST(max3 * 10000 AS DOUBLE) / CAST(sum3 AS DOUBLE), 0)
-        |    AS BIGINT) / 10000.0) AS top_3gram_frac,
-        |  (CAST(ROUND(CAST(dup3 * 10000 AS DOUBLE) / CAST(sum3 AS DOUBLE), 0)
-        |    AS BIGINT) / 10000.0) AS dup_3gram_frac
+        |  ${ratio4Sql("max2", "sum2")} AS top_2gram_frac,
+        |  ${ratio4Sql("dup2", "sum2")} AS dup_2gram_frac,
+        |  ${ratio4Sql("max3", "sum3")} AS top_3gram_frac,
+        |  ${ratio4Sql("dup3", "sum3")} AS dup_3gram_frac
         |FROM r
         |ORDER BY doc_id""".stripMargin,
 
@@ -3643,7 +3732,7 @@ object SparkEntry {
     // ulp between libm implementations and make top-5 cut points
     // engine-dependent.
     "text_tfidf" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |  FROM documents),
         |terms AS (SELECT doc_id, r.t AS term
         |  FROM t, UNNEST(toks) AS r(t) WHERE len(r.t) > 0),
@@ -3656,13 +3745,12 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY raw DESC, term) AS rank FROM s)
         |SELECT doc_id, rank::INT AS rank, term, tf, df,
-        |  (CAST(ROUND(CAST(tf * (n_docs + 1) * 10000 AS DOUBLE)
-        |    / CAST(df + 1 AS DOUBLE), 0) AS BIGINT) / 10000.0) AS tfidf
+        |  ${ratio4Sql("tf * (n_docs + 1)", "df + 1")} AS tfidf
         |FROM r WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
 
     "events_dau_mau" ->
-      """WITH e AS (SELECT
+      raw"""WITH e AS (SELECT
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) // 7 AS wk,
         |    year(CAST(ts AS TIMESTAMP)) * 12 + month(CAST(ts AS TIMESTAMP)) AS mon,
@@ -3673,10 +3761,8 @@ object SparkEntry {
         |m AS (SELECT mon, COUNT(DISTINCT user_id)::BIGINT AS mau FROM e GROUP BY 1)
         |SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS DATE) AS day,
         | dau, wau, mau,
-        | (CAST(ROUND(CAST(dau * 10000 AS DOUBLE) / CAST(wau AS DOUBLE), 0)
-        |   AS BIGINT) / 10000.0) AS dau_wau,
-        | (CAST(ROUND(CAST(dau * 10000 AS DOUBLE) / CAST(mau AS DOUBLE), 0)
-        |   AS BIGINT) / 10000.0) AS dau_mau
+        | ${ratio4Sql("dau", "wau")} AS dau_wau,
+        | ${ratio4Sql("dau", "mau")} AS dau_mau
         |FROM d JOIN w USING (wk) JOIN m USING (mon) ORDER BY day""".stripMargin,
 
     "events_sessionize_native" ->
@@ -3697,7 +3783,7 @@ object SparkEntry {
         |ORDER BY user_id, session_start""".stripMargin,
 
     "events_session_stats" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      raw"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |  LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
         |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
@@ -3713,8 +3799,7 @@ object SparkEntry {
         |    SUM(dur_us)::BIGINT AS sum_us FROM s GROUP BY 1),
         |t AS (SELECT SUM(n_sessions)::BIGINT AS total_sessions FROM byn)
         |SELECT n_events, n_sessions,
-        | (CAST(ROUND(CAST(n_sessions * 10000 AS DOUBLE) /
-        |   CAST(total_sessions AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        | ${ratio4Sql("n_sessions", "total_sessions")}
         |   AS session_share,
         | CAST(sum_us // 1000000 AS BIGINT) AS total_duration_s,
         | CAST(CAST(sum_us // n_sessions AS BIGINT) AS DOUBLE)
@@ -3722,7 +3807,7 @@ object SparkEntry {
         |FROM byn CROSS JOIN t ORDER BY n_events""".stripMargin,
 
     "nation_year_growth" ->
-      """WITH li AS (SELECT s_nationkey,
+      raw"""WITH li AS (SELECT s_nationkey,
         |    year(CAST(l_shipdate AS TIMESTAMP)) AS yr,
         |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)) AS rev
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
@@ -3732,14 +3817,13 @@ object SparkEntry {
         |    ORDER BY yr) AS prev_dec FROM cell)
         |SELECT n_name AS nation, CAST(yr AS INT) AS year, n_lines,
         | CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
-        | (CAST(ROUND(CAST((rev_dec - prev_dec) * 10000 * 10000 AS DOUBLE)
-        |   / CAST(prev_dec * 10000 AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        | ${ratio4Sql("(rev_dec - prev_dec) * 10000", "prev_dec * 10000")}
         |   AS yoy_growth
         |FROM w JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY nation, year""".stripMargin,
 
     "fk_integrity" ->
-      """WITH e1 AS (SELECT 'customer.c_nationkey -> nation' AS relationship,
+      raw"""WITH e1 AS (SELECT 'customer.c_nationkey -> nation' AS relationship,
         |    COUNT(*)::BIGINT AS n_child,
         |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_orphans
@@ -3773,8 +3857,7 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
         |  UNION ALL SELECT * FROM e5)
         |SELECT relationship, n_child, n_orphans,
-        |  (CAST(ROUND(CAST(n_orphans * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n_child, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("n_orphans", "GREATEST(n_child, 1)")}
         |    AS orphan_share
         |FROM u ORDER BY relationship""".stripMargin,
 
@@ -3840,7 +3923,7 @@ object SparkEntry {
         |FROM bands GROUP BY band ORDER BY band_lo""".stripMargin,
 
     "events_conversion_lag" ->
-      """WITH e AS (SELECT user_id, event_type,
+      raw"""WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
         |  FROM events WHERE event_type IN ('view','click')),
         |u AS (SELECT user_id,
@@ -3856,13 +3939,11 @@ object SparkEntry {
         |t AS (SELECT COUNT(*)::BIGINT AS n_converters FROM lags)
         |SELECT CAST(lag_hours AS BIGINT) AS lag_hours,
         | COUNT(*)::BIGINT AS n_users,
-        | (CAST(ROUND(CAST(COUNT(*) * 10000 AS DOUBLE)
-        |   / CAST(ANY_VALUE(n_converters) AS DOUBLE), 0) AS BIGINT)
-        |   / 10000.0) AS share
+        | ${ratio4Sql("COUNT(*)", "ANY_VALUE(n_converters)")} AS share
         |FROM lags CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_session_mix" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
+      raw"""WITH e AS (SELECT user_id, event_id, event_type,
         |  CAST(ts AS TIMESTAMP) AS ts,
         |  LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
@@ -3878,15 +3959,13 @@ object SparkEntry {
         |  FROM sess GROUP BY 1, 2),
         |t AS (SELECT COUNT(*)::BIGINT AS total_sessions FROM s)
         |SELECT mix, COUNT(*)::BIGINT AS n_sessions,
-        | (CAST(ROUND(CAST(COUNT(*) * 10000 AS DOUBLE)
-        |   / CAST(ANY_VALUE(total_sessions) AS DOUBLE), 0) AS BIGINT)
-        |   / 10000.0) AS session_share,
+        | ${ratio4Sql("COUNT(*)", "ANY_VALUE(total_sessions)")} AS session_share,
         | CAST(CAST((100 * SUM(n_events)) // COUNT(*) AS BIGINT) AS DOUBLE)
         |   / CAST(100.0 AS DOUBLE) AS avg_events
         |FROM s CROSS JOIN t GROUP BY mix ORDER BY mix""".stripMargin,
 
     "events_growth_curve" ->
-      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      raw"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
         |    user_id FROM events),
         |fd AS (SELECT user_id, MIN(day) AS day FROM e GROUP BY 1),
         |nb AS (SELECT day, COUNT(*)::BIGINT AS new_users FROM fd GROUP BY 1),
@@ -3898,8 +3977,7 @@ object SparkEntry {
         |    AS cum_users FROM j)
         |SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS DATE) AS day,
         | new_users, dau - new_users AS returning_users, dau, cum_users,
-        | (CAST(ROUND(CAST(dau * 10000 AS DOUBLE) / CAST(cum_users AS DOUBLE), 0)
-        |   AS BIGINT) / 10000.0) AS active_share
+        | ${ratio4Sql("dau", "cum_users")} AS active_share
         |FROM c ORDER BY day""".stripMargin,
 
     "events_activity_islands" ->
@@ -3966,7 +4044,7 @@ object SparkEntry {
         |WHERE hh > 2 ORDER BY m.event_type""".stripMargin,
 
     "supplier_dominance" ->
-      """WITH li AS (SELECT p_brand, l_suppkey,
+      raw"""WITH li AS (SELECT p_brand, l_suppkey,
         |    CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS q100
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
         |bys AS (SELECT p_brand, l_suppkey, SUM(q100)::BIGINT AS supp_q
@@ -3978,10 +4056,8 @@ object SparkEntry {
         |SELECT p_brand AS brand, s_name AS top_supplier, n_suppliers,
         | CAST(ROUND((max_enc // 1000000000) / 100.0, 2) AS DOUBLE) AS top_qty,
         | CAST(ROUND(brand_q / 100.0, 2) AS DOUBLE) AS brand_qty,
-        | (CAST(ROUND(CAST((max_enc // 1000000000) * 10000 AS DOUBLE)
-        |   / CAST(brand_q AS DOUBLE), 0) AS BIGINT) / 10000.0) AS share,
-        | (CAST(ROUND(CAST((max_enc // 1000000000) * n_suppliers * 10000 AS DOUBLE)
-        |   / CAST(brand_q AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        | ${ratio4Sql("(max_enc // 1000000000)", "brand_q")} AS share,
+        | ${ratio4Sql("(max_enc // 1000000000) * n_suppliers", "brand_q")}
         |   AS fair_share_multiple
         |FROM byb JOIN supplier ON 999999999 - max_enc % 1000000000 = s_suppkey
         |ORDER BY brand""".stripMargin,
@@ -4023,22 +4099,20 @@ object SparkEntry {
         |FROM a ORDER BY event_type""".stripMargin,
 
     "events_hhi" ->
-      """WITH pu AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS c
+      raw"""WITH pu AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS c
         |  FROM events GROUP BY 1, 2),
         |a AS (SELECT event_type, SUM(c)::BIGINT AS n_events,
         |    COUNT(*)::BIGINT AS n_users, SUM(c * c)::BIGINT AS sum_c2
         |  FROM pu GROUP BY 1)
         |SELECT event_type, n_events, n_users,
-        | (CAST(ROUND(CAST(sum_c2 * 10000 AS DOUBLE) /
-        |   CAST(n_events * n_events AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        | ${ratio4Sql("sum_c2", "n_events * n_events")}
         |   AS hhi,
-        | (CAST(ROUND(CAST(n_events * n_events * 10000 AS DOUBLE) /
-        |   CAST(sum_c2 AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        | ${ratio4Sql("n_events * n_events", "sum_c2")}
         |   AS effective_users
         |FROM a ORDER BY event_type""".stripMargin,
 
     "events_burstiness" ->
-      """WITH h AS (SELECT event_type,
+      raw"""WITH h AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
         |    COUNT(*)::BIGINT AS c
         |  FROM events GROUP BY 1, 2),
@@ -4048,9 +4122,7 @@ object SparkEntry {
         |    SUM(c * c)::BIGINT AS sum_c2
         |  FROM h GROUP BY 1)
         |SELECT event_type, n_events, n_hours, n_active_hours,
-        | (CAST(ROUND(CAST((n_hours * sum_c2 - n_events * n_events) * 10000 AS DOUBLE)
-        |   / CAST((n_hours - 1) * n_events AS DOUBLE), 0)
-        |   AS BIGINT) / 10000.0) AS fano,
+        | ${ratio4Sql("(n_hours * sum_c2 - n_events * n_events)", "(n_hours - 1) * n_events")} AS fano,
         | CAST((10000 * n_events) // n_hours AS BIGINT) / CAST(10000.0 AS DOUBLE)
         |   AS mean_per_hour
         |FROM a WHERE n_hours > 1 ORDER BY event_type""".stripMargin,
@@ -4078,7 +4150,7 @@ object SparkEntry {
         |ORDER BY nation, band""".stripMargin,
 
     "supplier_concentration" ->
-      """WITH s AS (SELECT s_nationkey,
+      raw"""WITH s AS (SELECT s_nationkey,
         |    CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
         |  FROM supplier WHERE CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) > 0),
         |g AS (SELECT SUM(bal_cents)::BIGINT AS grand_cents FROM s),
@@ -4086,8 +4158,7 @@ object SparkEntry {
         |    SUM(bal_cents)::BIGINT AS nat_cents FROM s GROUP BY 1)
         |SELECT n_name AS nation, n_suppliers,
         | CAST(ROUND(nat_cents / 100.0, 2) AS DOUBLE) AS total_acctbal,
-        | (CAST(ROUND(CAST(nat_cents * 10000 AS DOUBLE) / CAST(grand_cents AS DOUBLE),
-        |   0) AS BIGINT) / 10000.0) AS share
+        | ${ratio4Sql("nat_cents", "grand_cents")} AS share
         |FROM byn CROSS JOIN g
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE nat_cents * 50 > grand_cents
@@ -4109,7 +4180,7 @@ object SparkEntry {
         |ORDER BY brand""".stripMargin,
 
     "orders_seasonality" ->
-      """WITH o AS (SELECT month(CAST(o_orderdate AS TIMESTAMP)) AS mon,
+      raw"""WITH o AS (SELECT month(CAST(o_orderdate AS TIMESTAMP)) AS mon,
         |    year(CAST(o_orderdate AS TIMESTAMP)) AS yr,
         |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
         |my AS (SELECT mon, yr, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS c
@@ -4120,13 +4191,12 @@ object SparkEntry {
         |g AS (SELECT SUM(mon_cents)::BIGINT AS grand_cents FROM m)
         |SELECT CAST(mon AS BIGINT) AS month, n_orders,
         | CAST(ROUND(mon_cents / 100.0, 2) AS DOUBLE) AS revenue,
-        | (CAST(ROUND(CAST(mon_cents * 10000 AS DOUBLE) / CAST(grand_cents AS DOUBLE),
-        |   0) AS BIGINT) / 10000.0) AS revenue_share,
+        | ${ratio4Sql("mon_cents", "grand_cents")} AS revenue_share,
         | CAST(peak_enc % 10000 AS INT) AS peak_year
         |FROM m CROSS JOIN g ORDER BY month""".stripMargin,
 
     "text_len_hist" ->
-      """WITH b AS (SELECT length(text)::BIGINT AS n,
+      raw"""WITH b AS (SELECT length(text)::BIGINT AS n,
         |    CASE WHEN length(text) = 0 THEN -1
         |      ELSE CAST(length(bin(length(text)::BIGINT)) - 1 AS INT) END AS k
         |  FROM documents),
@@ -4138,8 +4208,7 @@ object SparkEntry {
         | CASE WHEN k < 0 THEN 0 ELSE (1::BIGINT << k) END AS lo,
         | CASE WHEN k < 0 THEN 0 ELSE (1::BIGINT << (k + 1)) - 1 END AS hi,
         | n_docs, n_chars,
-        | (CAST(ROUND(CAST(cum_chars * 10000 AS DOUBLE) / CAST(grand AS DOUBLE), 0)
-        |   AS BIGINT) / 10000.0) AS cum_char_coverage
+        | ${ratio4Sql("cum_chars", "grand")} AS cum_char_coverage
         |FROM c ORDER BY bucket_exp""".stripMargin,
 
     "text_collocations" ->
@@ -4233,7 +4302,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_vocab" ->
-      """WITH toks AS (SELECT doc_id, r.t AS token
+      raw"""WITH toks AS (SELECT doc_id, r.t AS token
         |  FROM (SELECT doc_id,
         |      regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS ts
         |    FROM documents), UNNEST(ts) AS r(t)),
@@ -4246,7 +4315,7 @@ object SparkEntry {
         |    SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token) AS cum
         |  FROM top)
         |SELECT rank::INT AS rank, token, n_occurrences, n_docs,
-        |  (CAST(ROUND((cum * 10000)::DOUBLE / n_total::DOUBLE, 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("cum", "n_total")}
         |    AS cum_coverage
         |FROM r CROSS JOIN total ORDER BY rank""".stripMargin,
 
@@ -4254,7 +4323,7 @@ object SparkEntry {
     // rounded IEEE ops; everything downstream is BIGINT/HUGEINT
     // integer math, so rates and per-doc decisions hash-match exactly.
     "sample_temperature" ->
-      """WITH b AS (SELECT doc_id, source,
+      raw"""WITH b AS (SELECT doc_id, source,
         |    CAST(CAST(concat('0x', substring(
         |      md5(CAST(doc_id AS VARCHAR) || '#' || source), 1, 12)) AS UBIGINT)
         |      % 1000000 AS BIGINT) AS bucket_ppm
@@ -4275,8 +4344,7 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN b.bucket_ppm < r2.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |  FROM b JOIN r2 USING (source) GROUP BY b.source)
         |SELECT r2.source, r2.n_docs, r2.target_docs, r2.rate_ppm, s.n_sampled,
-        |  (CAST(ROUND(CAST(s.n_sampled * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(r2.n_docs, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("s.n_sampled", "GREATEST(r2.n_docs, 1)")}
         |    AS realized_rate
         |FROM r2 JOIN s USING (source)
         |ORDER BY r2.source""".stripMargin,
@@ -4368,21 +4436,19 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
 
     "corpus_mix" ->
-      """WITH a AS (SELECT source, lang, COUNT(*) AS n_docs,
+      raw"""WITH a AS (SELECT source, lang, COUNT(*) AS n_docs,
         |    CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_tokens,
         |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
         |  FROM documents GROUP BY source, lang),
         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM a)
         |SELECT source, lang, n_docs, n_tokens, n_chars,
-        |  (CAST(ROUND(CAST(n_tokens * 10000 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 0)
-        |    AS BIGINT) / 10000.0) AS token_share,
-        |  (CAST(ROUND(CAST(n_tokens * 10000 AS DOUBLE) / CAST(n_docs AS DOUBLE), 0)
-        |    AS BIGINT) / 10000.0) AS avg_doc_tokens
+        |  ${ratio4Sql("n_tokens", "total_tokens")} AS token_share,
+        |  ${ratio4Sql("n_tokens", "n_docs")} AS avg_doc_tokens
         |FROM a CROSS JOIN t
         |ORDER BY source, lang""".stripMargin,
 
     "text_c4_filters" ->
-      """WITH f AS (SELECT doc_id,
+      raw"""WITH f AS (SELECT doc_id,
         |    text ||
         |    CASE WHEN doc_id % 7 = 0 THEN ' function() { var x = 1; }' ELSE '' END ||
         |    CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum dolor sit amet' ELSE '' END ||
@@ -4394,7 +4460,7 @@ object SparkEntry {
         |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
         |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE)
         |      / CAST(len(string_split_regex(t, '\s+')) AS DOUBLE) AS mean_len,
-        |    regexp_matches(t, '[.!?"]$') AS ends_punct,
+        |    regexp_matches(t, '[.!?"]$$') AS ends_punct,
         |    contains(t, '{') AS has_curly,
         |    contains(lower(t), 'lorem ipsum') AS has_lorem,
         |    contains(lower(t), 'javascript') AS has_js
@@ -4409,8 +4475,7 @@ object SparkEntry {
         |         ELSE 'kept' END AS drop_reason
         |  FROM s)
         |SELECT doc_id, n_words,
-        |  (CAST(ROUND(CAST(n_nonspace * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(n_words, 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("n_nonspace", "GREATEST(n_words, 1)")}
         |    AS mean_word_len,
         |  ends_punct, has_curly, has_lorem, has_js AS has_javascript,
         |  drop_reason, drop_reason = 'kept' AS kept
@@ -4418,7 +4483,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "text_gopher_filters" ->
-      """WITH f AS (SELECT doc_id, text,
+      raw"""WITH f AS (SELECT doc_id, text,
         |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n0
         |  FROM documents),
         |d4 AS (SELECT doc_id, CASE
@@ -4442,18 +4507,11 @@ object SparkEntry {
         |g AS (SELECT doc_id,
         |    CAST(len(words) AS INT) AS n_words,
         |    CAST(len(lines) AS INT) AS n_lines,
-        |    (CAST(ROUND(CAST((n_hash + n_ell) * 10000 AS DOUBLE)
-        |      / CAST(GREATEST(len(words), 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    ${ratio4Sql("(n_hash + n_ell)", "GREATEST(len(words), 1)")}
         |      AS symbol_ratio,
-        |    (CAST(ROUND(CAST(len(list_filter(lines, l -> l LIKE '- %')) * 10000
-        |      AS DOUBLE) / CAST(GREATEST(len(lines), 1) AS DOUBLE), 0) AS BIGINT)
-        |      / 10000.0) AS bullet_ratio,
-        |    (CAST(ROUND(CAST(len(list_filter(lines, l -> l LIKE '%...')) * 10000
-        |      AS DOUBLE) / CAST(GREATEST(len(lines), 1) AS DOUBLE), 0) AS BIGINT)
-        |      / 10000.0) AS ellipsis_ratio,
-        |    (CAST(ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
-        |      * 10000 AS DOUBLE) / CAST(GREATEST(len(words), 1) AS DOUBLE), 0)
-        |      AS BIGINT) / 10000.0) AS alpha_ratio,
+        |    ${ratio4Sql("len(list_filter(lines, l -> l LIKE '- %'))", "GREATEST(len(lines), 1)")} AS bullet_ratio,
+        |    ${ratio4Sql("len(list_filter(lines, l -> l LIKE '%...'))", "GREATEST(len(lines), 1)")} AS ellipsis_ratio,
+        |    ${ratio4Sql("len(list_filter(words, w -> regexp_matches(w, '[a-z]')))", "GREATEST(len(words), 1)")} AS alpha_ratio,
         |    CAST(CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
         |      + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
         |      + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
@@ -4463,8 +4521,7 @@ object SparkEntry {
         |      + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
         |      + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END
         |      AS BIGINT) AS n_stop_hits,
-        |    (CAST(ROUND(CAST(n_wchars * 10000 AS DOUBLE)
-        |      / CAST(GREATEST(len(words), 1) AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |    ${ratio4Sql("n_wchars", "GREATEST(len(words), 1)")}
         |      AS mean_word_len
         |  FROM s)
         |SELECT *, drop_reason = 'kept' AS kept FROM (SELECT *,
@@ -4480,7 +4537,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "sample_split" ->
-      """WITH b AS (SELECT doc_id, n_chars,
+      raw"""WITH b AS (SELECT doc_id, n_chars,
         |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
         |      AS n_toks,
         |    CAST(CAST(concat('0x', substring(
@@ -4496,13 +4553,12 @@ object SparkEntry {
         |    SUM(doc_id)::BIGINT AS id_checksum
         |  FROM s GROUP BY split)
         |SELECT split, n_docs, n_chars, n_tokens, id_checksum,
-        |  (CAST(ROUND(CAST(n_docs * 10000 AS DOUBLE)
-        |    / CAST(SUM(n_docs) OVER () AS DOUBLE), 0) AS BIGINT) / 10000.0)
+        |  ${ratio4Sql("n_docs", "SUM(n_docs) OVER ()")}
         |    AS share
         |FROM a ORDER BY split""".stripMargin,
 
     "split_leakage" ->
-      """WITH toks AS (SELECT doc_id,
+      raw"""WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |sh AS (
@@ -4543,9 +4599,7 @@ object SparkEntry {
         |SELECT c.split_a, c.split_b,
         |  COALESCE(cnt.n, 0)::BIGINT AS n_pairs,
         |  (c.split_a <> c.split_b) AS is_leak,
-        |  (CAST(ROUND(CAST(COALESCE(cnt.n, 0) * 10000 AS DOUBLE)
-        |    / CAST(GREATEST(tot.total_pairs, 1) AS DOUBLE), 0) AS BIGINT)
-        |    / 10000.0) AS pair_share
+        |  ${ratio4Sql("COALESCE(cnt.n, 0)", "GREATEST(tot.total_pairs, 1)")} AS pair_share
         |FROM cells c LEFT JOIN cnt USING (split_a, split_b) CROSS JOIN tot
         |ORDER BY c.split_a, c.split_b""".stripMargin,
 
@@ -4615,7 +4669,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      """WITH t AS (SELECT doc_id, text,
+      raw"""WITH t AS (SELECT doc_id, text,
         |  string_split_regex(lower(text), '\s+') AS toks,
         |  CAST(length(text) AS DOUBLE) AS n_chars,
         |  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
@@ -4629,12 +4683,9 @@ object SparkEntry {
         |SELECT doc_id,
         | CAST(n_chars AS INT) AS n_chars,
         | CAST(n_toks AS INT) AS n_tokens,
-        | (CAST(ROUND(punct * 10000 / GREATEST(n_chars, 1), 0) AS BIGINT)
-        |   / 10000.0) AS punct_ratio,
-        | (CAST(ROUND(digits * 10000 / GREATEST(n_chars, 1), 0) AS BIGINT)
-        |   / 10000.0) AS digit_ratio,
-        | (CAST(ROUND(stops * 10000 / GREATEST(n_toks, 1), 0) AS BIGINT)
-        |   / 10000.0) AS stopword_ratio,
+        | ${ratio4Sql("punct", "GREATEST(n_chars, 1)")} AS punct_ratio,
+        | ${ratio4Sql("digits", "GREATEST(n_chars, 1)")} AS digit_ratio,
+        | ${ratio4Sql("stops", "GREATEST(n_toks, 1)")} AS stopword_ratio,
         | CAST(CAST(ROUND(
         |   LEAST(n_chars / 500.0, 1.0) * 0.4
         |   + LEAST(stops / GREATEST(n_toks * 0.05, 1.0), 1.0) * 0.4

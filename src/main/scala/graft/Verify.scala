@@ -24,10 +24,18 @@ object Verify {
     val memoCap = sys.env.getOrElse("SPARK_GRAFT_MEMO_CAP_BYTES", s"${8L << 30}").toLong
     var retainedHw = 0L
     // Local-iteration filter — the one definition shared with Bench.
+    // Per-query wall seconds land in outDir/verify_times.json so a
+    // scale pass (the sf1 sweep) yields its timing table and its
+    // correctness artifact from ONE run (VERDICT r13 #5: the sf1
+    // table and the artifact must not come from separate sessions).
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.selectedQueries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       val retained = scala.util.Try(
@@ -56,6 +64,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val timesJson = times
+      .map { case (k, s) => s"${q(k)}: ${"%.3f".format(s)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
     spark.stop()
   }
 }

@@ -176,6 +176,146 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Deterministic increment membership for [[incremental]]: the
+    * md5-ppm bucket convention (the sampleTemperature / sample_split
+    * discipline — key-derived, so membership is stable under re-runs
+    * and data relocation) on doc_id with salt `#inc`; buckets at or
+    * above 900 000 (10% of the corpus) are "today's batch", the rest
+    * the persisted corpus. */
+  private[graft] def incBucket(docId: Column): Column =
+    conv(substring(md5(concat(docId.cast("string"), lit("#inc"))
+      .cast("binary")), 1, 12), 16, 10).cast("long") % 1000000L
+
+  /** The PERSISTED corpus signature index behind [[incremental]] —
+    * the [[lshCurve]] commentary's "at real scale the signature
+    * matrix persists as an index table", made literal: the corpus
+    * side's banded signatures written ONCE per (session, dir) as a
+    * parquet table BUCKETED + sorted on band_key
+    * ([[graft.sources.Bucketing]], the 11d machinery), with the
+    * degenerate-bucket cap (> 200 members) applied at BUILD time —
+    * the cap is a property of the index, exactly as a production
+    * rollout would bake it in. Returns the table name. Memoized like
+    * the BPE merge table (the value is a plain string). */
+  private val sigIndexTables =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
+      String, String]]()
+
+  private[graft] def signatureIndexTable(spark: SparkSession, dir: String): String =
+    sigIndexTables.synchronized {
+      var m = sigIndexTables.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        sigIndexTables.put(spark, m)
+      }
+      m
+    }.computeIfAbsent(dir, { _ =>
+      graft.functions.DriverMemo.recordBuild()
+      val table = s"graft_dedup_sig_idx_${java.lang.Integer.toHexString(dir.hashCode)}"
+      // A PREVIOUS JVM may have left this managed table's directory in
+      // the (filesystem-persistent) warehouse while the in-memory
+      // catalog starts empty — saveAsTable would then refuse with
+      // LOCATION_ALREADY_EXISTS. Clear both sides before the write:
+      // the catalog entry (no-op when absent) and the orphaned dir.
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val banded = shingledDocs(spark, dir)
+        .filter(incBucket(col("doc_id")) < 900000L)
+        .select(col("doc_id"),
+          posexplode(Sketches.bandHashes(Sketches.minhashSigs(col("sh"), 128), 32)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+      // Degenerate-bucket cap via a count aggregate + semi-join (O(1)
+      // buffer — the dedup_embedding discipline), applied before the
+      // write so every reader inherits it.
+      val ok = banded.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("n")).filter(col("n") <= 200)
+        .select(col("band"), col("band_key"))
+      graft.sources.Bucketing.writeBucketed(
+        banded.join(ok, Seq("band", "band_key"), "left_semi")
+          .select(col("doc_id"), col("band"), col("band_key")),
+        table, "band_key", nBuckets = 8)
+      table
+    })
+
+  /** #35b dedup_incremental: near-dup check of a NEW batch against the
+    * PERSISTED signature index — the operational form every
+    * 100 TB dedup actually runs (nobody re-minhashes the corpus for a
+    * daily increment; the text analog of Kv.migrate -W). The corpus
+    * index is [[signatureIndexTable]]'s bucketed table (shuffle paid
+    * once at ingest); the increment's banded signatures join it on
+    * the band-bucket key — the INDEX side reads with NO exchange (the
+    * bucketed layout IS its partitioning), only the daily-increment
+    * side shuffles, and at gated scale AQE is free to broadcast the
+    * increment instead, which drops even that. Candidates are
+    * verified by exact shingle Jaccard; the report is one row per
+    * increment doc (the form the ingest decision consumes, and
+    * non-empty at every scale): bucket-stage candidate count, best
+    * corpus match under the house (score DESC, id ASC) tie rule, and
+    * the ≥ 0.5 is_dup verdict.
+    *
+    * Parity contract (spec'd at sf0.001 under the bucket-cap
+    * precondition): the verified inc-vs-corpus pairs here are EXACTLY
+    * the [[minhashPairs]] full-run pairs with one endpoint in the
+    * increment — the decomposition loses nothing while touching only
+    * increment-sized data per day. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val table = signatureIndexTable(spark, dir)
+    val docs = shingledDocs(spark, dir)
+    val inc = docs.filter(incBucket(col("doc_id")) >= 900000L)
+    val incBanded = inc
+      .select(col("doc_id").as("new_id"),
+        posexplode(Sketches.bandHashes(Sketches.minhashSigs(col("sh"), 128), 32)))
+      .select(col("new_id"), col("pos").as("band"), col("col").as("band_key"))
+    val cand = incBanded
+      .join(spark.table(table), Seq("band", "band_key"))
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    val bySh = docs.select(col("doc_id"), col("sh"))
+    val ver = cand
+      .join(bySh.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+      .join(bySh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+    val best = ver.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        graft.functions.TopKByScore
+          .topkByScore(col("jaccard"), col("corpus_id"), 1).as("top"))
+      .select(col("new_id"), col("n_candidates"),
+        element_at(col("top"), 1).getField("id").as("best_match"),
+        element_at(col("top"), 1).getField("score").as("best_jaccard"))
+    inc.select(col("doc_id"))
+      .join(best, col("doc_id") === col("new_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_match"), col("best_jaccard"),
+        coalesce(col("best_jaccard") >= 0.5, lit(false)).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The verified inc-vs-corpus pair list (new_id, corpus_id, jaccard
+    * ≥ 0.5) behind [[incremental]] — exposed for the parity spec
+    * (increment ∪ corpus ≡ full run). */
+  private[graft] def incrementalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val table = signatureIndexTable(spark, dir)
+    val docs = shingledDocs(spark, dir)
+    val incBanded = docs.filter(incBucket(col("doc_id")) >= 900000L)
+      .select(col("doc_id").as("new_id"),
+        posexplode(Sketches.bandHashes(Sketches.minhashSigs(col("sh"), 128), 32)))
+      .select(col("new_id"), col("pos").as("band"), col("col").as("band_key"))
+    val bySh = docs.select(col("doc_id"), col("sh"))
+    incBanded
+      .join(spark.table(table), Seq("band", "band_key"))
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+      .join(bySh.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+      .join(bySh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** #37f dedup_lsh_curve: the MinHash-LSH banding trade-off curve —
     * candidate volume, recall and precision of the bucket-collision
     * stage against the exact df-capped Jaccard pair set, for band
@@ -884,6 +1024,67 @@ object Dedup {
         col("best_match"), col("best_cos"),
         coalesce(col("best_cos") >= tau && col("best_match") < col("vec_id"),
           lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** #38c dedup_knn_cc: graph-based embedding dedup — the composition
+    * the kNN graph ([[graft.similarity.Similarity.knnGraph]]) exists
+    * for: MUTUAL kNN edges at or above a cosine threshold become the
+    * near-dup pair graph, [[ccStar]] closes it transitively into
+    * clusters, and the min-id survivor rule marks every non-root
+    * `is_dup` — the third candidate-generation geometry beside
+    * [[embedding]]'s hyperplane buckets and [[semantic]]'s k-means
+    * cells, and the one that catches CHAINS (a≈b≈c with cos(a,c)
+    * below τ) that per-vector argmax forms cannot.
+    *
+    * τ is pinned at 0.35 for the gate: this corpus has no true
+    * embedding dups (max mutual-edge cosine ≈ 0.47 — the
+    * [[embedding]]/[[semantic]] precedent), so the SemDeDup-standard
+    * τ=0.9 would exercise CC on an empty graph; 0.35 yields multi-node
+    * transitive components (sizes to 5 at sf0.01), which is exactly
+    * what the composition must be gated ON. At real scale τ is the
+    * operator's tuning knob, unchanged in shape.
+    *
+    * The report carries the cross-geometry audit the rollout decision
+    * needs: `sem_dup` is [[semantic]]'s verdict at the SAME τ (same
+    * k=16 cells), and `dup_jaccard_vs_semantic` the constant Jaccard
+    * between the two dup sets — how much the graph geometry and the
+    * cell geometry agree before you pick one.
+    *
+    * Scale shape: the edge list is the kNN graph's n·k rows (mutual
+    * check is the reversed-key self-join, linear in the graph); CC is
+    * [[ccStar]]'s O(log² n) star rounds above the edge cap and exact
+    * driver union-find below it; the semantic side re-reads the
+    * memoized assigned-corpus checkpoint; the overlap scalar is a
+    * 1-row aggregate broadcast back — no corpus-shaped collect
+    * anywhere. */
+  def knnCc(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    import graft.functions.Exact.ratio4
+    val pairs = graft.similarity.Similarity.knnGraph(spark, dir)
+      .filter(col("mutual") && col("cos") >= tau &&
+        col("src_id") < col("dst_id"))
+      .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b"))
+    val cc = ccStar(spark, pairs)
+    val sem = semantic(spark, dir, k = 16, tau = tau)
+      .select(col("vec_id"), col("is_dup").as("sem_dup"))
+    val assigned = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(cc.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("is_dup", col("vec_id") =!= col("cluster_id"))
+      .join(sem, Seq("vec_id"))
+    // Dup-set Jaccard as a 1-row exact aggregate (integer counts into
+    // ratio4), broadcast back onto the per-vector frame — the same
+    // constant-audit pattern as the sketch recalls.
+    val overlap = assigned.agg(
+      sum(when(col("is_dup") && col("sem_dup"), 1L).otherwise(0L)).as("_i"),
+      sum(when(col("is_dup") || col("sem_dup"), 1L).otherwise(0L)).as("_u"))
+      .select(ratio4(col("_i"), greatest(col("_u"), lit(1L)))
+        .as("dup_jaccard_vs_semantic"))
+    assigned.crossJoin(broadcast(overlap))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("is_dup"), col("sem_dup"), col("dup_jaccard_vs_semantic"))
       .orderBy(col("vec_id"))
   }
 }

@@ -61,13 +61,18 @@ object StreamingThroughput {
   private val Types = Array("view", "click", "purchase", "refund")
   private val Users = 2000
 
-  /** The fixed event set: `n` events over `Users` users in event-time
+  /** The fixed event set: `n` events over `users` users in event-time
     * order; every 50th event replays the previous event_id (the
-    * at-least-once duplicate the dedup stage exists to drop). */
-  def synthEvents(n: Int): Seq[Ev] = {
+    * at-least-once duplicate the dedup stage exists to drop). The
+    * `users` knob is the STATE-SIZE axis of the store sweep: session
+    * and z-score state scale with distinct users, dedup state with
+    * distinct event ids inside the watermark horizon (evicted only at
+    * the 3-hour jump every 20 rounds, so fewer rounds = more resident
+    * ids). */
+  def synthEvents(n: Int, users: Int = Users): Seq[Ev] = {
     (0 until n).map { i =>
-      val round = i / Users
-      val user = i % Users
+      val round = i / users
+      val user = i % users
       // 5-minute cadence inside a block of 20 rounds, then a 3-hour
       // jump: closes every open session (30-min gap) and advances the
       // watermark past the dedup horizon.
@@ -87,7 +92,13 @@ object StreamingThroughput {
     * across operators and partitions, so they can exceed wall time). */
   case class DrainStats(
       secs: Double, batches: Int, addBatchMs: Long, walCommitMs: Long,
-      stateCommitMs: Long, stateUpdateMs: Long)
+      stateCommitMs: Long, stateUpdateMs: Long,
+      /** Peak across batches of the summed per-operator
+        * memoryUsedBytes — the state-bytes axis of the store sweep.
+        * (For RocksDB this reports the provider's own memory metric;
+        * the HDFS map store's number is the honest heap-resident
+        * figure the crossover argument needs.) */
+      stateBytes: Long = 0L)
 
   /** The ingest pipeline under measurement (dedup → session_window). */
   private def ingestPipeline(input: MemoryStream[Ev]): DataFrame =
@@ -179,7 +190,9 @@ object StreamingThroughput {
             Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).sum
           DrainStats(secs, prog.length, dur("addBatch"), dur("walCommit"),
             prog.flatMap(_.stateOperators).map(_.commitTimeMs).sum,
-            prog.flatMap(_.stateOperators).map(_.allUpdatesTimeMs).sum)
+            prog.flatMap(_.stateOperators).map(_.allUpdatesTimeMs).sum,
+            prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+              .maxOption.getOrElse(0L))
         }
       } finally queries.foreach(q => scala.util.Try(q.stop()))
     } finally {
@@ -208,6 +221,15 @@ object StreamingThroughput {
     drain(spark, evs, chunks, partitions,
       Seq(ingestPipeline, in => monitorPipeline(spark, in)),
       storeProvider).head.secs
+
+  /** [[measureOnce]] returning the full [[DrainStats]] (incl. the
+    * state-bytes peak) — the store sweep's state-size axis. */
+  def measureStatsOnce(
+      spark: SparkSession, evs: Seq[Ev], chunks: Int = 8,
+      partitions: Int = 8, storeProvider: Option[String] = None): DrainStats =
+    drain(spark, evs, chunks, partitions,
+      Seq(ingestPipeline, in => monitorPipeline(spark, in)),
+      storeProvider).head
 
   /** The attribution pass (VERDICT r12 #1): each stage drained alone
     * over the same event set, so the artifact splits micro-batch

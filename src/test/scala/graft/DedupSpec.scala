@@ -397,4 +397,87 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_docs_in_pairs") <= 2 * r.getAs[Long]("n_pairs"))
     }
   }
+
+  test("dedup_incremental: the decomposition loses nothing vs the full run") {
+    // Precondition (the maxBandBucket discipline): every bucket far
+    // under the 200 cap, so splitting corpus/increment cannot change
+    // which buckets the cap drops — the one regime where the
+    // increment ∪ corpus ≡ full-run identity can legally break.
+    assert(Dedup.maxBandBucket(spark, sf, 32) <= 100,
+      "fixture bucket sizes approach the cap; parity precondition void")
+    val incIds = Tables.documents(spark, sf)
+      .select(col("doc_id")).filter(Dedup.incBucket(col("doc_id")) >= 900000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(incIds.nonEmpty, "empty increment at fixture scale")
+    // Full-run verified pairs with EXACTLY one endpoint in the batch...
+    val crossFull = Dedup.minhashPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => incIds(a) ^ incIds(b) }.toSet
+    // ...must be EXACTLY the pairs the index join verifies.
+    val got = Dedup.incrementalPairs(spark, sf)
+      .select(col("new_id"), col("corpus_id")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(got === crossFull)
+  }
+
+  test("dedup_incremental: per-doc report covers the whole increment; index side reads bucketed") {
+    val incIds = Tables.documents(spark, sf)
+      .select(col("doc_id")).filter(Dedup.incBucket(col("doc_id")) >= 900000L)
+      .collect().map(_.getLong(0)).toSet
+    val df = SparkEntry.queries("dedup_incremental")(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSet === incIds)
+    rows.foreach { r =>
+      val nCand = r.getAs[Long]("n_candidates")
+      val isDup = r.getAs[Boolean]("is_dup")
+      if (nCand == 0) {
+        assert(r.isNullAt(r.fieldIndex("best_match")) && !isDup)
+      } else {
+        assert(!r.isNullAt(r.fieldIndex("best_jaccard")))
+        assert(isDup === (r.getAs[Double]("best_jaccard") >= 0.5))
+      }
+    }
+    // The shuffle-once economics must be visible in the plan: the
+    // corpus index side is a bucketed scan (its layout IS its
+    // partitioning), so the candidate join never exchanges it.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"signature-index scan not bucketed:\n${plan.take(2000)}")
+  }
+
+  test("dedup_knn_cc equals driver-side union-find over mutual tau-edges") {
+    val tau = 0.35
+    val edges = graft.similarity.Similarity.knnGraph(spark, sf).collect()
+      .filter(r => r.getAs[Boolean]("mutual") &&
+        r.getAs[Double]("cos") >= tau &&
+        r.getAs[Long]("src_id") < r.getAs[Long]("dst_id"))
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val roots = parent.keys.map(v => v -> find(v)).toMap
+    val sizes = roots.values.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val got = SparkEntry.queries("dedup_knn_cc")(spark, sf).collect()
+    val allVecs = Tables.embeddings(spark, sf).count()
+    assert(got.length.toLong === allVecs)
+    got.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val want = roots.getOrElse(v, v)
+      assert(r.getAs[Long]("cluster_id") === want, s"vec $v root mismatch")
+      assert(r.getAs[Long]("cluster_size") ===
+        (if (roots.contains(v)) sizes(want) else 1L))
+      assert(r.getAs[Boolean]("is_dup") === (want != v))
+      val j = r.getAs[Double]("dup_jaccard_vs_semantic")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
 }

@@ -491,6 +491,16 @@ class PlanSpec extends AnyFunSuite {
     "dedup_clusters" -> 0, "dedup_clusters_star" -> 0, "dedup_embedding" -> 1,
     "dedup_exact" -> 1, "dedup_minhash_lsh" -> 2, "dedup_ngram_jaccard" -> 0,
     "dedup_semantic" -> 3,
+    // dedup_knn_cc 8: the knn-graph edge pipeline (4, as emb_knn_graph)
+    // + the semantic argmax side (3, as dedup_semantic) + the dup-set
+    // overlap aggregate; CC itself is the driver union-find under the
+    // edge cap (no exchange) and the overlap scalar is broadcast back.
+    "dedup_knn_cc" -> 8,
+    // dedup_incremental 3: increment-side banding shuffles to meet the
+    // BUCKETED index (the index side plans NO exchange — its layout is
+    // its partitioning), + candidate distinct + per-doc rollup; the
+    // verify joins ride broadcast at fixture scale.
+    "dedup_incremental" -> 3,
     // dedup_lsh_curve 12 -> 6 (r13): the candidate count and the
     // truth-hit count now ride ONE left-join aggregate per banding
     // (was a crossJoin of two aggregates, each evaluating the

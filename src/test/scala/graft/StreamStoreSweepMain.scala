@@ -12,6 +12,7 @@ package graft
   */
 object StreamStoreSweepMain {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("state")) return stateSweep(args)
     val n = args.headOption.map(_.toInt).getOrElse(400000)
     val cpus = args.lift(1).map(_.toInt).getOrElse(32)
     val spark = graft.sources.Tables.sessionConfs
@@ -35,6 +36,48 @@ object StreamStoreSweepMain {
       val secs = minOf3(8, parts, store)
       println(f"[store-sweep] store=$name%-8s parts=$parts%2d " +
         f"secs=$secs%.3f events_per_sec=${(n / secs).toLong}")
+    }
+    spark.stop()
+  }
+
+  /** The STATE-SIZE axis (VERDICT r13 #5: "RocksDB's rejection is only
+    * valid at this state size"): scale distinct users — session and
+    * z-score keys scale with users, dedup entries with resident event
+    * ids (fewer 3-hour evictions at high users/n) — and publish, per
+    * (users, store), the measured state bytes and wall seconds, so the
+    * map-store-vs-RocksDB recommendation is a measured crossover curve
+    * rather than a few-MB-state extrapolation. Run:
+    * `sbt "Test/runMain graft.StreamStoreSweepMain state [cpus]"`. */
+  private def stateSweep(args: Array[String]): Unit = {
+    val cpus = args.lift(1).map(_.toInt).getOrElse(32)
+    val spark = graft.sources.Tables.sessionConfs
+      .foldLeft(org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // 5 events/user: at low users the 20-round blocks evict dedup
+    // state (the headline regime); past users=80k there is no 3-hour
+    // jump left, so every event id stays resident — state grows
+    // linearly with n while per-event work is constant, which is
+    // exactly the regime the crossover question asks about.
+    for {
+      users <- Seq(2000, 20000, 200000, 1000000, 2000000)
+      n = users * 5
+      (name, store) <- Seq(
+        "hdfs" -> None,
+        "rocksdb" -> Some(graft.tools.StreamingThroughput.RocksDbProvider))
+    } {
+      val evs = graft.tools.StreamingThroughput.synthEvents(n, users)
+      val stats = (1 to 2).map(_ => graft.tools.StreamingThroughput
+        .measureStatsOnce(spark, evs, chunks = 8, partitions = 8, store))
+        .minBy(_.secs)
+      println(f"[state-sweep] store=$name%-8s users=$users%8d n=$n%8d " +
+        f"state_mb=${stats.stateBytes / 1e6}%9.1f secs=${stats.secs}%8.3f " +
+        f"events_per_sec=${(n / stats.secs).toLong}%8d " +
+        f"commit_ms=${stats.stateCommitMs}%7d update_ms=${stats.stateUpdateMs}%7d")
     }
     spark.stop()
   }

@@ -27,7 +27,7 @@ oracle gets a watchdog that interrupts it and reports TIMEOUT as a
 separate (non-failing) category, and DuckDB's spill is capped so a
 quadratic plan cannot fill the disk.
 """
-import json, sys, glob, threading
+import json, sys, glob, threading, time
 import duckdb
 import pandas as pd
 
@@ -65,7 +65,9 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
 timeouts = []
 verdicts = {}
+secs = {}
 for name in sorted(oracle):
+    t_start = time.monotonic()
     sql = oracle[name]
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
@@ -134,15 +136,28 @@ for name in sorted(oracle):
     flag = "" if sorted(gt) == sorted(et) else f"  [type diff: {gt} vs {et}]"
     print(f"OK   {name}: {len(got)} rows{flag}")
     verdicts[name] = "ok"
+    secs[name] = round(time.monotonic() - t_start, 3)
 checked = len(oracle) - len(timeouts)
 print(f"\n{checked - fail}/{checked} oracle queries match"
       + (f" ({len(timeouts)} naive oracles timed out: {timeouts})"
          if timeouts else ""))
 if json_out:
+    # The artifact carries its own provenance: the exact command line
+    # that produced it (VERDICT r13 #5 — one sweep, one artifact), the
+    # per-query ORACLE wall seconds, and the per-query SPARK wall
+    # seconds from the same Verify run's verify_times.json (so the
+    # scale table and the correctness verdicts share one session).
+    spark_secs = {}
+    try:
+        spark_secs = json.load(open(f"{outdir}/verify_times.json"))
+    except Exception:
+        pass
     with open(json_out, "w") as f:
         json.dump({"sf": sfdir, "n_ok": checked - fail, "n_fail": fail,
                    "n_checked": checked, "timeout_s": timeout,
-                   "timeouts": timeouts, "queries": verdicts}, f, indent=1,
-                  sort_keys=True)
+                   "timeouts": timeouts, "queries": verdicts,
+                   "cmd": " ".join(sys.argv),
+                   "oracle_secs": secs, "spark_secs": spark_secs},
+                  f, indent=1, sort_keys=True)
     print(f"wrote {json_out}")
 sys.exit(1 if fail else 0)
