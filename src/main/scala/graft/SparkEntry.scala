@@ -1519,8 +1519,10 @@ object SparkEntry {
     * murmur + signature + band-fold replay over ALL docs (signatures
     * are doc-local, so computing them corpus-wide then splitting is
     * bit-identical to the engine's per-side computation), the md5-ppm
-    * `#inc` split, the corpus-side index with its build-time ≤ 200
-    * bucket cap, the inc-vs-corpus bucket join, LEFT-join exact
+    * `#inc` split, the corpus-side index with its read-time ≤ 200
+    * bucket cap (read-time since r15, when the index became
+    * appendable — same row semantics), the inc-vs-corpus bucket
+    * join, LEFT-join exact
     * Jaccard over shared shingles (a candidate pair that shares a
     * band hash but no shingle verifies at 0), and the per-increment-
     * doc rollup under the (jaccard DESC, corpus_id ASC) tie rule. */

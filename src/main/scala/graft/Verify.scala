@@ -64,8 +64,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Locale.ROOT: a comma-decimal JVM locale would render 0,123 and
+    // break the driver's json.load (Bench.scala pins ROOT for the
+    // same reason — ADVICE r14).
     val timesJson = times
-      .map { case (k, s) => s"${q(k)}: ${"%.3f".format(s)}" }
+      .map { case (k, s) =>
+        s"${q(k)}: ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
     spark.stop()

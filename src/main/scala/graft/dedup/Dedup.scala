@@ -188,97 +188,186 @@ object Dedup {
 
   /** The PERSISTED corpus signature index behind [[incremental]] —
     * the [[lshCurve]] commentary's "at real scale the signature
-    * matrix persists as an index table", made literal: the corpus
-    * side's banded signatures written ONCE per (session, dir) as a
-    * parquet table BUCKETED + sorted on band_key
-    * ([[graft.sources.Bucketing]], the 11d machinery), with the
-    * degenerate-bucket cap (> 200 members) applied at BUILD time —
-    * the cap is a property of the index, exactly as a production
-    * rollout would bake it in. Returns the table name. Memoized like
-    * the BPE merge table (the value is a plain string). */
+    * matrix persists as an index table", made literal as TWO
+    * bucketed+sorted parquet tables per (session, dir)
+    * ([[graft.sources.Bucketing]], the 11d machinery):
+    *
+    *   - `sig` (doc_id, band, band_key), bucketed on band_key — the
+    *     candidate side of the daily join; and
+    *   - `sh` (doc_id, sh), bucketed on doc_id — the VERIFY-GRADE
+    *     shingle store (VERDICT r14 #3): candidate verification joins
+    *     THIS table for the corpus side's shingle sets, so a daily
+    *     increment run touches increment + candidate + index data
+    *     only and never re-scans or re-shingles corpus text.
+    *
+    * Two design moves vs the r14 single-table form:
+    *
+    *   1. The degenerate-bucket cap (> 200 members) moved from BUILD
+    *      time to READ time (VERDICT r14 #4): once the index is
+    *      appendable, an append that pushes a bucket across the cap
+    *      would have to retroactively drop the bucket's OLD rows for
+    *      fresh-build parity, which an append-only parquet layout can
+    *      only express at read time. The read-time check is an
+    *      exchange-free aggregate over the bucketed layout (the
+    *      band_key partitioning satisfies the (band, band_key)
+    *      clustering), i.e. the candidate stage consults bucket
+    *      cardinalities the layout makes free. A production build
+    *      would additionally maintain the cardinalities as a side
+    *      stats table updated per append; at the gated scales one
+    *      exchange-free index pass is cheaper than the bookkeeping.
+    *   2. Table names key on the full MD5 hex of the dir (+ a caller
+    *      salt for spec-built variants), not dir.hashCode (ADVICE
+    *      r14: two dirs with colliding hashCodes in one session would
+    *      silently cross-serve each other's index).
+    *
+    * Memoized per (session, dir) like the BPE merge table (the value
+    * is a plain table-name pair). */
+  private[graft] final case class SigIndex(sig: String, sh: String)
+
   private val sigIndexTables =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
-      String, String]]()
+      String, SigIndex]]()
 
-  private[graft] def signatureIndexTable(spark: SparkSession, dir: String): String =
+  private def tableKey(dir: String, salt: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "\u0000" + salt)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  private[graft] def signatureIndex(spark: SparkSession, dir: String): SigIndex =
     sigIndexTables.synchronized {
       var m = sigIndexTables.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, SigIndex]()
         sigIndexTables.put(spark, m)
       }
       m
-    }.computeIfAbsent(dir, { _ =>
-      graft.functions.DriverMemo.recordBuild()
-      val table = s"graft_dedup_sig_idx_${java.lang.Integer.toHexString(dir.hashCode)}"
-      // A PREVIOUS JVM may have left this managed table's directory in
-      // the (filesystem-persistent) warehouse while the in-memory
-      // catalog starts empty — saveAsTable would then refuse with
-      // LOCATION_ALREADY_EXISTS. Clear both sides before the write:
-      // the catalog entry (no-op when absent) and the orphaned dir.
+    }.computeIfAbsent(dir, { _ => buildSignatureIndex(spark, dir, 900000L, "") })
+
+  /** (doc_id, band, band_key) — 128-hash / 32-band signatures, the
+    * banding both the index build and the increment side run. */
+  private def bandedOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(Sketches.bandHashes(Sketches.minhashSigs(col("sh"), 128), 32)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+
+  /** Build the index pair over docs with [[incBucket]] < `hiExcl`
+    * (drop-and-recreate; a PREVIOUS JVM may have left the managed
+    * tables' directories in the filesystem-persistent warehouse while
+    * the in-memory catalog starts empty, so both sides are cleared
+    * before the write). `salt` lets specs build day-0 variants beside
+    * the session's canonical index. */
+  private[graft] def buildSignatureIndex(spark: SparkSession, dir: String,
+      hiExcl: Long, salt: String): SigIndex = {
+    graft.functions.DriverMemo.recordBuild()
+    val key = tableKey(dir, salt)
+    val idx = SigIndex(s"graft_dedup_sig_idx_$key", s"graft_dedup_sh_idx_$key")
+    Seq(idx.sig, idx.sh).foreach { table =>
       spark.sql(s"DROP TABLE IF EXISTS $table")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
-      val banded = shingledDocs(spark, dir)
-        .filter(incBucket(col("doc_id")) < 900000L)
-        .select(col("doc_id"),
-          posexplode(Sketches.bandHashes(Sketches.minhashSigs(col("sh"), 128), 32)))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
-      // Degenerate-bucket cap via a count aggregate + semi-join (O(1)
-      // buffer — the dedup_embedding discipline), applied before the
-      // write so every reader inherits it.
-      val ok = banded.groupBy(col("band"), col("band_key"))
-        .agg(count(lit(1)).as("n")).filter(col("n") <= 200)
-        .select(col("band"), col("band_key"))
-      graft.sources.Bucketing.writeBucketed(
-        banded.join(ok, Seq("band", "band_key"), "left_semi")
-          .select(col("doc_id"), col("band"), col("band_key")),
-        table, "band_key", nBuckets = 8)
-      table
-    })
+    }
+    val corpus = shingledDocs(spark, dir)
+      .filter(incBucket(col("doc_id")) < hiExcl)
+    graft.sources.Bucketing.writeBucketed(
+      bandedOf(corpus), idx.sig, "band_key", nBuckets = 8)
+    graft.sources.Bucketing.writeBucketed(
+      corpus.select(col("doc_id"), col("sh")), idx.sh, "doc_id", nBuckets = 8)
+    idx
+  }
+
+  /** Ingest a verified batch into the index (VERDICT r14 #4 — the
+    * text analog of Kv.migrate -W's high-water advance): append the
+    * batch's band signatures and its verify-grade shingle sets to the
+    * SAME bucketed layouts. The shuffle is batch-sized; existing index
+    * files are untouched. Day-2 candidates against (corpus + day-1)
+    * then equal a fresh full build — the two-day parity spec. */
+  private[graft] def appendIncrement(spark: SparkSession, dir: String,
+      idx: SigIndex, loIncl: Long, hiExcl: Long): Unit = {
+    val inc = shingledDocs(spark, dir)
+      .filter(incBucket(col("doc_id")) >= loIncl &&
+        incBucket(col("doc_id")) < hiExcl)
+    graft.sources.Bucketing.appendBucketed(
+      bandedOf(inc), idx.sig, "band_key", nBuckets = 8)
+    graft.sources.Bucketing.appendBucketed(
+      inc.select(col("doc_id"), col("sh")), idx.sh, "doc_id", nBuckets = 8)
+  }
+
+  /** Candidate (new_id, corpus_id) pairs of an increment against the
+    * index, under the read-time ≤ 200 bucket cap: the cap aggregate
+    * and its semi-join both ride the index's bucketed partitioning
+    * (NO exchange on any index subtree); only the increment side
+    * shuffles to meet it — and at gated scale AQE broadcasts the
+    * increment instead, dropping even that. */
+  private def indexCandidates(
+      spark: SparkSession, idx: SigIndex, incBanded: DataFrame): DataFrame = {
+    val index = spark.table(idx.sig)
+    val ok = index.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 200)
+      .select(col("band"), col("band_key"))
+    incBanded
+      .join(index.join(ok, Seq("band", "band_key"), "left_semi"),
+        Seq("band", "band_key"))
+      .select(col("new_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** Verified candidate pairs of an increment frame against an index:
+    * bucket join → exact shingle Jaccard, with the corpus side's
+    * shingle sets read from the PERSISTED store (idx.sh, bucketed on
+    * doc_id — no corpus text scan, no re-shingle; VERDICT r14 #3) and
+    * the increment side's from the increment frame itself. */
+  private def verifiedPairsOver(
+      spark: SparkSession, idx: SigIndex, inc: DataFrame): DataFrame = {
+    val incBanded = bandedOf(inc).withColumnRenamed("doc_id", "new_id")
+    indexCandidates(spark, idx, incBanded)
+      .join(inc.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
+        Seq("new_id"))
+      .join(spark.table(idx.sh)
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+        Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+  }
 
   /** #35b dedup_incremental: near-dup check of a NEW batch against the
     * PERSISTED signature index — the operational form every
     * 100 TB dedup actually runs (nobody re-minhashes the corpus for a
     * daily increment; the text analog of Kv.migrate -W). The corpus
-    * index is [[signatureIndexTable]]'s bucketed table (shuffle paid
+    * index is [[signatureIndex]]'s bucketed table pair (shuffle paid
     * once at ingest); the increment's banded signatures join it on
     * the band-bucket key — the INDEX side reads with NO exchange (the
     * bucketed layout IS its partitioning), only the daily-increment
     * side shuffles, and at gated scale AQE is free to broadcast the
     * increment instead, which drops even that. Candidates are
-    * verified by exact shingle Jaccard; the report is one row per
-    * increment doc (the form the ingest decision consumes, and
-    * non-empty at every scale): bucket-stage candidate count, best
-    * corpus match under the house (score DESC, id ASC) tie rule, and
-    * the ≥ 0.5 is_dup verdict.
+    * verified by exact shingle Jaccard — the corpus side's shingle
+    * sets from the index's persisted store, the increment side's from
+    * the day's batch, so the verify stage never re-scans corpus text.
+    * The report is one row per increment doc (the form the ingest
+    * decision consumes, and non-empty at every scale): bucket-stage
+    * candidate count, best corpus match under the house
+    * (score DESC, id ASC) tie rule, and the ≥ 0.5 is_dup verdict.
     *
     * Parity contract (spec'd at sf0.001 under the bucket-cap
     * precondition): the verified inc-vs-corpus pairs here are EXACTLY
     * the [[minhashPairs]] full-run pairs with one endpoint in the
     * increment — the decomposition loses nothing while touching only
-    * increment-sized data per day. */
-  def incremental(spark: SparkSession, dir: String): DataFrame = {
-    val table = signatureIndexTable(spark, dir)
-    val docs = shingledDocs(spark, dir)
-    val inc = docs.filter(incBucket(col("doc_id")) >= 900000L)
-    val incBanded = inc
-      .select(col("doc_id").as("new_id"),
-        posexplode(Sketches.bandHashes(Sketches.minhashSigs(col("sh"), 128), 32)))
-      .select(col("new_id"), col("pos").as("band"), col("col").as("band_key"))
-    val cand = incBanded
-      .join(spark.table(table), Seq("band", "band_key"))
-      .select(col("new_id"), col("doc_id").as("corpus_id"))
-      .distinct()
-    val bySh = docs.select(col("doc_id"), col("sh"))
-    val ver = cand
-      .join(bySh.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
-      .join(bySh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
-      .select(col("new_id"), col("corpus_id"),
-        jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
-    val best = ver.groupBy(col("new_id"))
+    * increment-sized data per day. A second spec closes the ingest
+    * loop: [[appendIncrement]]'s day-1 append followed by a day-2 run
+    * equals a fresh full build. */
+  def incremental(spark: SparkSession, dir: String): DataFrame =
+    incrementalReport(spark, dir, signatureIndex(spark, dir), 900000L)
+
+  /** [[incremental]] against an explicit index + increment floor —
+    * the form the two-day parity spec drives with a day-0 index. */
+  private[graft] def incrementalReport(spark: SparkSession, dir: String,
+      idx: SigIndex, incLo: Long): DataFrame = {
+    val inc = shingledDocs(spark, dir)
+      .filter(incBucket(col("doc_id")) >= incLo)
+    val best = verifiedPairsOver(spark, idx, inc)
+      .groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_candidates"),
         graft.functions.TopKByScore
           .topkByScore(col("jaccard"), col("corpus_id"), 1).as("top"))
@@ -297,24 +386,16 @@ object Dedup {
   /** The verified inc-vs-corpus pair list (new_id, corpus_id, jaccard
     * ≥ 0.5) behind [[incremental]] — exposed for the parity spec
     * (increment ∪ corpus ≡ full run). */
-  private[graft] def incrementalPairs(spark: SparkSession, dir: String): DataFrame = {
-    val table = signatureIndexTable(spark, dir)
-    val docs = shingledDocs(spark, dir)
-    val incBanded = docs.filter(incBucket(col("doc_id")) >= 900000L)
-      .select(col("doc_id").as("new_id"),
-        posexplode(Sketches.bandHashes(Sketches.minhashSigs(col("sh"), 128), 32)))
-      .select(col("new_id"), col("pos").as("band"), col("col").as("band_key"))
-    val bySh = docs.select(col("doc_id"), col("sh"))
-    incBanded
-      .join(spark.table(table), Seq("band", "band_key"))
-      .select(col("new_id"), col("doc_id").as("corpus_id"))
-      .distinct()
-      .join(bySh.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
-      .join(bySh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
-      .select(col("new_id"), col("corpus_id"),
-        jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+  private[graft] def incrementalPairs(spark: SparkSession, dir: String): DataFrame =
+    incrementalPairsOver(spark, dir, signatureIndex(spark, dir), 900000L)
+
+  /** [[incrementalPairs]] against an explicit index + increment floor
+    * (the two-day parity spec's day-2 form). */
+  private[graft] def incrementalPairsOver(spark: SparkSession, dir: String,
+      idx: SigIndex, incLo: Long): DataFrame =
+    verifiedPairsOver(spark, idx,
+      shingledDocs(spark, dir).filter(incBucket(col("doc_id")) >= incLo))
       .filter(col("jaccard") >= 0.5)
-  }
 
   /** #37f dedup_lsh_curve: the MinHash-LSH banding trade-off curve —
     * candidate volume, recall and precision of the bucket-collision

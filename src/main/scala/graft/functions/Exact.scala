@@ -67,7 +67,15 @@ object Exact {
     * ROUND(x, 0) is the hash-proven HALF_UP integer replay, and the
     * final snap of the integer-valued double through DECIMAL(38,0)
     * (not LONG: a ratio itself past 9.2e14 must present, not abort)
-    * is exact. Callers guard den > 0 (the d4 sites already do). */
+    * is exact. The operand normalization through DECIMAL(38,4) sets
+    * the ceiling: operands past ~10³⁴ overflow the 4-fraction-digit
+    * decimal — Spark (ANSI off) presents NULL while the DuckDB
+    * oracle aborts (ADVICE r14). That bound is unreachable for the
+    * counters this convention serves (a 10³⁴ byte total is a
+    * yotta-scale corpus); if one ever approaches it, normalize
+    * through DECIMAL(38,0) first and round fractional ties in a
+    * separate pre-pass. Callers guard den > 0 (the d4 sites
+    * already do). */
   def ratio4(num: Column, den: Column): Column =
     round((round(num.cast("decimal(38,4)"), 0).cast("decimal(38,0)") * lit(10000L)).cast("double") /
         round(den.cast("decimal(38,4)"), 0).cast("decimal(38,0)").cast("double"), 0)

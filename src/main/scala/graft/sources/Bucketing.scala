@@ -25,6 +25,21 @@ object Bucketing {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Append a batch to an EXISTING bucketed table with the same spec —
+    * the ingest path of an appendable index (Dedup.appendIncrement):
+    * the shuffle is batch-sized, existing files are untouched, and
+    * readers see the union with the bucketed layout intact (each
+    * append adds one file per bucket; in-file sort order holds
+    * per file, which is all the bucketed-join machinery needs). */
+  def appendBucketed(
+      df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** Join two same-bucketed tables on their bucket key — with matching
     * bucket counts the join requires no Exchange on either side. */
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =

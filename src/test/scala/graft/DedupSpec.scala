@@ -445,6 +445,45 @@ class DedupSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"),
       s"signature-index scan not bucketed:\n${plan.take(2000)}")
+    // VERDICT r14 #3: the verify stage reads the corpus side's shingle
+    // sets from the PERSISTED store, never re-scanning corpus text.
+    // Counted on the optimized LOGICAL plan (the executed-plan string
+    // under AQE repeats every scan in its Initial Plan echo): the only
+    // documents relations left are the increment side's own three —
+    // the report's id list, the banding input, and the verify input.
+    val logical = df.queryExecution.optimizedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllMatchIn(logical).size
+    assert(docScans <= 3,
+      s"verify stage re-scans corpus text ($docScans documents relations):\n${logical.take(3000)}")
+    assert(logical.contains("graft_dedup_sh_idx"),
+      s"verify stage does not read the persisted shingle store:\n${logical.take(3000)}")
+  }
+
+  test("dedup_incremental: appended index equals a fresh build (two-day parity)") {
+    // Day 0: index over incBucket < 800k. Day 1: append [800k, 900k).
+    // The result must be indistinguishable — as stored row sets AND
+    // through the day-2 query — from a fresh build at < 900k (which is
+    // exactly the canonical session index).
+    val day0 = Dedup.buildSignatureIndex(spark, sf, 800000L, "parity_day0")
+    Dedup.appendIncrement(spark, sf, day0, 800000L, 900000L)
+    val fresh = Dedup.buildSignatureIndex(spark, sf, 900000L, "parity_fresh")
+    val sigA = spark.table(day0.sig)
+    val sigB = spark.table(fresh.sig)
+    assert(sigA.count() === sigB.count())
+    assert(sigA.except(sigB).isEmpty && sigB.except(sigA).isEmpty)
+    val shA = spark.table(day0.sh)
+      .select(col("doc_id"), array_sort(col("sh")).as("s"))
+    val shB = spark.table(fresh.sh)
+      .select(col("doc_id"), array_sort(col("sh")).as("s"))
+    assert(shA.count() === shB.count())
+    assert(shA.except(shB).isEmpty && shB.except(shA).isEmpty)
+    // Day-2 run through the appended index == the canonical query
+    // (fresh 900k index), row for row.
+    val viaAppend =
+      Dedup.incrementalReport(spark, sf, day0, 900000L).collect().toSeq
+    val canonical =
+      SparkEntry.queries("dedup_incremental")(spark, sf).collect().toSeq
+    assert(viaAppend === canonical)
   }
 
   test("dedup_knn_cc equals driver-side union-find over mutual tau-edges") {

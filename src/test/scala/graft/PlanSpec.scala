@@ -498,8 +498,10 @@ class PlanSpec extends AnyFunSuite {
     "dedup_knn_cc" -> 8,
     // dedup_incremental 3: increment-side banding shuffles to meet the
     // BUCKETED index (the index side plans NO exchange — its layout is
-    // its partitioning), + candidate distinct + per-doc rollup; the
-    // verify joins ride broadcast at fixture scale.
+    // its partitioning; since r15 that includes the read-time bucket
+    // cap aggregate AND the verify stage's persisted shingle store),
+    // + candidate distinct + per-doc rollup; the verify joins ride
+    // broadcast at fixture scale.
     "dedup_incremental" -> 3,
     // dedup_lsh_curve 12 -> 6 (r13): the candidate count and the
     // truth-hit count now ride ONE left-join aggregate per banding

@@ -73,6 +73,7 @@ for name in sorted(oracle):
     if not files:
         print(f"FAIL {name}: no spark output")
         verdicts[name] = "fail"
+        secs[name] = round(time.monotonic() - t_start, 3)
         fail += 1
         continue
     try:
@@ -86,9 +87,11 @@ for name in sorted(oracle):
                   f"at this scale (> {timeout:.0f}s)")
             timeouts.append(name)
             verdicts[name] = "timeout"
+            secs[name] = round(time.monotonic() - t_start, 3)
             continue
         print(f"FAIL {name}: {e}")
         verdicts[name] = "fail"
+        secs[name] = round(time.monotonic() - t_start, 3)
         fail += 1
         continue
     except Exception as e:
@@ -97,9 +100,11 @@ for name in sorted(oracle):
                   f"at this scale (> {timeout:.0f}s)")
             timeouts.append(name)
             verdicts[name] = "timeout"
+            secs[name] = round(time.monotonic() - t_start, 3)
             continue
         print(f"FAIL {name}: {e}")
         verdicts[name] = "fail"
+        secs[name] = round(time.monotonic() - t_start, 3)
         fail += 1
         continue
     got = got[sorted(got.columns)]
@@ -107,11 +112,13 @@ for name in sorted(oracle):
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
         verdicts[name] = "fail"
+        secs[name] = round(time.monotonic() - t_start, 3)
         fail += 1
         continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
         verdicts[name] = "fail"
+        secs[name] = round(time.monotonic() - t_start, 3)
         fail += 1
         continue
     try:
@@ -120,6 +127,7 @@ for name in sorted(oracle):
     except Exception as e:
         print(f"FAIL {name}: sort/stringify crashed (array column?): {e}")
         verdicts[name] = "fail"
+        secs[name] = round(time.monotonic() - t_start, 3)
         fail += 1
         continue
     if not gs.equals(es):
@@ -128,6 +136,7 @@ for name in sorted(oracle):
         print("  got:", gs[diff].head(3).to_dict("records"))
         print("  exp:", es[diff].head(3).to_dict("records"))
         verdicts[name] = "fail"
+        secs[name] = round(time.monotonic() - t_start, 3)
         fail += 1
         continue
     # dtype check (schema-ish; relation types are planned, not executed)
@@ -150,8 +159,10 @@ if json_out:
     spark_secs = {}
     try:
         spark_secs = json.load(open(f"{outdir}/verify_times.json"))
-    except Exception:
-        pass
+    except Exception as e:
+        # A parse failure here silently drops spark_secs from the
+        # provenance artifact — warn instead of pass (ADVICE r14).
+        print(f"WARN: verify_times.json unreadable, spark_secs empty: {e}")
     with open(json_out, "w") as f:
         json.dump({"sf": sfdir, "n_ok": checked - fail, "n_fail": fail,
                    "n_checked": checked, "timeout_s": timeout,
