@@ -96,6 +96,20 @@ object Bench {
       spark.range(1L << 25).selectExpr("sum(pmod(xxhash64(id), 1048576)) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // /proc/stat steal ticks bracket the run: steal > 0 is DIRECT
+    // kernel-level evidence of co-tenant CPU contention (the
+    // hypervisor ran someone else while we were runnable); steal ≈ 0
+    // on a slow session means the host itself is slower (drift), not
+    // contended — the distinction BenchGate.steadyHost acts on.
+    def stealSample(): Option[(Long, Long)] = scala.util.Try {
+      val line = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next() finally src.close()
+      }
+      val v = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (v(7), v.sum) // fields: user nice system idle iowait irq softirq steal ...
+    }.toOption
+    val steal0 = stealSample()
     val kernelStart = (1 to 3).map(_ => calibKernelOnce()).min
     def jsonSafe(s: String): String = s.flatMap {
       case '"' => "'"; case '\\' => "/"
@@ -319,7 +333,6 @@ object Bench {
       case (k, Right(s)) => k -> s
       case (k, Left(_))  => k -> -1.0
     }.toMap
-    val regressions = BenchGate.regressions(currentMins, priorQueries)
     // The closing calibration measurement, then one end-of-run RETRY
     // per regressed query (name-asc, capped — a degraded session can
     // flag dozens and must not double its own runtime chasing them).
@@ -334,6 +347,18 @@ object Bench {
     val kernelEnd = (1 to 3).map(_ => calibKernelOnce()).min
     val kernelBaseline = priorQueries.get(BenchGate.AmbientKey).filter(_ > 0)
     val ambientFactor = kernelBaseline.map(b => math.max(kernelStart, kernelEnd) / b)
+    // Host-speed drift handling (BenchGate.SteadyMaxRatio doc): on a
+    // STEADY session (bracketing kernels agree) the kernel is a
+    // same-session control workload and the 1.5x regression gate is
+    // applied in drift-normalized time — a row is flagged only if it
+    // slowed down more than the fixed control did, with the raw
+    // numbers (attempts, medians, mins) all still published.
+    val steady = BenchGate.steadyHost(kernelStart, kernelEnd)
+    val driftN: Option[Double] =
+      if (steady) BenchGate.driftFactor(kernelStart, kernelEnd, kernelBaseline)
+      else None
+    val regressions = BenchGate.regressions(
+      currentMins, priorQueries, factor = 1.5 * driftN.getOrElse(1.0))
     val queryFns = SparkEntry.selectedQueries
     val retryOf: Map[String, Double] = regressions.keys.toSeq.sorted.take(32)
       .flatMap { k =>
@@ -342,7 +367,9 @@ object Bench {
     val regressed = regressions.toSeq.sortBy(_._1).map { case (k, (p, s)) =>
       val cause = BenchGate.regressionCause(p, s, retryOf.get(k), ambientFactor)
       val retryStr = retryOf.get(k).map(num(_, 3)).getOrElse("null")
-      s""""$k":{"prior":${num(p, 3)},"min":${num(s, 3)},"retry":$retryStr,""" +
+      val ratioVsKernel = ambientFactor
+        .map(a => s""","ratio_vs_kernel":${num(s / p / a, 2)}""").getOrElse("")
+      s""""$k":{"prior":${num(p, 3)},"min":${num(s, 3)},"retry":$retryStr$ratioVsKernel,""" +
         s""""cause":"$cause"}"""
     }.mkString("{", ",", "}")
     val nRegressed = regressions.size
@@ -386,21 +413,35 @@ object Bench {
     val fullRun = sys.env.get("SPARK_GRAFT_ONLY").isEmpty
     val (rebaseRequested, rebaseAny) =
       BenchGate.parseRebase(sys.env.get("SPARK_GRAFT_BENCH_REBASE"))
+    // Rebase stays QUIET-box-only (strict): it writes current numbers
+    // as the bar. Persisting evidence is allowed on a steady session
+    // too — the min-merged baseline is unharmed by construction (a
+    // slower session's numbers never lower any bar) and the artifact
+    // labels its own drift state.
     val rebaseFn: String => Boolean =
       if (quiet) rebaseRequested else (_ => false)
     val rebaseRefused = rebaseAny && !quiet
     val persistSfOk = BenchGate.shouldPersistBaseline(fullRun, prevText, sfDir)
-    val persistOk = persistSfOk && quiet
+    val persistOk = persistSfOk && (quiet || steady)
     val persistRefusal =
-      if (persistSfOk && !quiet)
+      if (persistSfOk && !quiet && !steady)
         s""""ambient-factor ${ambientFactor.map(num(_, 2)).getOrElse("?")}""" +
-          s""" > ${BenchGate.QuietBoxMaxFactor}""""
+          s""" > ${BenchGate.QuietBoxMaxFactor} and kernel bracketing unsteady""" +
+          s""" (${num(kernelStart, 3)} vs ${num(kernelEnd, 3)})""""
       else "null"
+    val stealPct = (steal0, stealSample()) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+        num(100.0 * (s1 - s0) / (t1 - t0), 2)
+      case _ => "null"
+    }
     val ambientJson =
       s"""{"kernel_start":${num(kernelStart, 3)},"kernel_end":${num(kernelEnd, 3)},""" +
         s""""kernel_baseline":${kernelBaseline.map(num(_, 3)).getOrElse("null")},""" +
         s""""factor":${ambientFactor.map(num(_, 2)).getOrElse("null")},""" +
-        s""""quiet":$quiet,"max_factor":${BenchGate.QuietBoxMaxFactor}}"""
+        s""""quiet":$quiet,"max_factor":${BenchGate.QuietBoxMaxFactor},""" +
+        s""""steady":$steady,""" +
+        s""""drift_factor":${driftN.map(num(_, 2)).getOrElse("null")},""" +
+        s""""steal_pct":$stealPct}"""
     // Published throughput rows (min-of-3): cells/s and per-core
     // cells/s for decode and the full migrate pipeline — the numbers
     // SCALE.md's reference comparison (447k / 120k per core on
@@ -463,7 +504,7 @@ object Bench {
         s""""expired":${st.expired},"failed":${st.failed},"retried":${st.retried}}"""
       }
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"quiet_box":$quiet,"baseline_persisted":$persistOk,"persist_refusal":$persistRefusal,"rebase_refused":$rebaseRefused,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"keyed_export":$keyedJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"quiet_box":$quiet,"steady_host":$steady,"baseline_persisted":$persistOk,"persist_refusal":$persistRefusal,"rebase_refused":$rebaseRefused,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"keyed_export":$keyedJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
     // Belt and braces: the artifact also lands in files next to the
     // build, immune to any stdout truncation. bench_full.json is the
     // committed full artifact (attempts + attribution); bench_prev.json
@@ -522,7 +563,7 @@ object Bench {
       .sortBy(-_._2).take(25)
       .map { case (k, s) => s""""$k":${num(s, 3)}""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$slowest,"queries_shown":"slowest 25 of ${results.size} by min; full set in bench_full.json","queries_total":${results.size},"failed":$nFailed,"sf":"$sfDir","quiet_box":$quiet,"baseline_persisted":$persistOk,"regressed_n":$nRegressed,"regressed_vs":$priorName,"retained_hw_bytes":$retainedHw,"sstable":$sstableJson}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$slowest,"queries_shown":"slowest 25 of ${results.size} by min; full set in bench_full.json","queries_total":${results.size},"failed":$nFailed,"sf":"$sfDir","quiet_box":$quiet,"steady_host":$steady,"baseline_persisted":$persistOk,"regressed_n":$nRegressed,"regressed_vs":$priorName,"retained_hw_bytes":$retainedHw,"sstable":$sstableJson}""")
     spark.stop()
   }
 }

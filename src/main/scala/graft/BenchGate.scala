@@ -57,6 +57,56 @@ object BenchGate {
       maxFactor: Double = QuietBoxMaxFactor): Boolean =
     ambientFactor.forall(_ <= maxFactor)
 
+  /** HOST-SPEED DRIFT (r15). The quiet gate above compares the
+    * session's kernel to the quietest reading the repo has EVER seen
+    * (min-merged `_ambient_kernel`). That bar silently assumes the
+    * box's hardware speed is constant across sessions. Measured, it
+    * is not: this is a multi-tenant VM, and the fixed calibration
+    * kernel reads 0.052 s once (r13), then 0.10–0.16 s across every
+    * later session — including sessions where /proc/loadavg sat at
+    * 0.09, a 12-sample spark-shell probe of the same kernel measured
+    * min 0.124 / median 0.159, and /proc/stat steal was ~0 — i.e. the
+    * box was IDLE and still ran the kernel ~2× slower than the r13
+    * moment. A gate that demands 1.25× of an all-time-best host speed
+    * refuses every honest measurement on a slower-host day (r14 and
+    * the first r15 run were both refused), while the per-query
+    * baselines — recorded on the fast day — make every row look
+    * regressed by the same uniform ~2×.
+    *
+    * The discriminator between drift and load is BRACKETING
+    * STEADINESS: co-tenant load comes and goes (start/end kernel
+    * readings disagree; attempt variance is high), while a slower
+    * host is a stable property of the whole session (start ≈ end).
+    * On a steady session the kernel is a same-session CONTROL
+    * workload, and the honest regression question becomes: did any
+    * query slow down MORE than the fixed control did? That is the
+    * 1.5× gate applied in drift-normalized time — raw numbers stay
+    * published; only the flagging threshold scales. A steady session
+    * may persist evidence (the min-merged baseline is unharmed by
+    * construction: a slower session's numbers never lower any bar),
+    * but a REBASE stays quiet-box-only — rebasing writes current
+    * numbers as the bar, which must never happen at degraded speed. */
+  val SteadyMaxRatio = 1.2
+
+  /** Whether the session's bracketing kernel readings agree closely
+    * enough that its speed is a stable session property (host drift),
+    * not fluctuating co-tenant load. */
+  def steadyHost(kernelStart: Double, kernelEnd: Double,
+      maxRatio: Double = SteadyMaxRatio): Boolean =
+    kernelStart > 0 && kernelEnd > 0 &&
+      math.max(kernelStart, kernelEnd) /
+        math.min(kernelStart, kernelEnd) <= maxRatio
+
+  /** Conservative drift factor of a steady session: the SMALLER of
+    * the two bracketing readings over the quietest-ever baseline
+    * (min → the least host slowdown the session can claim, so the
+    * normalized gate stays as tight as the evidence allows), floored
+    * at 1 — a faster-than-baseline box needs no normalization. */
+  def driftFactor(kernelStart: Double, kernelEnd: Double,
+      baseline: Option[Double]): Option[Double] =
+    baseline.filter(_ > 0).map(b =>
+      math.max(1.0, math.min(kernelStart, kernelEnd) / b))
+
   /** Parse the `"queries":{...}` map out of a bench summary line,
     * returning empty unless the artifact's `"sf"` matches `sfDir`
     * (a prior run at a different scale factor would flag every query).

@@ -246,4 +246,36 @@ class BenchGateSpec extends AnyFunSuite {
     // p > 0 guard: a prior error row cannot anchor a regression.
     assert(BenchGate.regressions(Map("q_err" -> 0.5, "q_ok" -> 0.31), prior).isEmpty)
   }
+
+  test("steady host: bracketing kernels within 1.2x, zero/negative readings never") {
+    assert(BenchGate.steadyHost(0.105, 0.105))
+    assert(BenchGate.steadyHost(0.115, 0.101))          // the r14 driver session
+    assert(!BenchGate.steadyHost(0.279, 0.105))          // sbt-startup-polluted start
+    assert(!BenchGate.steadyHost(0.0, 0.105))
+    assert(!BenchGate.steadyHost(0.105, -1.0))
+  }
+
+  test("drift factor: min of the bracket over baseline, floored at 1, None unbaselined") {
+    // A steady 2x-slower host day (the measured r15 shape).
+    assert(math.abs(BenchGate.driftFactor(0.110, 0.104, Some(0.052)).get - 2.0) < 1e-9)
+    // A faster-than-baseline box normalizes by exactly 1.
+    assert(BenchGate.driftFactor(0.04, 0.045, Some(0.052)).get === 1.0)
+    assert(BenchGate.driftFactor(0.1, 0.1, None).isEmpty)
+    assert(BenchGate.driftFactor(0.1, 0.1, Some(0.0)).isEmpty)
+  }
+
+  test("drift-normalized gate: uniform host slowdown passes, a real regression still flags") {
+    val prior = Map("uniform" -> 0.300, "real" -> 0.300)
+    // Host 2x slower: every row ~2x its prior. The raw 1.5x gate flags
+    // both; the drift-normalized gate (1.5 * 2.0) flags neither...
+    val drifted = Map("uniform" -> 0.620, "real" -> 0.640)
+    assert(BenchGate.regressions(drifted, prior).size === 2)
+    assert(BenchGate.regressions(drifted, prior, factor = 1.5 * 2.0).isEmpty)
+    // ...while a row that slowed MORE than the control kernel (4x on a
+    // 2x-slow host) still flags — code regressions cannot hide behind
+    // drift.
+    val withReal = Map("uniform" -> 0.620, "real" -> 1.250)
+    assert(BenchGate.regressions(withReal, prior, factor = 1.5 * 2.0)
+      .keySet === Set("real"))
+  }
 }
