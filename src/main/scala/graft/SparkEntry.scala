@@ -221,7 +221,8 @@ object SparkEntry {
     "mm_sample_balanced"       -> (Multimodal.sampleBalanced _),
     "mm_phash_dedup"           -> (Multimodal.phashDedup _),
     "mm_phash_clusters"        -> (Multimodal.phashClusters _),
-    "mm_phash_survivors"       -> (Multimodal.phashSurvivors _)
+    "mm_phash_survivors"       -> (Multimodal.phashSurvivors _),
+    "mm_curation_report"       -> (graft.pipeline.Curation.mediaReport _)
   )
 
   /** Rabin-Karp winnowing (k=8, w=4) in DuckDB SQL, shared by the
@@ -3492,6 +3493,66 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // The media curation funnel: the stage oracles composed into ONE
+    // statement — phash CC dedup (recursive min-label), the
+    // empty-payload decode gate, and the balanced byte sampler's
+    // integer-quantized rates recomputed over the POST-DEDUP corpus.
+    "mm_curation_report" ->
+      s"""WITH RECURSIVE $PhashPairCtes,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM ppairs
+        |          UNION ALL SELECT doc_b, doc_a FROM ppairs),
+        |reach AS (
+        |  SELECT a AS v, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a AS v, w.r FROM edges e JOIN reach w ON e.b = w.v),
+        |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+        |dropped AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+        |it AS (SELECT m.doc_id,
+        |    (['jpeg','png','webp'])[CAST((m.doc_id % 10000000) % 3 AS INT) + 1]
+        |      AS format,
+        |    CAST(m.nb AS BIGINT) AS nb,
+        |    (m.nb > 0) AS s1,
+        |    (m.nb > 0 AND d.doc_id IS NULL) AS s2
+        |  FROM m LEFT JOIN dropped d USING (doc_id)),
+        |itb AS (SELECT it.*,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || '#' || format), 1, 12)) AS UBIGINT)
+        |      % 1000000 AS BIGINT) AS bucket_ppm
+        |  FROM it),
+        |c AS (SELECT format, SUM(nb)::BIGINT AS fmt_bytes,
+        |    CAST(FLOOR(sqrt(CAST(SUM(nb) AS DOUBLE)) * 1048576.0) AS BIGINT) AS w_q
+        |  FROM itb WHERE s2 GROUP BY format),
+        |t AS (SELECT SUM(w_q) AS w_total, SUM(fmt_bytes) AS dedup_bytes FROM c),
+        |r AS (SELECT format, fmt_bytes,
+        |    CAST(((CAST(dedup_bytes AS HUGEINT) // 2) * CAST(w_q AS HUGEINT))
+        |      // CAST(w_total AS HUGEINT) AS BIGINT) AS target_bytes
+        |  FROM c, t),
+        |r2 AS (SELECT format,
+        |    LEAST(1000000, CAST((CAST(target_bytes AS HUGEINT) * 1000000)
+        |      // CAST(fmt_bytes AS HUGEINT) AS BIGINT)) AS rate_ppm
+        |  FROM r),
+        |fl AS (SELECT itb.*, (s2 AND bucket_ppm < COALESCE(r2.rate_ppm, 0)) AS s3
+        |  FROM itb LEFT JOIN r2 USING (format)),
+        |rep AS (
+        |  SELECT CAST(0 AS INT) AS stage, 'raw' AS stage_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_bytes FROM fl
+        |  UNION ALL SELECT 1, 'decodable',
+        |    CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN s1 THEN nb ELSE 0 END), 0) AS BIGINT) FROM fl
+        |  UNION ALL SELECT 2, 'dedup',
+        |    CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN s2 THEN nb ELSE 0 END), 0) AS BIGINT) FROM fl
+        |  UNION ALL SELECT 3, 'sample',
+        |    CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN s3 THEN nb ELSE 0 END), 0) AS BIGINT) FROM fl),
+        |tot AS (SELECT n_items AS n0, n_bytes AS b0 FROM rep WHERE stage = 0)
+        |SELECT stage, stage_name, n_items, n_bytes,
+        |  ${ratio4Sql("n_items", "GREATEST(n0, 1)")} AS pct_items,
+        |  ${ratio4Sql("n_bytes", "GREATEST(b0, 1)")} AS pct_bytes
+        |FROM rep CROSS JOIN tot
+        |ORDER BY stage""".stripMargin,
 
     "mm_phash_survivors" ->
       s"""WITH RECURSIVE $PhashPairCtes,

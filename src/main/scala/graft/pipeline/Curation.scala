@@ -176,4 +176,94 @@ object Curation {
           .as("low_frac"))
       .orderBy(col("verdict"))
   }
+
+  /** #45h mm_curation_report: the end-to-end MEDIA curation funnel as
+    * ONE declarative plan — the media analog of [[report]] (VERDICT
+    * r14 #5): corpus intake → decodability gate → perceptual dedup →
+    * balanced byte sampling, reported as the per-stage
+    * (items, bytes, share-of-raw) funnel a media curation run
+    * publishes as its audit artifact. Every stage reuses the EXACT
+    * operator it names: the corpus is the companion-augmented media
+    * set the dedup stage actually processes
+    * ([[graft.multimodal.Multimodal.phashCorpusHex]]), the decode
+    * gate is [[graft.multimodal.Multimodal.corpusAudit]]'s
+    * empty-payload class, the dedup verdict is
+    * [[graft.multimodal.Multimodal.phashClusters]]' min-id winner
+    * rule (rides the session-memoized pair checkpoint — the CC loop
+    * is not re-run), and the sampler is
+    * [[graft.multimodal.Multimodal.sampleBalanced]]'s α = 0.5
+    * byte-budget definition applied to the POST-DEDUP corpus (a media
+    * sample budget applies to what survives dedup — the operational
+    * order), with the same integer quantization (√bytes in 2⁻²⁰
+    * units, DECIMAL(38,0) budget products, md5-ppm buckets), so every
+    * keep/drop decision is bit-identical in the DuckDB oracle — the
+    * composition of the stage oracles into one statement.
+    *
+    * Scale shape: per-item stage flags assembled on doc_id (the
+    * dropped set is duplication-bounded and broadcasts; the
+    * |formats|-row rate dimension broadcasts), then ONE
+    * map-side-combinable 1-row aggregate exploded into the 4-row
+    * report. Payload LENGTH only — this plan never reads the blob
+    * column (the phash pipeline read it once, inside the memoized
+    * pair frame). */
+  def mediaReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val items = Multimodal.phashCorpusHex(spark, dir)
+      .select(col("doc_id"), col("nb"),
+        (col("doc_id") % 10000000L).as("base_id"))
+      .join(Multimodal.mediaTable(spark, dir).toDF()
+        .select(col("doc_id").as("base_id"), col("format")), "base_id")
+    val dropped = Multimodal.phashClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("_dropped"))
+    val flagged = items
+      .join(dropped, Seq("doc_id"), "left_outer")
+      .withColumn("bucket_ppm",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("format")).cast("binary")), 1, 12), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("s1", col("nb") > 0L)
+      .withColumn("s2", col("s1") && col("_dropped").isNull)
+    val counts = flagged.filter(col("s2")).groupBy(col("format"))
+      .agg(sum(col("nb")).as("fmt_bytes"))
+      .withColumn("w_q",
+        floor(sqrt(col("fmt_bytes").cast("double")) * 1048576.0).cast("long"))
+    val totals = counts.agg(
+      sum(col("w_q")).as("w_total"), sum(col("fmt_bytes")).as("dedup_bytes"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("target_bytes",
+        expr("""cast(cast(dedup_bytes div 2 as decimal(38,0))
+               |  * cast(w_q as decimal(38,0))
+               |  div cast(w_total as decimal(38,0)) as bigint)""".stripMargin))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("""cast(cast(target_bytes as decimal(38,0)) * 1000000
+                 |  div cast(fmt_bytes as decimal(38,0)) as bigint)""".stripMargin)))
+      .select(col("format"), col("rate_ppm"))
+    val flags = flagged.join(broadcast(rates), Seq("format"), "left_outer")
+      .withColumn("s3",
+        col("s2") && col("bucket_ppm") < coalesce(col("rate_ppm"), lit(0L)))
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    def byt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, col("nb")).otherwise(0L)), lit(0L))
+    val agg = flags.agg(
+      count(lit(1)).as("n0"), coalesce(sum(col("nb")), lit(0L)).as("b0"),
+      cnt(col("s1")).as("n1"), byt(col("s1")).as("b1"),
+      cnt(col("s2")).as("n2"), byt(col("s2")).as("b2"),
+      cnt(col("s3")).as("n3"), byt(col("s3")).as("b3"))
+    def stage(i: Int, name: String) =
+      struct(lit(i).as("stage"), lit(name).as("stage_name"),
+        col(s"n$i").as("n_items"), col(s"b$i").as("n_bytes"))
+    agg
+      .select(col("n0"), col("b0").as("rawb"), explode(array(
+        stage(0, "raw"), stage(1, "decodable"), stage(2, "dedup"),
+        stage(3, "sample"))).as("s"))
+      .select(col("s.stage").as("stage"),
+        col("s.stage_name").as("stage_name"),
+        col("s.n_items").as("n_items"), col("s.n_bytes").as("n_bytes"),
+        ratio4(col("s.n_items"), greatest(col("n0"), lit(1L))).as("pct_items"),
+        ratio4(col("s.n_bytes"), greatest(col("rawb"), lit(1L))).as("pct_bytes"))
+      .orderBy(col("stage"))
+  }
+
 }

@@ -162,6 +162,7 @@ object StreamingThroughput {
     spark.conf.set(shuffleKey, partitions.toString)
     spark.conf.set(noDataKey, "false")
     storeProvider.foreach(spark.conf.set(storeKey, _))
+    if (storeProvider.contains(RocksDbProvider)) quietRocksDbJniLogger()
     val ck = ckptRoot()
     try {
       val input = MemoryStream[Ev]
@@ -212,6 +213,25 @@ object StreamingThroughput {
     * knob so the headline config is a measured choice. */
   val RocksDbProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Pin against the r14 state sweep's JVM SIGSEGV (hs_err_pid26906:
+    * crash inside `rocksdb::LoggerJniCallback::Logv` 19 minutes into
+    * the 2M-user RocksDB cell). Spark's RocksDB wrapper registers a
+    * JNI logger whose native→JVM callback level FOLLOWS this class's
+    * slf4j logger level (RocksDB.createLogger starts at ERROR_LEVEL
+    * and raises to WARN/INFO/DEBUG when the corresponding slf4j level
+    * is enabled — verified in the 4.1.2 bytecode). With the root
+    * logger at WARN, every native WARN-level message during heavy
+    * compaction crosses the JNI boundary into the JVM logger from a
+    * RocksDB background thread — the exact frame that segfaulted.
+    * Pinning THIS logger to ERROR keeps the callback out of the hot
+    * path entirely (RocksDB emits essentially no ERROR traffic), so
+    * crash-relevant native→JVM logging never runs. Idempotent; called
+    * whenever a drain selects the RocksDB provider. */
+  def quietRocksDbJniLogger(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB",
+      org.apache.logging.log4j.Level.ERROR)
 
   /** The headline drain: both deployed pipelines together; returns
     * wall seconds (the `streaming_throughput` bench row). */

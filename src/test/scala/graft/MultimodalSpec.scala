@@ -248,4 +248,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(surv.filter(_.getAs[Boolean]("cluster_survivor"))
       .map(_.getAs[Long]("doc_id")).toSet === cl.values.toSet)
   }
+
+  test("mm_curation_report: a monotone funnel consistent with the stages it composes") {
+    val rows = SparkEntry.queries("mm_curation_report")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq ===
+      Seq("raw", "decodable", "dedup", "sample"))
+    // Monotone in both items and bytes; shares in [0, 1] and exactly 1
+    // at the raw stage.
+    val items = rows.map(_.getAs[Long]("n_items"))
+    val bytes = rows.map(_.getAs[Long]("n_bytes"))
+    assert(items.zip(items.tail).forall { case (a, b) => b <= a })
+    assert(bytes.zip(bytes.tail).forall { case (a, b) => b <= a })
+    assert(rows.head.getAs[Double]("pct_items") === 1.0)
+    assert(rows.head.getAs[Double]("pct_bytes") === 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pct_items") >= 0.0 && r.getAs[Double]("pct_items") <= 1.0)
+      assert(r.getAs[Double]("pct_bytes") >= 0.0 && r.getAs[Double]("pct_bytes") <= 1.0)
+    }
+    // Stage 0 is the companion-augmented corpus the dedup stage sees...
+    val aug = Multimodal.phashDedup(spark, sf) // warms the memo; corpus size below
+    val corpusN = Multimodal.phashSurvivors(spark, sf).count() +
+      Multimodal.phashClusters(spark, sf)
+        .filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(items(0) === corpusN)
+    // ...and the dedup stage keeps exactly the survivor set (every
+    // payload in the fixture is non-empty, so the decode gate is a
+    // pass-through there — asserted rather than assumed).
+    assert(items(1) === items(0))
+    assert(items(2) === Multimodal.phashSurvivors(spark, sf).count())
+    // The sample stage realizes roughly the half-byte budget: alpha =
+    // 0.5 flattening reallocates across formats but the total sampled
+    // bytes stay within a loose band of half the post-dedup bytes at
+    // fixture scale.
+    assert(bytes(3) <= bytes(2))
+    assert(bytes(3) > 0L)
+  }
 }

@@ -565,6 +565,11 @@ class PlanSpec extends AnyFunSuite {
     // mm_sample_balanced 2: per-format byte rollup + the final
     // format-keyed sampled rollup; the rate dimension joins broadcast.
     "mm_sample_balanced" -> 2,
+    // mm_curation_report 2: the post-dedup per-format byte rollup that
+    // feeds the sampler rates + the 1-row funnel aggregate; the dropped
+    // set and the rate dimension broadcast, the phash pair/CC work is
+    // behind the session memo.
+    "mm_curation_report" -> 2,
     "mm_frame_sample" -> 0, "mm_phash_dedup" -> 0, "mm_phash_clusters" -> 0,
     "mm_phash_survivors" -> 7, "nation_year_growth" -> 2,
     "order_cadence" -> 2, "orders_seasonality" -> 4, "pivot_manual" -> 1,

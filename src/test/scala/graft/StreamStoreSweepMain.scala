@@ -47,9 +47,14 @@ object StreamStoreSweepMain {
     * (users, store), the measured state bytes and wall seconds, so the
     * map-store-vs-RocksDB recommendation is a measured crossover curve
     * rather than a few-MB-state extrapolation. Run:
-    * `sbt "Test/runMain graft.StreamStoreSweepMain state [cpus]"`. */
+    * `sbt "Test/runMain graft.StreamStoreSweepMain state [cpus]
+    * [onlyUsers] [onlyStore]"` — the optional filters re-run a single
+    * cell (the r15 crash-free confirmation of the 2M-user RocksDB
+    * cell after the JNI-logger pin). */
   private def stateSweep(args: Array[String]): Unit = {
     val cpus = args.lift(1).map(_.toInt).getOrElse(32)
+    val onlyUsers = args.lift(2).map(_.toInt)
+    val onlyStore = args.lift(3)
     val spark = graft.sources.Tables.sessionConfs
       .foldLeft(org.apache.spark.sql.SparkSession.builder()
         .master(s"local[$cpus]")
@@ -65,10 +70,12 @@ object StreamStoreSweepMain {
     // exactly the regime the crossover question asks about.
     for {
       users <- Seq(2000, 20000, 200000, 1000000, 2000000)
+        if onlyUsers.forall(_ == users)
       n = users * 5
       (name, store) <- Seq(
         "hdfs" -> None,
         "rocksdb" -> Some(graft.tools.StreamingThroughput.RocksDbProvider))
+        if onlyStore.forall(_ == name)
     } {
       val evs = graft.tools.StreamingThroughput.synthEvents(n, users)
       val stats = (1 to 2).map(_ => graft.tools.StreamingThroughput
