@@ -110,7 +110,25 @@ object Bench {
       (v(7), v.sum) // fields: user nice system idle iowait irq softirq steal ...
     }.toOption
     val steal0 = stealSample()
-    val kernelStart = (1 to 3).map(_ => calibKernelOnce()).min
+    // SETTLED start bracket (r15): the start reading was systematically
+    // ~1.6x the end reading across three rounds of artifacts (0.279 vs
+    // 0.105, 0.234 vs 0.160, 0.190 vs 0.118) — C2 compilation of the
+    // kernel's own codegen and the session's shared runtime paths is
+    // still draining when a fixed min-of-3 runs, which fails the
+    // steadiness test even on an otherwise-quiet box. Warm until three
+    // consecutive readings agree within 10% of their min (cap 12 —
+    // under real co-tenant contention they never stabilize and the
+    // quiet/steady gates correctly fail), then record min-of-3 fresh.
+    val kernelStart = {
+      val window = scala.collection.mutable.Queue.empty[Double]
+      var i = 0
+      while (i < 12 && (window.size < 3 || window.max > window.min * 1.1)) {
+        if (window.size >= 3) window.dequeue()
+        window.enqueue(calibKernelOnce())
+        i += 1
+      }
+      (1 to 3).map(_ => calibKernelOnce()).min
+    }
     def jsonSafe(s: String): String = s.flatMap {
       case '"' => "'"; case '\\' => "/"
       case c if c < ' ' => " "
@@ -373,6 +391,11 @@ object Bench {
         s""""cause":"$cause"}"""
     }.mkString("{", ",", "}")
     val nRegressed = regressions.size
+    val ratiosVsKernel: Seq[Double] = ambientFactor.toSeq.flatMap(a =>
+      regressions.values.map { case (p, s) => s / p / a })
+    val rowsBeyondKernel = ratiosVsKernel.count(_ > 1.0)
+    val maxRatioVsKernel =
+      if (ratiosVsKernel.isEmpty) "null" else num(ratiosVsKernel.max, 2)
     // First-materialization spikes (VERDICT r10 #5): a first attempt
     // over 4x the query's own median AND over an absolute floor gets a
     // named cause — memo-build when the memo grew, gc when GC dominated
@@ -441,7 +464,15 @@ object Bench {
         s""""quiet":$quiet,"max_factor":${BenchGate.QuietBoxMaxFactor},""" +
         s""""steady":$steady,""" +
         s""""drift_factor":${driftN.map(num(_, 2)).getOrElse("null")},""" +
-        s""""steal_pct":$stealPct}"""
+        s""""steal_pct":$stealPct,""" +
+        // The one-number code-regression verdict that survives even a
+        // REFUSED run (the VERDICT r14 fallback): of the flagged rows,
+        // how many slowed MORE than the control kernel did (ratio >
+        // kernel factor), and the worst ratio_vs_kernel observed. A
+        // contended box inflates everything UP TO the kernel's own
+        // factor; only a row beyond it is code-suspect.
+        s""""rows_beyond_kernel":$rowsBeyondKernel,""" +
+        s""""max_ratio_vs_kernel":$maxRatioVsKernel}"""
     // Published throughput rows (min-of-3): cells/s and per-core
     // cells/s for decode and the full migrate pipeline — the numbers
     // SCALE.md's reference comparison (447k / 120k per core on

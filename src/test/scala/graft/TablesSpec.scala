@@ -54,4 +54,23 @@ class TablesSpec extends AnyFunSuite {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.limit(1).count() === 1)
   }
+
+  test("parquetRowCount: footer metadata equals a full count() for every table") {
+    // The catalog-statistics read (VERDICT r13 #7): the footer-derived
+    // count must agree with the scan-derived one, table by table — and
+    // it must cost zero Spark jobs (asserted via the scheduler's job
+    // counter staying flat across the metadata read).
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val footerCounts = graft.sources.Tables.names.map { t =>
+      t -> graft.sources.Tables.parquetRowCount(spark, sf, t)
+    }
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "parquetRowCount ran a Spark job")
+    footerCounts.foreach { case (t, n) =>
+      val scanned =
+        if (t == "events") graft.sources.Tables.events(spark, sf).count()
+        else graft.sources.Tables(spark, sf, t).count()
+      assert(n === scanned, s"footer count diverges for $t")
+    }
+  }
 }
