@@ -383,7 +383,13 @@ object Bench {
         queryFns.get(k).flatMap(fn => once(fn).res.toOption).map(k -> _)
       }.toMap
     val regressed = regressions.toSeq.sortBy(_._1).map { case (k, (p, s)) =>
-      val cause = BenchGate.regressionCause(p, s, retryOf.get(k), ambientFactor)
+      // The retry is judged by the SAME effective gate that flagged
+      // the row (1.5 x drift on a steady session) — judging it by the
+      // raw 1.5x while flagging drift-normalized left rows
+      // "unexplained" whose retry had landed back inside the very
+      // gate they were flagged by (first steady r15 run).
+      val cause = BenchGate.regressionCause(p, s, retryOf.get(k), ambientFactor,
+        factor = 1.5 * driftN.getOrElse(1.0))
       val retryStr = retryOf.get(k).map(num(_, 3)).getOrElse("null")
       val ratioVsKernel = ambientFactor
         .map(a => s""","ratio_vs_kernel":${num(s / p / a, 2)}""").getOrElse("")
