@@ -203,6 +203,19 @@ object StreamingThroughput {
         case Some(v) => spark.conf.set(storeKey, v)
         case None    => spark.conf.unset(storeKey)
       }
+      // Unload every state-store provider this drain loaded. A
+      // provider left in StateStore's cache keeps its native handles
+      // and background work alive against a checkpoint we are about
+      // to delete — across a sweep that accumulates one live RocksDB
+      // instance (compaction + maintenance threads) per drain, and at
+      // JVM exit those threads log through the JNI callback while the
+      // VM is shutting down: getJniEnv cannot attach and Logv
+      // segfaults on the null env (the r15 re-run's SIGABRT/SIGSEGV —
+      // the measurement itself had COMPLETED). Stopping here closes
+      // the native handles while the JVM is fully alive; the next
+      // drain's first store access restarts the maintenance task.
+      scala.util.Try(
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop())
       deleteRecursively(ck)
     }
   }
