@@ -207,6 +207,7 @@ object SparkEntry {
     "emb_dim_stats"            -> (Similarity.embDimStats _),
     "ann_range_search"         -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_filtered_topk"        -> (Similarity.filteredTopK _),
+    "ann_incremental"          -> (Similarity.ivfIncremental _),
     "emb_knn_graph"            -> (Similarity.knnGraph _),
     // rows-only by design: an iterative Lloyd fit isn't ANSI SQL;
     // planted-cluster recovery + repartition-proof ScalaTest oracle.
@@ -966,6 +967,63 @@ object SparkEntry {
       |  FROM cand c JOIN q qq ON qq.query_id = c.query_id
       |              JOIN emb ee ON ee.vec_id = c.vec_id)""".stripMargin
     s"WITH ${parts.mkString(",\n")},\n$annRerankTailSql"
+  }
+
+  /** ann_incremental under the hard gate: the FROZEN-quantizer replay —
+    * the [[annIvfOracleSql]] Lloyd chain fit over the CORPUS SLICE's
+    * deterministic sample (md5-ppm `#ivf` buckets < 900 000; vectors
+    * are row-local so slicing before fitting is the exact contract the
+    * engine runs), corpus-slice assignment, per-batch-vector top-4
+    * probe, exact cosine re-rank over the probed lists, and the
+    * per-batch-vector rollup under the (cos DESC, corpus_id ASC) tie
+    * rule with the ≥ 0.9 is_near verdict. */
+  private def annIncrementalOracleSql: String = {
+    val (k, iters, nProbe, dim) = (16, 5, 4, 64)
+    def assignScore(v: String) = nearestCentroidScoreSql(v)
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """spl AS (SELECT vec_id,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(vec_id AS VARCHAR) || '#ivf'), 1, 12)) AS UBIGINT)
+        |      % 1000000 AS BIGINT) AS b
+        |  FROM embeddings)""".stripMargin,
+      "corp AS MATERIALIZED (SELECT e.* FROM emb e JOIN spl USING (vec_id) WHERE spl.b < 900000)",
+      "inc AS MATERIALIZED (SELECT e.* FROM emb e JOIN spl USING (vec_id) WHERE spl.b >= 900000)",
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM corp WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
+    parts ++= sphericalFitSqlParts(k, iters, dim)
+    val fin = s"c$iters"
+    parts += s"""casn AS MATERIALIZED (
+      |  SELECT vec_id, c AS centroid FROM (
+      |    SELECT e.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${assignScore("e.v")} DESC, c.c) AS rn
+      |    FROM corp e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+    parts += s"""qprobe AS (
+      |  SELECT new_id, c AS centroid FROM (
+      |    SELECT qq.vec_id AS new_id, c.c, ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+      |      ORDER BY ${assignScore("qq.v")} DESC, c.c) AS rn
+      |    FROM inc qq CROSS JOIN $fin c) WHERE rn <= $nProbe)""".stripMargin
+    parts += """sc AS (SELECT qp.new_id, ca.vec_id AS corpus_id,
+      |    list_dot_product(qq.v, ee.v)
+      |      / sqrt(list_dot_product(qq.v, qq.v) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM casn ca JOIN qprobe qp USING (centroid)
+      |  JOIN inc qq ON qq.vec_id = qp.new_id
+      |  JOIN corp ee ON ee.vec_id = ca.vec_id)""".stripMargin
+    parts += """best AS (SELECT new_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |    MAX(CASE WHEN rn = 1 THEN corpus_id END) AS best_match,
+      |    MAX(CASE WHEN rn = 1 THEN cos END) AS best_cos
+      |  FROM (SELECT new_id, corpus_id, cos, ROW_NUMBER() OVER (
+      |      PARTITION BY new_id ORDER BY cos DESC, corpus_id) AS rn FROM sc)
+      |  GROUP BY new_id)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT i.vec_id,
+      |  COALESCE(b.n_candidates, 0) AS n_candidates,
+      |  b.best_match, b.best_cos,
+      |  COALESCE(b.best_cos >= 0.9, FALSE) AS is_near
+      |FROM inc i LEFT JOIN best b ON b.new_id = i.vec_id
+      |ORDER BY i.vec_id""".stripMargin
   }
 
   /** emb_knn_graph under the hard gate: the same unrolled spherical-fit
@@ -1778,7 +1836,8 @@ object SparkEntry {
     ("dedup_quality_audit" -> DedupQualityAuditOracleSql) +
     ("dedup_semantic" -> dedupSemanticOracleSql) +
     ("dedup_knn_cc" -> dedupKnnCcOracleSql) +
-    ("dedup_incremental" -> dedupIncrementalOracleSql)
+    ("dedup_incremental" -> dedupIncrementalOracleSql) +
+    ("ann_incremental" -> annIncrementalOracleSql)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -477,6 +477,10 @@ class PlanSpec extends AnyFunSuite {
     // probe levels (per-(query, level) top-k agg, per-level counts,
     // brute-force truth) — the levels are filters, not re-scans.
     "ann_tuning_curve" -> 7,
+    // ann_incremental 2: the per-batch-vector rollup + the final
+    // report join; the postings side reads its bucketed layout with no
+    // exchange and the probed batch broadcasts onto it.
+    "ann_incremental" -> 2,
     "ann_lsh_topk" -> 8, "ann_pq_topk" -> 6, "ann_range_search" -> 0,
     "anti_semi_join" -> 0, "approx_distinct" -> 2, "balance_matrix" -> 2,
     // basket_pairs 7 -> 0: the marker rewrite collapsed pairs/reach/

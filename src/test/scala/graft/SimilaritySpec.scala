@@ -616,4 +616,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents.map(_.toSeq).distinct.length === 4,
       "duplicate seed centroids on a small corpus")
   }
+
+  test("ann_incremental: report covers the whole batch; index side reads bucketed") {
+    val incIds = Tables.embeddings(spark, sf).select(col("vec_id"))
+      .filter(Similarity.ivfIncBucket(col("vec_id")) >= 900000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(incIds.nonEmpty, "empty vector batch at fixture scale")
+    val df = SparkEntry.queries("ann_incremental")(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSet === incIds)
+    rows.foreach { r =>
+      val nCand = r.getAs[Long]("n_candidates")
+      if (nCand == 0) {
+        assert(r.isNullAt(r.fieldIndex("best_match")) &&
+          !r.getAs[Boolean]("is_near"))
+      } else {
+        assert(!r.isNullAt(r.fieldIndex("best_cos")))
+        assert(r.getAs[Boolean]("is_near") ===
+          (r.getAs[Double]("best_cos") >= 0.9))
+      }
+    }
+    // The postings side must read its bucketed layout (no exchange).
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"IVF postings scan not bucketed:\n${plan.take(2000)}")
+  }
+
+  test("ann_incremental: frozen-quantizer append equals direct assignment of the union") {
+    // Day 0: index over ivfIncBucket < 800k; day 1: append [800k, 900k)
+    // under day-0's FROZEN centroids. Because assignment is row-local,
+    // the appended postings must equal the direct assignment of the
+    // < 900k corpus under the same centroids, row for row — the
+    // operational contract (a daily append never refits; a refit is a
+    // scheduled rebuild).
+    val day0 = Similarity.buildIvfIndex(spark, sf, 800000L, "parity_day0")
+    Similarity.appendIvfIncrement(spark, sf, day0, 800000L, 900000L)
+    val got = spark.table(day0.table)
+      .select(col("vec_id"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expect = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .filter(Similarity.ivfIncBucket(col("vec_id")) < 900000L)
+      .select(col("vec_id"),
+        element_at(graft.functions.Centroids.nearestCentroids(
+          col("embedding"), day0.cents, 1), 1).as("centroid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === expect)
+    // And the day-2 batch searches the appended index end-to-end.
+    val rep = Similarity.ivfIncrementalOver(spark, sf, day0, 900000L)
+    assert(rep.count() > 0)
+  }
 }
