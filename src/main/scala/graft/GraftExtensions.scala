@@ -32,7 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(name: String, arity: String, usage: String)(
       builder: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo("graft", null, name, usage, arity),
+      // The full 11-arg constructor is the one non-deprecated form
+      // that still carries usage text (the 5-arg shorthand was
+      // deprecated in 3.0); arity rides in `arguments`.
+      new ExpressionInfo("graft", null, name, usage, arity,
+        "", "", "", "", "", "built-in"),
       builder)
 
   private val functions = Seq(

@@ -87,7 +87,8 @@ object Kmeans {
     // the fitted k×d centroids riding in as LITERAL arrays (the
     // fitted-codebook pattern — no join; clusters index the literal).
     val total = emb.count().toDouble
-    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val centLit = array(cents.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
     val cent = element_at(centLit, col("cluster") + 1)
     val v = col("embedding").cast("array<double>")
     val cos = dot(v, cent) / sqrt(dot(v, v) * dot(cent, cent))
