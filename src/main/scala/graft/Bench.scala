@@ -366,14 +366,26 @@ object Bench {
     val kernelBaseline = priorQueries.get(BenchGate.AmbientKey).filter(_ > 0)
     val ambientFactor = kernelBaseline.map(b => math.max(kernelStart, kernelEnd) / b)
     // Host-speed drift handling (BenchGate.SteadyMaxRatio doc): on a
-    // STEADY session (bracketing kernels agree) the kernel is a
-    // same-session control workload and the 1.5x regression gate is
-    // applied in drift-normalized time — a row is flagged only if it
-    // slowed down more than the fixed control did, with the raw
-    // numbers (attempts, medians, mins) all still published.
-    val steady = BenchGate.steadyHost(kernelStart, kernelEnd)
+    // STEADY session (bracketing kernels agree AND /proc/stat steal
+    // rules out a sustained co-tenant) the kernel is a same-session
+    // control workload and the 1.5x regression gate is applied in
+    // drift-normalized time — a row is flagged only if it slowed down
+    // more than the fixed control did, with the raw numbers
+    // (attempts, medians, mins) all still published. On a QUIET box
+    // the normalization is OFF: the strict r14 gate keeps its raw
+    // 1.5x semantics whenever the box passes the strict bar (review
+    // r15: drift at factor 1.2 on a quiet box would otherwise
+    // silently unflag a 1.7x row).
+    val stealVal: Option[Double] = (steal0, stealSample()) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+        Some(100.0 * (s1 - s0) / (t1 - t0))
+      case _ => None
+    }
+    val quiet = BenchGate.quietBox(ambientFactor)
+    val steady = BenchGate.steadyHost(kernelStart, kernelEnd, stealVal)
     val driftN: Option[Double] =
-      if (steady) BenchGate.driftFactor(kernelStart, kernelEnd, kernelBaseline)
+      if (steady && !quiet)
+        BenchGate.driftFactor(kernelStart, kernelEnd, kernelBaseline)
       else None
     val regressions = BenchGate.regressions(
       currentMins, priorQueries, factor = 1.5 * driftN.getOrElse(1.0))
@@ -399,7 +411,11 @@ object Bench {
     val nRegressed = regressions.size
     val ratiosVsKernel: Seq[Double] = ambientFactor.toSeq.flatMap(a =>
       regressions.values.map { case (p, s) => s / p / a })
-    val rowsBeyondKernel = ratiosVsKernel.count(_ > 1.0)
+    // null, not 0, when there is NO kernel baseline: an unmeasured
+    // verdict must not read as a clean one (review r15).
+    val rowsBeyondKernel =
+      if (ambientFactor.isEmpty) "null"
+      else ratiosVsKernel.count(_ > 1.0).toString
     val maxRatioVsKernel =
       if (ratiosVsKernel.isEmpty) "null" else num(ratiosVsKernel.max, 2)
     // First-materialization spikes (VERDICT r10 #5): a first attempt
@@ -438,7 +454,6 @@ object Bench {
     // with the refusal recorded in the artifact itself, so a loaded
     // box can never fake 13 regressions into the committed record
     // (the r13 incident) OR hide a real one behind a rebase.
-    val quiet = BenchGate.quietBox(ambientFactor)
     val fullRun = sys.env.get("SPARK_GRAFT_ONLY").isEmpty
     val (rebaseRequested, rebaseAny) =
       BenchGate.parseRebase(sys.env.get("SPARK_GRAFT_BENCH_REBASE"))
@@ -458,11 +473,7 @@ object Bench {
           s""" > ${BenchGate.QuietBoxMaxFactor} and kernel bracketing unsteady""" +
           s""" (${num(kernelStart, 3)} vs ${num(kernelEnd, 3)})""""
       else "null"
-    val stealPct = (steal0, stealSample()) match {
-      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
-        num(100.0 * (s1 - s0) / (t1 - t0), 2)
-      case _ => "null"
-    }
+    val stealPct = stealVal.map(num(_, 2)).getOrElse("null")
     val ambientJson =
       s"""{"kernel_start":${num(kernelStart, 3)},"kernel_end":${num(kernelEnd, 3)},""" +
         s""""kernel_baseline":${kernelBaseline.map(num(_, 3)).getOrElse("null")},""" +

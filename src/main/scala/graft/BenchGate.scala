@@ -88,14 +88,30 @@ object BenchGate {
     * numbers as the bar, which must never happen at degraded speed. */
   val SteadyMaxRatio = 1.2
 
-  /** Whether the session's bracketing kernel readings agree closely
-    * enough that its speed is a stable session property (host drift),
-    * not fluctuating co-tenant load. */
+  /** A sustained co-tenant CAN present a steady bracket (it pegs the
+    * host for the whole run), which is why steadiness alone must not
+    * unlock drift treatment: /proc/stat steal is the direct
+    * kernel-level counter of cycles the hypervisor gave away, and a
+    * slowdown that is really contention shows steal of the same order
+    * as the slowdown (a 2× drag needs ~half our cycles stolen),
+    * while true host drift reads steal ≈ 0. 10% is an order of
+    * magnitude below what could explain a gate-relevant 1.5×, and
+    * well above the 1–3% the committed steady runs measured. */
+  val SteadyMaxStealPct = 10.0
+
+  /** Whether the session's speed is a stable HOST property (drift):
+    * bracketing kernel readings agree closely AND the hypervisor's
+    * steal counter rules out a sustained co-tenant. An unmeasurable
+    * steal (no /proc/stat) fails closed — without the counter a
+    * steady co-tenant is indistinguishable from drift. */
   def steadyHost(kernelStart: Double, kernelEnd: Double,
-      maxRatio: Double = SteadyMaxRatio): Boolean =
+      stealPct: Option[Double],
+      maxRatio: Double = SteadyMaxRatio,
+      maxStealPct: Double = SteadyMaxStealPct): Boolean =
     kernelStart > 0 && kernelEnd > 0 &&
       math.max(kernelStart, kernelEnd) /
-        math.min(kernelStart, kernelEnd) <= maxRatio
+        math.min(kernelStart, kernelEnd) <= maxRatio &&
+      stealPct.exists(_ <= maxStealPct)
 
   /** Conservative drift factor of a steady session: the SMALLER of
     * the two bracketing readings over the quietest-ever baseline

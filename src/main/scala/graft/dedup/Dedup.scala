@@ -224,25 +224,12 @@ object Dedup {
     * is a plain table-name pair). */
   private[graft] final case class SigIndex(sig: String, sh: String)
 
-  private val sigIndexTables =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
-      String, SigIndex]]()
-
-  private def tableKey(dir: String, salt: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest((dir + "\u0000" + salt)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+  private val sigIndexMemo =
+    new graft.sources.PersistedIndex.SessionMemo[SigIndex]
 
   private[graft] def signatureIndex(spark: SparkSession, dir: String): SigIndex =
-    sigIndexTables.synchronized {
-      var m = sigIndexTables.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, SigIndex]()
-        sigIndexTables.put(spark, m)
-      }
-      m
-    }.computeIfAbsent(dir, { _ => buildSignatureIndex(spark, dir, 900000L, "") })
+    sigIndexMemo.getOrCompute(spark, dir)(
+      buildSignatureIndex(spark, dir, 900000L, ""))
 
   /** (doc_id, band, band_key) — 128-hash / 32-band signatures, the
     * banding both the index build and the increment side run. */
@@ -260,15 +247,10 @@ object Dedup {
   private[graft] def buildSignatureIndex(spark: SparkSession, dir: String,
       hiExcl: Long, salt: String): SigIndex = {
     graft.functions.DriverMemo.recordBuild()
-    val key = tableKey(dir, salt)
+    val key = graft.sources.PersistedIndex.tableKey(dir, salt)
     val idx = SigIndex(s"graft_dedup_sig_idx_$key", s"graft_dedup_sh_idx_$key")
-    Seq(idx.sig, idx.sh).foreach { table =>
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    Seq(idx.sig, idx.sh).foreach(
+      graft.sources.PersistedIndex.dropAndClean(spark, _))
     val corpus = shingledDocs(spark, dir)
       .filter(incBucket(col("doc_id")) < hiExcl)
     graft.sources.Bucketing.writeBucketed(
@@ -286,6 +268,10 @@ object Dedup {
     * then equal a fresh full build — the two-day parity spec. */
   private[graft] def appendIncrement(spark: SparkSession, dir: String,
       idx: SigIndex, loIncl: Long, hiExcl: Long): Unit = {
+    // The high-water manifest makes a repeated/overlapping append a
+    // LOUD error instead of silent double-inserted rows (which the
+    // read-time bucket cap would then drop wholesale — review r15).
+    graft.sources.PersistedIndex.recordAppendRange(spark, idx.sig, loIncl, hiExcl)
     val inc = shingledDocs(spark, dir)
       .filter(incBucket(col("doc_id")) >= loIncl &&
         incBucket(col("doc_id")) < hiExcl)

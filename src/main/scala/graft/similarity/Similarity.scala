@@ -666,25 +666,12 @@ object Similarity {
   private[graft] final case class IvfIndex(
       table: String, cents: Array[Array[Double]])
 
-  private val ivfIndexCache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
-      String, IvfIndex]]()
-
-  private def ivfTableKey(dir: String, salt: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest((dir + " " + salt)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+  private val ivfIndexMemo =
+    new graft.sources.PersistedIndex.SessionMemo[IvfIndex]
 
   private[graft] def ivfIndex(spark: SparkSession, dir: String): IvfIndex =
-    ivfIndexCache.synchronized {
-      var m = ivfIndexCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
-        ivfIndexCache.put(spark, m)
-      }
-      m
-    }.computeIfAbsent(dir, { _ => buildIvfIndex(spark, dir, 900000L, "") })
+    ivfIndexMemo.getOrCompute(spark, dir)(
+      buildIvfIndex(spark, dir, 900000L, ""))
 
   /** Build the bucketed postings table + frozen quantizer over vectors
     * with [[ivfIncBucket]] < `hiExcl` (drop-and-recreate; same
@@ -694,12 +681,9 @@ object Similarity {
   private[graft] def buildIvfIndex(spark: SparkSession, dir: String,
       hiExcl: Long, salt: String): IvfIndex = {
     graft.functions.DriverMemo.recordBuild()
-    val table = s"graft_ann_ivf_idx_${ivfTableKey(dir, salt)}"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val table =
+      s"graft_ann_ivf_idx_${graft.sources.PersistedIndex.tableKey(dir, salt)}"
+    graft.sources.PersistedIndex.dropAndClean(spark, table)
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .filter(ivfIncBucket(col("vec_id")) < hiExcl)
@@ -722,6 +706,11 @@ object Similarity {
     * batch-sized bucketed append, existing postings untouched. */
   private[graft] def appendIvfIncrement(spark: SparkSession, dir: String,
       idx: IvfIndex, loIncl: Long, hiExcl: Long): Unit = {
+    // Loud exactly-once at the ingest boundary (review r15): an
+    // overlapping append would double-insert postings and inflate
+    // n_candidates silently.
+    graft.sources.PersistedIndex.recordAppendRange(
+      spark, idx.table, loIncl, hiExcl)
     val inc = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .filter(ivfIncBucket(col("vec_id")) >= loIncl &&
@@ -763,8 +752,14 @@ object Similarity {
       col("vec_id").as("new_id"), col("embedding").as("q_emb"),
       explode(Centroids.nearestCentroids(col("embedding"), idx.cents, nProbe))
         .as("centroid"))
+    // No broadcast hint: at gated scale AQE broadcasts the probed
+    // batch on its measured size; at production scale a 10%-of-corpus
+    // batch x nProbe rows of 64-float embeddings can exceed broadcast
+    // limits, and the postings side's bucketed layout makes the
+    // shuffle-free side the INDEX either way (review r15 — the
+    // dedup_incremental discipline).
     val scored = spark.table(idx.table)
-      .join(broadcast(probed), Seq("centroid"))
+      .join(probed, Seq("centroid"))
       .select(col("new_id"), col("vec_id").as("corpus_id"),
         Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
     val best = scored.groupBy(col("new_id"))

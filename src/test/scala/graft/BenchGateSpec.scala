@@ -247,12 +247,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.regressions(Map("q_err" -> 0.5, "q_ok" -> 0.31), prior).isEmpty)
   }
 
-  test("steady host: bracketing kernels within 1.2x, zero/negative readings never") {
-    assert(BenchGate.steadyHost(0.105, 0.105))
-    assert(BenchGate.steadyHost(0.115, 0.101))          // the r14 driver session
-    assert(!BenchGate.steadyHost(0.279, 0.105))          // sbt-startup-polluted start
-    assert(!BenchGate.steadyHost(0.0, 0.105))
-    assert(!BenchGate.steadyHost(0.105, -1.0))
+  test("steady host: close brackets AND low steal; co-tenants and unmeasured steal never") {
+    assert(BenchGate.steadyHost(0.105, 0.105, Some(1.1)))
+    assert(BenchGate.steadyHost(0.115, 0.101, Some(2.0))) // the r14 driver session
+    assert(!BenchGate.steadyHost(0.279, 0.105, Some(0.5))) // sbt-polluted start
+    assert(!BenchGate.steadyHost(0.0, 0.105, Some(0.0)))
+    assert(!BenchGate.steadyHost(0.105, -1.0, Some(0.0)))
+    // A sustained co-tenant pegs the host STEADILY — the bracket
+    // alone cannot tell it from drift; the steal counter can (review
+    // r15: steadiness must not unlock drift treatment under real
+    // contention).
+    assert(!BenchGate.steadyHost(0.105, 0.105, Some(35.0)))
+    // No /proc/stat -> fail closed: unmeasurable contention is not
+    // evidence of drift.
+    assert(!BenchGate.steadyHost(0.105, 0.105, None))
   }
 
   test("drift factor: min of the bracket over baseline, floored at 1, None unbaselined") {

@@ -484,6 +484,14 @@ class DedupSpec extends AnyFunSuite {
     val canonical =
       SparkEntry.queries("dedup_incremental")(spark, sf).collect().toSeq
     assert(viaAppend === canonical)
+    // A repeated (or overlapping) append must THROW, not silently
+    // double-insert: doubled band rows would cross the read-time
+    // bucket cap and drop whole buckets (review r15).
+    val e = intercept[IllegalStateException](
+      Dedup.appendIncrement(spark, sf, day0, 800000L, 900000L))
+    assert(e.getMessage.contains("overlaps"))
+    intercept[IllegalStateException](
+      Dedup.appendIncrement(spark, sf, day0, 850000L, 950000L))
   }
 
   test("dedup_knn_cc equals driver-side union-find over mutual tau-edges") {

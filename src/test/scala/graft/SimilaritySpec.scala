@@ -665,5 +665,10 @@ class SimilaritySpec extends AnyFunSuite {
     // And the day-2 batch searches the appended index end-to-end.
     val rep = Similarity.ivfIncrementalOver(spark, sf, day0, 900000L)
     assert(rep.count() > 0)
+    // A repeated append must THROW, not silently double-insert
+    // postings (which would inflate n_candidates — review r15).
+    val e = intercept[IllegalStateException](
+      Similarity.appendIvfIncrement(spark, sf, day0, 800000L, 900000L))
+    assert(e.getMessage.contains("overlaps"))
   }
 }

@@ -68,84 +68,80 @@ verdicts = {}
 secs = {}
 for name in sorted(oracle):
     t_start = time.monotonic()
-    sql = oracle[name]
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
-    if not files:
-        print(f"FAIL {name}: no spark output")
-        verdicts[name] = "fail"
-        secs[name] = round(time.monotonic() - t_start, 3)
-        fail += 1
-        continue
+    # One stamp for every exit path — fail, timeout, type-diff, OK
+    # (review r15: the per-path copies are exactly how the fail
+    # paths went unstamped through r14).
     try:
-        got = pd.concat([pd.read_parquet(f) for f in sorted(files)],
-                        ignore_index=True)
-        exp = run_sql(sql)
-    except (duckdb.InterruptException, RuntimeError) as e:
-        if timeout is not None and ("INTERRUPT" in str(e).upper()
-                                    or isinstance(e, duckdb.InterruptException)):
-            print(f"TIMEOUT {name}: naive oracle formulation infeasible "
-                  f"at this scale (> {timeout:.0f}s)")
-            timeouts.append(name)
-            verdicts[name] = "timeout"
-            secs[name] = round(time.monotonic() - t_start, 3)
+        sql = oracle[name]
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            verdicts[name] = "fail"
+            fail += 1
             continue
-        print(f"FAIL {name}: {e}")
-        verdicts[name] = "fail"
-        secs[name] = round(time.monotonic() - t_start, 3)
-        fail += 1
-        continue
-    except Exception as e:
-        if timeout is not None and "INTERRUPT" in str(e).upper():
-            print(f"TIMEOUT {name}: naive oracle formulation infeasible "
-                  f"at this scale (> {timeout:.0f}s)")
-            timeouts.append(name)
-            verdicts[name] = "timeout"
-            secs[name] = round(time.monotonic() - t_start, 3)
+        try:
+            got = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                            ignore_index=True)
+            exp = run_sql(sql)
+        except (duckdb.InterruptException, RuntimeError) as e:
+            if timeout is not None and ("INTERRUPT" in str(e).upper()
+                                        or isinstance(e, duckdb.InterruptException)):
+                print(f"TIMEOUT {name}: naive oracle formulation infeasible "
+                      f"at this scale (> {timeout:.0f}s)")
+                timeouts.append(name)
+                verdicts[name] = "timeout"
+                continue
+            print(f"FAIL {name}: {e}")
+            verdicts[name] = "fail"
+            fail += 1
             continue
-        print(f"FAIL {name}: {e}")
-        verdicts[name] = "fail"
+        except Exception as e:
+            if timeout is not None and "INTERRUPT" in str(e).upper():
+                print(f"TIMEOUT {name}: naive oracle formulation infeasible "
+                      f"at this scale (> {timeout:.0f}s)")
+                timeouts.append(name)
+                verdicts[name] = "timeout"
+                continue
+            print(f"FAIL {name}: {e}")
+            verdicts[name] = "fail"
+            fail += 1
+            continue
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            verdicts[name] = "fail"
+            fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            verdicts[name] = "fail"
+            fail += 1
+            continue
+        try:
+            gs = got.sort_values(by=list(got.columns), ignore_index=True).astype(str)
+            es = exp.sort_values(by=list(exp.columns), ignore_index=True).astype(str)
+        except Exception as e:
+            print(f"FAIL {name}: sort/stringify crashed (array column?): {e}")
+            verdicts[name] = "fail"
+            fail += 1
+            continue
+        if not gs.equals(es):
+            diff = (gs != es).any(axis=1)
+            print(f"FAIL {name}: value mismatch, first diffs:")
+            print("  got:", gs[diff].head(3).to_dict("records"))
+            print("  exp:", es[diff].head(3).to_dict("records"))
+            verdicts[name] = "fail"
+            fail += 1
+            continue
+        # dtype check (schema-ish; relation types are planned, not executed)
+        gt = [str(t) for t in con.sql(f"SELECT * FROM read_parquet({files!r})").types]
+        et = [str(t) for t in con.sql(sql).types]
+        flag = "" if sorted(gt) == sorted(et) else f"  [type diff: {gt} vs {et}]"
+        print(f"OK   {name}: {len(got)} rows{flag}")
+        verdicts[name] = "ok"
+    finally:
         secs[name] = round(time.monotonic() - t_start, 3)
-        fail += 1
-        continue
-    got = got[sorted(got.columns)]
-    exp = exp[sorted(exp.columns)]
-    if list(got.columns) != list(exp.columns):
-        print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
-        verdicts[name] = "fail"
-        secs[name] = round(time.monotonic() - t_start, 3)
-        fail += 1
-        continue
-    if len(got) != len(exp):
-        print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
-        verdicts[name] = "fail"
-        secs[name] = round(time.monotonic() - t_start, 3)
-        fail += 1
-        continue
-    try:
-        gs = got.sort_values(by=list(got.columns), ignore_index=True).astype(str)
-        es = exp.sort_values(by=list(exp.columns), ignore_index=True).astype(str)
-    except Exception as e:
-        print(f"FAIL {name}: sort/stringify crashed (array column?): {e}")
-        verdicts[name] = "fail"
-        secs[name] = round(time.monotonic() - t_start, 3)
-        fail += 1
-        continue
-    if not gs.equals(es):
-        diff = (gs != es).any(axis=1)
-        print(f"FAIL {name}: value mismatch, first diffs:")
-        print("  got:", gs[diff].head(3).to_dict("records"))
-        print("  exp:", es[diff].head(3).to_dict("records"))
-        verdicts[name] = "fail"
-        secs[name] = round(time.monotonic() - t_start, 3)
-        fail += 1
-        continue
-    # dtype check (schema-ish; relation types are planned, not executed)
-    gt = [str(t) for t in con.sql(f"SELECT * FROM read_parquet({files!r})").types]
-    et = [str(t) for t in con.sql(sql).types]
-    flag = "" if sorted(gt) == sorted(et) else f"  [type diff: {gt} vs {et}]"
-    print(f"OK   {name}: {len(got)} rows{flag}")
-    verdicts[name] = "ok"
-    secs[name] = round(time.monotonic() - t_start, 3)
 checked = len(oracle) - len(timeouts)
 print(f"\n{checked - fail}/{checked} oracle queries match"
       + (f" ({len(timeouts)} naive oracles timed out: {timeouts})"
