@@ -901,13 +901,12 @@ object SparkEntry {
     sphericalFitSqlPartsK(k.toString, iters, dim)
 
   /** [[sphericalFitSqlParts]] with the centroid count as a SQL
-    * EXPRESSION (e.g. a scalar subquery over a `kdef` CTE) — for
-    * operators whose list count adapts to the corpus size
-    * (emb_knn_graph's k² ≥ n rule) — and an optional CTE-name PREFIX
-    * so two independent fit chains (e.g. dedup_knn_cc's adaptive knn
-    * quantizer next to the k=16 semantic trainer) can coexist in one
-    * WITH clause; the default "" emits the historical names
-    * byte-for-byte. The chain reads its sample from `<p>samp`. */
+    * EXPRESSION and an optional CTE-name PREFIX so two independent
+    * fit chains can coexist in one WITH clause; the default "" emits
+    * the historical names byte-for-byte. The chain reads its sample
+    * from `<p>samp`. (The ADAPTIVE-k operators — kNN graph,
+    * dedup_semantic — replay via [[seededTrainerCtes]] since r16;
+    * this sample-fit form remains the fixed-k trainers' init.) */
   private def sphericalFitSqlPartsK(
       k: String, iters: Int, dim: Int, p: String = ""): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer(
@@ -936,6 +935,72 @@ object SparkEntry {
     }
     parts.toSeq
   }
+
+  /** The [[graft.similarity.Kmeans.fittedCentroidsSeeded]] trainer
+    * replayed as unrolled CTE stages (requires `emb`(vec_id, v)):
+    * `${p}c0` seeds at the kExpr smallest (md5(vec_id || salt),
+    * vec_id) keys, unit-normalized — the hash-ordered Forgy init that
+    * scales with k — then `rounds` FULL-CORPUS Lloyd rounds (raw-dot
+    * assignment with ties to the lower centroid id, ROUND(x·2²⁰)
+    * HUGEINT component sums, renormalization, empty clusters keeping
+    * their previous centroid), leaving the fitted centroids in
+    * `${p}kc<rounds>` and the corpus assignment in
+    * `${p}fasn`(vec_id, v, cluster). */
+  private def seededTrainerCtes(p: String, kExpr: String, salt: String,
+      rounds: Int, dim: Int): Seq[String] = {
+    val assignScore = nearestCentroidScoreSql("e.v")
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""${p}c0 AS MATERIALIZED (
+        |  SELECT CAST(rn - 1 AS INTEGER) AS c, ${normCvSql("v")} AS cv FROM (
+        |    SELECT v, ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR) || '$salt'), vec_id) AS rn
+        |    FROM emb) WHERE rn <= $kExpr)""".stripMargin)
+    var prev = s"${p}c0"
+    (1 to rounds).foreach { r =>
+      parts += s"""${p}ka$r AS MATERIALIZED (
+        |  SELECT vec_id, v, c AS cluster FROM (
+        |    SELECT e.vec_id, e.v, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY $assignScore DESC, c.c) AS rn
+        |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+      parts += s"""${p}km$r AS MATERIALIZED (
+        |  SELECT cluster, list(CAST(sm AS DOUBLE) / 1048576.0 ORDER BY i) AS mv FROM (
+        |    SELECT a.cluster, d.i, SUM(CAST(ROUND(a.v[d.i] * 1048576.0, 0) AS HUGEINT)) AS sm
+        |    FROM ${p}ka$r a, UNNEST(range(1, ${dim + 1})) AS d(i) GROUP BY 1, 2) GROUP BY cluster)""".stripMargin
+      parts += s"""${p}kc$r AS MATERIALIZED (
+        |  SELECT p.c, CASE WHEN m.mv IS NULL OR list_dot_product(m.mv, m.mv) = 0 THEN p.cv
+        |    ELSE list_transform(m.mv, x -> x / sqrt(list_dot_product(m.mv, m.mv))) END AS cv
+        |  FROM $prev p LEFT JOIN ${p}km$r m ON m.cluster = p.c)""".stripMargin
+      prev = s"${p}kc$r"
+    }
+    parts += s"""${p}fasn AS MATERIALIZED (
+      |  SELECT vec_id, v, c AS cluster FROM (
+      |    SELECT e.vec_id, e.v, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY $assignScore DESC, c.c) AS rn
+      |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    parts.toSeq
+  }
+
+  /** The adaptive-k CTE shared by the seeded-trainer consumers:
+    * smallest power of 2 (from 16, doubling to 2²⁰) satisfying
+    * `cond(k)` against the corpus count, capped at the corpus size —
+    * the exact Iterator.iterate doubling rule the engine computes from
+    * the parquet footers. */
+  private def adaptiveKdefSql(p: String, cond: String => String): String = {
+    val powers = Iterator.iterate(16L)(_ * 2).takeWhile(_ <= (1L << 20)).mkString(", ")
+    s"""${p}kdef AS (SELECT GREATEST(1, LEAST(MIN(k),
+      |    (SELECT COUNT(*) FROM emb)))::INT AS kk
+      |  FROM (SELECT CAST(UNNEST([$powers]) AS BIGINT) AS k)
+      |  WHERE ${cond("k")} OR k = ${1L << 20})""".stripMargin
+  }
+
+  /** kNN-graph list-count rule: nLists² ≥ n. */
+  private def knnKdefSql(p: String): String =
+    adaptiveKdefSql(p, k => s"$k * $k >= (SELECT COUNT(*) FROM emb)")
+
+  /** dedup_semantic cluster-count rule: k ≥ n/128 (mean cluster ≈ 128,
+    * Dedup.adaptiveSemanticK). */
+  private def semKdefSql(p: String): String =
+    adaptiveKdefSql(p, k => s"$k * 128 >= (SELECT COUNT(*) FROM emb)")
 
   private def annIvfOracleSql: String = {
     val (k, iters, nProbe, dim) = (16, 5, 4, 64)
@@ -1026,51 +1091,37 @@ object SparkEntry {
       |ORDER BY i.vec_id""".stripMargin
   }
 
-  /** emb_knn_graph under the hard gate: the same unrolled spherical-fit
-    * chain as [[annIvfOracleSql]] (identical sample, seeds, 5 Lloyd
-    * rounds, assignment tie rule), then the same-list corpus self-join,
-    * per-source top-5 under the bounded-heap's (cos DESC, id ASC)
-    * order, and the mutual flag as a left self-join of the edge list on
-    * the reversed key. */
+  /** emb_knn_graph under the hard gate: the seeded-trainer replay
+    * ([[seededTrainerCtes]] — hash-ordered Forgy seeds + 5 full-corpus
+    * Lloyd rounds, the fit whose k nothing caps below the corpus
+    * size), then the same-list corpus self-join, per-source top-5
+    * under the bounded-heap's (cos DESC, id ASC) order, the
+    * per-source candidate count as the n^1.5 telemetry column, and
+    * the mutual flag as a left self-join of the edge list on the
+    * reversed key. */
   /** The kNN-graph CTE chain (requires `emb`): the adaptive list
-    * count — smallest power of 2 (from 16, capped at 1024 AND at the
-    * REALIZED fit-sample size — ADVICE r13: below ~48 vectors the
-    * 16-list floor exceeded the ~n/3 sample and the fit seeded
-    * duplicate centroids) with k² ≥ corpus size, mirroring
-    * Similarity.knnPrep's doubling-then-cap rule — then the unrolled
-    * spherical fit, corpus assignment, same-list self-join, and
-    * per-source top-`kG` under the bounded-heap (cos DESC, id ASC)
-    * order, left in `<p>top`. Prefixed so it can coexist with the
-    * k-means trainer chain (dedup_knn_cc). */
-  private def knnGraphCtes(p: String, iters: Int = 5, kG: Int = 5,
+    * count — smallest power of 2 (from 16, uncapped save by the
+    * corpus size itself) with k² ≥ corpus size, mirroring
+    * Similarity.knnPrep's doubling rule — then the seeded-trainer
+    * fit+assignment, same-list self-join, and per-source top-`kG`
+    * (with the per-source candidate count) under the bounded-heap
+    * (cos DESC, id ASC) order, left in `<p>top`. Prefixed so it can
+    * coexist with the semantic trainer chain (dedup_knn_cc). */
+  private def knnGraphCtes(p: String, rounds: Int = 5, kG: Int = 5,
       dim: Int = 64): Seq[String] = {
-    val kExpr = s"(SELECT kk FROM ${p}kdef)"
-    val parts = scala.collection.mutable.ArrayBuffer(
-      s"""${p}kdef AS (SELECT GREATEST(1, LEAST(MIN(k),
-        |    (SELECT LEAST(COUNT(*), 1024) FROM emb WHERE vec_id % 3 = 0)))::INT AS kk
-        |  FROM (SELECT UNNEST([16, 32, 64, 128, 256, 512, 1024]) AS k)
-        |  WHERE k * k >= (SELECT COUNT(*) FROM emb) OR k = 1024)""".stripMargin,
-      s"""${p}samp AS MATERIALIZED (
-        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
-        |  FROM (SELECT vec_id, v FROM emb WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
-    parts ++= sphericalFitSqlPartsK(kExpr, iters, dim, p)
-    val fin = s"${p}c$iters"
-    parts += s"""${p}casn AS MATERIALIZED (
-      |  SELECT vec_id, c AS centroid FROM (
-      |    SELECT e.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-      |      ORDER BY ${nearestCentroidScoreSql("e.v")} DESC, c.c) AS rn
-      |    FROM emb e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+    val parts = scala.collection.mutable.ArrayBuffer(knnKdefSql(p))
+    parts ++= seededTrainerCtes(p, s"(SELECT kk FROM ${p}kdef)", "#knn", rounds, dim)
     parts += s"""${p}cand AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-      |    list_dot_product(ea.v, eb.v)
-      |      / sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)) AS cos
-      |  FROM ${p}casn a JOIN ${p}casn b USING (centroid)
-      |  JOIN emb ea ON ea.vec_id = a.vec_id
-      |  JOIN emb eb ON eb.vec_id = b.vec_id
+      |    list_dot_product(a.v, b.v)
+      |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+      |  FROM ${p}fasn a JOIN ${p}fasn b USING (cluster)
       |  WHERE a.vec_id <> b.vec_id)""".stripMargin
     parts += s"""${p}top AS MATERIALIZED (
-      |  SELECT src_id, CAST(rnk AS INT) AS rank, dst_id, cos FROM (
-      |    SELECT src_id, dst_id, cos, ROW_NUMBER() OVER (
-      |      PARTITION BY src_id ORDER BY cos DESC, dst_id) AS rnk FROM ${p}cand)
+      |  SELECT src_id, CAST(rnk AS INT) AS rank, dst_id, cos, n_candidates FROM (
+      |    SELECT src_id, dst_id, cos,
+      |      ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id) AS rnk,
+      |      COUNT(*) OVER (PARTITION BY src_id) AS n_candidates
+      |    FROM ${p}cand)
       |  WHERE rnk <= $kG)""".stripMargin
     parts.toSeq
   }
@@ -1080,7 +1131,7 @@ object SparkEntry {
       "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)" +:
         knnGraphCtes("")
     s"""WITH ${parts.mkString(",\n")}
-      |SELECT t.src_id, t.rank, t.dst_id, t.cos,
+      |SELECT t.src_id, t.rank, t.dst_id, t.cos, t.n_candidates,
       |  (r.src_id IS NOT NULL) AS mutual
       |FROM top t LEFT JOIN top r
       |  ON r.src_id = t.dst_id AND r.dst_id = t.src_id
@@ -1088,17 +1139,19 @@ object SparkEntry {
   }
 
   /** dedup_knn_cc under the hard gate: the [[knnGraphCtes]] replay
-    * (prefix `g`, so its fit chain coexists with the k=16 semantic
-    * trainer), mutual edges at τ=0.35 via the reversed-key self-join,
+    * (prefix `g`, so its fit chain coexists with the adaptive-k
+    * semantic trainer's), mutual edges at τ=0.35 via the reversed-key self-join,
     * transitive closure as the recursive-CTE min-label CC (the
     * dedup_clusters oracle's shape over the mutual pair graph), the
     * min-id survivor rule, the [[dedupSemanticOracleSql]] argmax at
     * the SAME τ for the `sem_dup` column, and the dup-set Jaccard as
     * an integer-ratio4 scalar. */
   private def dedupKnnCcOracleSql: String = {
-    val (k, fitIters, rounds, dim, sampleCap, tau) = (16, 10, 5, 64, 1024, 0.35)
+    val (rounds, dim, tau) = (5, 64, 0.35)
     val parts = scala.collection.mutable.ArrayBuffer(
-      corpusKmeansCtes(k, fitIters, rounds, dim, sampleCap): _*)
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      semKdefSql(""))
+    parts ++= seededTrainerCtes("", "(SELECT kk FROM kdef)", "#sem", rounds, dim)
     parts ++= knnGraphCtes("g")
     parts += s"""mp AS (SELECT t.src_id AS a, t.dst_id AS b
       |  FROM gtop t JOIN gtop r
@@ -1477,16 +1530,19 @@ object SparkEntry {
       |ORDER BY cluster""".stripMargin
   }
 
-  /** dedup_semantic under the hard gate: the [[corpusKmeansCtes]]
-    * trainer replay at k=16, then within-cluster pairs only (the
-    * equality self-join on the cluster id), the exact-cosine
+  /** dedup_semantic under the hard gate: the [[seededTrainerCtes]]
+    * replay at the kdef-adaptive k (k ≥ n/128, the engine's
+    * Dedup.adaptiveSemanticK doubling rule), then within-cluster pairs
+    * only (the equality self-join on the cluster id), the exact-cosine
     * per-vector argmax with the `max(struct(cos, cand_id))` tie rule
     * (cos DESC, cand_id DESC), cluster sizes, and the SemDeDup
     * keep-lowest-id `is_dup` decision (false for singletons). */
   private def dedupSemanticOracleSql: String = {
-    val (k, fitIters, rounds, dim, sampleCap, tau) = (16, 10, 5, 64, 1024, 0.9)
+    val (rounds, dim, tau) = (5, 64, 0.9)
     val parts = scala.collection.mutable.ArrayBuffer(
-      corpusKmeansCtes(k, fitIters, rounds, dim, sampleCap): _*)
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      semKdefSql(""))
+    parts ++= seededTrainerCtes("", "(SELECT kk FROM kdef)", "#sem", rounds, dim)
     parts += """sizes AS (SELECT cluster, COUNT(*) AS n_cluster FROM fasn GROUP BY 1)"""
     // Zero-norm guard: Sketches.cosineF returns 0.0 when either norm
     // is zero; an unguarded divide would yield NaN here and silently

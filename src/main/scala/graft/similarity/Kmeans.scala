@@ -35,20 +35,32 @@ object Kmeans {
 
   /** The fitted k×d centroid matrix over an arbitrary (vec_id,
     * embedding) frame — the trainer behind [[kmeansOn]], exposed so
-    * other operators (dedup_semantic's cluster partitioner) can share
-    * the exact deterministic fit the oracle replays. */
+    * other operators can share the exact deterministic fit the oracle
+    * replays. Init is a driver-side spherical fit on the bounded head
+    * sample — right for REPORT-knob k's (emb_kmeans's k=8); operators
+    * whose k GROWS with the corpus use [[fittedCentroidsSeeded]]
+    * (whose init never collects more than k rows). */
   def fittedCentroids(
       emb: DataFrame, k: Int, rounds: Int, sampleCap: Int = 1024): Array[Array[Double]] = {
-    val q20 = (1L << 20).toDouble
-
     // Deterministic init: spherical k-means on the bounded head sample
     // (the IVF coarse-quantizer fit) — good seeds, then the corpus
     // rounds below do the real work.
     val sample = emb.filter(col("vec_id") < sampleCap).orderBy(col("vec_id"))
       .collect().map(_.getSeq[Float](1).toArray)
-    var cents = Centroids.fit(sample, k, iters = 10)
-    val dim = sample.head.length
+    lloydRounds(emb, Centroids.fit(sample, k, iters = 10), rounds)
+  }
 
+  /** `rounds` distributed Lloyd rounds over the FULL corpus from an
+    * explicit k×d seed matrix — the body every trainer shares: per
+    * round, the codegen'd assignment scan plus ONE map-side-combinable
+    * (cluster, dim) shuffle whose output is the k×d quantized moment
+    * frame; only that frame reaches the driver, never vectors. */
+  def lloydRounds(emb: DataFrame, init: Array[Array[Double]],
+      rounds: Int): Array[Array[Double]] = {
+    val q20 = (1L << 20).toDouble
+    val k = init.length
+    val dim = init.head.length
+    var cents = init
     (1 to rounds).foreach { _ =>
       // (cluster, dim) -> exact quantized component sum. Spherical
       // re-estimation normalizes the sum, so the member count divides
@@ -70,6 +82,43 @@ object Kmeans {
     }
     cents
   }
+
+  /** The k hash-ordered seed vectors of a corpus — the rows at the k
+    * smallest (md5(vec_id || salt), vec_id) keys, unit-normalized.
+    * This is deterministic Forgy init that SCALES WITH k (VERDICT r15
+    * #1: the driver-sample init caps k at the sample size, which
+    * capped the kNN-graph list count at 1024 and degenerated blocked
+    * kNN toward n²/1024 past ~1M vectors): the md5 order is
+    * effectively uniform-random but key-derived (the md5-ppm
+    * discipline — stable under re-runs and data relocation), the scan
+    * is one bounded-heap TakeOrdered pass (never a global sort), and
+    * only k rows reach the driver — at k = √n that is √n·d floats,
+    * fine at any corpus this engine targets. */
+  def hashSeeds(emb: DataFrame, k: Int, salt: String): Array[Array[Double]] = {
+    require(k >= 1, s"hashSeeds: k=$k")
+    val rows = emb
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit(salt)).cast("binary")),
+        col("vec_id"))
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+    require(rows.length == k,
+      s"hashSeeds: k=$k exceeds corpus size ${rows.length} — cap k at the corpus count")
+    rows.map { r =>
+      val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+  }
+
+  /** [[fittedCentroids]] with [[hashSeeds]] init — the trainer for
+    * operators whose k grows with the corpus (the kNN-graph quantizer's
+    * k ≈ √n, dedup_semantic's k ≈ n/128): no stage of the fit collects
+    * more than k rows, so nothing caps k below the corpus size. Every
+    * vector still votes in every Lloyd round. */
+  def fittedCentroidsSeeded(emb: DataFrame, k: Int, rounds: Int,
+      salt: String): Array[Array[Double]] =
+    lloydRounds(emb, hashSeeds(emb, k, salt), rounds)
 
   /** `emb` plus its nearest-centroid `cluster` column (codegen'd, the
     * centroids embedded in the plan). */

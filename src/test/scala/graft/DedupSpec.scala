@@ -373,6 +373,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptiveSemanticK: k grows with the corpus, mean cluster pinned near 128") {
+    // VERDICT r15 #2: SURVEY 38b's "k grows with the corpus" must be
+    // code. The rule: smallest power of 2 (from 16) with k ≥ n/128,
+    // capped at n — so Σ|cluster|² ≈ 128·n (sub-quadratic) instead of
+    // the fixed-k n²/16.
+    import graft.dedup.Dedup
+    assert(Dedup.adaptiveSemanticK(500L) === 16)      // floor at gated scale
+    assert(Dedup.adaptiveSemanticK(2048L) === 16)     // 16·128 = 2048, still floor
+    assert(Dedup.adaptiveSemanticK(2049L) === 32)     // first doubling
+    assert(Dedup.adaptiveSemanticK(20000L) === 256)   // sf1: 256·128 ≥ 20k
+    assert(Dedup.adaptiveSemanticK(60000L) === 512)   // sf3
+    assert(Dedup.adaptiveSemanticK(16777216L) === 131072) // web scale: k ≈ n/128
+    assert(Dedup.adaptiveSemanticK(1000000000L) === 1048576) // 2^20 sanity ceiling
+    assert(Dedup.adaptiveSemanticK(10L) === 10)       // capped at the corpus
+  }
+
   test("threshold_curve: monotone keep-rate levels anchored at the 0.5 floor") {
     import SparkTestSession._
     import graft.dedup.Dedup

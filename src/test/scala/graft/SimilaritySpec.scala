@@ -99,6 +99,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("seeded trainer: planted recovery, unit-norm seeds, repartition/order-proof") {
+    import spark.implicits._
+    import graft.similarity.Kmeans
+    // The adaptive-k trainer (kNN quantizer, dedup_semantic): hash-
+    // ordered Forgy seeds + full-corpus Lloyd rounds. Same planted
+    // three-direction geometry as the emb_kmeans spec — the fit must
+    // recover the partition — plus the properties the seeding adds:
+    // k distinct unit-norm seeds, and bit-identical centroids under
+    // repartitioning AND row-order shuffling (the seed rule is
+    // key-derived, not position-derived).
+    val dim = 16
+    val rng = new scala.util.Random(11)
+    val dirs = Seq(1, 7, 13).map { axis =>
+      val v = new Array[Float](dim); v(axis) = 1.0f; v
+    }
+    val rows = (0 until 120).map { i =>
+      val base = dirs(i % 3)
+      val noisy = base.indices.map(j => base(j) + (rng.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, noisy.toArray)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+    val seeds = Kmeans.hashSeeds(emb, 3, "#spec")
+    assert(seeds.length === 3)
+    assert(seeds.map(_.toSeq).distinct.length === 3)
+    seeds.foreach { s =>
+      assert(math.abs(math.sqrt(s.map(x => x * x).sum) - 1.0) < 1e-12,
+        "seed not unit-normalized")
+    }
+    intercept[IllegalArgumentException](Kmeans.hashSeeds(emb, 121, "#spec"))
+
+    val cents = Kmeans.fittedCentroidsSeeded(emb, 3, rounds = 4, salt = "#spec")
+    val byCluster = Kmeans.assignedTo(emb, cents).collect()
+      .groupBy(_.getAs[Int]("cluster"))
+    assert(byCluster.size === 3)
+    byCluster.values.foreach(members => assert(members.length === 40,
+      "planted 40/40/40 partition not recovered"))
+    // Each planted direction owns exactly one cluster.
+    byCluster.values.foreach { members =>
+      val mods = members.map(_.getAs[Long]("vec_id") % 3).distinct
+      assert(mods.length === 1, "a cluster mixes planted directions")
+    }
+    val again = Kmeans
+      .fittedCentroidsSeeded(emb.repartition(13), 3, rounds = 4, salt = "#spec")
+    assert(cents.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "fit not repartition-proof")
+    val shuffled = Kmeans.fittedCentroidsSeeded(
+      emb.orderBy(org.apache.spark.sql.functions.md5(col("vec_id").cast("string"))),
+      3, rounds = 4, salt = "#spec")
+    assert(cents.map(_.toSeq).toSeq === shuffled.map(_.toSeq).toSeq,
+      "fit not row-order-proof")
+  }
+
   test("emb_label_purity: planted label mixes give exact majority, tie label ASC (r13)") {
     import spark.implicits._
     import graft.similarity.Kmeans
@@ -572,6 +626,11 @@ class SimilaritySpec extends AnyFunSuite {
       // No self-loops, no duplicate endpoints per source.
       assert(!es.exists(_.getAs[Long]("dst_id") == s))
       assert(es.map(_.getAs[Long]("dst_id")).distinct.length === es.length)
+      // The telemetry column: one candidate count per source, at
+      // least as large as the edges it kept (the top-k is a subset of
+      // the scored same-list candidates).
+      assert(es.map(_.getAs[Long]("n_candidates")).distinct.length === 1)
+      assert(es.head.getAs[Long]("n_candidates") >= es.length.toLong)
     }
     // The mutual flag is exactly "the reversed edge exists in the list".
     val edgeSet = rows.map(r =>
@@ -599,10 +658,13 @@ class SimilaritySpec extends AnyFunSuite {
       "knnPrep's second call recorded a memo build")
   }
 
-  test("knnPrep caps the list count at the realized sample size (ADVICE r13)") {
-    // A 10-vector corpus: the vec_id % 3 == 0 fit sample is 4 vectors
-    // (0, 3, 6, 9); the adaptive floor of 16 lists must cap to 4 so
-    // Centroids.fit never seeds duplicate centroids.
+  test("knnPrep: nLists caps only at the corpus size — nothing caps it at 1024") {
+    // VERDICT r15 #1: the old driver-sample fit capped nLists at the
+    // 1024-row sample, degenerating candidate volume toward n²/1024
+    // past ~1M vectors. The seeded trainer's only cap is the corpus
+    // itself: a 10-vector corpus floors the adaptive 16 to 10 distinct
+    // hash-seeded lists, and the RULE (smallest power of 2 with
+    // k² ≥ n) is checked uncapped well past 1024.
     val tmp = java.nio.file.Files.createTempDirectory("graft-knncap").toFile
     import spark.implicits._
     (0L until 10L)
@@ -611,10 +673,17 @@ class SimilaritySpec extends AnyFunSuite {
       .write.mode("overwrite")
       .parquet(new java.io.File(tmp, "embeddings.parquet").getAbsolutePath)
     val (nLists, cents) = Similarity.knnPrep(spark, tmp.getAbsolutePath)
-    assert(nLists === 4)
-    assert(cents.length === 4)
-    assert(cents.map(_.toSeq).distinct.length === 4,
+    assert(nLists === 10)
+    assert(cents.length === 10)
+    assert(cents.map(_.toSeq).distinct.length === 10,
       "duplicate seed centroids on a small corpus")
+    // The doubling rule itself scales like √n with no 1024 ceiling:
+    // 10^7 vectors want 4096 lists, 10^9 want 65536.
+    def rule(n: Long): Long = Iterator.iterate(16L)(_ * 2)
+      .find(k => k * k >= n || k >= (1L << 20)).get
+    assert(rule(10000000L) === 4096L)
+    assert(rule(1000000000L) === 32768L)
+    assert(rule(1L << 41) === (1L << 20)) // the 2^20 sanity ceiling binds only past 10^12 vectors
   }
 
   test("ann_incremental: report covers the whole batch; index side reads bucketed") {
