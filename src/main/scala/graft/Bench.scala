@@ -107,9 +107,25 @@ object Bench {
         try src.getLines().next() finally src.close()
       }
       val v = line.trim.split("\\s+").drop(1).map(_.toLong)
-      (v(7), v.sum) // fields: user nice system idle iowait irq softirq steal ...
+      // Denominator: user..steal ONLY (first 8 fields). The trailing
+      // guest/guest_nice fields are already accounted inside
+      // user/nice, so summing them double-counts guest ticks and
+      // underestimates steal_pct on guest-heavy hosts (ADVICE r15).
+      (v(7), v.take(8).sum)
     }.toOption
     val steal0 = stealSample()
+    // 1-minute loadavg BEFORE any bench work starts (ADVICE r15: the
+    // steal check only sees hypervisor-level co-tenancy; a same-VM
+    // co-tenant process shows steal ≈ 0 — the pre-run loadavg is the
+    // reading that exposes it, recorded so the artifact's steady
+    // verdict is auditable; mid/post-run loadavg would measure our own
+    // local[32] burn). The repo's bench-hygiene convention is to start
+    // only under 0.5.
+    val loadavgStart: Option[Double] = scala.util.Try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().trim.split("\\s+")(0).toDouble
+      finally src.close()
+    }.toOption
     // SETTLED start bracket (r15): the start reading was systematically
     // ~1.6x the end reading across three rounds of artifacts (0.279 vs
     // 0.105, 0.234 vs 0.160, 0.190 vs 0.118) — C2 compilation of the
@@ -473,6 +489,22 @@ object Bench {
           s""" > ${BenchGate.QuietBoxMaxFactor} and kernel bracketing unsteady""" +
           s""" (${num(kernelStart, 3)} vs ${num(kernelEnd, 3)})""""
       else "null"
+    // VERDICT r15 #6: a REFUSED full run must not leave flagged rows
+    // as the round's only timing story — if the committed steady
+    // artifact exists, the refused artifact carries an explicit
+    // pointer to it, so a reader of driver artifacts alone knows
+    // where the authoritative (steady-gated) numbers live.
+    val steadyPointer =
+      if (persistOk || !persistSfOk) "null"
+      else scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_full.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (txt.contains(""""steady_host":true""") ||
+            txt.contains(""""quiet_box":true"""))
+          """"bench_full.json (committed steady-gated run; this run's flagged rows are ambient)""""
+        else "null"
+      }.getOrElse("null")
     val stealPct = stealVal.map(num(_, 2)).getOrElse("null")
     val ambientJson =
       s"""{"kernel_start":${num(kernelStart, 3)},"kernel_end":${num(kernelEnd, 3)},""" +
@@ -489,6 +521,7 @@ object Bench {
         // contended box inflates everything UP TO the kernel's own
         // factor; only a row beyond it is code-suspect.
         s""""rows_beyond_kernel":$rowsBeyondKernel,""" +
+        s""""loadavg_start":${loadavgStart.map(num(_, 2)).getOrElse("null")},""" +
         s""""max_ratio_vs_kernel":$maxRatioVsKernel}"""
     // Published throughput rows (min-of-3): cells/s and per-core
     // cells/s for decode and the full migrate pipeline — the numbers
@@ -552,7 +585,7 @@ object Bench {
         s""""expired":${st.expired},"failed":${st.failed},"retried":${st.retried}}"""
       }
     val summaryLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"quiet_box":$quiet,"steady_host":$steady,"baseline_persisted":$persistOk,"persist_refusal":$persistRefusal,"rebase_refused":$rebaseRefused,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"keyed_export":$keyedJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errors,"sf":"$sfDir","order":"name-asc","medians":$mediansJson,"ambient":$ambientJson,"quiet_box":$quiet,"steady_host":$steady,"baseline_persisted":$persistOk,"persist_refusal":$persistRefusal,"steady_pointer":$steadyPointer,"rebase_refused":$rebaseRefused,"regressed":$regressed,"regressed_vs":$priorName,"sstable":$sstableJson,"streaming":$streamingJson,"keyed_export":$keyedJson,"retained_hw_bytes":$retainedHw,"retained_hw_query":"$retainedHwQuery","memo_cap_bytes":$memoCap,"memo_evictions":$memoEvictions,"spikes":$spikesJson,"gc_ms":$gcJson,"memo_bytes":$memoJson,"attempts":$attemptsJson}"""
     // Belt and braces: the artifact also lands in files next to the
     // build, immune to any stdout truncation. bench_full.json is the
     // committed full artifact (attempts + attribution); bench_prev.json

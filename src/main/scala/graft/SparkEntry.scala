@@ -152,6 +152,7 @@ object SparkEntry {
     "dedup_semantic"           -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "dedup_knn_cc"             -> ((s: SparkSession, d: String) => Dedup.knnCc(s, d)),
     "dedup_incremental"        -> (Dedup.incremental _),
+    "dedup_index_audit"        -> (Dedup.indexAudit _),
     "dedup_lsh_curve"          -> (Dedup.lshCurve _),
     "dedup_threshold_curve"    -> (Dedup.thresholdCurve _),
     // §2.5 similarity search
@@ -208,6 +209,7 @@ object SparkEntry {
     "ann_range_search"         -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_filtered_topk"        -> (Similarity.filteredTopK _),
     "ann_incremental"          -> (Similarity.ivfIncremental _),
+    "ann_index_drift"          -> (Similarity.ivfDrift _),
     "emb_knn_graph"            -> (Similarity.knnGraph _),
     // rows-only by design: an iterative Lloyd fit isn't ANSI SQL;
     // planted-cluster recovery + repartition-proof ScalaTest oracle.
@@ -1690,6 +1692,91 @@ object SparkEntry {
       |FROM inc i LEFT JOIN roll r ON r.new_id = i.doc_id
       |ORDER BY i.doc_id""".stripMargin
 
+  /** dedup_index_audit under the hard gate: the [[dedupIncrementalOracleSql]]
+    * banding replay over the corpus slice (signatures are doc-local,
+    * so slicing after the corpus-wide chain is bit-identical), then
+    * the six saturation numbers off the naive bucket group-by — the
+    * independent restatement of what the engine reads pre-aggregated
+    * from its stats side table. */
+  private def dedupIndexAuditOracleSql: String =
+    s"""WITH ${ShingleCtesSql},
+      |${murmur128SqlChain("mh", "shd")},
+      |sigj AS MATERIALIZED (
+      |  SELECT s.doc_id, j.j,
+      |    MIN((((t.h1u + j.j * t.h2u) % 18446744073709551616::HUGEINT)
+      |      - CASE WHEN ((t.h1u + j.j * t.h2u) % 18446744073709551616::HUGEINT)
+      |             >= 9223372036854775808::HUGEINT
+      |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT) AS v
+      |  FROM sh s JOIN mhtok t ON t.key = s.shingle, UNNEST(range(0, 128)) AS j(j)
+      |  GROUP BY 1, 2),
+      |${bandFoldSqlChain("mb", "sigj", nBands = 32, r = 4)},
+      |spl AS (SELECT doc_id,
+      |    CAST(CAST(concat('0x', substring(
+      |      md5(CAST(doc_id AS VARCHAR) || '#inc'), 1, 12)) AS UBIGINT)
+      |      % 1000000 AS BIGINT) AS b
+      |  FROM documents),
+      |corp AS (SELECT doc_id FROM spl WHERE b < 900000),
+      |idx0 AS (SELECT m.* FROM mbbh m JOIN corp USING (doc_id)),
+      |bk AS (SELECT band, band_key, COUNT(*) AS n FROM idx0 GROUP BY 1, 2)
+      |SELECT COUNT(*)::BIGINT AS n_buckets,
+      |  SUM(CASE WHEN n > 200 THEN 1 ELSE 0 END)::BIGINT AS n_capped_buckets,
+      |  SUM(n)::BIGINT AS n_postings,
+      |  SUM(CASE WHEN n > 200 THEN n ELSE 0 END)::BIGINT AS n_postings_masked,
+      |  ${graft.functions.Exact.ratio4Sql(
+           "SUM(CASE WHEN n > 200 THEN n ELSE 0 END)",
+           "GREATEST(SUM(n), 1)")} AS masked_share,
+      |  MAX(n)::BIGINT AS max_bucket
+      |FROM bk""".stripMargin
+
+  /** ann_index_drift under the hard gate: the [[annIncrementalOracleSql]]
+    * frozen-fit replay (corpus-slice sample, unrolled Lloyd chain),
+    * rn=1 assignment of BOTH sides under the day-0 centroids, the
+    * 6-dec-quantized assignment cosine (the emb_kmeans mcos
+    * convention), tie-free ratio4 means, and the drift/refit tail. */
+  private def annIndexDriftOracleSql: String = {
+    val (k, iters, dim) = (16, 5, 64)
+    def assignScore(v: String) = nearestCentroidScoreSql(v)
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """spl AS (SELECT vec_id,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(vec_id AS VARCHAR) || '#ivf'), 1, 12)) AS UBIGINT)
+        |      % 1000000 AS BIGINT) AS b
+        |  FROM embeddings)""".stripMargin,
+      "corp AS MATERIALIZED (SELECT e.* FROM emb e JOIN spl USING (vec_id) WHERE spl.b < 900000)",
+      "inc AS MATERIALIZED (SELECT e.* FROM emb e JOIN spl USING (vec_id) WHERE spl.b >= 900000)",
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM corp WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
+    parts ++= sphericalFitSqlParts(k, iters, dim)
+    val fin = s"c$iters"
+    def asnCte(name: String, src: String) =
+      s"""$name AS MATERIALIZED (
+        |  SELECT vec_id, v, cv FROM (
+        |    SELECT e.vec_id, e.v, c.cv, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${assignScore("e.v")} DESC, c.c) AS rn
+        |    FROM $src e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+    val qcos = """CAST(CAST(ROUND(list_dot_product(v, cv)
+      |      / sqrt(list_dot_product(v, v) * list_dot_product(cv, cv)), 6)
+      |      AS DECIMAL(12,6)) AS DOUBLE)""".stripMargin
+    val meanSql = graft.functions.Exact.ratio4Sql(
+      "CAST(SUM(CAST(cos AS DECIMAL(30,6))) * 1000000 AS BIGINT)",
+      "COUNT(*) * 1000000")
+    parts += asnCte("casn", "corp")
+    parts += asnCte("basn", "inc")
+    parts += s"ccos AS (SELECT $qcos AS cos FROM casn)"
+    parts += s"bcos AS (SELECT $qcos AS cos FROM basn)"
+    parts += s"""cstat AS (SELECT COUNT(*)::BIGINT AS n_corpus,
+      |  $meanSql AS mean_cos_corpus FROM ccos)""".stripMargin
+    parts += s"""bstat AS (SELECT COUNT(*)::BIGINT AS n_batch,
+      |  $meanSql AS mean_cos_batch FROM bcos)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT c.n_corpus, b.n_batch, c.mean_cos_corpus, b.mean_cos_batch,
+      |  (c.mean_cos_corpus - b.mean_cos_batch) AS cos_drift,
+      |  (c.mean_cos_corpus - b.mean_cos_batch) >= 0.05 AS refit_due
+      |FROM cstat c CROSS JOIN bstat b""".stripMargin
+  }
+
   private def minhashOracleSql: String =
     s"""WITH ${ShingleCtesSql},
       |${murmur128SqlChain("mh", "shd")},
@@ -1893,7 +1980,9 @@ object SparkEntry {
     ("dedup_semantic" -> dedupSemanticOracleSql) +
     ("dedup_knn_cc" -> dedupKnnCcOracleSql) +
     ("dedup_incremental" -> dedupIncrementalOracleSql) +
-    ("ann_incremental" -> annIncrementalOracleSql)
+    ("ann_incremental" -> annIncrementalOracleSql) +
+    ("dedup_index_audit" -> dedupIndexAuditOracleSql) +
+    ("ann_index_drift" -> annIndexDriftOracleSql)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

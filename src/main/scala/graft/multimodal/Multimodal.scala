@@ -211,9 +211,8 @@ object Multimodal {
       .select(col("doc_id"), col("format"),
         length(col("payload")).cast("long").as("n_bytes"))
       .withColumn("bucket_ppm",
-        (conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
-          col("format")).cast("binary")), 1, 12), 16, 10)
-          .cast("long") % 1000000L))
+        graft.sources.PersistedIndex.ppmBucket(
+          col("doc_id"), concat(lit("#"), col("format"))))
     val counts = m.groupBy(col("format"))
       .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("total_bytes"))
       .withColumn("w_q",

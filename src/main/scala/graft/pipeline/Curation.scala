@@ -219,9 +219,8 @@ object Curation {
     val flagged = items
       .join(dropped, Seq("doc_id"), "left_outer")
       .withColumn("bucket_ppm",
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
-          col("format")).cast("binary")), 1, 12), 16, 10)
-          .cast("long") % 1000000L)
+        graft.sources.PersistedIndex.ppmBucket(
+          col("doc_id"), concat(lit("#"), col("format"))))
       .withColumn("s1", col("nb") > 0L)
       .withColumn("s2", col("s1") && col("_dropped").isNull)
     val counts = flagged.filter(col("s2")).groupBy(col("format"))

@@ -656,8 +656,7 @@ object Similarity {
     * salt: buckets at or above 900 000 (10% of vectors) are "today's
     * batch", the rest the persisted corpus. */
   private[graft] def ivfIncBucket(vecId: Column): Column =
-    conv(substring(md5(concat(vecId.cast("string"), lit("#ivf"))
-      .cast("binary")), 1, 12), 16, 10).cast("long") % 1000000L
+    graft.sources.PersistedIndex.ppmBucket(vecId, lit("#ivf"))
 
   /** The persisted IVF index behind [[ivfIncremental]]: the corpus
     * assignments written ONCE per (session, dir) as a parquet table
@@ -715,23 +714,24 @@ object Similarity {
     * [loIncl, hiExcl) computed with the index's own centroids, one
     * batch-sized bucketed append, existing postings untouched. */
   private[graft] def appendIvfIncrement(spark: SparkSession, dir: String,
-      idx: IvfIndex, loIncl: Long, hiExcl: Long): Unit = {
-    // Loud exactly-once at the ingest boundary (review r15): an
-    // overlapping append would double-insert postings and inflate
-    // n_candidates silently.
-    graft.sources.PersistedIndex.recordAppendRange(
-      spark, idx.table, loIncl, hiExcl)
-    val inc = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .filter(ivfIncBucket(col("vec_id")) >= loIncl &&
-        ivfIncBucket(col("vec_id")) < hiExcl)
-    graft.sources.Bucketing.appendBucketed(
-      inc.select(
-        element_at(Centroids.nearestCentroids(col("embedding"), idx.cents, 1), 1)
-          .as("centroid"),
-        col("vec_id"), col("embedding")),
-      idx.table, "centroid", nBuckets = 8)
-  }
+      idx: IvfIndex, loIncl: Long, hiExcl: Long): Unit =
+    // Loud exactly-once at the ingest boundary (review r15 + ADVICE
+    // r15: overlap-checked before, high-water recorded only after the
+    // append lands): an overlapping append would double-insert
+    // postings and inflate n_candidates silently.
+    graft.sources.PersistedIndex.appendExactlyOnce(
+      spark, idx.table, loIncl, hiExcl) {
+      val inc = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(ivfIncBucket(col("vec_id")) >= loIncl &&
+          ivfIncBucket(col("vec_id")) < hiExcl)
+      graft.sources.Bucketing.appendBucketed(
+        inc.select(
+          element_at(Centroids.nearestCentroids(col("embedding"), idx.cents, 1), 1)
+            .as("centroid"),
+          col("vec_id"), col("embedding")),
+        idx.table, "centroid", nBuckets = 8)
+    }
 
   /** #40m ann_incremental: similarity search of a NEW vector batch
     * against the PERSISTED IVF index — the operational form every
@@ -785,6 +785,64 @@ object Similarity {
         col("best_match"), col("best_cos"),
         coalesce(col("best_cos") >= 0.9, lit(false)).as("is_near"))
       .orderBy(col("vec_id"))
+  }
+
+  // ---- #40p ann_index_drift: the frozen-quantizer drift audit --------
+
+  /** #40p ann_index_drift: the DRIFT report of the persisted IVF index
+    * (VERDICT r15 #3) — the number a scheduled REFIT fires on. The
+    * index's coarse quantizer is frozen at day 0 (the operational
+    * contract [[ivfIncremental]] runs); as appended batches drift from
+    * the day-0 distribution, their assignment cosines fall below the
+    * corpus's and routing quality decays silently. One row: corpus and
+    * batch sizes, the mean assignment cosine of each under the SAME
+    * frozen centroids (6-dec-quantized members, tie-free ratio4 means
+    * — the emb_kmeans mean_cos convention, so the report sits under
+    * the hash gate), their difference as `cos_drift`, and the
+    * `refit_due` verdict at the pinned 0.05 threshold. Scale shape:
+    * the corpus side reads the POSTINGS table (embeddings + assignment
+    * stored in-index — no corpus rescan, no exchange on the bucketed
+    * scan, no re-assignment); the batch side is one codegen'd
+    * assignment pass over the increment; both collapse to 1-row
+    * aggregates crossJoin-broadcast together. */
+  def ivfDrift(spark: SparkSession, dir: String): DataFrame =
+    ivfDriftOver(spark, dir, ivfIndex(spark, dir), 900000L)
+
+  /** [[ivfDrift]] against an explicit index + batch floor (the
+    * planted-drift spec's form). */
+  private[graft] def ivfDriftOver(spark: SparkSession, dir: String,
+      idx: IvfIndex, incLo: Long): DataFrame = {
+    import graft.functions.Exact
+    val centLit = array(idx.cents.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+    // 6-dec-quantized assignment cosine (the emb_kmeans audit-pass
+    // convention): centroids ride as literal arrays indexed by the
+    // assignment — no join.
+    def quantCos(df: DataFrame): DataFrame = {
+      val cent = element_at(centLit, col("centroid") + 1)
+      val v = col("embedding").cast("array<double>")
+      df.select(round(dot(v, cent) / sqrt(dot(v, v) * dot(cent, cent)), 6)
+        .cast("decimal(12,6)").cast("double").as("cos"))
+    }
+    def meanAgg(df: DataFrame, nName: String, mName: String): DataFrame =
+      quantCos(df).agg(
+        count(lit(1)).as(nName),
+        Exact.ratio4(Exact.dsum(col("cos"), 6) * lit(1000000),
+          count(lit(1)) * lit(1000000L)).as(mName))
+    val corpus = meanAgg(spark.table(idx.table), "n_corpus", "mean_cos_corpus")
+    val batch = meanAgg(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(ivfIncBucket(col("vec_id")) >= incLo)
+        .withColumn("centroid",
+          element_at(Centroids.nearestCentroids(col("embedding"), idx.cents, 1), 1)),
+      "n_batch", "mean_cos_batch")
+    corpus.crossJoin(broadcast(batch))
+      .select(col("n_corpus"), col("n_batch"),
+        col("mean_cos_corpus"), col("mean_cos_batch"),
+        (col("mean_cos_corpus") - col("mean_cos_batch")).as("cos_drift"),
+        ((col("mean_cos_corpus") - col("mean_cos_batch")) >= 0.05)
+          .as("refit_due"))
   }
 
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{concat, conv, md5, substring}
 
 /** Shared machinery for SESSION-BUILT persisted bucketed indexes —
   * the dedup signature index pair (graft.dedup.Dedup) and the ANN IVF
@@ -15,6 +16,21 @@ import org.apache.spark.sql.SparkSession
   *   4. the append high-water manifest below.
   */
 object PersistedIndex {
+
+  /** The md5-ppm bucket of a key column — ONE definition of the
+    * house deterministic-split convention (review r15 stretch: the
+    * same five lines lived in Dedup.incBucket, Similarity.ivfIncBucket
+    * and the Text/Multimodal/Curation sampling variants, hand-synced):
+    * uniform-pseudorandom in [0, 1 000 000), KEY-derived — stable
+    * under re-runs, repartitioning and data relocation — and
+    * replayable in DuckDB as
+    * `CAST(concat('0x', substring(md5(key || salt), 1, 12)) AS
+    * UBIGINT) % 1000000`. `salt` is a Column so both literal salts
+    * (`lit("#inc")`) and per-row salts (`concat(lit("#"),
+    * col("source"))` — the stratified-sampling form) share it. */
+  def ppmBucket(key: Column, salt: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), salt)
+      .cast("binary")), 1, 12), 16, 10).cast("long") % 1000000L
 
   /** Collision-proof table-name key (ADVICE r14: dir.hashCode could
     * collide across two dirs in one session, silently cross-serving
@@ -65,15 +81,24 @@ object PersistedIndex {
 
   private def manifestOf(table: String): String = table + "_hw"
 
-  /** Record an append's [loIncl, hiExcl) bucket range in the index's
-    * high-water manifest, REFUSING an overlap loudly (the Kv.migrate
-    * -W discipline applied to batch ingest). Why loud and not silent:
-    * a repeated or overlapping append double-inserts rows, and under
-    * a READ-time bucket cap a doubled bucket crosses the cap and is
+  /** Per-index append locks (ADVICE r15): the manifest's overlap
+    * check is check-then-write, so two concurrent appenders of the
+    * SAME index could each see no overlap and both append — exactly
+    * the silent double-insert the manifest exists to prevent. A JVM
+    * lock keyed on the manifest name serializes them; a multi-DRIVER
+    * deployment needs the same single-writer contract at the catalog
+    * layer, which every production ingest pipeline already runs. */
+  private val appendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Throw if [loIncl, hiExcl) overlaps an already-recorded append of
+    * `table` — the loud half of exactly-once (the Kv.migrate -W
+    * discipline applied to batch ingest). Why loud and not silent: a
+    * repeated or overlapping append double-inserts rows, and under a
+    * READ-time bucket cap a doubled bucket crosses the cap and is
     * dropped wholesale — real duplicates would then be reported as
-    * clean (review r15). Exactly-once therefore lives HERE, at the
-    * ingest boundary, where the range either records or throws. */
-  def recordAppendRange(
+    * clean (review r15). */
+  private def checkAppendRange(
       spark: SparkSession, table: String, loIncl: Long, hiExcl: Long): Unit = {
     require(loIncl < hiExcl, s"empty append range [$loIncl, $hiExcl)")
     val manifest = manifestOf(table)
@@ -89,10 +114,33 @@ object PersistedIndex {
             "double-insert postings; rebuild the index or pick a " +
             "disjoint range")
     }
-    val session = spark
-    import session.implicits._
-    Seq((loIncl, hiExcl)).toDF("lo", "hi")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .format("parquet").saveAsTable(manifest)
+  }
+
+  /** Run `appends` (every table write of one ingest batch) under the
+    * index's exactly-once bracket: the [loIncl, hiExcl) range is
+    * overlap-CHECKED before, and RECORDED in the high-water manifest
+    * only AFTER every append succeeds, the whole bracket serialized
+    * per index by [[appendLocks]]. Recording last closes the ADVICE
+    * r15 ordering hole: the old record-first form left a FAILED
+    * append's range claimed, so a retry threw 'overlaps' while reads
+    * silently missed the range's rows (dropped candidate pairs — real
+    * duplicates reported clean). The remaining window is a failure
+    * BETWEEN two appends of one batch: those rows sit un-manifested
+    * and a retry double-appends the tables that did land — but loud,
+    * not silent (doubled buckets cross the read-time cap, doubled
+    * stats inflate the saturation audit's masked share), and the
+    * recovery is the documented one: rebuild the index. */
+  def appendExactlyOnce(spark: SparkSession, table: String,
+      loIncl: Long, hiExcl: Long)(appends: => Unit): Unit = {
+    val lock = appendLocks.computeIfAbsent(manifestOf(table), _ => new Object)
+    lock.synchronized {
+      checkAppendRange(spark, table, loIncl, hiExcl)
+      appends
+      val session = spark
+      import session.implicits._
+      Seq((loIncl, hiExcl)).toDF("lo", "hi")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(manifestOf(table))
+    }
   }
 }

@@ -536,9 +536,8 @@ object Text {
   def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(
       col("source"),
-      (conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
-        col("source")).cast("binary")), 1, 12), 16, 10)
-        .cast("long") % 1000000L).as("bucket_ppm"))
+      graft.sources.PersistedIndex.ppmBucket(
+        col("doc_id"), concat(lit("#"), col("source"))).as("bucket_ppm"))
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       // √n quantized to 2^-20 — exact BIGINT from here on.
@@ -1305,8 +1304,7 @@ object Text {
     * (graft.pipeline.Curation.splitLeakage), so "which split is this
     * doc in" can never drift between the manifest and its audits. */
   def splitAssign(docId: Column): Column = {
-    val bucket = conv(substring(md5(concat(docId.cast("string"),
-      lit("#split")).cast("binary")), 1, 12), 16, 10).cast("long") % 1000000L
+    val bucket = graft.sources.PersistedIndex.ppmBucket(docId, lit("#split"))
     when(bucket < 980000L, "train")
       .when(bucket < 990000L, "val")
       .otherwise("test")

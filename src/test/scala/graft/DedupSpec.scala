@@ -493,6 +493,21 @@ class DedupSpec extends AnyFunSuite {
       .select(col("doc_id"), array_sort(col("sh")).as("s"))
     assert(shA.count() === shB.count())
     assert(shA.except(shB).isEmpty && shB.except(shA).isEmpty)
+    // VERDICT r15 #4: the stats side table, SUMmed over its per-append
+    // deltas, must agree with a recount of the postings after any
+    // build/append history — and the cap set derived from it must be
+    // identical to the read-time recompute it replaced.
+    val statsSum = spark.table(day0.stats)
+      .groupBy(col("band"), col("band_key")).agg(sum(col("n")).as("n"))
+    val recount = spark.table(day0.sig)
+      .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("n"))
+    assert(statsSum.except(recount).isEmpty && recount.except(statsSum).isEmpty,
+      "stats side table drifted from the postings")
+    val okStats = Dedup.capOkBuckets(spark, day0)
+    val okPostings = Dedup.capOkFromPostings(spark, day0)
+    assert(okStats.except(okPostings).isEmpty &&
+      okPostings.except(okStats).isEmpty,
+      "stats-derived cap set differs from the postings recompute")
     // Day-2 run through the appended index == the canonical query
     // (fresh 900k index), row for row.
     val viaAppend =
@@ -508,6 +523,66 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overlaps"))
     intercept[IllegalStateException](
       Dedup.appendIncrement(spark, sf, day0, 850000L, 950000L))
+  }
+
+  test("dedup_index_audit: planted saturation — capped buckets, masked share, delta sums") {
+    // The audit reads ONLY the stats side table, so saturation can be
+    // planted directly: three buckets, one under the cap (150), one
+    // over in a single delta (250), one pushed over BY an append
+    // (60 + 150 = 210 — the SUM-over-deltas semantics the appendable
+    // layout depends on).
+    import spark.implicits._
+    val stats = "graft_dedup_sigstats_idx_spec_saturation"
+    graft.sources.PersistedIndex.dropAndClean(spark, stats)
+    graft.sources.Bucketing.writeBucketed(
+      Seq((0, 1L, 150L), (0, 2L, 250L), (1, 3L, 60L))
+        .toDF("band", "band_key", "n"),
+      stats, "band_key", nBuckets = 8)
+    graft.sources.Bucketing.appendBucketed(
+      Seq((1, 3L, 150L)).toDF("band", "band_key", "n"),
+      stats, "band_key", nBuckets = 8)
+    val idx = Dedup.SigIndex("unused_sig", "unused_sh", stats)
+    val r = Dedup.indexAuditOver(spark, idx).collect().head
+    assert(r.getAs[Long]("n_buckets") === 3L)
+    assert(r.getAs[Long]("n_capped_buckets") === 2L)
+    assert(r.getAs[Long]("n_postings") === 610L)
+    assert(r.getAs[Long]("n_postings_masked") === 460L)
+    assert(r.getAs[Double]("masked_share") === 0.7541) // ratio4(460, 610)
+    assert(r.getAs[Long]("max_bucket") === 250L)
+    // The canonical corpus index, for contrast, is healthy: nothing
+    // masked at fixture scale (the incremental parity spec's
+    // precondition restated through the audit).
+    val healthy = SparkEntry.queries("dedup_index_audit")(spark, sf).collect().head
+    assert(healthy.getAs[Long]("n_capped_buckets") === 0L)
+    assert(healthy.getAs[Double]("masked_share") === 0.0)
+    assert(healthy.getAs[Long]("n_postings") > 0L)
+  }
+
+  test("appendExactlyOnce records the range only after the appends succeed (ADVICE r15)") {
+    // A FAILED append must leave the high-water manifest unclaimed:
+    // the retry of the same range then proceeds instead of throwing
+    // 'overlaps' against rows that never landed.
+    import spark.implicits._
+    val table = "graft_spec_exactly_once"
+    graft.sources.PersistedIndex.dropAndClean(spark, table)
+    val boom = intercept[RuntimeException](
+      graft.sources.PersistedIndex.appendExactlyOnce(spark, table, 0L, 10L) {
+        throw new RuntimeException("simulated mid-append failure")
+      })
+    assert(boom.getMessage.contains("simulated"))
+    // Retry of the SAME range succeeds — the failed attempt recorded
+    // nothing.
+    var ran = false
+    graft.sources.PersistedIndex.appendExactlyOnce(spark, table, 0L, 10L) {
+      ran = true
+    }
+    assert(ran)
+    // And NOW the range is claimed: a repeat throws.
+    val e = intercept[IllegalStateException](
+      graft.sources.PersistedIndex.appendExactlyOnce(spark, table, 5L, 15L) {
+        fail("overlapping append body must never run")
+      })
+    assert(e.getMessage.contains("overlaps"))
   }
 
   test("dedup_knn_cc equals driver-side union-find over mutual tau-edges") {

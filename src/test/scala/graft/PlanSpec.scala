@@ -481,6 +481,11 @@ class PlanSpec extends AnyFunSuite {
     // report join; the postings side reads its bucketed layout with no
     // exchange and the probed batch broadcasts onto it.
     "ann_incremental" -> 2,
+    // ann_index_drift 0: the corpus side is the postings table's
+    // bucketed scan collapsing to a 1-row aggregate, the batch side a
+    // codegen'd assignment pass into another — two scalar frames
+    // broadcast-crossJoined, nothing hash-partitioned.
+    "ann_index_drift" -> 0,
     "ann_lsh_topk" -> 8, "ann_pq_topk" -> 6, "ann_range_search" -> 0,
     "anti_semi_join" -> 0, "approx_distinct" -> 2, "balance_matrix" -> 2,
     // basket_pairs 7 -> 0: the marker rewrite collapsed pairs/reach/
@@ -507,6 +512,12 @@ class PlanSpec extends AnyFunSuite {
     // + candidate distinct + per-doc rollup; the verify joins ride
     // broadcast at fixture scale.
     "dedup_incremental" -> 3,
+    // dedup_index_audit 0: ONE aggregate over the stats side table
+    // whose band_key bucketing satisfies the (band, band_key) group-by
+    // — no exchange anywhere; the final 1-row rollup is a partial/
+    // final pair over a bucket-count-sized frame in one partition
+    // chain.
+    "dedup_index_audit" -> 0,
     // dedup_lsh_curve 12 -> 6 (r13): the candidate count and the
     // truth-hit count now ride ONE left-join aggregate per banding
     // (was a crossJoin of two aggregates, each evaluating the

@@ -686,6 +686,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rule(1L << 41) === (1L << 20)) // the 2^20 sanity ceiling binds only past 10^12 vectors
   }
 
+  test("ann_index_drift: planted batch drift trips refit_due; in-distribution batch does not") {
+    import spark.implicits._
+    // Membership is md5-derived, so plant the drift in vector CONTENT:
+    // compute each id's split first, then give batch ids (>= 900k)
+    // vectors from a DISJOINT axis set in the drifted corpus and from
+    // the corpus's own axes in the control.
+    val ids = (0L until 400L).toSeq
+    val buckets = ids.toDF("vec_id")
+      .select(col("vec_id"), Similarity.ivfIncBucket(col("vec_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.exists(buckets(_) >= 900000L), "empty planted batch")
+    def vec(axis: Int, i: Long): Array[Float] = {
+      val v = new Array[Float](64)
+      v(axis) = 1.0f
+      v((axis + 5) % 64) = ((i * 7) % 13).toFloat / 100f
+      v
+    }
+    def write(drifted: Boolean): String = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-drift-$drifted").toFile
+      ids.map { i =>
+        val inBatch = buckets(i) >= 900000L
+        val axis = if (inBatch && drifted) 32 + (i % 4).toInt else (i % 4).toInt
+        (i, vec(axis, i), 0)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "embeddings.parquet").getAbsolutePath)
+      tmp.getAbsolutePath
+    }
+    def drift(dir: String, salt: String) = {
+      val idx = Similarity.buildIvfIndex(spark, dir, 900000L, salt)
+      Similarity.ivfDriftOver(spark, dir, idx, 900000L).collect().head
+    }
+    val bad = drift(write(drifted = true), "spec_drift_bad")
+    assert(bad.getAs[Long]("n_corpus") + bad.getAs[Long]("n_batch") === 400L)
+    assert(bad.getAs[Double]("mean_cos_corpus") > 0.9,
+      s"day-0 corpus should assign tightly: $bad")
+    assert(bad.getAs[Double]("mean_cos_batch") < 0.3,
+      s"drifted batch should assign poorly: $bad")
+    assert(bad.getAs[Boolean]("refit_due"), s"planted drift not flagged: $bad")
+    val good = drift(write(drifted = false), "spec_drift_good")
+    assert(math.abs(good.getAs[Double]("cos_drift")) < 0.05,
+      s"in-distribution batch read as drifted: $good")
+    assert(!good.getAs[Boolean]("refit_due"))
+  }
+
   test("ann_incremental: report covers the whole batch; index side reads bucketed") {
     val incIds = Tables.embeddings(spark, sf).select(col("vec_id"))
       .filter(Similarity.ivfIncBucket(col("vec_id")) >= 900000L)
