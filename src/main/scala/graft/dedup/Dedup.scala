@@ -1161,7 +1161,12 @@ object Dedup {
     val assigned = semanticAssignCache.getOrCompute(spark, s"$dir#$kEff") {
       val cents = graft.similarity.Kmeans
         .fittedCentroidsSeeded(emb, kEff, rounds = 5, salt = "#sem")
-      graft.similarity.Kmeans.assignedTo(emb, cents).localCheckpoint()
+      // Parallelism floor: the assignment pass is k×d per row, and the
+      // checkpoint inherits its partitioning — a single-partition
+      // checkpoint would single-thread every downstream consumer's
+      // map side too.
+      graft.similarity.Kmeans
+        .assignedTo(Tables.withMinParallelism(emb), cents).localCheckpoint()
     }
 
     val sizes = assigned.groupBy(col("cluster"))

@@ -88,19 +88,56 @@ object Centroids {
   }
 
   /** The `nProbe` nearest centroid ids for a vector, best first.
-    * (Cosine order == dot order because centroids are unit-norm.) */
+    * (Cosine order == dot order because centroids are unit-norm.)
+    *
+    * Selection is an allocation-free repeated argmax over a primitive
+    * score array (r16): the old per-row `sortBy` built k boxed
+    * (Double, Int) tuples and TimSorted them for EVERY corpus row,
+    * which at the adaptive k = √n list counts (256 at sf1) dominated
+    * the assignment scan. Semantics are unchanged bit for bit: the
+    * same dot/norm score, strict-greater comparison with lower ids
+    * winning ties — exactly the stable (-score, c) sort order —
+    * including the zero-norm (all scores 0 → ids 0..nProbe-1) and
+    * NaN (never beats a real score, ordered by id among themselves)
+    * regimes. */
   def nearestCentroids(v: ArrayData, cents: Array[Array[Double]], nProbe: Int): ArrayData = {
     val vf = v.toFloatArray()
-    val norm = math.sqrt(vf.map(x => x.toDouble * x).sum)
-    val dots = cents.indices.map { c =>
-      var dot = 0.0; var i = 0
+    var ns = 0.0
+    var i = 0
+    while (i < vf.length) { ns += vf(i).toDouble * vf(i); i += 1 }
+    val norm = math.sqrt(ns)
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
       val cent = cents(c)
+      var dot = 0.0; var j = 0
       val n = math.min(vf.length, cent.length)
-      while (i < n) { dot += vf(i) * cent(i); i += 1 }
-      (if (norm == 0) 0.0 else dot / norm, c)
+      while (j < n) { dot += vf(j) * cent(j); j += 1 }
+      scores(c) = if (norm == 0) 0.0 else dot / norm
+      c += 1
     }
-    new GenericArrayData(
-      dots.sortBy { case (d, c) => (-d, c) }.take(nProbe).map(_._2).toArray)
+    val m = math.min(nProbe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var p = 0
+    while (p < m) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && scores(c2) > bestS) { bestS = scores(c2); best = c2 }
+        c2 += 1
+      }
+      if (best < 0) { // remaining scores all NaN: lowest id first
+        var c3 = 0
+        while (best < 0 && c3 < k) { if (!taken(c3)) best = c3; c3 += 1 }
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
   }
 
   def nearestCentroids(c: Column, cents: Array[Array[Double]], nProbe: Int): Column =

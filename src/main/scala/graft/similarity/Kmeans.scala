@@ -61,11 +61,16 @@ object Kmeans {
     val k = init.length
     val dim = init.head.length
     var cents = init
+    // Parallelism floor ONCE for all rounds: the assignment scan does
+    // k×d work per row, which a single-row-group source would
+    // single-thread (Tables.withMinParallelism — identity at
+    // production layouts).
+    val embP = graft.sources.Tables.withMinParallelism(emb)
     (1 to rounds).foreach { _ =>
       // (cluster, dim) -> exact quantized component sum. Spherical
       // re-estimation normalizes the sum, so the member count divides
       // out and only the k×d sums come back to the driver.
-      val moments = assignedTo(emb, cents)
+      val moments = assignedTo(embP, cents)
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(round(col("col").cast("double") * q20).cast("decimal(38,0)")).as("s"))
@@ -129,7 +134,8 @@ object Kmeans {
   /** One row per cluster over an arbitrary (vec_id, embedding) frame:
     * size, corpus share, mean/min cosine of members to their final
     * centroid. */
-  def kmeansOn(emb: DataFrame, k: Int, rounds: Int, sampleCap: Int = 1024): DataFrame = {
+  def kmeansOn(embRaw: DataFrame, k: Int, rounds: Int, sampleCap: Int = 1024): DataFrame = {
+    val emb = graft.sources.Tables.withMinParallelism(embRaw)
     val cents = fittedCentroids(emb, k, rounds, sampleCap)
 
     // Final audit pass: cosine of each member to its centroid, with

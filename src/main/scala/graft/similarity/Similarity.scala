@@ -620,7 +620,10 @@ object Similarity {
 
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val kG = 5
-    val corpus = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // Parallelism floor on the corpus scan: both self-join sides pay
+    // the k×d assignment expression per row before the exchange.
+    val corpus = Tables.withMinParallelism(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
     val (_, cents) = knnPrep(spark, dir)
     val asn = corpus.withColumn("centroid",
       element_at(Centroids.nearestCentroids(col("embedding"), cents, 1), 1))

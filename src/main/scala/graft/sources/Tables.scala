@@ -19,6 +19,24 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `df` repartitioned ROUND-ROBIN to the session's shuffle
+    * parallelism when its scan plans FEWER partitions — the
+    * parallelism floor for EXPRESSION-HEAVY corpus passes (r16): a
+    * single-row-group parquet source (every gen_scale fixture ≤ sf3;
+    * parquet splits at row-group boundaries, so maxPartitionBytes
+    * cannot help) plans exactly ONE task, which single-threads a
+    * k×d-per-row assignment scan — measured 27 s for the sf1 kNN
+    * trainer's five rounds, all on one core of 32. At production
+    * layouts the source has more splits than cores and this is the
+    * identity (no exchange added). RoundRobin, not hash: these passes
+    * need cores, not co-location, and a keyless exchange cannot skew.
+    * Reserved for scans feeding per-row O(k·d) work — a plain
+    * columnar aggregate is cheaper than the exchange it would add. */
+  def withMinParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact row count of a table from parquet FOOTER metadata — a
     * driver-side O(#files) metadata read, NO Spark job (VERDICT r13
     * #7 / r14 residue #5): a planner that needs |table| before
