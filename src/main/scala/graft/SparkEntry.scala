@@ -951,6 +951,25 @@ object SparkEntry {
   private def seededTrainerCtes(p: String, kExpr: String, salt: String,
       rounds: Int, dim: Int): Seq[String] = {
     val assignScore = nearestCentroidScoreSql("e.v")
+    // Assignment as aggregates, not a window (r16): per round the
+    // naive n×k score relation is materialized once, and the rn=1
+    // pick becomes MAX(score) + MIN(c) among the ties — the identical
+    // (score DESC, c ASC) rule, but two hash aggregates instead of a
+    // partitioned sort, which keeps the deliberately-naive chain
+    // feasible in the sf1 sweep at the adaptive k (the windowed form
+    // measured ~117 s for one k=256 chain; dedup_knn_cc carries two).
+    def asnCte(name: String, scName: String, prev: String) = Seq(
+      s"""$scName AS MATERIALIZED (
+        |  SELECT e.vec_id, c.c, $assignScore AS sc
+        |  FROM emb e CROSS JOIN $prev c)""".stripMargin,
+      s"""$name AS MATERIALIZED (
+        |  SELECT a.vec_id, e.v, a.cluster FROM (
+        |    SELECT s.vec_id, MIN(s.c) AS cluster
+        |    FROM $scName s
+        |    JOIN (SELECT vec_id, MAX(sc) AS m FROM $scName GROUP BY vec_id) mx
+        |      ON mx.vec_id = s.vec_id AND s.sc = mx.m
+        |    GROUP BY s.vec_id) a
+        |  JOIN emb e USING (vec_id))""".stripMargin)
     val parts = scala.collection.mutable.ArrayBuffer(
       s"""${p}c0 AS MATERIALIZED (
         |  SELECT CAST(rn - 1 AS INTEGER) AS c, ${normCvSql("v")} AS cv FROM (
@@ -959,11 +978,7 @@ object SparkEntry {
         |    FROM emb) WHERE rn <= $kExpr)""".stripMargin)
     var prev = s"${p}c0"
     (1 to rounds).foreach { r =>
-      parts += s"""${p}ka$r AS MATERIALIZED (
-        |  SELECT vec_id, v, c AS cluster FROM (
-        |    SELECT e.vec_id, e.v, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY $assignScore DESC, c.c) AS rn
-        |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+      parts ++= asnCte(s"${p}ka$r", s"${p}ks$r", prev)
       parts += s"""${p}km$r AS MATERIALIZED (
         |  SELECT cluster, list(CAST(sm AS DOUBLE) / 1048576.0 ORDER BY i) AS mv FROM (
         |    SELECT a.cluster, d.i, SUM(CAST(ROUND(a.v[d.i] * 1048576.0, 0) AS HUGEINT)) AS sm
@@ -974,35 +989,32 @@ object SparkEntry {
         |  FROM $prev p LEFT JOIN ${p}km$r m ON m.cluster = p.c)""".stripMargin
       prev = s"${p}kc$r"
     }
-    parts += s"""${p}fasn AS MATERIALIZED (
-      |  SELECT vec_id, v, c AS cluster FROM (
-      |    SELECT e.vec_id, e.v, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-      |      ORDER BY $assignScore DESC, c.c) AS rn
-      |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    parts ++= asnCte(s"${p}fasn", s"${p}fsc", prev)
     parts.toSeq
   }
 
   /** The adaptive-k CTE shared by the seeded-trainer consumers:
-    * smallest power of 2 (from 16, doubling to 2²⁰) satisfying
+    * smallest power of 2 (from 16, doubling to `ceiling`) satisfying
     * `cond(k)` against the corpus count, capped at the corpus size —
-    * the exact Iterator.iterate doubling rule the engine computes from
-    * the parquet footers. */
-  private def adaptiveKdefSql(p: String, cond: String => String): String = {
-    val powers = Iterator.iterate(16L)(_ * 2).takeWhile(_ <= (1L << 20)).mkString(", ")
+    * the exact Kmeans.adaptivePow2 doubling rule the engine computes
+    * from the parquet footers. */
+  private def adaptiveKdefSql(
+      p: String, ceiling: Long, cond: String => String): String = {
+    val powers = Iterator.iterate(16L)(_ * 2).takeWhile(_ <= ceiling).mkString(", ")
     s"""${p}kdef AS (SELECT GREATEST(1, LEAST(MIN(k),
       |    (SELECT COUNT(*) FROM emb)))::INT AS kk
       |  FROM (SELECT CAST(UNNEST([$powers]) AS BIGINT) AS k)
-      |  WHERE ${cond("k")} OR k = ${1L << 20})""".stripMargin
+      |  WHERE ${cond("k")} OR k = $ceiling)""".stripMargin
   }
 
-  /** kNN-graph list-count rule: nLists² ≥ n. */
+  /** kNN-graph list-count rule: nLists² ≥ n, ceiling 2²⁰. */
   private def knnKdefSql(p: String): String =
-    adaptiveKdefSql(p, k => s"$k * $k >= (SELECT COUNT(*) FROM emb)")
+    adaptiveKdefSql(p, 1L << 20, k => s"$k * $k >= (SELECT COUNT(*) FROM emb)")
 
   /** dedup_semantic cluster-count rule: k ≥ n/128 (mean cluster ≈ 128,
-    * Dedup.adaptiveSemanticK). */
+    * Dedup.adaptiveSemanticK), ceiling 2¹⁷. */
   private def semKdefSql(p: String): String =
-    adaptiveKdefSql(p, k => s"$k * 128 >= (SELECT COUNT(*) FROM emb)")
+    adaptiveKdefSql(p, 1L << 17, k => s"$k * 128 >= (SELECT COUNT(*) FROM emb)")
 
   private def annIvfOracleSql: String = {
     val (k, iters, nProbe, dim) = (16, 5, 4, 64)

@@ -287,10 +287,15 @@ object Dedup {
       idx: SigIndex, loIncl: Long, hiExcl: Long): Unit =
     graft.sources.PersistedIndex.appendExactlyOnce(
       spark, idx.sig, loIncl, hiExcl) {
+      // Three independent write actions share one ingest batch — the
+      // shingle pass and the banding each run ONCE via batch-sized
+      // localCheckpoints (r16 review: uncached lineage re-shingled
+      // and re-minhashed the increment text per append).
       val inc = shingledDocs(spark, dir)
         .filter(incBucket(col("doc_id")) >= loIncl &&
           incBucket(col("doc_id")) < hiExcl)
-      val banded = bandedOf(inc)
+        .localCheckpoint()
+      val banded = bandedOf(inc).localCheckpoint()
       graft.sources.Bucketing.appendBucketed(
         banded, idx.sig, "band_key", nBuckets = 8)
       graft.sources.Bucketing.appendBucketed(
@@ -1137,13 +1142,16 @@ object Dedup {
     * power of 2 (from 16) with k ≥ n/128, capped only by the corpus
     * size — mean cluster size pinned near 128, so the within-cluster
     * pair stream stays ~128·n at any scale (a fixed k would be n²/k).
-    * The same doubling discipline as the kNN-graph's nLists² ≥ n;
-    * mirrored by the oracle's kdef CTE. */
-  private[graft] def adaptiveSemanticK(n: Long): Int = {
-    val adaptive = Iterator.iterate(16L)(_ * 2)
-      .find(k => k * 128L >= n || k >= (1L << 20)).get
-    math.max(1L, math.min(adaptive, n)).toInt
-  }
+    * The same doubling discipline as the kNN-graph's nLists² ≥ n
+    * ([[graft.similarity.Kmeans.adaptivePow2]]); mirrored by the
+    * oracle's kdef CTE. The 2¹⁷ ceiling (SemDeDup's own web-scale
+    * k ≈ 10⁵ class) bounds the driver/plan centroid matrix at
+    * ~67 MB; past it (n ≳ 1.7·10⁷ vectors) mean cluster size grows
+    * with n — the scale at which a real deployment shards the corpus
+    * (by language/source) before semantic dedup rather than growing
+    * one codebook without bound. */
+  private[graft] def adaptiveSemanticK(n: Long): Int =
+    graft.similarity.Kmeans.adaptivePow2(n, 1L << 17)(k => k * 128L >= n)
 
   /** `k = 0` (the default) resolves to [[adaptiveSemanticK]] of the
     * corpus's parquet-footer row count; an explicit positive k remains

@@ -88,6 +88,18 @@ object Kmeans {
     cents
   }
 
+  /** Smallest power of 2 (from 16) satisfying `cond`, stopping at
+    * `ceiling`, capped at the corpus count n — ONE definition of the
+    * doubling rule behind both adaptive-k operators (r16 review: the
+    * kNN and semantic copies differed only in the predicate and were
+    * hand-synced against the oracle's adaptiveKdefSql, which already
+    * factors the same shape). */
+  def adaptivePow2(n: Long, ceiling: Long)(cond: Long => Boolean): Int = {
+    val adaptive = Iterator.iterate(16L)(_ * 2)
+      .find(k => cond(k) || k >= ceiling).get
+    math.max(1L, math.min(adaptive, n)).toInt
+  }
+
   /** The k hash-ordered seed vectors of a corpus — the rows at the k
     * smallest (md5(vec_id || salt), vec_id) keys, unit-normalized.
     * This is deterministic Forgy init that SCALES WITH k (VERDICT r15
@@ -97,8 +109,13 @@ object Kmeans {
     * effectively uniform-random but key-derived (the md5-ppm
     * discipline — stable under re-runs and data relocation), the scan
     * is one bounded-heap TakeOrdered pass (never a global sort), and
-    * only k rows reach the driver — at k = √n that is √n·d floats,
-    * fine at any corpus this engine targets. */
+    * only k rows reach the driver. Driver/plan footprint is k·d
+    * doubles — the seeds collected here and the same matrix embedded
+    * in every assignment expression — so each adaptive rule carries a
+    * ceiling sized to keep that bounded: 2²⁰ for the √n kNN rule
+    * (binds past 10¹² vectors), 2¹⁷ for the linear-in-n semantic rule
+    * (~67 MB of centroids at the ceiling — the scale at which a real
+    * deployment shards the corpus before semantic dedup). */
   def hashSeeds(emb: DataFrame, k: Int, salt: String): Array[Array[Double]] = {
     require(k >= 1, s"hashSeeds: k=$k")
     val rows = emb
@@ -135,8 +152,11 @@ object Kmeans {
     * size, corpus share, mean/min cosine of members to their final
     * centroid. */
   def kmeansOn(embRaw: DataFrame, k: Int, rounds: Int, sampleCap: Int = 1024): DataFrame = {
+    // Floor ONLY the audit scan here — the trainer's rounds floor
+    // their own scan inside lloydRounds (r16 review: double-wrapping
+    // would probe an already-repartitioned frame).
     val emb = graft.sources.Tables.withMinParallelism(embRaw)
-    val cents = fittedCentroids(emb, k, rounds, sampleCap)
+    val cents = fittedCentroids(embRaw, k, rounds, sampleCap)
 
     // Final audit pass: cosine of each member to its centroid, with
     // the fitted k×d centroids riding in as LITERAL arrays (the

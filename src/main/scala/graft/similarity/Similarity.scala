@@ -612,9 +612,7 @@ object Similarity {
       // and the parquet footers carry it exactly — a driver-side
       // metadata read, zero cluster work, even on the memo-miss path.
       val n = Tables.parquetRowCount(spark, dir, "embeddings")
-      val adaptive = Iterator.iterate(16L)(_ * 2)
-        .find(k => k * k >= n || k >= (1L << 20)).get
-      val nLists = math.max(1L, math.min(adaptive, n)).toInt
+      val nLists = Kmeans.adaptivePow2(n, 1L << 20)(k => k * k >= n)
       (nLists, Kmeans.fittedCentroidsSeeded(corpus, nLists, rounds = 5, salt = "#knn"))
     })
 

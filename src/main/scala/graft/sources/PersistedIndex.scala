@@ -126,10 +126,15 @@ object PersistedIndex {
     * silently missed the range's rows (dropped candidate pairs — real
     * duplicates reported clean). The remaining window is a failure
     * BETWEEN two appends of one batch: those rows sit un-manifested
-    * and a retry double-appends the tables that did land — but loud,
-    * not silent (doubled buckets cross the read-time cap, doubled
-    * stats inflate the saturation audit's masked share), and the
-    * recovery is the documented one: rebuild the index. */
+    * and a retry double-appends the tables that did land. That is
+    * detectable but only PARTIALLY loud — buckets past half the
+    * read-time cap double across it (dropping candidates wholesale)
+    * and the saturation audit's masked share jumps, while small
+    * doubled buckets merely inflate candidate counts — so the safe
+    * recovery after a mid-batch failure is REBUILD, not retry; the
+    * bracket's job is to make the common failure (full-batch retry
+    * after a recorded success, or after a failure before any append)
+    * exactly-once, and to make the rare mid-batch case diagnosable. */
   def appendExactlyOnce(spark: SparkSession, table: String,
       loIncl: Long, hiExcl: Long)(appends: => Unit): Unit = {
     val lock = appendLocks.computeIfAbsent(manifestOf(table), _ => new Object)

@@ -33,8 +33,21 @@ object Tables {
     * Reserved for scans feeding per-row O(k·d) work — a plain
     * columnar aggregate is cheaper than the exchange it would add. */
   def withMinParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Idempotency guard (r16 review): the partition probe below goes
+    // through df.rdd, and under AQE that MATERIALIZES any exchange
+    // already in the frame — re-flooring an already-repartitioned
+    // frame would run (and discard) the whole upstream shuffle job
+    // just to read a partition count. Callers pass scan-shaped
+    // frames; anything already repartitioned passes through.
+    val repartitioned = df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }.nonEmpty
+    if (repartitioned) df
+    else {
+      val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 
   /** Exact row count of a table from parquet FOOTER metadata — a

@@ -385,7 +385,8 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.adaptiveSemanticK(20000L) === 256)   // sf1: 256·128 ≥ 20k
     assert(Dedup.adaptiveSemanticK(60000L) === 512)   // sf3
     assert(Dedup.adaptiveSemanticK(16777216L) === 131072) // web scale: k ≈ n/128
-    assert(Dedup.adaptiveSemanticK(1000000000L) === 1048576) // 2^20 sanity ceiling
+    assert(Dedup.adaptiveSemanticK(1000000000L) === 131072) // 2^17 ceiling: the
+    // ~67 MB-codebook bound past which a deployment shards before semantic dedup
     assert(Dedup.adaptiveSemanticK(10L) === 10)       // capped at the corpus
   }
 

@@ -678,7 +678,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents.map(_.toSeq).distinct.length === 10,
       "duplicate seed centroids on a small corpus")
     // The doubling rule itself scales like √n with no 1024 ceiling:
-    // 10^7 vectors want 4096 lists, 10^9 want 65536.
+    // 10^7 vectors want 4096 lists, 10^9 want 32768 (32768² ≥ 10^9).
     def rule(n: Long): Long = Iterator.iterate(16L)(_ * 2)
       .find(k => k * k >= n || k >= (1L << 20)).get
     assert(rule(10000000L) === 4096L)
