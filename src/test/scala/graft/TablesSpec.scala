@@ -73,4 +73,25 @@ class TablesSpec extends AnyFunSuite {
       assert(n === scanned, s"footer count diverges for $t")
     }
   }
+
+  test("withMinParallelism: floors an underparallel scan, identity otherwise, idempotent") {
+    import graft.sources.Tables
+    val target = spark.sessionState.conf.numShufflePartitions
+    // A single-row-group fixture scan plans fewer partitions than the
+    // session target: the floor must repartition it up...
+    val scan = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    assume(scan.rdd.getNumPartitions < target, "fixture unexpectedly multi-split")
+    val floored = Tables.withMinParallelism(scan)
+    assert(floored.rdd.getNumPartitions === target)
+    // ...and the result is row-identical (RoundRobin moves, never drops).
+    assert(floored.count() === scan.count())
+    // Idempotency (r16 review): a frame that already carries a
+    // Repartition passes through UNTOUCHED — same object — because the
+    // partition probe would otherwise materialize the upstream
+    // exchange under AQE just to read a count.
+    assert(Tables.withMinParallelism(floored) eq floored)
+    // Identity on a frame already at/above the target: no node added.
+    val wide = scan.repartition(target + 3)
+    assert(Tables.withMinParallelism(wide) eq wide)
+  }
 }
