@@ -113,6 +113,7 @@ object SparkEntry {
     "events_session_stats"     -> (Events.sessionStats _),
     "events_sessionize_native" -> (Events.sessionizeNative _),
     "events_weekend_contrast"  -> (Events.weekendContrast _),
+    "events_dist_drift"        -> ((s, d) => Events.distDrift(s, d)),
     "text_lang_mix"            -> (Text.langMix _),
     "events_burstiness"        -> (Events.burstiness _),
     "orders_seasonality"       -> (Relational.ordersSeasonality _),
@@ -3388,6 +3389,46 @@ object SparkEntry {
         | CAST(we100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekend_rate,
         | ${ratio4Sql("we100", "NULLIF(wd100, 0)")} AS weekend_ratio
         |FROM r ORDER BY event_type""".stripMargin,
+
+    // TVD drift: every cross-multiple rides HUGEINT (the DECIMAL(38,0)
+    // stand-in), mirroring the Spark side's decimal casts; the 0.1
+    // alarm compares the SAME ratio4-presented double in both engines.
+    "events_dist_drift" ->
+      raw"""WITH e AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(floor(value / 25.0) AS BIGINT) AS bucket
+        |  FROM events),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+        |cells AS (SELECT event_type, bucket,
+        |    SUM(CASE WHEN day > (lo + hi) // 2 THEN 0 ELSE 1 END)::BIGINT AS c1,
+        |    SUM(CASE WHEN day > (lo + hi) // 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM e, b GROUP BY 1, 2),
+        |sc AS (SELECT event_type, bucket, c1, c2,
+        |    SUM(c1) OVER (PARTITION BY event_type) AS n1,
+        |    SUM(c2) OVER (PARTITION BY event_type) AS n2,
+        |    abs(CAST(c1 AS HUGEINT) * SUM(c2) OVER (PARTITION BY event_type)
+        |      - CAST(c2 AS HUGEINT) * SUM(c1) OVER (PARTITION BY event_type)) AS m
+        |  FROM cells),
+        |ag AS (SELECT event_type, CAST(MAX(n1) AS BIGINT) AS n1,
+        |    CAST(MAX(n2) AS BIGINT) AS n2,
+        |    COUNT(*)::BIGINT AS n_buckets, SUM(m) AS mm
+        |  FROM sc GROUP BY 1),
+        |tp AS (SELECT event_type, bucket, m FROM (
+        |    SELECT event_type, bucket, m,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY m DESC, bucket) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT a.event_type, a.n1, a.n2, a.n_buckets,
+        | ${ratio4Sql("a.mm",
+            "NULLIF(2 * CAST(a.n1 AS HUGEINT) * CAST(a.n2 AS HUGEINT), 0)")} AS tvd,
+        | (${ratio4Sql("a.mm",
+            "NULLIF(2 * CAST(a.n1 AS HUGEINT) * CAST(a.n2 AS HUGEINT), 0)")} >= 0.1)
+        |   AS drifted,
+        | CAST(t.bucket AS DOUBLE) * 25.0 AS top_bucket,
+        | ${ratio4Sql("t.m",
+            "NULLIF(CAST(a.n1 AS HUGEINT) * CAST(a.n2 AS HUGEINT), 0)")} AS top_shift
+        |FROM ag a JOIN tp t USING (event_type)
+        |ORDER BY a.event_type""".stripMargin,
 
     "text_lang_mix" ->
       raw"""WITH t AS (SELECT doc_id, text, source,

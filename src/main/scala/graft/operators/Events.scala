@@ -1515,4 +1515,69 @@ object Events {
         ratio4(col("n_events"), greatest(col("n_active_days"), lit(1L))))
       .orderBy(col("user_id"))
   }
+
+  /** #32ak events_dist_drift: window-over-window distribution drift of
+    * `value` per event type — the feature-monitoring report a training
+    * pipeline alarms on before a bad day of upstream data poisons a
+    * model (the PSI/KS dashboard staple, here in its exactly-computable
+    * form). The time range splits at its midpoint epoch day (integer
+    * arithmetic, timezone-free); each type's value histogram (the
+    * [[valueHist]] bucket rule — `floor(value/25)`, one IEEE divide,
+    * bit-identical cross-engine) is compared across the halves by
+    * TOTAL-VARIATION distance. PSI and KL need `log`, which is not
+    * correctly rounded and diverges cross-engine in the last ulp; TVD
+    * is the same alarm signal as a pure integer cross-multiple —
+    * tvd = Σ_b |c1_b·n2 − c2_b·n1| / (2·n1·n2) — so the drift score,
+    * the pinned 0.1 alarm threshold, and the worst-moved bucket are
+    * all under the hash gate. Cross-multiples ride DECIMAL(38,0)
+    * (HUGEINT on the oracle side): c·n products overflow BIGINT once
+    * a type's half-count passes ~3×10⁹ events — exactly the 100 TB
+    * regime this report exists for.
+    *
+    * Scale shape: the min/max-day scalar is a 1-row broadcast; the ONE
+    * corpus-sized shuffle is the map-side-combinable (type, bucket)
+    * count with the half split folded in as two conditional sums;
+    * everything after — half totals, TVD, the worst-bucket argmax
+    * (ties bucket ASC) — rides the dimension-sized (|types| ×
+    * |buckets|) frame, windows partitioned by type on that frame,
+    * never the corpus. A type silent in either half reports NULL (no
+    * distribution to compare), not a crash or a fake zero. */
+  def distDrift(spark: SparkSession, dir: String, width: Double = 25.0): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+    val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val cells = e.crossJoin(broadcast(bounds)) // 1-row scalar
+      .withColumn("late", col("day") > expr("(lo + hi) div 2"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        sum(when(col("late"), 0L).otherwise(1L)).as("c1"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("c2"))
+    val byType = Window.partitionBy(col("event_type"))
+    val scored = cells
+      .withColumn("n1", sum(col("c1")).over(byType))
+      .withColumn("n2", sum(col("c2")).over(byType))
+      .withColumn("m", abs(col("c1").cast("decimal(38,0)") * col("n2")
+        - col("c2").cast("decimal(38,0)") * col("n1")))
+    val agg = scored.groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        count(lit(1)).as("n_buckets"), sum(col("m")).as("mm"))
+    val top = scored
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("m").desc, col("bucket"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("bucket").as("top_id"), col("m").as("top_m"))
+    val tvd = ratio4(col("mm"),
+      nullif(lit(2L).cast("decimal(38,0)") * col("n1") * col("n2"), lit(0L)))
+    agg.join(broadcast(top), Seq("event_type"))
+      .select(col("event_type"), col("n1"), col("n2"), col("n_buckets"),
+        tvd.as("tvd"),
+        (tvd >= lit(0.1)).as("drifted"),
+        (col("top_id").cast("double") * lit(width)).as("top_bucket"),
+        ratio4(col("top_m"),
+          nullif(col("n1").cast("decimal(38,0)") * col("n2"), lit(0L)))
+          .as("top_shift"))
+      .orderBy(col("event_type"))
+  }
 }

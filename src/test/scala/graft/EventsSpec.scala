@@ -598,6 +598,34 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("dist drift conserves events, bounds tvd, and the flag matches the pin") {
+    val rows = Events.distDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n1") + r.getAs[Long]("n2")).sum === total,
+      "the two halves partition the corpus: their counts must conserve it")
+    rows.foreach { r =>
+      val t = r.fieldIndex("tvd")
+      if (r.isNullAt(t)) {
+        // A half-silent type has no distribution to compare — both
+        // drift columns must be NULL together, never a fake zero.
+        assert(r.getAs[Long]("n1") === 0L || r.getAs[Long]("n2") === 0L)
+        assert(r.isNullAt(r.fieldIndex("drifted")))
+      } else {
+        val tvd = r.getAs[Double](t)
+        assert(tvd >= 0.0 && tvd <= 1.0, s"TVD is a probability distance: $tvd")
+        assert(r.getAs[Boolean]("drifted") === (tvd >= 0.1),
+          "the alarm flag IS the pinned threshold on the published score")
+        // The worst bucket's moved share can't exceed the whole
+        // movement: |p1_b - p2_b| <= 2*TVD (one ulp of 4-dec rounding
+        // slack on each side).
+        assert(r.getAs[Double]("top_shift") <= 2 * tvd + 0.0002)
+        assert(r.getAs[Double]("top_bucket") % 25.0 === 0.0,
+          "top_bucket is a bucket START under the width-25 rule")
+      }
+    }
+  }
+
   test("growth curve conserves users: new sums to the base, dau splits") {
     val rows = Events.growthCurve(spark, sf).collect()
     val nUsers = graft.sources.Tables.events(spark, sf)

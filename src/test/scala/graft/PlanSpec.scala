@@ -566,6 +566,11 @@ class PlanSpec extends AnyFunSuite {
     "events_session_mix" -> 3, "events_session_stats" -> 4, "events_sessionize" -> 1,
     "events_sessionize_native" -> 1, "events_transitions" -> 3, "events_user_overlap" -> 7,
     "events_user_overlap_sketch" -> 8, "events_value_hist" -> 1, "events_weekend_contrast" -> 2,
+    // events_dist_drift 4: ONE corpus-sized (type, bucket) count
+    // shuffle; the remaining three (the type window under each of the
+    // agg/top branches + the final rollup) all move the dimension-sized
+    // (|types| × |buckets|) frame.
+    "events_dist_drift" -> 4,
     "events_windowed_agg" -> 2, "events_winsorized" -> 7, "events_zscore_outliers" -> 1,
     "grouping_sets_agg" -> 1, "kv_byte_ordered_scan" -> 1, "kv_counter_merge" -> 1,
     "kv_create_only" -> 1, "kv_dry_run_format" -> 1, "kv_export_stats" -> 1,
