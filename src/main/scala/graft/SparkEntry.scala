@@ -190,6 +190,7 @@ object SparkEntry {
     // training is memoized, so train+encode share one run); per-doc
     // exact-replay + losslessness ScalaTest oracle.
     "text_bpe_encode"          -> ((s: SparkSession, d: String) => Bpe.encode(s, d)),
+    "text_bpe_fertility"       -> ((s: SparkSession, d: String) => Bpe.fertility(s, d)),
     // rows-only by design: the Misra-Gries multiset legally varies
     // with merge order; in-output exact/underestimate/err_bound audit
     // columns + invariant ScalaTest oracle (SketchesSpec).
@@ -204,6 +205,8 @@ object SparkEntry {
     "curation_report"          -> (graft.pipeline.Curation.report _),
     "dedup_quality_audit"      -> (graft.pipeline.Curation.dedupQualityAudit _),
     "split_leakage"            -> (graft.pipeline.Curation.splitLeakage _),
+    "corpus_diff"              -> (graft.pipeline.Curation.corpusDiffDemo _),
+    "text_ngram_coverage"      -> (Text.ngramCoverage _),
     "emb_outliers"             -> (Similarity.embOutliers _),
     "emb_quantize"             -> (Similarity.embQuantize _),
     "emb_dim_stats"            -> (Similarity.embDimStats _),
@@ -212,6 +215,7 @@ object SparkEntry {
     "ann_incremental"          -> (Similarity.ivfIncremental _),
     "ann_index_drift"          -> (Similarity.ivfDrift _),
     "emb_knn_graph"            -> (Similarity.knnGraph _),
+    "emb_knn_triangles"        -> (Similarity.knnTriangles _),
     // rows-only by design: an iterative Lloyd fit isn't ANSI SQL;
     // planted-cluster recovery + repartition-proof ScalaTest oracle.
     "emb_kmeans"               -> ((s, d) => Kmeans.embKmeans(s, d)),
@@ -394,10 +398,15 @@ object SparkEntry {
     * its own edit). Encodes the DISTINCT word table (every word — the
     * encode side has no 64-char training cap) and joins the per-word
     * token counts back onto each doc's pre-token explode. */
-  private def bpeEncodeOracleSql(nMerges: Int): String = {
+  /** The shared encode chain (training CTEs + per-word greedy-merge
+    * replay ending in `encf(word, bpe_toks)`): `docwCols` picks the
+    * carrier columns the final rollup groups on — `doc_id` for
+    * text_bpe_encode, `lang, source` for text_bpe_fertility — so the
+    * two reports can never drift in how they tokenize. */
+  private def bpeEncfCtes(nMerges: Int, docwCols: String): String = {
     val parts = new StringBuilder(bpeChainCtes(nMerges))
     parts.append(s""",
-      |docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+      |docw AS (SELECT $docwCols, unnest(regexp_extract_all(lower(text),
       |  '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents),
       |enc0 AS MATERIALIZED (SELECT word,
       |  chr(31) || array_to_string(list_append(regexp_extract_all(
@@ -416,16 +425,30 @@ object SparkEntry {
     parts.append(s""",
       |encf AS (SELECT word,
       |  string_split(trim(s, chr(31)), chr(31) || chr(31)) AS bpe_toks
-      |  FROM enc$nMerges)
+      |  FROM enc$nMerges)""".stripMargin)
+    parts.toString
+  }
+
+  private def bpeEncodeOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeEncfCtes(nMerges, "doc_id")}
       |SELECT doc_id, COUNT(*)::BIGINT AS n_words,
       |  SUM(len(bpe_toks))::BIGINT AS n_bpe_tokens,
       |  SUM(length(word))::BIGINT AS n_chars,
       |  MIN(CASE WHEN array_to_string(bpe_toks, '') = word || '</w>'
       |      THEN 1 ELSE 0 END) AS lossless
       |FROM docw JOIN encf USING (word)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
-    s"WITH ${parts.toString}"
-  }
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def bpeFertilityOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeEncfCtes(nMerges, "lang, source")}
+      |SELECT lang, source, COUNT(*)::BIGINT AS n_words,
+      |  SUM(len(bpe_toks))::BIGINT AS n_bpe_tokens,
+      |  SUM(length(word))::BIGINT AS n_chars,
+      |  ${ratio4Sql("SUM(len(bpe_toks))", "COUNT(*)")} AS fertility,
+      |  ${ratio4Sql("SUM(length(word))", "SUM(len(bpe_toks))")}
+      |    AS chars_per_token
+      |FROM docw JOIN encf USING (word)
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   /** The phash media-dedup pair CTEs (companion-augmented corpus →
     * 64-bit blockhash → naive all-pairs Hamming ≤ 3), shared by the
@@ -1151,6 +1174,46 @@ object SparkEntry {
       |FROM top t LEFT JOIN top r
       |  ON r.src_id = t.dst_id AND r.dst_id = t.src_id
       |ORDER BY t.src_id, t.rank""".stripMargin
+  }
+
+  /** emb_knn_triangles under the hard gate: the [[knnGraphCtes]]
+    * replay, the mutual undirected edge set, then the degree-ordered
+    * compact-forward census exactly as the engine runs it — edges
+    * oriented along the (deg, id) total order, wedges at each
+    * triangle's lowest-ordered vertex, one EXISTS for the closing
+    * edge — and the integer-ratio4 local clustering coefficient. */
+  private def embKnnTrianglesOracleSql: String = {
+    val parts =
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)" +:
+        knnGraphCtes("")
+    s"""WITH ${parts.mkString(",\n")},
+      |ue AS (SELECT t.src_id AS a, t.dst_id AS b
+      |  FROM top t JOIN top r ON r.src_id = t.dst_id AND r.dst_id = t.src_id
+      |  WHERE t.src_id < t.dst_id),
+      |dg AS (SELECT vv, COUNT(*)::BIGINT AS deg FROM (
+      |    SELECT a AS vv FROM ue UNION ALL SELECT b AS vv FROM ue) GROUP BY 1),
+      |o AS (SELECT
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN e.a ELSE e.b END AS u,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN e.b ELSE e.a END AS w,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN db.deg ELSE da.deg END AS dw
+      |  FROM ue e JOIN dg da ON da.vv = e.a JOIN dg db ON db.vv = e.b),
+      |wed AS (SELECT o1.u AS x, o1.w AS y, o2.w AS z
+      |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+      |  WHERE o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w)),
+      |tri AS (SELECT x, y, z FROM wed
+      |  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wed.y AND o.w = wed.z)),
+      |tv AS (SELECT vv, COUNT(*)::BIGINT AS tri FROM (
+      |    SELECT x AS vv FROM tri UNION ALL SELECT y AS vv FROM tri
+      |    UNION ALL SELECT z AS vv FROM tri) GROUP BY 1)
+      |SELECT dg.vv AS vec_id, dg.deg,
+      |  COALESCE(tv.tri, 0)::BIGINT AS tri,
+      |  ${ratio4Sql("2 * COALESCE(tv.tri, 0)", "dg.deg * (dg.deg - 1)")} AS lcc
+      |FROM dg LEFT JOIN tv ON tv.vv = dg.vv
+      |WHERE dg.deg >= 2
+      |ORDER BY vec_id""".stripMargin
   }
 
   /** dedup_knn_cc under the hard gate: the [[knnGraphCtes]] replay
@@ -1965,6 +2028,7 @@ object SparkEntry {
     ("text_decontaminate_bloom" -> oracleSqlBase("text_decontaminate")) +
     ("text_bpe_train" -> bpeTrainOracleSql(25)) +
     ("text_bpe_encode" -> bpeEncodeOracleSql(25)) +
+    ("text_bpe_fertility" -> bpeFertilityOracleSql(25)) +
     // r10 promotions: both sketch-dedup pair lists are deterministic
     // given their murmur128 hashes, so they graduate from rows-only
     // recall floors to the full hash gate via the standard-murmur
@@ -1989,6 +2053,7 @@ object SparkEntry {
     ("emb_kmeans" -> embKmeansOracleSql) +
     ("emb_label_purity" -> embLabelPurityOracleSql) +
     ("emb_knn_graph" -> embKnnGraphOracleSql) +
+    ("emb_knn_triangles" -> embKnnTrianglesOracleSql) +
     ("dedup_quality_audit" -> DedupQualityAuditOracleSql) +
     ("dedup_semantic" -> dedupSemanticOracleSql) +
     ("dedup_knn_cc" -> dedupKnnCcOracleSql) +
@@ -3580,6 +3645,34 @@ object SparkEntry {
     // statement — the dedup recursive-CTE chain (dedup_survivors), the
     // quality score (text_quality), the language argmax (text_langid),
     // the 8-gram hit flag (text_decontaminate), and the md5-bucket
+    // Snapshot diff: both versions replay the #ver md5-ppm split, the
+    // revision slice appends the same marker, and change detection is
+    // by md5 content hash exactly as the Spark side computes it.
+    "corpus_diff" ->
+      raw"""WITH d AS (SELECT doc_id, source, text,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || '#ver'), 1, 12)) AS UBIGINT)
+        |      % 1000000 AS BIGINT) AS b
+        |  FROM documents),
+        |v1 AS (SELECT doc_id, source, md5(text) AS h,
+        |    length(text)::BIGINT AS len
+        |  FROM d WHERE b < 900000),
+        |v2 AS (SELECT doc_id, source,
+        |    md5(CASE WHEN b % 7 = 3 THEN text || ' [rev2]' ELSE text END) AS h,
+        |    length(CASE WHEN b % 7 = 3 THEN text || ' [rev2]' ELSE text END)
+        |      ::BIGINT AS len
+        |  FROM d WHERE b >= 50000),
+        |j AS (SELECT COALESCE(v1.source, v2.source) AS source,
+        |    CASE WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v1.h = v2.h THEN 'unchanged' ELSE 'changed' END AS status,
+        |    COALESCE(v1.len, 0) AS len1, COALESCE(v2.len, 0) AS len2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source, status, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(len1)::BIGINT AS chars_v1, SUM(len2)::BIGINT AS chars_v2,
+        |  (SUM(len2) - SUM(len1))::BIGINT AS delta_chars
+        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+
     // sampler (sample_stratified), each verbatim.
     "curation_report" ->
       raw"""WITH RECURSIVE toks3 AS (SELECT doc_id,
@@ -4876,6 +4969,31 @@ object SparkEntry {
         |  ${ratio4Sql("n_docs", "SUM(n_docs) OVER ()")}
         |    AS share
         |FROM a ORDER BY split""".stripMargin,
+
+    // Coverage rides the SAME sh shingle CTE shape as the dedup
+    // oracles; df is a plain count so no posting-list cap applies.
+    "text_ngram_coverage" ->
+      raw"""WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    CASE WHEN len(t) >= 3 THEN t[r.i] || ' ' || t[r.i+1] || ' ' || t[r.i+2]
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |df AS (SELECT shingle, COUNT(*)::BIGINT AS df FROM sh GROUP BY 1),
+        |j AS (SELECT s.source, s.doc_id, s.shingle, d.df
+        |  FROM sh s JOIN df d USING (shingle))
+        |SELECT source, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  COUNT(*)::BIGINT AS n_slots,
+        |  SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_slots,
+        |  COUNT(DISTINCT shingle)::BIGINT AS n_distinct,
+        |  COUNT(DISTINCT CASE WHEN df >= 2 THEN shingle END)::BIGINT
+        |    AS n_dup_distinct,
+        |  ${ratio4Sql("SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)", "COUNT(*)")}
+        |    AS dup_share
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "split_leakage" ->
       raw"""WITH toks AS (SELECT doc_id,

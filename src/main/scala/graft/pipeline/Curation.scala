@@ -265,4 +265,62 @@ object Curation {
       .orderBy(col("stage"))
   }
 
+  /** #44u corpus_diff: the SNAPSHOT-DIFF audit between two corpus
+    * versions — the dataset-versioning report every managed training
+    * corpus publishes on release (what changed since v1: docs added,
+    * removed, revised in place, untouched — and the character budget
+    * each class moved, per source). Change detection is BY CONTENT
+    * HASH (md5 of the text bytes), never by text comparison: the join
+    * payload is (hash, length), 48-odd bytes per doc whatever the
+    * document size, so the diff of a 100 TB corpus moves gigabytes,
+    * not the corpus.
+    *
+    * Scale shape: one full-outer hash join on doc_id — in production
+    * the two snapshot tables are BUCKETED on doc_id, so the join
+    * co-locates with zero exchange beyond the scans; here both
+    * versions derive from one table and AQE plans the self-join —
+    * then a map-side-combinable rollup to the (|sources| × 4)-sized
+    * report. Status semantics: a doc only in v1 is `removed`, only in
+    * v2 `added`, in both with equal hashes `unchanged`, else
+    * `changed`. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.select(col("doc_id"), col("source").as("src1"),
+        md5(col("text").cast("binary")).as("h1"),
+        length(col("text")).cast("long").as("len1"))
+      .join(v2.select(col("doc_id"), col("source").as("src2"),
+          md5(col("text").cast("binary")).as("h2"),
+          length(col("text")).cast("long").as("len2")),
+        Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src1"), col("src2")).as("source"),
+        when(col("h2").isNull, "removed")
+          .when(col("h1").isNull, "added")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("len1"), lit(0L)).as("len1"),
+        coalesce(col("len2"), lit(0L)).as("len2"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len1")).as("chars_v1"),
+        sum(col("len2")).as("chars_v2"))
+      .withColumn("delta_chars", col("chars_v2") - col("chars_v1"))
+      .orderBy(col("source"), col("status"))
+
+  /** The driver form of [[corpusDiff]]: both snapshots derive
+    * deterministically from the one `documents` table via the house
+    * md5-ppm split (salt `#ver`) so the oracle can replay them — v1
+    * is buckets < 900k, v2 is buckets ≥ 50k (so 5% removed, 10%
+    * added, 85% shared), and within the shared mass the `b % 7 = 3`
+    * slice carries an in-place revision (an appended marker), the
+    * `changed` class. */
+  def corpusDiffDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val b = graft.sources.PersistedIndex.ppmBucket(col("doc_id"), lit("#ver"))
+    val v1 = docs.filter(b < 900000L)
+    val v2 = docs.filter(b >= 50000L)
+      .withColumn("text",
+        when(b % 7L === 3L, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+    corpusDiff(v1, v2)
+  }
 }

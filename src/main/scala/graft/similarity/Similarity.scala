@@ -650,6 +650,92 @@ object Similarity {
       .orderBy(col("src_id"), col("rank"))
   }
 
+  /** #40q emb_knn_triangles: the TRIANGLE census of [[knnGraph]]'s
+    * mutual-edge graph — per-vertex triangle count and local
+    * clustering coefficient, the manifold-structure report graph
+    * curation reads on top of the kNN substrate (high LCC = tight
+    * semantic neighborhoods that cluster-then-sample can trust; LCC ≈
+    * 0 at high degree = hub vectors bridging unrelated regions, the
+    * classic embedding-quality smell the scalar audits miss).
+    *
+    * The count is the DEGREE-ORDERED (compact-forward) algorithm —
+    * the distributed standard (Schank & Wagner 2005; Cohen's
+    * MapReduce formulation): every undirected edge is oriented along
+    * the (degree, id) total order, wedges are generated only at each
+    * triangle's LOWEST-ordered vertex, and the closing edge is one
+    * equality semi-join. Wedge volume is Σ out-deg² ≤ O(m^1.5) on ANY
+    * graph under this orientation — on the mutual kNN graph m ≤ k·n,
+    * so the census costs ~O(n^1.5) worst case and near-linear in
+    * practice, never the unordered formulation's Σ deg² hub blowup.
+    *
+    * Scale shape: degree and orientation are equality joins on vertex
+    * keys over the (≤ k·n)-row edge list; the wedge self-join and the
+    * closing semi-join shuffle edge-shaped rows only (never
+    * embeddings, never the corpus); the LCC is an integer-count
+    * [[graft.functions.Exact.ratio4]]. Vertices with fewer than two
+    * mutual neighbors have no defined coefficient and are not report
+    * rows. */
+  private val mutualEdgeCache =
+    new graft.functions.SessionScopedCache("similarity.mutual_edges")
+
+  def knnTriangles(spark: SparkSession, dir: String): DataFrame = {
+    // The census references the edge list SIX times (degree, both
+    // orientation joins, both wedge sides, the closing semi-join);
+    // without the session-memoized checkpoint each reference would
+    // re-embed the whole kNN-graph lineage — corpus self-join
+    // included — into the plan (the events_pagerank in-plan-loop
+    // lesson: measured 58 exchanges vs 10 with the checkpoint). The
+    // frame is two longs per mutual edge, ≤ k·n rows, kilobytes
+    // resident at gated scale.
+    val edges = mutualEdgeCache.getOrCompute(spark, dir) {
+      knnGraph(spark, dir)
+        .filter(col("mutual") && col("src_id") < col("dst_id"))
+        .select(col("src_id").as("a"), col("dst_id").as("b"))
+        .localCheckpoint()
+    }
+    // deg and the oriented list are each consumed three times; at
+    // scale they are n- and m-row frames whose re-aggregation /
+    // re-join per consumer would triple the census's shuffle volume.
+    val deg = mutualEdgeCache.getOrCompute(spark, s"$dir#deg") {
+      edges.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+    }
+    val o = mutualEdgeCache.getOrCompute(spark, s"$dir#oriented") {
+      val withDeg = edges
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      // Oriented low-π → high-π under π = (deg, id); dw carries the
+      // head's π-degree so the wedge test needs no further join.
+      withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+        .localCheckpoint()
+    }
+    val wedges = o.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+      .join(o.select(col("u"), col("w").as("z"), col("dw").as("dz")), "u")
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("u").as("x"), col("y"), col("z"))
+    // The closing edge is oriented y → z by construction (π(y) < π(z)).
+    val tris = wedges.join(
+      o.select(col("u").as("y"), col("w").as("z")), Seq("y", "z"), "left_semi")
+    val triPerV = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    deg.join(triPerV, Seq("v"), "left_outer")
+      .filter(col("deg") >= 2)
+      .select(col("v").as("vec_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        graft.functions.Exact.ratio4(
+          lit(2L) * coalesce(col("tri"), lit(0L)),
+          col("deg") * (col("deg") - lit(1L))).as("lcc"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- #40m ann_incremental: the PERSISTED IVF index + daily batch --
 
   /** Deterministic batch membership for the vector corpus — the

@@ -209,6 +209,47 @@ object Bpe {
           concat(col("word"), lit(WordEnd)), 1).otherwise(0)).as("lossless"))
       .orderBy(col("doc_id"))
   }
+
+  /** #44y text_bpe_fertility: per-(lang, source) tokenizer FERTILITY
+    * report from the learned merge table — the standard
+    * tokenizer-evaluation slice (tokens per word, chars per token) a
+    * multilingual corpus publishes before a tokenizer is frozen: a
+    * tokenizer trained on one language mix quietly taxes the
+    * under-represented slices (more tokens for the same text = less
+    * effective context and compute per document), and THIS report is
+    * where that tax shows up, per corpus slice. Fertility =
+    * bpe_tokens/words and chars-per-token = chars/bpe_tokens are
+    * integer-count [[graft.functions.Exact.ratio4]] ratios, so the
+    * whole report sits under the hash gate.
+    *
+    * Scale shape: identical to [[encode]] — the memoized training
+    * rides §44l, the merge table is a plan-embedded literal
+    * (fitted-codebook pattern, no join), the encode is a codegen'd
+    * map fused into the pre-token explode, and the rollup is ONE
+    * map-side-combinable shuffle onto the (|langs| × |sources|)-sized
+    * key — dimension-sized output whatever the corpus. */
+  def fertility(spark: SparkSession, dir: String, nMerges: Int = 25): DataFrame = {
+    val merges = trainedMerges(spark, dir, nMerges).map(m => (m._2, m._3))
+    val toks = bpeEncode(col("word"), merges)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(Text.BpePattern), lit(0))).as("word"))
+      .select(col("lang"), col("source"),
+        size(toks).as("n_toks"), length(col("word")).as("len"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_bpe_tokens"),
+        sum(col("len")).as("n_chars"))
+      .select(col("lang"), col("source"),
+        col("n_words"), col("n_bpe_tokens"), col("n_chars"),
+        graft.functions.Exact.ratio4(col("n_bpe_tokens"), col("n_words"))
+          .as("fertility"),
+        graft.functions.Exact.ratio4(col("n_chars"), col("n_bpe_tokens"))
+          .as("chars_per_token"))
+      .orderBy(col("lang"), col("source"))
+  }
 }
 
 /** `bpe_encode(word)` with an embedded learned merge table: the

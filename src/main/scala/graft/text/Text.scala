@@ -1332,4 +1332,44 @@ object Text {
           .over(org.apache.spark.sql.expressions.Window.partitionBy())))
       .orderBy(col("split"))
   }
+
+  /** #44z text_ngram_coverage: the DUPLICATION-CONTAMINATION rate per
+    * source — how much of each slice's content is shingle mass shared
+    * with at least one OTHER document corpus-wide (the "fraction of
+    * the corpus that is boilerplate/near-dup text" number the
+    * web-scale curation papers report before and after dedup; the
+    * dedup operators DROP duplicates, this one QUANTIFIES what they'd
+    * touch, per source, without committing to a drop). Rides the
+    * house 3-word shingle-set rule ([[graft.dedup.Dedup.shingles]] /
+    * the sh3 oracle CTE), so the number is consistent with what the
+    * dedup pipeline would actually see: per source, shingle SLOTS
+    * (Σ per-doc distinct shingles), slots whose shingle has corpus
+    * document-frequency ≥ 2, distinct/duplicated-distinct shingle
+    * counts, and the slot-level duplicated share as an integer-count
+    * [[graft.functions.Exact.ratio4]].
+    *
+    * Scale shape: the inverted-index pattern without posting lists —
+    * shingle df is a map-side-combinable count (no collect_set, no
+    * cap needed: nothing list-shaped buffers), and the slots⋈df join
+    * is BIG-BIG on the shingle key, pinned sort-merge for the same
+    * reason as the ngram-Jaccard pipeline (both sides grow with the
+    * corpus; a stats-underestimate broadcast OOMs at 10× — the r7
+    * finding); the final rollup is one |sources|-key aggregation. */
+  def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val slots = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("shingle"))
+    val df = slots.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    slots.join(df.hint("merge"), "shingle")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_slots"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_slots"),
+        countDistinct(col("shingle")).as("n_distinct"),
+        countDistinct(when(col("df") >= 2, col("shingle")))
+          .as("n_dup_distinct"))
+      .withColumn("dup_share", ratio4(col("dup_slots"), col("n_slots")))
+      .orderBy(col("source"))
+  }
 }

@@ -87,4 +87,36 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_pairs") === want.getOrElse(k, 0L), s"cell $k")
     }
   }
+
+  test("corpus_diff: statuses tile both snapshots and the revision marker is the only delta") {
+    import graft.pipeline.Curation
+    import graft.sources.{PersistedIndex, Tables}
+    import org.apache.spark.sql.functions._
+    val rows = Curation.corpusDiffDemo(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val b = PersistedIndex.ppmBucket(col("doc_id"), lit("#ver"))
+    val nV1 = docs.filter(b < 900000L).count()
+    val nV2 = docs.filter(b >= 50000L).count()
+    def tot(statuses: Set[String]) =
+      rows.filter(r => statuses(r.getAs[String]("status")))
+        .map(_.getAs[Long]("n_docs")).sum
+    // Every v1 doc is removed/changed/unchanged; every v2 doc is
+    // added/changed/unchanged — the diff tiles both snapshots.
+    assert(tot(Set("removed", "changed", "unchanged")) === nV1)
+    assert(tot(Set("added", "changed", "unchanged")) === nV2)
+    assert(tot(Set("changed")) > 0, "the b%7 revision slice is non-empty")
+    rows.foreach { r =>
+      (r.getAs[String]("status"), r.getAs[Long]("delta_chars")) match {
+        case ("unchanged", d) => assert(d === 0L)
+        case ("removed", d) =>
+          assert(r.getAs[Long]("chars_v2") === 0L && d < 0L)
+        case ("added", d) =>
+          assert(r.getAs[Long]("chars_v1") === 0L && d > 0L)
+        case ("changed", d) =>
+          // In-place revisions append exactly the 7-char marker.
+          assert(d === 7L * r.getAs[Long]("n_docs"))
+        case (s, _) => fail(s"unknown status $s")
+      }
+    }
+  }
 }

@@ -529,11 +529,20 @@ class PlanSpec extends AnyFunSuite {
     // session memo planOf reads).
     "dedup_threshold_curve" -> 4,
     "dedup_simhash" -> 2, "dedup_substring" -> 0, "dedup_survivors" -> 0,
+    // corpus_diff 3: the two snapshot sides each exchange on doc_id
+    // for the full-outer join (bucketed snapshots co-locate these away
+    // in production) + the (source, status) rollup.
+    "corpus_diff" -> 3,
     "distinct_agg" -> 2, "emb_dim_stats" -> 1, "emb_kmeans" -> 1,
     // emb_label_purity 2: the (cluster, label) cell shuffle, then the
     // majority window's cluster repartition (the final cluster rollup
     // rides the window's partitioning).
     "emb_label_purity" -> 2,
+    // emb_knn_triangles 6: wedge self-join + closing semi-join +
+    // per-vertex rollup + the final degree join, all over the
+    // session-checkpointed edge/degree/oriented frames (without the
+    // checkpoints the re-embedded kNN lineage measured 58).
+    "emb_knn_triangles" -> 6,
     // emb_knn_graph 4: corpus assignment agg-join for the same-list
     // candidates, the per-source bounded-heap top-k partial->final,
     // and the reversed-key mutual self-join's two sides.
@@ -565,6 +574,13 @@ class PlanSpec extends AnyFunSuite {
     "events_moving_avg" -> 1, "events_retention" -> 3, "events_sequences" -> 2,
     "events_session_mix" -> 3, "events_session_stats" -> 4, "events_sessionize" -> 1,
     "events_sessionize_native" -> 1, "events_transitions" -> 3, "events_user_overlap" -> 7,
+    // text_ngram_coverage 4: shingle-df count + the pinned big-big
+    // sort-merge join's two sides + the multi-distinct source rollup.
+    "text_ngram_coverage" -> 4,
+    // text_bpe_fertility 1: the merge table is a plan literal and the
+    // encode fuses into the pre-token explode; the one exchange is the
+    // (lang, source) map-side-combinable rollup.
+    "text_bpe_fertility" -> 1,
     "events_user_overlap_sketch" -> 8, "events_value_hist" -> 1, "events_weekend_contrast" -> 2,
     // events_dist_drift 4: ONE corpus-sized (type, bucket) count
     // shuffle; the remaining three (the type window under each of the

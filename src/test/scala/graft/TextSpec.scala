@@ -586,6 +586,61 @@ class TextSpec extends AnyFunSuite {
       "25 merges should compress below the char baseline")
   }
 
+  test("bpe fertility slices conserve the encode totals and ratios bound correctly") {
+    import graft.text.Bpe
+    val rows = Bpe.fertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // The (lang, source) rollup re-slices the SAME encode pass the
+    // per-doc report aggregates — totals must conserve exactly.
+    val enc = Bpe.encode(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_words")).sum ===
+      enc.map(_.getAs[Long]("n_words")).sum)
+    assert(rows.map(_.getAs[Long]("n_bpe_tokens")).sum ===
+      enc.map(_.getAs[Long]("n_bpe_tokens")).sum)
+    assert(rows.map(_.getAs[Long]("n_chars")).sum ===
+      enc.map(_.getAs[Long]("n_chars")).sum)
+    rows.foreach { r =>
+      // Every word encodes to >= 1 token, so fertility >= 1; a token
+      // never outgrows its word + the word-end mark.
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+    }
+  }
+
+  test("ngram coverage matches a driver-side shingle-df recount") {
+    import graft.text.Text
+    val rows = Text.ngramCoverage(spark, sf).collect()
+    // In-memory replay of the house shingle rule: lowercase,
+    // whitespace tokens, 3-gram windows space-joined (whole doc when
+    // shorter), DISTINCT per doc; df counts documents.
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shOf(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      if (toks.isEmpty) Set.empty
+      else if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val perDoc = docs.map { case (id, src, t) => (id, src, shOf(t)) }
+      .filter(_._3.nonEmpty)
+    val dfMap = perDoc.flatMap(_._3).groupBy(identity).map { case (s, o) => (s, o.length) }
+    val bySource = perDoc.groupBy(_._2)
+    assert(rows.length === bySource.size)
+    rows.foreach { r =>
+      val ds = bySource(r.getAs[String]("source"))
+      val slots = ds.flatMap(d => d._3.toSeq.map(s => (d._1, s)))
+      val dup = slots.count { case (_, s) => dfMap(s) >= 2 }
+      assert(r.getAs[Long]("n_docs") === ds.length.toLong)
+      assert(r.getAs[Long]("n_slots") === slots.length.toLong)
+      assert(r.getAs[Long]("dup_slots") === dup.toLong)
+      assert(r.getAs[Long]("n_distinct") === slots.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("n_dup_distinct") ===
+        slots.map(_._2).distinct.count(s => dfMap(s) >= 2).toLong)
+    }
+  }
+
   test("collocations match a driver-side bigram recount") {
     import SparkTestSession._
     val rows = graft.text.Text.collocations(spark, sf, k = 20).collect()
