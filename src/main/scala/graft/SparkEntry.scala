@@ -149,6 +149,7 @@ object SparkEntry {
     "dedup_clusters"           -> (Dedup.clusters _),
     "dedup_clusters_star"      -> (Dedup.clustersStar _),
     "dedup_survivors"          -> (Dedup.survivors _),
+    "dedup_survivor_weights"   -> (Dedup.survivorWeights _),
     "dedup_embedding"          -> (Dedup.embedding _),
     "dedup_semantic"           -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "dedup_knn_cc"             -> ((s: SparkSession, d: String) => Dedup.knnCc(s, d)),
@@ -213,6 +214,7 @@ object SparkEntry {
     "ann_range_search"         -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_filtered_topk"        -> (Similarity.filteredTopK _),
     "ann_incremental"          -> (Similarity.ivfIncremental _),
+    "ann_recall_audit"         -> (Similarity.ivfRecallAudit _),
     "ann_index_drift"          -> (Similarity.ivfDrift _),
     "emb_knn_graph"            -> (Similarity.knnGraph _),
     "emb_knn_triangles"        -> (Similarity.knnTriangles _),
@@ -1129,6 +1131,74 @@ object SparkEntry {
       |ORDER BY i.vec_id""".stripMargin
   }
 
+  /** ann_recall_audit under the hard gate: the [[annIncrementalOracleSql]]
+    * frozen-fit replay, the md5-ppm ≥ 990 000 audit sample, the IVF
+    * probe + re-rank restricted to the sample, the exact brute-force
+    * best over the same corpus slice, and the 1-row match/scan
+    * rollup with integer-count ratio4 presentation. */
+  private def annRecallAuditOracleSql: String = {
+    val (k, iters, nProbe, dim) = (16, 5, 4, 64)
+    def assignScore(v: String) = nearestCentroidScoreSql(v)
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """spl AS (SELECT vec_id,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(vec_id AS VARCHAR) || '#ivf'), 1, 12)) AS UBIGINT)
+        |      % 1000000 AS BIGINT) AS b
+        |  FROM embeddings)""".stripMargin,
+      "corp AS MATERIALIZED (SELECT e.* FROM emb e JOIN spl USING (vec_id) WHERE spl.b < 900000)",
+      "aud AS MATERIALIZED (SELECT e.* FROM emb e JOIN spl USING (vec_id) WHERE spl.b >= 990000)",
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM corp WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
+    parts ++= sphericalFitSqlParts(k, iters, dim)
+    val fin = s"c$iters"
+    parts += s"""casn AS MATERIALIZED (
+      |  SELECT vec_id, c AS centroid FROM (
+      |    SELECT e.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${assignScore("e.v")} DESC, c.c) AS rn
+      |    FROM corp e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+    parts += s"""qprobe AS (
+      |  SELECT new_id, c AS centroid FROM (
+      |    SELECT qq.vec_id AS new_id, c.c, ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+      |      ORDER BY ${assignScore("qq.v")} DESC, c.c) AS rn
+      |    FROM aud qq CROSS JOIN $fin c) WHERE rn <= $nProbe)""".stripMargin
+    parts += """sc AS (SELECT qp.new_id, ca.vec_id AS corpus_id,
+      |    list_dot_product(qq.v, ee.v)
+      |      / sqrt(list_dot_product(qq.v, qq.v) * list_dot_product(ee.v, ee.v)) AS cos
+      |  FROM casn ca JOIN qprobe qp USING (centroid)
+      |  JOIN aud qq ON qq.vec_id = qp.new_id
+      |  JOIN corp ee ON ee.vec_id = ca.vec_id)""".stripMargin
+    parts += """best AS (SELECT new_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |    MAX(CASE WHEN rn = 1 THEN corpus_id END) AS best_match
+      |  FROM (SELECT new_id, corpus_id, cos, ROW_NUMBER() OVER (
+      |      PARTITION BY new_id ORDER BY cos DESC, corpus_id) AS rn FROM sc)
+      |  GROUP BY new_id)""".stripMargin
+    parts += """bb AS (SELECT new_id, corpus_id AS true_match FROM (
+      |    SELECT a.vec_id AS new_id, c.vec_id AS corpus_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_dot_product(a.v, c.v)
+      |          / sqrt(list_dot_product(a.v, a.v) * list_dot_product(c.v, c.v))
+      |        DESC, c.vec_id) AS rn
+      |    FROM aud a CROSS JOIN corp c) WHERE rn = 1)""".stripMargin
+    parts += """j AS (SELECT a.vec_id, b.n_candidates, b.best_match, t.true_match
+      |  FROM aud a LEFT JOIN best b ON b.new_id = a.vec_id
+      |  LEFT JOIN bb t ON t.new_id = a.vec_id)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT (SELECT COUNT(*) FROM corp)::BIGINT AS n_corpus,
+      |  COUNT(*)::BIGINT AS n_audit,
+      |  SUM(CASE WHEN n_candidates > 0 THEN 1 ELSE 0 END)::BIGINT AS n_scored,
+      |  SUM(CASE WHEN best_match = true_match THEN 1 ELSE 0 END)::BIGINT AS n_match,
+      |  ${ratio4Sql(
+          "SUM(CASE WHEN best_match = true_match THEN 1 ELSE 0 END)",
+          "NULLIF(COUNT(*), 0)")} AS recall_at_1,
+      |  ${ratio4Sql("SUM(COALESCE(n_candidates, 0))",
+          "NULLIF(CAST(COUNT(*) AS HUGEINT) * (SELECT COUNT(*) FROM corp), 0)")}
+      |    AS scanned_share
+      |FROM j""".stripMargin
+  }
+
   /** emb_knn_graph under the hard gate: the seeded-trainer replay
     * ([[seededTrainerCtes]] — hash-ordered Forgy seeds + 5 full-corpus
     * Lloyd rounds, the fit whose k nothing caps below the corpus
@@ -1978,6 +2048,30 @@ object SparkEntry {
       |  SELECT e.a AS v, w.r FROM edges e JOIN reach w ON e.b = w.v),
       |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
+  /** dedup_survivor_weights: the [[ClustersCtePrefix]] verdict chain,
+    * exact ppm weights (10⁶ // cluster_size, 10⁶ unclustered), and the
+    * per-source weighted rollup — token·weight products on HUGEINT. */
+  private val SurvivorWeightsOracleSql: String = ClustersCtePrefix +
+    s""",
+      |csz AS (SELECT cluster_id, COUNT(*)::BIGINT AS csize FROM cl GROUP BY 1),
+      |d AS (SELECT t.doc_id, dd.source, CAST(len(t.t) AS BIGINT) AS n_toks
+      |  FROM toks t JOIN documents dd USING (doc_id)),
+      |w AS (SELECT d.doc_id, d.source, d.n_toks, cl.cluster_id,
+      |    COALESCE(1000000 // csz.csize, 1000000) AS w_ppm
+      |  FROM d LEFT JOIN cl USING (doc_id) LEFT JOIN csz USING (cluster_id))
+      |SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |  SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_dup_docs,
+      |  SUM(n_toks)::BIGINT AS n_tokens,
+      |  ${graft.functions.Exact.ratio4Sql("SUM(w_ppm)", "1000000")} AS eff_docs,
+      |  ${graft.functions.Exact.ratio4Sql("SUM(w_ppm)",
+          "CAST(COUNT(*) AS HUGEINT) * 1000000")} AS eff_doc_share,
+      |  ${graft.functions.Exact.ratio4Sql(
+          "SUM(CAST(n_toks AS HUGEINT) * w_ppm)",
+          "NULLIF(CAST(SUM(n_toks) AS HUGEINT), 0) * 1000000")}
+      |    AS eff_token_share
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+
   private val ClustersOracleSql: String = ClustersCtePrefix +
     """
       |SELECT doc_id, cluster_id,
@@ -2059,6 +2153,7 @@ object SparkEntry {
     ("dedup_knn_cc" -> dedupKnnCcOracleSql) +
     ("dedup_incremental" -> dedupIncrementalOracleSql) +
     ("ann_incremental" -> annIncrementalOracleSql) +
+    ("ann_recall_audit" -> annRecallAuditOracleSql) +
     ("dedup_index_audit" -> dedupIndexAuditOracleSql) +
     ("ann_index_drift" -> annIndexDriftOracleSql)
 
@@ -3341,6 +3436,8 @@ object SparkEntry {
     // connected-components oracle verbatim.
     "dedup_clusters" -> ClustersOracleSql,
     "dedup_clusters_star" -> ClustersOracleSql,
+
+    "dedup_survivor_weights" -> SurvivorWeightsOracleSql,
 
     "dedup_survivors" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,

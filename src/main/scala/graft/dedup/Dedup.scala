@@ -995,6 +995,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** #37k dedup_survivor_weights: SOFT dedup — down-weight duplicates
+    * instead of dropping them (the D4/SemDeDup-adjacent recipe: a
+    * document in a near-dup cluster of size s trains with weight 1/s,
+    * so every cluster contributes one document's worth of gradient
+    * mass while keeping its internal variation available). The hard
+    * pipeline ([[survivors]]) picks one winner per cluster; THIS
+    * reports what the weighted alternative preserves, per source:
+    * docs, duplicated docs, tokens, the effective (weighted) document
+    * count, and the effective doc/token shares a mixing plan would
+    * budget with. Weights are EXACT integers at ppm precision —
+    * w_ppm = 10⁶ div cluster_size (10⁶ for unclustered docs) — so Σ1/s
+    * needs no float fold and the whole report is integer math under
+    * ratio4 presentation, hash-exact at any partitioning.
+    *
+    * Scale shape: rides the session-memoized cluster checkpoint (the
+    * CC loop runs once per session, shared with survivors/the
+    * funnel); cluster sizes are a pair-graph-sized aggregate; the
+    * corpus joins the (doc, cluster) frame doc-keyed once, then ONE
+    * map-side-combinable |sources|-key rollup. Token-weight products
+    * ride DECIMAL(38,0)/HUGEINT (n_toks·10⁶ passes 2⁶³ at corpus
+    * scale). */
+  def survivorWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cl = clusters(spark, dir)
+    val csz = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .cast("long").as("n_toks"))
+    docs
+      .join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left_outer")
+      .join(csz, Seq("cluster_id"), "left_outer")
+      .withColumn("w_ppm", coalesce(expr("1000000 div csize"), lit(1000000L)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("w_ppm")).as("w_sum"),
+        sum(col("n_toks").cast("decimal(38,0)") * col("w_ppm")).as("wtok_sum"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"), col("n_tokens"),
+        graft.functions.Exact.ratio4(col("w_sum"), lit(1000000L)).as("eff_docs"),
+        graft.functions.Exact.ratio4(col("w_sum"),
+          col("n_docs").cast("decimal(38,0)") * lit(1000000L)).as("eff_doc_share"),
+        graft.functions.Exact.ratio4(col("wtok_sum"),
+          nullif(col("n_tokens"), lit(0L)).cast("decimal(38,0)") * lit(1000000L))
+          .as("eff_token_share"))
+      .orderBy(col("source"))
+  }
+
   /** #38 dedup_embedding: embedding near-dup via random-hyperplane LSH —
     * L=4 tables of 8-bit buckets; per vector, the best bucket-mate by
     * exact cosine. Per-vector output (this corpus has no true embedding

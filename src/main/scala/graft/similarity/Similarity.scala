@@ -874,6 +874,81 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** #40r ann_recall_audit: the MEASURED-RECALL report of the
+    * persisted IVF index — the third leg of the index-operations
+    * triad (dedup_index_audit = what the cap eats, ann_index_drift =
+    * how far the batch drifted, THIS = what recall the frozen index
+    * actually delivers on today's traffic). [[ivfIncremental]]'s
+    * tuning-time recall curve (ann_tuning_curve) is measured at build
+    * time on the corpus; an aging frozen index serves DRIFTED batches,
+    * where routing degrades first — so the audit probes a 1% md5-ppm
+    * SAMPLE of the daily batch (production recall audits sample; the
+    * exact truth over the full batch would cost a batch × corpus
+    * scan), compares each sampled vector's IVF best match against the
+    * exact brute-force best over the same postings, and reports
+    * recall@1 plus the scanned-candidate share (the cost half of the
+    * trade-off, the tuning-curve convention).
+    *
+    * Scale shape: the IVF side rides the bucketed postings exactly
+    * like [[ivfIncremental]] (no exchange on the index side); the
+    * brute-force truth broadcasts the audit-sized sample against ONE
+    * postings scan (the ann_bruteforce discipline — queries
+    * broadcast, corpus never collected); everything collapses to a
+    * 1-row report. Counts are integers and both ratios integer-count
+    * [[graft.functions.Exact.ratio4]], so the audit sits under the
+    * hash gate. */
+  def ivfRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    ivfRecallAuditOver(spark, dir, ivfIndex(spark, dir), 990000L)
+
+  /** [[ivfRecallAudit]] against an explicit index + audit floor (spec
+    * form; `audLo` must sit inside the index's batch range). */
+  private[graft] def ivfRecallAuditOver(spark: SparkSession, dir: String,
+      idx: IvfIndex, audLo: Long): DataFrame = {
+    val nProbe = 4
+    val aud = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(ivfIncBucket(col("vec_id")) >= audLo)
+    val probed = aud.select(
+      col("vec_id").as("new_id"), col("embedding").as("q_emb"),
+      explode(Centroids.nearestCentroids(col("embedding"), idx.cents, nProbe))
+        .as("centroid"))
+    val ivfBest = spark.table(idx.table)
+      .join(probed, Seq("centroid"))
+      .select(col("new_id"), col("vec_id").as("corpus_id"),
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        TopKByScore.topkByScore(col("cos"), col("corpus_id"), 1).as("top"))
+      .select(col("new_id"), col("n_candidates"),
+        element_at(col("top"), 1).getField("id").as("best_match"))
+    val brute = spark.table(idx.table)
+      .crossJoin(broadcast(aud.select(
+        col("vec_id").as("new_id"), col("embedding").as("q_emb"))))
+      .select(col("new_id"), col("vec_id").as("corpus_id"),
+        Sketches.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy(col("new_id"))
+      .agg(TopKByScore.topkByScore(col("cos"), col("corpus_id"), 1).as("top"))
+      .select(col("new_id"),
+        element_at(col("top"), 1).getField("id").as("true_match"))
+    val corpN = spark.table(idx.table).agg(count(lit(1)).as("n_corpus"))
+    aud.select(col("vec_id").as("new_id"))
+      .join(ivfBest, Seq("new_id"), "left_outer")
+      .join(brute, Seq("new_id"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_audit"),
+        sum(when(col("n_candidates") > 0L, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("best_match") === col("true_match"), 1L).otherwise(0L))
+          .as("n_match"),
+        sum(coalesce(col("n_candidates"), lit(0L))).as("scanned"))
+      .crossJoin(broadcast(corpN)) // 1-row scalar
+      .select(col("n_corpus"), col("n_audit"), col("n_scored"), col("n_match"),
+        graft.functions.Exact.ratio4(col("n_match"), nullif(col("n_audit"), lit(0L)))
+          .as("recall_at_1"),
+        graft.functions.Exact.ratio4(col("scanned"),
+          nullif(col("n_audit").cast("decimal(38,0)") * col("n_corpus"), lit(0L)))
+          .as("scanned_share"))
+  }
+
   // ---- #40p ann_index_drift: the frozen-quantizer drift audit --------
 
   /** #40p ann_index_drift: the DRIFT report of the persisted IVF index

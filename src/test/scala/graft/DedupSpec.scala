@@ -619,4 +619,36 @@ class DedupSpec extends AnyFunSuite {
       assert(j >= 0.0 && j <= 1.0)
     }
   }
+
+  test("survivor weights match a driver recount of 1e6/cluster_size per source") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.survivorWeights(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cl = Dedup.clusters(spark, sf).select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val csize = cl.values.groupBy(identity).map { case (c, o) => c -> o.size }
+    // Expected per-source: docs, cluster members, Σ(1e6 div size).
+    val perSource = docs.toSeq.groupBy(_._2).map { case (src, ds) =>
+      val wSum = ds.map { case (id, _) =>
+        cl.get(id).map(c => 1000000L / csize(c)).getOrElse(1000000L)
+      }.sum
+      src -> (ds.size.toLong, ds.count(d => cl.contains(d._1)).toLong, wSum)
+    }
+    assert(rows.length === perSource.size)
+    rows.foreach { r =>
+      val (nDocs, nDup, wSum) = perSource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      assert(r.getAs[Long]("n_dup_docs") === nDup)
+      assert(r.getAs[Double]("eff_docs") ===
+        math.round(wSum * 10000.0 / 1000000.0) / 10000.0)
+      val share = r.getAs[Double]("eff_doc_share")
+      assert(share > 0.0 && share <= 1.0)
+      // Every cluster has >= 2 members, so weighted mass strictly
+      // undercuts raw mass exactly when duplicates exist.
+      if (nDup === 0L) assert(share === 1.0)
+      else assert(share < 1.0)
+    }
+  }
 }

@@ -529,6 +529,14 @@ class PlanSpec extends AnyFunSuite {
     // session memo planOf reads).
     "dedup_threshold_curve" -> 4,
     "dedup_simhash" -> 2, "dedup_substring" -> 0, "dedup_survivors" -> 0,
+    // dedup_survivor_weights 2: the doc-keyed join of the corpus to
+    // the checkpointed cluster frame + the |sources| rollup (cluster
+    // sizes ride the pair-graph-sized frame behind the memo).
+    "dedup_survivor_weights" -> 2,
+    // ann_recall_audit 3: the probed-batch join exchange + the two
+    // best-match rollups; the postings side reads bucketed (no
+    // exchange) and the brute-force truth broadcasts the 1% sample.
+    "ann_recall_audit" -> 3,
     // corpus_diff 3: the two snapshot sides each exchange on doc_id
     // for the full-outer join (bucketed snapshots co-locate these away
     // in production) + the (source, status) rollup.
