@@ -114,6 +114,7 @@ object SparkEntry {
     "events_sessionize_native" -> (Events.sessionizeNative _),
     "events_weekend_contrast"  -> (Events.weekendContrast _),
     "events_dist_drift"        -> ((s, d) => Events.distDrift(s, d)),
+    "events_user_lifecycle"    -> (Events.userLifecycle _),
     "text_lang_mix"            -> (Text.langMix _),
     "events_burstiness"        -> (Events.burstiness _),
     "orders_seasonality"       -> (Relational.ordersSeasonality _),
@@ -215,6 +216,7 @@ object SparkEntry {
     "ann_filtered_topk"        -> (Similarity.filteredTopK _),
     "ann_incremental"          -> (Similarity.ivfIncremental _),
     "ann_recall_audit"         -> (Similarity.ivfRecallAudit _),
+    "ann_index_balance"        -> (Similarity.ivfBalance _),
     "ann_index_drift"          -> (Similarity.ivfDrift _),
     "emb_knn_graph"            -> (Similarity.knnGraph _),
     "emb_knn_triangles"        -> (Similarity.knnTriangles _),
@@ -1199,6 +1201,42 @@ object SparkEntry {
       |FROM j""".stripMargin
   }
 
+  /** ann_index_balance under the hard gate: the frozen-fit replay's
+    * corpus assignment (`casn`), counted per list over the k-row list
+    * dimension (range(0, 16) — empty lists are report rows), with
+    * ratio4 share and uniform-relative load factor. */
+  private def annIndexBalanceOracleSql: String = {
+    val (k, iters, dim) = (16, 5, 64)
+    def assignScore(v: String) = nearestCentroidScoreSql(v)
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      """spl AS (SELECT vec_id,
+        |    CAST(CAST(concat('0x', substring(
+        |      md5(CAST(vec_id AS VARCHAR) || '#ivf'), 1, 12)) AS UBIGINT)
+        |      % 1000000 AS BIGINT) AS b
+        |  FROM embeddings)""".stripMargin,
+      "corp AS MATERIALIZED (SELECT e.* FROM emb e JOIN spl USING (vec_id) WHERE spl.b < 900000)",
+      """samp AS MATERIALIZED (
+        |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM (SELECT vec_id, v FROM corp WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 1024))""".stripMargin)
+    parts ++= sphericalFitSqlParts(k, iters, dim)
+    val fin = s"c$iters"
+    parts += s"""casn AS MATERIALIZED (
+      |  SELECT vec_id, c AS centroid FROM (
+      |    SELECT e.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${assignScore("e.v")} DESC, c.c) AS rn
+      |    FROM corp e CROSS JOIN $fin c) WHERE rn = 1)""".stripMargin
+    parts += s"lists AS (SELECT CAST(r.i AS INT) AS centroid FROM UNNEST(range(0, $k)) AS r(i))"
+    parts += "szs AS (SELECT centroid, COUNT(*)::BIGINT AS sz FROM casn GROUP BY 1)"
+    parts += "tot AS (SELECT COUNT(*)::BIGINT AS n FROM casn)"
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT l.centroid, COALESCE(s.sz, 0)::BIGINT AS sz,
+      |  ${ratio4Sql("COALESCE(s.sz, 0)", "NULLIF(t.n, 0)")} AS share,
+      |  ${ratio4Sql(s"COALESCE(s.sz, 0) * $k", "NULLIF(t.n, 0)")} AS balance
+      |FROM lists l LEFT JOIN szs s USING (centroid) CROSS JOIN tot t
+      |ORDER BY l.centroid""".stripMargin
+  }
+
   /** emb_knn_graph under the hard gate: the seeded-trainer replay
     * ([[seededTrainerCtes]] — hash-ordered Forgy seeds + 5 full-corpus
     * Lloyd rounds, the fit whose k nothing caps below the corpus
@@ -2154,6 +2192,7 @@ object SparkEntry {
     ("dedup_incremental" -> dedupIncrementalOracleSql) +
     ("ann_incremental" -> annIncrementalOracleSql) +
     ("ann_recall_audit" -> annRecallAuditOracleSql) +
+    ("ann_index_balance" -> annIndexBalanceOracleSql) +
     ("dedup_index_audit" -> dedupIndexAuditOracleSql) +
     ("ann_index_drift" -> annIndexDriftOracleSql)
 
@@ -3551,6 +3590,38 @@ object SparkEntry {
         | CAST(we100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekend_rate,
         | ${ratio4Sql("we100", "NULLIF(wd100, 0)")} AS weekend_ratio
         |FROM r ORDER BY event_type""".stripMargin,
+
+    // Lifecycle weeks ride the dau_mau epoch-week rule; the wow
+    // denominator is NULL unless the prior report row is the prior
+    // calendar week.
+    "events_user_lifecycle" ->
+      raw"""WITH uw AS (SELECT DISTINCT user_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) // 7 AS wk
+        |  FROM events),
+        |st AS (SELECT user_id, wk,
+        |    LAG(wk) OVER w AS prev_wk, LEAD(wk) OVER w AS next_wk
+        |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+        |cl AS (SELECT wk,
+        |    CASE WHEN prev_wk IS NULL THEN 'new'
+        |         WHEN prev_wk = wk - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS state,
+        |    (next_wk IS NULL OR next_wk <> wk + 1) AS churning
+        |  FROM st),
+        |wkly AS (SELECT wk, COUNT(*)::BIGINT AS n_active,
+        |    SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |    SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_retained,
+        |    SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_resurrected,
+        |    SUM(CASE WHEN churning THEN 1 ELSE 0 END)::BIGINT AS n_churning
+        |  FROM cl GROUP BY wk),
+        |fin AS (SELECT *, LAG(wk) OVER (ORDER BY wk) AS pwk,
+        |    LAG(n_active) OVER (ORDER BY wk) AS pact FROM wkly)
+        |SELECT DATE '1970-01-01' + CAST(wk * 7 - 3 AS INT) AS week,
+        | n_active, n_new, n_retained, n_resurrected, n_churning,
+        | ${ratio4Sql("n_retained",
+            "NULLIF(CASE WHEN pwk = wk - 1 THEN pact END, 0)")} AS wow_retention
+        |FROM fin ORDER BY week""".stripMargin,
 
     // TVD drift: every cross-multiple rides HUGEINT (the DECIMAL(38,0)
     // stand-in), mirroring the Spark side's decimal casts; the 0.1

@@ -1516,6 +1516,67 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** #32al events_user_lifecycle: weekly growth accounting — every
+    * active (user, week) classified into the standard lifecycle
+    * states (NEW: first week ever; RETAINED: also active the prior
+    * week; RESURRECTED: returning after a gap) plus the forward-churn
+    * count (active this week, not active next — "will not return"),
+    * and the week-over-week retention rate. The state machine behind
+    * every growth dashboard; [[dauMau]] reports the stock,
+    * [[growthCurve]] the inflow — THIS decomposes the flow, the
+    * decomposition that explains WHY actives moved (n_active = new +
+    * retained + resurrected by construction, spec-pinned).
+    *
+    * Weeks are the [[dauMau]] integer epoch-week rule ((day+3) div 7,
+    * Monday-based, timezone-free); forward churn avoids the
+    * empty-week attribution hole entirely (a churn INTO a silent week
+    * needs a row for a week with no actives — attributing it to the
+    * last active week keeps the report's key set = the active weeks).
+    *
+    * Scale shape: one distinct (user, week) shuffle, one user_id
+    * window for the lag/lead states (the module's locality unit),
+    * then everything — weekly rollup, the retention lag — rides the
+    * |weeks|-sized dimension frame. The wow denominator is guarded:
+    * retained/prior-actives only when the prior REPORT row is the
+    * prior CALENDAR week (a gap week yields NULL, not a rate against
+    * the wrong base). */
+  def userLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) div 86400000000 + 3) div 7").as("wk"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val states = uw
+      .withColumn("prev_wk", lag(col("wk"), 1).over(byUser))
+      .withColumn("next_wk", lead(col("wk"), 1).over(byUser))
+      .withColumn("state",
+        when(col("prev_wk").isNull, "new")
+          .when(col("prev_wk") === col("wk") - 1, "retained")
+          .otherwise("resurrected"))
+      .withColumn("churning",
+        col("next_wk").isNull || col("next_wk") =!= col("wk") + 1)
+    val weekly = states.groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("churning"), 1L).otherwise(0L)).as("n_churning"))
+    val byWk = Window.orderBy(col("wk")) // |weeks|-sized frame
+    weekly
+      .withColumn("pwk", lag(col("wk"), 1).over(byWk))
+      .withColumn("pact", lag(col("n_active"), 1).over(byWk))
+      .select(
+        date_add(lit("1970-01-01").cast("date"),
+          (col("wk") * 7 - 3).cast("int")).as("week"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churning"),
+        ratio4(col("n_retained"),
+          nullif(when(col("pwk") === col("wk") - 1, col("pact")), lit(0L)))
+          .as("wow_retention"))
+      .orderBy(col("week"))
+  }
+
   /** #32ak events_dist_drift: window-over-window distribution drift of
     * `value` per event type — the feature-monitoring report a training
     * pipeline alarms on before a bad day of upstream data poisons a

@@ -949,6 +949,40 @@ object Similarity {
           .as("scanned_share"))
   }
 
+  /** #40s ann_index_balance: the LIST-BALANCE histogram of the
+    * persisted IVF index — one row per inverted list with its posting
+    * count, corpus share, and load factor relative to uniform
+    * (balance = sz·k/n; 1.0 everywhere = perfectly balanced). The
+    * serving-economics audit beside the recall one: IVF latency is
+    * bounded by the probed lists' sizes, so a hot list (balance ≫ 1)
+    * is a tail-latency cliff and a crowd of empty lists means the
+    * quantizer wastes its routing bits — both are refit signals that
+    * drift alone (40p averages over the batch) can miss.
+    *
+    * Scale shape: ONE map-side-combinable count over the bucketed
+    * postings scan (no exchange on the index side beyond the k-row
+    * aggregate), joined to the k-row list dimension (empty lists are
+    * report rows — they are the signal), total as a 1-row broadcast
+    * scalar. All counts integer, shares integer-count
+    * [[graft.functions.Exact.ratio4]]. */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    val k = idx.cents.length
+    val sz = spark.table(idx.table)
+      .groupBy(col("centroid")).agg(count(lit(1)).as("sz"))
+    val tot = spark.table(idx.table).agg(count(lit(1)).as("n_postings"))
+    spark.range(0, k).select(col("id").cast("int").as("centroid"))
+      .join(sz, Seq("centroid"), "left_outer")
+      .withColumn("sz", coalesce(col("sz"), lit(0L)))
+      .crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("centroid"), col("sz"),
+        graft.functions.Exact.ratio4(col("sz"),
+          nullif(col("n_postings"), lit(0L))).as("share"),
+        graft.functions.Exact.ratio4(col("sz") * lit(k.toLong),
+          nullif(col("n_postings"), lit(0L))).as("balance"))
+      .orderBy(col("centroid"))
+  }
+
   // ---- #40p ann_index_drift: the frozen-quantizer drift audit --------
 
   /** #40p ann_index_drift: the DRIFT report of the persisted IVF index

@@ -626,6 +626,40 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("lifecycle states decompose actives and churn conserves across weeks") {
+    val rows = Events.userLifecycle(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ===
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+          r.getAs[Long]("n_resurrected"),
+        "every active user is exactly one of new/retained/resurrected")
+    }
+    // First report week: nobody has history — all new, none retained.
+    assert(rows.head.getAs[Long]("n_new") === rows.head.getAs[Long]("n_active"))
+    // Every user is new exactly once.
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum === nUsers)
+    // Flow conservation across CONSECUTIVE weeks: next week's retained
+    // = this week's actives minus its forward-churners.
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val contiguous =
+          b.getAs[java.sql.Date]("week").toLocalDate ===
+            a.getAs[java.sql.Date]("week").toLocalDate.plusDays(7)
+        if (contiguous) {
+          assert(b.getAs[Long]("n_retained") ===
+            a.getAs[Long]("n_active") - a.getAs[Long]("n_churning"))
+          // wow_retention is retained over the prior week's actives.
+          val want = math.round(b.getAs[Long]("n_retained") * 10000.0 /
+            a.getAs[Long]("n_active")) / 10000.0
+          assert(b.getAs[Double]("wow_retention") === want)
+        }
+      case _ => ()
+    }
+  }
+
   test("growth curve conserves users: new sums to the base, dau splits") {
     val rows = Events.growthCurve(spark, sf).collect()
     val nUsers = graft.sources.Tables.events(spark, sf)

@@ -533,6 +533,13 @@ class PlanSpec extends AnyFunSuite {
     // the checkpointed cluster frame + the |sources| rollup (cluster
     // sizes ride the pair-graph-sized frame behind the memo).
     "dedup_survivor_weights" -> 2,
+    // ann_index_balance 0: the bucketed postings scan feeds a k-row
+    // aggregate; list dimension and total both broadcast.
+    "ann_index_balance" -> 0,
+    // events_user_lifecycle 3: the distinct (user, week) shuffle, the
+    // user window, the weekly rollup; the retention lag rides the
+    // |weeks|-sized SinglePartition frame.
+    "events_user_lifecycle" -> 3,
     // ann_recall_audit 3: the probed-batch join exchange + the two
     // best-match rollups; the postings side reads bucketed (no
     // exchange) and the brute-force truth broadcasts the 1% sample.

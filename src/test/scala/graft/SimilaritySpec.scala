@@ -708,6 +708,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Double]("scanned_share") < 0.5)
   }
 
+  test("index balance tiles the postings: 16 rows, sizes conserve, balance = share*k") {
+    val rows = Similarity.ivfBalance(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("centroid")).toSeq === (0 until 16))
+    import org.apache.spark.sql.functions._
+    val nCorp = Tables.embeddings(spark, sf).filter(
+      graft.sources.PersistedIndex.ppmBucket(col("vec_id"), lit("#ivf")) < 900000L
+    ).count()
+    assert(rows.map(_.getAs[Long]("sz")).sum === nCorp,
+      "every corpus posting lives in exactly one list")
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share")
+      assert(share >= 0.0 && share <= 1.0)
+      // balance is share scaled by k, both through the same ratio4 —
+      // equal up to one ulp of the 4-decimal rounding each side.
+      assert(math.abs(r.getAs[Double]("balance") - share * 16) < 0.0017)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 0.0017)
+  }
+
   test("knnGraph plan-time prep runs once per (session, dir) — no per-call count job") {
     // VERDICT r13 #4: the per-call corpus.count() was a scan job ahead
     // of the real job. The prep (count + sample + fit) is now a
