@@ -115,6 +115,7 @@ object SparkEntry {
     "events_weekend_contrast"  -> (Events.weekendContrast _),
     "events_dist_drift"        -> ((s, d) => Events.distDrift(s, d)),
     "events_user_lifecycle"    -> (Events.userLifecycle _),
+    "events_streaks"           -> (Events.streaks _),
     "text_lang_mix"            -> (Text.langMix _),
     "events_burstiness"        -> (Events.burstiness _),
     "orders_seasonality"       -> (Relational.ordersSeasonality _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "dedup_clusters_star"      -> (Dedup.clustersStar _),
     "dedup_survivors"          -> (Dedup.survivors _),
     "dedup_survivor_weights"   -> (Dedup.survivorWeights _),
+    "dedup_containment"        -> (Dedup.containment _),
     "dedup_embedding"          -> (Dedup.embedding _),
     "dedup_semantic"           -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "dedup_knn_cc"             -> ((s: SparkSession, d: String) => Dedup.knnCc(s, d)),
@@ -3478,6 +3480,43 @@ object SparkEntry {
 
     "dedup_survivor_weights" -> SurvivorWeightsOracleSql,
 
+    // Containment rides the same shingle/cap/co chain as the Jaccard
+    // oracle; the 0.8 gate compares the ratio4-rounded score.
+    "dedup_containment" ->
+      raw"""WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[r.i] || ' ' || t[r.i+1] || ' ' || t[r.i+2]
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) ELSE [1] END) AS r(i)
+        |  WHERE len(t) >= 1),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200),
+        |uni AS (SELECT s.doc_id, s.shingle FROM sh s JOIN capped USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM uni GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
+        |       FROM uni a JOIN uni b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |j AS (SELECT
+        |    CASE WHEN sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND doc_a < doc_b)
+        |      THEN doc_a ELSE doc_b END AS doc_small,
+        |    CASE WHEN sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND doc_a < doc_b)
+        |      THEN doc_b ELSE doc_a END AS doc_big,
+        |    CASE WHEN sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND doc_a < doc_b)
+        |      THEN sa.n_sh ELSE sb.n_sh END AS n_small_sh,
+        |    CASE WHEN sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND doc_a < doc_b)
+        |      THEN sb.n_sh ELSE sa.n_sh END AS n_big_sh,
+        |    n_common
+        |  FROM co JOIN sizes sa ON sa.doc_id = doc_a
+        |          JOIN sizes sb ON sb.doc_id = doc_b)
+        |SELECT doc_small, doc_big, n_small_sh, n_big_sh, n_common,
+        |  ${ratio4Sql("n_common", "n_small_sh")} AS containment,
+        |  ${ratio4Sql("n_common", "n_small_sh + n_big_sh - n_common")} AS jaccard
+        |FROM j
+        |WHERE ${ratio4Sql("n_common", "n_small_sh")} >= 0.8
+        |ORDER BY doc_small, doc_big""".stripMargin,
+
     "dedup_survivors" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
@@ -3590,6 +3629,25 @@ object SparkEntry {
         | CAST(we100 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS weekend_rate,
         | ${ratio4Sql("we100", "NULLIF(wd100, 0)")} AS weekend_ratio
         |FROM r ORDER BY event_type""".stripMargin,
+
+    "events_streaks" ->
+      raw"""WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |runs AS (SELECT user_id,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rk
+        |  FROM ud),
+        |st AS (SELECT user_id, rk, COUNT(*)::BIGINT AS len
+        |  FROM runs GROUP BY 1, 2),
+        |pu AS (SELECT user_id, MAX(len) AS max_streak,
+        |    SUM(len) AS active_days FROM st GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::BIGINT AS n_users_total FROM pu)
+        |SELECT max_streak, COUNT(*)::BIGINT AS n_users,
+        | ${ratio4Sql("COUNT(*)", "t.n_users_total")} AS user_share,
+        | ${ratio4Sql("SUM(active_days)", "COUNT(*)")} AS mean_active_days
+        |FROM pu CROSS JOIN tot t
+        |GROUP BY max_streak, t.n_users_total
+        |ORDER BY max_streak""".stripMargin,
 
     // Lifecycle weeks ride the dau_mau epoch-week rule; the wow
     // denominator is NULL unless the prior report row is the prior

@@ -604,6 +604,57 @@ object Dedup {
     // to preserve the pipeline's output order.
     ngramJaccardM(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
+  /** #37m dedup_containment: ASYMMETRIC set-containment pairs
+    * (Broder 1997's second resemblance measure) — |A∩B|/|A| over the
+    * smaller document's retained shingles, the subset-duplicate
+    * detector symmetric Jaccard structurally under-scores (a short
+    * doc fully embedded in a long one has containment 1.0 but
+    * Jaccard ≈ |A|/|B| — arbitrarily far below any symmetric
+    * threshold; the aggregation/quotation/boilerplate-expansion
+    * class, [[substringPairs]]'s set-similarity sibling). Shares the
+    * [[coAndSizes]] inverted-index kernel with the Jaccard pipeline
+    * verbatim — same shingle rule, same df cap, same candidate set —
+    * so the two reports can never disagree about what a pair's
+    * overlap IS, only rank it differently. Pairs orient small→big by
+    * retained-shingle count (ties by id); both scores present as
+    * integer-count [[graft.functions.Exact.ratio4]], and the 0.8
+    * gate compares the ROUNDED score (the quality-gate convention),
+    * so the cut bites identically in the oracle.
+    *
+    * Scale shape: identical to the Jaccard pipeline — candidates are
+    * the capped equality joins on shingle keys (never all-pairs),
+    * and the size join is the same pinned big-big sort-merge. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    // Session-memoized like the Jaccard pair frame (duplication-
+    // bounded, kilobytes resident): the inverted-index pipeline runs
+    // once per session, and the bench's first-attempt spike
+    // attributes as memo-build.
+    approxPairCache.getOrCompute(spark, s"$dir#containment")(
+      containmentUncached(spark, dir).localCheckpoint())
+      .orderBy(col("doc_small"), col("doc_big"))
+
+  private def containmentUncached(spark: SparkSession, dir: String): DataFrame = {
+    val (coCounts, sizes) = coAndSizes(shingledDocs(spark, dir))
+    val aSmall = col("n_a") < col("n_b") ||
+      (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))
+    coCounts
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+        .hint("merge"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+        .hint("merge"), "doc_b")
+      .select(
+        when(aSmall, col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+        when(aSmall, col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+        when(aSmall, col("n_a")).otherwise(col("n_b")).as("n_small_sh"),
+        when(aSmall, col("n_b")).otherwise(col("n_a")).as("n_big_sh"),
+        col("n_common"))
+      .withColumn("containment",
+        graft.functions.Exact.ratio4(col("n_common"), col("n_small_sh")))
+      .withColumn("jaccard", graft.functions.Exact.ratio4(col("n_common"),
+        col("n_small_sh") + col("n_big_sh") - col("n_common")))
+      .filter(col("containment") >= 0.8)
+  }
+
   /** Largest LSH bucket produced by one banding over the corpus — the
     * cap-audit seam for [[lshCurve]]'s spec. The curve's monotonicity
     * in band count is only GUARANTEED while no bucket crosses the
@@ -629,7 +680,12 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
 
-  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
+  /** The inverted-index kernel shared by the Jaccard and containment
+    * pipelines: per-shingle capped posting lists, per-doc
+    * retained-shingle counts, and the co-occurrence pair counts —
+    * ONE definition so the two similarity semantics can never see
+    * different candidate sets. */
+  private def coAndSizes(docs: DataFrame): (DataFrame, DataFrame) = {
     // One inverted index serves both sides: per-shingle posting lists
     // (null once df exceeds the cap — bounded buffer), from which both
     // the pair counts and the per-doc retained-shingle counts derive.
@@ -651,6 +707,11 @@ object Dedup {
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    (coCounts, sizes)
+  }
+
+  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    val (coCounts, sizes) = coAndSizes(docs)
 
     // SORT-MERGE, pinned: BOTH sides of this join grow with the corpus
     // — sizes is one row per doc, and the co-pair frame is Σ df·(df−1)/2

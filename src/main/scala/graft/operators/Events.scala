@@ -1516,6 +1516,46 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** #32am events_streaks: the consecutive-active-day STREAK census —
+    * per user, maximal runs of consecutive active days (the classic
+    * gaps-and-islands `day − row_number` key, [[activityIslands]]'
+    * engine applied to per-user engagement instead of per-type load),
+    * rolled up into the max-streak histogram every habit/engagement
+    * dashboard reports ("N users have a 7-day best streak"): one row
+    * per best-streak length with the user count, the user share
+    * (tie-free integer ratio4), and the mean active-day count of
+    * those users (exact cross-engine as a ratio4 of integer sums).
+    *
+    * Scale shape: one distinct (user, day) shuffle, the per-user
+    * run-key window (the module's user_id locality unit), a
+    * user-keyed rollup, then the histogram is a map-side-combinable
+    * count on the ≤|days|-sized streak-length key with the user total
+    * as a 1-row broadcast. Nothing corpus-sized past the first
+    * shuffle. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val perUser = ud
+      .withColumn("run_key", col("day") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("run_key"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"),
+        sum(col("len")).as("active_days"))
+    val tot = perUser.agg(count(lit(1)).as("n_users_total"))
+    perUser.groupBy(col("max_streak"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("active_days")).as("sum_active"))
+      .crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("max_streak"), col("n_users"),
+        ratio4(col("n_users"), col("n_users_total")).as("user_share"),
+        ratio4(col("sum_active"), col("n_users")).as("mean_active_days"))
+      .orderBy(col("max_streak"))
+  }
+
   /** #32al events_user_lifecycle: weekly growth accounting — every
     * active (user, week) classified into the standard lifecycle
     * states (NEW: first week ever; RETAINED: also active the prior

@@ -620,6 +620,53 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment matches a capped-universe driver recount and catches the subset class") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.containment(spark, sf).collect()
+    // In-memory replay over the SAME retained-shingle universe: the
+    // house shingle rule, then the df <= 200 posting cap.
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shOf(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      if (toks.isEmpty) Set.empty
+      else if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val per = docs.map { case (id, t) => id -> shOf(t) }.filter(_._2.nonEmpty)
+    val df = per.flatMap(_._2).groupBy(identity).map { case (s, o) => s -> o.length }
+    val retained = per.map { case (id, s) => id -> s.filter(df(_) <= 200) }.toMap
+    val want = (for {
+      Seq((a, sa), (b, sb)) <- retained.toSeq.sortBy(_._1).combinations(2)
+      common = (sa & sb).size if common > 0
+      (small, big, nS, nB) =
+        if (sa.size < sb.size || (sa.size == sb.size && a < b))
+          (a, b, sa.size, sb.size) else (b, a, sb.size, sa.size)
+      cont = math.round(common * 10000.0 / nS) / 10000.0 if cont >= 0.8
+    } yield (small, big) -> (nS.toLong, nB.toLong, common.toLong, cont)).toMap
+    assert(rows.length === want.size)
+    assert(rows.nonEmpty, "the fixture corpus plants subset duplicates")
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("doc_small"), r.getAs[Long]("doc_big"))
+      val (nS, nB, common, cont) = want(k)
+      assert(r.getAs[Long]("n_small_sh") === nS)
+      assert(r.getAs[Long]("n_big_sh") === nB)
+      assert(r.getAs[Long]("n_common") === common)
+      assert(r.getAs[Double]("containment") === cont)
+      assert(r.getAs[Double]("jaccard") <= r.getAs[Double]("containment"),
+        "Jaccard never exceeds containment of the smaller side")
+    }
+    // The operator's reason to exist — asymmetry: a strictly smaller
+    // side makes containment strictly exceed Jaccard. (The
+    // below-0.5-Jaccard subclass needs a >2x size ratio, which this
+    // tiny fixture does not guarantee; the sf0.01 gate corpus shows
+    // it.)
+    assert(rows.exists(r =>
+      r.getAs[Double]("containment") > r.getAs[Double]("jaccard")),
+      "some pair must score asymmetrically")
+  }
+
   test("survivor weights match a driver recount of 1e6/cluster_size per source") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.survivorWeights(spark, sf).collect()

@@ -660,6 +660,33 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("streak histogram matches a driver gaps-and-islands recount") {
+    val rows = Events.streaks(spark, sf).collect()
+    val ud = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perUser = ud.groupBy(_._1).map { case (u, ds) =>
+      val days = ds.map(_._2).distinct.sorted
+      val lens = days.foldLeft(List.empty[(Long, Long)]) {
+        case ((lastDay, len) :: rest, d) if d == lastDay + 1 =>
+          (d, len + 1) :: rest
+        case (acc, d) => (d, 1L) :: acc
+      }.map(_._2)
+      (u, lens.max, days.length.toLong)
+    }
+    val hist = perUser.groupBy(_._2).map { case (ms, us) =>
+      ms -> (us.size.toLong, us.map(_._3).sum)
+    }
+    assert(rows.length === hist.size)
+    assert(rows.map(_.getAs[Long]("n_users")).sum === perUser.size.toLong)
+    rows.foreach { r =>
+      val (nUsers, sumActive) = hist(r.getAs[Long]("max_streak"))
+      assert(r.getAs[Long]("n_users") === nUsers)
+      assert(r.getAs[Double]("mean_active_days") ===
+        math.round(sumActive * 10000.0 / nUsers) / 10000.0)
+    }
+  }
+
   test("growth curve conserves users: new sums to the base, dau splits") {
     val rows = Events.growthCurve(spark, sf).collect()
     val nUsers = graft.sources.Tables.events(spark, sf)

@@ -529,6 +529,14 @@ class PlanSpec extends AnyFunSuite {
     // session memo planOf reads).
     "dedup_threshold_curve" -> 4,
     "dedup_simhash" -> 2, "dedup_substring" -> 0, "dedup_survivors" -> 0,
+    // dedup_containment 0: the whole inverted-index pipeline sits
+    // behind the session-memoized checkpoint (8 exchanges uncached);
+    // planOf reads only the re-sort of the materialized pair frame.
+    "dedup_containment" -> 0,
+    // events_streaks 4: the distinct (user, day) shuffle, the run-key
+    // window, the two user rollups; the histogram rides the
+    // streak-length dimension with the total as a 1-row broadcast.
+    "events_streaks" -> 4,
     // dedup_survivor_weights 2: the doc-keyed join of the corpus to
     // the checkpointed cluster frame + the |sources| rollup (cluster
     // sizes ride the pair-graph-sized frame behind the memo).
