@@ -1302,17 +1302,27 @@ object Dedup {
     // embeddings: they arise only between bit-identical vectors,
     // which the upstream exact dedup stages remove first in the
     // published SemDeDup recipe.
-    val best = assigned
-      .join(assigned.select(col("cluster"),
-        col("vec_id").as("cand_id"), col("embedding").as("cand_emb")),
-        Seq("cluster"))
-      .filter(col("vec_id") =!= col("cand_id"))
-      .select(col("vec_id"),
-        col("cand_id"), Sketches.cosineSim(col("embedding"), col("cand_emb")).as("cos"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), col("cand_id"))).as("best"))
-      .select(col("vec_id"), col("best.cand_id").as("best_match"),
-        col("best.cos").as("best_cos"))
+    // The within-cluster argmax is tau-INDEPENDENT and has two
+    // first-class consumers (dedup_semantic and dedup_knn_cc's sem_dup
+    // column) — memoized like the assignment it consumes
+    // (OPTIMIZATION r16, guide §1.2: the within-cluster self-join is
+    // the Σ|cluster|² pair stream, the dominant cost of the operator;
+    // one per session, not one per consumer). The checkpoint is one
+    // row per vector (id, match, cos).
+    val best = semanticAssignCache.getOrCompute(spark, s"$dir#$kEff#best") {
+      assigned
+        .join(assigned.select(col("cluster"),
+          col("vec_id").as("cand_id"), col("embedding").as("cand_emb")),
+          Seq("cluster"))
+        .filter(col("vec_id") =!= col("cand_id"))
+        .select(col("vec_id"),
+          col("cand_id"), Sketches.cosineSim(col("embedding"), col("cand_emb")).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), col("cand_id"))).as("best"))
+        .select(col("vec_id"), col("best.cand_id").as("best_match"),
+          col("best.cos").as("best_cos"))
+        .localCheckpoint()
+    }
 
     assigned.select(col("vec_id"), col("cluster"))
       .join(broadcast(sizes), Seq("cluster"))
@@ -1358,7 +1368,7 @@ object Dedup {
     * anywhere. */
   def knnCc(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
     import graft.functions.Exact.ratio4
-    val pairs = graft.similarity.Similarity.knnGraph(spark, dir)
+    val pairs = graft.similarity.Similarity.knnEdges(spark, dir)
       .filter(col("mutual") && col("cos") >= tau &&
         col("src_id") < col("dst_id"))
       .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b"))

@@ -616,39 +616,59 @@ object Similarity {
       (nLists, Kmeans.fittedCentroidsSeeded(corpus, nLists, rounds = 5, salt = "#knn"))
     })
 
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val kG = 5
-    // Parallelism floor on the corpus scan: both self-join sides pay
-    // the k×d assignment expression per row before the exchange.
-    val corpus = Tables.withMinParallelism(
-      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
-    val (_, cents) = knnPrep(spark, dir)
-    val asn = corpus.withColumn("centroid",
-      element_at(Centroids.nearestCentroids(col("embedding"), cents, 1), 1))
-    val scored = asn
-      .join(asn.select(col("centroid"),
-        col("vec_id").as("dst_id"), col("embedding").as("d_emb")), Seq("centroid"))
-      .filter(col("vec_id") =!= col("dst_id"))
-      .select(col("vec_id").as("src_id"), col("dst_id"),
-        Sketches.cosineSim(col("embedding"), col("d_emb")).as("cos"))
-    // n_candidates rides the SAME aggregate as the top-k heap: per
-    // source it is the size of its scored candidate set (list size −
-    // 1), and summed over sources it is the round's total candidate
-    // volume — the ~n^1.5 telemetry the scale sweep reads directly.
-    val edges = scored.groupBy(col("src_id"))
-      .agg(count(lit(1)).as("n_candidates"),
-        TopKByScore.topkByScore(col("cos"), col("dst_id"), kG).as("top"))
-      .select(col("src_id"), col("n_candidates"), posexplode(col("top")))
-      .select(col("src_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("dst_id"), col("col.score").as("cos"),
-        col("n_candidates"))
-    edges
-      .join(edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id"))
-        .withColumn("_rev", lit(1)), Seq("src_id", "dst_id"), "left")
-      .select(col("src_id"), col("rank"), col("dst_id"), col("cos"),
-        col("n_candidates"), col("_rev").isNotNull.as("mutual"))
-      .orderBy(col("src_id"), col("rank"))
-  }
+  /** The annotated kNN edge list — [[knnGraph]] minus its report
+    * ordering — memoized per (session, dir) as a lineage-free
+    * checkpoint (OPTIMIZATION r16, guide §2.4/§1.2): the frame has
+    * THREE first-class consumers (emb_knn_graph, dedup_knn_cc,
+    * emb_knn_triangles via the mutual-edge cache), and the mutual
+    * annotation references the edge frame twice — un-materialized,
+    * the corpus self-join + top-k heap pipeline was embedded (and
+    * executed) TWICE in every consumer's plan (the dedup_knn_cc dump
+    * showed 16 Exchanges / 12 corpus scans before this). The
+    * checkpoint is n·k edge rows — graph-sized, never corpus-sized. */
+  private val knnEdgeCache =
+    new graft.functions.SessionScopedCache("similarity.knn_edges")
+
+  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    knnEdgeCache.getOrCompute(spark, dir) {
+      val kG = 5
+      // Parallelism floor on the corpus scan: both self-join sides pay
+      // the k×d assignment expression per row before the exchange.
+      val corpus = Tables.withMinParallelism(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+      val (_, cents) = knnPrep(spark, dir)
+      val asn = corpus.withColumn("centroid",
+        element_at(Centroids.nearestCentroids(col("embedding"), cents, 1), 1))
+      val scored = asn
+        .join(asn.select(col("centroid"),
+          col("vec_id").as("dst_id"), col("embedding").as("d_emb")), Seq("centroid"))
+        .filter(col("vec_id") =!= col("dst_id"))
+        .select(col("vec_id").as("src_id"), col("dst_id"),
+          Sketches.cosineSim(col("embedding"), col("d_emb")).as("cos"))
+      // n_candidates rides the SAME aggregate as the top-k heap: per
+      // source it is the size of its scored candidate set (list size −
+      // 1), and summed over sources it is the round's total candidate
+      // volume — the ~n^1.5 telemetry the scale sweep reads directly.
+      val edges = scored.groupBy(col("src_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          TopKByScore.topkByScore(col("cos"), col("dst_id"), kG).as("top"))
+        .select(col("src_id"), col("n_candidates"), posexplode(col("top")))
+        .select(col("src_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("dst_id"), col("col.score").as("cos"),
+          col("n_candidates"))
+        // Materialize BEFORE the mutual self-reference: the two
+        // references below otherwise each re-run the corpus self-join.
+        .localCheckpoint()
+      edges
+        .join(edges.select(col("dst_id").as("src_id"), col("src_id").as("dst_id"))
+          .withColumn("_rev", lit(1)), Seq("src_id", "dst_id"), "left")
+        .select(col("src_id"), col("rank"), col("dst_id"), col("cos"),
+          col("n_candidates"), col("_rev").isNotNull.as("mutual"))
+        .localCheckpoint()
+    }
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnEdges(spark, dir).orderBy(col("src_id"), col("rank"))
 
   /** #40q emb_knn_triangles: the TRIANGLE census of [[knnGraph]]'s
     * mutual-edge graph — per-vertex triangle count and local
@@ -688,7 +708,7 @@ object Similarity {
     // frame is two longs per mutual edge, ≤ k·n rows, kilobytes
     // resident at gated scale.
     val edges = mutualEdgeCache.getOrCompute(spark, dir) {
-      knnGraph(spark, dir)
+      knnEdges(spark, dir)
         .filter(col("mutual") && col("src_id") < col("dst_id"))
         .select(col("src_id").as("a"), col("dst_id").as("b"))
         .localCheckpoint()
